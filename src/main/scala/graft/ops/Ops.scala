@@ -1,0 +1,304 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.SortKey
+import graft.parse.Conditions
+import graft.parse.Conditions._
+
+/** Compile parsed condition ASTs to Catalyst Columns. Kept separate
+  * from the pure parser so the parser stays ScalaCheck-able without a
+  * SparkSession.
+  */
+object Compile {
+  def lit2col(l: Lit): Column = l match {
+    case SLit(v) => lit(v)
+    case NLit(v) => lit(v)
+    // DATE(yyyy-mm-dd) compares against datetime columns in the
+    // reference (pd.to_datetime) → timestamp at midnight.
+    case DLit(v) => lit(java.sql.Timestamp.valueOf(v.atStartOfDay()))
+    case BLit(v) => lit(v)
+  }
+
+  def cond2col(c: Cond): Column = c match {
+    case Cmp(col_, "=", l) => col(col_) === lit2col(l)
+    case Cmp(col_, ">=", l) => col(col_) >= lit2col(l)
+    case Cmp(col_, "<=", l) => col(col_) <= lit2col(l)
+    case Cmp(col_, op, _) => throw ParseError(s"unknown op '$op' on $col_")
+    case NotNull(col_) => col(col_).isNotNull
+    case And(a, b) => cond2col(a) && cond2col(b)
+    case Or(a, b) => cond2col(a) || cond2col(b)
+    case Between(col_, lo, hi) => col(col_).between(lit2col(lo), lit2col(hi))
+  }
+
+  /** Parse + compile a condition string. */
+  def filterColumn(s: String): Column = cond2col(Conditions.parse(s))
+}
+
+/** One function per SURVEY.md §2 operator, each a pure
+  * `DataFrame => DataFrame` built ONLY from
+  * `org.apache.spark.sql.functions` — no UDFs, no collect, so every
+  * op stays inside whole-stage codegen and scales with partitioning.
+  *
+  * Order-dependent ops (uniqueColumns, groupbySummarise `last`,
+  * groupbySlice) take an explicit `order: Seq[SortKey]` threaded by
+  * the interpreter — Spark discards the implicit row order pandas
+  * preserves (SURVEY.md §4), so the ordering a preceding SORT DATASET
+  * established is compiled into a window specification instead.
+  */
+object Ops {
+
+  /** strftime → java.time.DateTimeFormatter pattern translation
+    * (SURVEY.md §2.6 C2). Only the directives a config can plausibly
+    * use; unknown directives fail loudly rather than silently parse.
+    */
+  def strftimeToJava(fmt: String): String = {
+    val table = Seq(
+      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+      "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss",
+      "%f" -> "SSSSSS", "%p" -> "a", "%j" -> "DDD", "%%" -> "%")
+    var out = fmt
+    table.foreach { case (k, v) => out = out.replace(k, v) }
+    require(!out.contains("%"), s"untranslated strftime directive in '$fmt'")
+    out
+  }
+
+  private def sortCols(order: Seq[SortKey]): Seq[Column] =
+    // pandas sorts NaN last in BOTH directions (R2) — force nulls_last.
+    order.map(k => if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last)
+
+  // ===== §2.2 projection / distinct =====
+
+  /** P1 `columns_selection`: tolerant projection — if ANY requested
+    * column is missing the whole projection is silently skipped
+    * (KeyError → pass, Configurable_ETL_Python.py:43-53).
+    */
+  def selectColumnsTolerant(cols: Seq[String], distinct: Boolean)(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    if (cols.nonEmpty && cols.forall(have.contains)) {
+      val p = df.select(cols.map(col): _*)
+      if (distinct) p.dropDuplicates(cols) else p
+    } else df
+  }
+
+  /** P2 SELECT COLUMNS: strict projection. */
+  def selectColumns(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P3 SELECT DISTINCT: project then dedup — row set identical to
+    * pandas' keep-first since the output has exactly the dedup cols.
+    */
+  def selectDistinct(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.select(cols.map(col): _*).dropDuplicates()
+
+  /** P4 UNIQUE COLUMN: dedup on `cols` keeping all other columns.
+    * Pandas keeps the FIRST row in current order; with an established
+    * order we compile to row_number()==1, else Spark's arbitrary-row
+    * dropDuplicates (set-equivalent when no order was declared).
+    */
+  def uniqueColumns(cols: Seq[String], order: Seq[SortKey])(df: DataFrame): DataFrame =
+    if (order.isEmpty) df.dropDuplicates(cols)
+    else {
+      val w = Window.partitionBy(cols.map(col): _*).orderBy(sortCols(order): _*)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+
+  /** P5 REMOVE COLUMN. */
+  def removeColumns(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.drop(cols: _*)
+
+  // ===== §2.3 filter =====
+
+  /** F1-F5: the condition mini-language. */
+  def filterOp(condition: String)(df: DataFrame): DataFrame =
+    df.filter(Compile.filterColumn(condition))
+
+  // ===== §2.4 joins =====
+
+  /** J1/J2 `any_join`: equi-join on same-named key columns. Pandas
+    * suffixes overlapping non-key columns `_x`/`_y`
+    * (Configurable_ETL_Python.py:531-534); we rename deterministically
+    * BEFORE the join so the plan stays total and unambiguous.
+    */
+  def namedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], how: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
+    val l = overlap.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"${c}_x"))
+    val r = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_y"))
+    l.join(r, keys, how)
+  }
+
+  /** J3 `joining_columns`: general qualified form
+    * `df1.a = df2.b & …` with an explicit how.
+    */
+  def qualifiedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      pairs: Seq[(String, String)],
+      how: String): DataFrame = {
+    val cond = pairs.map { case (a, b) => left(a) === right(b) }.reduce(_ && _)
+    left.join(right, cond, how)
+  }
+
+  // ===== §2.5 aggregation =====
+
+  /** A1 GROUPBY SUMMARISE: `group_by_cols=a,b | summary_col_ops=c#fn`.
+    * Supported fns: min,max,sum,mean,count,first,last. `first`/`last`
+    * are ORDER-DEPENDENT in pandas ("first/last in current row
+    * order") — compiled to min_by/max_by over the established sort
+    * key so the plan is deterministic (never bare first()/last()).
+    */
+  def groupbySummarise(
+      groupCols: Seq[String],
+      aggs: Seq[(String, String)],
+      order: Seq[SortKey])(df: DataFrame): DataFrame = {
+    // For first/last we need a single orderable expression; a
+    // multi-key sort compiles to a struct (struct ordering is
+    // lexicographic, matching pandas' multi-key sort). Descending keys
+    // are not struct-encodable, so require a single key in that case.
+    def orderExpr: Column = order match {
+      case Seq(one) => col(one.col)
+      case Nil => throw new IllegalStateException(
+        "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
+      case many if many.forall(!_.desc) => struct(many.map(k => col(k.col)): _*)
+      case _ => throw new IllegalStateException(
+        "first/last after a mixed/desc multi-key sort is not order-encodable; sort on one key")
+    }
+    def descending = order.nonEmpty && order.head.desc
+    val aggCols = aggs.map { case (c, fn) =>
+      (fn.toLowerCase match {
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "sum" => sum(col(c))
+        case "mean" | "avg" => avg(col(c))
+        case "count" => count(col(c))
+        // pandas .agg('last') after an ascending sort = value at the
+        // max sort key → max_by; after a descending sort → min_by.
+        case "last" => if (descending) min_by(col(c), orderExpr) else max_by(col(c), orderExpr)
+        case "first" => if (descending) max_by(col(c), orderExpr) else min_by(col(c), orderExpr)
+        case other => throw new IllegalArgumentException(s"unknown summarise fn '$other'")
+      }).as(c)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** A2 AGGREGATE COLUMN: row-wise min/max across a `#`-separated
+    * column list; NaN/null skipped — exactly `least`/`greatest`.
+    */
+  def aggregateColumn(newCol: String, srcCols: Seq[String], fn: String)(df: DataFrame): DataFrame = {
+    val c = fn.toLowerCase match {
+      case "min" => least(srcCols.map(col): _*)
+      case "max" => greatest(srcCols.map(col): _*)
+      case other => throw new IllegalArgumentException(s"unknown row-wise fn '$other'")
+    }
+    df.withColumn(newCol, c)
+  }
+
+  /** A3 GROUPBY SLICE: first n rows per group in the established
+    * order — top-k per group via row_number. Requires the interpreter
+    * to thread the ordering of the preceding SORT DATASET.
+    */
+  def groupbySlice(groupCols: Seq[String], n: Int, order: Seq[SortKey])(df: DataFrame): DataFrame = {
+    require(order.nonEmpty, "GROUPBY SLICE requires a preceding SORT DATASET")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols(order): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  // ===== §2.6 column derivation =====
+
+  /** C1 RENAME COLUMN: `old = new` pairs. */
+  def renameColumns(pairs: Seq[(String, String)])(df: DataFrame): DataFrame =
+    pairs.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+
+  /** C2 FORMAT COLUMN: `column=c, type=datetime#<strftime>` or
+    * `type=number`.
+    */
+  def formatColumn(c: String, typeSpec: String)(df: DataFrame): DataFrame = {
+    val parts = typeSpec.split("#", 2)
+    parts(0).trim.toLowerCase match {
+      case "datetime" =>
+        val fmt = strftimeToJava(parts(1).trim)
+        df.withColumn(c, to_timestamp(col(c), fmt))
+      case "number" =>
+        df.withColumn(c, col(c).cast("double"))
+      case other => throw new IllegalArgumentException(s"unknown format type '$other'")
+    }
+  }
+
+  /** C3 ADD COLUMN: constant string column. */
+  def addColumn(name: String, value: String)(df: DataFrame): DataFrame =
+    df.withColumn(name, lit(value))
+
+  /** C4 ATTACH COLUMN / NOTNULL: boolean `src IS NOT NULL`. */
+  def attachNotNull(name: String, src: String)(df: DataFrame): DataFrame =
+    df.withColumn(name, col(src).isNotNull)
+
+  /** C5 ATTACH COLUMN / SUMEQ: whole-frame scalar
+    * `sum(a) == sum(b)` broadcast to every row (booleans count as
+    * 1/0). Compiled as a 1-row aggregate broadcast-cross-joined back —
+    * NOT a window over an empty partition, which would funnel the
+    * whole table through one partition at scale.
+    */
+  def attachSumEq(name: String, a: String, b: String)(df: DataFrame): DataFrame = {
+    val sums = df.agg(
+      sum(col(a).cast("long")).as("__sa"),
+      sum(col(b).cast("long")).as("__sb"))
+    df.crossJoin(broadcast(sums))
+      .withColumn(name, col("__sa") === col("__sb"))
+      .drop("__sa", "__sb")
+  }
+
+  /** C6 ATTACH COLUMN / NULL: `if src IS NULL then lit(value) else
+    * col(otherCol)` (np.where).
+    */
+  def attachNullFill(name: String, src: String, value: String, otherCol: String)(
+      df: DataFrame): DataFrame =
+    df.withColumn(name, when(col(src).isNull, lit(value)).otherwise(col(otherCol)))
+
+  /** C7 DECISION COLUMN: left-join a small lookup table
+    * (lookupValue → output) onto `lookupCol`; unmatched rows stay
+    * null. The table is broadcast — it is worksheet-sized by
+    * construction.
+    */
+  def decisionColumn(newCol: String, lookupCol: String, table: DataFrame)(
+      df: DataFrame): DataFrame = {
+    // table schema: (lookup_value, output)
+    val t = table.toDF("__lk", newCol)
+    df.join(broadcast(t), df(lookupCol) === t("__lk"), "left").drop("__lk")
+  }
+
+  /** C7 alternate compilation: fold the mapping into a when-chain —
+    * zero join, stays in codegen; used when the mapping is available
+    * driver-side as literals.
+    */
+  def decisionColumnWhenChain(
+      newCol: String,
+      lookupCol: String,
+      mapping: Seq[(String, String)])(df: DataFrame): DataFrame = {
+    val c = mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(col(lookupCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.withColumn(newCol, c)
+  }
+
+  /** C8 composite key: country#site#subject. */
+  def concatKey(name: String, sep: String, cols: Seq[String])(df: DataFrame): DataFrame =
+    df.withColumn(name, concat_ws(sep, cols.map(col): _*))
+
+  // ===== §2.7 rows =====
+
+  /** R1 BIND ROWS: union by column name, missing columns → null. */
+  def bindRows(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** R2 SORT DATASET: one direction for all cols, nulls last both
+    * ways (pandas semantics).
+    */
+  def sortDataset(cols: Seq[String], desc: Boolean)(df: DataFrame): DataFrame =
+    df.orderBy(sortCols(cols.map(SortKey(_, desc))): _*)
+
+  /** R3 REMOVE ROWS: `col=NULL` → drop rows where col is null. */
+  def removeRows(c: String)(df: DataFrame): DataFrame =
+    df.filter(col(c).isNotNull)
+}

@@ -1,0 +1,136 @@
+package graft.parse
+
+import java.time.LocalDate
+
+/** The condition mini-language of the reference's `Condition` column
+  * (SURVEY.md §2.3; /root/reference/Configurable_ETL_Python.py:108-129
+  * dispatch, :131-200 forms, :59-106 literal wrappers).
+  *
+  * Grammar (dispatch by substring scan, priority order mirrors the
+  * reference exactly):
+  *   cond      := conj | disj | between | single
+  *   conj      := single '&' single          (equality terms only)
+  *   disj      := single '|' single
+  *   between   := col 'BETWEEN' '(' lit ',' lit ')'
+  *   single    := col ('=' | '>=' | '<=') rhs
+  *   rhs       := 'NOT NULL' | lit
+  *   lit       := 'DATE(' yyyy-mm-dd ')' | 'NUMBER(' num ')'
+  *              | 'BOOLEAN(' bool ')' | string        (unquoted, trimmed)
+  *
+  * The parser is pure (no Spark types) so it can be property-tested;
+  * compilation to Catalyst `Column`s lives in [[graft.ops.Compile]].
+  */
+object Conditions {
+
+  sealed trait Lit
+  final case class SLit(v: String) extends Lit
+  final case class NLit(v: Double) extends Lit
+  final case class DLit(v: LocalDate) extends Lit
+  final case class BLit(v: Boolean) extends Lit
+
+  sealed trait Cond
+  /** op is one of "=", ">=", "<=" */
+  final case class Cmp(col: String, op: String, lit: Lit) extends Cond
+  final case class NotNull(col: String) extends Cond
+  final case class And(l: Cond, r: Cond) extends Cond
+  final case class Or(l: Cond, r: Cond) extends Cond
+  final case class Between(col: String, lo: Lit, hi: Lit) extends Cond
+
+  final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  /** Literal wrappers — Configurable_ETL_Python.py:93-106. An
+    * unwrapped RHS is a STRING, never coerced (SURVEY.md §7.4 #3).
+    */
+  def parseLit(raw: String): Lit = {
+    val s = raw.trim
+    val date = """(?i)DATE\((.+)\)""".r
+    val num = """(?i)NUMBER\((.+)\)""".r
+    val bool = """(?i)BOOLEAN\((.+)\)""".r
+    s match {
+      case date(d) =>
+        DLit(LocalDate.parse(d.trim)) // yyyy-mm-dd, the observed format
+      case num(n) =>
+        NLit(n.trim.toDouble)
+      case bool(b) =>
+        BLit(b.trim.equalsIgnoreCase("true"))
+      case other => SLit(other)
+    }
+  }
+
+  /** Parse one `col <op> rhs` term. `NOT NULL` RHS is the reference's
+    * spelled-as-equality null test (Configurable_ETL_Python.py:160-162).
+    */
+  private def parseSingle(s: String): Cond = {
+    // >=, <= before = (the reference checks in this order too)
+    def split(op: String): Option[(String, String)] = {
+      val i = s.indexOf(op)
+      if (i < 0) None else Some((s.substring(0, i).trim, s.substring(i + op.length).trim))
+    }
+    split(">=").map { case (c, r) => Cmp(c, ">=", parseLit(r)) }
+      .orElse(split("<=").map { case (c, r) => Cmp(c, "<=", parseLit(r)) })
+      .orElse(split("=").map { case (c, r) =>
+        if (r.trim.equalsIgnoreCase("NOT NULL")) NotNull(c)
+        else Cmp(c, "=", parseLit(r))
+      })
+      .getOrElse(throw ParseError(s"unparseable condition term: '$s'"))
+  }
+
+  private def parseBetween(s: String): Cond = {
+    val re = """(?is)^\s*(.+?)\s+BETWEEN\s*\(\s*(.+?)\s*,\s*(.+?)\s*\)\s*$""".r
+    s match {
+      case re(col, lo, hi) => Between(col.trim, parseLit(lo), parseLit(hi))
+      case _ => throw ParseError(s"unparseable BETWEEN: '$s'")
+    }
+  }
+
+  /** Full condition parser. Priority: & → | → BETWEEN → single
+    * (matching handling_filter_operation's substring dispatch,
+    * Configurable_ETL_Python.py:108-129).
+    */
+  def parse(s: String): Cond = {
+    val t = s.trim
+    if (t.isEmpty) throw ParseError("empty condition")
+    else if (t.contains("&")) {
+      val parts = t.split("&", 2)
+      And(parseSingle(parts(0)), parseSingle(parts(1)))
+    } else if (t.contains("|")) {
+      val parts = t.split("\\|", 2)
+      Or(parseSingle(parts(0)), parseSingle(parts(1)))
+    } else if (t.toUpperCase.contains("BETWEEN")) parseBetween(t)
+    else parseSingle(t)
+  }
+}
+
+/** `key=value` list grammars used by the non-filter operators
+  * (SORT DATASET, GROUPBY SUMMARISE, ATTACH COLUMN, ADD COLUMN,
+  * DECISION COLUMN, GROUPBY SLICE — SURVEY.md §2.5-§2.7). Pair
+  * separator varies by op (',' or '|'); values may hold ','/'#'
+  * sub-lists, split by the caller.
+  */
+object KvList {
+  /** Split "k1=v1 <sep> k2=v2" into an ordered key→value map. */
+  def parse(s: String, pairSep: Char): Map[String, String] =
+    s.split(pairSep).iterator
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad key=value pair: '$kv'")
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }
+      .toMap
+
+  /** Parse "a,b,c" into a trimmed list. */
+  def csv(s: String): Seq[String] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Parse "col#fn, col2#fn2" into (col, fn) pairs (GROUPBY SUMMARISE
+    * grammar, Configurable_ETL_Python.py:346-357).
+    */
+  def hashPairs(s: String): Seq[(String, String)] =
+    csv(s).map { p =>
+      val parts = p.split("#", 2)
+      require(parts.length == 2, s"bad col#fn pair: '$p'")
+      (parts(0).trim, parts(1).trim)
+    }
+}
