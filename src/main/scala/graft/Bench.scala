@@ -1,24 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A query that throws is reported in `errors`
+  * and EXCLUDED from the timing totals — a broken query must never be
+  * indistinguishable from a slow one.
+  */
 object Bench {
+  /** Headline subset: one representative per heavy operator family
+    * (join, agg, window-slice, union, engine pipeline, dedup,
+    * similarity, text). Falls back to all queries if a name is gone.
+    */
+  val headline: Seq[String] = Seq(
+    "j1_left_join", "a1_summarise_minmax", "a3_groupby_slice",
+    "p4_unique_columns", "r1_bind_rows", "c5_attach_sumeq",
+    "engine_pipeline", "s1_nested_roundtrip",
+    "dedup_exact", "dedup_minhash_pairs", "sim_cosine_topk",
+    "text_quality", "text_langid")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = headline.filter(SparkEntry.queries.contains) match {
+      case Nil => SparkEntry.queries.keys.toSeq.sorted
+      case hs => hs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    var timings = Vector.empty[(String, Double)]
+    var errors = Vector.empty[(String, String)]
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        timings :+= name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      }
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -51,18 +51,43 @@ object Compile {
 object Ops {
 
   /** strftime → java.time.DateTimeFormatter pattern translation
-    * (SURVEY.md §2.6 C2). Only the directives a config can plausibly
-    * use; unknown directives fail loudly rather than silently parse.
+    * (SURVEY.md §2.6 C2). Tokenizes left-to-right so `%%` escapes are
+    * seen before directive rules, and single-quotes literal text
+    * containing letters so DateTimeFormatter doesn't read it as
+    * pattern chars. Unknown directives fail loudly.
     */
   def strftimeToJava(fmt: String): String = {
-    val table = Seq(
-      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
-      "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss",
-      "%f" -> "SSSSSS", "%p" -> "a", "%j" -> "DDD", "%%" -> "%")
-    var out = fmt
-    table.foreach { case (k, v) => out = out.replace(k, v) }
-    require(!out.contains("%"), s"untranslated strftime directive in '$fmt'")
-    out
+    val table = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+      'f' -> "SSSSSS", 'p' -> "a", 'j' -> "DDD")
+    val out = new StringBuilder
+    val litBuf = new StringBuilder
+    def flush(): Unit = if (litBuf.nonEmpty) {
+      val s = litBuf.toString
+      if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      litBuf.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        fmt(i + 1) match {
+          case '%' => litBuf.append('%')
+          case d => table.get(d) match {
+            case Some(j) => flush(); out.append(j)
+            case None => throw new IllegalArgumentException(
+              s"untranslated strftime directive '%$d' in '$fmt'")
+          }
+        }
+        i += 2
+      } else {
+        require(fmt(i) != '%', s"dangling '%' at end of '$fmt'")
+        litBuf.append(fmt(i)); i += 1
+      }
+    }
+    flush()
+    out.toString
   }
 
   private def sortCols(order: Seq[SortKey]): Seq[Column] =
@@ -173,10 +198,18 @@ object Ops {
         case "sum" => sum(col(c))
         case "mean" | "avg" => avg(col(c))
         case "count" => count(col(c))
-        // pandas .agg('last') after an ascending sort = value at the
-        // max sort key → max_by; after a descending sort → min_by.
-        case "last" => if (descending) min_by(col(c), orderExpr) else max_by(col(c), orderExpr)
-        case "first" => if (descending) max_by(col(c), orderExpr) else min_by(col(c), orderExpr)
+        // pandas .agg('last') after an ascending sort = last NON-NULL
+        // value in sort order (GroupBy.last skips nulls). Null-guard
+        // the sort key so max_by/min_by skip rows whose value is null:
+        // max_by ignores null ordering keys, so the result is the
+        // value at the greatest key among non-null values — exactly
+        // pandas. All-null group → null, also matching pandas.
+        case "last" =>
+          val key = when(col(c).isNotNull, orderExpr)
+          if (descending) min_by(col(c), key) else max_by(col(c), key)
+        case "first" =>
+          val key = when(col(c).isNotNull, orderExpr)
+          if (descending) max_by(col(c), key) else min_by(col(c), key)
         case other => throw new IllegalArgumentException(s"unknown summarise fn '$other'")
       }).as(c)
     }
@@ -241,9 +274,14 @@ object Ops {
     * whole table through one partition at scale.
     */
   def attachSumEq(name: String, a: String, b: String)(df: DataFrame): DataFrame = {
-    val sums = df.agg(
-      sum(col(a).cast("long")).as("__sa"),
-      sum(col(b).cast("long")).as("__sb"))
+    import org.apache.spark.sql.types.BooleanType
+    // Pandas sums native dtypes (booleans count as 1/0; floats stay
+    // float — no truncation) and an empty/all-null sum is 0, not null.
+    def s(c: String) = {
+      val base = if (df.schema(c).dataType == BooleanType) col(c).cast("long") else col(c)
+      coalesce(sum(base), lit(0))
+    }
+    val sums = df.agg(s(a).as("__sa"), s(b).as("__sb"))
     df.crossJoin(broadcast(sums))
       .withColumn(name, col("__sa") === col("__sb"))
       .drop("__sa", "__sb")

@@ -86,6 +86,13 @@ object Conditions {
   /** Full condition parser. Priority: & → | → BETWEEN → single
     * (matching handling_filter_operation's substring dispatch,
     * Configurable_ETL_Python.py:108-129).
+    *
+    * DELIBERATE DIVERGENCE (recorded in SURVEY §4): the reference's
+    * filter_two_parts restricts `&`/`|` terms to raw-string equality
+    * ('a = NUMBER(5)' compares the literal string "NUMBER(5)"), and
+    * silently drops a third `&`-term. We parse each side with the full
+    * single-term grammar (typed literals, >=/<=, NOT NULL) — a strict
+    * superset that treats the reference behavior as a bug, not a spec.
     */
   def parse(s: String): Cond = {
     val t = s.trim
@@ -108,17 +115,20 @@ object Conditions {
   * sub-lists, split by the caller.
   */
 object KvList {
-  /** Split "k1=v1 <sep> k2=v2" into an ordered key→value map. */
+  /** Split "k1=v1 <sep> k2=v2" into an ordered key→value map
+    * (ListMap preserves insertion order — positional grammars like
+    * ATTACH COLUMN's 5-part form rely on it).
+    */
   def parse(s: String, pairSep: Char): Map[String, String] =
-    s.split(pairSep).iterator
-      .map(_.trim)
-      .filter(_.nonEmpty)
-      .map { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"bad key=value pair: '$kv'")
-        kv.substring(0, i).trim -> kv.substring(i + 1).trim
-      }
-      .toMap
+    scala.collection.immutable.ListMap.from(
+      s.split(pairSep).iterator
+        .map(_.trim)
+        .filter(_.nonEmpty)
+        .map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"bad key=value pair: '$kv'")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        })
 
   /** Parse "a,b,c" into a trimmed list. */
   def csv(s: String): Seq[String] =
