@@ -1,13 +1,476 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ParquetResolver, StudyRunner, Interpreter, PipelineContext}
+import graft.io.{ConfigReader, Export, NestedStore, Standardized}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.model._
+import graft.ops.Ops
+
+/** Driver contract (SURVEY.md §7): one queries entry per implemented
+  * operator, each with a DuckDB oracle over the same parquet tables.
+  * Column names are aligned between the Spark plan and the SQL — the
+  * driver's compare sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The testdata has no physical nulls, so null-exercising ops run
+    * on this frame: customer ⟕ per-customer max "big order" total —
+    * `big_total` is null for customers without a >200k order.
+    */
+  private def nullBase(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_totalprice")).as("big_total"))
+    t(s, dir, "customer").join(big, Seq("c_custkey"), "left")
+  }
+
+  private val nullBaseSql =
+    """customer LEFT JOIN (SELECT o_custkey AS c_custkey, max(o_totalprice) AS big_total
+      |  FROM orders WHERE o_totalprice > 200000 GROUP BY 1) b USING (c_custkey)""".stripMargin
+
+  /** documents ∪ shifted-id copy — gives every text exactly two ids,
+    * so exact-dedup has real work to do.
+    */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  private val doubledDocsSql =
+    "(SELECT * FROM documents UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)"
+
+  /** Flagship: the config-driven study pipeline end-to-end on
+    * sf0.001 (config CSVs under fixtures/, data from testdata).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val study = ConfigReader.readStudy(spark, "/root/repo/fixtures/study_demo")
+    StudyRunner.run(study, new ParquetResolver(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== §2.2 projection / distinct =====
+    "p1_tolerant_project_skip" -> ((s, d) =>
+      Ops.selectColumnsTolerant(Seq("l_orderkey", "no_such_column"), distinct = false)(
+        t(s, d, "lineitem"))),
+    "p1_tolerant_project" -> ((s, d) =>
+      Ops.selectColumnsTolerant(Seq("l_returnflag", "l_linestatus"), distinct = true)(
+        t(s, d, "lineitem"))),
+    "p2_select_columns" -> ((s, d) =>
+      Ops.selectColumns(Seq("o_orderkey", "o_custkey", "o_totalprice"))(t(s, d, "orders"))),
+    "p3_select_distinct" -> ((s, d) =>
+      Ops.selectDistinct(Seq("c_mktsegment"))(t(s, d, "customer"))),
+    "p4_unique_columns" -> ((s, d) =>
+      Ops.uniqueColumns(Seq("o_custkey"),
+        Seq(SortKey("o_orderdate"), SortKey("o_orderkey")))(t(s, d, "orders"))),
+    "p5_remove_columns" -> ((s, d) =>
+      Ops.removeColumns(Seq("n_regionkey"))(t(s, d, "nation"))),
+
+    // ===== §2.3 condition mini-language =====
+    "f1_eq_string" -> ((s, d) => Ops.filterOp("l_returnflag = R")(t(s, d, "lineitem"))),
+    "f1_ge_number" -> ((s, d) => Ops.filterOp("l_quantity >= NUMBER(45)")(t(s, d, "lineitem"))),
+    "f1_le_date" -> ((s, d) => Ops.filterOp("l_shipdate <= DATE(1993-06-30)")(t(s, d, "lineitem"))),
+    "f2_not_null" -> ((s, d) => Ops.filterOp("big_total = NOT NULL")(nullBase(s, d))),
+    "f3_conjunction" -> ((s, d) =>
+      Ops.filterOp("l_returnflag = R & l_linestatus = F")(t(s, d, "lineitem"))),
+    "f4_disjunction" -> ((s, d) =>
+      Ops.filterOp("o_orderpriority = 1-URGENT | o_orderstatus = F")(t(s, d, "orders"))),
+    "f5_between_number" -> ((s, d) =>
+      Ops.filterOp("l_quantity BETWEEN (NUMBER(5), NUMBER(10))")(t(s, d, "lineitem"))),
+    "f5_between_date" -> ((s, d) =>
+      Ops.filterOp("o_orderdate BETWEEN (DATE(1994-01-01), DATE(1994-12-31))")(t(s, d, "orders"))),
+
+    // ===== §2.4 joins =====
+    "j1_left_join" -> ((s, d) =>
+      Ops.namedJoin(
+        t(s, d, "orders"),
+        t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left")),
+    "j1_suffix_policy" -> ((s, d) =>
+      Ops.namedJoin(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("val")),
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_acctbal").as("val")),
+        Seq("o_custkey"), "left")),
+    "j2_outer_join" -> ((s, d) =>
+      Ops.namedJoin(
+        t(s, d, "supplier").withColumnRenamed("s_nationkey", "n_nationkey"),
+        t(s, d, "nation"),
+        Seq("n_nationkey"), "full")),
+    "j3_qualified_join" -> ((s, d) =>
+      Ops.qualifiedJoin(
+        t(s, d, "orders"), t(s, d, "customer"),
+        Seq(("o_custkey", "c_custkey")), "inner")),
+
+    // ===== §2.5 aggregation =====
+    "a1_summarise_minmax" -> ((s, d) =>
+      Ops.groupbySummarise(
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(("l_quantity", "min"), ("l_extendedprice", "max")), Nil)(t(s, d, "lineitem"))),
+    "a1_summarise_sum_count" -> ((s, d) =>
+      Ops.groupbySummarise(
+        Seq("l_returnflag"),
+        Seq(("l_quantity", "sum"), ("l_orderkey", "count")), Nil)(t(s, d, "lineitem"))),
+    "a1_summarise_mean" -> ((s, d) =>
+      Ops.groupbySummarise(Seq("l_returnflag"), Seq(("l_quantity", "mean")), Nil)(
+        t(s, d, "lineitem"))),
+    // (l_linenumber repeats within an order in this synthetic data —
+    // the second key makes the established order total, so first/last
+    // are deterministic)
+    "a1_summarise_last" -> ((s, d) =>
+      Ops.groupbySummarise(
+        Seq("l_orderkey"), Seq(("l_quantity", "last")),
+        Seq(SortKey("l_linenumber"), SortKey("l_quantity")))(t(s, d, "lineitem"))),
+    "a1_summarise_first" -> ((s, d) =>
+      Ops.groupbySummarise(
+        Seq("l_orderkey"), Seq(("l_quantity", "first")),
+        Seq(SortKey("l_linenumber"), SortKey("l_quantity")))(t(s, d, "lineitem"))),
+    "a2_aggregate_min" -> ((s, d) =>
+      Ops.aggregateColumn("min_val", Seq("l_quantity", "l_discount", "l_tax"), "min")(
+        t(s, d, "lineitem"))),
+    "a2_aggregate_max" -> ((s, d) =>
+      Ops.aggregateColumn("max_val", Seq("l_quantity", "l_discount", "l_tax"), "max")(
+        t(s, d, "lineitem"))),
+    "a3_groupby_slice" -> ((s, d) =>
+      Ops.groupbySlice(Seq("o_custkey"), 2,
+        Seq(SortKey("o_totalprice", desc = true), SortKey("o_orderkey", desc = true)))(
+        t(s, d, "orders"))),
+
+    // ===== §2.6 column derivation =====
+    "c1_rename" -> ((s, d) =>
+      Ops.renameColumns(Seq("n_name" -> "nation_name"))(t(s, d, "nation"))),
+    "c2_format_datetime" -> ((s, d) =>
+      Ops.formatColumn("od_str", "datetime#%d-%m-%Y")(
+        t(s, d, "orders").select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "dd-MM-yyyy").as("od_str")))),
+    "c2_format_number" -> ((s, d) =>
+      Ops.formatColumn("qty", "number")(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("string").as("qty")))),
+    "c3_add_column" -> ((s, d) =>
+      Ops.addColumn("study_code", "S001")(t(s, d, "region"))),
+    "c4_attach_notnull" -> ((s, d) =>
+      Ops.attachNotNull("has_big", "big_total")(nullBase(s, d))),
+    "c5_attach_sumeq" -> ((s, d) =>
+      Ops.attachSumEq("chk", "l_quantity", "l_linenumber")(t(s, d, "lineitem"))),
+    "c6_attach_null" -> ((s, d) =>
+      Ops.attachNullFill("seg2", "big_total", "NONE", "c_mktsegment")(nullBase(s, d))),
+    "c7_decision_when" -> ((s, d) =>
+      Ops.decisionColumnWhenChain("prio_code", "o_orderpriority",
+        Seq("1-URGENT" -> "U", "2-HIGH" -> "H", "3-MEDIUM" -> "M"))(t(s, d, "orders"))),
+    "c7_decision_join" -> ((s, d) => {
+      import s.implicits._
+      val tbl = Seq(("1-URGENT", "U"), ("2-HIGH", "H"), ("3-MEDIUM", "M"))
+        .toDF("lookup_value", "prio_code")
+      Ops.decisionColumn("prio_code", "o_orderpriority", tbl)(t(s, d, "orders"))
+    }),
+    "c8_concat_key" -> ((s, d) =>
+      Ops.concatKey("subject_hierarchy", "#", Seq("c_mktsegment", "c_name"))(
+        t(s, d, "customer"))),
+
+    // ===== §2.7 rows =====
+    "r1_bind_rows" -> ((s, d) =>
+      Ops.bindRows(Seq(
+        t(s, d, "nation").select("n_nationkey", "n_name"),
+        t(s, d, "region").select("r_regionkey", "r_name")))),
+    "r2_sort_dataset" -> ((s, d) =>
+      Ops.sortDataset(Seq("r_name"), desc = true)(t(s, d, "region"))),
+    "r3_remove_rows" -> ((s, d) => Ops.removeRows("big_total")(nullBase(s, d))),
+
+    // ===== engine + sources/sinks =====
+    "s1_nested_roundtrip" -> ((s, d) => {
+      val base = t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+      NestedStore.flatten(NestedStore.nest(base, "l_returnflag", "l_linestatus"))
+    }),
+    "s7_standardized" -> ((s, d) => {
+      val src = t(s, d, "customer").select(
+        col("c_custkey").as("subject"), col("c_mktsegment").as("country"),
+        col("c_nationkey").as("site"), col("c_acctbal").as("last_contact_date"))
+      Standardized.flattenStandardized(Standardized.toStandardized(src, "S001"))
+    }),
+    "s8_export_flatten" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey").as("SUBJECT"), col("l_quantity"))
+      Export.exportFlatten(NestedStore.nest(base, "l_returnflag", "l_linestatus"))
+    }),
+    "engine_pipeline" -> ((s, d) => {
+      val analyte = ConfigReader.readAnalyte(s, "cust_base", "/root/repo/fixtures/study_demo/cust_base")
+      Interpreter.deriveAnalyte(PipelineContext(), analyte, new ParquetResolver(s, d))
+        .result("cust_base")
+    }),
+    "engine_study" -> ((s, d) => {
+      val study = ConfigReader.readStudy(s, "/root/repo/fixtures/study_demo")
+      StudyRunner.run(study, new ParquetResolver(s, d))
+    }),
+
+    // ===== LLM pipeline: dedup =====
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup("text", "doc_id")(doubledDocs(s, d))),
+    "dedup_exact_stats" -> ((s, d) => Dedup.exactDedupStats("text", "doc_id")(doubledDocs(s, d))),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, numPerm = 64, bands = 32)),
+    "dedup_near_keep" -> ((s, d) =>
+      Dedup.nearDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)),
+
+    // ===== LLM pipeline: similarity =====
+    "sim_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(t(s, d, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 10)),
+    "sim_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(
+        t(s, d, "embeddings"), t(s, d, "embeddings").where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)),
+    "sim_ann_topk" -> ((s, d) =>
+      Similarity.annTopK(
+        t(s, d, "embeddings"), t(s, d, "embeddings").where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nPlanes = 8)),
+    "sim_embedding_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 8)),
+
+    // ===== LLM pipeline: text analysis =====
+    "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextAnalysis.withQualityScores("text")(t(s, d, "documents"))
+      .select("doc_id", "n_tokens", "ttr", "mean_token_len", "stopword_ratio")),
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.withLangId("text", Seq(
+        "en" -> Seq("the", "a"),
+        "db" -> Seq("table", "query", "row"),
+        "sys" -> Seq("spark", "vector", "stream")))(t(s, d, "documents"))
+        .select("doc_id", "score_en", "score_db", "score_sys", "lang_pred")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.withBagFingerprint("text")(
+        TextAnalysis.withFingerprint("text")(t(s, d, "documents")))
+        .select("doc_id", "fingerprint", "bag_fingerprint")),
+
+    // ===== LLM pipeline: multimodal =====
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.withBinaryMeta("content")(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select("doc_id", "n_bytes", "content_sha256")),
+    "mm_chunks" -> ((s, d) =>
+      Multimodal.chunkBinary("content", 100)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select(col("doc_id"), col("chunk_idx"), decode(col("chunk"), "UTF-8").as("chunk_str"))),
+    "mm_decode_stub" -> ((s, d) =>
+      Multimodal.withDecodedMetaStub("content")(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select(col("doc_id"), col("media_meta.width"), col("media_meta.height"),
+          col("media_meta.format"), col("media_meta.n_bytes"))),
+    "mm_feature_stub" -> ((s, d) =>
+      Multimodal.withFeatureStub("content")(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select(col("doc_id"), col("features"))),
+  )
+
+  /** DuckDB oracles. Omitted entries (minhash/simhash/ann/stubs) are
+    * not SQL-expressible (seeded xxhash64 / RNG planes) — the driver
+    * records a weaker rows-only check; their semantics are pinned by
+    * ScalaTest specs instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "p1_tolerant_project_skip" -> "SELECT * FROM lineitem",
+    "p1_tolerant_project" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "p2_select_columns" -> "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "p3_select_distinct" -> "SELECT DISTINCT c_mktsegment FROM customer",
+    "p4_unique_columns" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders) WHERE rn = 1""".stripMargin,
+    "p5_remove_columns" -> "SELECT n_nationkey, n_name FROM nation",
+    "f1_eq_string" -> "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    "f1_ge_number" -> "SELECT * FROM lineitem WHERE l_quantity >= 45",
+    "f1_le_date" -> "SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '1993-06-30 00:00:00'",
+    "f2_not_null" ->
+      s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, big_total FROM $nullBaseSql WHERE big_total IS NOT NULL",
+    "f3_conjunction" -> "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'",
+    "f4_disjunction" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT' OR o_orderstatus = 'F'",
+    "f5_between_number" -> "SELECT * FROM lineitem WHERE l_quantity BETWEEN 5 AND 10",
+    "f5_between_date" ->
+      "SELECT * FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1994-12-31 00:00:00'",
+    "j1_left_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "j1_suffix_policy" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice AS val_x, c.c_acctbal AS val_y
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "j2_outer_join" ->
+      """SELECT COALESCE(s.s_nationkey, n.n_nationkey) AS n_nationkey, s.s_suppkey, s.s_name, s.s_acctbal,
+        |       n.n_name, n.n_regionkey
+        |FROM supplier s FULL OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "j3_qualified_join" ->
+      "SELECT * FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    "a1_summarise_minmax" ->
+      """SELECT l_returnflag, l_linestatus, min(l_quantity) AS l_quantity, max(l_extendedprice) AS l_extendedprice
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a1_summarise_sum_count" ->
+      "SELECT l_returnflag, sum(l_quantity) AS l_quantity, count(l_orderkey) AS l_orderkey FROM lineitem GROUP BY 1",
+    "a1_summarise_mean" ->
+      "SELECT l_returnflag, avg(l_quantity) AS l_quantity FROM lineitem GROUP BY 1",
+    "a1_summarise_last" ->
+      """SELECT l_orderkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "a1_summarise_first" ->
+      """SELECT l_orderkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "a2_aggregate_min" ->
+      "SELECT *, least(l_quantity, l_discount, l_tax) AS min_val FROM lineitem",
+    "a2_aggregate_max" ->
+      "SELECT *, greatest(l_quantity, l_discount, l_tax) AS max_val FROM lineitem",
+    "a3_groupby_slice" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        |      FROM orders) WHERE rn <= 2""".stripMargin,
+    "c1_rename" -> "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation",
+    "c2_format_datetime" ->
+      "SELECT o_orderkey, strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y') AS od_str FROM orders",
+    "c2_format_number" ->
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty FROM lineitem",
+    "c3_add_column" -> "SELECT r_regionkey, r_name, 'S001' AS study_code FROM region",
+    "c4_attach_notnull" ->
+      s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, big_total, big_total IS NOT NULL AS has_big FROM $nullBaseSql",
+    "c5_attach_sumeq" ->
+      """SELECT *, (SELECT coalesce(sum(l_quantity), 0) FROM lineitem) = (SELECT coalesce(sum(l_linenumber), 0) FROM lineitem) AS chk
+        |FROM lineitem""".stripMargin,
+    "c6_attach_null" ->
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, big_total,
+         |       CASE WHEN big_total IS NULL THEN 'NONE' ELSE c_mktsegment END AS seg2
+         |FROM $nullBaseSql""".stripMargin,
+    "c7_decision_when" ->
+      """SELECT *, CASE o_orderpriority WHEN '1-URGENT' THEN 'U' WHEN '2-HIGH' THEN 'H' WHEN '3-MEDIUM' THEN 'M' END AS prio_code
+        |FROM orders""".stripMargin,
+    "c7_decision_join" ->
+      """SELECT *, CASE o_orderpriority WHEN '1-URGENT' THEN 'U' WHEN '2-HIGH' THEN 'H' WHEN '3-MEDIUM' THEN 'M' END AS prio_code
+        |FROM orders""".stripMargin,
+    "c8_concat_key" ->
+      "SELECT *, concat_ws('#', c_mktsegment, c_name) AS subject_hierarchy FROM customer",
+    "r1_bind_rows" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS r_regionkey, CAST(NULL AS VARCHAR) AS r_name FROM nation
+        |UNION ALL
+        |SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), r_regionkey, r_name FROM region""".stripMargin,
+    "r2_sort_dataset" -> "SELECT * FROM region ORDER BY r_name DESC NULLS LAST",
+    "r3_remove_rows" ->
+      s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, big_total FROM $nullBaseSql WHERE big_total IS NOT NULL",
+    "s1_nested_roundtrip" ->
+      "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "s7_standardized" ->
+      """SELECT 'S001' AS study_code,
+        |  concat_ws('#', c_mktsegment, CAST(c_nationkey AS VARCHAR), CAST(c_custkey AS VARCHAR)) AS subject_hierarchy,
+        |  c_mktsegment AS country, CAST(c_nationkey AS VARCHAR) AS site, CAST(c_custkey AS VARCHAR) AS subject,
+        |  'Null' AS subject_death, 'Null' AS ltfu_date, CAST(c_acctbal AS VARCHAR) AS last_contact_date,
+        |  'Null' AS last_contact_type, 'Null' AS subther_start_date, 'Null' AS all_ipdc_date
+        |FROM customer""".stripMargin,
+    "s8_export_flatten" ->
+      """SELECT l_returnflag, l_linestatus, CAST(l_orderkey AS VARCHAR) AS Subject_SAS, CAST(l_quantity AS VARCHAR) AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "engine_pipeline" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  CASE c.c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A' WHEN 'MACHINERY' THEN 'M' END AS seg_code,
+        |  n.n_name, 'S001' AS study_code
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "engine_study" ->
+      """SELECT b.c_custkey, b.c_name, b.c_mktsegment, b.seg_code, b.n_name, b.study_code,
+        |       o.o_totalprice, o.o_orderdate
+        |FROM (SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |        CASE c.c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A' WHEN 'MACHINERY' THEN 'M' END AS seg_code,
+        |        n.n_name, 'S001' AS study_code
+        |      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey) b
+        |LEFT JOIN (SELECT o_custkey AS c_custkey, max(o_totalprice) AS o_totalprice, max(o_orderdate) AS o_orderdate
+        |           FROM orders WHERE o_totalprice >= 150000 GROUP BY 1) o USING (c_custkey)""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT doc_id, text, lang, source, n_chars
+         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $doubledDocsSql)
+         |WHERE rn = 1""".stripMargin,
+    "dedup_exact_stats" ->
+      s"SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_id FROM $doubledDocsSql GROUP BY 1",
+    "dedup_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "dedup_near_keep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |drops AS (SELECT DISTINCT b.doc_id AS id_b
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT * FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       list_inner_product(embedding::DOUBLE[], p) /
+        |         (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_inner_product(p, p))) AS sim
+        |FROM embeddings, probe
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_knn_join" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |        list_inner_product(e.embedding::DOUBLE[], p.pv) /
+        |          (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_inner_product(p.pv, p.pv))) AS sim
+        |      FROM embeddings e, p)
+        |SELECT probe_id, neighbor_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+        |  (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS mean_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a'], t))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """WITH scored AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a'], t))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['table', 'query', 'row'], t))) AS INTEGER) AS score_db,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['spark', 'vector', 'stream'], t))) AS INTEGER) AS score_sys
+        |  FROM documents)
+        |SELECT doc_id, score_en, score_db, score_sys,
+        |  CASE WHEN score_en >= score_db AND score_en >= score_sys THEN 'en'
+        |       WHEN score_db >= score_sys THEN 'db' ELSE 'sys' END AS lang_pred
+        |FROM scored""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fingerprint
+        |FROM documents""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS content_sha256
+        |FROM documents""".stripMargin,
+    "mm_chunks" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, substr(text, CAST(i * 100 + 1 AS INTEGER), 100) AS chunk_str
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS i
+        |      FROM documents)""".stripMargin,
+  )
 }

@@ -1,0 +1,306 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.ops.Ops
+import graft.parse.KvList
+
+/** The engine replacing the reference's row-by-row pandas interpreter
+  * (Configurable_ETL_Python.py:434-522, 589-604). Key design shift:
+  * every step only BUILDS a lazy Catalyst plan — nothing materializes
+  * until a sink/action, so Catalyst sees the whole config's plan and
+  * can push filters/prune columns across config-row boundaries the
+  * reference executes eagerly one at a time.
+  */
+
+/** Replaces `globals()` (Configurable_ETL_Python.py:447,462): an
+  * immutable catalog of named DataFrames plus per-name sort-order
+  * metadata. SORT DATASET is pure metadata here (no physical sort is
+  * planned mid-pipeline): the order-dependent ops (UNIQUE COLUMN,
+  * GROUPBY SLICE, SUMMARISE first/last) compile it into window/max_by
+  * specifications, which re-sort per-partition anyway — a materialized
+  * global sort before them would be a wasted full range-shuffle at
+  * 100 TB. A trailing sort is applied physically only on [[result]].
+  */
+final case class PipelineContext(
+    catalog: ListMap[String, DataFrame] = ListMap.empty,
+    lastSort: Map[String, Seq[SortKey]] = Map.empty) {
+
+  def bind(name: String, df: DataFrame, order: Seq[SortKey] = Nil): PipelineContext =
+    copy(
+      catalog = catalog.updated(name, df),
+      lastSort = if (order.isEmpty) lastSort - name else lastSort.updated(name, order))
+
+  def df(name: String): DataFrame = catalog.getOrElse(
+    name.trim,
+    throw new NoSuchElementException(s"no frame named '$name' in pipeline catalog"))
+
+  def order(name: String): Seq[SortKey] = lastSort.getOrElse(name.trim, Nil)
+
+  def contains(name: String): Boolean = catalog.contains(name.trim)
+
+  /** Terminal fetch: apply any pending sort physically so a trailing
+    * SORT DATASET is visible in the output, as in pandas.
+    */
+  def result(name: String): DataFrame = order(name) match {
+    case Nil => df(name)
+    case o =>
+      df(name).orderBy(o.map(k =>
+        if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last): _*)
+  }
+}
+
+/** Resolves GET_DATA sources. Pluggable so tests/queries can serve
+  * the nested store from any layout.
+  */
+trait SourceResolver {
+  /** Keyed scan of the nested (study_code, view, data) store —
+    * Configurable_ETL_Python.py:30-41. Must return the FLATTENED rows.
+    */
+  def storeView(studyCode: String, view: String): DataFrame
+  /** A named flat table (our lakehouse layout / test harness). */
+  def table(name: String): DataFrame
+}
+
+/** Serves `table` from `<dir>/<name>.parquet` and `storeView` from a
+  * nested-store parquet at `<storeDir>` partitioned by
+  * (study_code, view) — partition pruning turns the keyed scan into a
+  * file-level point lookup, the Spark analogue of the reference's
+  * DynamoDB Query on the same keys.
+  */
+final class ParquetResolver(spark: SparkSession, dir: String, storeDir: Option[String] = None)
+    extends SourceResolver {
+  def storeView(studyCode: String, view: String): DataFrame = {
+    val sd = storeDir.getOrElse(s"$dir/store")
+    graft.io.NestedStore.flatten(
+      spark.read.parquet(sd)
+        .where(col("study_code") === studyCode && col("view") === view))
+  }
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+}
+
+object Interpreter {
+
+  /** GET_DATA phase (Configurable_ETL_Python.py:434-454): load or
+    * resolve each source, apply the optional filter then the tolerant
+    * projection, and bind under the view name (store sources bind by
+    * View, analyte refs by Object Name — mirroring `globals()[View]`
+    * at :447 vs :442-444).
+    */
+  def getData(ctx0: PipelineContext, specs: Seq[GetDataSpec], resolver: SourceResolver): PipelineContext =
+    specs.foldLeft(ctx0) { (ctx, g) =>
+      g.source match {
+        case SourceKind.AnalyteRef =>
+          // memoization: the frame must already be in the catalog from
+          // an earlier analyte (S3). Nothing to rebind.
+          require(ctx.contains(g.objectName), s"analyte '${g.objectName}' not derived yet")
+          ctx
+        case src =>
+          val base = src match {
+            case SourceKind.StoreView(sc, v) => resolver.storeView(sc, v)
+            case SourceKind.ParquetTable(n) => resolver.table(n)
+            case SourceKind.AnalyteRef => throw new IllegalStateException("unreachable")
+          }
+          val filtered = g.filter.filter(_.trim.nonEmpty) match {
+            case Some(f) => Ops.filterOp(f)(base)
+            case None => base
+          }
+          val projected = Ops.selectColumnsTolerant(g.columns, g.distinct)(filtered)
+          ctx.bind(g.objectName, projected)
+      }
+    }
+
+  /** One DF_OPERATIONS row (the dispatcher,
+    * Configurable_ETL_Python.py:456-522). Sort-order metadata is
+    * threaded: row-preserving unary ops propagate it (with key
+    * remapping on RENAME), order-destroying ops (joins, unions,
+    * group-bys) clear it, and the order-consuming ops compile it into
+    * their window specs.
+    */
+  def applyOp(
+      ctx: PipelineContext,
+      spec: OperationSpec,
+      decisionTables: Map[String, DecisionTable]): PipelineContext = {
+    val out = spec.objectName.trim
+    val frames = spec.frames.map(_.trim).filter(_.nonEmpty)
+    def in = ctx.df(frames.head)
+    def inOrder = ctx.order(frames.head)
+    val cond = spec.condition
+    def kv = KvList.parseLenient(cond)
+
+    // `order` survives only if all its key columns survive `cols`.
+    def keepOrderIf(cols: Seq[String]): Seq[SortKey] =
+      if (inOrder.forall(k => cols.contains(k.col))) inOrder else Nil
+
+    spec.opType.trim.toUpperCase match {
+      case "RENAME COLUMN" =>
+        // grammar: alternating '='-split pairs (rename_columns, :223-228)
+        val toks = cond.split("=").map(_.trim).filter(_.nonEmpty).toSeq
+        require(toks.size % 2 == 0, s"RENAME COLUMN needs old=new pairs, got '$cond'")
+        val pairs = toks.grouped(2).map { s => (s(0), s(1)) }.toSeq
+        val remapped = inOrder.map(k =>
+          pairs.find(_._1 == k.col).map(p => k.copy(col = p._2)).getOrElse(k))
+        ctx.bind(out, Ops.renameColumns(pairs)(in), remapped)
+
+      case "FORMAT COLUMN" =>
+        // grammar: column=c, type=datetime#<strftime> | type=number (:230-248)
+        ctx.bind(out, Ops.formatColumn(kv("column"), kv("type"))(in), inOrder)
+
+      case "FILTER" =>
+        ctx.bind(out, Ops.filterOp(cond)(in), inOrder)
+
+      case "LEFT JOIN" =>
+        ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "left"))
+
+      case "OUTER JOIN" =>
+        ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "full"))
+
+      case "QUALIFIED JOIN" =>
+        // general form (joining_columns, :250-264 — never dispatched in
+        // the reference; our grammar: 'l.a = r.b & …', frames may carry
+        // a third element = join type, default left)
+        val pairs = cond.split("&").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+          val sides = p.split("=").map(_.trim)
+          require(sides.length == 2, s"bad qualified join term '$p'")
+          def colOf(s: String) = s.split("\\.").last.trim
+          (colOf(sides(0)), colOf(sides(1)))
+        }
+        val how = if (frames.size > 2) frames(2) else "left"
+        ctx.bind(out, Ops.qualifiedJoin(in, ctx.df(frames(1)), pairs, how))
+
+      case "AGGREGATE COLUMN" =>
+        // grammar: new_column=n, operation=MINIMUM|MAXIMUM, operation_cols=a#b (:266-284)
+        val fn = kv("operation").toUpperCase match {
+          case "MINIMUM" => "min"
+          case "MAXIMUM" => "max"
+          case other => throw new IllegalArgumentException(s"unknown AGGREGATE COLUMN op '$other'")
+        }
+        val cols = kv("operation_cols").split("#").map(_.trim).toSeq
+        ctx.bind(out, Ops.aggregateColumn(kv("new_column"), cols, fn)(in), inOrder)
+
+      case "REMOVE COLUMN" =>
+        val cols = KvList.csv(cond)
+        ctx.bind(out, Ops.removeColumns(cols)(in),
+          if (inOrder.exists(k => cols.contains(k.col))) Nil else inOrder)
+
+      case "UNIQUE COLUMN" =>
+        // keep-first semantics need the established order (:291-294)
+        ctx.bind(out, Ops.uniqueColumns(KvList.csv(cond), inOrder)(in), inOrder)
+
+      case "ADD COLUMN" =>
+        ctx.bind(out, Ops.addColumn(kv("new_column"), kv("value"))(in), inOrder)
+
+      case "BIND ROWS" =>
+        ctx.bind(out, Ops.bindRows(frames.map(ctx.df)))
+
+      case "SORT DATASET" =>
+        // pure metadata — see PipelineContext scaladoc. Grammar:
+        // sort_cols=a,b[, sort_order=DESC] (:76-91; the reference
+        // mis-parses multi-col sorts — we implement the intent and
+        // record the divergence in SURVEY §4).
+        val desc = kv.get("sort_order").exists(_.equalsIgnoreCase("DESC"))
+        val keys = kv("sort_cols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map(SortKey(_, desc))
+        ctx.bind(out, in, keys)
+
+      case "GROUPBY SUMMARISE" =>
+        // grammar: group_by_cols=a,b | summary_col_ops=c#fn,d#fn (:346-357)
+        val parts = KvList.parseLenient(cond, '|')
+        val groups = parts("group_by_cols").split(",").map(_.trim).toSeq
+        val aggs = KvList.hashPairs(parts("summary_col_ops"))
+        ctx.bind(out, Ops.groupbySummarise(groups, aggs, inOrder)(in))
+
+      case "REMOVE ROWS" =>
+        // grammar: col=NULL | col=NULL1 (:359-369)
+        val toks = cond.split("=").map(_.trim)
+        require(toks.length == 2 && toks(1).toUpperCase.startsWith("NULL"),
+          s"NON-EXISTING REMOVE ROWS OPERAND: '$cond'")
+        ctx.bind(out, Ops.removeRows(toks(0))(in), inOrder)
+
+      case "DECISION COLUMN" =>
+        // grammar: new_column=n, lookup_column=c, decision_table_name=t (:380-398)
+        val tbl = decisionTables.getOrElse(kv("decision_table_name"),
+          throw new NoSuchElementException(s"no decision table '${kv("decision_table_name")}'"))
+        // when-chain by default: decision tables are worksheet-sized
+        // literals — zero join, stays in whole-stage codegen.
+        ctx.bind(out,
+          Ops.decisionColumnWhenChain(kv("new_column"), kv("lookup_column"), tbl.mapping)(in),
+          inOrder)
+
+      case "SELECT COLUMNS" =>
+        val cols = KvList.csv(cond)
+        ctx.bind(out, Ops.selectColumns(cols)(in), keepOrderIf(cols))
+
+      case "SELECT DISTINCT" =>
+        ctx.bind(out, Ops.selectDistinct(KvList.csv(cond))(in))
+
+      case "ATTACH COLUMN" =>
+        // grammar: column_name=n, source_col=s, operation=OP[, value=v,
+        // column_value=c] (:409-432)
+        val name = kv("column_name")
+        val src = kv("source_col")
+        val df2 = kv("operation").toUpperCase match {
+          case "NOTNULL" => Ops.attachNotNull(name, src)(in)
+          case "SUMEQ" =>
+            val ab = src.split("\\|").map(_.trim)
+            require(ab.length == 2, s"SUMEQ needs 'a|b' source cols, got '$src'")
+            Ops.attachSumEq(name, ab(0), ab(1))(in)
+          case "NULL" => Ops.attachNullFill(name, src, kv("value"), kv("column_value"))(in)
+          case other => throw new IllegalArgumentException(s"unknown ATTACH COLUMN op '$other'")
+        }
+        ctx.bind(out, df2, inOrder)
+
+      case "GROUPBY SLICE" =>
+        // grammar: group_by_cols=a,b, slice_num=n (:67-74)
+        val groups = kv("group_by_cols").split(",").map(_.trim).toSeq
+        ctx.bind(out, Ops.groupbySlice(groups, kv("slice_num").trim.toInt, inOrder)(in))
+
+      case other =>
+        throw new IllegalArgumentException(s"NON-EXISTING DF_OPERATION encountered: $other")
+    }
+  }
+
+  /** Derive one analyte: GET_DATA then fold DF_OPERATIONS
+    * (derive_analyte, Configurable_ETL_Python.py:580-587). Returns the
+    * updated SHARED context — later analytes may reference this one.
+    */
+  def deriveAnalyte(
+      ctx0: PipelineContext,
+      analyte: AnalyteSpec,
+      resolver: SourceResolver): PipelineContext = {
+    val loaded = getData(ctx0, analyte.getData, resolver)
+    analyte.operations.foldLeft(loaded)((c, op) => applyOp(c, op, analyte.decisionTables))
+  }
+}
+
+object StudyRunner {
+
+  /** process_study (Configurable_ETL_Python.py:589-604): derive each
+    * analyte in order against one shared context; the first seeds the
+    * per-subject accumulator, the rest left-join onto it on the stitch
+    * key. Analytes that later analytes re-read (AnalyteRef
+    * memoization) are cached — they feed ≥2 downstream plans.
+    */
+  def run(study: StudySpec, resolver: SourceResolver): DataFrame = {
+    val reused: Set[String] = study.analytes.flatMap(a =>
+      a.getData.filter(_.source == SourceKind.AnalyteRef).map(_.objectName)).toSet
+
+    val (accOpt, _) = study.analytes.foldLeft((Option.empty[DataFrame], PipelineContext())) {
+      case ((acc, ctx), analyte) =>
+        val ctx1 = Interpreter.deriveAnalyte(ctx, analyte, resolver)
+        val raw = ctx1.result(analyte.name)
+        val res = if (reused.contains(analyte.name)) raw.cache() else raw
+        val ctx2 = ctx1.bind(analyte.name, res)
+        val acc2 = acc match {
+          case None => Some(res)
+          case Some(a) => Some(Ops.namedJoin(a, res, Seq(study.stitchKey), "left"))
+        }
+        (acc2, ctx2)
+    }
+    accOpt.getOrElse(throw new IllegalArgumentException("study has no analytes"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The nested (study_code, view, data) document layout — the Spark
+  * re-expression of the reference's DynamoDB "AllSources" table
+  * (Data_Ingestion_Python.py:101-194; Configurable_ETL_Python.py:30-41
+  * reads it back). `data` is an array<struct> column; on disk the
+  * dataset is partitioned by the two keys so a keyed read is a
+  * partition-pruned scan — the lake analogue of a DynamoDB Query.
+  */
+object NestedStore {
+
+  /** A4 ingestion nest-agg (final_dataframe_creation,
+    * Data_Ingestion_Python.py:101-109): group by the two key columns,
+    * collect every remaining column into an array of per-row structs.
+    * The array is sorted (R4 pre-nest sort, :243 etc.) so document
+    * contents are deterministic regardless of partitioning.
+    */
+  def nest(df: DataFrame, k1: String, k2: String, dataCol: String = "data"): DataFrame = {
+    val payload = df.columns.filterNot(c => c == k1 || c == k2)
+    require(payload.nonEmpty, "nothing to nest — all columns are keys")
+    df.groupBy(col(k1), col(k2))
+      .agg(sort_array(collect_list(struct(payload.map(col): _*))).as(dataCol))
+  }
+
+  /** S1/S8 flatten ("json_normalize"): explode the data array back to
+    * rows, keeping the key columns (Configurable_ETL_Python.py:36-41,
+    * Athena_DynamoDB_Normalized.py:49-60).
+    */
+  def flatten(df: DataFrame, dataCol: String = "data"): DataFrame = {
+    val keys = df.columns.filterNot(_ == dataCol).map(col)
+    df.select(keys :+ explode(col(dataCol)).as("__r"): _*)
+      .select(keys :+ col("__r.*"): _*)
+  }
+
+  /** Write the nested layout partitioned by the two keys — partition
+    * pruning then serves keyed reads without touching other views'
+    * files (SURVEY §4 "partition pruning by key").
+    */
+  def write(df: DataFrame, path: String, k1: String = "study_code", k2: String = "view"): Unit =
+    df.write.mode("overwrite").partitionBy(k1, k2).parquet(path)
+}
+
+/** S7: the standardized output contract
+  * (converting_standardized_form, Configurable_ETL_Python.py:537-578).
+  */
+object Standardized {
+
+  /** The six nested Retention fields (Configurable_ETL_Python.py:19). */
+  val RetentionList: Seq[String] = Seq(
+    "subject_death", "ltfu_date", "last_contact_date",
+    "last_contact_type", "subther_start_date", "all_ipdc_date")
+
+  /** Null→'Null' strings, all-string cast, studycode column,
+    * subject_hierarchy = country#site#subject, and the retention
+    * fields nested into a map — one declarative select instead of the
+    * reference's per-row record builder + put_item loop (:561-578).
+    * Retention columns missing from the frame are emitted as 'Null',
+    * matching json_normalize's forgiving reads.
+    */
+  def toStandardized(df: DataFrame, studyCode: String, retention: Seq[String] = RetentionList): DataFrame = {
+    val have = df.columns.toSet
+    val asStrings = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+      .na.fill("Null")
+    val retEntries: Seq[Column] = retention.flatMap(f =>
+      Seq(lit(f), if (have.contains(f)) coalesce(col(f), lit("Null")) else lit("Null")))
+    asStrings.select(
+      lit(studyCode).as("study_code"),
+      concat_ws("#", col("country"), col("site"), col("subject")).as("subject_hierarchy"),
+      col("country"), col("site"), col("subject"),
+      map(retEntries: _*).as("Retention"))
+  }
+
+  /** Inverse for verification/export: un-nest Retention back to flat
+    * string columns.
+    */
+  def flattenStandardized(df: DataFrame, retention: Seq[String] = RetentionList): DataFrame =
+    df.select(
+      Seq(col("study_code"), col("subject_hierarchy"), col("country"), col("site"), col("subject")) ++
+        retention.map(f => col("Retention").getItem(f).as(f)): _*)
+}
+
+/** S8/S9/S10: the export/normalization path
+  * (Athena_DynamoDB_Normalized.py:30-81).
+  */
+object Export {
+
+  /** Flatten the nested store, cast everything to string, and apply
+    * the case-collision renames (SUBJECT→Subject_SAS, Visit→
+    * Visit_ecoA — Athena_DynamoDB_Normalized.py:70-73; they matter in
+    * Spark too: SQL name resolution is case-insensitive by default).
+    */
+  def exportFlatten(nested: DataFrame): DataFrame = {
+    val flat = NestedStore.flatten(nested)
+    val strung = flat.select(flat.columns.map(c => col(c).cast("string").as(c)): _*)
+    val renames = Seq("SUBJECT" -> "Subject_SAS", "Visit" -> "Visit_ecoA")
+    renames.foldLeft(strung) { case (d, (o, n)) =>
+      if (d.columns.contains(o)) d.withColumnRenamed(o, n) else d
+    }
+  }
+
+  /** S9 parquet dataset sink: append + mergeSchema — the lake
+    * analogue of the reference's schema_evolution=True Glue write
+    * (Athena_DynamoDB_Normalized.py:30-47).
+    */
+  def writeParquetAppend(df: DataFrame, path: String): Unit =
+    df.write.mode("append").option("mergeSchema", "true").parquet(path)
+
+  /** S10 CSV sink (Athena_DynamoDB_Normalized.py:15-28). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

@@ -1,0 +1,193 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash-LSH near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the point at 100 TB):
+  *  - exact dedup shuffles 32-char digests, never full documents;
+  *  - near-dup candidate generation is a BUCKETED self-join on
+  *    (band, band_hash) — never an all-pairs cross product; the plan
+  *    must not contain a CartesianProduct for any input size;
+  *  - all hashing is deterministic (xxhash64/md5), so results are
+  *    reproducible across runs and cluster layouts.
+  */
+object Dedup {
+
+  // ===== exact =====
+
+  /** Keep the first row (lowest `idCol`) of each exact-duplicate text
+    * group. Partitions by md5(text) so the shuffle key is 32 chars
+    * regardless of document size (md5 collisions are ~2^-64 — noted,
+    * accepted).
+    */
+  def exactDedup(textCol: String, idCol: String)(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-content-digest stats: group size + surviving (min) id. */
+  def exactDedupStats(textCol: String, idCol: String)(df: DataFrame): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  // ===== shingles + MinHash-LSH =====
+
+  /** Word k-shingles as an array<string> column. */
+  def shingles(textCol: String, k: Int = 3): Column = {
+    val toks = split(col(textCol), " ")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: `numPerm` permutations approximated by seeding
+    * xxhash64 with the permutation index (standard one-hash-family
+    * construction). Returns array<bigint> of length numPerm.
+    */
+  def minhashSignature(sh: Column, numPerm: Int = 64): Column =
+    transform(
+      sequence(lit(0), lit(numPerm - 1)),
+      p => array_min(transform(sh, s => xxhash64(p, s))))
+
+  /** (doc, band, band_hash) exploded rows: the LSH index. Signature is
+    * split into `bands` bands of numPerm/bands rows; a band's hash is
+    * xxhash64 over its slice. Two docs sharing ANY band hash become a
+    * candidate pair.
+    */
+  def lshBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
+    val rows = numPerm / bands
+    val sig = minhashSignature(shingles(textCol, shingleK), numPerm)
+    df.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("__sig"), b * rows + 1, lit(rows)))))
+      ).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs via the banded self-join — the scale
+    * path: shuffle on (band, band_hash), join within buckets only.
+    * Result: (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val b = lshBands(df, idCol, textCol, numPerm, bands, shingleK)
+    val l = b.toDF("id_a", "band", "band_hash")
+    val r = b.toDF("id_b", "band", "band_hash")
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs — the verification stage
+    * after LSH candidate generation (never run all-pairs). `pairs`
+    * must have columns (id_a, id_b).
+    */
+  def ngramJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), array_distinct(shingles(textCol, shingleK)).as("sh"))
+    pairs
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard filter.
+    * Returns confirmed pairs (id_a < id_b, jaccard >= threshold).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numPerm, bands, shingleK)
+    ngramJaccard(cands, df, idCol, textCol, shingleK)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Drop near-duplicates: remove every doc that appears as the
+    * HIGHER id of a confirmed pair (keep-lowest policy; transitive
+    * chains collapse to their minimum over repeated application —
+    * single pass documented as the standard practical choice).
+    */
+  def nearDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val drop = nearDupPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // ===== SimHash =====
+
+  /** 64-bit SimHash fingerprint of the token stream. Bit j is set when
+    * the weighted sum of per-token hash bits at position j is
+    * positive. Pure Catalyst (nested higher-order functions), no UDF.
+    */
+  def simhash64(textCol: String): Column = {
+    val toksSql = s"split($textCol, ' ')"
+    expr(
+      s"""aggregate(
+         |  sequence(0, 63), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc + IF(
+         |    aggregate($toksSql, 0,
+         |      (s, t) -> s + IF((shiftright(xxhash64(t), j) & 1) = 1, 1, -1)) > 0,
+         |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+  }
+
+  def withSimhash(textCol: String, outCol: String = "simhash")(df: DataFrame): DataFrame =
+    df.withColumn(outCol, simhash64(textCol))
+
+  /** SimHash near-dup pairs: block on 16-bit fingerprint chunks
+    * (pigeonhole: hamming<=3 pairs share at least one of 4 chunks),
+    * then filter by exact hamming distance. Bucketed join — no
+    * cartesian product.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol), simhash64(textCol).as("fp"))
+    // expr because shiftright-by-lambda-variable has no Scala DSL form
+    val chunked = fp.select(col(idCol), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), i -> shiftright(fp, CAST(i * 16 AS INT)) & 65535)"))
+        .as(Seq("chunk_id", "chunk")))
+    val l = chunked.toDF("id_a", "fp_a", "chunk_id", "chunk")
+    val r = chunked.toDF("id_b", "fp_b", "chunk_id", "chunk")
+    l.join(r, Seq("chunk_id", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

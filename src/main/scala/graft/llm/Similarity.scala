@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, as a production pipeline needs both:
+  *  - brute-force cosine top-k — the exact baseline. Spark compiles
+  *    orderBy(desc).limit(k) to TakeOrderedAndProject (per-partition
+  *    heap + driver merge of k rows), so even the "brute" path never
+  *    materializes a global sort at 100 TB;
+  *  - LSH-bucketed ANN — random-hyperplane signatures, candidates met
+  *    via bucket join only. Deterministic planes (seeded), no
+  *    cartesian product in the plan.
+  *
+  * All arithmetic in double via zip_with/aggregate — codegen'd, no
+  * UDFs.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns. Sequential
+    * left-to-right fold → deterministic result.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k by cosine against ONE probe vector, identified by id
+    * — the probe row is fetched via broadcast self-join, not collect,
+    * so the plan stays fully distributed.
+    */
+  def cosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeId: Long,
+      k: Int): DataFrame = {
+    val probe = df.where(col(idCol) === probeId)
+      .select(asDouble(col(vecCol)).as("__probe"))
+    df.crossJoin(broadcast(probe))
+      .withColumn("sim", cosine(asDouble(col(vecCol)), col("__probe")))
+      .select(col(idCol), col("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact k-NN join: top-k neighbours for every probe row (small
+    * probe set broadcast against the corpus; per-probe ranking via
+    * window). Brute baseline for the ANN path.
+    */
+  def knnJoin(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .crossJoin(broadcast(p))
+      .withColumn("sim", cosine(col("__cv"), col("__pv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` sign vectors of
+    * dimension `dim`, seeded — reproducible across runs/clusters.
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucket id: bit p = (v · plane_p) > 0, packed to a long.
+    * Nearby vectors (cosine) collide with high probability.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits: Seq[Column] = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** ANN top-k: probes and corpus are bucketed by sign-LSH; candidates
+    * meet via an equi-join on the bucket id, then exact cosine ranks
+    * within candidates. Trades recall for never scanning the full
+    * corpus per probe — the scale path. Lower `nPlanes` → bigger
+    * buckets → higher recall and cost.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
+      lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
+    val p = probes.select(
+      col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"),
+      lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
+    val scored = c.join(p, Seq("__bucket"))
+      .withColumn("sim", cosine(col("__cv"), col("__pv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket join + threshold —
+    * the embedding-space analogue of Dedup.nearDupPairs.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val b = df.select(
+      col(idCol), asDouble(col(vecCol)).as("__v"),
+      lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
+    val l = b.toDF("id_a", "va", "__bucket")
+    val r = b.toDF("id_b", "vb", "__bucket")
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim").distinct()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token stats, quality scoring, language-ID heuristic, and document
+  * fingerprinting. All pure Catalyst expressions (no UDFs) — each op
+  * is embarrassingly parallel per row, stays inside whole-stage
+  * codegen, and induces zero shuffles, so it scales linearly with
+  * input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split (matching the corpus
+    * layout) keeps the expression portable to SQL oracles; use
+    * [[tokensRegex]] for free-form text.
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** BPE-ish tokenization shim: splits on word/punctuation boundaries
+    * the way byte-pair pretokenizers do (letters+digits runs vs
+    * single punctuation marks).
+    */
+  def tokensRegex(c: Column): Column =
+    filter(split(c, """[^\p{L}\p{N}]+"""), t => length(t) > 0)
+
+  /** token_count + char_count + distinct-token count. */
+  def withTokenStats(textCol: String)(df: DataFrame): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_chars_calc", length(col(textCol)))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+  }
+
+  /** Quality signals: type-token ratio, mean token length, stopword
+    * ratio — the standard cheap filters a pretraining pipeline runs
+    * before anything expensive.
+    */
+  def withQualityScores(
+      textCol: String,
+      stopwords: Seq[String] = Seq("the", "a"))(df: DataFrame): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val stops = array(stopwords.map(lit): _*)
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("ttr", size(array_distinct(toks)).cast("double") / n)
+      .withColumn("mean_token_len",
+        (length(col(textCol)).cast("double") - n + lit(1.0)) / n)
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => array_contains(stops, t))).cast("double") / n)
+  }
+
+  /** Language-ID heuristic: marker-token frequency profiles, label =
+    * argmax score with first-listed-language tie-break. The real-world
+    * version uses char-n-gram profiles per language; the mechanism
+    * (per-profile score columns + deterministic argmax, zero shuffles)
+    * is identical.
+    */
+  def withLangId(
+      textCol: String,
+      profiles: Seq[(String, Seq[String])],
+      outCol: String = "lang_pred")(df: DataFrame): DataFrame = {
+    require(profiles.nonEmpty, "need at least one language profile")
+    val toks = tokens(col(textCol))
+    val scores: Seq[(String, Column)] = profiles.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(m, t)))
+    }
+    val withScores = scores.foldLeft(df) {
+      case (d, (lang, s)) => d.withColumn(s"score_$lang", s)
+    }
+    val maxScore = greatest(scores.map { case (l, _) => col(s"score_$l") }: _*)
+    // first profile reaching the max wins — deterministic tie-break
+    val label = scores.foldRight(lit(null).cast("string")) { case ((lang, _), acc) =>
+      when(col(s"score_$lang") === maxScore, lit(lang)).otherwise(acc)
+    }
+    withScores.withColumn(outCol, label)
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint: md5 of the normalized text — byte-identical
+    * duplicates under formatting noise hash together.
+    */
+  def withFingerprint(textCol: String, outCol: String = "fingerprint")(df: DataFrame): DataFrame =
+    df.withColumn(outCol, md5(normalized(col(textCol))))
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token
+    * set — order-insensitive near-dup key (catches shuffled copies).
+    */
+  def withBagFingerprint(textCol: String, outCol: String = "bag_fingerprint")(df: DataFrame): DataFrame =
+    df.withColumn(outCol,
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))))
+}

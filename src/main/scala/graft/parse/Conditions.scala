@@ -130,6 +130,28 @@ object KvList {
           kv.substring(0, i).trim -> kv.substring(i + 1).trim
         })
 
+  /** Like [[parse]], but a segment WITHOUT '=' is folded back into the
+    * previous pair's value — so `group_by_cols=a,b, slice_num=2`
+    * parses as {group_by_cols → "a,b", slice_num → "2"}. The reference
+    * mis-parses these multi-valued keys (groupby_slice/sort_dataset,
+    * Configurable_ETL_Python.py:67-91 index past the split); we
+    * implement the evident intent (divergence noted in SURVEY §4).
+    */
+  def parseLenient(s: String, pairSep: Char = ','): Map[String, String] = {
+    val segs = s.split(pairSep).iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    segs.foreach { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) pairs += seg.substring(0, i).trim -> seg.substring(i + 1).trim
+      else {
+        require(pairs.nonEmpty, s"dangling segment '$seg' in '$s'")
+        val (k, v) = pairs.last
+        pairs(pairs.length - 1) = k -> s"$v,$seg"
+      }
+    }
+    scala.collection.immutable.ListMap.from(pairs)
+  }
+
   /** Parse "a,b,c" into a trimmed list. */
   def csv(s: String): Seq[String] =
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
