@@ -36,23 +36,59 @@ object Dedup {
 
   // ===== shingles + MinHash-LSH =====
 
-  /** Word k-shingles as an array<string> column. */
+  /** Word k-shingles as an array<string> column.
+    *
+    * Built with zip_with over (k-1) shifted slices rather than a
+    * transform-with-index: a lambda body that references the token
+    * array re-evaluates split() once per ELEMENT (measured 5s for
+    * 260k shingles at sf0.1), while zip_with's array arguments are
+    * evaluated once per ROW. Shifted copies run past the end, so the
+    * zip pads with null and concat null-propagates — the trailing
+    * nulls are filtered off.
+    */
   def shingles(textCol: String, k: Int = 3): Column = {
     val toks = split(col(textCol), " ")
+    val joined = (1 until k).foldLeft(toks: Column) { (acc, off) =>
+      zip_with(acc, slice(toks, lit(off + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(filter(joined, x => x.isNotNull))
   }
 
-  /** MinHash signature: `numPerm` permutations approximated by seeding
-    * xxhash64 with the permutation index (standard one-hash-family
-    * construction). Returns array<bigint> of length numPerm.
+  /** MinHash signature as a single expression: `numPerm` permutations
+    * approximated by seeding xxhash64 with the permutation index
+    * (standard one-hash-family construction). Returns array<bigint>.
+    *
+    * NOTE: fine for single-column use, but do NOT feed this into an
+    * explode — the optimizer inlines it into the Generate and
+    * re-evaluates the whole signature per generated row. The pipeline
+    * path is [[minhashSignatures]].
     */
   def minhashSignature(sh: Column, numPerm: Int = 64): Column =
     transform(
       sequence(lit(0), lit(numPerm - 1)),
       p => array_min(transform(sh, s => xxhash64(p, s))))
+
+  /** MinHash signatures via shingle-explode + partial aggregation —
+    * the scale path: one hash pass over (doc, shingle) rows, the
+    * numPerm mins combine map-side before the per-doc shuffle, and
+    * the Aggregate is an optimizer barrier so downstream band
+    * explosion cannot re-inline the signature computation (which cost
+    * a measured 30× slowdown in the expression-only form).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
+    val aggs = (0 until numPerm).map(p => min(xxhash64(lit(p), col("__sh"))).as(s"__m$p"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numPerm).map(p => col(s"__m$p")): _*).as("__sig"))
+  }
 
   /** (doc, band, band_hash) exploded rows: the LSH index. Signature is
     * split into `bands` bands of numPerm/bands rows; a band's hash is
@@ -68,8 +104,7 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
-    val sig = minhashSignature(shingles(textCol, shingleK), numPerm)
-    df.select(col(idCol), sig.as("__sig"))
+    minhashSignatures(df, idCol, textCol, numPerm, shingleK)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", slice(col("__sig"), b * rows + 1, lit(rows)))))
@@ -166,6 +201,24 @@ object Dedup {
   def withSimhash(textCol: String, outCol: String = "simhash")(df: DataFrame): DataFrame =
     df.withColumn(outCol, simhash64(textCol))
 
+  /** SimHash fingerprints via token-explode + partial aggregation —
+    * the scale path (same reasoning as [[minhashSignatures]]): one
+    * xxhash64 per token, 64 map-side-combinable bit sums, Aggregate
+    * barrier against re-inlining.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val aggs = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(__h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"__b$j"))
+    val fp = (0 until 64)
+      .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), fp.as("fp"))
+  }
+
   /** SimHash near-dup pairs: block on 16-bit fingerprint chunks
     * (pigeonhole: hamming<=3 pairs share at least one of 4 chunks),
     * then filter by exact hamming distance. Bucketed join — no
@@ -176,7 +229,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol), simhash64(textCol).as("fp"))
+    val fp = simhashSignatures(df, idCol, textCol)
     // expr because shiftright-by-lambda-variable has no Scala DSL form
     val chunked = fp.select(col(idCol), col("fp"),
       posexplode(expr("transform(sequence(0, 3), i -> shiftright(fp, CAST(i * 16 AS INT)) & 65535)"))
