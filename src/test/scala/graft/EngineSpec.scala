@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.{Interpreter, PipelineContext, SourceResolver, StudyRunner}
+import graft.model._
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resolver(tables: (String, DataFrame)*): SourceResolver = new SourceResolver {
+    private val m = tables.toMap
+    def storeView(studyCode: String, view: String): DataFrame = m(view)
+    def table(name: String): DataFrame = m(name)
+  }
+
+  private def op(out: String, tpe: String, frames: Seq[String], cond: String = "") =
+    OperationSpec(out, tpe, frames, cond)
+
+  test("SORT DATASET is metadata; GROUPBY SLICE consumes it as a window") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val ctx0 = PipelineContext().bind("t", df)
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v, sort_order=DESC"),
+      op("top", "GROUPBY SLICE", Seq("s"), "group_by_cols=g, slice_num=1")
+    ).foldLeft(ctx0)((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    val r = ctx.result("top").orderBy("g").collect().map(x => (x.getString(0), x.getInt(1)))
+    assert(r.toSeq == Seq(("a", 3), ("b", 9)))
+    // no physical sort was planned for the intermediate
+    assert(!ctx.df("s").queryExecution.optimizedPlan.toString.toLowerCase.contains("sort"))
+  }
+
+  test("terminal SORT DATASET is applied physically on result()") {
+    val df = Seq(3, 1, 2).toDF("v")
+    val ctx = Interpreter.applyOp(
+      PipelineContext().bind("t", df),
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"), Map.empty)
+    assert(ctx.result("s").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("RENAME COLUMN remaps threaded sort keys") {
+    val df = Seq(("a", 2, "x2"), ("a", 1, "x1")).toDF("g", "v", "p")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("r", "RENAME COLUMN", Seq("s"), "v = renamed_v"),
+      op("u", "UNIQUE COLUMN", Seq("r"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    // keep-first under the remapped order: renamed_v=1 row survives
+    assert(ctx.result("u").collect().map(_.getString(2)).toSeq == Seq("x1"))
+  }
+
+  test("GROUPBY SUMMARISE last uses the threaded order") {
+    val df = Seq(("g", 1, 10.0), ("g", 2, 20.0)).toDF("g", "k", "v")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=k"),
+      op("agg", "GROUPBY SUMMARISE", Seq("s"), "group_by_cols=g | summary_col_ops=v#last")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.result("agg").collect().head.getDouble(1) == 20.0)
+  }
+
+  test("ATTACH COLUMN variants dispatch by operation key") {
+    val df = Seq((Some(1.0), 2.0, "o")).toDF("a", "b", "other")
+    val base = PipelineContext().bind("t", df)
+    val nn = Interpreter.applyOp(base,
+      op("o1", "ATTACH COLUMN", Seq("t"), "column_name=f, source_col=a, operation=NOTNULL"), Map.empty)
+    assert(nn.df("o1").columns.contains("f"))
+    val se = Interpreter.applyOp(base,
+      op("o2", "ATTACH COLUMN", Seq("t"), "column_name=f, source_col=a|b, operation=SUMEQ"), Map.empty)
+    assert(!se.df("o2").collect().head.getBoolean(3))
+    val nf = Interpreter.applyOp(base,
+      op("o3", "ATTACH COLUMN", Seq("t"),
+        "column_name=f, source_col=a, operation=NULL, value=V, column_value=other"), Map.empty)
+    assert(nf.df("o3").collect().head.getString(3) == "o")
+  }
+
+  test("DECISION COLUMN resolves the named table; unmatched stays null") {
+    val df = Seq("Yes", "No", "???").toDF("c")
+    val tables = Map("TBL" -> DecisionTable("TBL", Seq("Yes" -> "1", "No" -> "0")))
+    val ctx = Interpreter.applyOp(PipelineContext().bind("t", df),
+      op("o", "DECISION COLUMN", Seq("t"),
+        "new_column=code, lookup_column=c, decision_table_name=TBL"), tables)
+    assert(ctx.df("o").collect().map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("1"), Some("0"), None))
+  }
+
+  test("unknown op type raises like the reference dispatcher") {
+    val e = intercept[IllegalArgumentException] {
+      Interpreter.applyOp(PipelineContext().bind("t", Seq(1).toDF("x")),
+        op("o", "FROBNICATE", Seq("t")), Map.empty)
+    }
+    assert(e.getMessage.contains("NON-EXISTING DF_OPERATION"))
+  }
+
+  test("GET_DATA: filter then tolerant projection, bound by view name") {
+    val src = Seq(("s1", "A", 1), ("s1", "B", 2)).toDF("k", "cat", "v")
+    val ctx = Interpreter.getData(PipelineContext(), Seq(
+      GetDataSpec("view1", SourceKind.StoreView("s1", "view1"),
+        columns = Seq("cat", "v"), filter = Some("cat = A"))),
+      resolver("view1" -> src))
+    val r = ctx.df("view1")
+    assert(r.columns.toSeq == Seq("cat", "v"))
+    assert(r.collect().map(_.getInt(1)).toSeq == Seq(1))
+  }
+
+  test("StudyRunner stitches analytes left-joined on the stitch key") {
+    val subjects = Seq(("s1", "alice"), ("s1", "bob")).toDF("study", "subject")
+    val scores = Seq(("alice", 9.5)).toDF("subject", "score")
+    val study = StudySpec("s1", Seq(
+      AnalyteSpec("base", Seq(GetDataSpec("base", SourceKind.ParquetTable("subjects"))), Nil),
+      AnalyteSpec("scores", Seq(GetDataSpec("scores", SourceKind.ParquetTable("scores"))), Nil)),
+      stitchKey = "subject")
+    val r = StudyRunner.run(study, resolver("subjects" -> subjects, "scores" -> scores))
+      .select("subject", "score").orderBy("subject").collect()
+    assert(r.map(x => (x.getString(0), Option(x.get(1)))).toSeq ==
+      Seq(("alice", Some(9.5)), ("bob", None)))
+  }
+
+  test("AnalyteRef memoization: later analyte reads an earlier one from the catalog") {
+    val base = Seq(("alice", 1), ("bob", 2)).toDF("subject", "v")
+    val study = StudySpec("s1", Seq(
+      AnalyteSpec("a1", Seq(GetDataSpec("a1", SourceKind.ParquetTable("base"))), Nil),
+      AnalyteSpec("a2",
+        Seq(GetDataSpec("a1", SourceKind.AnalyteRef)),
+        Seq(op("a2", "FILTER", Seq("a1"), "v >= NUMBER(2)")))),
+      stitchKey = "subject")
+    val r = StudyRunner.run(study, resolver("base" -> base))
+      .select("subject", "v_y").orderBy("subject").collect()
+    // a2 has only bob → alice's right side null
+    assert(r.map(x => (x.getString(0), Option(x.get(1)))).toSeq ==
+      Seq(("alice", None), ("bob", Some(2))))
+  }
+}

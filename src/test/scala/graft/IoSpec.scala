@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{ConfigReader, Export, NestedStore, Standardized}
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nest → flatten round-trips the row set") {
+    val df = Seq(
+      ("s1", "v1", "alice", 1.5), ("s1", "v1", "bob", 2.5), ("s1", "v2", "carol", 3.5)
+    ).toDF("study_code", "view", "name", "score")
+    val back = NestedStore.flatten(NestedStore.nest(df, "study_code", "view"))
+    assert(back.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    assert(back.orderBy("name").collect().toSeq == df.orderBy("name").collect().toSeq)
+  }
+
+  test("nested store write is partitioned by the two keys (partition pruning)") {
+    val df = Seq(("s1", "v1", "a"), ("s2", "v1", "b")).toDF("study_code", "view", "x")
+    val dir = Files.createTempDirectory("graft_store").toString
+    NestedStore.write(NestedStore.nest(df, "study_code", "view"), dir)
+    assert(new java.io.File(s"$dir/study_code=s1/view=v1").exists())
+    val pruned = spark.read.parquet(dir).where(col("study_code") === "s1")
+    // partition filter must reach the scan, not a post-scan Filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("study_code"), scan)
+  }
+
+  test("standardized sink: hierarchy, Retention map, 'Null' fill, all-string") {
+    val df = Seq(("US", "s01", "alice", Some("2021-01-01")), ("DE", "s02", "bob", None))
+      .toDF("country", "site", "subject", "ltfu_date")
+    val std = Standardized.toStandardized(df, "STUDY1")
+    val flat = Standardized.flattenStandardized(std).orderBy("subject").collect()
+    val alice = flat(0)
+    assert(alice.getString(0) == "STUDY1")
+    assert(alice.getString(1) == "US#s01#alice")
+    assert(alice.getAs[String]("ltfu_date") == "2021-01-01")
+    assert(alice.getAs[String]("subject_death") == "Null") // absent retention field
+    val bob = flat(1)
+    assert(bob.getAs[String]("ltfu_date") == "Null") // real null → 'Null' string
+  }
+
+  test("export flatten applies case-collision renames") {
+    val df = Seq(("s1", "v1", "X123", "W2")).toDF("study_code", "view", "SUBJECT", "Visit")
+    val out = Export.exportFlatten(NestedStore.nest(df, "study_code", "view"))
+    assert(out.columns.contains("Subject_SAS") && out.columns.contains("Visit_ecoA"))
+    assert(!out.columns.contains("SUBJECT") && !out.columns.contains("Visit"))
+  }
+
+  test("parquet append sink merges evolving schemas") {
+    val dir = Files.createTempDirectory("graft_append").toString
+    Export.writeParquetAppend(Seq((1, "a")).toDF("id", "s"), dir)
+    Export.writeParquetAppend(Seq((2, 9.9)).toDF("id", "d"), dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("d", "id", "s"))
+    assert(merged.count() == 2)
+  }
+
+  test("config reader parses sheets, decision tables, and the study") {
+    val study = ConfigReader.readStudy(spark, "/root/repo/fixtures/study_demo")
+    assert(study.studyCode == "S001")
+    assert(study.stitchKey == "c_custkey")
+    assert(study.analytes.map(_.name) == Seq("cust_base", "cust_orders"))
+    val base = study.analytes.head
+    assert(base.getData.head.columns == Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    assert(base.decisionTables.contains("SEGMENT_TBL"))
+    assert(base.decisionTables("SEGMENT_TBL").mapping.contains("BUILDING" -> "B"))
+    assert(base.operations.map(_.opType) ==
+      Seq("RENAME COLUMN", "LEFT JOIN", "ADD COLUMN", "DECISION COLUMN", "SELECT COLUMNS"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ===== dedup =====
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per identical text") {
+    val r = Dedup.exactDedup("text", "doc_id")(docs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(r.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash near-dup finds the planted pair, not the unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5, numPerm = 64, bands = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L))) // 1-4 exact → jaccard 1
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("near-dup candidate generation plans a bucketed join, never a cartesian product") {
+    val plan = planOf(Dedup.nearDupPairs(docs, "doc_id", "text", 0.5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ngram jaccard: identical docs = 1.0, disjoint docs = 0") {
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(r((1L, 4L)) == 1.0)
+    assert(r((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: exact dups distance 0; near-dups close; unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).forall(_ <= 12))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  // ===== similarity =====
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.8f, 0.2f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK: self first (sim=1), then by true cosine order") {
+    val r = Similarity.cosineTopK(vecs, "vec_id", "embedding", probeId = 0L, k = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.head._1 == 0L && math.abs(r.head._2 - 1.0) < 1e-12)
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 4L)) // 0.9/norm > 0.8/norm order
+  }
+
+  test("knnJoin ranks per probe and respects k") {
+    val r = Similarity.knnJoin(vecs, vecs.where(col("vec_id") < 2), "vec_id", "embedding", k = 2)
+    val byProbe = r.collect().groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(0L, 1L))
+    assert(byProbe.values.forall(_.length == 2))
+    // each probe's rank-1 neighbour is itself
+    assert(byProbe.forall { case (p, rows) => rows.minBy(_.getInt(3)).getLong(1) == p })
+  }
+
+  test("ANN recall: identical probe set finds itself; plan is an equi-join") {
+    val ann = Similarity.annTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, nPlanes = 4, dim = 4)
+    val rows = ann.collect()
+    assert(rows.nonEmpty && rows.head.getLong(1) == 0L) // self found in own bucket
+    val plan = planOf(ann)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embeddingNearDupPairs finds close vectors in shared buckets") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, nPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L))) // genuinely close ones
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // opposite vector never pairs
+  }
+
+  // ===== text =====
+
+  test("quality scores on a known sentence") {
+    val df = Seq((1L, "the cat the cat sat")).toDF("doc_id", "text")
+    val r = TextAnalysis.withQualityScores("text")(df).collect().head
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(math.abs(r.getAs[Double]("ttr") - 3.0 / 5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 3.0) < 1e-12) // (19-5+1)/5
+  }
+
+  test("langId: argmax with first-profile tie-break") {
+    val df = Seq((1L, "the the spark"), (2L, "spark vector"), (3L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.withLangId("text", Seq(
+      "en" -> Seq("the"), "sys" -> Seq("spark", "vector")))(df)
+      .select("doc_id", "lang_pred").collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r(1L) == "en") // 2 vs 1
+    assert(r(2L) == "sys") // 0 vs 2
+    assert(r(3L) == "en") // 0-0 tie → first profile
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace noise") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world")).toDF("doc_id", "text")
+    val r = TextAnalysis.withFingerprint("text")(df).select("fingerprint")
+      .collect().map(_.getString(0))
+    assert(r(0) == r(1))
+  }
+
+  test("bag fingerprint is invariant to word order") {
+    val df = Seq((1L, "b a c"), (2L, "c b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.withBagFingerprint("text")(df).select("bag_fingerprint")
+      .collect().map(_.getString(0))
+    assert(r(0) == r(1))
+  }
+
+  test("tokensRegex splits on punctuation like a BPE pretokenizer") {
+    val df = Seq("don't stop, won't!").toDF("t")
+    val r = df.select(TextAnalysis.tokensRegex(col("t"))).collect().head.getSeq[String](0)
+    assert(r == Seq("don", "t", "stop", "won", "t"))
+  }
+
+  // ===== multimodal =====
+
+  test("binary chunking reassembles to the original content") {
+    val df = Seq((1L, "a" * 250), (2L, "xy")).toDF("doc_id", "text")
+    val chunked = Multimodal.chunkBinary("content", 100)(
+      Multimodal.withBinaryContent("text")(df))
+    val counts = chunked.groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 1L))
+    val rebuilt = chunked.orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id").agg(concat_ws("", collect_list(decode(col("chunk"), "UTF-8"))).as("re"))
+      .join(df, "doc_id")
+      .where(col("re") =!= col("text")).count()
+    assert(rebuilt == 0)
+  }
+
+  test("decode stub emits the contract schema deterministically") {
+    val df = Seq((1L, "payload")).toDF("doc_id", "text")
+    val meta = Multimodal.withDecodedMetaStub("content")(
+      Multimodal.withBinaryContent("text")(df))
+    val m = meta.select("media_meta.*").collect().head
+    val again = Multimodal.withDecodedMetaStub("content")(
+      Multimodal.withBinaryContent("text")(df)).select("media_meta.*").collect().head
+    assert(m == again) // stable across runs
+    assert(m.getAs[Int]("width") >= 1 && m.getAs[Int]("height") >= 1)
+    assert(Seq("jpeg", "png", "webp").contains(m.getAs[String]("format")))
+  }
+
+  test("feature stub has the declared shape and range") {
+    val df = Seq((1L, "payload")).toDF("doc_id", "text")
+    val f = Multimodal.withFeatureStub("content", dim = 8)(
+      Multimodal.withBinaryContent("text")(df))
+      .select("features").collect().head.getSeq[Float](0)
+    assert(f.length == 8)
+    assert(f.forall(v => v >= -1.0f && v <= 1.0f))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.model.SortKey
+import graft.ops.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strftimeToJava: directives, %% escape, literal quoting") {
+    assert(Ops.strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(Ops.strftimeToJava("%d-%m-%Y %H:%M") == "dd-MM-yyyy HH:mm")
+    assert(Ops.strftimeToJava("%%m") == "'%m'") // escaped percent + literal m, quoted
+    assert(Ops.strftimeToJava("%Y at %H") == "yyyy' at 'HH")
+    assertThrows[IllegalArgumentException](Ops.strftimeToJava("%Q"))
+  }
+
+  test("groupbySummarise last/first skip nulls like pandas GroupBy.last") {
+    val df = Seq(
+      ("g1", 1, Some(5.0)), ("g1", 2, None), // last non-null is 5.0 at k=1
+      ("g2", 1, None), ("g2", 2, Some(7.0)), ("g2", 3, None),
+      ("g3", 1, Option.empty[Double]) // all-null group → null
+    ).toDF("g", "k", "v")
+    val last = Ops.groupbySummarise(Seq("g"), Seq(("v", "last")), Seq(SortKey("k")))(df)
+      .orderBy("g").collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(last.toSeq == Seq(("g1", Some(5.0)), ("g2", Some(7.0)), ("g3", None)))
+    val first = Ops.groupbySummarise(Seq("g"), Seq(("v", "first")), Seq(SortKey("k")))(df)
+      .orderBy("g").collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(first.toSeq == Seq(("g1", Some(5.0)), ("g2", Some(7.0)), ("g3", None)))
+  }
+
+  test("groupbySummarise last after DESC sort takes min sort key") {
+    val df = Seq(("g", 1, "a"), ("g", 2, "b")).toDF("g", "k", "v")
+    val r = Ops.groupbySummarise(Seq("g"), Seq(("v", "last")), Seq(SortKey("k", desc = true)))(df)
+    assert(r.collect().head.getString(1) == "a")
+  }
+
+  test("sortDataset puts nulls last in both directions (pandas)") {
+    val df = Seq(Some(2), None, Some(1)).toDF("x")
+    assert(Ops.sortDataset(Seq("x"), desc = false)(df).collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(1), Some(2), None))
+    assert(Ops.sortDataset(Seq("x"), desc = true)(df).collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(2), Some(1), None))
+  }
+
+  test("uniqueColumns keeps first row in established order") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 3, "only")).toDF("k", "ord", "v")
+    val r = Ops.uniqueColumns(Seq("k"), Seq(SortKey("ord")))(df)
+      .orderBy("k").collect().map(_.getString(2))
+    assert(r.toSeq == Seq("first", "only"))
+  }
+
+  test("aggregateColumn least/greatest skip nulls like pandas axis=1 min/max") {
+    val df = Seq((Some(1.0), None: Option[Double]), (None, Some(2.0)), (None, None))
+      .toDF("a", "b")
+    val r = Ops.aggregateColumn("m", Seq("a", "b"), "min")(df)
+      .collect().map(x => Option(x.get(2)))
+    assert(r.toSeq == Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("attachSumEq compares native-dtype sums; empty frame sums as 0") {
+    val df = Seq((2.5, 2), (0.4, 1)).toDF("a", "b")
+    // sum(a)=2.9, sum(b)=3 → unequal (no long truncation)
+    assert(!Ops.attachSumEq("eq", "a", "b")(df).collect().head.getBoolean(2))
+    val eq = Seq((1.5, 1.0), (0.5, 1.0)).toDF("a", "b")
+    assert(Ops.attachSumEq("eq", "a", "b")(eq).collect().head.getBoolean(2))
+    // booleans count as 1/0
+    val bools = Seq((true, 1), (false, 1)).toDF("a", "b")
+    assert(!Ops.attachSumEq("eq", "a", "b")(bools).collect().head.getBoolean(2))
+    val empty = spark.createDataFrame(
+      sc.emptyRDD[Row],
+      Seq((1.0, 2.0)).toDF("a", "b").schema)
+    assert(Ops.attachSumEq("eq", "a", "b")(empty).count() == 0) // no rows to attach to
+  }
+
+  test("attachNullFill = np.where(isnull, value, other_col)") {
+    val df = Seq((Some("x"), "o1"), (None, "o2")).toDF("src", "other")
+    val r = Ops.attachNullFill("out", "src", "FILLED", "other")(df)
+      .collect().map(_.getString(2))
+    assert(r.toSeq == Seq("o1", "FILLED"))
+  }
+
+  test("decision when-chain: later mapping rows overwrite earlier (reference iterrows)") {
+    val df = Seq("k1", "k2", "zz").toDF("c")
+    val r = Ops.decisionColumnWhenChain("out", "c", Seq("k1" -> "v1", "k1" -> "v1b", "k2" -> "v2"))(df)
+      .collect().map(x => Option(x.getString(1)))
+    assert(r.toSeq == Seq(Some("v1b"), Some("v2"), None))
+  }
+
+  test("namedJoin renames overlapping non-key columns _x/_y") {
+    val l = Seq((1, "lv")).toDF("k", "v")
+    val r = Seq((1, "rv")).toDF("k", "v")
+    val j = Ops.namedJoin(l, r, Seq("k"), "left")
+    assert(j.columns.toSeq == Seq("k", "v_x", "v_y"))
+    assert(j.collect().head.toSeq == Seq(1, "lv", "rv"))
+  }
+
+  test("bindRows unions by name with missing columns as null") {
+    val a = Seq((1, "x")).toDF("i", "s")
+    val b = Seq(2.5).toDF("d")
+    val r = Ops.bindRows(Seq(a, b))
+    assert(r.columns.toSeq == Seq("i", "s", "d"))
+    assert(r.count() == 2)
+  }
+
+  test("selectColumnsTolerant skips the whole projection on any missing column") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    assert(Ops.selectColumnsTolerant(Seq("x", "nope"), distinct = false)(df).columns.toSeq ==
+      Seq("x", "y"))
+    assert(Ops.selectColumnsTolerant(Seq("x"), distinct = false)(df).columns.toSeq == Seq("x"))
+  }
+
+  test("formatColumn datetime parses with translated strftime pattern") {
+    val df = Seq("31-01-2021").toDF("d")
+    val r = Ops.formatColumn("d", "datetime#%d-%m-%Y")(df).collect().head.getTimestamp(0)
+    assert(r.toString.startsWith("2021-01-31"))
+  }
+}

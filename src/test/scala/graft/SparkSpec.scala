@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run (Spark startup is
+  * ~2s; per-suite sessions would dominate test time).
+  */
+object TestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  def sc = spark.sparkContext
+}
