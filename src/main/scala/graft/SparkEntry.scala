@@ -211,6 +211,34 @@ object SparkEntry {
       StudyRunner.run(study, new ParquetResolver(s, d))
     }),
 
+    "s1_keyed_scan" -> ((s, d) => {
+      val store = "/tmp/graft_store_q"
+      val base = t(s, d, "lineitem").select(
+        col("l_returnflag").as("study_code"), col("l_linestatus").as("view"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      NestedStore.write(NestedStore.nest(base, "study_code", "view"), store)
+      new ParquetResolver(s, d, Some(store)).storeView("R", "F")
+    }),
+    "s5_csv_source" -> ((s, d) => {
+      val path = "/tmp/graft_csv_src"
+      t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(path)
+      graft.io.Ingestion.readFile(s, s"$path/part-00000*.csv")
+    }),
+    "c9_filename_meta" -> ((s, d) =>
+      graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
+        .select("doc_id", "source_file", "view_id", "source_timestamp")),
+    "c10_null_fill" -> ((s, d) =>
+      graft.io.Ingestion.nullFill(
+        nullBase(s, d).select(col("c_custkey"), col("big_total").cast("string").as("big_total")))),
+    "w1_event_windows" -> ((s, d) => {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects;
+      // read nanos as long and truncate to micros (exactly DuckDB's
+      // nanos→micros read behavior).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingIngest.windowedCountsBatch(ev)
+    }),
+
     // ===== LLM pipeline: dedup =====
     "dedup_exact" -> ((s, d) => Dedup.exactDedup("text", "doc_id")(doubledDocs(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactDedupStats("text", "doc_id")(doubledDocs(s, d))),
@@ -472,5 +500,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS i
         |      FROM documents)""".stripMargin,
+    "s1_keyed_scan" ->
+      """SELECT 'R' AS study_code, 'F' AS view, l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'""".stripMargin,
+    "s5_csv_source" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+    "c9_filename_meta" ->
+      """SELECT doc_id, 'documents.parquet' AS source_file, 'documents' AS view_id, '' AS source_timestamp
+        |FROM documents""".stripMargin,
+    "c10_null_fill" ->
+      s"""SELECT c_custkey, CASE WHEN big_total IS NULL THEN 'Null' ELSE CAST(big_total AS VARCHAR) END AS big_total
+         |FROM $nullBaseSql""".stripMargin,
+    "w1_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

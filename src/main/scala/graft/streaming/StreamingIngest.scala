@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import graft.io.{Ingestion, NestedStore}
+
+/** Structured Streaming surface. The reference's only "stream" is an
+  * event-at-a-time Lambda (Data_Ingestion_Python.py:196-275 —
+  * at-least-once, per-file micro-batch); readStream file-source +
+  * foreachBatch reproduces exactly that contract with checkpointed
+  * exactly-once batches. Watermarked windows and mapGroupsWithState
+  * are the beyond-reference operators a training-data feed needs.
+  */
+object StreamingIngest {
+
+  /** Streaming equivalent of the ingestion Lambda: watch a directory
+    * for CSV drops, apply the same nullFill+metadata transforms, nest
+    * per micro-batch, append to the keyed store.
+    */
+  def ingestStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      k1: String,
+      k2: String,
+      storeDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16)
+      .csv(watchDir)
+    val cleaned = Ingestion.withFileMetadata(Ingestion.nullFill(raw))
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          NestedStore.nest(batch, k1, k2)
+            .write.mode("append").partitionBy(k1, k2).parquet(storeDir)
+      }
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * late data beyond the watermark is dropped, state is bounded.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("max_value"))
+
+  /** Per-user session state via mapGroupsWithState: counts events and
+    * (when `gapMs` is set) closes the session after that much
+    * processing-time inactivity — the custom-state pattern
+    * (KeyValueGroupedDataset) for anything windows can't express.
+    * `gapMs = None` runs with NoTimeout: pure accumulation, and the
+    * query can terminate under Trigger.AvailableNow (pending
+    * processing-time timers otherwise keep it alive forever).
+    */
+  final case class SessionUpdate(userId: Long, nEvents: Long, closed: Boolean)
+
+  def sessionize(
+      events: DataFrame,
+      gapMs: Option[Long] = Some(30 * 60 * 1000L)): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout = if (gapMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, SessionUpdate](timeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            SessionUpdate(user, n, closed = true)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            gapMs.foreach(state.setTimeoutDuration)
+            SessionUpdate(user, n, closed = false)
+          }
+      }
+  }
+
+  /** The same windowed aggregation as a BATCH query (identical plan
+    * semantics minus the watermark) — lets the driver's DuckDB oracle
+    * pin the window arithmetic that the streaming path shares.
+    */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("max_value"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.io.NestedStore
+import graft.streaming.StreamingIngest
+
+/** All queries run with Trigger.AvailableNow + bounded
+  * awaitTermination and are stopped in finally — stateful streaming
+  * queries with default triggers busy-loop no-data micro-batches
+  * (watermark/timeout advancement), which hangs processAllAvailable-
+  * style tests.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToCompletion(q: StreamingQuery, ms: Long = 120000): Unit =
+    try {
+      assert(q.awaitTermination(ms), s"streaming query did not finish within ${ms}ms")
+    } finally if (q.isActive) q.stop()
+
+  test("file-stream ingestion nests micro-batches into the keyed store") {
+    val watch = Files.createTempDirectory("graft_watch").toString
+    val store = Files.createTempDirectory("graft_sstore").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(watch, "viewA_1.csv"),
+      "study_code,view,name,score\ns1,v1,alice,9\ns1,v1,bob,8\ns1,v2,carol,7\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "study_code STRING, view STRING, name STRING, score STRING")
+    runToCompletion(
+      StreamingIngest.ingestStream(spark, watch, schema, "study_code", "view", store, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    val back = NestedStore.flatten(spark.read.parquet(store))
+    assert(back.count() == 3)
+    assert(back.where(col("view") === "v1").count() == 2)
+    assert(back.columns.contains("view_id")) // ingestion metadata survived
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 3.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 2.0))
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedCounts(events, "ts", "event_type", "1 hour", "2 hours")
+    runToCompletion(
+      agg.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    val rows = spark.table("win_counts").orderBy("window_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("max_value") == 3.0)
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("mapGroupsWithState sessionization accumulates per-user counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(1L, 1L, 2L)
+    mem.addData(1L)
+    val events = mem.toDF().toDF("user_id")
+    val sessions = StreamingIngest.sessionize(events, gapMs = None)
+    runToCompletion(
+      sessions.toDF().writeStream.format("memory").queryName("sessions")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start())
+    val byUser = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // state accumulates across batches within the run: user 1 peaks at 3
+    assert(byUser(1L).map(_._2).max == 3L)
+    assert(byUser(2L).map(_._2).max == 1L)
+  }
+}
