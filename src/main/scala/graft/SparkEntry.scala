@@ -280,6 +280,23 @@ object SparkEntry {
         TextAnalysis.withFingerprint("text")(t(s, d, "documents")))
         .select("doc_id", "fingerprint", "bag_fingerprint")),
 
+    "text_tokens_bpe" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens"))),
+
+    // ===== vector-column ops over embeddings =====
+    "vec_norm" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.l2norm(col("embedding").cast("array<double>")).as("l2"))),
+    "vec_slice_ops" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        slice(v, 1, 8).as("head8"),
+        transform(v, x => x * 2.0).as("scaled"),
+        aggregate(v, lit(0.0), (acc, x) => acc + x).as("sum_elems"))
+    }),
+
     // ===== LLM pipeline: multimodal =====
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.withBinaryMeta("content")(
@@ -500,6 +517,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS i
         |      FROM documents)""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'), t -> length(t) > 0)) AS INTEGER) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "vec_norm" ->
+      "SELECT vec_id, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2 FROM embeddings",
+    "vec_slice_ops" ->
+      """SELECT vec_id, (embedding::DOUBLE[])[1:8] AS head8,
+        |  list_transform(embedding::DOUBLE[], x -> x * 2.0) AS scaled,
+        |  list_aggregate(embedding::DOUBLE[], 'sum') AS sum_elems
+        |FROM embeddings""".stripMargin,
     "s1_keyed_scan" ->
       """SELECT 'R' AS study_code, 'F' AS view, l_orderkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'""".stripMargin,

@@ -125,6 +125,12 @@ object Dedup {
     val b = lshBands(df, idCol, textCol, numPerm, bands, shingleK)
     val l = b.toDF("id_a", "band", "band_hash")
     val r = b.toDF("id_b", "band", "band_hash")
+    // Unhinted: AQE picks broadcast at small scale and sort-merge at
+    // corpus scale from real size stats. Each side re-computes the
+    // signature aggregation (linear, shuffle-free, embarrassingly
+    // parallel) — measured cheaper than forcing a shuffle join to get
+    // exchange reuse; callers running repeated dedup rounds should
+    // persist lshBands themselves.
     l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
