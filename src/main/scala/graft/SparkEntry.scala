@@ -195,6 +195,18 @@ object SparkEntry {
         col("c_nationkey").as("site"), col("c_acctbal").as("last_contact_date"))
       Standardized.flattenStandardized(Standardized.toStandardized(src, "S001"))
     }),
+    "s2_analyte_scan" -> ((s, d) => {
+      // S2 reading_analyte_data: scan the standardized store, flatten,
+      // project — round-tripped through a real parquet write.
+      val std = Standardized.toStandardized(
+        t(s, d, "customer").select(
+          col("c_custkey").as("subject"), col("c_mktsegment").as("country"),
+          col("c_nationkey").as("site")), "S001")
+      val path = "/tmp/graft_std_store"
+      std.write.mode("overwrite").parquet(path)
+      Ops.selectColumnsTolerant(Seq("subject", "country"), distinct = false)(
+        Standardized.flattenStandardized(s.read.parquet(path)))
+    }),
     "s8_export_flatten" -> ((s, d) => {
       val base = t(s, d, "lineitem").select(
         col("l_returnflag"), col("l_linestatus"),
@@ -264,6 +276,12 @@ object SparkEntry {
     "sim_embedding_neardup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.9, nPlanes = 8)),
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.llm.Ivf.train(emb, "embedding", k = 16)
+      graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        model, k = 5, nProbe = 4)
+    }),
 
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
@@ -420,6 +438,8 @@ object SparkEntry {
         |  'Null' AS subject_death, 'Null' AS ltfu_date, CAST(c_acctbal AS VARCHAR) AS last_contact_date,
         |  'Null' AS last_contact_type, 'Null' AS subther_start_date, 'Null' AS all_ipdc_date
         |FROM customer""".stripMargin,
+    "s2_analyte_scan" ->
+      "SELECT CAST(c_custkey AS VARCHAR) AS subject, c_mktsegment AS country FROM customer",
     "s8_export_flatten" ->
       """SELECT l_returnflag, l_linestatus, CAST(l_orderkey AS VARCHAR) AS Subject_SAS, CAST(l_quantity AS VARCHAR) AS l_quantity
         |FROM lineitem""".stripMargin,

@@ -59,6 +59,14 @@ class IoSpec extends SparkSpec {
     assert(merged.count() == 2)
   }
 
+  test("CSV sink round-trips through the CSV source") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    Export.writeCsv(Seq(("a", 1), ("b", 2)).toDF("k", "v"), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("k", "v"))
+  }
+
   test("config reader parses sheets, decision tables, and the study") {
     val study = ConfigReader.readStudy(spark, "/root/repo/fixtures/study_demo")
     assert(study.studyCode == "S001")
