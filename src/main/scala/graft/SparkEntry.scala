@@ -229,7 +229,8 @@ object SparkEntry {
         col("l_returnflag").as("study_code"), col("l_linestatus").as("view"),
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       NestedStore.write(NestedStore.nest(base, "study_code", "view"), store)
-      new ParquetResolver(s, d, Some(store)).storeView("R", "F")
+      NestedStore.flatten(
+        s.read.parquet(store).where(col("study_code") === "R" && col("view") === "F"))
     }),
     "s5_csv_source" -> ((s, d) => {
       val path = "/tmp/graft_csv_src"

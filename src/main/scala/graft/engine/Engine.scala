@@ -76,9 +76,15 @@ final class ParquetResolver(spark: SparkSession, dir: String, storeDir: Option[S
     extends SourceResolver {
   def storeView(studyCode: String, view: String): DataFrame = {
     val sd = storeDir.getOrElse(s"$dir/store")
+    // Read the (study_code, view) partition DIRECTORY directly — the
+    // lake analogue of a DynamoDB Query point-lookup. Views hold
+    // heterogeneous document schemas (different `data` structs), so a
+    // whole-store read would fail schema merge; the partition path is
+    // the isolation boundary. Payload columns only, like the
+    // reference's json_normalize(record_path='data') without meta
+    // (Configurable_ETL_Python.py:36-41).
     graft.io.NestedStore.flatten(
-      spark.read.parquet(sd)
-        .where(col("study_code") === studyCode && col("view") === view))
+      spark.read.parquet(s"$sd/study_code=$studyCode/view=$view"))
   }
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -246,13 +246,26 @@ object Ops {
 
   /** C2 FORMAT COLUMN: `column=c, type=datetime#<strftime>` or
     * `type=number`.
+    *
+    * datetime is LENIENT like pd.to_datetime: an already-timestamp
+    * column passes through unchanged, and values that don't match the
+    * given pattern fall back to the default timestamp cast (the
+    * all_ipdc_date config unions a string-dated frame with a
+    * timestamp-dated one before formatting — union coercion turns the
+    * timestamps into 'yyyy-MM-dd HH:mm:ss' strings the %Y-%m-%d
+    * pattern alone would reject, and ANSI to_timestamp would throw).
     */
   def formatColumn(c: String, typeSpec: String)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
     val parts = typeSpec.split("#", 2)
     parts(0).trim.toLowerCase match {
       case "datetime" =>
-        val fmt = strftimeToJava(parts(1).trim)
-        df.withColumn(c, to_timestamp(col(c), fmt))
+        if (df.schema(c).dataType == TimestampType) df
+        else {
+          val fmt = strftimeToJava(parts(1).trim)
+          df.withColumn(c,
+            coalesce(try_to_timestamp(col(c), lit(fmt)), col(c).try_cast("timestamp")))
+        }
       case "number" =>
         df.withColumn(c, col(c).cast("double"))
       case other => throw new IllegalArgumentException(s"unknown format type '$other'")
