@@ -222,6 +222,12 @@ object SparkEntry {
       val study = ConfigReader.readStudy(s, "/root/repo/fixtures/study_demo")
       StudyRunner.run(study, new ParquetResolver(s, d))
     }),
+    "engine_clinical_study" -> ((s, d) => {
+      val storeDir = "/tmp/graft_clinical_store"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(storeDir), true)
+      graft.io.ClinicalDemo.run(s, storeDir)
+    }),
 
     "s1_keyed_scan" -> ((s, d) => {
       val store = "/tmp/graft_store_q"
@@ -458,6 +464,26 @@ object SparkEntry {
         |      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey) b
         |LEFT JOIN (SELECT o_custkey AS c_custkey, max(o_totalprice) AS o_totalprice, max(o_orderdate) AS o_orderdate
         |           FROM orders WHERE o_totalprice >= 150000 GROUP BY 1) o USING (c_custkey)""".stripMargin,
+    "engine_clinical_study" ->
+      """SELECT * FROM (VALUES
+        |  ('US', 101.0, 'S001', TIMESTAMP '2021-03-10 08:00:00', CAST(NULL AS TIMESTAMP),
+        |   TIMESTAMP '2021-03-10 08:00:00', 'Death', TIMESTAMP '2021-02-01 00:00:00',
+        |   '1', TIMESTAMP '2021-02-01 00:00:00', '103', 'regular'),
+        |  ('US', 101.0, 'S001', TIMESTAMP '2021-03-10 08:00:00', CAST(NULL AS TIMESTAMP),
+        |   TIMESTAMP '2021-03-10 08:00:00', 'Death', TIMESTAMP '2021-02-20 00:00:00',
+        |   '0', TIMESTAMP '2021-02-01 00:00:00', '103', 'regular'),
+        |  ('US', 101.0, 'S002', CAST(NULL AS TIMESTAMP), TIMESTAMP '2021-04-15 09:00:00',
+        |   TIMESTAMP '2021-04-15 09:00:00', 'Lost to follow up', TIMESTAMP '2021-03-05 00:00:00',
+        |   '1', TIMESTAMP '2021-03-05 00:00:00', '271', 'end of study'),
+        |  ('US', 102.0, 'S003', TIMESTAMP '2021-05-18 12:00:00', CAST(NULL AS TIMESTAMP),
+        |   TIMESTAMP '2021-05-18 12:00:00', 'Death', CAST(NULL AS TIMESTAMP),
+        |   CAST(NULL AS VARCHAR), TIMESTAMP '2021-05-10 00:00:00', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('DE', 201.0, 'S004', CAST(NULL AS TIMESTAMP), TIMESTAMP '2021-06-01 00:00:00',
+        |   TIMESTAMP '2021-06-01 00:00:00', 'Lost to follow up', CAST(NULL AS TIMESTAMP),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        |) t(country, site, subject, subject_death, ltfu_date, last_contact_date,
+        |    last_contact_type, subther_start_date, concomitant, all_ipdc_date,
+        |    pltfu_thresh, pltfu_thresh_group)""".stripMargin,
     "dedup_exact" ->
       s"""SELECT doc_id, text, lang, source, n_chars
          |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $doubledDocsSql)

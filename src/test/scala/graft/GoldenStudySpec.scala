@@ -23,64 +23,8 @@ class GoldenStudySpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  private lazy val finalDf: DataFrame = {
-    val storeDir = Files.createTempDirectory("graft_clinical").toString
-
-    def writeView(view: String, cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
-      val df = spark.createDataFrame(
-        sc.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq(_)), 1),
-        org.apache.spark.sql.types.StructType(cols.map(c =>
-          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
-        .withColumn("study_code", lit("DG001002003")).withColumn("view", lit(view))
-      NestedStore.nest(df, "study_code", "view")
-        .write.mode("append").partitionBy("study_code", "view").parquet(storeDir)
-    }
-
-    writeView("ENROL", Seq("SiteGroup", "SiteNumber"), Seq(
-      Seq("US", "101"), Seq("US", "102"), Seq("DE", "201"),
-      Seq(null, "301"), Seq("FR", null)))
-    writeView("IxRS", Seq("CentreNum", "ECode"), Seq(
-      Seq("101", "S001"), Seq("101", "S002"), Seq("102", "S003"),
-      Seq("201", "S004"), Seq("201", null)))
-    writeView("DS", Seq("Subject", "DSSTDAT", "DSDECOD_STD"), Seq(
-      Seq("S001", "10-03-2021 08:00", "C28554"),
-      Seq("S003", "20-05-2021 10:00", "C28554"),
-      Seq("S002", "15-04-2021 09:00", "C48227")))
-    writeView("DEATH", Seq("Subject", "DTH_DAT"), Seq(
-      Seq("S003", "18-05-2021 12:00")))
-    writeView("SURVIVE", Seq("Subject", "SUR_DAT", "SURSTAT_STD"), Seq(
-      Seq("S002", "20-04-2021 00:00", "2"),
-      Seq("S004", "01-06-2021 00:00", "2"),
-      Seq("S001", "01-01-2021 00:00", "1")))
-    writeView("HOSPAD", Seq("Subject", "HADMEDT", "HADMSDT"), Seq(
-      Seq("S001", "05-03-2021 10:00", "01-03-2021 10:00")))
-    writeView("DOSEDISC", Seq("Subject", "IPDC_DAT", "IP_DISC_STD"), Seq(
-      Seq("S002", "10-04-2021 00:00", "1"),
-      Seq("S003", "01-05-2021 00:00", "2")))
-    writeView("CAPRXHC",
-      Seq("Subject", "PageRepeatNumber", "CXSDAT", "CXEDAT", "TREATSTS", "CXAGNT", "CXCLASS", "CXCHERAD"),
-      Seq(
-        Seq("S001", "1", "2021-02-01", "2021-02-10", "setA", "agent1", "class1", "Yes"),
-        Seq("S001", "2", "2021-02-20", "2021-02-25", "setA", "agent2", "class1", "No"),
-        Seq("S002", "1", "2021-03-05", "2021-03-06", "setB", "agent1", "class2", "Yes")))
-    writeView("EX", Seq("Subject", "EXSTDAT", "EXTRT"), Seq(
-      Seq("S001", "2021-02-05", "Carboplatin"),
-      Seq("S002", "2021-03-01", "Paclitaxel")))
-    writeView("EX1", Seq("Subject", "EXSTDAT", "EXTRT"), Seq(
-      Seq("S001", "2021-02-03", "Carboplatin"),
-      Seq("S003", "2021-04-01", "Bevacizumab")))
-    writeView("DOSEDISC1", Seq("Subject", "IPDC_DAT", "SD"), Seq(
-      Seq("S001", "2021-03-15", "Carboplatin"),
-      Seq("S002", "2021-04-20", "Paclitaxel")))
-    writeView("DOSEDISC2", Seq("Subject", "IPDC_DAT", "SD"), Seq(
-      Seq("S003", "2021-05-10", "Bevacizumab")))
-    writeView("PFU", Seq("Subject", "PFUTYP_STD", "PFUTYPSE"), Seq(
-      Seq("S001", "1", "Yes"), Seq("S002", "4", "Yes"),
-      Seq("S003", "2", "No"), Seq("S004", "7", "Yes")))
-
-    val study = ConfigReader.readStudy(spark, "/root/repo/fixtures/clinical_study")
-    StudyRunner.run(study, new ParquetResolver(spark, "/unused", Some(storeDir)))
-  }
+  private lazy val finalDf: DataFrame = graft.io.ClinicalDemo.run(
+    spark, Files.createTempDirectory("graft_clinical").toString)
 
   test("seven-analyte study: final stitched frame matches hand-computed golden rows") {
     val rows = finalDf
