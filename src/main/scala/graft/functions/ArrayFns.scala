@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+private[functions] trait DoubleArrayInputs { self: BinaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType == ArrayType(DoubleType)) ||
+      children.forall { c => c.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }}
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The composable form (`zip_with` + `aggregate`) materializes an
+  * intermediate products array per row and walks two higher-order
+  * function frames; these fuse the whole thing into one codegen'd
+  * loop over the unsafe array data — the only place in this codebase
+  * where a custom Expression beats the built-ins (SURVEY §7.3's
+  * predicted exception). Bit-compatible with the composed form:
+  * identical ascending-index double accumulation.
+  */
+
+/** dot(a, b) = Σ a[i]·b[i] over the common prefix; null elements
+  * contribute 0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with DoubleArrayInputs {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot/(‖a‖·‖b‖), all three accumulators in ONE pass.
+  * Evaluates to exactly `dot / (sqrt(na) * sqrt(nb))` — bit-identical
+  * to the composed form so DuckDB oracles keep matching.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with DoubleArrayInputs {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |  double $yv = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayFns {
+
+  /** Register graft_dot / graft_cosine on the session's function
+    * registry (Column construction from a raw Expression is
+    * private[sql]; call_function over a registered builder is the
+    * public route). Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Fused native dot product — [[register]] the session first;
+    * arguments must already be array<double>. */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Fused native cosine similarity — [[register]] the session first. */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+}

@@ -29,6 +29,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** The hot-path cosine: graft's fused native expression (one
+    * codegen'd loop, no intermediate arrays) — bit-identical results
+    * to [[cosine]]. Falls back transparently because register() is
+    * idempotent per session.
+    */
+  private def cosineFast(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    graft.functions.ArrayFns.cosineNative(a, b)
+  }
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact top-k by cosine against ONE probe vector, identified by id
@@ -44,7 +54,7 @@ object Similarity {
     val probe = df.where(col(idCol) === probeId)
       .select(asDouble(col(vecCol)).as("__probe"))
     df.crossJoin(broadcast(probe))
-      .withColumn("sim", cosine(asDouble(col(vecCol)), col("__probe")))
+      .withColumn("sim", cosineFast(df)(asDouble(col(vecCol)), col("__probe")))
       .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -64,7 +74,7 @@ object Similarity {
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .crossJoin(broadcast(p))
-      .withColumn("sim", cosine(col("__cv"), col("__pv")))
+      .withColumn("sim", cosineFast(corpus)(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -114,7 +124,7 @@ object Similarity {
       col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"),
       lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
     val scored = c.join(p, Seq("__bucket"))
-      .withColumn("sim", cosine(col("__cv"), col("__pv")))
+      .withColumn("sim", cosineFast(corpus)(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -141,7 +151,7 @@ object Similarity {
     val r = b.toDF("id_b", "vb", "__bucket")
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosineFast(df)(col("va"), col("vb")))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }
