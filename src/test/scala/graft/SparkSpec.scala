@@ -12,6 +12,8 @@ object TestSession {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
