@@ -14,9 +14,11 @@ object Bench {
   val headline: Seq[String] = Seq(
     "j1_left_join", "a1_summarise_minmax", "a3_groupby_slice",
     "p4_unique_columns", "r1_bind_rows", "c5_attach_sumeq",
-    "engine_pipeline", "s1_nested_roundtrip",
-    "dedup_exact", "dedup_minhash_pairs", "sim_cosine_topk",
-    "text_quality", "text_langid")
+    "engine_pipeline", "engine_study", "s1_nested_roundtrip",
+    "s8_export_flatten", "w1_event_windows",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep",
+    "sim_cosine_topk", "sim_knn_join",
+    "text_quality", "text_langid", "text_fingerprint", "mm_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +27,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // test tables are single smallish parquet files; the default
+      // 128m split size would put each scan on ONE core. 4m splits
+      // spread the scan across the local executor threads — the
+      // local analogue of sizing maxPartitionBytes to the cluster.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,6 +40,12 @@ object Bench {
       case Nil => SparkEntry.queries.keys.toSeq.sorted
       case hs => hs
     }
+    // absorb one-time costs (codegen infra, parquet reader init,
+    // broadcast machinery) so per-query timings reflect steady state
+    // rather than charging session warmup to the first query
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer").foreach(t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
     var timings = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     names.foreach { name =>
