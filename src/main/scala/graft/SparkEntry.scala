@@ -309,6 +309,18 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens"))),
 
+    // the typical pretraining funnel composed end-to-end: cheap
+    // quality gates first, then dedup, then labeling — one lazy plan
+    "pipeline_preprocess" -> ((s, d) => {
+      val scored = TextAnalysis.withQualityScores("text")(doubledDocs(s, d))
+      val gated = scored.filter(col("n_tokens") >= 30 && col("ttr") >= 0.4)
+      val deduped = Dedup.exactDedup("text", "doc_id")(gated)
+      TextAnalysis.withLangId("text", Seq(
+        "en" -> Seq("the", "a"),
+        "db" -> Seq("table", "query", "row")))(deduped)
+        .select("doc_id", "n_tokens", "ttr", "lang_pred")
+    }),
+
     // ===== vector-column ops over embeddings =====
     "vec_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
@@ -568,6 +580,22 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'), t -> length(t) > 0)) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "pipeline_preprocess" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+         |  FROM $doubledDocsSql),
+         |f AS (SELECT * FROM q WHERE n_tokens >= 30 AND ttr >= 0.4),
+         |d AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
+         |scored AS (SELECT doc_id, n_tokens, ttr,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a'], t))) AS INTEGER) AS s_en,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['table', 'query', 'row'], t))) AS INTEGER) AS s_db
+         |  FROM d)
+         |SELECT doc_id, n_tokens, ttr,
+         |  CASE WHEN s_en >= s_db THEN 'en' ELSE 'db' END AS lang_pred
+         |FROM scored""".stripMargin,
     "vec_norm" ->
       "SELECT vec_id, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2 FROM embeddings",
     "vec_slice_ops" ->

@@ -81,13 +81,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       numPerm: Int = 64,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      cache: Boolean = false): DataFrame = {
     val sh = df.select(col(idCol),
       explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
     val aggs = (0 until numPerm).map(p => min(xxhash64(lit(p), col("__sh"))).as(s"__m$p"))
-    sh.groupBy(col(idCol))
+    val sigs = sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numPerm).map(p => col(s"__m$p")): _*).as("__sig"))
+    // The candidate self-join consumes the signatures TWICE (probe +
+    // build). They're tiny relative to the corpus (id + numPerm
+    // longs ≈ 0.5 KB/doc), so persisting trades negligible memory for
+    // skipping a second full shingle+hash pass. Session-scoped.
+    if (cache) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sigs
   }
 
   /** (doc, band, band_hash) exploded rows: the LSH index. Signature is
@@ -101,10 +107,11 @@ object Dedup {
       textCol: String,
       numPerm: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      cacheSignatures: Boolean = true): DataFrame = {
     require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
     val rows = numPerm / bands
-    minhashSignatures(df, idCol, textCol, numPerm, shingleK)
+    minhashSignatures(df, idCol, textCol, numPerm, shingleK, cacheSignatures)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", slice(col("__sig"), b * rows + 1, lit(rows)))))
@@ -126,11 +133,10 @@ object Dedup {
     val l = b.toDF("id_a", "band", "band_hash")
     val r = b.toDF("id_b", "band", "band_hash")
     // Unhinted: AQE picks broadcast at small scale and sort-merge at
-    // corpus scale from real size stats. Each side re-computes the
-    // signature aggregation (linear, shuffle-free, embarrassingly
-    // parallel) — measured cheaper than forcing a shuffle join to get
-    // exchange reuse; callers running repeated dedup rounds should
-    // persist lshBands themselves.
+    // corpus scale from real size stats. Both sides read the persisted
+    // signatures (see minhashSignatures), so the shingle+hash pass
+    // runs once; forcing a shuffle join for exchange reuse instead
+    // measured slower.
     l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
