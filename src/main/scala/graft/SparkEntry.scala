@@ -213,6 +213,22 @@ object SparkEntry {
         col("l_orderkey").as("SUBJECT"), col("l_quantity"))
       Export.exportFlatten(NestedStore.nest(base, "l_returnflag", "l_linestatus"))
     }),
+    "s9_parquet_append" -> ((s, d) => {
+      // S9 evolving append sink: two writes with different schemas,
+      // read back with mergeSchema.
+      val path = "/tmp/graft_append_q"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      Export.writeParquetAppend(t(s, d, "region").select("r_regionkey", "r_name"), path)
+      Export.writeParquetAppend(
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name")), path)
+      s.read.option("mergeSchema", "true").parquet(path)
+    }),
+    "s10_csv_sink" -> ((s, d) => {
+      val path = "/tmp/graft_csv_sink_q"
+      Export.writeCsv(t(s, d, "region"), path)
+      s.read.option("header", "true").csv(path)
+    }),
     "engine_pipeline" -> ((s, d) => {
       val analyte = ConfigReader.readAnalyte(s, "cust_base", "/root/repo/fixtures/study_demo/cust_base")
       Interpreter.deriveAnalyte(PipelineContext(), analyte, new ParquetResolver(s, d))
@@ -462,6 +478,12 @@ object SparkEntry {
     "s8_export_flatten" ->
       """SELECT l_returnflag, l_linestatus, CAST(l_orderkey AS VARCHAR) AS Subject_SAS, CAST(l_quantity AS VARCHAR) AS l_quantity
         |FROM lineitem""".stripMargin,
+    "s9_parquet_append" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS INTEGER) AS n_nationkey, CAST(NULL AS VARCHAR) AS n_name FROM region
+        |UNION ALL
+        |SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), n_nationkey, n_name FROM nation""".stripMargin,
+    "s10_csv_sink" ->
+      "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
     "engine_pipeline" ->
       """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
         |  CASE c.c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A' WHEN 'MACHINERY' THEN 'M' END AS seg_code,
