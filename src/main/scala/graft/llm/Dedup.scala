@@ -152,7 +152,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleK: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), array_distinct(shingles(textCol, shingleK)).as("sh"))
+    // shingle only the docs that appear in a candidate pair — after
+    // LSH that's a small fraction of the corpus, so the two
+    // verification joins don't re-shingle everything (the corpus-wide
+    // pass happened once, inside the signatures).
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(shingles(textCol, shingleK)).as("sh"))
     pairs
       .join(sh.toDF("id_a", "sh_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b"), "id_b")
@@ -173,7 +180,11 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3): DataFrame = {
+    // candidate pairs are consumed three times downstream (two semi-
+    // join id unions + the verification join) and are tiny (two ids a
+    // row) — persist so the LSH DAG runs once
     val cands = minhashCandidates(df, idCol, textCol, numPerm, bands, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramJaccard(cands, df, idCol, textCol, shingleK)
       .where(col("jaccard") >= threshold)
   }
