@@ -94,6 +94,20 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate document ids/digests
+    * within the watermark horizon — the streaming face of
+    * Dedup.exactDedup for a continuously-ingesting corpus. State is
+    * bounded by the watermark (an unbounded dropDuplicates would
+    * grow state forever at 100 TB/day feeds).
+    */
+  def streamingDedup(
+      docs: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** The same windowed aggregation as a BATCH query (identical plan
     * semantics minus the watermark) — lets the driver's DuckDB oracle
     * pin the window arithmetic that the streaming path shares.

@@ -83,6 +83,24 @@ class EngineSpec extends SparkSpec {
       Seq(Some("1"), Some("0"), None))
   }
 
+  test("QUALIFIED JOIN parses qualified keys and an optional how") {
+    val l = Seq((1, "a")).toDF("lk", "lv")
+    val r = Seq((1, "b"), (2, "c")).toDF("rk", "rv")
+    val ctx = Interpreter.applyOp(
+      PipelineContext().bind("l", l).bind("r", r),
+      op("j", "QUALIFIED JOIN", Seq("l", "r", "inner"), "l.lk = r.rk"), Map.empty)
+    val rows = ctx.df("j").collect()
+    assert(rows.length == 1 && rows.head.getString(3) == "b")
+  }
+
+  test("REMOVE ROWS rejects a non-NULL operand like the reference") {
+    val e = intercept[IllegalArgumentException] {
+      Interpreter.applyOp(PipelineContext().bind("t", Seq(1).toDF("x")),
+        op("o", "REMOVE ROWS", Seq("t"), "x=SOMETHING"), Map.empty)
+    }
+    assert(e.getMessage.contains("REMOVE ROWS"))
+  }
+
   test("unknown op type raises like the reference dispatcher") {
     val e = intercept[IllegalArgumentException] {
       Interpreter.applyOp(PipelineContext().bind("t", Seq(1).toDF("x")),

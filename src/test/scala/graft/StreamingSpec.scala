@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "docA"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "docA"), // dup within watermark
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "docB"))
+    val docs = mem.toDF().toDF("ts", "content_md5")
+    val deduped = StreamingIngest.streamingDedup(docs, Seq("content_md5"), "ts", "1 hour")
+    runToCompletion(
+      deduped.writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val keys = spark.table("sdedup").collect().map(_.getString(1)).sorted
+    assert(keys.toSeq == Seq("docA", "docB"))
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
