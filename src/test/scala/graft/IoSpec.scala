@@ -67,6 +67,31 @@ class IoSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "v"))
   }
 
+  test("ingestion routing: substring match + reference special cases + end-to-end ingest") {
+    import graft.io.Ingestion
+    val cfg = Ingestion.Routing.load("/root/repo/fixtures/ingest_config.json")
+    assert(cfg.targetColumns == Seq("study_code", "view", "data"))
+    assert(Ingestion.Routing.route("study1_ENROL_20240101.csv", cfg) ==
+      ("ENROL", Seq("project", "Folder")))
+    // AE routes to Clinical_View (the reference's intent; its literal
+    // 'Clinical_view' lookup is a latent KeyError)
+    assert(Ingestion.Routing.route("dump_AE_file.csv", cfg)._1 == "Clinical_View")
+    assert(Ingestion.Routing.route("export_SAS_batch.csv", cfg)._1 == "SAS")
+    assertThrows[NoSuchElementException](Ingestion.Routing.route("unknown.csv", cfg))
+
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val store = s"$dir/store"
+    Files.writeString(java.nio.file.Paths.get(dir, "drop_ENROL_1.csv"),
+      "project,Folder,SiteGroup\np1,f1,US\np1,f1,DE\np1,f2,FR\n")
+    val view = Ingestion.ingestRouted(spark, s"$dir/drop_ENROL_1.csv",
+      "/root/repo/fixtures/ingest_config.json", store)
+    assert(view == "ENROL")
+    val back = graft.io.NestedStore.flatten(
+      spark.read.parquet(s"$store/project=p1/Folder=f1"))
+    assert(back.count() == 2)
+    assert(back.columns.contains("view_id"))
+  }
+
   test("config reader parses sheets, decision tables, and the study") {
     val study = ConfigReader.readStudy(spark, "/root/repo/fixtures/study_demo")
     assert(study.studyCode == "S001")
