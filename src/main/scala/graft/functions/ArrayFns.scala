@@ -145,6 +145,8 @@ object ArrayFns {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      MinHashSigAgg.fromExprs, "built-in")
   }
 
   /** Fused native dot product — [[register]] the session first;

@@ -83,12 +83,15 @@ object Dedup {
       numPerm: Int = 64,
       shingleK: Int = 3,
       cache: Boolean = false): DataFrame = {
+    graft.functions.ArrayFns.register(df.sparkSession)
     val sh = df.select(col(idCol),
       explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
-    val aggs = (0 until numPerm).map(p => min(xxhash64(lit(p), col("__sh"))).as(s"__m$p"))
+    // graft_minhash (functions/MinHashAgg.scala): one xxhash64 per
+    // shingle + numPerm linear permutations in a single compact
+    // aggregate buffer — vs numPerm separate min() aggs each
+    // re-hashing the string
     val sigs = sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numPerm).map(p => col(s"__m$p")): _*).as("__sig"))
+      .agg(call_function("graft_minhash", col("__sh"), lit(numPerm)).as("__sig"))
     // The candidate self-join consumes the signatures TWICE (probe +
     // build). They're tiny relative to the corpus (id + numPerm
     // longs ≈ 0.5 KB/doc), so persisting trades negligible memory for
