@@ -101,11 +101,22 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** The probe-side bucket list: the vector's own bucket plus, when
+    * `multiProbe` is on, every Hamming-1 neighbour bucket (flip each
+    * plane bit). A near-neighbour separated by exactly one hyperplane
+    * — the dominant miss mode — is then still found, at the cost of
+    * (nPlanes+1)× probe-side rows (probes are the small side).
+    */
+  private def probeBuckets(bucket: Column, nPlanes: Int, multiProbe: Boolean): Column =
+    if (!multiProbe) array(bucket)
+    else array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1L << i))): _*)
+
   /** ANN top-k: probes and corpus are bucketed by sign-LSH; candidates
     * meet via an equi-join on the bucket id, then exact cosine ranks
     * within candidates. Trades recall for never scanning the full
     * corpus per probe — the scale path. Lower `nPlanes` → bigger
-    * buckets → higher recall and cost.
+    * buckets → higher recall and cost; `multiProbe` probes all
+    * Hamming-1 buckets too (standard multi-probe LSH).
     */
   def annTopK(
       corpus: DataFrame,
@@ -115,15 +126,20 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, nPlanes, seed)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
       lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
     val p = probes.select(
       col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"),
-      lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
+      explode(probeBuckets(lshBucket(asDouble(col(vecCol)), planes), nPlanes, multiProbe))
+        .as("__bucket"))
     val scored = c.join(p, Seq("__bucket"))
+      // a pair can meet in several probed buckets — dedupe candidates
+      // before ranking
+      .dropDuplicates("probe_id", "neighbor_id")
       .withColumn("sim", cosineFast(corpus)(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -92,6 +92,33 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("multi-probe ANN improves recall over single-probe on clustered vectors") {
+    // LSH's contract is high-similarity neighbours; build 10 tight
+    // clusters (cosine ≥ ~0.95 within) of 16-dim vectors, seeded.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val clustered = (0 until 10).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 8).map { i =>
+        val v = center.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat)
+        ((c * 8 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val probes = clustered.where(col("vec_id") % 8 === 0) // one per cluster
+    def recall(multiProbe: Boolean): Double = {
+      val ann = Similarity.annTopK(clustered, probes, "vec_id", "embedding", k = 5,
+        nPlanes = 8, dim = dim, multiProbe = multiProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.knnJoin(clustered, probes, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ann intersect brute).size.toDouble / brute.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi >= 0.7, s"multi-probe recall $multi")
+  }
+
   test("embeddingNearDupPairs finds close vectors in shared buckets") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.95, nPlanes = 4, dim = 4)
