@@ -265,6 +265,15 @@ object SparkEntry {
     "c10_null_fill" -> ((s, d) =>
       graft.io.Ingestion.nullFill(
         nullBase(s, d).select(col("c_custkey"), col("big_total").cast("string").as("big_total")))),
+    "w2_json_props" -> ((s, d) => {
+      // semi-structured payload handling: typed extraction from the
+      // events JSON props column (nanosAsLong: see w1_event_windows)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        (get_json_object(col("props"), "$.k").cast("double") * col("value")).as("weighted"))
+    }),
     "w1_event_windows" -> ((s, d) => {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects;
       // read nanos as long and truncate to micros (exactly DuckDB's
@@ -637,6 +646,10 @@ object SparkEntry {
     "c10_null_fill" ->
       s"""SELECT c_custkey, CASE WHEN big_total IS NULL THEN 'Null' ELSE CAST(big_total AS VARCHAR) END AS big_total
          |FROM $nullBaseSql""".stripMargin,
+    "w2_json_props" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
+        |       CAST(props->>'k' AS DOUBLE) * value AS weighted
+        |FROM events""".stripMargin,
     "w1_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, max(value) AS max_value

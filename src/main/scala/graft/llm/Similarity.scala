@@ -158,12 +158,17 @@ object Similarity {
       threshold: Double = 0.95,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, nPlanes, seed)
     val b = df.select(
       col(idCol), asDouble(col(vecCol)).as("__v"),
       lshBucket(asDouble(col(vecCol)), planes).as("__bucket"))
-    val l = b.toDF("id_a", "va", "__bucket")
+    // multi-probe one side only: a pair split by exactly one
+    // hyperplane still meets, without squaring the fan-out
+    val l = b.select(col(idCol), col("__v"),
+      explode(probeBuckets(col("__bucket"), nPlanes, multiProbe)).as("__bucket"))
+      .toDF("id_a", "va", "__bucket")
     val r = b.toDF("id_b", "vb", "__bucket")
     l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
