@@ -16,6 +16,9 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if len(sys.argv) > 3:  # optional subset: check.py SF OUT q1 q2 ...
+    keep = set(sys.argv[3:])
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 
 def norm(v):
     if v is None: return None
