@@ -196,6 +196,22 @@ class LlmSpec extends SparkSpec {
     assert(Seq("jpeg", "png", "webp").contains(m.getAs[String]("format")))
   }
 
+  test("binaryFile source feeds the multimodal pipeline (real media ingest path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    val payload = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    java.nio.file.Files.write(dir.resolve("img_001.bin"), payload)
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(col("path"), col("content"))
+    val meta = Multimodal.withBinaryMeta("content")(media).collect().head
+    assert(meta.getAs[Int]("n_bytes") == 300)
+    assert(meta.getAs[String]("content_sha256").length == 64)
+    val chunks = Multimodal.chunkBinary("content", 128)(media)
+    assert(chunks.count() == 3) // 128 + 128 + 44
+    val rebuilt = chunks.orderBy("chunk_idx")
+      .agg(sum(octet_length(col("chunk")))).collect().head.getLong(0)
+    assert(rebuilt == 300)
+  }
+
   test("feature stub has the declared shape and range") {
     val df = Seq((1L, "payload")).toDF("doc_id", "text")
     val f = Multimodal.withFeatureStub("content", dim = 8)(

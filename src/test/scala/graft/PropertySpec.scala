@@ -1,0 +1,58 @@
+package graft
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.llm.Dedup
+import graft.ops.Ops
+
+/** Generative properties for the pure translation/derivation logic. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: translated strftime patterns format/parse dates consistently with java.time") {
+    val fmts = Gen.oneOf("%Y-%m-%d", "%d-%m-%Y %H:%M", "%Y/%m/%d %H:%M:%S", "%d.%m.%y")
+    val dates = for {
+      y <- Gen.chooseNum(1990, 2035); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
+      h <- Gen.chooseNum(0, 23); mi <- Gen.chooseNum(0, 59)
+    } yield LocalDateTime.of(y, m, d, h, mi, 7)
+    checkProp(Prop.forAll(fmts, dates) { (fmt, dt) =>
+      val java = DateTimeFormatter.ofPattern(Ops.strftimeToJava(fmt))
+      val s = dt.format(java)
+      // format ∘ parse ∘ format is stable: the translated pattern
+      // parses its own output back to the same rendering
+      java.format(java.parse(s)) == s
+    })
+  }
+
+  test("property: shingle count is max(1, n_tokens - k + 1)") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val texts = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(20, texts), Gen.chooseNum(2, 5)) { (ts, k) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val counts = df.select(col("text"), size(Dedup.shingles("text", k)).as("n"))
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      counts.forall { case (t, n) =>
+        val tokens = t.split(" ").length
+        n == math.max(1, tokens - k + 1)
+      }
+    })
+  }
+
+  test("property: KvList parse/parseLenient agree when no value contains the separator") {
+    val key = Gen.identifier.suchThat(_.nonEmpty)
+    val value = Gen.alphaNumStr.suchThat(_.nonEmpty)
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(key, value))) { pairs =>
+      val s = pairs.map { case (k, v) => s"$k=$v" }.mkString(", ")
+      graft.parse.KvList.parse(s, ',') == graft.parse.KvList.parseLenient(s)
+    })
+  }
+}
