@@ -42,10 +42,17 @@ object Bench {
     }
     // absorb one-time costs (codegen infra, parquet reader init,
     // broadcast machinery) so per-query timings reflect steady state
-    // rather than charging session warmup to the first query
-    spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "customer").foreach(t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
+    // rather than charging session warmup to the first query. Guarded:
+    // a missing warmup table must degrade to per-query errors, not
+    // kill the run before any JSON is printed.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Seq("lineitem", "orders", "customer").foreach(t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     var timings = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     names.foreach { name =>

@@ -39,7 +39,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dynamic oracles (e.g. IVF centroid literals) are generated here,
+    // against the same sfDir the queries ran on; honor the name filter
+    // so a subset run never pays for unrelated training
+    val dynamic = SparkEntry.dynamicOracleSql.collect {
+      case (k, f) if only.isEmpty || only.contains(k) =>
+        try Some(k -> f(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}"); None }
+    }.flatten
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -33,19 +33,23 @@ private[functions] trait DoubleArrayInputs { self: BinaryExpression =>
   * identical ascending-index double accumulation.
   */
 
-/** dot(a, b) = Σ a[i]·b[i] over the common prefix; null elements
-  * contribute 0.
+/** dot(a, b) = Σ a[i]·b[i]; null when the arrays have different
+  * lengths (matching the composed zip_with+aggregate form, where the
+  * padding nulls poison the sum); null elements contribute 0.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with DoubleArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // may return null on length mismatch even for non-null inputs
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -61,14 +65,18 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -79,18 +87,21 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** cosine(a, b) = dot/(‖a‖·‖b‖), all three accumulators in ONE pass.
   * Evaluates to exactly `dot / (sqrt(na) * sqrt(nb))` — bit-identical
-  * to the composed form so DuckDB oracles keep matching.
+  * to the composed form so DuckDB oracles keep matching. Null when
+  * array lengths differ, like [[DotProduct]].
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with DoubleArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -116,14 +127,18 @@ case class CosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
-         |  double $yv = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |    double $yv = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

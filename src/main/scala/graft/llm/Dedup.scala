@@ -227,14 +227,28 @@ object Dedup {
   def withSimhash(textCol: String, outCol: String = "simhash")(df: DataFrame): DataFrame =
     df.withColumn(outCol, simhash64(textCol))
 
+  /** 60-bit token hash from the md5 hex prefix (15 hex chars). Slower
+    * than xxhash64 but portable: any engine that parses hex replicates
+    * it bit-for-bit, which is what lets the correctness gate hold an
+    * exact DuckDB oracle over a SimHash query. Bits 60–63 are always
+    * zero, so SimHash fingerprints built on it leave those fingerprint
+    * bits clear — harmless for hamming comparison.
+    */
+  def md5Hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash fingerprints via token-explode + partial aggregation —
     * the scale path (same reasoning as [[minhashSignatures]]): one
-    * xxhash64 per token, 64 map-side-combinable bit sums, Aggregate
-    * barrier against re-inlining.
+    * hash per token, 64 map-side-combinable bit sums, Aggregate
+    * barrier against re-inlining. `tokenHash` defaults to xxhash64
+    * (fastest); pass [[md5Hash60]] for engine-portable fingerprints.
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", tokenHash(col("__t")))
     val aggs = (0 until 64).map(j =>
       sum(when(expr(s"(shiftright(__h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"__b$j"))
     val fp = (0 until 64)
@@ -249,13 +263,18 @@ object Dedup {
     * (pigeonhole: hamming<=3 pairs share at least one of 4 chunks),
     * then filter by exact hamming distance. Bucketed join — no
     * cartesian product.
+    *
+    * Recall is complete (blocked result == all-pairs result) only for
+    * `maxHamming <= 3`: four diffs can touch all four chunks. Larger
+    * radii trade recall for the same bucketed cost.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fp = simhashSignatures(df, idCol, textCol)
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val fp = simhashSignatures(df, idCol, textCol, tokenHash)
     // expr because shiftright-by-lambda-variable has no Scala DSL form
     val chunked = fp.select(col(idCol), col("fp"),
       posexplode(expr("transform(sequence(0, 3), i -> shiftright(fp, CAST(i * 16 AS INT)) & 65535)"))

@@ -65,12 +65,19 @@ object Multimodal {
     chunked.where(col("chunk_idx") % stride === 0)
 
   /** FEATURE-EXTRACT STUB: a deterministic pseudo-embedding from
-    * content bytes (xxhash64-seeded), with the real array<float>
-    * schema a downstream similarity op expects.
+    * content bytes, with the real array<float> schema a downstream
+    * similarity op expects. Each dimension is a 4-hex-char slice of
+    * the content md5 scaled to [-1, 1) — one digest per row, engine-
+    * portable arithmetic (any SQL engine that can parse hex can
+    * replicate it, which is what lets the correctness gate hold an
+    * exact oracle against this stub).
     */
-  def withFeatureStub(binCol: String, dim: Int = 8, outCol: String = "features")(df: DataFrame): DataFrame =
+  def withFeatureStub(binCol: String, dim: Int = 8, outCol: String = "features")(df: DataFrame): DataFrame = {
+    require(dim >= 1 && dim <= 8, s"md5 yields 8 4-hex-char slices, got dim=$dim")
+    val h = md5(col(binCol))
     df.withColumn(outCol,
       transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(xxhash64(col(binCol), i), lit(1000L)).cast("double") / 500.0 - 1.0)
-          .cast("float")))
+        i => (pmod(conv(h.substr(i * 4 + 1, lit(4)), 16, 10).cast("long"), lit(1000L))
+          .cast("double") / 500.0 - 1.0).cast("float")))
+  }
 }

@@ -60,20 +60,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** "Probes are small" is enforced, not assumed: broadcast the probe
+    * side only after counting at most `maxRows + 1` of it (the limit
+    * short-circuits, so the check is cheap). Past the cap, return the
+    * frame unhinted — AQE then picks the join strategy from real size
+    * stats instead of OOMing the driver on a forced broadcast.
+    */
+  private def maybeBroadcast(df: DataFrame, maxRows: Int): DataFrame =
+    if (df.limit(maxRows + 1).count() <= maxRows) broadcast(df) else df
+
   /** Exact k-NN join: top-k neighbours for every probe row (small
     * probe set broadcast against the corpus; per-probe ranking via
-    * window). Brute baseline for the ANN path.
+    * window). Brute baseline for the ANN path. Probe sets larger than
+    * `maxBroadcastRows` are joined unhinted (see [[maybeBroadcast]])
+    * — but at that size prefer [[annTopK]] / [[graft.llm.Ivf]].
     */
   def knnJoin(
       corpus: DataFrame,
       probes: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBroadcastRows: Int = 1 << 20): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .crossJoin(broadcast(p))
+      .crossJoin(maybeBroadcast(p, maxBroadcastRows))
       .withColumn("sim", cosineFast(corpus)(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -15,10 +15,17 @@ import graft.functions.{CosineSim, DotProduct}
   *
   * into the fused native [[DotProduct]] — one codegen'd loop instead
   * of an intermediate products array plus two higher-order-function
-  * frames. Semantics identical: both accumulate ascending-index
-  * doubles (null element → product null → add null... the composed
-  * form propagates null sums, so the rewrite only fires when both
-  * array element types are non-nullable).
+  * frames. Semantics identical:
+  *  - both accumulate ascending-index doubles;
+  *  - the rewrite only fires on non-nullable element types (a null
+  *    element poisons the composed sum, native skips it);
+  *  - unequal lengths: zip_with pads the shorter array with nulls, so
+  *    the composed sum is null — and DotProduct returns null on a
+  *    length mismatch to match;
+  *  - each lambda must use exactly its own two bound variables, one
+  *    each (checked by exprId) — so e.g. `(x, y) -> x * x` (a
+  *    sum-of-squares over the left array) is NOT rewritten, and the
+  *    finish lambda must be the identity on its own variable.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
   private def isDoubleArray(e: Expression, allowNullable: Boolean): Boolean = e.dataType match {
@@ -26,14 +33,26 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The binary op's operands are exactly the lambda's own two bound
+    * variables, one of each (in either order).
+    */
+  private def usesBothArgsOnce(
+      p: NamedLambdaVariable, q: NamedLambdaVariable,
+      declared: Seq[NamedExpression]): Boolean = {
+    val ids = declared.collect { case v: NamedLambdaVariable => v.exprId }
+    p.exprId != q.exprId && ids.length == 2 && Set(p.exprId, q.exprId) == ids.toSet
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _), _, _)),
+            LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _), zipArgs, _)),
           Literal(0.0, DoubleType),
-          LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
-          LambdaFunction(finishVar: NamedLambdaVariable, _, _))
-        if isDoubleArray(a, allowNullable = false) && isDoubleArray(b, allowNullable = false) =>
+          LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), aggArgs, _),
+          LambdaFunction(finishVar: NamedLambdaVariable, finArgs, _))
+        if isDoubleArray(a, allowNullable = false) && isDoubleArray(b, allowNullable = false) &&
+          usesBothArgsOnce(x1, y1, zipArgs) && usesBothArgsOnce(acc, v, aggArgs) &&
+          finArgs.collect { case fv: NamedLambdaVariable => fv.exprId } == Seq(finishVar.exprId) =>
       DotProduct(a, b)
   }
 }

@@ -38,10 +38,16 @@ class ArrayFnsSpec extends SparkSpec {
     assert(r(1).isNullAt(0))
   }
 
-  test("mismatched lengths use the common prefix") {
+  test("mismatched lengths are null — matching the composed form's padding-null poisoning") {
     registered()
     val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0))).toDF("a", "b")
-    assert(df.select(ArrayFns.dotNative(col("a"), col("b"))).collect()(0).getDouble(0) == 10.0)
+    val r = df.select(
+      ArrayFns.dotNative(col("a"), col("b")).as("dn"),
+      Similarity.dot(col("a"), col("b")).as("dc"),
+      ArrayFns.cosineNative(col("a"), col("b")).as("cn")).collect()(0)
+    assert(r.isNullAt(0), "native dot should be null on length mismatch")
+    assert(r.isNullAt(1), "composed dot is null on length mismatch (zip_with pads nulls)")
+    assert(r.isNullAt(2), "native cosine should be null on length mismatch")
   }
 
   test("interpreted eval path (outside codegen) agrees") {

@@ -10,11 +10,14 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries (no oracle) are the known non-SQL-expressible set") {
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set(
-      "dedup_simhash_pairs", "sim_ann_topk", "sim_embedding_neardup", "sim_ivf_topk",
-      "mm_decode_stub", "mm_feature_stub"), rowsOnly.toString)
+  test("every query is oracle-gated (static or dynamic) — no silent rows-only entries") {
+    val rowsOnly = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.dynamicOracleSql.keySet
+    assert(rowsOnly.isEmpty, s"queries without any oracle: $rowsOnly")
+    val dynMissing = SparkEntry.dynamicOracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dynMissing.isEmpty, s"dynamic oracles without queries: $dynMissing")
+    val overlap = SparkEntry.oracleSql.keySet.intersect(SparkEntry.dynamicOracleSql.keySet)
+    assert(overlap.isEmpty, s"oracle defined both statically and dynamically: $overlap")
   }
 
   test("entry() runs the flagship pipeline at sf0.001 with rows > 0") {

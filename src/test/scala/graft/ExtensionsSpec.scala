@@ -21,6 +21,41 @@ class ExtensionsSpec extends SparkSpec {
     }.isDefined), rewritten.toString)
   }
 
+  test("rewrite declines on lambdas that are not a true dot product") {
+    def hasDot(df: org.apache.spark.sql.DataFrame): Boolean =
+      DotProductRewrite(df.queryExecution.analyzed).expressions.exists(_.find {
+        case _: graft.functions.DotProduct => true
+        case _ => false
+      }.isDefined)
+    val base = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    // (x, y) -> x * x: a sum of squares over a's elements, NOT a·b —
+    // must survive unrewritten (the round-2 over-match bug)
+    val sumSquares = base.select(
+      aggregate(zip_with(col("a"), col("b"), (x, _) => x * x),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!hasDot(sumSquares), "sum-of-squares must not rewrite to DotProduct")
+    assert(sumSquares.collect()(0).getDouble(0) == 1.0 + 4.0)
+    // (acc, v) -> acc + acc: not a running sum of products
+    val doubleAcc = base.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, _) => acc + acc).as("d"))
+    assert(!hasDot(doubleAcc), "acc+acc must not rewrite to DotProduct")
+    // the genuine idiom still fires (guards are not over-tight)
+    val genuine = base.select(Similarity.dot(col("a"), col("b")).as("d"))
+    assert(hasDot(genuine))
+  }
+
+  test("rewrite preserves unequal-length semantics (both forms null)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+    assert(df.collect()(0).isNullAt(0), "composed form must be null on unequal lengths")
+    val rewritten = DotProductRewrite(df.queryExecution.analyzed)
+    assert(rewritten.expressions.exists(_.find {
+      case _: graft.functions.DotProduct => true
+      case _ => false
+    }.isDefined), "rule should fire — DotProduct now matches null-on-unequal semantics")
+  }
+
   test("rewrite declines when array elements are nullable (null semantics differ)") {
     val df = Seq((Seq(Option(1.0)), Seq(Option(2.0)))).toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b")).as("d"))

@@ -83,6 +83,25 @@ class LlmSpec extends SparkSpec {
     assert(byProbe.forall { case (p, rows) => rows.minBy(_.getInt(3)).getLong(1) == p })
   }
 
+  test("knnJoin drops the broadcast hint when the probe set exceeds the cap") {
+    val hinted = Similarity.knnJoin(vecs, vecs.where(col("vec_id") < 2),
+      "vec_id", "embedding", k = 2)
+    assert(planOf(hinted).contains("BroadcastExchange"), planOf(hinted))
+    // cap of 1: the 2-row probe set must NOT be force-broadcast — the
+    // join falls back unhinted, so a genuinely large probe set can't
+    // OOM the driver. (AQE may still choose broadcast from real size
+    // stats; the guard removes only the unconditional hint, so assert
+    // on the logical plan's hints, not the physical strategy.)
+    val unhinted = Similarity.knnJoin(vecs, vecs.where(col("vec_id") < 2),
+      "vec_id", "embedding", k = 2, maxBroadcastRows = 1)
+    assert(!unhinted.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      unhinted.queryExecution.optimizedPlan.toString)
+    // results identical either way
+    val a = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = unhinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("ANN recall: identical probe set finds itself; plan is an equi-join") {
     val ann = Similarity.annTopK(vecs, vecs.where(col("vec_id") === 0L),
       "vec_id", "embedding", k = 2, nPlanes = 4, dim = 4)
