@@ -295,18 +295,33 @@ object StudyRunner {
     val reused: Set[String] = study.analytes.flatMap(a =>
       a.getData.filter(_.source == SourceKind.AnalyteRef).map(_.objectName)).toSet
 
-    val (accOpt, _) = study.analytes.foldLeft((Option.empty[DataFrame], PipelineContext())) {
+    val (accOpt, ctxF) = study.analytes.foldLeft((Option.empty[DataFrame], PipelineContext())) {
       case ((acc, ctx), analyte) =>
         val ctx1 = Interpreter.deriveAnalyte(ctx, analyte, resolver)
-        val raw = ctx1.result(analyte.name)
-        val res = if (reused.contains(analyte.name)) raw.cache() else raw
-        val ctx2 = ctx1.bind(analyte.name, res)
+        // Rebind the UNSORTED frame and carry the order metadata
+        // forward: a later analyte that AnalyteRef-reads this one keeps
+        // order-dependent semantics (UNIQUE COLUMN, first/last, SLICE),
+        // and no range shuffle is planned ahead of the stitch join —
+        // joins would destroy the physical order anyway.
+        val logical = ctx1.df(analyte.name)
+        val res = if (reused.contains(analyte.name)) logical.cache() else logical
+        val ctx2 = ctx1.bind(analyte.name, res, ctx1.order(analyte.name))
         val acc2 = acc match {
           case None => Some(res)
           case Some(a) => Some(Ops.namedJoin(a, res, Seq(study.stitchKey), "left"))
         }
         (acc2, ctx2)
     }
-    accOpt.getOrElse(throw new IllegalArgumentException("study has no analytes"))
+    val acc = accOpt.getOrElse(throw new IllegalArgumentException("study has no analytes"))
+    // pandas' left merge preserves the LEFT frame's row order, so the
+    // study output follows the first analyte's established sort. Apply
+    // it physically ONCE, on the final frame — skipped if a stitch
+    // renamed any sort key away (suffix policy), where the reference's
+    // order is not reconstructable either.
+    val finalOrder = ctxF.order(study.analytes.head.name)
+    if (finalOrder.nonEmpty && finalOrder.forall(k => acc.columns.contains(k.col)))
+      acc.orderBy(finalOrder.map(k =>
+        if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last): _*)
+    else acc
   }
 }

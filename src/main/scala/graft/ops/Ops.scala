@@ -94,6 +94,18 @@ object Ops {
     // pandas sorts NaN last in BOTH directions (R2) — force nulls_last.
     order.map(k => if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last)
 
+  /** Deterministic tie-break appended to order-consuming windows: a
+    * content hash over every column. Rows tied on the declared sort
+    * keys then resolve identically on every run and cluster layout
+    * (content-based, not partition-based) — pandas' stable sort keeps
+    * prior FILE order instead, which is not reconstructable after a
+    * shuffle; the divergence is deliberate (SURVEY §4.1) and only
+    * observable when a config under-specifies its sort. Rows identical
+    * in every column are interchangeable, so output stays exact.
+    */
+  private def rowHash(df: DataFrame): Column =
+    xxhash64(df.columns.map(col).toSeq: _*)
+
   // ===== §2.2 projection / distinct =====
 
   /** P1 `columns_selection`: tolerant projection — if ANY requested
@@ -126,7 +138,8 @@ object Ops {
   def uniqueColumns(cols: Seq[String], order: Seq[SortKey])(df: DataFrame): DataFrame =
     if (order.isEmpty) df.dropDuplicates(cols)
     else {
-      val w = Window.partitionBy(cols.map(col): _*).orderBy(sortCols(order): _*)
+      val w = Window.partitionBy(cols.map(col): _*)
+        .orderBy(sortCols(order) :+ rowHash(df).asc: _*)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
 
@@ -182,11 +195,16 @@ object Ops {
     // multi-key sort compiles to a struct (struct ordering is
     // lexicographic, matching pandas' multi-key sort). Descending keys
     // are not struct-encodable, so require a single key in that case.
+    // The content-hash tiebreak makes ties on the sort key resolve
+    // deterministically (see rowHash) — rows tied AND equal in the
+    // aggregated column give the same value either way, so this only
+    // affects genuinely under-specified configs.
     def orderExpr: Column = order match {
-      case Seq(one) => col(one.col)
+      case Seq(one) => struct(col(one.col), rowHash(df))
       case Nil => throw new IllegalStateException(
         "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
-      case many if many.forall(!_.desc) => struct(many.map(k => col(k.col)): _*)
+      case many if many.forall(!_.desc) =>
+        struct(many.map(k => col(k.col)) :+ rowHash(df): _*)
       case _ => throw new IllegalStateException(
         "first/last after a mixed/desc multi-key sort is not order-encodable; sort on one key")
     }
@@ -234,7 +252,8 @@ object Ops {
     */
   def groupbySlice(groupCols: Seq[String], n: Int, order: Seq[SortKey])(df: DataFrame): DataFrame = {
     require(order.nonEmpty, "GROUPBY SLICE requires a preceding SORT DATASET")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols(order): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(sortCols(order) :+ rowHash(df).asc: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
