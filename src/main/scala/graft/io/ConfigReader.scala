@@ -43,7 +43,10 @@ object ConfigReader {
     row.get(key).map(_.trim).filter(_.nonEmpty)
 
   def readGetData(spark: SparkSession, path: String): Seq[GetDataSpec] =
-    readSheet(spark, path).map { r =>
+    getDataFromRows(readSheet(spark, path))
+
+  private def getDataFromRows(rows: Seq[Map[String, String]]): Seq[GetDataSpec] =
+    rows.map { r =>
       val objName = get(r, "Object Name").getOrElse(
         throw new IllegalArgumentException(s"GET_DATA row without Object Name: $r"))
       val view = get(r, "View").getOrElse(objName)
@@ -67,7 +70,10 @@ object ConfigReader {
     }
 
   def readOperations(spark: SparkSession, path: String): Seq[OperationSpec] =
-    readSheet(spark, path).map { r =>
+    operationsFromRows(readSheet(spark, path))
+
+  private def operationsFromRows(rows: Seq[Map[String, String]]): Seq[OperationSpec] =
+    rows.map { r =>
       OperationSpec(
         objectName = get(r, "Object Name").getOrElse(""),
         opType = get(r, "Type").getOrElse(""),
@@ -102,6 +108,55 @@ object ConfigReader {
       getData = readGetData(spark, s"$configDir/GET_DATA.csv"),
       operations = readOperations(spark, s"$configDir/DF_OPERATIONS.csv"),
       decisionTables = tables)
+  }
+
+  // ===== original-workbook front-end (S4 in its native format) =====
+
+  /** Read one analyte's ORIGINAL .xlsx workbook: GET_DATA +
+    * DF_OPERATIONS sheets, every other sheet a decision table (first
+    * column = lookup values, 'output' column = result) — the layout
+    * of the reference's dg_test_*_configuration.xlsx workbooks.
+    */
+  def readAnalyteXlsx(name: String, workbookPath: String): AnalyteSpec = {
+    val sheets = Xlsx.sheets(workbookPath)
+    def sheet(n: String): Seq[Map[String, String]] =
+      Xlsx.headerMaps(sheets.getOrElse(n,
+        throw new IllegalArgumentException(s"$workbookPath: no sheet '$n'")))
+    val tables = (sheets.keySet -- Set("GET_DATA", "DF_OPERATIONS")).map { tn =>
+      val grid = sheets(tn)
+      val header = grid.head
+      val outIdx = header.indexOf("output")
+      require(outIdx >= 0, s"$workbookPath: decision sheet '$tn' has no 'output' column")
+      val mapping = grid.tail.map(row =>
+        (row.headOption.getOrElse(""), if (outIdx < row.length) row(outIdx) else ""))
+      tn -> DecisionTable(tn, mapping)
+    }.toMap
+    AnalyteSpec(
+      name = name,
+      getData = getDataFromRows(sheet("GET_DATA")),
+      operations = operationsFromRows(sheet("DF_OPERATIONS")),
+      decisionTables = tables)
+  }
+
+  /** Read a study from the ORIGINAL study_configuration.xlsx: rows of
+    * (study_code, Analyte, Config), each Config naming an analyte
+    * workbook next to the study workbook.
+    */
+  def readStudyXlsx(studyXlsxPath: String): StudySpec = {
+    val dir = java.nio.file.Paths.get(studyXlsxPath).toAbsolutePath.getParent
+    val rows = Xlsx.headerMaps(Xlsx.sheets(studyXlsxPath).values.headOption.getOrElse(
+      throw new IllegalArgumentException(s"$studyXlsxPath: workbook has no sheets")))
+    require(rows.nonEmpty, s"empty study sheet in $studyXlsxPath")
+    val studyCode = rows.head.getOrElse("study_code", "")
+    val stitchKey = rows.head.get("stitch_key").map(_.trim).filter(_.nonEmpty).getOrElse("subject")
+    val analytes = rows.map { r =>
+      val name = get(r, "Analyte").getOrElse(
+        throw new IllegalArgumentException(s"study sheet row without Analyte: $r"))
+      val wb = get(r, "Config").getOrElse(
+        throw new IllegalArgumentException(s"study sheet row without Config: $r"))
+      readAnalyteXlsx(name, dir.resolve(wb).toString)
+    }
+    StudySpec(studyCode, analytes, stitchKey)
   }
 
   /** Read the whole study: study.csv rows in order, each naming its
