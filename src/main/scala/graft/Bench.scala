@@ -15,10 +15,12 @@ object Bench {
     "j1_left_join", "a1_summarise_minmax", "a3_groupby_slice",
     "p4_unique_columns", "r1_bind_rows", "c5_attach_sumeq",
     "engine_pipeline", "engine_study", "s1_nested_roundtrip",
-    "s8_export_flatten", "w1_event_windows",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep",
-    "sim_cosine_topk", "sim_knn_join",
-    "text_quality", "text_langid", "text_fingerprint", "mm_binary_meta")
+    "s1_keyed_scan", "s8_export_flatten",
+    "w1_event_windows", "w2_json_props",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash_pairs",
+    "sim_cosine_topk", "sim_knn_join", "sim_ann_topk", "sim_ivf_topk",
+    "text_quality", "text_langid", "text_fingerprint",
+    "pipeline_preprocess", "mm_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

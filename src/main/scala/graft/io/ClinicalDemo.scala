@@ -78,9 +78,19 @@ object ClinicalDemo {
     * stitched per-subject frame with its 12 contract columns.
     */
   def run(spark: SparkSession, storeDir: String,
-      configDir: String = "/root/repo/fixtures/clinical_study"): DataFrame = {
+      configDir: String = "/root/repo/fixtures/clinical_study"): DataFrame =
+    runStudy(spark, storeDir, ConfigReader.readStudy(spark, configDir))
+
+  /** Same study driven by the ORIGINAL reference workbooks — no CSV
+    * transcription in the path (ConfigReader.readStudyXlsx).
+    */
+  def runFromWorkbooks(spark: SparkSession, storeDir: String,
+      studyXlsx: String = "/root/reference/study_configuration.xlsx"): DataFrame =
+    runStudy(spark, storeDir, ConfigReader.readStudyXlsx(studyXlsx))
+
+  private def runStudy(spark: SparkSession, storeDir: String,
+      study: graft.model.StudySpec): DataFrame = {
     buildStore(spark, storeDir)
-    val study = ConfigReader.readStudy(spark, configDir)
     StudyRunner.run(study, new ParquetResolver(spark, "/unused", Some(storeDir)))
       .select("country", "site", "subject", "subject_death", "ltfu_date",
         "last_contact_date", "last_contact_type", "subther_start_date",

@@ -59,6 +59,15 @@ class GoldenStudySpec extends SparkSpec {
     }
   }
 
+  test("the ORIGINAL reference workbooks drive the study to the identical result") {
+    val fromXlsx = graft.io.ClinicalDemo.runFromWorkbooks(
+      spark, Files.createTempDirectory("graft_clinical_xlsx").toString)
+      .orderBy("subject", "subther_start_date").collect().map(_.toSeq)
+    val fromCsv = finalDf
+      .orderBy("subject", "subther_start_date").collect().map(_.toSeq)
+    assert(fromXlsx.toSeq == fromCsv.toSeq)
+  }
+
   test("standardized sink over the stitched study emits the reference record shape") {
     val std = Standardized.flattenStandardized(
       Standardized.toStandardized(finalDf, "DG001002003"))
