@@ -57,15 +57,20 @@ object SparkEntry {
     s2.read.parquet(s"$dir/events.parquet")
   }
 
-  /** IVF coarse quantizer, memoized per data dir: the registered query
-    * and the Verify-time oracle generator must see the SAME trained
-    * centroids (seeded KMeans is deterministic, but sharing the model
-    * object removes even that assumption), and Bench avoids
-    * re-training per run.
+  /** IVF coarse quantizer, memoized per (data dir, file mtime): the
+    * registered query and the Verify-time oracle generator must see
+    * the SAME trained centroids (seeded KMeans is deterministic, but
+    * sharing the model object removes even that assumption), and
+    * Bench avoids re-training per run. The mtime in the key evicts
+    * the memo when the data under the path is rewritten — a stale
+    * model would keep the gate green (both sides share it) while
+    * silently degrading partitioning quality.
     */
-  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Ivf.IvfModel]()
-  private def ivfModel(s: SparkSession, d: String): graft.llm.Ivf.IvfModel =
-    ivfModels.computeIfAbsent(d, _ => graft.llm.Ivf.train(t(s, d, "embeddings"), "embedding", k = 16))
+  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[(String, Long), graft.llm.Ivf.IvfModel]()
+  private def ivfModel(s: SparkSession, d: String): graft.llm.Ivf.IvfModel = {
+    val key = (d, new java.io.File(s"$d/embeddings.parquet").lastModified())
+    ivfModels.computeIfAbsent(key, _ => graft.llm.Ivf.train(t(s, d, "embeddings"), "embedding", k = 16))
+  }
 
   /** Flagship: the config-driven study pipeline end-to-end on
     * sf0.001 (config CSVs under fixtures/, data from testdata).

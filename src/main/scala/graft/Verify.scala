@@ -41,13 +41,18 @@ object Verify {
     } + "\""
     // dynamic oracles (e.g. IVF centroid literals) are generated here,
     // against the same sfDir the queries ran on; honor the name filter
-    // so a subset run never pays for unrelated training
+    // so a subset run never pays for unrelated training. A generation
+    // failure must read as RED in the gate, not silently drop the
+    // query from oracle_sql.json — emit a sentinel oracle that can
+    // never match the dumped result.
     val dynamic = SparkEntry.dynamicOracleSql.collect {
       case (k, f) if only.isEmpty || only.contains(k) =>
-        try Some(k -> f(spark, sfDir))
+        try k -> f(spark, sfDir)
         catch { case e: Throwable =>
-          System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}"); None }
-    }.flatten
+          System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}")
+          k -> s"SELECT 'dynamic oracle generation failed for $k' AS __oracle_error"
+        }
+    }
     val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

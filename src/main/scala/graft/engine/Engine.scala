@@ -315,11 +315,17 @@ object StudyRunner {
     val acc = accOpt.getOrElse(throw new IllegalArgumentException("study has no analytes"))
     // pandas' left merge preserves the LEFT frame's row order, so the
     // study output follows the first analyte's established sort. Apply
-    // it physically ONCE, on the final frame — skipped if a stitch
-    // renamed any sort key away (suffix policy), where the reference's
-    // order is not reconstructable either.
+    // it physically ONCE, on the final frame — skipped if ANY later
+    // analyte carried a same-named column: the suffix policy renamed
+    // the first analyte's copy away, and a bare survivor of that name
+    // (from an even later stitch) would be the WRONG column to sort
+    // by, so name-presence alone is not sufficient evidence.
     val finalOrder = ctxF.order(study.analytes.head.name)
-    if (finalOrder.nonEmpty && finalOrder.forall(k => acc.columns.contains(k.col)))
+    val orderCols = finalOrder.map(_.col).toSet - study.stitchKey
+    val collided = study.analytes.drop(1).exists(a =>
+      ctxF.df(a.name).columns.exists(orderCols.contains))
+    if (finalOrder.nonEmpty && !collided &&
+        finalOrder.forall(k => acc.columns.contains(k.col)))
       acc.orderBy(finalOrder.map(k =>
         if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last): _*)
     else acc

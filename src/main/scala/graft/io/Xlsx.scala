@@ -88,8 +88,11 @@ object Xlsx {
 
   private def readGrid(doc: Document, shared: IndexedSeq[String]): Seq[Seq[String]] = {
     val rows = elems(doc, "row").map { r =>
+      var nextIdx = 0 // cells without the optional r= ref are sequential
       val cells = childElems(r, "c").map { c =>
-        val idx = colIndex(c.getAttribute("r"))
+        val ref = c.getAttribute("r")
+        val idx = if (ref.nonEmpty) colIndex(ref) else nextIdx
+        nextIdx = idx + 1
         val v = c.getAttribute("t") match {
           case "s" =>
             val raw = childElems(c, "v").headOption.map(_.getTextContent.trim).getOrElse("")

@@ -61,19 +61,22 @@ object Similarity {
   }
 
   /** "Probes are small" is enforced, not assumed: broadcast the probe
-    * side only after counting at most `maxRows + 1` of it (the limit
-    * short-circuits, so the check is cheap). Past the cap, return the
-    * frame unhinted — AQE then picks the join strategy from real size
-    * stats instead of OOMing the driver on a forced broadcast.
+    * side only while the optimizer's size estimate stays under the
+    * cap. Plan-stats only — no eager job, no double execution of the
+    * probe lineage. Past the cap the frame returns unhinted, and the
+    * planner/AQE pick the strategy from real stats instead of OOMing
+    * the driver on a forced broadcast. (Stats over-estimate filtered
+    * reads, so the fallback errs toward NOT broadcasting — safe.)
     */
-  private def maybeBroadcast(df: DataFrame, maxRows: Int): DataFrame =
-    if (df.limit(maxRows + 1).count() <= maxRows) broadcast(df) else df
+  private def maybeBroadcast(df: DataFrame, maxBytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
 
   /** Exact k-NN join: top-k neighbours for every probe row (small
     * probe set broadcast against the corpus; per-probe ranking via
-    * window). Brute baseline for the ANN path. Probe sets larger than
-    * `maxBroadcastRows` are joined unhinted (see [[maybeBroadcast]])
-    * — but at that size prefer [[annTopK]] / [[graft.llm.Ivf]].
+    * window). Brute baseline for the ANN path. Probe sets estimated
+    * above `maxBroadcastBytes` are joined unhinted (see
+    * [[maybeBroadcast]]) — but at that size prefer [[annTopK]] /
+    * [[graft.llm.Ivf]].
     */
   def knnJoin(
       corpus: DataFrame,
@@ -81,11 +84,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      maxBroadcastRows: Int = 1 << 20): DataFrame = {
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .crossJoin(maybeBroadcast(p, maxBroadcastRows))
+      .crossJoin(maybeBroadcast(p, maxBroadcastBytes))
       .withColumn("sim", cosineFast(corpus)(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)

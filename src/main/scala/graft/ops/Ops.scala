@@ -102,9 +102,23 @@ object Ops {
     * shuffle; the divergence is deliberate (SURVEY §4.1) and only
     * observable when a config under-specifies its sort. Rows identical
     * in every column are interchangeable, so output stays exact.
+    * Columns containing MapType anywhere in their type are excluded
+    * (Spark's hash functions reject maps recursively); an all-map
+    * frame degenerates to a constant, i.e. the pre-tiebreak behavior.
     */
-  private def rowHash(df: DataFrame): Column =
-    xxhash64(df.columns.map(col).toSeq: _*)
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
+  private def rowHash(df: DataFrame): Column = {
+    val hashable = df.schema.fields.collect {
+      case f if !containsMap(f.dataType) => col(f.name)
+    }.toSeq
+    if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
+  }
 
   // ===== §2.2 projection / distinct =====
 
@@ -198,9 +212,13 @@ object Ops {
     // The content-hash tiebreak makes ties on the sort key resolve
     // deterministically (see rowHash) — rows tied AND equal in the
     // aggregated column give the same value either way, so this only
-    // affects genuinely under-specified configs.
+    // affects genuinely under-specified configs. Single-key null
+    // semantics preserved: a null sort key nulls the WHOLE struct so
+    // max_by/min_by skip the row (bare-column behavior), instead of
+    // struct(null, hash) sorting nulls first.
     def orderExpr: Column = order match {
-      case Seq(one) => struct(col(one.col), rowHash(df))
+      case Seq(one) =>
+        when(col(one.col).isNotNull, struct(col(one.col), rowHash(df)))
       case Nil => throw new IllegalStateException(
         "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
       case many if many.forall(!_.desc) =>

@@ -87,13 +87,13 @@ class LlmSpec extends SparkSpec {
     val hinted = Similarity.knnJoin(vecs, vecs.where(col("vec_id") < 2),
       "vec_id", "embedding", k = 2)
     assert(planOf(hinted).contains("BroadcastExchange"), planOf(hinted))
-    // cap of 1: the 2-row probe set must NOT be force-broadcast — the
-    // join falls back unhinted, so a genuinely large probe set can't
-    // OOM the driver. (AQE may still choose broadcast from real size
-    // stats; the guard removes only the unconditional hint, so assert
-    // on the logical plan's hints, not the physical strategy.)
+    // 1-byte cap: the probe set's stats estimate must exceed it, so
+    // the join falls back unhinted and a genuinely large probe set
+    // can't OOM the driver. (AQE may still choose broadcast from real
+    // size stats; the guard removes only the unconditional hint, so
+    // assert on the logical plan's hints, not the physical strategy.)
     val unhinted = Similarity.knnJoin(vecs, vecs.where(col("vec_id") < 2),
-      "vec_id", "embedding", k = 2, maxBroadcastRows = 1)
+      "vec_id", "embedding", k = 2, maxBroadcastBytes = 1)
     assert(!unhinted.queryExecution.optimizedPlan.toString.contains("broadcast"),
       unhinted.queryExecution.optimizedPlan.toString)
     // results identical either way

@@ -117,4 +117,29 @@ class OpsSpec extends SparkSpec {
     val r = Ops.formatColumn("d", "datetime#%d-%m-%Y")(df).collect().head.getTimestamp(0)
     assert(r.toString.startsWith("2021-01-31"))
   }
+
+  test("first/last skip rows whose single sort key is null (tiebreak must not resurrect them)") {
+    import graft.model.SortKey
+    val df = Seq(
+      ("g", Option.empty[Int], "from-null-key"),
+      ("g", Some(1), "first-val"),
+      ("g", Some(2), "last-val")
+    ).toDF("k", "ord", "v")
+    val first = Ops.groupbySummarise(Seq("k"), Seq(("v", "first")), Seq(SortKey("ord")))(df)
+      .collect().head.getString(1)
+    val last = Ops.groupbySummarise(Seq("k"), Seq(("v", "last")), Seq(SortKey("ord")))(df)
+      .collect().head.getString(1)
+    assert(first == "first-val", s"null-key row must be skipped, got '$first'")
+    assert(last == "last-val")
+  }
+
+  test("order-consuming ops tolerate map-typed columns (tiebreak hash excludes them)") {
+    import graft.model.SortKey
+    val df = Seq((1, 2, Map("a" -> "b")), (1, 1, Map("c" -> "d")))
+      .toDF("k", "ord", "m")
+    val kept = Ops.uniqueColumns(Seq("k"), Seq(SortKey("ord")))(df).collect()
+    assert(kept.length == 1 && kept.head.getInt(1) == 1)
+    val sliced = Ops.groupbySlice(Seq("k"), 1, Seq(SortKey("ord")))(df).collect()
+    assert(sliced.length == 1 && sliced.head.getInt(1) == 1)
+  }
 }
