@@ -357,7 +357,7 @@ object SparkEntry {
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.withQualityScores("text")(t(s, d, "documents"))
-      .select("doc_id", "n_tokens", "ttr", "mean_token_len", "stopword_ratio")),
+      .select("doc_id", "n_tokens", "ttr", "mean_token_len", "stopword_ratio", "punct_ratio")),
     "text_langid" -> ((s, d) =>
       TextAnalysis.withLangId("text", Seq(
         "en" -> Seq("the", "a"),
@@ -735,7 +735,8 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
         |  (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS mean_token_len,
-        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a'], t))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a'], t))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+        |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio
         |FROM documents""".stripMargin,
     "text_langid" ->
       """WITH scored AS (SELECT doc_id,

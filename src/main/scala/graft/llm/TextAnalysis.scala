@@ -34,8 +34,10 @@ object TextAnalysis {
   }
 
   /** Quality signals: type-token ratio, mean token length, stopword
-    * ratio — the standard cheap filters a pretraining pipeline runs
-    * before anything expensive.
+    * ratio, punctuation ratio — the standard cheap filters a
+    * pretraining pipeline runs before anything expensive. The
+    * punctuation class is an explicit ASCII literal (not \p{Punct})
+    * so any engine's regex dialect reproduces it exactly.
     */
   def withQualityScores(
       textCol: String,
@@ -43,12 +45,14 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val n = size(toks).cast("double")
     val stops = array(stopwords.map(lit): _*)
+    val nChars = length(col(textCol)).cast("double")
     df.withColumn("n_tokens", size(toks))
       .withColumn("ttr", size(array_distinct(toks)).cast("double") / n)
-      .withColumn("mean_token_len",
-        (length(col(textCol)).cast("double") - n + lit(1.0)) / n)
+      .withColumn("mean_token_len", (nChars - n + lit(1.0)) / n)
       .withColumn("stopword_ratio",
         size(filter(toks, t => array_contains(stops, t))).cast("double") / n)
+      .withColumn("punct_ratio",
+        (nChars - length(regexp_replace(col(textCol), "[.,;:!?]", "")).cast("double")) / nChars)
   }
 
   /** Language-ID heuristic: marker-token frequency profiles, label =

@@ -149,12 +149,13 @@ class LlmSpec extends SparkSpec {
   // ===== text =====
 
   test("quality scores on a known sentence") {
-    val df = Seq((1L, "the cat the cat sat")).toDF("doc_id", "text")
+    val df = Seq((1L, "the cat, the cat sat!")).toDF("doc_id", "text")
     val r = TextAnalysis.withQualityScores("text")(df).collect().head
     assert(r.getAs[Int]("n_tokens") == 5)
-    assert(math.abs(r.getAs[Double]("ttr") - 3.0 / 5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ttr") - 4.0 / 5) < 1e-12) // cat, != cat
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 5) < 1e-12)
-    assert(math.abs(r.getAs[Double]("mean_token_len") - 3.0) < 1e-12) // (19-5+1)/5
+    assert(math.abs(r.getAs[Double]("mean_token_len") - (21.0 - 5 + 1) / 5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 21) < 1e-12) // ',' and '!'
   }
 
   test("langId: argmax with first-profile tie-break") {
