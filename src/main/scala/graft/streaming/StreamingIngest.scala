@@ -108,6 +108,24 @@ object StreamingIngest {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-dup dedup: [[streamingDedup]] keyed on the
+    * normalized-content fingerprint instead of raw ids — copies that
+    * differ only by case/punctuation/whitespace noise and arrive
+    * within the watermark horizon collapse to their first occurrence.
+    * The streaming face of TextAnalysis.withFingerprint + exact
+    * dedup; MinHash-LSH near-dup stays a batch compaction pass
+    * (banded self-joins need the full corpus in view).
+    */
+  def streamingFingerprintDedup(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    graft.llm.TextAnalysis.withFingerprint(textCol, "__fp")(docs)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** The same windowed aggregation as a BATCH query (identical plan
     * semantics minus the watermark) — lets the driver's DuckDB oracle
     * pin the window arithmetic that the streaming path shares.

@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("docA", "docB"))
   }
 
+  test("streaming fingerprint dedup collapses formatting-noise copies in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "The cat sat."),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "the  cat sat"), // same fingerprint
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "a different doc"))
+    val docs = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingIngest.streamingFingerprintDedup(docs, "text", "ts", "1 hour")
+    runToCompletion(
+      deduped.writeStream.format("memory").queryName("fpdedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val texts = spark.table("fpdedup").collect().map(_.getString(1)).sorted
+    assert(texts.length == 2, texts.mkString("|"))
+    assert(texts.contains("a different doc"))
+    // the survivor of the noisy pair is ONE of the two variants
+    assert(texts.exists(t => t == "The cat sat." || t == "the  cat sat"))
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
