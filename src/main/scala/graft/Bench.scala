@@ -35,6 +35,7 @@ object Bench {
       // local analogue of sizing maxPartitionBytes to the cluster.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -133,6 +133,19 @@ object SparkEntry {
       Ops.qualifiedJoin(
         t(s, d, "orders"), t(s, d, "customer"),
         Seq(("o_custkey", "c_custkey")), "inner")),
+    // co-located bucketed join: both sides written bucketed on the
+    // key, so the join itself plans ZERO exchanges — the write-once
+    // shuffle pattern for a repeatedly-stitched 100 TB store. The agg
+    // uses count/max (order-independent), keeping the double exact
+    // under parallel partial aggregation.
+    "j5_bucketed_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val ords = t(s, d, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_totalprice"))
+      graft.io.Bucketing.writeBucketed(cust, "g_cust_bkt", "c_custkey", 8)
+      graft.io.Bucketing.writeBucketed(ords, "g_ord_bkt", "c_custkey", 8)
+      graft.io.Bucketing.colocatedJoin(s, "g_cust_bkt", "g_ord_bkt", "c_custkey")
+    }),
 
     // ===== §2.5 aggregation =====
     "a1_summarise_minmax" -> ((s, d) =>
@@ -570,6 +583,11 @@ object SparkEntry {
         |FROM supplier s FULL OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
     "j3_qualified_join" ->
       "SELECT * FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    "j5_bucketed_join" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, o.n_orders, o.max_totalprice
+        |FROM customer c JOIN (
+        |  SELECT o_custkey AS c_custkey, count(*) AS n_orders, max(o_totalprice) AS max_totalprice
+        |  FROM orders GROUP BY 1) o USING (c_custkey)""".stripMargin,
     "a1_summarise_minmax" ->
       """SELECT l_returnflag, l_linestatus, min(l_quantity) AS l_quantity, max(l_extendedprice) AS l_extendedprice
         |FROM lineitem GROUP BY 1, 2""".stripMargin,

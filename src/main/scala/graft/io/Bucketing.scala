@@ -11,12 +11,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed+sorted managed table. Drops any prior
+    * table AND its on-disk location first: with the default in-memory
+    * catalog, a previous JVM's warehouse directory survives while its
+    * table registration does not, and an orphaned location blocks
+    * CREATE TABLE.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val path = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans a
     * SortMergeJoin with no Exchange on either side.
