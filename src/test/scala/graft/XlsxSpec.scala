@@ -29,6 +29,40 @@ class XlsxSpec extends SparkSpec {
     assert(maps.nonEmpty && maps.forall(_.contains("Object Name")))
   }
 
+  test("synthetic workbook: inline strings, numeric cells, gaps, no sharedStrings part") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_xlsx", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // row 2: gap at B (no cell), numeric at C; row 3: cell without r= (sequential)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h1</t></is></c><c r="B1" t="inlineStr"><is><t>h2</t></is></c><c r="C1" t="inlineStr"><is><t>h3</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c><c r="C2"><v>42</v></c></row>
+        |<row r="3"><c t="inlineStr"><is><t>seq</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val sheets = Xlsx.sheets(path.toString)
+    assert(sheets.keySet == Set("S1"))
+    val grid = sheets("S1")
+    assert(grid(0) == Seq("h1", "h2", "h3"))
+    assert(grid(1) == Seq("x", "", "42")) // B2 gap is empty, C2 numeric raw text
+    assert(grid(2) == Seq("seq")) // r-less cell lands at the next index
+    val maps = Xlsx.headerMaps(grid)
+    assert(maps(0) == Map("h1" -> "x", "h3" -> "42")) // empty cells absent
+    assert(maps(1) == Map("h1" -> "seq"))
+  }
+
   test("original reference workbooks parse to the transcribed fixture specs") {
     val fromXlsx = ConfigReader.readStudyXlsx(refStudy)
     val fromCsv = ConfigReader.readStudy(spark, "/root/repo/fixtures/clinical_study")
