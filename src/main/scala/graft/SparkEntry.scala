@@ -386,6 +386,22 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens"))),
 
+    // ===== corpus management: deterministic splits + summary stats =====
+    "sample_hash_split" -> ((s, d) =>
+      graft.llm.Sampling.withHashSplit("doc_id")(t(s, d, "documents"))
+        .select("doc_id", "split")),
+    "sample_hash_10pct" -> ((s, d) =>
+      graft.llm.Sampling.hashSample("doc_id", 10)(t(s, d, "documents"))),
+    // per-language corpus stats: count, mean and EXACT median token
+    // count (p50 interpolation is (a+b)/2 over integers — exact in
+    // both engines, unlike general quantiles)
+    "text_corpus_stats" -> ((s, d) =>
+      TextAnalysis.withTokenStats("text")(t(s, d, "documents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("n_tokens")).as("mean_tokens"),
+          expr("percentile(n_tokens, 0.5)").as("median_tokens"))),
+
     // the typical pretraining funnel composed end-to-end: cheap
     // quality gates first, then dedup, then labeling — one lazy plan
     "pipeline_preprocess" -> ((s, d) => {
@@ -783,6 +799,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'), t -> length(t) > 0)) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "sample_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test' ELSE 'train' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |      FROM documents)""".stripMargin,
+    "sample_hash_10pct" ->
+      """SELECT * FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  avg(CAST(len(string_split(text, ' ')) AS INTEGER)) AS mean_tokens,
+        |  quantile_cont(CAST(len(string_split(text, ' ')) AS INTEGER), 0.5) AS median_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH q AS (
          |  SELECT doc_id, text,

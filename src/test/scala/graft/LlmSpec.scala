@@ -148,6 +148,22 @@ class LlmSpec extends SparkSpec {
 
   // ===== text =====
 
+  test("hash split is deterministic and sample membership survives corpus growth") {
+    import graft.llm.Sampling
+    val d1 = (0L until 200L).toDF("id")
+    val d2 = (0L until 400L).toDF("id") // the corpus grew
+    val s1 = Sampling.hashSample("id", 10)(d1).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample("id", 10)(d2).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s2), "previously sampled ids must never drop out")
+    assert(s1.nonEmpty && s1.size < 60, s"10% of 200 ids, got ${s1.size}")
+    val splits = Sampling.withHashSplit("id", valPct = 20, testPct = 20)(d1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val again = Sampling.withHashSplit("id", valPct = 20, testPct = 20)(d1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(splits == again, "assignment must be run-stable")
+    assert(splits.values.toSet == Set("train", "val", "test"))
+  }
+
   test("quality scores on a known sentence") {
     val df = Seq((1L, "the cat, the cat sat!")).toDF("doc_id", "text")
     val r = TextAnalysis.withQualityScores("text")(df).collect().head
