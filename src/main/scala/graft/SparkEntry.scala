@@ -386,6 +386,17 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens"))),
 
+    "text_pii_scan" -> ((s, d) =>
+      TextAnalysis.withPiiSignals("text")(t(s, d, "documents"))
+        .select("doc_id", "n_emails", "n_urls")),
+    // salted skew join gated against the PLAIN join oracle — salting
+    // must be invisible in the result, only in the partitioning
+    "skew_salted_join" -> ((s, d) =>
+      graft.ops.Skew.saltedLeftJoin(
+        t(s, d, "orders"),
+        t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), buckets = 8)),
+
     // ===== corpus management: deterministic splits + summary stats =====
     "sample_hash_split" -> ((s, d) =>
       graft.llm.Sampling.withHashSplit("doc_id")(t(s, d, "documents"))
@@ -799,6 +810,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '[^\p{L}\p{N}]+'), t -> length(t) > 0)) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "text_pii_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?&=-]+')) AS INTEGER) AS n_urls
+        |FROM documents""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "sample_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test' ELSE 'train' END AS split

@@ -82,6 +82,18 @@ object TextAnalysis {
     withScores.withColumn(outCol, label)
   }
 
+  /** PII / contamination signals: counts of email-like and URL-like
+    * spans per document — the cheap pre-filter before an expensive
+    * redaction or exclusion pass. Patterns use explicit character
+    * classes only (no \S, \w, or lookarounds) so Java-regex and
+    * RE2-based engines count identical spans.
+    */
+  def withPiiSignals(textCol: String)(df: DataFrame): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")))
+      .withColumn("n_urls",
+        regexp_count(col(textCol), lit("https?://[A-Za-z0-9./_%?&=-]+")))
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace.
     */

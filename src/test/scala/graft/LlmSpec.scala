@@ -174,6 +174,14 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 21) < 1e-12) // ',' and '!'
   }
 
+  test("PII signals count email and URL spans") {
+    val df = Seq((1L, "mail a.b@x.io or c@y.org, see https://x.io/a?b=1 and http://y.org/p"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val r = TextAnalysis.withPiiSignals("text")(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 2 && r(0).getAs[Int]("n_urls") == 2)
+    assert(r(1).getAs[Int]("n_emails") == 0 && r(1).getAs[Int]("n_urls") == 0)
+  }
+
   test("langId: argmax with first-profile tie-break") {
     val df = Seq((1L, "the the spark"), (2L, "spark vector"), (3L, "x")).toDF("doc_id", "text")
     val r = TextAnalysis.withLangId("text", Seq(
