@@ -389,6 +389,20 @@ object SparkEntry {
     "text_pii_scan" -> ((s, d) =>
       TextAnalysis.withPiiSignals("text")(t(s, d, "documents"))
         .select("doc_id", "n_emails", "n_urls")),
+    // as-of join: every purchase gains its user's most recent
+    // preceding click (composition: union + running window — one
+    // shuffle, no per-key cartesian). Oracle is DuckDB's native
+    // ASOF LEFT JOIN.
+    "asof_click_before_purchase" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOf.asofJoinBackward(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", Seq("click_id", "click_ts", "click_value"), prefix = "")
+    }),
     // salted skew join gated against the PLAIN join oracle — salting
     // must be invisible in the result, only in the partitioning
     "skew_salted_join" -> ((s, d) =>
@@ -819,6 +833,12 @@ object SparkEntry {
       """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
         |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "asof_click_before_purchase" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.click_id, r.click_ts, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.click_ts""".stripMargin,
     "sample_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test' ELSE 'train' END AS split

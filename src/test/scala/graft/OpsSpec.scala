@@ -118,6 +118,22 @@ class OpsSpec extends SparkSpec {
     assert(r.toString.startsWith("2021-01-31"))
   }
 
+  test("asofJoinBackward: nearest preceding row per key, ties at equal time match, no-match is null") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"), (3L, 9L, "p4"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, "r-early"), (1L, 20L, "r-tie"), (2L, 9L, "r-late"))
+      .toDF("k", "rt", "rv")
+    val joined = AsOf.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("rt", "rv"))
+      .collect().map(r => (r.getLong(0), r.getString(2), Option(r.getAs[String]("asof_rv"))))
+      .toSet
+    assert(joined == Set(
+      (1L, "p1", Some("r-early")), // 8 <= 10, latest preceding
+      (1L, "p2", Some("r-tie")),   // exactly-simultaneous right row matches
+      (2L, "p3", None),            // right row is LATER (9 > 5) → null
+      (3L, "p4", None)))           // key has no right rows at all
+  }
+
   test("first/last skip rows whose single sort key is null (tiebreak must not resurrect them)") {
     import graft.model.SortKey
     val df = Seq(
