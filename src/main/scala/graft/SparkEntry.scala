@@ -389,6 +389,19 @@ object SparkEntry {
     "text_pii_scan" -> ((s, d) =>
       TextAnalysis.withPiiSignals("text")(t(s, d, "documents"))
         .select("doc_id", "n_emails", "n_urls")),
+    // range join: clicks attributed to purchases within the hour
+    // before them — points bucketed, intervals exploded to covered
+    // buckets, candidates meet on an equi-join (no per-key cartesian).
+    "range_attribution" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"), col("ts").as("win_end"))
+      graft.ops.RangeJoin.bucketedRangeJoin(clicks, purchases, Seq("user_id"),
+        "ts", "win_start", "win_end", bucketMicros = 3600L * 1000 * 1000)
+    }),
     // as-of join: every purchase gains its user's most recent
     // preceding click (composition: union + running window — one
     // shuffle, no per-key cartesian). Oracle is DuckDB's native
@@ -833,6 +846,13 @@ object SparkEntry {
       """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
         |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "range_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS purchase_id, user_id,
+        |             ts - INTERVAL 1 HOUR AS win_start, ts AS win_end
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, c.ts, p.purchase_id, p.win_start, p.win_end
+        |FROM c JOIN p ON c.user_id = p.user_id AND c.ts >= p.win_start AND c.ts <= p.win_end""".stripMargin,
     "asof_click_before_purchase" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |     r AS (SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value

@@ -134,6 +134,26 @@ class OpsSpec extends SparkSpec {
       (3L, "p4", None)))           // key has no right rows at all
   }
 
+  test("bucketedRangeJoin: containment matches plain theta-join exactly, each pair once") {
+    import graft.ops.RangeJoin
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val points = Seq((1L, 100L, ts(5)), (1L, 101L, ts(30)), (2L, 102L, ts(5)))
+      .toDF("k", "pid", "t")
+    // interval spans several buckets; an exactly-on-boundary point matches
+    val intervals = Seq((1L, 200L, ts(0), ts(30)), (1L, 201L, ts(29), ts(45)), (2L, 202L, ts(6), ts(7)))
+      .toDF("k", "iid", "s", "e")
+    val got = RangeJoin.bucketedRangeJoin(points, intervals, Seq("k"), "t", "s", "e",
+        bucketMicros = 60L * 1000 * 1000) // 1-minute buckets, intervals cover many
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") && col("p.t") >= col("i.s") && col("p.t") <= col("i.e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got == Seq((100L, 200L), (101L, 200L), (101L, 201L))) // 102 outside its interval
+    assert(got.distinct == got, "each matching pair must appear exactly once")
+  }
+
   test("first/last skip rows whose single sort key is null (tiebreak must not resurrect them)") {
     import graft.model.SortKey
     val df = Seq(
