@@ -17,6 +17,7 @@ object Bench {
     "engine_pipeline", "engine_study", "s1_nested_roundtrip",
     "s1_keyed_scan", "s8_export_flatten",
     "w1_event_windows", "w2_json_props",
+    "asof_click_before_purchase", "range_attribution",
     "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash_pairs",
     "sim_cosine_topk", "sim_knn_join", "sim_ann_topk", "sim_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint",
