@@ -126,6 +126,27 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-stream event-time join: clicks attributed to purchases
+    * within the preceding `window` — the streaming face of
+    * [[graft.ops.RangeJoin]]'s attribution query. Both sides carry
+    * watermarks and the join condition carries the time bound, so
+    * each side's buffered state is dropped once the other side's
+    * watermark passes the bound — bounded state at any input rate,
+    * the canonical Structured Streaming interval-join pattern.
+    */
+  def streamingAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p,
+      expr(s"c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL $window AND p.ts"))
+      .select(col("c.click_id"), col("c.user_id"), col("c.ts").as("click_ts"),
+        col("p.purchase_id"), col("p.ts").as("purchase_ts"))
+  }
+
   /** The same windowed aggregation as a BATCH query (identical plan
     * semantics minus the watermark) — lets the driver's DuckDB oracle
     * pin the window arithmetic that the streaming path shares.

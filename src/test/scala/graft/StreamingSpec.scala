@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("docA", "docB"))
   }
 
+  test("stream-stream attribution join matches clicks inside the purchase window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData(
+      (100L, 1L, Timestamp.valueOf("2024-01-01 10:30:00")), // inside the window
+      (101L, 1L, Timestamp.valueOf("2024-01-01 08:00:00")), // too early
+      (102L, 2L, Timestamp.valueOf("2024-01-01 10:30:00"))) // wrong user
+    purchases.addData((200L, 1L, Timestamp.valueOf("2024-01-01 11:00:00")))
+    val joined = StreamingIngest.streamingAttribution(
+      clicks.toDF().toDF("click_id", "user_id", "ts"),
+      purchases.toDF().toDF("purchase_id", "user_id", "ts"))
+    runToCompletion(
+      joined.writeStream.format("memory").queryName("attrib")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val rows = spark.table("attrib").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.toSeq == Seq((100L, 200L)), rows.mkString("|"))
+  }
+
   test("streaming fingerprint dedup collapses formatting-noise copies in-flight") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
