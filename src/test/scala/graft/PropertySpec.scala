@@ -63,6 +63,58 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: asofJoinBackward matches a plain-Scala nearest-preceding reference on random data") {
+    val rows = Gen.chooseNum(0, 25)
+    val key = Gen.chooseNum(1L, 4L)
+    val time = Gen.chooseNum(0L, 50L)
+    val leftGen = rows.flatMap(n => Gen.listOfN(n, Gen.zip(key, time)))
+    // right times de-duplicated per key (ties among right rows are
+    // declared ambiguous in the operator contract)
+    val rightGen = rows.flatMap(n => Gen.listOfN(n, Gen.zip(key, time)))
+      .map(_.distinct.groupBy(identity).keys.toList)
+    checkProp(Prop.forAllNoShrink(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t) }
+        .toDF("rid", "k", "rt")
+      val got = graft.ops.AsOf
+        .asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("rid"))
+        .collect().map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)))
+        .toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        // latest preceding; right times are unique per key so argmax is total
+        i.toLong -> candidates.sortBy(_._1._2).lastOption.map(_._2.toLong + 1000)
+      }.toMap
+      got == expected
+    })
+  }
+
+  test("property: bucketedRangeJoin equals the theta join for random points/intervals/bucket widths") {
+    val key = Gen.chooseNum(1L, 3L)
+    val time = Gen.chooseNum(0L, 120L)
+    val pointsGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, Gen.zip(key, time)))
+    val intervalsGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(key, time, Gen.chooseNum(0L, 40L))))
+    val bucketGen = Gen.oneOf(1L, 7L, 60L, 1000L)
+    checkProp(Prop.forAllNoShrink(pointsGen, intervalsGen, bucketGen) { (ps, is, bucketSec) =>
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      val points = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("pid", "k", "t")
+      val intervals = is.zipWithIndex.map { case ((k, s, len), i) =>
+        (i.toLong + 500, k, ts(s), ts(s + len)) }.toDF("iid", "k", "s", "e")
+      val got = graft.ops.RangeJoin
+        .bucketedRangeJoin(points, intervals, Seq("k"), "t", "s", "e", bucketSec * 1000000L)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expected = (for {
+        ((pk, pt), pi) <- ps.zipWithIndex
+        ((ik, s, len), ii) <- is.zipWithIndex
+        if pk == ik && pt >= s && pt <= s + len
+      } yield (pi.toLong, ii.toLong + 500)).sorted
+      got == expected
+    })
+  }
+
   test("property: KvList parse/parseLenient agree when no value contains the separator") {
     val key = Gen.identifier.suchThat(_.nonEmpty)
     val value = Gen.alphaNumStr.suchThat(_.nonEmpty)
