@@ -389,6 +389,8 @@ object SparkEntry {
     "text_pii_scan" -> ((s, d) =>
       TextAnalysis.withPiiSignals("text")(t(s, d, "documents"))
         .select("doc_id", "n_emails", "n_urls")),
+    "text_vocabulary" -> ((s, d) =>
+      TextAnalysis.vocabulary("text", "doc_id")(t(s, d, "documents"))),
     // range join: clicks attributed to purchases within the hour
     // before them — points bucketed, intervals exploded to covered
     // buckets, candidates meet on an equi-join (no per-key cartesian).
@@ -846,6 +848,10 @@ object SparkEntry {
       """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
         |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "text_vocabulary" ->
+      """SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY 1""".stripMargin,
     "range_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     p AS (SELECT event_id AS purchase_id, user_id,

@@ -94,6 +94,17 @@ object TextAnalysis {
       .withColumn("n_urls",
         regexp_count(col(textCol), lit("https?://[A-Za-z0-9./_%?&=-]+")))
 
+  /** Corpus vocabulary: token → document frequency and total count —
+    * the input a tokenizer-training step consumes. Explode + count is
+    * one linear pass with map-side partial aggregation; the shuffle
+    * key is the token, never the document.
+    */
+  def vocabulary(textCol: String, docIdCol: String)(df: DataFrame): DataFrame =
+    df.select(col(docIdCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(docIdCol)).as("n_docs"))
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace.
     */
