@@ -311,6 +311,13 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         (get_json_object(col("props"), "$.k").cast("double") * col("value")).as("weighted"))),
+    // gap-based sessionization (batch twin of the streaming
+    // mapGroupsWithState sessionizer): lag/cumsum, integer-micros
+    // arithmetic, one shuffle on the user key
+    "w3_sessionize" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingIngest.sessionizeBatch(ev)
+    }),
     "w1_event_windows" -> ((s, d) => {
       // ts read as nanos-long (see eventsNanos), truncated to micros —
       // exactly DuckDB's nanos→micros read behavior.
@@ -935,6 +942,18 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
         |       CAST(props->>'k' AS DOUBLE) * value AS weighted
         |FROM events""".stripMargin,
+    "w3_sessionize" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM t)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "w1_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, max(value) AS max_value

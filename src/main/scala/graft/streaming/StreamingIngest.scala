@@ -94,6 +94,36 @@ object StreamingIngest {
       }
   }
 
+  /** Gap-based sessionization as a BATCH query — the classic
+    * lag/cumsum formulation and the batch twin of [[sessionize]]:
+    * a session breaks where the gap to the previous event exceeds
+    * `gapMinutes`. One shuffle on the user key; the running window
+    * and the session aggregation reuse the same partitioning. All
+    * arithmetic is integer micros, so results are engine-exact.
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val prev = lag(col(tsCol), 1).over(w)
+    val tagged = events.withColumn("__new",
+      when(prev.isNull || unix_micros(col(tsCol)) - unix_micros(prev) > gapMicros, 1)
+        .otherwise(0))
+    tagged
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+  }
+
   /** Streaming exact dedup: drop duplicate document ids/digests
     * within the watermark horizon — the streaming face of
     * Dedup.exactDedup for a continuously-ingesting corpus. State is
