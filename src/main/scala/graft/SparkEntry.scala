@@ -57,18 +57,28 @@ object SparkEntry {
     s2.read.parquet(s"$dir/events.parquet")
   }
 
-  /** IVF coarse quantizer, memoized per (data dir, file mtime): the
-    * registered query and the Verify-time oracle generator must see
-    * the SAME trained centroids (seeded KMeans is deterministic, but
-    * sharing the model object removes even that assumption), and
-    * Bench avoids re-training per run. The mtime in the key evicts
-    * the memo when the data under the path is rewritten — a stale
-    * model would keep the gate green (both sides share it) while
-    * silently degrading partitioning quality.
+  /** IVF coarse quantizer, memoized per (data dir, listing digest):
+    * the registered query and the Verify-time oracle generator must
+    * see the SAME trained centroids (seeded KMeans is deterministic,
+    * but sharing the model object removes even that assumption), and
+    * Bench avoids re-training per run. The key digests the full file
+    * LISTING (recursive names + sizes + per-file mtimes), not the
+    * top-level mtime: an in-place rewrite within mtime granularity —
+    * or a directory rewrite preserving entry names — must evict the
+    * memo, because a stale model keeps the gate green (both sides
+    * share it) while silently degrading partitioning quality.
     */
-  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[(String, Long), graft.llm.Ivf.IvfModel]()
+  private val ivfModels = new java.util.concurrent.ConcurrentHashMap[(String, String), graft.llm.Ivf.IvfModel]()
+  private def listingDigest(root: java.io.File): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getPath}|${f.length()}|${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach(l => md.update(l.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
   private def ivfModel(s: SparkSession, d: String): graft.llm.Ivf.IvfModel = {
-    val key = (d, new java.io.File(s"$d/embeddings.parquet").lastModified())
+    val key = (d, listingDigest(new java.io.File(s"$d/embeddings.parquet")))
     ivfModels.computeIfAbsent(key, _ => graft.llm.Ivf.train(t(s, d, "embeddings"), "embedding", k = 16))
   }
 
@@ -329,16 +339,25 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup("text", "doc_id")(doubledDocs(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactDedupStats("text", "doc_id")(doubledDocs(s, d))),
     // Banding (numPerm=64, bands=16, r=4) is tuned to the DATA, not
-    // the threshold: the corpus's true near-dup pairs all sit at
-    // jaccard >= 0.9 (measured; nothing in [0.3, 0.9)), where the
-    // r=4 S-curve gives per-pair miss probability (1-0.9^4)^16 ≈
-    // 3.4e-8 — safe against the exact all-pairs oracle. r=2 (bands=32)
-    // would put the 50%-candidate point at j≈0.15 and flood the
-    // verify stage with low-jaccard candidates (measured 10× slower)
-    // for recall this corpus doesn't need.
+    // the threshold: the corpus's true near-dup pairs sit at jaccard
+    // >= 0.9 (sf0.01) / >= 0.8 (sf0.1), nothing in [0.3, 0.8)
+    // (measured — tools/JaccardGap), where the r=4 S-curve gives
+    // per-pair miss probability <= (1-0.8^4)^16 ≈ 2e-4, expected
+    // misses ≈ 1.5e-3 across the 7 sf0.1 pairs in [0.8, 0.9) — safe
+    // against the exact all-pairs oracle. That assumption is PINNED
+    // by LlmSpec ("corpus assumption: no jaccard pairs in the LSH
+    // miss zone"), so regenerated testdata fails loudly. r=2
+    // (bands=32) would put the 50%-candidate point at j≈0.15 and
+    // flood the verify stage with low-jaccard candidates (measured
+    // 10× slower) for recall this corpus doesn't need.
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5, numPerm = 64, bands = 16)),
+    // the exact audit path that VALIDATES the banding assumption:
+    // inverted-index all-pairs jaccard (shared-shingle enumeration,
+    // never a doc-level cartesian)
+    "dedup_jaccard_audit" -> ((s, d) =>
+      Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3)),
     "dedup_near_keep" -> ((s, d) =>
       Dedup.nearDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
     // maxHamming=3 keeps the 16-bit-chunk blocking recall-COMPLETE
@@ -778,6 +797,17 @@ object SparkEntry {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "dedup_jaccard_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
     "dedup_near_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,

@@ -25,10 +25,26 @@ import org.w3c.dom.{Document, Element}
   */
 object Xlsx {
 
+  /** Workbooks are untrusted input: parse with DTDs rejected and all
+    * external-entity resolution off, so a malicious DOCTYPE can't do
+    * XXE file reads or entity-expansion DoS. Well-formed OOXML never
+    * carries a DOCTYPE, so nothing legitimate is lost.
+    */
+  private def secureBuilderFactory(): DocumentBuilderFactory = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f
+  }
+
   private def parse(zip: ZipFile, entry: String): Option[Document] =
     Option(zip.getEntry(entry)).map { e =>
       val bytes = zip.getInputStream(e).readAllBytes()
-      DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      secureBuilderFactory().newDocumentBuilder()
         .parse(new ByteArrayInputStream(bytes))
     }
 

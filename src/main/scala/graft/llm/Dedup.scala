@@ -172,6 +172,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT all-pairs shingle Jaccard above `minJaccard`, via the
+    * inverted index: a pair can only have |A∩B| ≥ 1 if it shares a
+    * shingle, so the self-join on the (doc, shingle) posting list
+    * enumerates exactly the pairs with non-empty intersection and
+    * counts |A∩B| in the same pass; |A∪B| = |A|+|B|−|A∩B| from the
+    * per-doc distinct-shingle counts.
+    *
+    * This is the AUDIT path, not the dedup path: cost is
+    * Σ_s df(s)² over shingle document-frequencies — exact and
+    * shuffle-bounded (never a cartesian over docs), but a corpus
+    * with hot shingles (boilerplate headers) makes those posting
+    * lists quadratic. Use it to validate LSH banding assumptions on
+    * a sample; at 100 TB the recall path is [[nearDupPairs]].
+    */
+  def allPairsJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = sh.toDF("id_a", "__sh").join(sh.toDF("id_b", "__sh"), "__sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.toDF("id_a", "__na"), "id_a")
+      .join(sizes.toDF("id_b", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Full near-dup pipeline: LSH candidates → exact Jaccard filter.
     * Returns confirmed pairs (id_a < id_b, jaccard >= threshold).
     */

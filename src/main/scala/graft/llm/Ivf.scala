@@ -22,11 +22,23 @@ object Ivf {
     def k: Int = centroids.length
   }
 
-  /** Train the coarse quantizer (call on a sample at 100 TB scale). */
+  /** Train the coarse quantizer (call on a sample at 100 TB scale).
+    *
+    * The input is cached for the iteration loop (KMeans rescans it
+    * once per iteration — uncached, that's a parquet scan + vector
+    * conversion each time). maxIter=8: a coarse quantizer needs
+    * balanced-ish cells, not converged clusters — recall at
+    * nProbe=4 is unchanged vs 20 iterations on this corpus
+    * (tools/RecallBench), and each extra iteration is a full pass
+    * over the training set.
+    */
   def train(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L): IvfModel = {
     val vecs = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(vecs)
-    IvfModel(model.clusterCenters.map(_.toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8).fit(vecs)
+      IvfModel(model.clusterCenters.map(_.toArray))
+    } finally vecs.unpersist(false)
   }
 
   /** Nearest-centroid ids for each row's vector: an array of the

@@ -25,6 +25,16 @@ object AsOf {
     * join). A right row exactly at the left row's time matches.
     * Payload columns are emitted as `prefix + name`.
     *
+    * Null semantics match a SQL ASOF join: right rows with a null
+    * timestamp or a null key never match anything (they are dropped
+    * before the union — a null `__t` would sort first and leak its
+    * payload into every row of its partition), and a left row with a
+    * null time or key gets a null payload, not a null-equals-null
+    * match. The payload travels as ONE struct column so the running
+    * `last(ignoreNulls)` picks every payload field from the SAME
+    * right row — per-column fills would backfill a null field of the
+    * matched row with a stale value from an older one.
+    *
     * Ties: two right rows at the same (keys, time) are ambiguous in
     * any as-of formulation; the window keeps the later one in union
     * order. Feed de-duplicated right timestamps for full determinism.
@@ -39,34 +49,36 @@ object AsOf {
       prefix: String = "asof_"): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoinBackward needs at least one payload column")
     val leftCols = left.columns.toSeq
-    val payload = payloadCols.map(c => s"__p_$c")
 
-    // unify schemas: left rows carry null payloads, right rows carry
-    // null left-only columns; __side orders right (0) before left (1)
-    // at equal times so an exactly-simultaneous right row is visible.
-    val lPrep = payloadCols.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-      (d, c) => d.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
-    }
-    val rBase = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    // unify schemas: left rows carry a null payload struct, right rows
+    // carry null left-only columns; __side orders right (0) before
+    // left (1) at equal times so an exactly-simultaneous right row is
+    // visible.
+    val payloadT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val lPrep = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadT))
+    val rBase = right
+      .where(keys.foldLeft(col(rightTime).isNotNull)((p, k) => p && col(k).isNotNull))
+      .select((keys.map(col) :+ col(rightTime).as("__t")) :+
+        struct(payloadCols.map(c => col(c).as(c)): _*).as("__p"): _*)
       .withColumn("__side", lit(0))
     val rPrep = leftCols.filterNot(keys.contains).foldLeft(rBase) {
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
-    val unified = (leftCols ++ Seq("__t", "__side") ++ payload).map(col)
+    val unified = (leftCols ++ Seq("__t", "__side", "__p")).map(col)
     val u = lPrep.select(unified: _*).unionByName(rPrep.select(unified: _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // the struct of a right row is never null (even with all-null
+    // fields), so one last(ignoreNulls) is an atomic match
+    val filled = u.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
 
     filled.where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"__p_$c").as(s"$prefix$c")): _*)
+        payloadCols.map(c => col("__p").getField(c).as(s"$prefix$c")): _*)
   }
 }

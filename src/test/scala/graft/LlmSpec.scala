@@ -49,6 +49,47 @@ class LlmSpec extends SparkSpec {
     assert(r((1L, 3L)) == 0.0)
   }
 
+  test("allPairsJaccard (inverted index) matches brute-force pairwise jaccard exactly") {
+    val got = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over the 5-doc fixture
+    val sh = docs.select(col("doc_id"), array_distinct(Dedup.shingles("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = (sh(a) intersect sh(b)).size.toDouble / (sh(a) union sh(b)).size if j >= 0.01
+    } yield (a, b) -> j).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got((1L, 4L)) == 1.0) // exact dups
+  }
+
+  /** The dedup_minhash_pairs / dedup_near_keep oracles are exact
+    * all-pairs jaccard, while the queries recall candidates through
+    * (numPerm=64, bands=16, r=4) banding — so the gate is only sound
+    * if the corpus has no pairs the banding plausibly misses. This
+    * pins that MEASURED assumption: regenerated testdata that grows
+    * pairs in the miss zone fails HERE with the real cause, not as an
+    * opaque oracle hash-mismatch. (Distribution measured by
+    * tools/JaccardGap: sf0.01 has nothing in [0.1, 0.9); sf0.1 has 7
+    * pairs in [0.8, 0.9), expected misses ≈ 1.5e-3.)
+    */
+  test("corpus assumption: no jaccard pairs in the LSH miss zone at either gate scale") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val js = Dedup.allPairsJaccard(corpus, "doc_id", "text", 0.3)
+        .collect().map(_.getDouble(2))
+      val gapViolations = js.filter(j => j < 0.8)
+      assert(gapViolations.isEmpty,
+        s"$dir: pairs in [0.3, 0.8) where r=4/b=16 banding miss prob is 0.35..2e-4 — " +
+          s"re-tune bands or threshold: ${gapViolations.mkString(",")}")
+      // pairs >= threshold(0.5) must be recalled; bound the expected miss count
+      val expectedMisses = js.filter(_ >= 0.5)
+        .map(j => math.pow(1 - math.pow(j, 4), 16)).sum
+      assert(expectedMisses < 0.01,
+        s"$dir: expected LSH misses $expectedMisses — oracle-vs-banding gate no longer safe")
+    }
+  }
+
   test("simhash: exact dups distance 0; near-dups close; unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -134,6 +134,41 @@ class OpsSpec extends SparkSpec {
       (3L, "p4", None)))           // key has no right rows at all
   }
 
+  test("asofJoinBackward: null right timestamps never match; null payload fields stay null (atomic row)") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 10L, "p1"), (1L, 30L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "t", "lv")
+    // k=1: a null-rt row must NOT fill every left row (SQL ASOF never
+    // matches null timestamps); the rt=20 match has a NULL rv that
+    // must stay null — per-column filling would backfill it with
+    // "stale" from rt=5.
+    val right = Seq(
+      (1L, Option(5L), Option("stale")),
+      (1L, Option(20L), Option.empty[String]),
+      (1L, Option.empty[Long], Option("from-null-ts")),
+      (2L, Option.empty[Long], Option("also-null-ts")))
+      .toDF("k", "rt", "rv")
+    val got = AsOf.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("rt", "rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong),
+        Option(r.getAs[String]("asof_rv"))))
+      .toSet
+    assert(got == Set(
+      (1L, "p1", Some(5L), Some("stale")),  // only rt=5 precedes t=10
+      (1L, "p2", Some(20L), None),          // matched row's null rv stays null
+      (2L, "p3", None, None)))              // the key's only right row has null rt
+  }
+
+  test("asofJoinBackward: null keys never equal each other (left keeps row with null payload)") {
+    import graft.ops.AsOf
+    val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b")).toDF("k", "t", "lv")
+    val right = Seq((Option(1L), 5L, "r1"), (Option.empty[Long], 5L, "r-nullkey")).toDF("k", "rt", "rv")
+    val got = AsOf.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getString(2), Option(r.getAs[String]("asof_rv")))).toSet
+    assert(got == Set(("a", Some("r1")), ("b", None)))
+  }
+
   test("bucketedRangeJoin: containment matches plain theta-join exactly, each pair once") {
     import graft.ops.RangeJoin
     import java.sql.Timestamp
