@@ -53,6 +53,33 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Seq("lineitem", "orders", "customer").foreach(t =>
         spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
+      // exercise the expression/operator machinery the headline
+      // queries compile to (regex, hashes, explode+agg, window,
+      // broadcast join, array ops) on synthetic rows, so whole-stage
+      // codegen + JIT warmup isn't charged to whichever real query
+      // happens to run first. Warm runs measure 2-5x below cold ones
+      // (tools/WarmProf); this narrows that gap without ever touching
+      // a query's own input data or caching any of its work.
+      val syn = spark.range(2000).selectExpr(
+        "id", "concat('Doc text, sample #', id, ' word word') AS text",
+        "array(cast(id as double), 1.0, 2.0) AS vec")
+      syn.selectExpr(
+        "md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))) AS a",
+        "xxhash64(text, 42) AS b",
+        "sha2(text, 256) AS c",
+        "aggregate(zip_with(vec, vec, (x, y) -> x * y), 0d, (s, x) -> s + x) AS d")
+        .agg(org.apache.spark.sql.functions.max("a")).collect()
+      syn.selectExpr("id % 7 AS k", "explode(split(text, ' ')) AS t")
+        .groupBy("k").agg(org.apache.spark.sql.functions.countDistinct("t"))
+        .collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("id")
+      syn.selectExpr("id", "id % 7 AS k")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where("rn <= 2")
+        .join(org.apache.spark.sql.functions.broadcast(
+          spark.range(7).selectExpr("id AS k", "id * 2 AS v")), "k")
+        .collect()
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] warmup skipped: ${e.getMessage}")

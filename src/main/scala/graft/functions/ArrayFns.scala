@@ -162,6 +162,10 @@ object ArrayFns {
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       MinHashSigAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashAgg(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ivf_cells",
+      exprs => NearestCentroids(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Fused native dot product — [[register]] the session first;

@@ -274,25 +274,22 @@ object Dedup {
 
   /** SimHash fingerprints via token-explode + partial aggregation —
     * the scale path (same reasoning as [[minhashSignatures]]): one
-    * hash per token, 64 map-side-combinable bit sums, Aggregate
-    * barrier against re-inlining. `tokenHash` defaults to xxhash64
-    * (fastest); pass [[md5Hash60]] for engine-portable fingerprints.
+    * hash per token, one `graft_simhash` TypedImperativeAggregate
+    * (functions/SimHashAgg.scala — a single 64-counter buffer that
+    * combines map-side, vs the 64 separate sum-agg columns it
+    * replaced), Aggregate barrier against re-inlining. `tokenHash`
+    * defaults to xxhash64 (fastest); pass [[md5Hash60]] for
+    * engine-portable fingerprints.
     */
   def simhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
-      .withColumn("__h", tokenHash(col("__t")))
-    val aggs = (0 until 64).map(j =>
-      sum(when(expr(s"(shiftright(__h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"__b$j"))
-    val fp = (0 until 64)
-      .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    toks.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), fp.as("fp"))
+    graft.functions.ArrayFns.register(df.sparkSession)
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .groupBy(col(idCol))
+      .agg(call_function("graft_simhash", tokenHash(col("__t"))).as("fp"))
   }
 
   /** SimHash near-dup pairs: block on 16-bit fingerprint chunks

@@ -169,32 +169,30 @@ object Ivf {
   }
 
   /** Nearest-centroid ids for each row's vector: an array of the
-    * `nProbe` closest centroid indices (position 0 = nearest). Pure
-    * expressions over a broadcast-sized centroid literal.
+    * `nProbe` closest centroid indices (position 0 = nearest; ties
+    * break to the lower id). One native expression
+    * (functions/IvfFns.scala) over a broadcast-sized centroid
+    * literal — the composed per-centroid aggregate(zip_with) form it
+    * replaced was interpreted per centroid and dominated cold-run
+    * planning.
     */
-  private def nearestCentroids(vec: org.apache.spark.sql.Column, model: IvfModel, nProbe: Int) = {
-    val dists: Seq[org.apache.spark.sql.Column] = model.centroids.zipWithIndex.map {
-      case (c, i) =>
-        val cCol = array(c.map(lit): _*)
-        struct(
-          aggregate(zip_with(vec, cCol, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
-            .as("dist"),
-          lit(i).as("cid"))
-    }
-    slice(array_sort(array(dists: _*)), 1, nProbe)
-  }
+  private def nearestCentroids(vec: org.apache.spark.sql.Column, model: IvfModel, nProbe: Int) =
+    call_function("graft_ivf_cells", vec,
+      typedlit(model.centroids.map(_.toSeq).toSeq), lit(nProbe))
 
   /** The `nProbe` nearest centroid ids for a probe vector (position
     * 0 = nearest) — the cell list a search would scan.
     */
   def probeCentroids(vec: org.apache.spark.sql.Column, model: IvfModel, nProbe: Int): org.apache.spark.sql.Column =
-    nearestCentroids(vec.cast("array<double>"), model, nProbe).getField("cid")
+    nearestCentroids(vec.cast("array<double>"), model, nProbe)
 
   /** Assign every corpus vector to its single nearest centroid. */
-  def assign(df: DataFrame, idCol: String, vecCol: String, model: IvfModel): DataFrame =
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: IvfModel): DataFrame = {
+    graft.functions.ArrayFns.register(df.sparkSession)
     df.select(col(idCol), col(vecCol),
       element_at(nearestCentroids(col(vecCol).cast("array<double>"), model, 1), 1)
-        .getField("cid").as("centroid_id"))
+        .as("centroid_id"))
+  }
 
   /** ANN top-k: probes fan out to their `nProbe` nearest centroid
     * lists, candidates meet on centroid_id, exact cosine ranks within.
@@ -212,8 +210,8 @@ object Ivf {
         col(vecCol).cast("array<double>").as("__cv"), col("centroid_id"))
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("__pv"),
-      explode(nearestCentroids(col(vecCol).cast("array<double>"), model, nProbe)
-        .getField("cid")).as("centroid_id"))
+      explode(nearestCentroids(col(vecCol).cast("array<double>"), model, nProbe))
+        .as("centroid_id"))
     val scored = c.join(p, Seq("centroid_id"))
       .withColumn("sim", Similarity.cosine(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
