@@ -444,6 +444,16 @@ object SparkEntry {
       graft.ops.AsOf.asofJoinBackward(purchases, clicks, Seq("user_id"),
         "ts", "click_ts", Seq("click_id", "click_ts", "click_value"), prefix = "")
     }),
+    "asof_next_purchase_after_click" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      graft.ops.AsOf.asofJoinForward(clicks, purchases, Seq("user_id"),
+        "ts", "purchase_ts", Seq("purchase_id", "purchase_ts", "purchase_value"), prefix = "")
+    }),
     // salted skew join gated against the PLAIN join oracle — salting
     // must be invisible in the result, only in the partitioning
     "skew_salted_join" -> ((s, d) =>
@@ -902,6 +912,12 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'click')
         |SELECT l.event_id, l.user_id, l.ts, l.value, r.click_id, r.click_ts, r.click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.click_ts""".stripMargin,
+    "asof_next_purchase_after_click" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.purchase_id, r.purchase_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.purchase_ts""".stripMargin,
     "sample_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test' ELSE 'train' END AS split

@@ -46,14 +46,42 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
-    require(payloadCols.nonEmpty, "asofJoinBackward needs at least one payload column")
+      prefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payloadCols, prefix, forward = false)
+
+  /** Forward as-of left join: every left row gains the payload of the
+    * EARLIEST right row with `right(rightTime) >= left(leftTime)` for
+    * the same `keys` — the mirror of [[asofJoinBackward]], with the
+    * same null semantics, the same single-shuffle running-window
+    * shape, and a right row exactly at the left row's time matching.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payloadCols, prefix, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      prefix: String,
+      forward: Boolean): DataFrame = {
+    require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
 
     // unify schemas: left rows carry a null payload struct, right rows
-    // carry null left-only columns; __side orders right (0) before
-    // left (1) at equal times so an exactly-simultaneous right row is
-    // visible.
+    // carry null left-only columns. __side places a right row where
+    // the left row at the SAME time can see it: before it (0 vs 1) in
+    // backward mode, after it (2 vs 1) in forward mode.
+    val rightTag = if (forward) 2 else 0
     val payloadT = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lPrep = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
@@ -62,7 +90,7 @@ object AsOf {
       .where(keys.foldLeft(col(rightTime).isNotNull)((p, k) => p && col(k).isNotNull))
       .select((keys.map(col) :+ col(rightTime).as("__t")) :+
         struct(payloadCols.map(c => col(c).as(c)): _*).as("__p"): _*)
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightTag))
     val rPrep = leftCols.filterNot(keys.contains).foldLeft(rBase) {
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
@@ -70,12 +98,18 @@ object AsOf {
     val unified = (leftCols ++ Seq("__t", "__side", "__p")).map(col)
     val u = lPrep.select(unified: _*).unionByName(rPrep.select(unified: _*))
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w0 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the struct of a right row is never null (even with all-null
-    // fields), so one last(ignoreNulls) is an atomic match
-    val filled = u.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    // fields), so one running first/last(ignoreNulls) is an atomic
+    // match: every payload field comes from the SAME right row.
+    val filled =
+      if (forward)
+        u.withColumn("__p", first(col("__p"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        u.withColumn("__p", last(col("__p"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     filled.where(col("__side") === 1)
       .select(leftCols.map(col) ++

@@ -160,6 +160,29 @@ class OpsSpec extends SparkSpec {
       (2L, "p3", None, None)))              // the key's only right row has null rt
   }
 
+  test("asofJoinForward: earliest right at-or-after; null right timestamps never match") {
+    import graft.ops.AsOf
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 30L, "p4"), (2L, 10L, "p3"))
+      .toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, Option(10L), Option("at")),      // exactly simultaneous -> matches t=10
+      (1L, Option(25L), Option.empty[String]), // nearest-after for t=20; its null rv must stay null
+      (1L, Option.empty[Long], Option("null-ts")),
+      (2L, Option(5L), Option("too-early")))
+      .toDF("k", "rt", "rv")
+    val got = AsOf.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("rt", "rv"))
+      .collect()
+      .map(r => (r.getString(2),
+        Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong),
+        Option(r.getAs[String]("asof_rv"))))
+      .toSet
+    assert(got == Set(
+      ("p1", Some(10L), Some("at")),   // rt=10 >= t=10 (simultaneous visible)
+      ("p2", Some(25L), None),         // matched row's null rv stays null (atomic struct)
+      ("p4", None, None),              // only null-ts remains after t=30 -> no match
+      ("p3", None, None)))             // rt=5 precedes t=10 -> no forward match
+  }
+
   test("asofJoinBackward: null keys never equal each other (left keeps row with null payload)") {
     import graft.ops.AsOf
     val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b")).toDF("k", "t", "lv")
