@@ -99,6 +99,20 @@ object Dedup {
     if (cache) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sigs
   }
 
+  /** Band hashes of a signature as an array<bigint> column: the
+    * signature splits into `bands` bands of numPerm/bands rows, each
+    * hashed with xxhash64 over its slice. Shared by the batch LSH
+    * index ([[lshBands]]) and the streaming band join
+    * ([[graft.streaming.StreamingIngest.streamingNearDupPairs]]) so
+    * both paths bucket identically.
+    */
+  private[graft] def bandHashes(sig: Column, numPerm: Int, bands: Int): Column = {
+    require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
+    val rows = numPerm / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows)))))
+  }
+
   /** (doc, band, band_hash) exploded rows: the LSH index. Signature is
     * split into `bands` bands of numPerm/bands rows; a band's hash is
     * xxhash64 over its slice. Two docs sharing ANY band hash become a
@@ -112,13 +126,9 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3,
       cacheSignatures: Boolean = true): DataFrame = {
-    require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
-    val rows = numPerm / bands
     minhashSignatures(df, idCol, textCol, numPerm, shingleK, cacheSignatures)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("__sig"), b * rows + 1, lit(rows)))))
-      ).as(Seq("band", "band_hash")))
+      .select(col(idCol), posexplode(bandHashes(col("__sig"), numPerm, bands))
+        .as(Seq("band", "band_hash")))
   }
 
   /** Candidate near-dup pairs via the banded self-join — the scale

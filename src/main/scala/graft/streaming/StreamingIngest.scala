@@ -156,6 +156,79 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming MinHash-LSH near-dup PAIRS: a watermarked stream-stream
+    * self-join on (band, band_hash) surfaces near-duplicate documents
+    * that arrive within `horizon` of each other — the streaming face
+    * of Dedup.nearDupPairs. (A full-corpus banded compaction still
+    * needs the batch pass; this catches the dominant streaming case —
+    * re-crawls and mirrors land close together in time.)
+    *
+    * Per-row mechanics, all stateless so the stream stays append-mode:
+    *  - the signature uses the EXPRESSION form (Dedup.minhashSignature)
+    *    — per-row, no aggregation barrier needed since nothing here
+    *    re-inlines it into a Generate;
+    *  - band hashes come from Dedup.bandHashes, so streaming buckets
+    *    are bit-identical to the batch LSH index;
+    *  - similarity is ESTIMATED from the signatures (fraction of
+    *    agreeing minhash positions — the standard unbiased Jaccard
+    *    estimator) rather than re-shingling both sides: the join state
+    *    then carries numPerm longs per doc, never the document body.
+    *
+    * State is bounded twice: the join condition's symmetric `horizon`
+    * bound lets each side drop buffered rows once the other's
+    * watermark passes, and the final duplicate-pair collapse (a pair
+    * can collide in several bands) is dropDuplicatesWithinWatermark.
+    * On a BATCH frame the same plan runs with plain dropDuplicates —
+    * the spec pins streaming == batch on identical input.
+    */
+  def streamingNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour",
+      threshold: Double = 0.5,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val sig = graft.llm.Dedup.minhashSignature(
+      array_distinct(graft.llm.Dedup.shingles(textCol, shingleK)), numPerm)
+    val banded = docs
+      .select(col(idCol), col(tsCol), sig.as("__sig"))
+      .select(col(idCol), col(tsCol), col("__sig"),
+        posexplode(graft.llm.Dedup.bandHashes(col("__sig"), numPerm, bands))
+          .as(Seq("band", "band_hash")))
+    def side(tag: String) = {
+      val renamed = banded.select(
+        col(idCol).as(s"id_$tag"), col(tsCol).as(s"ts_$tag"),
+        col("__sig").as(s"sig_$tag"),
+        col("band").as(s"band_$tag"), col("band_hash").as(s"bh_$tag"))
+      if (renamed.isStreaming) renamed.withWatermark(s"ts_$tag", watermark) else renamed
+    }
+    // id_a < id_b rides OUTSIDE the join condition: Spark's streaming
+    // state-watermark extraction walks every </<= predicate in the
+    // condition looking for time bounds and cannot evaluate a plain
+    // id inequality there (INTERNAL_ERROR in StreamingJoinHelper);
+    // as a post-join filter it's the same result with no state impact.
+    val joined = side("a").join(side("b"),
+      expr(s"""band_a = band_b AND bh_a = bh_b
+              |AND ts_b BETWEEN ts_a - INTERVAL $horizon AND ts_a + INTERVAL $horizon""".stripMargin))
+      .where(col("id_a") < col("id_b"))
+    val est = joined
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+          .cast("double") / numPerm)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("ts_a").as("ts"))
+    // no second withWatermark: ts is ts_a renamed, and its watermark
+    // PROPAGATES through the join — redefining one after a stateful
+    // operator is disallowed (chained-stateful-operator rule)
+    if (est.isStreaming) est.dropDuplicatesWithinWatermark("id_a", "id_b")
+    else est.dropDuplicates("id_a", "id_b")
+  }
+
   /** Stream-stream event-time join: clicks attributed to purchases
     * within the preceding `window` — the streaming face of
     * [[graft.ops.RangeJoin]]'s attribution query. Both sides carry

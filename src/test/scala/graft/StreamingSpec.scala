@@ -113,6 +113,45 @@ class StreamingSpec extends SparkSpec {
     assert(texts.exists(t => t == "The cat sat." || t == "the  cat sat"))
   }
 
+  test("streaming LSH near-dup pairs: matches the batch twin; horizon excludes distant arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), base),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), base + " extra"),   // near-dup of 1, in horizon
+      (3L, Timestamp.valueOf("2024-01-01 10:10:00"), "completely unrelated text about spark streaming joins and state"),
+      (4L, Timestamp.valueOf("2024-01-01 23:00:00"), base))              // exact dup of 1, OUTSIDE horizon
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(rows: _*)
+    val streamed = StreamingIngest.streamingNearDupPairs(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      horizon = "30 minutes", watermark = "1 hour", threshold = 0.5)
+    runToCompletion(
+      streamed.writeStream.format("memory").queryName("neardup_stream")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val got = spark.table("neardup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // pair (1,2) is in-horizon and near-dup; (1,4)/(2,4) are near-dups
+    // but 13h apart -> excluded by the horizon bound
+    assert(got == Set((1L, 2L)), s"got $got")
+
+    // batch twin on the identical rows agrees pair-for-pair
+    val batch = StreamingIngest.streamingNearDupPairs(
+      rows.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      horizon = "30 minutes", watermark = "1 hour", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+
+    // and with the horizon widened past the gap, the late exact dup
+    // surfaces in the batch twin too
+    val wide = StreamingIngest.streamingNearDupPairs(
+      rows.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      horizon = "24 hours", watermark = "48 hours", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((1L, 4L)) && wide.contains((1L, 2L)), s"wide $wide")
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
