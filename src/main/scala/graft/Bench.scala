@@ -21,7 +21,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash_pairs",
     "sim_cosine_topk", "sim_knn_join", "sim_ann_topk", "sim_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint",
-    "pipeline_preprocess", "mm_binary_meta")
+    "pipeline_preprocess", "pipeline_train_prep",
+    "asof_next_purchase_after_click", "mm_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -489,6 +489,19 @@ object SparkEntry {
         "db" -> Seq("table", "query", "row")))(deduped)
         .select("doc_id", "n_tokens", "ttr", "lang_pred")
     }),
+    // the end-to-end training-data prep path a corpus takes before
+    // training: quality gate -> exact dedup -> LSH near-dedup ->
+    // leak-proof deterministic split. Every stage is the scale path
+    // (md5-keyed dedup, banded near-dup, zero-shuffle split); the
+    // oracle replays the whole chain with exact all-pairs jaccard.
+    "pipeline_train_prep" -> ((s, d) => {
+      val scored = TextAnalysis.withQualityScores("text")(doubledDocs(s, d))
+      val gated = scored.filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+      val exact = Dedup.exactDedup("text", "doc_id")(gated)
+      val near = Dedup.nearDedup(exact, "doc_id", "text", threshold = 0.5)
+      graft.llm.Sampling.withHashSplit("doc_id")(near)
+        .select("doc_id", "n_tokens", "ttr", "split")
+    }),
 
     // ===== vector-column ops over embeddings =====
     "vec_norm" -> ((s, d) =>
@@ -948,6 +961,29 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, ttr,
          |  CASE WHEN s_en >= s_db THEN 'en' ELSE 'db' END AS lang_pred
          |FROM scored""".stripMargin,
+    "pipeline_train_prep" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+         |  FROM $doubledDocsSql),
+         |f AS (SELECT * FROM q WHERE n_tokens >= 20 AND ttr >= 0.3),
+         |d AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f) WHERE rn = 1),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+         |       FROM toks),
+         |drops AS (SELECT DISTINCT b.doc_id AS id_b
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+         |SELECT doc_id, n_tokens, ttr,
+         |  CASE WHEN bkt < 5 THEN 'val' WHEN bkt < 10 THEN 'test' ELSE 'train' END AS split
+         |FROM (SELECT doc_id, n_tokens, ttr,
+         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bkt
+         |      FROM d WHERE doc_id NOT IN (SELECT id_b FROM drops))""".stripMargin,
     "vec_norm" ->
       "SELECT vec_id, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2 FROM embeddings",
     "vec_slice_ops" ->
