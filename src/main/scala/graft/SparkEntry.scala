@@ -468,6 +468,13 @@ object SparkEntry {
         .select("doc_id", "split")),
     "sample_hash_10pct" -> ((s, d) =>
       graft.llm.Sampling.hashSample("doc_id", 10)(t(s, d, "documents"))),
+    // corpus balancing: keep 10% of overrepresented en, 30% elsewhere
+    "sample_stratified" -> ((s, d) =>
+      graft.llm.Sampling.stratifiedHashSample("doc_id", "lang",
+        Seq("en" -> 10), defaultPct = 30)(t(s, d, "documents"))
+        .select("doc_id", "lang")),
+    "text_top_terms" -> ((s, d) =>
+      TextAnalysis.topTermsPerDoc("doc_id", "text", 3)(t(s, d, "documents"))),
     // per-language corpus stats: count, mean and EXACT median token
     // count (p50 interpolation is (a+b)/2 over integers — exact in
     // both engines, unlike general quantiles)
@@ -940,6 +947,20 @@ object SparkEntry {
     "sample_hash_10pct" ->
       """SELECT * FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+    "text_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT doc_id, token, tf, df, rank FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |         ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC) AS INTEGER) AS rank
+        |  FROM tf JOIN dfq USING (token))
+        |WHERE rank <= 3""".stripMargin,
     "text_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  avg(CAST(len(string_split(text, ' ')) AS INTEGER)) AS mean_tokens,

@@ -45,4 +45,27 @@ object Sampling {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
     df.where(hashBucket(col(keyCol)) < pct)
   }
+
+  /** Stratified deterministic sampling: a per-stratum keep rate over
+    * the same md5 bucketing — the corpus-balancing primitive (keep
+    * 10% of an overrepresented language, 100% of a rare one). Still a
+    * pure row predicate: zero shuffles, membership per key is stable
+    * under corpus growth AND under rate changes in other strata
+    * (bucket is a function of the key alone).
+    */
+  def stratifiedHashSample(
+      keyCol: String,
+      strataCol: String,
+      rates: Seq[(String, Int)],
+      defaultPct: Int)(df: DataFrame): DataFrame = {
+    require(rates.nonEmpty, "stratifiedHashSample needs at least one stratum rate")
+    (rates.map(_._2) :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be 0..100, got $p"))
+    val cut = rates.tail
+      .foldLeft(when(col(strataCol) === rates.head._1, lit(rates.head._2))) {
+        case (acc, (k, p)) => acc.when(col(strataCol) === k, lit(p))
+      }
+      .otherwise(lit(defaultPct))
+    df.where(hashBucket(col(keyCol)) < cut)
+  }
 }

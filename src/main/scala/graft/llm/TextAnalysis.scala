@@ -105,6 +105,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col(docIdCol)).as("n_docs"))
 
+  /** Top-k most characteristic terms per document, tf-idf ORDERED
+    * with integer sort keys: rank by term frequency descending
+    * (the tf component), then document frequency ascending (idf is
+    * monotone-decreasing in df), then token for determinism. Using
+    * the integer keys instead of the fp score tf·log(N/df) keeps the
+    * ranking engine-exact (no libm in the compare path); the fp score
+    * is a one-line swap if a caller wants the number itself.
+    *
+    * Scale shape: two partial-aggregated explodes (shuffle keys:
+    * (doc, token) and token — never the text), one join AQE sizes
+    * (the token dim is vocabulary-sized), and a WindowGroupLimit
+    * top-k that prunes per-partition before the exchange.
+    */
+  def topTermsPerDoc(docIdCol: String, textCol: String, k: Int)(df: DataFrame): DataFrame = {
+    val toks = df.select(col(docIdCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(docIdCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("token").agg(countDistinct(col(docIdCol)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(docIdCol)).orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(docIdCol), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Canonical text normalization: lowercase, strip non-alphanumerics,
     * collapse whitespace.
     */

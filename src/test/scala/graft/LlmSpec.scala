@@ -205,6 +205,33 @@ class LlmSpec extends SparkSpec {
     assert(splits.values.toSet == Set("train", "val", "test"))
   }
 
+  test("stratified sampling: per-stratum rates, cross-stratum-stable membership") {
+    import graft.llm.Sampling
+    val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    val s = Sampling.stratifiedHashSample("id", "lang", Seq("en" -> 10), defaultPct = 50)(d)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (en, fr) = (s.count(_._2 == "en"), s.count(_._2 == "fr"))
+    assert(en > 0 && fr > 0 && en < fr, s"en=$en should be well under fr=$fr")
+    // a kept row of an UNCHANGED stratum survives a rate change elsewhere
+    val s2 = Sampling.stratifiedHashSample("id", "lang", Seq("en" -> 40), defaultPct = 50)(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s.filter(_._2 == "fr").toSet.subsetOf(s2), "fr membership must not shift when en's rate changes")
+    assert(s.filter(_._2 == "en").toSet.subsetOf(s2), "raising en's rate only adds ids")
+  }
+
+  test("topTermsPerDoc ranks by tf desc then rarity (df asc) then token") {
+    val df = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry cherry date")).toDF("doc_id", "text")
+    val r = TextAnalysis.topTermsPerDoc("doc_id", "text", 2)(df)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getInt(4)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._4).map(t => (t._2, t._3)).toSeq }
+    // doc1: apple tf=2 first; banana/cherry tie at tf=1 -> banana df=2 vs cherry df=2 -> token order
+    assert(r(1L) == Seq(("apple", 2L), ("banana", 1L)))
+    // doc2: banana/cherry tie at tf=2 -> equal df -> token order; date never reaches top-2
+    assert(r(2L) == Seq(("banana", 2L), ("cherry", 2L)))
+  }
+
   test("quality scores on a known sentence") {
     val df = Seq((1L, "the cat, the cat sat!")).toDF("doc_id", "text")
     val r = TextAnalysis.withQualityScores("text")(df).collect().head
