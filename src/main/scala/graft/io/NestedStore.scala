@@ -42,6 +42,52 @@ object NestedStore {
     */
   def write(df: DataFrame, path: String, k1: String = "study_code", k2: String = "view"): Unit =
     df.write.mode("overwrite").partitionBy(k1, k2).parquet(path)
+
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int)
+
+  /** Compact a partitioned store's small files: every micro-batch
+    * append (streaming ingest, S9 parquet-append) adds a file per
+    * touched partition, and at 100 TB/day the store degrades into
+    * millions of KB-sized files whose open cost dominates scans. One
+    * hash repartition on the partition keys rewrites each directory
+    * as a single file (plus `maxRecordsPerFile` splits for genuinely
+    * large partitions), preserving the partition layout and every row.
+    *
+    * The rewrite stages to a sibling temp directory and swaps via two
+    * FileSystem renames — readers racing the swap window can observe
+    * a missing directory; a real deployment serializes compaction
+    * against readers with a manifest or table format (Iceberg/Delta),
+    * which is out of scope here and called out in SCALE.md. (Spark
+    * refuses a direct self-overwrite — the plan would read the path
+    * it is clobbering.)
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keys: Seq[String] = Seq("study_code", "view"),
+      maxRecordsPerFile: Long = 1000000L): CompactionStats = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = dataFiles(hadoopPath)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(path)
+      .repartition(keys.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(keys: _*).parquet(tmp.toString)
+    require(fs.rename(hadoopPath, old), s"compact: could not stage out $path")
+    require(fs.rename(tmp, hadoopPath), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+    CompactionStats(before, dataFiles(hadoopPath))
+  }
 }
 
 /** S7: the standardized output contract

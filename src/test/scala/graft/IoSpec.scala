@@ -29,6 +29,27 @@ class IoSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("study_code"), scan)
   }
 
+  test("compaction collapses micro-batch appends to one file per partition, rows intact") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // simulate 4 micro-batch appends -> 4 files per touched partition
+    (0 until 4).foreach { b =>
+      Seq(("s1", "v1", s"a$b"), ("s1", "v2", s"b$b"), ("s2", "v1", s"c$b"))
+        .toDF("study_code", "view", "x")
+        .repartition(1)
+        .write.mode("append").partitionBy("study_code", "view").parquet(dir)
+    }
+    val wanted = spark.read.parquet(dir).orderBy("x").collect().toSeq
+    val stats = NestedStore.compact(spark, dir, Seq("study_code", "view"))
+    assert(stats.filesBefore == 12, s"expected 4 appends x 3 partitions, got $stats")
+    assert(stats.filesAfter == 3, s"expected one file per partition, got $stats")
+    assert(new java.io.File(s"$dir/study_code=s1/view=v2").exists(), "partition layout preserved")
+    assert(spark.read.parquet(dir).orderBy("x").collect().toSeq == wanted, "rows must be identical")
+    // pruning still works on the compacted store
+    val scan = spark.read.parquet(dir).where(col("study_code") === "s1")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("study_code"), scan)
+  }
+
   test("standardized sink: hierarchy, Retention map, 'Null' fill, all-string") {
     val df = Seq(("US", "s01", "alice", Some("2021-01-01")), ("DE", "s02", "bob", None))
       .toDF("country", "site", "subject", "ltfu_date")
