@@ -50,6 +50,30 @@ class IoSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("study_code"), scan)
   }
 
+  test("time-range layout: window scans skip files via footer stats") {
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_events").toString
+    val events = (0 until 10000).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 10:00:${i % 60}%02d"), i * 1.0)
+    }.toDF("event_id", "ts", "value")
+    graft.io.EventStore.writeTimeLayout(events, dir, "ts", buckets = 8)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 8)
+
+    val window = graft.io.EventStore.readWindow(spark, dir, "ts",
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    val expected = events.where(col("ts") >= "2024-01-02" && col("ts") < "2024-01-03")
+    assert(window.count() == expected.count())
+    // the ts predicate must reach the parquet scan as PushedFilters
+    val plan = window.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"), plan)
+    // and the footer stats must actually skip: the scan node emits far
+    // fewer rows than the table holds (whole files/row groups pruned)
+    window.collect()
+    val scanned = window.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanned < 3000, s"range layout should prune most of the 10000 rows, scanned $scanned")
+  }
+
   test("standardized sink: hierarchy, Retention map, 'Null' fill, all-string") {
     val df = Seq(("US", "s01", "alice", Some("2021-01-01")), ("DE", "s02", "bob", None))
       .toDF("country", "site", "subject", "ltfu_date")
