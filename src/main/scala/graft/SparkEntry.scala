@@ -190,6 +190,22 @@ object SparkEntry {
       Ops.groupbySlice(Seq("o_custkey"), 2,
         Seq(SortKey("o_totalprice", desc = true), SortKey("o_orderkey", desc = true)))(
         t(s, d, "orders"))),
+    // quantity aggs only: integer-valued doubles sum exactly in any
+    // order, so subtotals hash-match the oracle
+    "a5_rollup" -> ((s, d) =>
+      Ops.groupbyRollup(Seq("l_returnflag", "l_linestatus"),
+        Seq(("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n"),
+          ("l_quantity", "mean", "avg_qty")))(t(s, d, "lineitem"))),
+    "a5_cube" -> ((s, d) =>
+      Ops.groupbyRollup(Seq("l_returnflag", "l_linestatus"),
+        Seq(("l_quantity", "sum", "sum_qty")), cube = true)(t(s, d, "lineitem"))),
+    "a6_pivot" -> ((s, d) =>
+      Ops.pivotAgg(Seq("l_returnflag"), "l_linestatus", "l_quantity",
+        Seq("F", "O"), "sum")(t(s, d, "lineitem"))),
+    "a6_unpivot" -> ((s, d) =>
+      Ops.unpivot(Seq("l_returnflag"), Seq("F", "O"), "l_linestatus", "sum_qty")(
+        Ops.pivotAgg(Seq("l_returnflag"), "l_linestatus", "l_quantity",
+          Seq("F", "O"), "sum")(t(s, d, "lineitem")))),
 
     // ===== §2.6 column derivation =====
     "c1_rename" -> ((s, d) =>
@@ -726,6 +742,30 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
         |      FROM orders) WHERE rn <= 2""".stripMargin,
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS grouping_id,
+        |  sum(l_quantity) AS sum_qty, count(l_quantity) AS n, avg(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a5_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS grouping_id,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "a6_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a6_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'F' AS l_linestatus, f AS sum_qty FROM p
+        |UNION ALL
+        |SELECT l_returnflag, 'O' AS l_linestatus, o AS sum_qty FROM p""".stripMargin,
     "c1_rename" -> "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation",
     "c2_format_datetime" ->
       "SELECT o_orderkey, strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y') AS od_str FROM orders",

@@ -275,6 +275,66 @@ object Ops {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** A5 rollup/cube summarise (beyond-reference OLAP surface): the
+    * same fn table as GROUPBY SUMMARISE over Spark's native
+    * rollup/cube grouping sets, with `grouping_id` emitted so
+    * subtotal rows (keys NULLed by the grouping set) are
+    * distinguishable from genuine null keys. Partial aggregation
+    * applies per grouping set exactly as for a flat groupBy — the
+    * shuffle key is the grouping-set tuple.
+    */
+  def groupbyRollup(
+      groupCols: Seq[String],
+      aggs: Seq[(String, String, String)], // (src, fn, out)
+      cube: Boolean = false)(df: DataFrame): DataFrame = {
+    val exprs = aggs.map {
+      case (src, "sum", out) => sum(col(src)).as(out)
+      case (src, "min", out) => min(col(src)).as(out)
+      case (src, "max", out) => max(col(src)).as(out)
+      case (src, "mean", out) => avg(col(src)).as(out)
+      case (src, "count", out) => count(col(src)).as(out)
+      case (_, other, _) => throw new IllegalArgumentException(s"unknown rollup fn '$other'")
+    }
+    val grouped = if (cube) df.cube(groupCols.map(col): _*) else df.rollup(groupCols.map(col): _*)
+    val all = exprs :+ grouping_id().cast("int").as("grouping_id")
+    grouped.agg(all.head, all.tail: _*)
+      .select((groupCols.map(col) :+ col("grouping_id")) ++ aggs.map(a => col(a._3)): _*)
+  }
+
+  /** Pivot: one output column per `nameCol` value (explicit value
+    * list — at 100 TB an implicit-values pivot would need a distinct
+    * pass AND make the output schema data-dependent), aggregated with
+    * `fn`. Compiles to one partial-aggregated shuffle on the group
+    * keys; each pivot cell is a filtered aggregate.
+    */
+  def pivotAgg(
+      groupCols: Seq[String],
+      nameCol: String,
+      valCol: String,
+      names: Seq[String],
+      fn: String = "sum")(df: DataFrame): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .pivot(nameCol, names)
+      .agg(fn match {
+        case "sum" => sum(col(valCol))
+        case "min" => min(col(valCol))
+        case "max" => max(col(valCol))
+        case "mean" => avg(col(valCol))
+        case "count" => count(col(valCol))
+        case other => throw new IllegalArgumentException(s"unknown pivot fn '$other'")
+      })
+
+  /** Unpivot/melt: the inverse reshape, Spark-native (no UDF, no
+    * explode of hand-built structs). Null cells are kept so
+    * pivot→unpivot round-trips sparse data.
+    */
+  def unpivot(
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      nameCol: String = "name",
+      valCol: String = "value")(df: DataFrame): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, nameCol, valCol)
+
   // ===== §2.6 column derivation =====
 
   /** C1 RENAME COLUMN: `old = new` pairs. */

@@ -160,6 +160,31 @@ class OpsSpec extends SparkSpec {
       (2L, "p3", None, None)))              // the key's only right row has null rt
   }
 
+  test("rollup emits subtotals with grouping_id; pivot/unpivot round-trip") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0))
+      .toDF("k1", "k2", "v")
+    val r = Ops.groupbyRollup(Seq("k1", "k2"), Seq(("v", "sum", "s")))(df)
+      .collect().map(x => (Option(x.getString(0)), Option(x.getString(1)), x.getInt(2), x.getDouble(3))).toSet
+    assert(r == Set(
+      (Some("a"), Some("x"), 0, 1.0), (Some("a"), Some("y"), 0, 2.0), (Some("b"), Some("x"), 0, 4.0),
+      (Some("a"), None, 1, 3.0), (Some("b"), None, 1, 4.0),   // k2 rolled up
+      (None, None, 3, 7.0)))                                  // grand total
+    val cube = Ops.groupbyRollup(Seq("k1", "k2"), Seq(("v", "sum", "s")), cube = true)(df)
+      .collect().map(x => (Option(x.getString(0)), Option(x.getString(1)), x.getInt(2), x.getDouble(3))).toSet
+    assert(cube.contains((None, Some("x"), 2, 5.0)), s"cube adds the k1-rolled-up sets: $cube")
+
+    val piv = Ops.pivotAgg(Seq("k1"), "k2", "v", Seq("x", "y"))(df)
+    val pm = piv.collect().map(x => x.getString(0) ->
+      (Option(x.get(1)).map(_.asInstanceOf[Double]), Option(x.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(pm == Map("a" -> (Some(1.0), Some(2.0)), "b" -> (Some(4.0), None)))
+    val melted = Ops.unpivot(Seq("k1"), Seq("x", "y"), "k2", "v")(piv)
+      .collect().map(x => (x.getString(0), x.getString(1), Option(x.get(2)).map(_.asInstanceOf[Double]))).toSet
+    // unpivot keeps null cells, so sparse pivots round-trip losslessly
+    assert(melted == Set(
+      ("a", "x", Some(1.0)), ("a", "y", Some(2.0)),
+      ("b", "x", Some(4.0)), ("b", "y", None)))
+  }
+
   test("asofJoinForward: earliest right at-or-after; null right timestamps never match") {
     import graft.ops.AsOf
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 30L, "p4"), (2L, 10L, "p3"))
