@@ -143,6 +143,14 @@ object SparkEntry {
       Ops.qualifiedJoin(
         t(s, d, "orders"), t(s, d, "customer"),
         Seq(("o_custkey", "c_custkey")), "inner")),
+    // semi/anti joins: existence filters that never widen the row —
+    // the build side ships only its keys (broadcast at dim sizes)
+    "j6_semi_join" -> ((s, d) =>
+      Ops.qualifiedJoin(t(s, d, "customer"), t(s, d, "orders"),
+        Seq(("c_custkey", "o_custkey")), "left_semi")),
+    "j6_anti_join" -> ((s, d) =>
+      Ops.qualifiedJoin(t(s, d, "customer"), t(s, d, "orders"),
+        Seq(("c_custkey", "o_custkey")), "left_anti")),
     // co-located bucketed join: both sides written bucketed on the
     // key, so the join itself plans ZERO exchanges — the write-once
     // shuffle pattern for a repeatedly-stitched 100 TB store. The agg
@@ -711,6 +719,10 @@ object SparkEntry {
         |FROM supplier s FULL OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
     "j3_qualified_join" ->
       "SELECT * FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    "j6_semi_join" ->
+      "SELECT * FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "j6_anti_join" ->
+      "SELECT * FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
     "j5_bucketed_join" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal, o.n_orders, o.max_totalprice
         |FROM customer c JOIN (
