@@ -30,4 +30,33 @@ class ContractSpec extends SparkSpec {
       catch { case e: Throwable => fail(s"$name failed analysis: ${e.getMessage}") }
     }
   }
+
+  /** The scale contract, enforced over the WHOLE query surface: no
+    * plan may contain a CartesianProduct at any size, and a
+    * BroadcastNestedLoopJoin may appear only where the build side is
+    * bounded by construction — 1-row aggregates (SUMEQ, the
+    * cosine-probe frame) or the guarded probe set of the brute-force
+    * kNN baseline. A refactor that degrades any query to an
+    * unbounded cross join fails HERE with the query's name, not in
+    * production at 100 TB.
+    */
+  test("no query plans a cartesian; nested-loop joins only with bounded build sides") {
+    val boundedBuildSide = Set(
+      "c5_attach_sumeq",        // crossJoin(broadcast(1-row global agg))
+      "sim_cosine_topk",        // crossJoin(broadcast(1-row probe vector))
+      "sim_knn_join",           // exact-kNN baseline: guarded probe-set broadcast (maybeBroadcast cap)
+      "pipeline_preprocess",    // SUMEQ-style 1-row corpus stats broadcast
+      "engine_clinical_study",  // study configs contain ATTACH COLUMN/SUMEQ -> 1-row agg cross
+      "engine_study", "engine_pipeline" // same SUMEQ pattern via the interpreter
+    )
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed planning: ${e.getMessage}") }
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$plan")
+      if (!boundedBuildSide(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the bounded allowlist:\n$plan")
+    }
+  }
 }
