@@ -255,6 +255,15 @@ object SparkEntry {
     "r2_sort_dataset" -> ((s, d) =>
       Ops.sortDataset(Seq("r_name"), desc = true)(t(s, d, "region"))),
     "r3_remove_rows" -> ((s, d) => Ops.removeRows("big_total")(nullBase(s, d))),
+    // set ops over overlapping slices of nation (keys 0-14 vs 10-24)
+    "r5_intersect" -> ((s, d) =>
+      Ops.intersectRows(
+        t(s, d, "nation").where(col("n_nationkey") < 15),
+        t(s, d, "nation").where(col("n_nationkey") >= 10))),
+    "r5_except" -> ((s, d) =>
+      Ops.exceptRows(
+        t(s, d, "nation").where(col("n_nationkey") < 15),
+        t(s, d, "nation").where(col("n_nationkey") >= 10))),
 
     // ===== engine + sources/sinks =====
     "s1_nested_roundtrip" -> ((s, d) => {
@@ -808,6 +817,12 @@ object SparkEntry {
     "r2_sort_dataset" -> "SELECT * FROM region ORDER BY r_name DESC NULLS LAST",
     "r3_remove_rows" ->
       s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, big_total FROM $nullBaseSql WHERE big_total IS NOT NULL",
+    "r5_intersect" ->
+      """SELECT * FROM nation WHERE n_nationkey < 15
+        |INTERSECT SELECT * FROM nation WHERE n_nationkey >= 10""".stripMargin,
+    "r5_except" ->
+      """SELECT * FROM nation WHERE n_nationkey < 15
+        |EXCEPT SELECT * FROM nation WHERE n_nationkey >= 10""".stripMargin,
     "s1_nested_roundtrip" ->
       "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "s7_standardized" ->

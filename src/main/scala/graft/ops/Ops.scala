@@ -440,6 +440,14 @@ object Ops {
   def bindRows(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** R5 set operations (beyond-reference): SQL INTERSECT/EXCEPT
+    * (distinct semantics). Both plan as an aggregate + semi/anti
+    * join on all columns — shuffle key is the full row, partial
+    * aggregation applies; never a sort-based set diff.
+    */
+  def intersectRows(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def exceptRows(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
   /** R2 SORT DATASET: one direction for all cols, nulls last both
     * ways (pandas semantics).
     */
