@@ -12,15 +12,17 @@ object Bench {
     * similarity, text). Falls back to all queries if a name is gone.
     */
   val headline: Seq[String] = Seq(
-    "j1_left_join", "a1_summarise_minmax", "a3_groupby_slice",
-    "p4_unique_columns", "r1_bind_rows", "c5_attach_sumeq",
+    "j1_left_join", "j6_semi_join", "a1_summarise_minmax", "a3_groupby_slice",
+    "a5_rollup", "a6_pivot",
+    "p4_unique_columns", "r1_bind_rows", "r5_intersect", "c5_attach_sumeq",
     "engine_pipeline", "engine_study", "s1_nested_roundtrip",
     "s1_keyed_scan", "s8_export_flatten",
     "w1_event_windows", "w2_json_props",
     "asof_click_before_purchase", "range_attribution",
     "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash_pairs",
     "sim_cosine_topk", "sim_knn_join", "sim_ann_topk", "sim_ivf_topk",
-    "text_quality", "text_langid", "text_fingerprint",
+    "text_quality", "text_langid", "text_fingerprint", "text_top_terms",
+    "sample_stratified",
     "pipeline_preprocess", "pipeline_train_prep",
     "asof_next_purchase_after_click", "mm_binary_meta")
 
