@@ -66,12 +66,14 @@ object Bench {
       val syn = spark.range(2000).selectExpr(
         "id", "concat('Doc text, sample #', id, ' word word') AS text",
         "array(cast(id as double), 1.0, 2.0) AS vec")
+      // aggregate over ALL warmup columns — a max("a")-only agg lets
+      // column pruning delete the other expressions before they run
       syn.selectExpr(
         "md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))) AS a",
         "xxhash64(text, 42) AS b",
         "sha2(text, 256) AS c",
         "aggregate(zip_with(vec, vec, (x, y) -> x * y), 0d, (s, x) -> s + x) AS d")
-        .agg(org.apache.spark.sql.functions.max("a")).collect()
+        .selectExpr("max(a)", "max(b)", "max(c)", "max(d)").collect()
       syn.selectExpr("id % 7 AS k", "explode(split(text, ' ')) AS t")
         .groupBy("k").agg(org.apache.spark.sql.functions.countDistinct("t"))
         .collect()

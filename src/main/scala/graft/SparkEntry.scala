@@ -71,7 +71,15 @@ object SparkEntry {
   private val ivfModels = new java.util.concurrent.ConcurrentHashMap[(String, String), graft.llm.Ivf.IvfModel]()
   private def listingDigest(root: java.io.File): String = {
     def walk(f: java.io.File): Seq[String] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      if (f.isDirectory)
+        // listFiles() returns NULL (not empty) on I/O or permission
+        // failure — e.g. the directory being replaced mid-walk, the
+        // exact race this digest exists to catch. A marker entry makes
+        // the digest differ so the memo evicts and retrains.
+        Option(f.listFiles()) match {
+          case Some(fs) => fs.sortBy(_.getName).toSeq.flatMap(walk)
+          case None => Seq(s"${f.getPath}|unreadable")
+        }
       else Seq(s"${f.getPath}|${f.length()}|${f.lastModified()}")
     val md = java.security.MessageDigest.getInstance("MD5")
     walk(root).foreach(l => md.update(l.getBytes("UTF-8")))

@@ -68,6 +68,13 @@ case class NearestCentroids(vec: Expression, centroids: Expression, nProbe: Expr
         }
         c += 1
       }
+      // all remaining distances NaN (degraded vector): fall back to
+      // the lowest untaken id — the order array_sort's NaN-last
+      // semantics produced in the composed form, instead of crashing
+      if (best == -1) {
+        c = 0
+        while (best == -1 && c < k) { if (!taken(c)) best = c; c += 1 }
+      }
       taken(best) = true
       out(r) = best
       r += 1

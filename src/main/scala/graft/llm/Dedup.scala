@@ -202,9 +202,13 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       shingleK: Int = 3): DataFrame = {
+    // NOT persisted: the caller gets a lazy frame, so a persist here
+    // could never be unpersisted and would leak a corpus-shingle-sized
+    // cache per invocation for the session lifetime. Recomputing the
+    // explode (3 linear passes) is noise next to the quadratic join
+    // this audit path exists to pay.
     val sh = df.select(col(idCol),
       explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = sh.toDF("id_a", "__sh").join(sh.toDF("id_b", "__sh"), "__sh")
       .where(col("id_a") < col("id_b"))

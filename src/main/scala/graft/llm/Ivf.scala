@@ -58,11 +58,16 @@ object Ivf {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, s"Ivf.train: no non-empty vectors in $vecCol")
+    // guard ragged dimensionality (a truncated upstream write): train
+    // on the sample's dominant length rather than crashing in sqDist,
+    // mirroring NearestCentroids' min-length defensive assignment
+    val dim = sample.groupBy(_.length).maxBy { case (_, vs) => vs.length }._1
+    val clean = sample.filter(_.length == dim)
     // restarts are ~free at this size; best-of-nInit by within-cluster
     // sum of squares recovers the init quality MLlib got from kmeans||
     val runs = (0 until nInit).map(r =>
-      lloyd(sample, math.min(k, sample.length), seed + r, maxIter, spherical))
-    IvfModel(runs.minBy(cs => inertia(sample, cs)))
+      lloyd(clean, math.min(k, clean.length), seed + r, maxIter, spherical))
+    IvfModel(runs.minBy(cs => inertia(clean, cs)))
   }
 
   private def inertia(xs: Array[Array[Double]], cents: Array[Array[Double]]): Double = {
@@ -176,9 +181,16 @@ object Ivf {
     * replaced was interpreted per centroid and dominated cold-run
     * planning.
     */
-  private def nearestCentroids(vec: org.apache.spark.sql.Column, model: IvfModel, nProbe: Int) =
+  private def nearestCentroids(vec: org.apache.spark.sql.Column, model: IvfModel, nProbe: Int) = {
+    // a Column carries no session, so register against the active one
+    // — without this, probeCentroids on a fresh session resolves
+    // graft_ivf_cells only if assign/ivfTopK happened to run first
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.ArrayFns.register)
     call_function("graft_ivf_cells", vec,
       typedlit(model.centroids.map(_.toSeq).toSeq), lit(nProbe))
+  }
 
   /** The `nProbe` nearest centroid ids for a probe vector (position
     * 0 = nearest) — the cell list a search would scan.

@@ -111,8 +111,15 @@ object AsOf {
         u.withColumn("__p", last(col("__p"), ignoreNulls = true)
           .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
+    // a left row with a null time gets a null payload in BOTH modes.
+    // Backward gets this for free (nulls sort first, the preceding
+    // frame holds only other null-time rows); forward would otherwise
+    // hand the null-time row the EARLIEST right payload, because the
+    // following frame spans the whole partition from a nulls-first
+    // position.
     filled.where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col("__p").getField(c).as(s"$prefix$c")): _*)
+        payloadCols.map(c =>
+          when(col("__t").isNotNull, col("__p").getField(c)).as(s"$prefix$c")): _*)
   }
 }

@@ -21,13 +21,13 @@ object IvfTune {
     val exact = graft.llm.Similarity.knnJoin(emb, probes, "vec_id", "embedding", k)
       .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def eval(label: String, m: Ivf.IvfModel): Unit = {
+      // model-dependent only — hoisted out of the nProbe loop
+      val assigned = Ivf.assign(emb, "vec_id", "embedding", m)
+        .groupBy("centroid_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       for (np <- Seq(1, 2, 4, 5, 6)) {
         val got = Ivf.ivfTopK(emb, probes, "vec_id", "embedding", m, k, np)
           .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val rec = (exact intersect got).size.toDouble / exact.size
-        // candidates = corpus rows whose centroid is among the probe's np probed cells
-        val assigned = Ivf.assign(emb, "vec_id", "embedding", m)
-          .groupBy("centroid_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val pc = probes.select(col("vec_id"), Ivf.probeCentroids(col("embedding"), m, np).as("cids")).collect()
         val scanned = pc.map(r => r.getSeq[Int](1).map(assigned.getOrElse(_, 0L)).sum).sum.toDouble / (pc.length * n)
         println(f"$label%-28s nProbe=$np  recall=$rec%.3f  scan=${scanned * 100}%.1f%%")

@@ -205,6 +205,18 @@ class LlmSpec extends SparkSpec {
     assert(splits.values.toSet == Set("train", "val", "test"))
   }
 
+  test("IVF assignment survives NaN vectors (degraded input assigns deterministically, no crash)") {
+    import graft.llm.Ivf
+    val m = Ivf.IvfModel(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(0.1, 0.1)),
+      (2L, Seq(Double.NaN, 0.5))).toDF("vec_id", "embedding")
+    val got = Ivf.assign(df, "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) == 0)
+    assert(got(2L) == 0, "all-NaN distances fall back to the lowest id (array_sort NaN-last order)")
+  }
+
   test("stratified sampling: per-stratum rates, cross-stratum-stable membership") {
     import graft.llm.Sampling
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")

@@ -208,6 +208,18 @@ class OpsSpec extends SparkSpec {
       ("p3", None, None)))             // rt=5 precedes t=10 -> no forward match
   }
 
+  test("asofJoinForward: a left row with a null time gets a null payload, not the earliest right") {
+    import graft.ops.AsOf
+    val left = Seq((1L, Option(10L), "ok"), (1L, Option.empty[Long], "null-time"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 20L, "r1")).toDF("k", "rt", "rv")
+    val got = AsOf.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getString(2), Option(r.getAs[String]("asof_rv")))).toSet
+    // nulls sort FIRST ascending, so without the explicit null-time
+    // guard the following frame would hand "null-time" r1's payload
+    assert(got == Set(("ok", Some("r1")), ("null-time", None)))
+  }
+
   test("asofJoinBackward: null keys never equal each other (left keeps row with null payload)") {
     import graft.ops.AsOf
     val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b")).toDF("k", "t", "lv")
