@@ -369,6 +369,26 @@ object SparkEntry {
       val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingIngest.sessionizeBatch(ev)
     }),
+    // rolling-frame window over integer-valued doubles (engine-exact
+    // sums) + rank-family: the remaining window surface, gated
+    "w4_rolling_sum" -> ((s, d) => {
+      // l_quantity in the ordering: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) pairs, and rows tied on ALL
+      // order keys including the summed value leave every prefix sum
+      // well-defined regardless of which engine breaks the tie
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("rolling_qty"))
+    }),
+    "w5_percent_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
     "w1_event_windows" -> ((s, d) => {
       // ts read as nanos-long (see eventsNanos), truncated to micros —
       // exactly DuckDB's nanos→micros read behavior.
@@ -1132,6 +1152,15 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "w4_rolling_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_qty
+        |FROM lineitem""".stripMargin,
+    "w5_percent_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "w1_event_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, max(value) AS max_value
