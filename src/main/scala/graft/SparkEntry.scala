@@ -156,8 +156,13 @@ object SparkEntry {
     "j6_semi_join" -> ((s, d) =>
       Ops.qualifiedJoin(t(s, d, "customer"), t(s, d, "orders"),
         Seq(("c_custkey", "o_custkey")), "left_semi")),
+    // the right side is restricted (high-value orders) so the anti
+    // result is NON-empty at every SF — an unrestricted orders side
+    // leaves zero survivors in the synthetic data, making the oracle
+    // gate vacuous (any broken left_anti would still "pass" on 0=0)
     "j6_anti_join" -> ((s, d) =>
-      Ops.qualifiedJoin(t(s, d, "customer"), t(s, d, "orders"),
+      Ops.qualifiedJoin(t(s, d, "customer"),
+        t(s, d, "orders").where(col("o_totalprice") > 300000),
         Seq(("c_custkey", "o_custkey")), "left_anti")),
     // co-located bucketed join: both sides written bucketed on the
     // key, so the join itself plans ZERO exchanges — the write-once
@@ -759,7 +764,7 @@ object SparkEntry {
     "j6_semi_join" ->
       "SELECT * FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
     "j6_anti_join" ->
-      "SELECT * FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+      "SELECT * FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)",
     "j5_bucketed_join" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal, o.n_orders, o.max_totalprice
         |FROM customer c JOIN (

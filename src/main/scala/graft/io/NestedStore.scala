@@ -84,7 +84,16 @@ object NestedStore {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(keys: _*).parquet(tmp.toString)
     require(fs.rename(hadoopPath, old), s"compact: could not stage out $path")
-    require(fs.rename(tmp, hadoopPath), s"compact: could not swap in $tmp")
+    // if the swap-in fails after the stage-out succeeded, roll the old
+    // directory back — otherwise the store vanishes for every reader
+    // until manual repair
+    if (!fs.rename(tmp, hadoopPath)) {
+      val restored = fs.rename(old, hadoopPath)
+      throw new IllegalStateException(
+        s"compact: could not swap in $tmp" +
+          (if (restored) s" (original restored at $path)"
+           else s" (ROLLBACK FAILED — data is at $old)"))
+    }
     fs.delete(old, true)
     CompactionStats(before, dataFiles(hadoopPath))
   }

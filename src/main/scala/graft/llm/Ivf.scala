@@ -57,12 +57,17 @@ object Ivf {
       .limit(maxTrain)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, s"Ivf.train: no non-empty vectors in $vecCol")
+    // a single NaN/Inf vector poisons k-means++ (d2.sum goes NaN, the
+    // D²-weighted scan never fires, every seed collapses to xs(0) in
+    // ALL nInit restarts) — drop non-finite vectors before training,
+    // mirroring NearestCentroids' NaN-safe assignment
+    val finite = sample.filter(_.forall(java.lang.Double.isFinite))
+    require(finite.nonEmpty, s"Ivf.train: no finite non-empty vectors in $vecCol")
     // guard ragged dimensionality (a truncated upstream write): train
     // on the sample's dominant length rather than crashing in sqDist,
     // mirroring NearestCentroids' min-length defensive assignment
-    val dim = sample.groupBy(_.length).maxBy { case (_, vs) => vs.length }._1
-    val clean = sample.filter(_.length == dim)
+    val dim = finite.groupBy(_.length).maxBy { case (_, vs) => vs.length }._1
+    val clean = finite.filter(_.length == dim)
     // restarts are ~free at this size; best-of-nInit by within-cluster
     // sum of squares recovers the init quality MLlib got from kmeans||
     val runs = (0 until nInit).map(r =>
@@ -142,6 +147,10 @@ object Ivf {
         while (j < dim) { sums(c)(j) += xs(i)(j); j += 1 }
         i += 1
       }
+      // reseed bookkeeping: two cells emptied in the SAME iteration
+      // must pick DISTINCT farthest points, else they stay duplicates
+      // and diversify only ~1 cell per iteration
+      val reseeded = scala.collection.mutable.Set.empty[Int]
       var c = 0
       while (c < k) {
         if (counts(c) > 0) {
@@ -155,15 +164,18 @@ object Ivf {
             while (j < dim) { cents(c)(j) *= inv; j += 1 }
           }
         } else {
-          // re-seed an empty cell from the globally farthest point
-          var far = 0; var farD = -1.0
+          // re-seed an empty cell from the farthest point not already
+          // used to reseed another cell this iteration
+          var far = -1; var farD = -1.0
           var p = 0
           while (p < xs.length) {
-            val d = sqDist(xs(p), cents(assignment(p)))
-            if (d > farD) { farD = d; far = p }
+            if (!reseeded.contains(p)) {
+              val d = sqDist(xs(p), cents(assignment(p)))
+              if (d > farD) { farD = d; far = p }
+            }
             p += 1
           }
-          cents(c) = xs(far).clone()
+          if (far >= 0) { cents(c) = xs(far).clone(); reseeded += far }
           moved = true
         }
         c += 1

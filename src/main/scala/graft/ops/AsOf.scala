@@ -98,25 +98,33 @@ object AsOf {
     val unified = (leftCols ++ Seq("__t", "__side", "__p")).map(col)
     val u = lPrep.select(unified: _*).unionByName(rPrep.select(unified: _*))
 
-    val w0 = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-    // the struct of a right row is never null (even with all-null
-    // fields), so one running first/last(ignoreNulls) is an atomic
-    // match: every payload field comes from the SAME right row.
-    val filled =
+    // Both modes use the RUNNING frame [unboundedPreceding, currentRow]:
+    // Spark executes it as an O(n) incremental scan per key, whereas a
+    // [currentRow, unboundedFollowing] frame recomputes the aggregate
+    // from scratch at every row (UnboundedFollowingWindowFunctionFrame,
+    // O(n²) on hot keys). Forward mode gets the running shape by
+    // sorting DESCENDING — the "earliest right row at-or-after" is then
+    // the nearest preceding non-null in frame order. __side desc keeps
+    // a right row (tag 2) visible to a left row (tag 1) at the same
+    // timestamp.
+    val w0 =
       if (forward)
-        u.withColumn("__p", first(col("__p"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t").desc, col("__side").desc)
       else
-        u.withColumn("__p", last(col("__p"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+    // the struct of a right row is never null (even with all-null
+    // fields), so one running last(ignoreNulls) is an atomic match:
+    // every payload field comes from the SAME right row.
+    val filled = u.withColumn("__p", last(col("__p"), ignoreNulls = true)
+      .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     // a left row with a null time gets a null payload in BOTH modes.
     // Backward gets this for free (nulls sort first, the preceding
-    // frame holds only other null-time rows); forward would otherwise
-    // hand the null-time row the EARLIEST right payload, because the
-    // following frame spans the whole partition from a nulls-first
-    // position.
+    // frame holds only other null-time rows); forward sorts desc so
+    // nulls land LAST and the running frame spans the whole partition
+    // — the isNotNull guard below nulls the payload out.
     filled.where(col("__side") === 1)
       .select(leftCols.map(col) ++
         payloadCols.map(c =>
