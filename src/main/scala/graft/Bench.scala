@@ -39,7 +39,10 @@ object Bench {
       // local analogue of sizing maxPartitionBytes to the cluster.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
+      // per-invocation warehouse — see Verify.scala: concurrent runs
+      // must not share managed-table paths
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_bench_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,25 +92,76 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
-    var timings = Vector.empty[(String, Double)]
+    // median-of-N per query: single-run timings swung 0.25x-4.7x
+    // between rounds on UNCHANGED code (whichever query first hits a
+    // cold code path eats the JIT/codegen bill), which made real
+    // regressions indistinguishable from noise. The median of 3
+    // back-to-back runs is stable to ~1.2x; min/max spread is kept in
+    // the JSON so a reader can see when a number is still noisy.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    var timings = Vector.empty[(String, Seq[Double])]
     var errors = Vector.empty[(String, String)]
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings :+= name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      var err: Option[String] = None
+      // phased queries (SparkEntry.benchPhases) report one entry per
+      // phase ("name#write", "name#read") instead of a single fused
+      // timing — the phases sum to the roundtrip, so totals compare
+      // across rounds
+      SparkEntry.benchPhases.get(name) match {
+        case Some(mk) =>
+          val phaseTimes = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+          (0 until reps).foreach { _ =>
+            if (err.isEmpty) {
+              try mk(spark, sfDir).foreach { case (phase, thunk) =>
+                val t0 = System.nanoTime()
+                thunk()
+                phaseTimes(phase) =
+                  phaseTimes.getOrElse(phase, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+              } catch {
+                case e: Throwable =>
+                  err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+              }
+            }
+          }
+          err match {
+            case Some(msg) => errors :+= name -> msg
+            case None => phaseTimes.foreach { case (ph, ts) => timings :+= s"$name#$ph" -> ts }
+          }
+        case None =>
+          val fn = SparkEntry.queries(name)
+          val runs = (0 until reps).flatMap { _ =>
+            if (err.isDefined) None  // a throwing query throws every rep — stop at the first
+            else {
+              val t0 = System.nanoTime()
+              try {
+                fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch {
+                case e: Throwable =>
+                  err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+                  None
+              }
+            }
+          }
+          err match {
+            case Some(msg) => errors :+= name -> msg
+            case None => timings :+= name -> runs
+          }
       }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${median(v)}" }.mkString("{", ",", "}")
+    val sp = timings.map { case (k, v) =>
+      s"${jstr(k)}:{\"min\":${v.min},\"max\":${v.max},\"runs\":${v.length}}"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+    val total = timings.map { case (_, v) => median(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

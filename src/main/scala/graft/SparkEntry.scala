@@ -19,6 +19,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM-invocation scratch root for queries that round-trip
+    * through local disk (S1/S2/S5/S9/S10, clinical store): two
+    * concurrent Verify/Bench invocations on one machine must never
+    * read each other's half-written stores, which fixed /tmp paths
+    * allowed. Stable WITHIN a JVM so bench reps overwrite rather
+    * than accumulate.
+    */
+  lazy val scratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** The testdata has no physical nulls, so null-exercising ops run
     * on this frame: customer ⟕ per-customer max "big order" total —
     * `big_total` is null for customers without a >200k order.
@@ -297,7 +311,7 @@ object SparkEntry {
         t(s, d, "customer").select(
           col("c_custkey").as("subject"), col("c_mktsegment").as("country"),
           col("c_nationkey").as("site")), "S001")
-      val path = "/tmp/graft_std_store"
+      val path = scratch("std_store")
       std.write.mode("overwrite").parquet(path)
       Ops.selectColumnsTolerant(Seq("subject", "country"), distinct = false)(
         Standardized.flattenStandardized(s.read.parquet(path)))
@@ -311,7 +325,7 @@ object SparkEntry {
     "s9_parquet_append" -> ((s, d) => {
       // S9 evolving append sink: two writes with different schemas,
       // read back with mergeSchema.
-      val path = "/tmp/graft_append_q"
+      val path = scratch("append_q")
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(path), true)
       Export.writeParquetAppend(t(s, d, "region").select("r_regionkey", "r_name"), path)
@@ -320,7 +334,7 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(path)
     }),
     "s10_csv_sink" -> ((s, d) => {
-      val path = "/tmp/graft_csv_sink_q"
+      val path = scratch("csv_sink_q")
       Export.writeCsv(t(s, d, "region"), path)
       s.read.option("header", "true").csv(path)
     }),
@@ -334,14 +348,14 @@ object SparkEntry {
       StudyRunner.run(study, new ParquetResolver(s, d))
     }),
     "engine_clinical_study" -> ((s, d) => {
-      val storeDir = "/tmp/graft_clinical_store"
+      val storeDir = scratch("clinical_store")
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(storeDir), true)
       graft.io.ClinicalDemo.run(s, storeDir)
     }),
 
     "s1_keyed_scan" -> ((s, d) => {
-      val store = "/tmp/graft_store_q"
+      val store = scratch("store_q")
       val base = t(s, d, "lineitem").select(
         col("l_returnflag").as("study_code"), col("l_linestatus").as("view"),
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
@@ -350,7 +364,7 @@ object SparkEntry {
         s.read.parquet(store).where(col("study_code") === "R" && col("view") === "F"))
     }),
     "s5_csv_source" -> ((s, d) => {
-      val path = "/tmp/graft_csv_src"
+      val path = scratch("csv_src")
       t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(path)
       graft.io.Ingestion.readFile(s, s"$path/part-00000*.csv")
     }),
@@ -692,6 +706,33 @@ object SparkEntry {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
+
+  /** Bench-only phase decomposition (consumed by Bench.main): the
+    * same code paths as the registry query, with a timing boundary
+    * between the store WRITE (nest shuffle + partitioned parquet) and
+    * the partition-pruned READ, so the pruned-read cost — the number
+    * that matters for a point lookup on a 100 TB store — is visible
+    * on its own instead of buried in a roundtrip total. Phases run in
+    * order within one bench rep; each thunk fully materializes.
+    * Correctness still gates the fused registry query; this map only
+    * changes how Bench times it.
+    */
+  def benchPhases: Map[String, (SparkSession, String) => Seq[(String, () => Unit)]] = Map(
+    "s1_keyed_scan" -> ((s, d) => {
+      val store = scratch("bench_keyed_store")
+      Seq(
+        "write" -> { () =>
+          val base = t(s, d, "lineitem").select(
+            col("l_returnflag").as("study_code"), col("l_linestatus").as("view"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          NestedStore.write(NestedStore.nest(base, "study_code", "view"), store)
+        },
+        "read" -> { () =>
+          NestedStore.flatten(
+            s.read.parquet(store).where(col("study_code") === "R" && col("view") === "F"))
+            .write.mode("overwrite").format("noop").save()
+        })
+    }))
 
   /** Oracles whose SQL depends on runtime-trained state: generated at
     * Verify time and merged into oracle_sql.json next to the static
