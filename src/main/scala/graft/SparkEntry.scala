@@ -623,17 +623,38 @@ object SparkEntry {
       Multimodal.chunkBinary("content", 100)(
         Multimodal.withBinaryContent("text")(t(s, d, "documents")))
         .select(col("doc_id"), col("chunk_idx"), decode(col("chunk"), "UTF-8").as("chunk_str"))),
-    "mm_decode_stub" -> ((s, d) =>
-      Multimodal.withDecodedMetaStub("content")(
+    // REAL header decode over synthesized-but-valid PNG/JPEG byte
+    // streams (and raw text as the unrecognized branch): the parser is
+    // the general segment walker, the fixture varies the SOF offset
+    // per row, the oracle states the dimensions closed-form
+    "mm_decode" -> ((s, d) => {
+      val withImg = t(s, d, "documents")
+        .withColumn("content", Multimodal.synthMediaContent(col("doc_id"), col("text")))
+      Multimodal.withImageMeta("content")(withImg)
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          octet_length(col("content")).as("n_bytes"))
+    }),
+    // REAL per-chunk byte features: the batched feature-extract pass
+    // (histogram stats + Shannon entropy) over 100-byte chunks.
+    // Entropy is rounded to 6dp on both sides — the two engines sum
+    // the same c*ln(c) terms in different orders (~1e-13 apart).
+    "mm_features" -> ((s, d) =>
+      Multimodal.withByteStats("chunk")(
+        Multimodal.chunkBinary("content", 100)(
+          Multimodal.withBinaryContent("text")(t(s, d, "documents"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("byte_stats.n_bytes").as("n_bytes"),
+          col("byte_stats.n_distinct").as("n_distinct"),
+          col("byte_stats.byte_sum").as("byte_sum"),
+          col("byte_stats.n_printable").as("n_printable"),
+          round(col("byte_stats.entropy"), 6).as("entropy"))),
+    // whole-doc normalized 16-bin byte histogram, posexploded to
+    // scalar rows (same array-compare rationale as vec_slice_ops)
+    "mm_byte_hist" -> ((s, d) =>
+      Multimodal.withByteHist("content", bins = 16)(
         Multimodal.withBinaryContent("text")(t(s, d, "documents")))
-        .select(col("doc_id"), col("media_meta.width"), col("media_meta.height"),
-          col("media_meta.format"), col("media_meta.n_bytes"))),
-    // flattened to (doc_id, feat_idx, feat) scalar rows — same
-    // array-compare rationale as vec_slice_ops
-    "mm_feature_stub" -> ((s, d) =>
-      Multimodal.withFeatureStub("content")(
-        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
-        .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))),
+        .select(col("doc_id"), posexplode(col("byte_hist")).as(Seq("bin_idx", "p")))),
   )
 
   // ===== oracle-SQL builders for the LSH / SimHash families =====
@@ -1156,17 +1177,53 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
         |        unnest(generate_series(0, len(embedding) - 1)) AS i
         |      FROM embeddings)""".stripMargin,
-    "mm_feature_stub" ->
-      """SELECT doc_id, CAST(i AS INTEGER) AS feat_idx,
-        |  CAST(CAST(concat('0x', substr(md5(text), CAST(i * 4 + 1 AS INTEGER), 4)) AS BIGINT) % 1000 / 500.0 - 1.0 AS REAL) AS feat
-        |FROM (SELECT doc_id, text, unnest(generate_series(0, 7)) AS i FROM documents)""".stripMargin,
-    "mm_decode_stub" ->
+    // closed-form statement of what a correct header parser must
+    // return for the synthMediaContent fixture (PNG = 33 bytes fixed;
+    // JPEG = 45 + COM pad; text rows decode to null)
+    "mm_decode" ->
       """SELECT doc_id,
-        |  CAST(h % 1920 + 1 AS INTEGER) AS width,
-        |  CAST((h >> 8) % 1080 + 1 AS INTEGER) AS height,
-        |  CASE h % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
-        |FROM (SELECT doc_id, text, CAST(concat('0x', substr(sha256(text), 1, 6)) AS BIGINT) AS h FROM documents)""".stripMargin,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1913 + 16 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1061 + 16 AS INTEGER) END AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 46 + doc_id % 37
+        |       ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+    // independent byte-level recompute: hex the UTF-8 bytes, unnest to
+    // byte values, aggregate the same histogram statistics
+    "mm_features" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |         hex(encode(substr(text, CAST(i * 100 + 1 AS INTEGER), 100))) AS hx
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS i
+        |        FROM documents)),
+        |bytes AS (
+        |  SELECT doc_id, chunk_idx,
+        |         CAST(concat('0x', substr(hx, CAST(j * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS v
+        |  FROM (SELECT doc_id, chunk_idx, hx,
+        |          unnest(generate_series(0, CAST(length(hx) / 2 AS BIGINT) - 1)) AS j
+        |        FROM chunks)),
+        |cnt AS (SELECT doc_id, chunk_idx, v, count(*) AS c FROM bytes GROUP BY 1, 2, 3)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(sum(c) AS INTEGER) AS n_bytes,
+        |  CAST(count(*) AS INTEGER) AS n_distinct,
+        |  CAST(sum(v * c) AS BIGINT) AS byte_sum,
+        |  CAST(sum(CASE WHEN v BETWEEN 32 AND 126 THEN c ELSE 0 END) AS INTEGER) AS n_printable,
+        |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6) AS entropy
+        |FROM cnt GROUP BY 1, 2""".stripMargin,
+    "mm_byte_hist" ->
+      """WITH bytes AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(hx, CAST(j * 2 + 1 AS INTEGER), 2)) AS INTEGER) // 16 AS bin
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          unnest(generate_series(0, octet_length(encode(text)) - 1)) AS j
+        |        FROM documents)),
+        |cnt AS (SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+        |n AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT n.doc_id, CAST(g.i AS INTEGER) AS bin_idx,
+        |  COALESCE(cnt.c, 0) / CAST(n.n AS DOUBLE) AS p
+        |FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+        |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = g.i""".stripMargin,
     "sim_ann_topk" -> annTopKOracle,
     "sim_embedding_neardup" -> embeddingNearDupOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,

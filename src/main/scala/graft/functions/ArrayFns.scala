@@ -166,6 +166,12 @@ object ArrayFns {
       exprs => SimHashAgg(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ivf_cells",
       exprs => NearestCentroids(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_image_meta",
+      exprs => ImageMeta(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_stats",
+      exprs => ByteStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_hist",
+      exprs => ByteHist(exprs(0), exprs(1)), "built-in")
   }
 
   /** Fused native dot product — [[register]] the session first;

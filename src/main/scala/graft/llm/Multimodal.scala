@@ -4,12 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
-  * columns plus typed metadata. The container has no codec libraries,
-  * so the DECODE step is a clearly-marked deterministic stub — but the
-  * Spark-side plumbing (schema, chunking, batch shape, partition
-  * safety) is real and tested, which is the part that has to be right
-  * at 100 TB: content bytes never become a shuffle key, metadata is
-  * extracted once and carried as narrow columns.
+  * columns plus typed metadata. Metadata decode (PNG/JPEG/GIF header
+  * parse) and feature extraction (byte histogram / entropy) are REAL
+  * native expressions over the bytes — no codec library needed for
+  * either, since dimensions live in image headers by spec and byte
+  * statistics are codec-free. Only a pixel-level decode (which needs
+  * PIL/ffmpeg, absent in this container) remains out of scope; it
+  * would slot in as a mapInArrow stage downstream of these probes.
+  * The scale rules hold throughout: content bytes never become a
+  * shuffle key, metadata is extracted once into narrow columns.
   */
 object Multimodal {
 
@@ -28,22 +31,21 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(binCol)))
       .withColumn("content_sha256", sha2(col(binCol), 256))
 
-  /** DECODE STUB — the deterministic fake. A real deployment replaces
-    * this with a vectorized decode over Arrow batches (mapInPandas /
-    * mapInArrow with PIL/ffmpeg in the image); the output SCHEMA and
-    * per-row contract here are exactly what that UDF must produce, so
-    * swapping the implementation does not touch any downstream plan.
-    * Fake dimensions derive from the content digest — stable across
-    * runs, partitions, and cluster layouts.
-    */
-  def withDecodedMetaStub(binCol: String, outCol: String = "media_meta")(df: DataFrame): DataFrame = {
-    val hInt = conv(substring(sha2(col(binCol), 256), 1, 6), 16, 10).cast("long")
-    df.withColumn(outCol, struct(
-      (hInt % 1920 + lit(1)).cast("int").as("width"),
-      (shiftright(hInt, 8) % 1080 + lit(1)).cast("int").as("height"),
-      element_at(array(lit("jpeg"), lit("png"), lit("webp")), (hInt % 3 + 1).cast("int")).as("format"),
-      octet_length(col(binCol)).as("n_bytes")))
+  private def register(df: DataFrame): DataFrame = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    df
   }
+
+  /** REAL image metadata: parse PNG IHDR / JPEG SOF / GIF screen
+    * descriptor headers from the binary column with the native
+    * `graft_image_meta` expression (functions/BinaryFns.scala) —
+    * struct(format, width, height), null for unrecognized bytes.
+    * Dimensions live in the header by spec, so no codec library is
+    * needed; a PIXEL decode (PIL/ffmpeg over mapInArrow) would slot in
+    * downstream of this probe, not replace it.
+    */
+  def withImageMeta(binCol: String, outCol: String = "media_meta")(df: DataFrame): DataFrame =
+    register(df).withColumn(outCol, call_function("graft_image_meta", col(binCol)))
 
   /** Split binary content into fixed-size chunks — the layout step
     * before any batched decode/feature-extract pass, and the unit of
@@ -64,20 +66,60 @@ object Multimodal {
   def sampleChunks(stride: Int)(chunked: DataFrame): DataFrame =
     chunked.where(col("chunk_idx") % stride === 0)
 
-  /** FEATURE-EXTRACT STUB: a deterministic pseudo-embedding from
-    * content bytes, with the real array<float> schema a downstream
-    * similarity op expects. Each dimension is a 4-hex-char slice of
-    * the content md5 scaled to [-1, 1) — one digest per row, engine-
-    * portable arithmetic (any SQL engine that can parse hex can
-    * replicate it, which is what lets the correctness gate hold an
-    * exact oracle against this stub).
+  /** REAL byte-level features: one-pass histogram statistics
+    * (`graft_byte_stats`) — n_bytes, n_distinct, byte_sum,
+    * n_printable, Shannon entropy in bits. The standard codec-free
+    * content filters for a training corpus: entropy separates
+    * text/garbage/compressed, printable ratio flags binary spill,
+    * byte spread flags truncation. Applied per CHUNK this is the
+    * batched feature-extract pass of the pipeline.
     */
-  def withFeatureStub(binCol: String, dim: Int = 8, outCol: String = "features")(df: DataFrame): DataFrame = {
-    require(dim >= 1 && dim <= 8, s"md5 yields 8 4-hex-char slices, got dim=$dim")
-    val h = md5(col(binCol))
-    df.withColumn(outCol,
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(conv(h.substr(i * 4 + 1, lit(4)), 16, 10).cast("long"), lit(1000L))
-          .cast("double") / 500.0 - 1.0).cast("float")))
+  def withByteStats(binCol: String, outCol: String = "byte_stats")(df: DataFrame): DataFrame =
+    register(df).withColumn(outCol, call_function("graft_byte_stats", col(binCol)))
+
+  /** Normalized `bins`-bin byte histogram (`graft_byte_hist`) — a
+    * per-row array<double> feature vector with exact cross-engine
+    * semantics, the codec-free stand-in slot where a learned embedding
+    * would plug in for [[Similarity]] ops downstream.
+    */
+  def withByteHist(binCol: String, bins: Int = 16, outCol: String = "byte_hist")(df: DataFrame): DataFrame =
+    register(df).withColumn(outCol, call_function("graft_byte_hist", col(binCol), lit(bins)))
+
+  /** Deterministic image-byte FIXTURE for the correctness gate: real
+    * PNG / JPEG byte streams (valid signature, IHDR / segment
+    * structure) with dimensions derived from an id column, plus a
+    * non-image fallthrough. The JPEG carries a JFIF APP0 and an
+    * id-length COM segment before SOF0, so [[withImageMeta]]'s
+    * segment walk is exercised at a VARIABLE offset — a parser that
+    * assumes a fixed SOF position fails the gate. Construction is
+    * mirrored closed-form in the DuckDB oracle (SparkEntry).
+    *
+    *  - id % 3 == 0 → PNG, width = id%1913+16, height = id%1061+16
+    *  - id % 3 == 1 → JPEG, same dims, COM pad = id%37+1 bytes
+    *  - id % 3 == 2 → the raw UTF-8 text (no image header)
+    */
+  def synthMediaContent(idCol: Column, textCol: Column): Column = {
+    val w = (idCol % 1913 + 16).cast("int")
+    val h = (idCol % 1061 + 16).cast("int")
+    val pad = (idCol % 37 + 1).cast("int")
+    def hex4(c: Column) = lpad(hex(c), 4, "0")
+    def hex8(c: Column) = lpad(hex(c), 8, "0")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"),          // signature
+      lit("0000000D49484452"),          // IHDR length 13 + type
+      hex8(w), hex8(h),
+      lit("0806000000"),                // bit depth 8, RGBA, std methods
+      lit("DEADBEEF"))                  // CRC (not validated by header probe)
+    val jpegHex = concat(
+      lit("FFD8"),                                  // SOI
+      lit("FFE000104A46494600010100000100010000"),  // APP0 JFIF, len 16
+      lit("FFFE"), hex4(pad + 2),                   // COM, variable length
+      call_function("repeat", lit("41"), pad),      // pad bytes 'A'
+      lit("FFC0001108"), hex4(h), hex4(w),          // SOF0 len 17, precision 8
+      lit("03012200021101031101"),                  // 3 components
+      lit("FFD9"))                                  // EOI
+    when(idCol % 3 === 0, unhex(pngHex))
+      .when(idCol % 3 === 1, unhex(jpegHex))
+      .otherwise(encode(textCol, "UTF-8"))
   }
 }

@@ -308,16 +308,57 @@ class LlmSpec extends SparkSpec {
     assert(rebuilt == 0)
   }
 
-  test("decode stub emits the contract schema deterministically") {
-    val df = Seq((1L, "payload")).toDF("doc_id", "text")
-    val meta = Multimodal.withDecodedMetaStub("content")(
-      Multimodal.withBinaryContent("text")(df))
-    val m = meta.select("media_meta.*").collect().head
-    val again = Multimodal.withDecodedMetaStub("content")(
-      Multimodal.withBinaryContent("text")(df)).select("media_meta.*").collect().head
-    assert(m == again) // stable across runs
-    assert(m.getAs[Int]("width") >= 1 && m.getAs[Int]("height") >= 1)
-    assert(Seq("jpeg", "png", "webp").contains(m.getAs[String]("format")))
+  private def unhexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("image header parse: real PNG / JPEG / GIF byte layouts") {
+    // PNG, 320x240: signature + IHDR exactly as the spec lays it out
+    val png = unhexBytes(
+      "89504E470D0A1A0A" + "0000000D49484452" + "00000140" + "000000F0" +
+        "0806000000" + "00000000")
+    // progressive JPEG (SOF2) with an EXIF APP1 and a DQT segment
+    // BEFORE the frame header — the walk must skip both. 256 tall,
+    // 512 wide (SOF stores height first).
+    val jpeg = unhexBytes(
+      "FFD8" +
+        "FFE1000C457869660000AABBCCDD" + // APP1 len 12: "Exif\0\0" + 4 junk
+        "FFDB0005AABBCC" +               // DQT len 5
+        "FFC2000B" + "08" + "0100" + "0200" + "01" + "012200" + // SOF2 len 11
+        "FFD9")
+    val gif = unhexBytes("474946383961" + "0A00" + "1400" + "F70000")
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val truncated = unhexBytes("FFD8FFE1") // dies mid-segment
+    val sosFirst = unhexBytes("FFD8FFDA0002")
+    val df = Seq(
+      (1L, png), (2L, jpeg), (3L, gif), (4L, junk), (5L, truncated), (6L, sosFirst)
+    ).toDF("id", "content")
+    val out = Multimodal.withImageMeta("content")(df)
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ("png", 320, 240))
+    assert(out(2L) == ("jpeg", 512, 256))
+    assert(out(3L) == ("gif", 10, 20))
+    assert(out(4L) == null)
+    assert(out(5L) == null)
+    assert(out(6L) == null)
+  }
+
+  test("synthesized media fixture round-trips through the real parser") {
+    val df = Seq((0L, "t0"), (1L, "t1"), (2L, "t2"), (300L, "t3"), (2101L, "t4"))
+      .toDF("doc_id", "text")
+      .withColumn("content", Multimodal.synthMediaContent(col("doc_id"), col("text")))
+    val out = Multimodal.withImageMeta("content")(df)
+      .select(col("doc_id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(0L) == ("png", 16, 16))
+    assert(out(1L) == ("jpeg", 17, 17))
+    assert(out(2L) == null) // raw text branch
+    assert(out(300L) == ("png", 316, 316))
+    assert(out(2101L) == ("jpeg", 188 + 16, 2101 % 1061 + 16))
   }
 
   test("binaryFile source feeds the multimodal pipeline (real media ingest path)") {
@@ -336,12 +377,28 @@ class LlmSpec extends SparkSpec {
     assert(rebuilt == 300)
   }
 
-  test("feature stub has the declared shape and range") {
-    val df = Seq((1L, "payload")).toDF("doc_id", "text")
-    val f = Multimodal.withFeatureStub("content", dim = 8)(
+  test("byte stats compute exact histogram statistics and entropy") {
+    val df = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "")).toDF("id", "text")
+    val out = Multimodal.withByteStats("content")(
       Multimodal.withBinaryContent("text")(df))
-      .select("features").collect().head.getSeq[Float](0)
-    assert(f.length == 8)
-    assert(f.forall(v => v >= -1.0f && v <= 1.0f))
+      .select(col("id"), col("byte_stats.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ab = out(1L)
+    assert(ab.getAs[Int]("n_bytes") == 4)
+    assert(ab.getAs[Int]("n_distinct") == 2)
+    assert(ab.getAs[Long]("byte_sum") == 97L * 2 + 98L * 2)
+    assert(ab.getAs[Int]("n_printable") == 4)
+    assert(math.abs(ab.getAs[Double]("entropy") - 1.0) < 1e-12) // two equiprobable symbols
+    assert(out(2L).getAs[Double]("entropy") == 0.0) // one symbol
+    assert(out(3L).getAs[Int]("n_bytes") == 0 && out(3L).getAs[Double]("entropy") == 0.0)
+  }
+
+  test("byte histogram is a normalized per-row feature vector") {
+    val df = Seq((1L, "aabb")).toDF("id", "text") // bytes 97,97,98,98 → bin 6
+    val h = Multimodal.withByteHist("content", bins = 16)(
+      Multimodal.withBinaryContent("text")(df))
+      .select("byte_hist").collect().head.getSeq[Double](0)
+    assert(h.length == 16)
+    assert(h(6) == 1.0 && h.sum == 1.0)
   }
 }
