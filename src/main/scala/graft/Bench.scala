@@ -40,9 +40,9 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
       // per-invocation warehouse — see Verify.scala: concurrent runs
-      // must not share managed-table paths
+      // must not share managed-table paths; recursively deleted at exit
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse_bench_").toString)
+        SparkEntry.cleanedTempDir("graft_warehouse_bench_"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,9 +26,22 @@ object SparkEntry {
     * allowed. Stable WITHIN a JVM so bench reps overwrite rather
     * than accumulate.
     */
-  lazy val scratchRoot: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
-    p.toFile.deleteOnExit()
+  lazy val scratchRoot: String = cleanedTempDir("graft_scratch_")
+
+  /** Temp dir that is RECURSIVELY deleted at JVM exit.
+    * `File.deleteOnExit` only removes empty directories, so parquet
+    * stores and managed tables written under a plain temp dir leak
+    * into /tmp on every Verify/Bench run. Deletion runs in a shutdown
+    * hook, after the harness is done reading the outputs it cares
+    * about (those go to outDir, never under a temp root).
+    */
+  def cleanedTempDir(prefix: String): String = {
+    import java.nio.file.{Files, Path}
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))))
     p.toString
   }
   private def scratch(name: String): String = s"$scratchRoot/$name"
@@ -637,8 +650,10 @@ object SparkEntry {
     }),
     // REAL per-chunk byte features: the batched feature-extract pass
     // (histogram stats + Shannon entropy) over 100-byte chunks.
-    // Entropy is rounded to 6dp on both sides — the two engines sum
-    // the same c*ln(c) terms in different orders (~1e-13 apart).
+    // Entropy is rounded to 4dp on both sides — the two engines sum
+    // the same c*ln(c) terms in different orders (~1e-13 apart), and
+    // at 4dp the odds of that perturbation straddling a rounding
+    // boundary are negligible (6dp left a ~1e-7 per-chunk flake).
     "mm_features" -> ((s, d) =>
       Multimodal.withByteStats("chunk")(
         Multimodal.chunkBinary("content", 100)(
@@ -648,7 +663,7 @@ object SparkEntry {
           col("byte_stats.n_distinct").as("n_distinct"),
           col("byte_stats.byte_sum").as("byte_sum"),
           col("byte_stats.n_printable").as("n_printable"),
-          round(col("byte_stats.entropy"), 6).as("entropy"))),
+          round(col("byte_stats.entropy"), 4).as("entropy"))),
     // whole-doc normalized 16-bin byte histogram, posexploded to
     // scalar rows (same array-compare rationale as vec_slice_ops)
     "mm_byte_hist" -> ((s, d) =>
@@ -1189,13 +1204,17 @@ object SparkEntry {
         |       ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes
         |FROM documents""".stripMargin,
     // independent byte-level recompute: hex the UTF-8 bytes, unnest to
-    // byte values, aggregate the same histogram statistics
+    // byte values, aggregate the same histogram statistics. Chunking
+    // happens on the HEX STRING (200 hex chars = 100 bytes) so the
+    // oracle splits the encoded BYTES exactly like the Spark side —
+    // substr(text, …) would split by CHARACTER and diverge on any
+    // non-ASCII document.
     "mm_features" ->
       """WITH chunks AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-        |         hex(encode(substr(text, CAST(i * 100 + 1 AS INTEGER), 100))) AS hx
-        |  FROM (SELECT doc_id, text,
-        |          unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS i
+        |         substr(hx, CAST(i * 200 + 1 AS INTEGER), 200) AS hx
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) - 1)) AS i
         |        FROM documents)),
         |bytes AS (
         |  SELECT doc_id, chunk_idx,
@@ -1209,7 +1228,7 @@ object SparkEntry {
         |  CAST(count(*) AS INTEGER) AS n_distinct,
         |  CAST(sum(v * c) AS BIGINT) AS byte_sum,
         |  CAST(sum(CASE WHEN v BETWEEN 32 AND 126 THEN c ELSE 0 END) AS INTEGER) AS n_printable,
-        |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 6) AS entropy
+        |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 4) AS entropy
         |FROM cnt GROUP BY 1, 2""".stripMargin,
     "mm_byte_hist" ->
       """WITH bytes AS (

@@ -16,9 +16,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // per-invocation warehouse: the bucketed-join query saves managed
       // tables here; a shared fixed path lets two concurrent runs
-      // clobber each other's table files under one catalog entry
+      // clobber each other's table files under one catalog entry.
+      // cleanedTempDir registers a recursive delete at JVM exit so the
+      // table files don't accumulate in /tmp run over run.
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse_verify_").toString)
+        SparkEntry.cleanedTempDir("graft_warehouse_verify_"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,6 +60,9 @@ object BinaryFns {
         // any number of FF fill bytes may precede a marker
         var p = pos
         while (p + 1 < b.length && u8(b, p + 1) == 0xFF) p += 1
+        // stream ended inside the fill bytes (… FF FF): truncated, not
+        // a crash — the contract is null for unrecognized/cut-off bytes
+        if (p + 1 >= b.length) return null
         val m = u8(b, p + 1)
         if (isSof(m)) {
           if (p + 8 >= b.length) return null // truncated SOF

@@ -329,8 +329,12 @@ class LlmSpec extends SparkSpec {
     val junk = "definitely not an image".getBytes("UTF-8")
     val truncated = unhexBytes("FFD8FFE1") // dies mid-segment
     val sosFirst = unhexBytes("FFD8FFDA0002")
+    // stream ends inside FF fill bytes: the marker walk must return
+    // null, not read past the buffer (round-5 advisor finding)
+    val trailingFF = unhexBytes("FFD8FFFF")
     val df = Seq(
-      (1L, png), (2L, jpeg), (3L, gif), (4L, junk), (5L, truncated), (6L, sosFirst)
+      (1L, png), (2L, jpeg), (3L, gif), (4L, junk), (5L, truncated), (6L, sosFirst),
+      (7L, trailingFF)
     ).toDF("id", "content")
     val out = Multimodal.withImageMeta("content")(df)
       .select(col("id"), col("media_meta.format"), col("media_meta.width"),
@@ -343,6 +347,7 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == null)
     assert(out(5L) == null)
     assert(out(6L) == null)
+    assert(out(7L) == null)
   }
 
   test("synthesized media fixture round-trips through the real parser") {
