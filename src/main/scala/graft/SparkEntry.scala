@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{ParquetResolver, StudyRunner, Interpreter, PipelineContext}
 import graft.io.{ConfigReader, Export, NestedStore, Standardized}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
 import graft.model._
 import graft.ops.Ops
 
@@ -578,6 +578,34 @@ object SparkEntry {
           avg(col("n_tokens")).as("mean_tokens"),
           expr("percentile(n_tokens, 0.5)").as("median_tokens"))),
 
+    // ===== approx/sketch audit family (llm/Sketch.scala) =====
+    // HLL++/GK twins of the exact audits above: each query computes
+    // the exact statistic AND a boolean pinning the sketch inside its
+    // error envelope; the oracle replays the exact value with
+    // `TRUE` literals, so the hash gate fails iff the sketch drifts.
+    // per-language vocabulary NDV (sketch twin of text_vocabulary)
+    "sketch_ndv_vocab" -> ((s, d) =>
+      Sketch.ndvAudit(Seq("lang"), "token")(
+        t(s, d, "documents").select(col("lang"),
+          explode(split(col("text"), " ")).as("token")))),
+    // distinct users per event type — the classic telemetry audit
+    "sketch_ndv_events" -> ((s, d) =>
+      Sketch.ndvAudit(Seq("event_type"), "user_id")(
+        eventsNanos(s, d).select("event_type", "user_id"))),
+    // one-row whole-corpus headline: distinct docs / vocab / languages
+    "sketch_corpus_ndv" -> ((s, d) =>
+      Sketch.corpusNdvAudit(Seq(
+        "docs" -> col("doc_id"),
+        "vocab" -> col("token"),
+        "langs" -> col("lang")))(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token")))),
+    // per-language doc-length distribution via GK percentiles
+    "sketch_doclen_quantiles" -> ((s, d) =>
+      Sketch.quantileAudit(Seq("lang"), "n_tokens")(
+        TextAnalysis.withTokenStats("text")(t(s, d, "documents"))
+          .select("lang", "n_tokens"))),
+
     // the typical pretraining funnel composed end-to-end: cheap
     // quality gates first, then dedup, then labeling — one lazy plan
     "pipeline_preprocess" -> ((s, d) => {
@@ -1142,6 +1170,26 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  avg(CAST(len(string_split(text, ' ')) AS INTEGER)) AS mean_tokens,
         |  quantile_cont(CAST(len(string_split(text, ' ')) AS INTEGER), 0.5) AS median_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+    // sketch audits: the oracle replays the EXACT statistic and pins
+    // the ok-booleans to TRUE — hash mismatch iff the sketch leaves
+    // its error envelope (see llm/Sketch.scala Scaladoc)
+    "sketch_ndv_vocab" ->
+      """SELECT lang, count(DISTINCT token) AS exact_ndv, TRUE AS ndv_ok
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "sketch_ndv_events" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_ndv, TRUE AS ndv_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "sketch_corpus_ndv" ->
+      """SELECT count(DISTINCT doc_id) AS exact_docs, TRUE AS docs_ok,
+        |  count(DISTINCT token) AS exact_vocab, TRUE AS vocab_ok,
+        |  count(DISTINCT lang) AS exact_langs, TRUE AS langs_ok
+        |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)""".stripMargin,
+    "sketch_doclen_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        |  quantile_cont(CAST(len(string_split(text, ' ')) AS INTEGER), 0.5) AS p50_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
         |FROM documents GROUP BY 1""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH q AS (

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approx/sketch audit family for corpus-scale statistics.
+  *
+  * At 100 TB the standard corpus-audit questions — "how many distinct
+  * tokens / users / documents?" and "what does the length distribution
+  * look like?" — cannot be answered exactly: exact NDV is a full
+  * shuffle of every distinct value and exact percentiles need a global
+  * sort. The sketch versions are one-pass, mergeable, constant-memory
+  * per group:
+  *
+  *   - NDV → HyperLogLog++ (`approx_count_distinct`): each task keeps
+  *     a fixed ~(1.04/rsd)² register array; partial sketches merge
+  *     associatively, so the plan is a partial-agg → single small
+  *     exchange of registers, never of values.
+  *   - percentiles → Greenwald–Khanna (`approx_percentile`): bounded
+  *     summary per task with a rank-error guarantee of 1/accuracy,
+  *     merged the same way.
+  *
+  * Oracle-gating a randomized-looking sketch deterministically: both
+  * sketches are deterministic given the data (HLL++ hashes with a
+  * fixed seed; GK is order-insensitive at merge), so the audit
+  * variants below compute the EXACT statistic alongside the sketch and
+  * emit a boolean `*_ok` = "sketch inside its published error
+  * envelope". The DuckDB oracle replays the exact statistic and pins
+  * the boolean to TRUE — the driver's hash gate then fails iff the
+  * sketch leaves its envelope. The exact twin exists only to power the
+  * gate; the scale path is the `approx*` functions, which never touch
+  * the exact aggregate.
+  *
+  * Reference scope note: the reference engine (994-line pandas ETL)
+  * has no sketch family; this is part of the mandated
+  * large-training-corpus surface (SURVEY.md §6), mirroring what
+  * `text_vocabulary` / `text_corpus_stats` compute exactly.
+  */
+object Sketch {
+
+  /** Scale path: HLL++ NDV per group. One pass, no expand, register
+    * arrays (not values) cross the exchange.
+    */
+  def approxNdv(groupCols: Seq[String], valueCol: String, rsd: Double = 0.02)(
+      df: DataFrame): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_ndv"))
+
+  /** Gate twin of [[approxNdv]]: exact NDV + `ndv_ok` =
+    * |approx − exact| / exact ≤ sigmas·rsd. HLL++'s relative standard
+    * deviation is `rsd`; three sigmas bounds the miss probability well
+    * under the gate's tolerance while still failing a broken sketch
+    * (a 2× miss is 50σ out).
+    */
+  def ndvAudit(
+      groupCols: Seq[String],
+      valueCol: String,
+      rsd: Double = 0.02,
+      sigmas: Double = 3.0)(df: DataFrame): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count_distinct(v).as("exact_ndv"),
+        approx_count_distinct(v, rsd).as("approx_ndv"))
+      .withColumn(
+        "ndv_ok",
+        abs(col("approx_ndv") - col("exact_ndv")).cast("double") /
+          col("exact_ndv") <= lit(sigmas * rsd))
+      .drop("approx_ndv")
+  }
+
+  /** One-row whole-corpus NDV audit over several columns at once —
+    * the "how big is this corpus really" headline (distinct docs,
+    * vocabulary size, languages). `exprs` maps output-column stem →
+    * input column.
+    */
+  def corpusNdvAudit(
+      stems: Seq[(String, Column)],
+      rsd: Double = 0.02,
+      sigmas: Double = 3.0)(df: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = stems.flatMap { case (stem, c) =>
+      Seq(
+        count_distinct(c).as(s"exact_$stem"),
+        approx_count_distinct(c, rsd).as(s"approx_$stem"))
+    }
+    val audited = df.agg(aggs.head, aggs.tail: _*)
+    stems
+      .foldLeft(audited) { case (d, (stem, _)) =>
+        d.withColumn(
+          s"${stem}_ok",
+          abs(col(s"approx_$stem") - col(s"exact_$stem")).cast("double") /
+            col(s"exact_$stem") <= lit(sigmas * rsd))
+      }
+      .drop(stems.map(s => s"approx_${s._1}"): _*)
+  }
+
+  /** Gate twin for GK percentiles: per group emits the exact p50
+    * (integer-valued columns only — (a+b)/2 interpolation is
+    * engine-portable there) plus `p50_ok` / `p90_ok` = the sketch
+    * value sits between the EXACT percentiles at p ∓ rankSlack. GK
+    * guarantees rank error ≤ 1/accuracy, so any rankSlack ≫ 1/accuracy
+    * must hold; a sketch that drifts past it is broken, not noisy.
+    */
+  def quantileAudit(
+      groupCols: Seq[String],
+      valueCol: String,
+      accuracy: Int = 10000,
+      rankSlack: Double = 0.02)(df: DataFrame): DataFrame = {
+    require(rankSlack > 1.0 / accuracy,
+      s"rankSlack $rankSlack inside GK error 1/$accuracy — gate would be vacuous")
+    val v = valueCol
+    def pct(p: Double) = expr(s"percentile($v, $p)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        pct(0.5).as("p50_exact"),
+        expr(s"approx_percentile($v, 0.5, $accuracy)").as("ap50"),
+        expr(s"approx_percentile($v, 0.9, $accuracy)").as("ap90"),
+        pct(0.5 - rankSlack).as("lo50"),
+        pct(0.5 + rankSlack).as("hi50"),
+        pct(0.9 - rankSlack).as("lo90"),
+        pct(math.min(1.0, 0.9 + rankSlack)).as("hi90"))
+      .withColumn("p50_ok", col("ap50") >= col("lo50") && col("ap50") <= col("hi50"))
+      .withColumn("p90_ok", col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
+      .drop("ap50", "ap90", "lo50", "hi50", "lo90", "hi90")
+  }
+}

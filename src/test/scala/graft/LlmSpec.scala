@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -405,5 +405,76 @@ class LlmSpec extends SparkSpec {
       .select("byte_hist").collect().head.getSeq[Double](0)
     assert(h.length == 16)
     assert(h(6) == 1.0 && h.sum == 1.0)
+  }
+
+  // ===== approx/sketch audit family =====
+
+  test("HLL NDV stays inside 3·rsd of exact at 50k distinct, and is genuinely approximate") {
+    // 50k distinct values in 2 groups — far past HLL++'s exact sparse
+    // regime, so this pins the ERROR BOUND, not an exact-mode freebie
+    val df = spark.range(50000).selectExpr("id % 2 AS grp", "id AS v")
+    for (rsd <- Seq(0.05, 0.02)) {
+      val rows = Sketch.ndvAudit(Seq("grp"), "v", rsd = rsd)(df).collect()
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("exact_ndv") == 25000L)
+        assert(r.getAs[Boolean]("ndv_ok"), s"rsd=$rsd: sketch left its 3sigma envelope")
+      }
+    }
+    // non-vacuity: at rsd=0.05 the sketch is NOT exact at this
+    // cardinality — the ok-boolean gate is a real tolerance, not ==
+    val approx = spark.range(50000)
+      .agg(approx_count_distinct(col("id"), 0.05)).collect().head.getLong(0)
+    assert(approx != 50000L, "expected HLL to be approximate at 50k distinct")
+    assert(math.abs(approx - 50000L) / 50000.0 <= 0.15)
+  }
+
+  test("GK approx_percentile honors its rank-error guarantee at accuracy=100") {
+    // skewed (quadratic) distribution so value-space error would be
+    // large if rank error were violated
+    val n = 20000
+    val df = spark.range(n).selectExpr("CAST(id AS INT) AS grp0", "id * id AS v")
+      .selectExpr("0 AS grp", "v")
+    val audited = Sketch.quantileAudit(Seq("grp"), "v", accuracy = 100, rankSlack = 0.02)(df)
+      .collect().head
+    assert(audited.getAs[Long]("n") == n)
+    assert(audited.getAs[Boolean]("p50_ok"))
+    assert(audited.getAs[Boolean]("p90_ok"))
+    // direct rank check: the returned p50's true rank is within
+    // 1/accuracy (+1 discretization) of the target rank
+    val ap50 = df.selectExpr("approx_percentile(v, 0.5, 100)").collect().head.getLong(0)
+    val rank = df.where(col("v") <= ap50).count()
+    assert(math.abs(rank.toDouble / n - 0.5) <= 1.0 / 100 + 1.0 / n,
+      s"approx p50=$ap50 rank=$rank violates GK bound")
+  }
+
+  test("quantileAudit refuses a vacuous gate (rankSlack inside GK error)") {
+    val df = spark.range(10).selectExpr("0 AS grp", "id AS v")
+    intercept[IllegalArgumentException] {
+      Sketch.quantileAudit(Seq("grp"), "v", accuracy = 100, rankSlack = 0.005)(df)
+    }
+  }
+
+  test("corpusNdvAudit emits one row with per-stem exact values and ok-flags") {
+    val df = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "db", "a"))
+      .toDF("doc_id", "lang", "token")
+    val r = Sketch.corpusNdvAudit(Seq(
+      "docs" -> col("doc_id"), "vocab" -> col("token"), "langs" -> col("lang")))(df)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("exact_docs") == 3L && row.getAs[Boolean]("docs_ok"))
+    assert(row.getAs[Long]("exact_vocab") == 2L && row.getAs[Boolean]("vocab_ok"))
+    assert(row.getAs[Long]("exact_langs") == 2L && row.getAs[Boolean]("langs_ok"))
+  }
+
+  test("approxNdv scale path plans a single exchange of sketches, no expand") {
+    // the exact twin needs an Expand for count(DISTINCT); the scale
+    // path must not — registers merge associatively instead
+    val df = spark.range(1000).selectExpr("id % 3 AS grp", "id AS v")
+    val plan = planOf(Sketch.approxNdv(Seq("grp"), "v")(df))
+    assert(!plan.contains("Expand"), plan)
+    val exactPlan = planOf(df.groupBy("grp").agg(countDistinct(col("v"))))
+    assert(exactPlan.contains("HashAggregate"), exactPlan)
   }
 }
