@@ -311,6 +311,25 @@ object SparkEntry {
         .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
       NestedStore.flatten(NestedStore.nest(base, "l_returnflag", "l_linestatus"))
     }),
+    "s6_upsert" -> ((s, d) => {
+      // S6 keyed upsert: initial load = whole lineitem nested on
+      // (l_returnflag, l_linestatus); second batch revises only the
+      // l_returnflag='R' partitions (quantity doubled). Dynamic
+      // partition overwrite must merge — R replaced, A/N untouched
+      // (file-level preservation is pinned in IoSpec).
+      val path = scratch("upsert_store_q")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+      NestedStore.write(NestedStore.nest(base, "l_returnflag", "l_linestatus"),
+        path, "l_returnflag", "l_linestatus")
+      val revised = base.filter(col("l_returnflag") === "R")
+        .withColumn("l_quantity", col("l_quantity") * 2)
+      NestedStore.upsert(NestedStore.nest(revised, "l_returnflag", "l_linestatus"),
+        path, "l_returnflag", "l_linestatus")
+      NestedStore.flatten(s.read.parquet(path))
+    }),
     "s7_standardized" -> ((s, d) => {
       val src = t(s, d, "customer").select(
         col("c_custkey").as("subject"), col("c_mktsegment").as("country"),
@@ -963,6 +982,12 @@ object SparkEntry {
         |EXCEPT SELECT * FROM nation WHERE n_nationkey >= 10""".stripMargin,
     "s1_nested_roundtrip" ->
       "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "s6_upsert" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |UNION ALL
+        |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity * 2 AS l_quantity
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
     "s7_standardized" ->
       """SELECT 'S001' AS study_code,
         |  concat_ws('#', c_mktsegment, CAST(c_nationkey AS VARCHAR), CAST(c_custkey AS VARCHAR)) AS subject_hierarchy,

@@ -43,6 +43,26 @@ object NestedStore {
   def write(df: DataFrame, path: String, k1: String = "study_code", k2: String = "view"): Unit =
     df.write.mode("overwrite").partitionBy(k1, k2).parquet(path)
 
+  /** S6 keyed upsert — the reference sink's real semantics: one
+    * `put_item` per `(study_code, view)` key replaces that key's
+    * document and leaves every other key untouched
+    * (Configurable_ETL_Python.py:569-578). The lake analogue is
+    * dynamic partition overwrite: only the `(k1, k2)` partitions
+    * present in `df` are rewritten; files under every other partition
+    * directory are not touched (asserted by listing digest in IoSpec).
+    * The mode is scoped to this one write via the writer option, not
+    * session conf, so callers' overwrite semantics are unaffected.
+    *
+    * At 100 TB this is the difference between an incremental study
+    * refresh rewriting one study's directories and rewriting the
+    * whole store — [[write]] remains the initial-load/full-rebuild
+    * path, `upsert` the steady-state one.
+    */
+  def upsert(df: DataFrame, path: String, k1: String = "study_code", k2: String = "view"): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(k1, k2).parquet(path)
+
   final case class CompactionStats(filesBefore: Int, filesAfter: Int)
 
   /** Compact a partitioned store's small files: every micro-batch

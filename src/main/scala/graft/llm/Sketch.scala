@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   *     summary per task with a rank-error guarantee of 1/accuracy,
   *     merged the same way.
   *
-  * Oracle-gating a randomized-looking sketch deterministically: both
-  * sketches are deterministic given the data (HLL++ hashes with a
-  * fixed seed; GK is order-insensitive at merge), so the audit
-  * variants below compute the EXACT statistic alongside the sketch and
-  * emit a boolean `*_ok` = "sketch inside its published error
-  * envelope". The DuckDB oracle replays the exact statistic and pins
+  * Oracle-gating a randomized-looking sketch deterministically: the
+  * audit variants below compute the EXACT statistic alongside the
+  * sketch and emit a boolean `*_ok` = "sketch inside its published
+  * error envelope". HLL++ hashes with a fixed seed, so its value is
+  * deterministic given the data; GK's VALUE can vary with
+  * partitioning/merge order, but its rank-error bound (≤ 1/accuracy)
+  * cannot — the gated boolean is stable because the gate's rankSlack
+  * dwarfs that bound, not because the sketch value is order-invariant. The DuckDB oracle replays the exact statistic and pins
   * the boolean to TRUE — the driver's hash gate then fails iff the
   * sketch leaves its envelope. The exact twin exists only to power the
   * gate; the scale path is the `approx*` functions, which never touch
@@ -64,8 +66,12 @@ object Sketch {
         approx_count_distinct(v, rsd).as("approx_ndv"))
       .withColumn(
         "ndv_ok",
-        abs(col("approx_ndv") - col("exact_ndv")).cast("double") /
-          col("exact_ndv") <= lit(sigmas * rsd))
+        // all-NULL group: both NDVs are 0 and the relative-error form
+        // would divide by zero — agree-on-zero IS inside the envelope
+        when(col("exact_ndv") === 0, col("approx_ndv") === 0)
+          .otherwise(
+            abs(col("approx_ndv") - col("exact_ndv")).cast("double") /
+              col("exact_ndv") <= lit(sigmas * rsd)))
       .drop("approx_ndv")
   }
 
@@ -78,6 +84,7 @@ object Sketch {
       stems: Seq[(String, Column)],
       rsd: Double = 0.02,
       sigmas: Double = 3.0)(df: DataFrame): DataFrame = {
+    require(stems.nonEmpty, "corpusNdvAudit needs at least one stem")
     val aggs: Seq[Column] = stems.flatMap { case (stem, c) =>
       Seq(
         count_distinct(c).as(s"exact_$stem"),
@@ -88,8 +95,10 @@ object Sketch {
       .foldLeft(audited) { case (d, (stem, _)) =>
         d.withColumn(
           s"${stem}_ok",
-          abs(col(s"approx_$stem") - col(s"exact_$stem")).cast("double") /
-            col(s"exact_$stem") <= lit(sigmas * rsd))
+          when(col(s"exact_$stem") === 0, col(s"approx_$stem") === 0)
+            .otherwise(
+              abs(col(s"approx_$stem") - col(s"exact_$stem")).cast("double") /
+                col(s"exact_$stem") <= lit(sigmas * rsd)))
       }
       .drop(stems.map(s => s"approx_${s._1}"): _*)
   }

@@ -29,6 +29,44 @@ class IoSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("study_code"), scan)
   }
 
+  test("keyed upsert replaces only the touched partitions; other files untouched") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val batchA = Seq(
+      ("s1", "v1", "a", 1.0), ("s1", "v2", "b", 2.0),
+      ("s2", "v1", "c", 3.0), ("s2", "v2", "d", 4.0)
+    ).toDF("study_code", "view", "name", "score")
+    NestedStore.write(NestedStore.nest(batchA, "study_code", "view"), dir)
+
+    // per-file (path, size, mtime) digest of every partition directory
+    def listing(sub: String): Seq[(String, Long, Long)] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    val s2v1Before = listing("study_code=s2/view=v1")
+    val s2v2Before = listing("study_code=s2/view=v2")
+    val s1v1Before = listing("study_code=s1/view=v1")
+
+    // upsert touches only study s1: v1 revised, v2 dropped from the
+    // batch (and must therefore survive unchanged — per-key, not
+    // per-study, replacement)
+    val batchB = Seq(("s1", "v1", "a", 10.0), ("s1", "v1", "e", 11.0))
+      .toDF("study_code", "view", "name", "score")
+    NestedStore.upsert(NestedStore.nest(batchB, "study_code", "view"), dir)
+
+    assert(listing("study_code=s2/view=v1") == s2v1Before, "untouched partition rewritten")
+    assert(listing("study_code=s2/view=v2") == s2v2Before, "untouched partition rewritten")
+    assert(listing("study_code=s1/view=v2").nonEmpty, "sibling view of touched study must survive")
+    assert(listing("study_code=s1/view=v1") != s1v1Before, "touched partition must be replaced")
+
+    val back = NestedStore.flatten(spark.read.parquet(dir))
+      .orderBy("study_code", "view", "name")
+      .select("study_code", "view", "name", "score")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(back == Seq(
+      ("s1", "v1", "a", 10.0), ("s1", "v1", "e", 11.0), ("s1", "v2", "b", 2.0),
+      ("s2", "v1", "c", 3.0), ("s2", "v2", "d", 4.0)))
+  }
+
   test("compaction collapses micro-batch appends to one file per partition, rows intact") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // simulate 4 micro-batch appends -> 4 files per touched partition
