@@ -17,8 +17,17 @@ object Audit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      try println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
-      catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+      // pseudo-query: the sketch family's scale path (approxNdv without
+      // the exact gate twin) is not a registered query but is the plan
+      // PLANS.md showcases — no Expand, registers-only exchange
+      try {
+        val df =
+          if (n == "sketch_scale_path")
+            graft.llm.Sketch.approxNdv(Seq("lang"), "text")(
+              spark.read.parquet(s"$dir/documents.parquet"))
+          else graft.SparkEntry.queries(n)(spark, dir)
+        println(df.queryExecution.executedPlan.toString)
+      } catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
     }
     spark.stop()
   }
