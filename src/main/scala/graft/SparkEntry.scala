@@ -1267,13 +1267,15 @@ object SparkEntry {
         |      FROM embeddings)""".stripMargin,
     // closed-form statement of what a correct header parser must
     // return for the synthMediaContent fixture (PNG = 33 bytes fixed;
-    // JPEG = 45 + COM pad; text rows decode to null)
+    // baseline JPEG = 45 + COM pad; EXIF/SOF2 JPEG = 33 + APP1 pad;
+    // text rows decode to null)
     "mm_decode" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' END AS format,
         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1913 + 16 AS INTEGER) END AS width,
         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1061 + 16 AS INTEGER) END AS height,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 46 + doc_id % 37
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33
+        |       WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 34 ELSE 46 END) + doc_id % 37
         |       ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes
         |FROM documents""".stripMargin,
     // independent byte-level recompute: hex the UTF-8 bytes, unnest to

@@ -88,14 +88,18 @@ object Multimodal {
   /** Deterministic image-byte FIXTURE for the correctness gate: real
     * PNG / JPEG byte streams (valid signature, IHDR / segment
     * structure) with dimensions derived from an id column, plus a
-    * non-image fallthrough. The JPEG carries a JFIF APP0 and an
-    * id-length COM segment before SOF0, so [[withImageMeta]]'s
-    * segment walk is exercised at a VARIABLE offset — a parser that
-    * assumes a fixed SOF position fails the gate. Construction is
-    * mirrored closed-form in the DuckDB oracle (SparkEntry).
+    * non-image fallthrough. JPEG rows alternate between two shapes so
+    * [[withImageMeta]]'s segment walk is exercised at VARIABLE offsets
+    * and on both frame kinds — a parser that assumes a fixed SOF
+    * position, JFIF-only leading segments, or baseline-only frames
+    * fails the gate. Construction is mirrored closed-form in the
+    * DuckDB oracle (SparkEntry).
     *
     *  - id % 3 == 0 → PNG, width = id%1913+16, height = id%1061+16
-    *  - id % 3 == 1 → JPEG, same dims, COM pad = id%37+1 bytes
+    *  - id % 3 == 1, id odd  → baseline JPEG: APP0 JFIF + COM of
+    *    id%37+1 pad bytes + SOF0
+    *  - id % 3 == 1, id even → EXIF JPEG: APP1 "Exif\0\0" with an
+    *    id%37+1-byte TIFF-body pad + progressive SOF2
     *  - id % 3 == 2 → the raw UTF-8 text (no image header)
     */
   def synthMediaContent(idCol: Column, textCol: Column): Column = {
@@ -118,8 +122,17 @@ object Multimodal {
       lit("FFC0001108"), hex4(h), hex4(w),          // SOF0 len 17, precision 8
       lit("03012200021101031101"),                  // 3 components
       lit("FFD9"))                                  // EOI
+    val jpegExifHex = concat(
+      lit("FFD8"),                                  // SOI
+      lit("FFE1"), hex4(pad + 8),                   // APP1, len = 2+6+pad
+      lit("457869660000"),                          // "Exif\0\0"
+      call_function("repeat", lit("00"), pad),      // TIFF-body pad
+      lit("FFC2001108"), hex4(h), hex4(w),          // SOF2 (progressive), len 17
+      lit("03012200021101031101"),                  // 3 components
+      lit("FFD9"))                                  // EOI
     when(idCol % 3 === 0, unhex(pngHex))
-      .when(idCol % 3 === 1, unhex(jpegHex))
+      .when(idCol % 3 === 1 && idCol % 2 === 1, unhex(jpegHex))
+      .when(idCol % 3 === 1, unhex(jpegExifHex))
       .otherwise(encode(textCol, "UTF-8"))
   }
 }

@@ -351,19 +351,34 @@ class LlmSpec extends SparkSpec {
   }
 
   test("synthesized media fixture round-trips through the real parser") {
-    val df = Seq((0L, "t0"), (1L, "t1"), (2L, "t2"), (300L, "t3"), (2101L, "t4"))
+    // odd JPEG ids (1, 2101) take the baseline APP0+COM+SOF0 shape;
+    // even ones (4, 1006) the APP1/EXIF + progressive SOF2 shape —
+    // both at variable offsets (pad = id%37+1)
+    val df = Seq((0L, "t0"), (1L, "t1"), (2L, "t2"), (4L, "t3"), (300L, "t4"),
+        (1006L, "t5"), (2101L, "t6"))
       .toDF("doc_id", "text")
       .withColumn("content", Multimodal.synthMediaContent(col("doc_id"), col("text")))
     val out = Multimodal.withImageMeta("content")(df)
       .select(col("doc_id"), col("media_meta.format"), col("media_meta.width"),
-        col("media_meta.height"))
+        col("media_meta.height"), octet_length(col("content")).as("n"))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
     assert(out(0L) == ("png", 16, 16))
     assert(out(1L) == ("jpeg", 17, 17))
     assert(out(2L) == null) // raw text branch
+    assert(out(4L) == ("jpeg", 20, 20)) // EXIF/SOF2 branch
     assert(out(300L) == ("png", 316, 316))
+    assert(out(1006L) == ("jpeg", 1006 % 1913 + 16, 1006 % 1061 + 16))
     assert(out(2101L) == ("jpeg", 188 + 16, 2101 % 1061 + 16))
+    // byte lengths match the oracle's closed form: baseline 46+id%37,
+    // EXIF 34+id%37
+    val lens = Multimodal.withImageMeta("content")(df)
+      .select(col("doc_id"), octet_length(col("content")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens(1L) == 46 + 1 % 37)
+    assert(lens(4L) == 34 + 4 % 37)
+    assert(lens(2101L) == 46 + 2101 % 37)
+    assert(lens(1006L) == 34 + 1006 % 37)
   }
 
   test("binaryFile source feeds the multimodal pipeline (real media ingest path)") {
