@@ -44,6 +44,42 @@ object StreamingIngest {
       }
   }
 
+  /** [[ingestStream]] with the reference Lambda's true sink
+    * semantics: each micro-batch UPSERTS its keys (per-key `put_item`,
+    * Data_Ingestion_Python.py:132-139 — the new document replaces the
+    * old one for that (study_code, view)) instead of appending. Wired
+    * through [[NestedStore.upsert]]'s dynamic partition overwrite in
+    * foreachBatch, so a re-dropped file refreshes its own keys'
+    * partitions and never rewrites — or duplicates into — the rest of
+    * the store. foreachBatch is at-least-once on retry, and that is
+    * exactly why upsert is the right sink: replaying a batch rewrites
+    * the same partitions to the same content (idempotent), where the
+    * append sink would double the rows. Streaming == batch parity is
+    * spec-pinned (StreamingSpec): the streamed store equals
+    * write(A) + upsert(B) applied in batch.
+    */
+  def upsertStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      k1: String,
+      k2: String,
+      storeDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16)
+      .csv(watchDir)
+    val cleaned = Ingestion.withFileMetadata(Ingestion.nullFill(raw))
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          NestedStore.upsert(NestedStore.nest(batch, k1, k2), storeDir, k1, k2)
+      }
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * late data beyond the watermark is dropped, state is bounded.
     */

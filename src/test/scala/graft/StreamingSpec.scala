@@ -41,6 +41,48 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.contains("view_id")) // ingestion metadata survived
   }
 
+  test("streaming upsert sink == batch write+upsert; replay-idempotent per key") {
+    val watch = Files.createTempDirectory("graft_uwatch").toString
+    val store = Files.createTempDirectory("graft_ustore").toString
+    val ckpt = Files.createTempDirectory("graft_uckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "study_code STRING, view STRING, name STRING, score STRING")
+    // drop 1: two views; drop 2 (separate micro-batch via
+    // maxFilesPerTrigger ordering not guaranteed — use two runs)
+    Files.writeString(java.nio.file.Paths.get(watch, "dropA.csv"),
+      "study_code,view,name,score\ns1,v1,alice,9\ns1,v1,bob,8\ns1,v2,carol,7\n")
+    runToCompletion(
+      StreamingIngest.upsertStream(spark, watch, schema, "study_code", "view", store, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    // second drop REVISES v1 (fewer rows) and leaves v2 alone; a new
+    // AvailableNow run picks up only the new file from the checkpoint
+    Files.writeString(java.nio.file.Paths.get(watch, "dropB.csv"),
+      "study_code,view,name,score\ns1,v1,dave,5\n")
+    runToCompletion(
+      StreamingIngest.upsertStream(spark, watch, schema, "study_code", "view", store, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+
+    val streamed = NestedStore.flatten(spark.read.parquet(store))
+      .select("study_code", "view", "name", "score")
+      .orderBy("view", "name").collect().toSeq
+    // v1 replaced wholesale (put_item semantics), v2 untouched
+    assert(streamed.map(r => (r.getString(1), r.getString(2))) ==
+      Seq(("v1", "dave"), ("v2", "carol")))
+
+    // batch twin: write(A-transformed) then upsert(B-transformed)
+    // through the same ingestion transforms produces the same store
+    val batchStore = Files.createTempDirectory("graft_ustore_b").toString
+    def ingest(path: String) = graft.io.Ingestion.withFileMetadata(
+      graft.io.Ingestion.nullFill(
+        spark.read.schema(schema).option("header", "true").csv(path)))
+    NestedStore.write(NestedStore.nest(ingest(s"$watch/dropA.csv"), "study_code", "view"), batchStore)
+    NestedStore.upsert(NestedStore.nest(ingest(s"$watch/dropB.csv"), "study_code", "view"), batchStore)
+    val batch = NestedStore.flatten(spark.read.parquet(batchStore))
+      .select("study_code", "view", "name", "score")
+      .orderBy("view", "name").collect().toSeq
+    assert(streamed == batch, "streaming upsert must equal batch write+upsert")
+  }
+
   test("watermarked windowed aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
