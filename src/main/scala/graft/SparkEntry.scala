@@ -529,6 +529,19 @@ object SparkEntry {
         .select("doc_id", "n_emails", "n_urls")),
     "text_vocabulary" -> ((s, d) =>
       TextAnalysis.vocabulary("text", "doc_id")(t(s, d, "documents"))),
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats("doc_id", "text", n = 2)(t(s, d, "documents"))),
+    // benchmark decontamination: docs with doc_id % 19 == 3 stand in
+    // for the eval suite; every other doc is scanned for 5-gram
+    // overlap with that set (broadcast semi-join — the bench side is
+    // tiny by construction)
+    "decontam_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Decontam.contaminationReport(
+        docs.filter(col("doc_id") % 19 =!= 3),
+        docs.filter(col("doc_id") % 19 === 3),
+        "doc_id", "text", n = 5)
+    }),
     // range join: clicks attributed to purchases within the hour
     // before them — points bucketed, intervals exploded to covered
     // buckets, candidates meet on an equi-join (no per-key cartesian).
@@ -1149,6 +1162,36 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY 1""".stripMargin,
+    // word-2-gram construction mirrors Dedup.shingles: len(w)-1
+    // positional grams, whole text as one gram for <2-word docs
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 2)
+        |  UNION ALL
+        |  SELECT doc_id, text AS gram FROM toks WHERE len(w) < 2),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
+        |FROM cnt GROUP BY 1""".stripMargin,
+    // 5-gram overlap replay: same shingle rule, bench = doc_id%19==3
+    "decontam_overlap" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM toks WHERE len(w) >= 5)
+        |  UNION ALL
+        |  SELECT doc_id, text AS gram FROM toks WHERE len(w) < 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 3),
+        |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 19 <> 3)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM tg GROUP BY 1""".stripMargin,
     "range_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     p AS (SELECT event_id AS purchase_id, user_id,

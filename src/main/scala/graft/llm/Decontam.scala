@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation/benchmark set — the standard published
+  * leakage control for pretraining corpora (GPT-3-style 13-gram
+  * overlap scans; n is a parameter here because the gated corpus is
+  * synthetic word streams). The reference engine (a pandas config
+  * ETL) has no such surface; this belongs to the mandated
+  * training-data-pipeline family (SURVEY.md §6) alongside dedup.
+  *
+  * Scale shape: the benchmark side is tiny by construction (eval
+  * suites are thousands of documents against a 100 TB corpus), so its
+  * distinct-gram set is broadcast and the overlap test is a
+  * broadcast LEFT SEMI join — the corpus side streams through in one
+  * pass with NO shuffle of grams; the only exchange is the per-doc
+  * hit-count aggregation on the id. Grams are built with
+  * [[Dedup.shingles]]'s zip_with-over-shifted-slices form (evaluated
+  * once per row, never per element). If a benchmark set ever outgrows
+  * broadcast, drop the hint and the same plan becomes a shuffled
+  * semi-join on the gram — semantics unchanged.
+  */
+object Decontam {
+
+  /** The distinct word-n-gram set of the benchmark frame. */
+  def benchGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.select(explode(Dedup.shingles(textCol, n)).as("gram")).distinct()
+
+  /** Per-training-document contamination report: `n_grams` = the
+    * doc's distinct n-gram count, `n_hits` = how many of those appear
+    * anywhere in the benchmark set, `contaminated` = n_hits > 0.
+    * Documents shorter than n words contribute their whole text as a
+    * single gram (the [[Dedup.shingles]] short-doc rule).
+    */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val bg = benchGrams(bench, textCol, n)
+    val tg = train.select(
+      col(idCol), explode(array_distinct(Dedup.shingles(textCol, n))).as("gram"))
+    val hits = tg.join(broadcast(bg), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col(idCol), size(array_distinct(Dedup.shingles(textCol, n))).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+}

@@ -148,4 +148,24 @@ object TextAnalysis {
   def withBagFingerprint(textCol: String, outCol: String = "bag_fingerprint")(df: DataFrame): DataFrame =
     df.withColumn(outCol,
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))))
+
+  /** Gopher-style repetition signals per document: `top_gram_frac` =
+    * the most frequent word-n-gram's share of all gram positions,
+    * `dup_gram_frac` = the share of gram positions whose gram occurs
+    * more than once. The published repetition filters for pretraining
+    * corpora (boilerplate / template / spam detection) that length and
+    * stopword ratios cannot see. Two partial-aggregating shuffles —
+    * (id, gram) then (id) — both on bounded-width keys; documents
+    * shorter than n words score their whole text as one gram (the
+    * [[Dedup.shingles]] short-doc rule), so every document gets a row.
+    */
+  def repetitionStats(idCol: String, textCol: String, n: Int = 2)(df: DataFrame): DataFrame = {
+    val grams = df.select(col(idCol), explode(Dedup.shingles(textCol, n)).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_grams"),
+        (max("__c").cast("double") / sum("__c")).as("top_gram_frac"),
+        (sum(when(col("__c") > 1, col("__c")).otherwise(0L)).cast("double") / sum("__c"))
+          .as("dup_gram_frac"))
+  }
 }

@@ -292,6 +292,36 @@ class LlmSpec extends SparkSpec {
     assert(r == Seq("don", "t", "stop", "won", "t"))
   }
 
+  test("decontamination flags exactly the docs sharing benchmark n-grams") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the bench 5-gram "beta gamma delta epsilon zeta"
+      (1L, "intro words beta gamma delta epsilon zeta outro"),
+      (2L, "totally unrelated words that never overlap anything"),
+      (3L, "alpha beta gamma x delta epsilon zeta"), // 4-gram overlap only, no 5-gram
+      (4L, "tiny doc")                               // short-doc rule: whole text = 1 gram
+    ).toDF("doc_id", "text")
+    val rep = graft.llm.Decontam.contaminationReport(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep(1L) == (4, 1, true))  // 4 grams, one in the bench set
+    assert(rep(2L)._3 == false && rep(2L)._2 == 0)
+    assert(rep(3L)._3 == false)
+    assert(rep(4L) == (1, 0, false))
+  }
+
+  test("repetition stats separate templated from varied documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one 2-gram repeated 5x
+      (2L, "one two three four five six")             // all 2-grams unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats("doc_id", "text")(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == (5L, 1.0, 1.0))   // 5 positions, all the same gram
+    assert(out(2L) == (5L, 0.2, 0.0))   // 5 distinct grams, no repeats
+  }
+
   // ===== multimodal =====
 
   test("binary chunking reassembles to the original content") {
