@@ -470,6 +470,12 @@ object SparkEntry {
     // never a doc-level cartesian)
     "dedup_jaccard_audit" -> ((s, d) =>
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3)),
+    // connected components over the exact near-dup pair graph: one
+    // call collapses transitive chains; oracle replays the same pairs
+    // through a recursive CTE reachability walk
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(
+        Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3))),
     "dedup_near_keep" -> ((s, d) =>
       Dedup.nearDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
     // maxHamming=3 keeps the 16-bit-chunk blocking recall-COMPLETE
@@ -1081,6 +1087,23 @@ object SparkEntry {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+        |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
     "dedup_near_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,

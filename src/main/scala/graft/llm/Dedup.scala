@@ -245,7 +245,9 @@ object Dedup {
   /** Drop near-duplicates: remove every doc that appears as the
     * HIGHER id of a confirmed pair (keep-lowest policy; transitive
     * chains collapse to their minimum over repeated application —
-    * single pass documented as the standard practical choice).
+    * single pass documented as the standard practical choice; use
+    * [[nearDupClusters]] + keep-min-per-cluster when one pass must
+    * collapse whole chains).
     */
   def nearDedup(
       df: DataFrame,
@@ -255,6 +257,61 @@ object Dedup {
     val drop = nearDupPairs(df, idCol, textCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over a near-dup pair frame: every document
+    * appearing in any pair is labeled with the MINIMUM doc id
+    * reachable through the pair graph, so a transitive chain a~b~c
+    * collapses to one cluster in a single call — closing the
+    * keep-lowest policy's repeated-application trade-off. Keeping the
+    * min id per cluster then dedups whole chains in one pass.
+    *
+    * Iterative min-label propagation: each round sends every vertex's
+    * current label across the (symmetrized) edge set and keeps the
+    * per-vertex min; labels decrease monotonically, so changed == 0 is
+    * a true fixpoint. Rounds needed = component diameter — near-dup
+    * components are tight (mirrors and re-crawls all link back to the
+    * same originals), so a handful of rounds suffices; `maxIter`
+    * bounds pathological chains and the method THROWS rather than
+    * silently returning a half-merged clustering. Each round is one
+    * shuffle on the id (bounded-width keys, never bodies) plus a
+    * driver-side changed-count — control flow only, no data collect.
+    * At extreme diameters swap in large-star/small-star (O(log²)
+    * rounds); the per-round plan shape is the same.
+    */
+  def nearDupClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("__src"), col(idB).as("__dst"))
+      .union(pairs.select(col(idB).as("__src"), col(idA).as("__dst")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("__src").as("doc_id"))
+      .distinct().withColumn("cluster_id", col("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val viaEdges = edges
+        .join(labels.select(col("doc_id").as("__src"), col("cluster_id")), "__src")
+        .select(col("__dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").union(viaEdges)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "__old"), "doc_id")
+        .where(col("cluster_id") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    require(done, s"nearDupClusters did not converge in $maxIter rounds — " +
+      "component diameter exceeds the bound; raise maxIter or use star contraction")
+    labels
   }
 
   // ===== SimHash =====

@@ -292,6 +292,20 @@ class LlmSpec extends SparkSpec {
     assert(r == Seq("don", "t", "stop", "won", "t"))
   }
 
+  test("near-dup clustering collapses transitive chains in one call") {
+    // chain 1~2, 2~3, 3~4 plus a separate pair 10~11: one call must
+    // label {1,2,3,4} -> 1 and {10,11} -> 10 (keep-lowest nearDedup
+    // needs repeated passes for the same chain — the documented gap
+    // this closes)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // non-convergence must throw, not return a partial merge
+    val longChain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException](Dedup.nearDupClusters(longChain, maxIter = 2))
+  }
+
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
