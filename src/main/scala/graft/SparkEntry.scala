@@ -604,6 +604,13 @@ object SparkEntry {
       graft.llm.Sampling.stratifiedHashSample("doc_id", "lang",
         Seq("en" -> 10), defaultPct = 30)(t(s, d, "documents"))
         .select("doc_id", "lang")),
+    // temperature-based domain balancing (alpha=0.5: the exponent is
+    // a correctly-rounded sqrt, so the rate table is engine-exact)
+    "sample_domain_mixture" -> ((s, d) =>
+      graft.llm.Sampling.domainMixture("source")(t(s, d, "documents"))),
+    "sample_domain_balanced" -> ((s, d) =>
+      graft.llm.Sampling.temperatureBalancedSample("doc_id", "source")(t(s, d, "documents"))
+        .select("doc_id", "source")),
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTermsPerDoc("doc_id", "text", 3)(t(s, d, "documents"))),
     // per-language corpus stats: count, mean and EXACT median token
@@ -1247,6 +1254,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+    "sample_domain_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS n_min FROM c)
+        |SELECT source, n_docs, sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS sample_rate
+        |FROM c, m""".stripMargin,
+    "sample_domain_balanced" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS n_min FROM c),
+        |r AS (SELECT source, sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate FROM c, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < r.rate""".stripMargin,
     "text_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -46,6 +46,57 @@ object Sampling {
     df.where(hashBucket(col(keyCol)) < pct)
   }
 
+  /** Continuous stable fraction in [0, 1): the md5-bucket construction
+    * at full 60-bit resolution (2^60 = 16^15 is exactly representable,
+    * so the division is engine-portable bit-for-bit) — for keep rates
+    * finer than [[hashBucket]]'s 1% granularity.
+    */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+
+  /** Temperature-based domain mixture (the multilingual/domain
+    * balancing rule of mT5/XLM-R-style pipelines): sampling weight per
+    * domain ∝ n_docs^alpha, expressed as a per-doc acceptance rate
+    * normalized to keep ALL of the smallest domain —
+    * rate_d = (n_min / n_d)^(1-alpha). alpha = 1 keeps the natural
+    * distribution; alpha → 0 flattens toward uniform. One tiny
+    * aggregation (domains are few); the 1-row min joins back via
+    * broadcast. The gate pins alpha = 0.5, where the exponent is a
+    * square root — correctly rounded by IEEE 754 in every engine,
+    * unlike libm pow whose last ulp may differ — so the DuckDB replay
+    * is bit-exact; other alphas use pow and carry the documented
+    * ulp caveat.
+    */
+  def domainMixture(domainCol: String, alpha: Double = 0.5)(df: DataFrame): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min("n_docs").as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("n_docs").cast("double")
+    val exponent = 1.0 - alpha
+    val rate = if (exponent == 0.5) sqrt(ratio) else pow(ratio, lit(exponent))
+    counts.crossJoin(broadcast(nMin))
+      .withColumn("sample_rate", rate)
+      .drop("__n_min")
+  }
+
+  /** Apply [[domainMixture]]'s rates as a deterministic hash filter:
+    * keep a row iff its key's [[hashFraction]] falls under its
+    * domain's acceptance rate. Membership per key is stable under
+    * corpus growth; the rate table is domains-sized and broadcast, so
+    * the pass adds no shuffle beyond the mixture's own tiny agg.
+    */
+  def temperatureBalancedSample(
+      keyCol: String,
+      domainCol: String,
+      alpha: Double = 0.5)(df: DataFrame): DataFrame = {
+    val rates = domainMixture(domainCol, alpha)(df)
+      .select(col(domainCol), col("sample_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(hashFraction(col(keyCol)) < col("sample_rate"))
+      .drop("sample_rate")
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep rate over
     * the same md5 bucketing — the corpus-balancing primitive (keep
     * 10% of an overrepresented language, 100% of a rare one). Still a

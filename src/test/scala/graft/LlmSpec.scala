@@ -292,6 +292,30 @@ class LlmSpec extends SparkSpec {
     assert(r == Seq("don", "t", "stop", "won", "t"))
   }
 
+  test("temperature mixture keeps all of the smallest domain, flattens the rest") {
+    import graft.llm.Sampling
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i <= 4) "rare" else if (i <= 104) "mid" else "big"))
+      .toDF("doc_id", "source")
+    val rates = Sampling.domainMixture("source")(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates("rare") == (4L, 1.0))                      // n_min keeps everything
+    assert(rates("mid") == (100L, math.sqrt(4.0 / 100)))    // 0.2
+    assert(rates("big") == (296L, math.sqrt(4.0 / 296)))
+    // alpha=1 keeps the natural distribution (all rates 1)
+    val natural = Sampling.domainMixture("source", alpha = 1.0)(df)
+      .collect().map(_.getDouble(2))
+    assert(natural.forall(_ == 1.0))
+    // the balanced sample keeps rare intact and membership is a pure
+    // key predicate (stable under reordering)
+    val kept = Sampling.temperatureBalancedSample("doc_id", "source")(df)
+    assert(kept.where(col("source") === "rare").count() == 4)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val keptShuffled = Sampling.temperatureBalancedSample("doc_id", "source")(
+      df.orderBy(rand(7))).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds == keptShuffled)
+  }
+
   test("near-dup clustering collapses transitive chains in one call") {
     // chain 1~2, 2~3, 3~4 plus a separate pair 10~11: one call must
     // label {1,2,3,4} -> 1 and {10,11} -> 10 (keep-lowest nearDedup
