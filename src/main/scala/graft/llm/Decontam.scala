@@ -32,7 +32,12 @@ object Decontam {
     * doc's distinct n-gram count, `n_hits` = how many of those appear
     * anywhere in the benchmark set, `contaminated` = n_hits > 0.
     * Documents shorter than n words contribute their whole text as a
-    * single gram (the [[Dedup.shingles]] short-doc rule).
+    * single gram (the [[Dedup.shingles]] short-doc rule, which also
+    * guarantees every doc at least one gram — so one aggregation
+    * covers the whole train side). ONE corpus scan: the exploded
+    * grams meet the broadcast bench set in a marker left join, and a
+    * single per-doc aggregation produces both counts — no second
+    * pass, no corpus-side outer join.
     */
   def contaminationReport(
       train: DataFrame,
@@ -40,15 +45,14 @@ object Decontam {
       idCol: String,
       textCol: String,
       n: Int = 5): DataFrame = {
-    val bg = benchGrams(bench, textCol, n)
-    val tg = train.select(
-      col(idCol), explode(array_distinct(Dedup.shingles(textCol, n))).as("gram"))
-    val hits = tg.join(broadcast(bg), Seq("gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    val bg = benchGrams(bench, textCol, n).withColumn("__hit", lit(1))
     train
-      .select(col(idCol), size(array_distinct(Dedup.shingles(textCol, n))).as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_hits"))
+      .select(col(idCol), explode(array_distinct(Dedup.shingles(textCol, n))).as("gram"))
+      .join(broadcast(bg), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 }

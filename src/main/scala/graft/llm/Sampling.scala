@@ -71,13 +71,16 @@ object Sampling {
   def domainMixture(domainCol: String, alpha: Double = 0.5)(df: DataFrame): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
-    val nMin = counts.agg(min("n_docs").as("__n_min"))
-    val ratio = col("__n_min").cast("double") / col("n_docs").cast("double")
+    // global min over the DOMAINS-sized count table via an unbounded
+    // window: the single-partition exchange carries one row per
+    // domain (few by definition), and the corpus is scanned exactly
+    // once — a 1-row-agg cross join would re-scan it for the min
+    val nMin = min("n_docs").over(org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue))
+    val ratio = nMin.cast("double") / col("n_docs").cast("double")
     val exponent = 1.0 - alpha
     val rate = if (exponent == 0.5) sqrt(ratio) else pow(ratio, lit(exponent))
-    counts.crossJoin(broadcast(nMin))
-      .withColumn("sample_rate", rate)
-      .drop("__n_min")
+    counts.withColumn("sample_rate", rate)
   }
 
   /** Apply [[domainMixture]]'s rates as a deterministic hash filter:
