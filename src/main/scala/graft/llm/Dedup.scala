@@ -278,6 +278,12 @@ object Dedup {
     * driver-side changed-count — control flow only, no data collect.
     * At extreme diameters swap in large-star/small-star (O(log²)
     * rounds); the per-round plan shape is the same.
+    *
+    * The returned frame IS persisted (the convergence check already
+    * materialized it; unpersisting would lazily re-run the whole
+    * iteration on first use) — callers consuming it once should
+    * `.unpersist()` when done. On non-convergence every intermediate
+    * is unpersisted before the throw.
     */
   def nearDupClusters(
       pairs: DataFrame,
@@ -309,6 +315,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!done) labels.unpersist()
     require(done, s"nearDupClusters did not converge in $maxIter rounds — " +
       "component diameter exceeds the bound; raise maxIter or use star contraction")
     labels
