@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -55,4 +55,35 @@ object Decontam {
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** The benchmark gram set collected to the driver — bounded by the
+    * benchmark's size (eval suites are thousands of documents, never
+    * corpus-scale), the same driver-local-bounded-state class as the
+    * IVF training sample. Feed to [[contaminated]] /
+    * [[streamingDecontamFilter]].
+    */
+  def collectBenchGrams(bench: DataFrame, textCol: String, n: Int = 5): Seq[String] =
+    benchGrams(bench, textCol, n).collect().map(_.getString(0)).toSeq
+
+  /** Pure row predicate: does this text share any word n-gram with
+    * the (driver-collected) benchmark set? `arrays_overlap` against
+    * the embedded literal — no join, no shuffle, no state, so it
+    * composes into any plan, including append-mode streams.
+    */
+  def contaminated(benchGramSet: Seq[String], textCol: String, n: Int = 5): Column =
+    arrays_overlap(Dedup.shingles(textCol, n), typedLit(benchGramSet))
+
+  /** Streaming face of decontamination: drop stream rows that leak
+    * benchmark n-grams. Stateless (a row predicate over the embedded
+    * gram set), so it needs no watermark and cannot accumulate state —
+    * the right shape for an ingest feed that must never admit eval
+    * data. Spec-pinned streaming == batch on identical input
+    * (LlmSpec/StreamingSpec pattern).
+    */
+  def streamingDecontamFilter(
+      docs: DataFrame,
+      benchGramSet: Seq[String],
+      textCol: String,
+      n: Int = 5): DataFrame =
+    docs.where(!contaminated(benchGramSet, textCol, n))
 }

@@ -101,6 +101,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("stateless streaming decontamination == batch filter; agrees with the report") {
+    import graft.llm.Decontam
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val grams = Decontam.collectBenchGrams(bench, "text", n = 5)
+    val rows = Seq(
+      (1L, "intro words beta gamma delta epsilon zeta outro"), // leaks a bench 5-gram
+      (2L, "totally unrelated words that never overlap anything"),
+      (3L, "alpha beta gamma x delta epsilon zeta"))           // 4-gram overlap only
+    val batchKept = Decontam.streamingDecontamFilter(rows.toDF("doc_id", "text"), grams, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == Seq(2L, 3L))
+    // identical predicate over a real stream (append mode, no state)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    runToCompletion(
+      Decontam.streamingDecontamFilter(mem.toDF().toDF("doc_id", "text"), grams, "text")
+        .writeStream.format("memory").queryName("sdecontam")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val streamKept = spark.table("sdecontam").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamKept == batchKept)
+    // and the predicate agrees with the contaminationReport gate query
+    val report = Decontam.contaminationReport(rows.toDF("doc_id", "text"), bench, "doc_id", "text")
+      .where(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(report == Seq(1L))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
