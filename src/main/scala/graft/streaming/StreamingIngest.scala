@@ -96,6 +96,29 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"), col("max_value"))
 
+  /** Watermarked windowed approx-NDV — the streaming face of the
+    * sketch family ([[graft.llm.Sketch.approxNdv]]): HLL++ registers
+    * merge associatively, so the same fixed ~(1.04/rsd)² words that
+    * bound the batch exchange bound the per-window state-store entry —
+    * constant state per (window, key) at ANY input rate, where an
+    * exact streaming NDV would buffer every distinct value. Late data
+    * beyond the watermark is dropped; the batch twin (same plan minus
+    * the watermark) is spec-pinned equal on identical input.
+    */
+  def windowedNdv(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "user_id",
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_ndv"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("approx_ndv"))
+
   /** Per-user session state via mapGroupsWithState: counts events and
     * (when `gapMs` is set) closes the session after that much
     * processing-time inactivity — the custom-state pattern

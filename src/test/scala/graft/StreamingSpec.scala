@@ -128,6 +128,32 @@ class StreamingSpec extends SparkSpec {
     assert(report == Seq(1L))
   }
 
+  test("windowed streaming approx-NDV == batch twin on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 7L),
+      (Timestamp.valueOf("2024-01-01 10:15:00"), "click", 7L),  // dup user in window
+      (Timestamp.valueOf("2024-01-01 10:25:00"), "click", 9L),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 7L),  // next window
+      (Timestamp.valueOf("2024-01-01 10:30:00"), "view", 7L))
+    mem.addData(rows: _*)
+    val streamed = StreamingIngest.windowedNdv(mem.toDF().toDF("ts", "event_type", "user_id"))
+    runToCompletion(
+      streamed.writeStream.format("memory").queryName("win_ndv")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    val got = spark.table("win_ndv")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    // batch twin: same aggregation minus the watermark
+    val batch = StreamingIngest.windowedNdv(rows.toDF("ts", "event_type", "user_id"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == batch, "streaming and batch sketches must agree on identical input")
+    // at this cardinality the sketch is exact: {7,9} -> 2, {7} -> 1
+    assert(got.map(_._3) == Seq(2L, 1L, 1L))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
