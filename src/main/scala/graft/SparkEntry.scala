@@ -623,6 +623,32 @@ object SparkEntry {
           avg(col("n_tokens")).as("mean_tokens"),
           expr("percentile(n_tokens, 0.5)").as("median_tokens"))),
 
+    // ===== sequence packing (llm/Packing.scala) =====
+    // concat-and-chunk layout: sharded token stream, 2048-token
+    // chunks; integer-only arithmetic so the DuckDB replay is
+    // bit-exact (see Packing scaladoc for the 100 TB sharding story)
+    "pack_sequences" -> ((s, d) =>
+      graft.llm.Packing.packSequences("doc_id", "n_tokens", budget = 2048, shards = 16)(
+        t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+    // per-chunk loader manifest: docs/tokens starting in each chunk
+    "pack_manifest" -> ((s, d) =>
+      graft.llm.Packing.packManifest("doc_id", "n_tokens", budget = 2048, shards = 16)(
+        t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+    // length-band histogram for batch-shape planning (exact CASE
+    // boundaries, no floating log2)
+    "pack_length_hist" -> ((s, d) =>
+      graft.llm.Packing.lengthHistogram("n_tokens")(
+        t(s, d, "documents")
+          .select(size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+    // weighted top-k via priority sampling (w/u, one IEEE division —
+    // engine-exact, unlike exponential-keys' libm pow/ln)
+    "sample_priority_topk" -> ((s, d) =>
+      graft.llm.Sampling.prioritySample("doc_id", "n_tokens", 50)(
+        t(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+
     // ===== approx/sketch audit family (llm/Sketch.scala) =====
     // HLL++/GK twins of the exact audits above: each query computes
     // the exact statistic AND a boolean pinning the sketch inside its
@@ -1282,6 +1308,58 @@ object SparkEntry {
         |  avg(CAST(len(string_split(text, ' ')) AS INTEGER)) AS mean_tokens,
         |  quantile_cont(CAST(len(string_split(text, ' ')) AS INTEGER), 0.5) AS median_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+    // sequence packing: same sharded window cumsum, integer `//`
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, shard,
+        |  tokens_before // 2048 AS pack_id,
+        |  tokens_before - (tokens_before // 2048) * 2048 AS pack_offset,
+        |  (tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048) AS spans_boundary
+        |FROM cum""".stripMargin,
+    "pack_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM toks)
+        |SELECT shard, tokens_before // 2048 AS pack_id,
+        |  count(*) AS n_docs,
+        |  SUM(CAST(n_tokens AS BIGINT)) AS n_tokens,
+        |  SUM(CASE WHEN tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048
+        |      THEN 1 ELSE 0 END) AS n_spanning
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+    "pack_length_hist" ->
+      """SELECT CASE WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |    WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |    WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+        |    WHEN n_tokens <= 4096 THEN 4096 ELSE -1 END AS bucket_hi,
+        |  count(*) AS n_docs, SUM(CAST(n_tokens AS BIGINT)) AS sum_tokens
+        |FROM (SELECT CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "sample_priority_topk" ->
+      """SELECT doc_id, n_tokens, CAST(n_tokens AS DOUBLE) / u AS priority
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |        greatest(
+        |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |            / 1152921504606846976.0,
+        |          1.0 / 1152921504606846976.0) AS u
+        |      FROM documents)
+        |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
     // sketch audits: the oracle replays the EXACT statistic and pins
     // the ok-booleans to TRUE — hash mismatch iff the sketch leaves
     // its error envelope (see llm/Sketch.scala Scaladoc)

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — laying a corpus of variable-length documents
+  * into the fixed-token-budget training sequences a pretraining run
+  * consumes. The reference pipeline stops at flat tables
+  * (`Athena_DynamoDB_Normalized.py:30-81` is its final layout step);
+  * packing is the extension a training-data user needs on top: every
+  * LLM data loader concatenates documents into one token stream and
+  * chunks it every `budget` tokens ("concat-and-chunk", the GPT/T5
+  * pretraining layout), because padding variable-length docs wastes
+  * FLOPs proportional to the length variance.
+  *
+  * Distributed layout: a single global token stream would serialize
+  * the cumulative sum behind one total sort, so the stream is sharded
+  * by a stable key hash ([[Sampling.hashBucket]]) and each shard is an
+  * independent contiguous stream — exactly how multi-worker loaders
+  * shard a corpus. The plan is then one hash exchange on `shard` plus
+  * a per-shard local sort (the window), no global sort, no driver
+  * state; at 100 TB you raise `shards` so each shard's sort fits an
+  * executor (shards ≈ corpus_tokens / ~1e9 keeps a shard's window
+  * state around a few GB), and shard count — not corpus size — sets
+  * the parallelism.
+  *
+  * Determinism: shard assignment is md5-based and the in-shard order
+  * is the document key, so the layout is a pure function of the data —
+  * re-running, repartitioning, or growing the corpus never moves a
+  * document to a different `(shard, pack_id, pack_offset)` unless its
+  * shard's prefix changed. That is what makes packed layouts
+  * resumable and auditable (the same property [[Sampling]] gives
+  * splits).
+  */
+object Packing {
+
+  /** Assign each document its position in the packed layout:
+    * `shard` (stable hash bucket), `pack_id` (which budget-sized
+    * chunk of the shard's token stream the document STARTS in),
+    * `pack_offset` (token offset inside that chunk), and
+    * `spans_boundary` (true iff the document crosses into the next
+    * chunk — the loader will split it, the classic concat-and-chunk
+    * behavior). Documents are laid out in ascending `idCol` order
+    * within a shard; `nTokensCol` is the document's token count.
+    *
+    * Integer arithmetic only (`div` on longs), so any engine replays
+    * the layout bit-for-bit — the DuckDB oracle for `pack_sequences`
+    * is the same window cumsum with `//`.
+    */
+  def packSequences(
+      idCol: String,
+      nTokensCol: String,
+      budget: Int,
+      shards: Int = 64)(df: DataFrame): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", Sampling.hashBucket(col(idCol), shards))
+      .withColumn("tokens_before",
+        sum(col(nTokensCol).cast("long")).over(w) - col(nTokensCol).cast("long"))
+      .withColumn("pack_id", expr(s"tokens_before div ${budget.toLong}L"))
+      .withColumn("pack_offset", col("tokens_before") - col("pack_id") * budget.toLong)
+      .withColumn("spans_boundary", col("pack_offset") + col(nTokensCol) > budget.toLong)
+      .drop("tokens_before")
+  }
+
+  /** Per-pack roll-up of [[packSequences]]: documents and tokens
+    * STARTING in each chunk — the shape a loader manifest or a
+    * packing-efficiency audit reads. Same single exchange (the
+    * groupBy keys subsume the window's partitioning).
+    */
+  def packManifest(
+      idCol: String,
+      nTokensCol: String,
+      budget: Int,
+      shards: Int = 64)(df: DataFrame): DataFrame =
+    packSequences(idCol, nTokensCol, budget, shards)(df)
+      .groupBy("shard", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol).cast("long")).as("n_tokens"),
+        sum(when(col("spans_boundary"), 1L).otherwise(0L)).as("n_spanning"))
+
+  /** Length-bucket histogram for batch-shape planning: how many
+    * documents and tokens fall in each power-of-two-ish length band.
+    * Deciding sequence-length buckets (a padding-efficiency
+    * alternative to packing) needs exactly this distribution.
+    * Boundaries are explicit and the bucket is a when-chain — exact
+    * integer comparisons, no floating log2, so the histogram is
+    * engine-portable (a `CASE` in the oracle).
+    */
+  def lengthHistogram(
+      nTokensCol: String,
+      boundaries: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048, 4096))(
+      df: DataFrame): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"boundaries must be non-empty ascending, got $boundaries")
+    val n = col(nTokensCol)
+    val bucket = boundaries.foldLeft(lit(null).cast("int")) { (acc, b) =>
+      coalesce(acc, when(n <= b, lit(b)))
+    }
+    df.withColumn("bucket_hi", coalesce(bucket, lit(-1)))
+      .groupBy("bucket_hi")
+      .agg(count(lit(1)).as("n_docs"), sum(n.cast("long")).as("sum_tokens"))
+  }
+}

@@ -122,4 +122,33 @@ object Sampling {
       .otherwise(lit(defaultPct))
     df.where(hashBucket(col(keyCol)) < cut)
   }
+
+  /** Deterministic weighted top-k sampling — priority sampling
+    * (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    * `q = w / u` with `u` the row's stable hash fraction, and the
+    * sample is the k highest priorities. Inclusion probability is
+    * ∝ min(1, w/τ) for the threshold τ = (k+1)-th priority, i.e.
+    * weight-proportional without replacement — the standard way to
+    * bias a corpus sample toward long/high-quality documents while
+    * keeping membership a pure function of the data.
+    *
+    * Engine-portable by construction: `u` is a 60-bit md5 integer
+    * scaled by an exact power of two and `q` is ONE IEEE division —
+    * bit-identical in any engine, unlike the usual `u^(1/w)` /
+    * `ln(u)/w` exponential-keys formulation whose libm calls differ
+    * in the last ulp across engines. `u` is floored to 2^-60 so a
+    * (2^-60-probability) zero hash cannot divide by zero, and ties —
+    * impossible short of an md5 prefix collision — break on the key.
+    *
+    * Scale: priorities are a pure row expression; top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps + one k-row merge),
+    * so no global sort and no full shuffle at any corpus size.
+    */
+  def prioritySample(keyCol: String, weightCol: String, k: Int)(df: DataFrame): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = greatest(hashFraction(col(keyCol)), lit(1.0 / 1152921504606846976.0))
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
 }
