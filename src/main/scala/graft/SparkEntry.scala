@@ -642,6 +642,15 @@ object SparkEntry {
       graft.llm.Packing.lengthHistogram("n_tokens")(
         t(s, d, "documents")
           .select(size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+    // stride-scheduled source interleave via two-phase ranking (no
+    // per-source global sort); power-of-two rates → vt is an exact
+    // binary scaling of the integer rank
+    "pack_mixture_schedule" -> ((s, d) =>
+      graft.llm.Packing.mixtureSchedule("doc_id", "source",
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.125, shards = 16)(
+        t(s, d, "documents").select("doc_id", "source"))
+        .select("doc_id", "source", "shard", "rank_in_source", "vt")),
     // weighted top-k via priority sampling (w/u, one IEEE division —
     // engine-exact, unlike exponential-keys' libm pow/ln)
     "sample_priority_topk" -> ((s, d) =>
@@ -1350,6 +1359,22 @@ object SparkEntry {
         |  count(*) AS n_docs, SUM(CAST(n_tokens AS BIGINT)) AS sum_tokens
         |FROM (SELECT CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
+    "pack_mixture_schedule" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, shard,
+        |    row_number() OVER (PARTITION BY source ORDER BY shard, doc_id) AS rank_in_source
+        |  FROM s)
+        |SELECT doc_id, source, shard, rank_in_source,
+        |  CAST(rank_in_source AS DOUBLE) /
+        |    (CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+        |                 WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
+        |                 ELSE CAST(0.125 AS DOUBLE) END) AS vt
+        |FROM r""".stripMargin,
     "sample_priority_topk" ->
       """SELECT doc_id, n_tokens, CAST(n_tokens AS DOUBLE) / u AS priority
         |FROM (SELECT doc_id,

@@ -83,6 +83,60 @@ object Packing {
         sum(col(nTokensCol).cast("long")).as("n_tokens"),
         sum(when(col("spans_boundary"), 1L).otherwise(0L)).as("n_spanning"))
 
+  /** Deterministic source-mixture training schedule — stride
+    * scheduling: document number `i` of source `s` gets virtual time
+    * `vt = i / rate_s`, and reading the corpus in `vt` order
+    * interleaves sources at their target rates (a source with rate
+    * 0.5 appears every 2nd step a rate-1.0 source would fill) — the
+    * deterministic counterpart of sampling-with-ratios data loaders,
+    * reproducible batch-for-batch across runs.
+    *
+    * The per-source sequence number is computed by TWO-PHASE ranking,
+    * not a per-source global sort (which would put each source's
+    * whole corpus through one partition — the classic skew
+    * scale-killer): phase 1 ranks within `(source, shard)` after one
+    * hash exchange; phase 2 turns the tiny `(source, shard)` count
+    * table into per-shard start offsets and broadcast-joins them
+    * back, so `rank = shard_offset + local_rank` equals
+    * `row_number() OVER (PARTITION BY source ORDER BY shard, id)`
+    * with per-shard parallelism. The offsets table is
+    * `n_sources × shards` rows regardless of corpus size.
+    *
+    * `rates` maps source → rate in (0, 1]; unlisted sources get
+    * `defaultRate`. Power-of-two rates make `vt` an exact binary
+    * scaling of the integer rank (engine-bit-exact); other rates are
+    * one IEEE division, still deterministic. Produces `rank_in_source`
+    * and `vt`; the caller materializes the order with a range sort on
+    * `vt` only when a totally-ordered manifest is actually needed.
+    */
+  def mixtureSchedule(
+      idCol: String,
+      sourceCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 1.0,
+      shards: Int = 64)(df: DataFrame): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    (rates.map(_._2) :+ defaultRate).foreach(r =>
+      require(r > 0 && r <= 1.0, s"rates must be in (0, 1], got $r"))
+    val sharded = df.withColumn("shard", Sampling.hashBucket(col(idCol), shards))
+    val localW = Window.partitionBy(sourceCol, "shard").orderBy(col(idCol))
+    val ranked = sharded.withColumn("local_rank", row_number().over(localW).cast("long"))
+    // tiny side: per-(source, shard) counts → exclusive prefix sums
+    val offW = Window.partitionBy(sourceCol).orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(sourceCol, "shard").count()
+      .withColumn("shard_offset", coalesce(sum("count").over(offW), lit(0L)))
+      .drop("count")
+    val rate = rates.foldLeft(lit(null).cast("double")) { case (acc, (s, r)) =>
+      coalesce(acc, when(col(sourceCol) === s, lit(r)))
+    }
+    ranked.join(broadcast(offsets), Seq(sourceCol, "shard"))
+      .withColumn("rank_in_source", col("shard_offset") + col("local_rank"))
+      .withColumn("vt",
+        col("rank_in_source").cast("double") / coalesce(rate, lit(defaultRate)))
+      .drop("local_rank", "shard_offset")
+  }
+
   /** Length-bucket histogram for batch-shape planning: how many
     * documents and tokens fall in each power-of-two-ish length band.
     * Deciding sequence-length buckets (a padding-efficiency

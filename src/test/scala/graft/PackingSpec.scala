@@ -104,6 +104,60 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  private val sourcedDocs = (1L to 300L)
+    .map(i => (i, s"src${(i % 3)}")).toDF("doc_id", "source")
+
+  test("mixtureSchedule two-phase rank equals the per-source global row_number") {
+    val r = Packing.mixtureSchedule("doc_id", "source",
+      Seq("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25, shards = 4)(sourcedDocs)
+      .select("doc_id", "source", "shard", "rank_in_source")
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source"),
+        x.getAs[Long]("shard"), x.getAs[Long]("rank_in_source")))
+    assert(r.length == 300)
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      // reference: rank by (shard, doc_id) within the source
+      val expected = rows.sortBy(x => (x._3, x._1)).zipWithIndex
+        .map { case (x, i) => x._1 -> (i + 1L) }.toMap
+      rows.foreach(x => assert(x._4 == expected(x._1), s"doc ${x._1}"))
+    }
+  }
+
+  test("mixtureSchedule interleaves sources at their target rates in vt order") {
+    val sched = Packing.mixtureSchedule("doc_id", "source",
+      Seq("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25, shards = 4)(sourcedDocs)
+    // stride scheduling: by virtual time T, source s has contributed
+    // min(n_s, floor(T * rate_s)) documents — check an interior T
+    val byT = sched.where(col("vt") <= 50.0).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byT("src0") == 50L, byT)  // rate 1.0 → 50 docs by vt=50
+    assert(byT("src1") == 25L, byT)  // rate 0.5 → every 2nd step
+    assert(byT("src2") == 12L, byT)  // rate 0.25 → floor(50/4)
+  }
+
+  test("mixtureSchedule is invariant under repartitioning and broadcast-joins the offsets") {
+    val a = Packing.mixtureSchedule("doc_id", "source",
+      Seq("src0" -> 0.5), shards = 4)(sourcedDocs).collect().map(_.toSeq).toSet
+    val b = Packing.mixtureSchedule("doc_id", "source",
+      Seq("src0" -> 0.5), shards = 4)(sourcedDocs.repartition(11)).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val plan = planOf(Packing.mixtureSchedule("doc_id", "source",
+      Seq("src0" -> 0.5), shards = 4)(sourcedDocs))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the big-side window ranks within (source, shard) — per-shard
+    // parallelism, not one partition per source
+    assert("windowspecdefinition\\(source#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("mixtureSchedule rejects out-of-range rates") {
+    intercept[IllegalArgumentException] {
+      Packing.mixtureSchedule("doc_id", "source", Seq("src0" -> 0.0))(sourcedDocs)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.mixtureSchedule("doc_id", "source", Seq("src0" -> 1.5))(sourcedDocs)
+    }
+  }
+
   test("packSequences rejects non-positive budget and shards") {
     intercept[IllegalArgumentException](Packing.packSequences("doc_id", "n_tokens", 0)(docs))
     intercept[IllegalArgumentException](Packing.packSequences("doc_id", "n_tokens", 64, 0)(docs))
