@@ -450,6 +450,17 @@ object SparkEntry {
     // ===== LLM pipeline: dedup =====
     "dedup_exact" -> ((s, d) => Dedup.exactDedup("text", "doc_id")(doubledDocs(s, d))),
     "dedup_exact_stats" -> ((s, d) => Dedup.exactDedupStats("text", "doc_id")(doubledDocs(s, d))),
+    // steady-state ingest: a new batch (half re-crawled content, half
+    // fresh) anti-joins the store's digest set — only novel content
+    // survives
+    "dedup_incremental" -> ((s, d) => {
+      val store = t(s, d, "documents")
+      val batch = store.withColumn("doc_id", col("doc_id") + 10000L)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" fresh")))
+            .otherwise(col("text")))
+      Dedup.incrementalDedup("text", batch, store).select("doc_id", "text")
+    }),
     // Banding (numPerm=64, bands=16, r=4) is tuned to the DATA, not
     // the threshold: the corpus's true near-dup pairs sit at jaccard
     // >= 0.9 (sf0.01) / >= 0.8 (sf0.1), nothing in [0.3, 0.8)
@@ -1107,6 +1118,13 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin,
     "dedup_exact_stats" ->
       s"SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_id FROM $doubledDocsSql GROUP BY 1",
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    CASE WHEN (doc_id + 10000) % 2 = 1 THEN text || ' fresh' ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, text FROM batch
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)""".stripMargin,
     "dedup_minhash_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,

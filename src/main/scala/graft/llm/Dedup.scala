@@ -34,6 +34,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental dedup — the steady-state ingest shape: keep only the
+    * rows of `batch` whose content does not already exist in `store`
+    * (the accumulated corpus). A LEFT ANTI join on the md5 digest, so
+    * the shuffle carries 32-char keys from the batch and the store's
+    * DISTINCT digests (the store side reduces to its digest set via
+    * partial aggregation before the join — document bodies never
+    * move). Re-running the same batch is idempotent: everything is
+    * already in the store, nothing survives.
+    *
+    * At 100 TB the store side is the big one; a production deployment
+    * persists the digest set once (a 16-byte-per-doc table, bucketed
+    * by digest via [[graft.io.Bucketing]]) instead of re-digesting
+    * the corpus per batch — this operator is the join itself, and
+    * accepts either the raw store or its pre-computed digest column.
+    */
+  def incrementalDedup(
+      textCol: String,
+      batch: DataFrame,
+      store: DataFrame): DataFrame = {
+    val storeDigests = store.select(md5(col(textCol)).as("__digest")).distinct()
+    batch.join(storeDigests, md5(batch(textCol)) === storeDigests("__digest"), "left_anti")
+  }
+
   // ===== shingles + MinHash-LSH =====
 
   /** Word k-shingles as an array<string> column.

@@ -27,6 +27,31 @@ class LlmSpec extends SparkSpec {
     assert(r.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("incrementalDedup keeps only novel content and is idempotent") {
+    val store = docs
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // already in store
+      (12L, "genuinely new content never seen before"),
+      (13L, "short text") // already in store
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup("text", batch, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(12L))
+    // idempotent: re-running the batch against store ∪ batch keeps nothing
+    val again = Dedup.incrementalDedup("text", batch, store.unionByName(batch))
+    assert(again.count() == 0L)
+  }
+
+  test("incrementalDedup anti-joins digests — store bodies never cross the join") {
+    val plan = planOf(Dedup.incrementalDedup("text", docs, docs))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the store side reduces to DISTINCT digests (a HashAggregate on
+    // md5) before the join — the anti-join build side carries 32-char
+    // keys, not documents
+    assert("HashAggregate\\(keys=\\[__digest".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("minhash near-dup finds the planted pair, not the unrelated docs") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5, numPerm = 64, bands = 32)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
