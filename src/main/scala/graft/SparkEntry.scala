@@ -603,6 +603,15 @@ object SparkEntry {
         t(s, d, "orders"),
         t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
         Seq("o_custkey"), buckets = 8)),
+    // bloom-pruned selective join gated against the PLAIN join oracle —
+    // the prune must be invisible in the result, only in shuffle bytes
+    "bloom_prefilter_join" -> ((s, d) => {
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.ops.BloomJoin.bloomPrunedJoin(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        bigOrders, "l_orderkey")
+    }),
 
     // ===== corpus management: deterministic splits + summary stats =====
     "sample_hash_split" -> ((s, d) =>
@@ -1241,6 +1250,10 @@ object SparkEntry {
       """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
         |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "bloom_prefilter_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000""".stripMargin,
     "text_vocabulary" ->
       """SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)

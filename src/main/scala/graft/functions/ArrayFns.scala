@@ -172,6 +172,10 @@ object ArrayFns {
       exprs => ByteStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_hist",
       exprs => ByteHist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom",
+      BloomBuildAgg.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      BloomMightContain.fromExprs, "built-in")
   }
 
   /** Fused native dot product — [[register]] the session first;

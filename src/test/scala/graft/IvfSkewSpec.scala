@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Ivf, Similarity}
-import graft.ops.Skew
+import graft.ops.{BloomJoin, Skew}
 
 class IvfSkewSpec extends SparkSpec {
   import spark.implicits._
@@ -54,5 +54,50 @@ class IvfSkewSpec extends SparkSpec {
     val df = (Seq.fill(50)(1) ++ Seq(2, 3)).toDF("k")
     val top = Skew.keyHistogram(df, "k", 1).collect().head
     assert(top.getInt(0) == 1 && top.getLong(1) == 50L)
+  }
+
+  test("bloomPrunedJoin returns exactly the plain join (long and string keys, null keys dropped)") {
+    val probeL = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, "c"), (null, "n"))
+      .toDF("k", "pv")
+    val buildL = Seq((1L, "X"), (3L, "Y"), (9L, "Z")).toDF("k", "bv")
+    val plainL = probeL.join(buildL, Seq("k"), "inner").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bloomL = BloomJoin.bloomPrunedJoin(probeL, buildL, "k")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(bloomL == plainL)
+
+    val probeS = Seq(("aa", 1), ("bb", 2), ("cc", 3)).toDF("k", "pv")
+    val buildS = Seq(("aa", 10), ("cc", 30)).toDF("k", "bv")
+    val plainS = probeS.join(buildS, Seq("k"), "left_semi").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bloomS = BloomJoin.bloomPrunedJoin(probeS, buildS, "k", "left_semi")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(bloomS == plainS)
+  }
+
+  test("bloom prune sits in the probe's plan and a bloom probe has no false negatives") {
+    // a file-backed probe: over a LocalRelation the optimizer folds the
+    // filter away at plan time (ConvertToLocalRelation), hiding the shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_probe").toString
+    (1L to 1000L).toDF("k").write.mode("overwrite").parquet(dir)
+    val probe = spark.read.parquet(dir)
+    val build = (1L to 100L).map(_ * 3).toDF("k")
+    val joined = BloomJoin.bloomPrunedJoin(probe, build, "k", expectedItems = Some(100L))
+    assert(joined.queryExecution.executedPlan.toString.contains("graft_bloom_contains"))
+
+    val bytes = BloomJoin.buildKeyBloom(build, "k", expectedItems = 100L)
+    val probed = probe.select(col("k"),
+      call_function("graft_bloom_contains", col("k"), lit(bytes)).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives, ever
+    assert((1L to 100L).forall(i => probed(i * 3)))
+    // ~1% fpp: the 900 absent keys stay overwhelmingly false
+    val falsePos = (1L to 1000L).filterNot(_ % 3 == 0).count(probed)
+    assert(falsePos < 50, s"bloom false-positive count $falsePos out of envelope")
+  }
+
+  test("bloomPrunedJoin rejects join types where pruning would drop preserved rows") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomPrunedJoin(df, df, "k", "left")
+    }
   }
 }
