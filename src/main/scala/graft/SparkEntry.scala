@@ -370,6 +370,15 @@ object SparkEntry {
       Export.writeCsv(t(s, d, "region"), path)
       s.read.option("header", "true").csv(path)
     }),
+    // JSONL corpus roundtrip: write one JSON object per line, read
+    // back with the EXPLICIT source schema (inference is a second
+    // full scan at 100 TB) — lossless, gated against the plain table
+    "s11_jsonl_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = scratch("jsonl_q")
+      graft.io.Jsonl.write(docs, path)
+      graft.io.Jsonl.read(s, path, docs.schema)
+    }),
     "engine_pipeline" -> ((s, d) => {
       val analyte = ConfigReader.readAnalyte(s, "cust_base", "/root/repo/fixtures/study_demo/cust_base")
       Interpreter.deriveAnalyte(PipelineContext(), analyte, new ParquetResolver(s, d))
@@ -1254,6 +1263,8 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 400000""".stripMargin,
+    "s11_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "text_vocabulary" ->
       """SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)

@@ -150,6 +150,34 @@ class IoSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "v"))
   }
 
+  test("JSONL roundtrip is lossless on hostile strings, nulls, and types") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/out"
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "plain", 1.5),
+      (2L, "line\nbreak \"quoted\" back\\slash\ttab", 2.5),
+      (3L, "unicode: café 日本語 😀", null),
+      (4L, null, 4.5)
+    ).toDF("id", "text", "score")
+    graft.io.Jsonl.write(df, dir)
+    val back = graft.io.Jsonl.read(spark, dir, df.schema)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // null fields are kept in the emitted lines, not dropped
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.exists(l => l.contains("\"score\":null")))
+  }
+
+  test("JSONL FAILFAST surfaces corrupt lines as errors") {
+    val dir = Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.jsonl"), "{\"id\": 1}\nnot json at all\n")
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    intercept[org.apache.spark.SparkException] {
+      graft.io.Jsonl.read(spark, s"$dir/bad.jsonl", schema).collect()
+    }
+  }
+
   test("ingestion routing: substring match + reference special cases + end-to-end ingest") {
     import graft.io.Ingestion
     val cfg = Ingestion.Routing.load("/root/repo/fixtures/ingest_config.json")
