@@ -714,6 +714,11 @@ object SparkEntry {
       Sketch.quantileAudit(Seq("lang"), "n_tokens")(
         TextAnalysis.withTokenStats("text")(t(s, d, "documents"))
           .select("lang", "n_tokens"))),
+    // top-20 corpus tokens exactly, each pinned inside the CountMin
+    // envelope (CMS merge is counter addition — partitioning-exact)
+    "sketch_heavy_hitters" -> ((s, d) =>
+      Sketch.heavyHittersAudit("token", topN = 20)(
+        t(s, d, "documents").select(explode(split(col("text"), " ")).as("token")))),
 
     // the typical pretraining funnel composed end-to-end: cheap
     // quality gates first, then dedup, then labeling — one lazy plan
@@ -1447,6 +1452,11 @@ object SparkEntry {
         |  quantile_cont(CAST(len(string_split(text, ' ')) AS INTEGER), 0.5) AS p50_exact,
         |  TRUE AS p50_ok, TRUE AS p90_ok
         |FROM documents GROUP BY 1""".stripMargin,
+    "sketch_heavy_hitters" ->
+      """SELECT value, exact_n, TRUE AS cms_ok FROM (
+        |  SELECT token AS value, count(*) AS exact_n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1 ORDER BY exact_n DESC, value ASC LIMIT 20)""".stripMargin,
     "pipeline_preprocess" ->
       s"""WITH q AS (
          |  SELECT doc_id, text,

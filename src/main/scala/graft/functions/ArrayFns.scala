@@ -176,6 +176,8 @@ object ArrayFns {
       BloomBuildAgg.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       BloomMightContain.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_estimate",
+      CmsEstimate.fromExprs, "built-in")
   }
 
   /** Fused native dot product — [[register]] the session first;

@@ -103,6 +103,46 @@ object Sketch {
       .drop(stems.map(s => s"approx_${s._1}"): _*)
   }
 
+  /** Heavy-hitters audit via CountMin: the top-N most frequent values
+    * exactly (deterministic tie-break on the value), each checked
+    * against the CountMin estimate's published envelope —
+    * `cms_ok` = exact ≤ estimate ≤ exact + ⌈eps·total⌉. CountMin
+    * never underestimates, and overestimates by more than eps·total
+    * with probability ≤ 1−confidence per probe; merge is counter
+    * ADDITION, so unlike GK the sketch value is exactly
+    * partitioning-invariant and the gate deterministic given the
+    * seed.
+    *
+    * The exact top-N twin (full groupBy + TakeOrderedAndProject)
+    * exists to power the sf0.01 gate, like [[ndvAudit]]'s exact NDV;
+    * the scale path is the one-pass `count_min_sketch` aggregate plus
+    * [[graft.functions.CmsEstimate]] probes of a known candidate set
+    * (prior vocabulary, sampled candidates) — frequency estimation
+    * without ever shuffling the values.
+    */
+  def heavyHittersAudit(
+      valueCol: String,
+      topN: Int = 20,
+      eps: Double = 0.001,
+      confidence: Double = 0.9999,
+      seed: Int = 42)(df: DataFrame): DataFrame = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    val v = col(valueCol)
+    val nonNull = df.where(v.isNotNull)
+    val exactTop = nonNull.groupBy(v.as("value")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("value").asc).limit(topN)
+    val sketch = nonNull.agg(
+      expr(s"count_min_sketch($valueCol, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
+        .as("__cms"),
+      count(v).as("__total"))
+    exactTop.crossJoin(broadcast(sketch))
+      .withColumn("__est", call_function("graft_cms_estimate", col("__cms"), col("value")))
+      .withColumn("cms_ok",
+        col("__est") >= col("exact_n") &&
+          col("__est") <= col("exact_n") + ceil(lit(eps) * col("__total")).cast("long"))
+      .select("value", "exact_n", "cms_ok")
+  }
+
   /** Gate twin for GK percentiles: per group emits the exact p50
     * (integer-valued columns only — (a+b)/2 interpolation is
     * engine-portable there) plus `p50_ok` / `p90_ok` = the sketch

@@ -585,4 +585,31 @@ class LlmSpec extends SparkSpec {
     val exactPlan = planOf(df.groupBy("grp").agg(countDistinct(col("v"))))
     assert(exactPlan.contains("HashAggregate"), exactPlan)
   }
+
+  test("heavyHittersAudit: exact top-N with deterministic ties, CMS inside envelope, nulls skipped") {
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(30)("bravo") ++ Seq.fill(5)("gamma") ++ (1 to 40).map(i => s"rare$i")
+    val df = (words.map(Option(_)) ++ Seq.fill(10)(Option.empty[String])).toDF("w")
+    val rows = Sketch.heavyHittersAudit("w", topN = 3)(df).collect()
+    // beta/bravo tie at 30 breaks on value asc — beta in, bravo out at N=3
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 50L), ("beta", 30L), ("bravo", 30L)).take(3))
+    assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+  }
+
+  test("CMS probe never underestimates and is partitioning-invariant") {
+    graft.functions.ArrayFns.register(spark)
+    val df = spark.range(2000).selectExpr("CAST(id % 100 AS STRING) AS w")
+    def estimates(parts: Int): Map[String, Long] = {
+      val sk = df.repartition(parts)
+        .agg(expr("count_min_sketch(w, CAST(0.01 AS DOUBLE), CAST(0.999 AS DOUBLE), 42)").as("cms"))
+      df.distinct().crossJoin(broadcast(sk))
+        .select(col("w"), call_function("graft_cms_estimate", col("cms"), col("w")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val e1 = estimates(1)
+    assert(e1.values.forall(_ >= 20L), "CMS underestimated a true count of 20")
+    // counter addition commutes: any partitioning gives the same sketch
+    assert(estimates(7) == e1)
+  }
 }
