@@ -505,6 +505,13 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
         tokenHash = Dedup.md5Hash60)),
+    // exact-substring (Lee et al. ExactSubstr) audit: per-doc fraction
+    // of 30-char spans duplicated verbatim in another document — the
+    // shuffle carries 8-byte gram hashes, the oracle the raw substrings
+    "dedup_kgram_coverage" -> ((s, d) =>
+      Dedup.kgramDupCoverage(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    "dedup_kgram_pairs" -> ((s, d) =>
+      Dedup.kgramDupPairs(t(s, d, "documents"), "doc_id", "text", k = 30)),
 
     // ===== LLM pipeline: similarity =====
     "sim_cosine_topk" -> ((s, d) =>
@@ -1187,6 +1194,25 @@ object SparkEntry {
         |  UNION
         |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
         |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
+    "dedup_kgram_coverage" ->
+      """WITH pos AS (
+        |  SELECT doc_id, g.i AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT p.doc_id, count(*) AS n_grams,
+        |       count(CASE WHEN d.gram IS NOT NULL THEN 1 END) AS dup_grams,
+        |       count(CASE WHEN d.gram IS NOT NULL THEN 1 END) / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM pos p LEFT JOIN dup d USING (gram)
+        |GROUP BY 1""".stripMargin,
+    "dedup_kgram_pairs" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) i)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_near_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,

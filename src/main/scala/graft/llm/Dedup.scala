@@ -344,6 +344,101 @@ object Dedup {
     labels
   }
 
+  // ===== exact substring spans (character k-grams) =====
+
+  /** Character k-gram positions: one row per (id, 1-based pos,
+    * 64-bit gram hash) for every length-k substring of `textCol`.
+    * The exact-substring analogue of [[shingles]] — the primitive
+    * behind "this 50-token span is duplicated verbatim elsewhere in
+    * the corpus" dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — their
+    * suffix-array ExactSubstr; re-expressed here as a distributed
+    * group-by over gram keys).
+    *
+    * Scale shape: enumerating grams amplifies the corpus ~k× before
+    * hashing, but only the 8-byte xxhash64 of each gram ever reaches
+    * the shuffle — never the substring bytes (collision odds 2^-64,
+    * same accepted trade as [[exactDedup]]'s md5 keys). Docs shorter
+    * than k contribute zero rows.
+    */
+  def kgramPositions(idCol: String, textCol: String, k: Int)(df: DataFrame): DataFrame = {
+    require(k >= 2, s"k-gram length must be >= 2, got $k")
+    val n = length(col(textCol)) - (k - 1)
+    // sequence(1, n) with n < 1 would DESCEND; guard to an empty array
+    val hashes = when(n >= 1,
+      transform(sequence(lit(1), n), i => xxhash64(col(textCol).substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), posexplode(hashes).as(Seq("pos", "gram_hash")))
+      .withColumn("pos", col("pos") + 1)
+  }
+
+  /** Grams that appear in at least `minDocs` DISTINCT documents — the
+    * "duplicated span" vocabulary. One partial-aggregated group-by on
+    * the 8-byte gram key.
+    */
+  private def duplicatedGrams(pos: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    pos.groupBy("gram_hash")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("gram_hash")
+
+  /** Per-document duplicated-span coverage: of the document's k-gram
+    * positions, how many carry a gram that also occurs in another
+    * document. `dup_frac` ≈ the fraction of the document that is
+    * verbatim-duplicated corpus text — Lee et al.'s removal criterion
+    * at span granularity (they cut the spans; the audit here scores
+    * them, and a pipeline filters on `dup_frac` or feeds the flagged
+    * positions to a span cutter).
+    *
+    * Plan: positions → dup-gram vocabulary (group-by) → one equi-join
+    * back on the hash → per-doc count. Every stage keys on the 8-byte
+    * hash; nothing all-pairs anywhere.
+    */
+  def kgramDupCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30): DataFrame = {
+    val pos = kgramPositions(idCol, textCol, k)(df)
+    val dup = duplicatedGrams(pos, idCol, minDocs = 2).withColumn("__dup", lit(1))
+    pos.join(dup, Seq("gram_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__dup")).as("dup_grams"))
+      .withColumn("dup_frac", col("dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /** Distinct document pairs sharing at least one verbatim k-gram,
+    * with the count of shared distinct grams — the candidate-pair
+    * view of exact-substring duplication (compare [[allPairsJaccard]]
+    * for the shingle-set version). Self-equi-join on the gram hash;
+    * a gram shared by m docs contributes m·(m−1)/2 pairs, so
+    * production corpora cap gram doc-frequency first (boilerplate
+    * grams pair everything with everything) — `maxDocFreq` drops
+    * grams above the cap BEFORE pairing.
+    */
+  def kgramDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val grams = kgramPositions(idCol, textCol, k)(df)
+      .select(col(idCol).as("id"), col("gram_hash")).distinct()
+    val kept = maxDocFreq match {
+      case Some(cap) =>
+        val freq = grams.groupBy("gram_hash").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("gram_hash")
+        grams.join(freq, Seq("gram_hash"), "left_semi")
+      case None => grams
+    }
+    kept.as("a").join(kept.as("b"),
+        col("a.gram_hash") === col("b.gram_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   // ===== SimHash =====
 
   /** 64-bit SimHash fingerprint of the token stream. Bit j is set when

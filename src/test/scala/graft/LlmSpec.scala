@@ -115,6 +115,39 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("kgramPositions: 1-based spans, short docs contribute zero rows") {
+    val df = Seq((1L, "abcdef"), (2L, "abc")).toDF("doc_id", "text")
+    val pos = Dedup.kgramPositions("doc_id", "text", k = 4)(df).collect()
+    // "abcdef" has 3 4-grams at positions 1..3; "abc" (len < k) none
+    assert(pos.map(_.getLong(0)).toSet == Set(1L))
+    assert(pos.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("kgram coverage and pairs find the planted verbatim span") {
+    val df = Seq(
+      (1L, "abcdefghij"),             // the whole doc is the shared span
+      (2L, "xx abcdefghij yy"),       // span embedded at offset 3
+      (3L, "zzzzzzzzzzzzzzzz")        // unrelated
+    ).toDF("doc_id", "text")
+    val cov = Dedup.kgramDupCoverage(df, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(1L) == ((1L, 1L, 1.0)))
+    assert(cov(2L)._1 == 7L && cov(2L)._2 == 1L)
+    assert(cov(3L)._2 == 0L && cov(3L)._3 == 0.0)
+
+    val pairs = Dedup.kgramDupPairs(df, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)))
+    // a doc-frequency cap of 1 removes the shared gram before pairing
+    assert(Dedup.kgramDupPairs(df, "doc_id", "text", k = 10, maxDocFreq = Some(1)).count() == 0L)
+  }
+
+  test("kgram pair generation plans an equi-join on the gram hash, never a cartesian") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij")).toDF("doc_id", "text")
+    val plan = planOf(Dedup.kgramDupPairs(df, "doc_id", "text", k = 10))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("simhash: exact dups distance 0; near-dups close; unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
