@@ -797,6 +797,19 @@ object SparkEntry {
           col("media_meta.width").as("width"), col("media_meta.height").as("height"),
           octet_length(col("content")).as("n_bytes"))
     }),
+    // REAL WAV header decode over the synthesized RIFF stream — the
+    // audio twin of mm_decode; LIST chunks at variable offsets and
+    // odd-size alignment pads are part of the fixture
+    "mm_audio_meta" -> ((s, d) => {
+      val withWav = t(s, d, "documents")
+        .withColumn("content", Multimodal.synthAudioContent(col("doc_id"), col("text")))
+      Multimodal.withAudioMeta("content")(withWav)
+        .select(col("doc_id"), col("audio_meta.format").as("format"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.bits_per_sample").as("bits_per_sample"),
+          col("audio_meta.n_frames").as("n_frames"))
+    }),
     // REAL per-chunk byte features: the batched feature-extract pass
     // (histogram stats + Shannon entropy) over 100-byte chunks.
     // Entropy is rounded to 4dp on both sides — the two engines sum
@@ -1544,6 +1557,14 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 33
         |       WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 34 ELSE 46 END) + doc_id % 37
         |       ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(CASE WHEN doc_id % 7 < 4 THEN 8 ELSE 16 END AS INTEGER) END AS bits_per_sample,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS n_frames
         |FROM documents""".stripMargin,
     // independent byte-level recompute: hex the UTF-8 bytes, unnest to
     // byte values, aggregate the same histogram statistics. Chunking

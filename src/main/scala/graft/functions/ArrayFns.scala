@@ -168,6 +168,8 @@ object ArrayFns {
       exprs => NearestCentroids(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_image_meta",
       exprs => ImageMeta(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_audio_meta",
+      exprs => AudioMeta(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_stats",
       exprs => ByteStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_hist",

@@ -29,6 +29,8 @@ object BinaryFns {
   private[functions] def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private[functions] def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private[functions] def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
   private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
@@ -82,6 +84,82 @@ object BinaryFns {
     }
     null
   }
+
+  /** (channels, sampleRate, bitsPerSample, nFrames) from a RIFF/WAVE
+    * stream, or null if the bytes are not a parseable WAV. Walks the
+    * chunk list (word-aligned: odd-size chunks carry a pad byte) until
+    * BOTH `fmt ` and `data` headers are seen; the data chunk's
+    * PAYLOAD need not be fully present — the size field alone gives
+    * the frame count, which keeps the probe header-only.
+    */
+  private[functions] def parseWav(b: Array[Byte]): (Int, Int, Int, Long) = {
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var pos = 12
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var blockAlign = -1
+    var dataSize = -1L
+    while (pos + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val size = le32(b, pos + 4)
+      if (size < 0 || size > Int.MaxValue) return null // corrupt size field
+      if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' && b(pos + 3) == ' ') {
+        if (size < 16 || pos + 8 + 16 > b.length) return null // truncated fmt
+        channels = le16(b, pos + 10)
+        val r = le32(b, pos + 12)
+        if (r > Int.MaxValue) return null
+        rate = r.toInt
+        blockAlign = le16(b, pos + 20)
+        bits = le16(b, pos + 22)
+      } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a') {
+        dataSize = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // odd chunks have a pad byte
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0) return null
+    (channels, rate, bits, dataSize / blockAlign)
+  }
+}
+
+/** `graft_audio_meta(binary)` → struct(format, channels, sample_rate,
+  * bits_per_sample, n_frames), null for unrecognized bytes. WAV/RIFF
+  * only (RIFF spec: 12-byte RIFF/WAVE header, then word-aligned
+  * `id(4) size(LE32) data` chunks; the `fmt ` chunk carries channel
+  * count / sample rate / bits per sample, `data`'s SIZE gives the
+  * frame count as size / blockAlign). Like [[ImageMeta]], the probe
+  * reads headers only — sample decode would slot in downstream via
+  * mapInArrow, never replace this. The chunk walk skips unknown
+  * chunks (LIST/INFO/fact/cue), honoring odd-size pad bytes, so
+  * metadata-bearing files parse at variable offsets.
+  */
+case class AudioMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_meta"
+
+  override def nullSafeEval(input: Any): Any = {
+    BinaryFns.parseWav(input.asInstanceOf[Array[Byte]]) match {
+      case null => null
+      case (ch, rate, bits, frames) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString("wav"), ch, rate, bits, frames))
+    }
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_audio_meta needs binary input, got ${child.dataType.simpleString}")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
 }
 
 /** `graft_image_meta(binary)` → struct(format, width, height), null

@@ -47,6 +47,61 @@ object Multimodal {
   def withImageMeta(binCol: String, outCol: String = "media_meta")(df: DataFrame): DataFrame =
     register(df).withColumn(outCol, call_function("graft_image_meta", col(binCol)))
 
+  /** REAL audio metadata: parse the RIFF/WAVE header with the native
+    * `graft_audio_meta` expression (functions/BinaryFns.scala) —
+    * struct(format, channels, sample_rate, bits_per_sample,
+    * n_frames), null for non-WAV bytes. Header-only like
+    * [[withImageMeta]]: frame count comes from the data chunk's SIZE
+    * field, no sample decode.
+    */
+  def withAudioMeta(binCol: String, outCol: String = "audio_meta")(df: DataFrame): DataFrame =
+    register(df).withColumn(outCol, call_function("graft_audio_meta", col(binCol)))
+
+  /** Deterministic WAV FIXTURE for the correctness gate, mirroring
+    * [[synthMediaContent]]: real RIFF/WAVE byte streams with fmt/data
+    * parameters derived from the id column, non-audio fallthrough on
+    * odd ids. Every 4th id carries a LIST chunk of variable ODD-able
+    * size before `fmt ` so [[withAudioMeta]]'s chunk walk is exercised
+    * at variable offsets including the word-alignment pad byte.
+    * Construction is mirrored closed-form in the DuckDB oracle
+    * (SparkEntry):
+    *
+    *  - id % 2 == 0 → WAV: channels = (id%3==0 ? 2 : 1),
+    *    rate = 8000 + (id%5)·2000, bits = (id%7<4 ? 8 : 16),
+    *    frames = id%500 + 1; LIST(id%9+1 bytes) when id % 4 == 0
+    *  - id % 2 == 1 → the raw UTF-8 text (not audio)
+    */
+  def synthAudioContent(idCol: Column, textCol: Column): Column = {
+    def byteHex(c: Column) = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+    def le16(c: Column) = concat(byteHex(c), byteHex(shiftright(c, 8)))
+    def le32(c: Column) =
+      concat(byteHex(c), byteHex(shiftright(c, 8)), byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24)))
+    val ch = when(idCol % 3 === 0, 2L).otherwise(1L)
+    val rate = lit(8000L) + (idCol % 5) * 2000L
+    val bytesPer = when(idCol % 7 < 4, 1L).otherwise(2L)
+    val bits = bytesPer * 8L
+    val frames = idCol % 500 + 1L
+    val blockAlign = ch * bytesPer
+    val dataSize = frames * blockAlign
+    val byteRate = rate * blockAlign
+    val listPad = idCol % 9 + 1L
+    val listChunk = when(idCol % 4 === 0, concat(
+      lit("4C495354"), le32(listPad),                  // "LIST" + size
+      call_function("repeat", lit("20"), listPad.cast("int")),
+      when(listPad % 2 === 1, lit("00")).otherwise(lit("")))) // word-align pad
+      .otherwise(lit(""))
+    val listBytes = when(idCol % 4 === 0, lit(8L) + listPad + listPad % 2).otherwise(0L)
+    val riffSize = lit(4L) + listBytes + lit(24L) + lit(8L) + dataSize
+    val wavHex = concat(
+      lit("52494646"), le32(riffSize), lit("57415645"), // "RIFF" size "WAVE"
+      listChunk,
+      lit("666D7420"), lit("10000000"), lit("0100"),    // "fmt " len 16, PCM
+      le16(ch), le32(rate), le32(byteRate), le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize),                  // "data" + size
+      call_function("repeat", lit("00"), dataSize.cast("int")))
+    when(idCol % 2 === 0, unhex(wavHex)).otherwise(encode(textCol, "UTF-8"))
+  }
+
   /** Split binary content into fixed-size chunks — the layout step
     * before any batched decode/feature-extract pass, and the unit of
     * parallelism for oversized media rows. Emits (chunk_idx, chunk).

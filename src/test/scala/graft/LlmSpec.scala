@@ -507,6 +507,48 @@ class LlmSpec extends SparkSpec {
     assert(lens(1006L) == 34 + 1006 % 37)
   }
 
+  test("WAV header parse: chunk walk, odd-size pads, malformed streams") {
+    // canonical PCM WAV: fmt then data; 2ch, 44100 Hz, 16-bit, 2 frames
+    val fmtData = "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000" +
+      "64617461" + "08000000" + "00" * 8
+    val wav = unhexBytes("52494646" + "24000000" + "57415645" + fmtData)
+    // LIST chunk of ODD size 3 (pad byte follows) before fmt
+    val wavList = unhexBytes("52494646" + "2C000000" + "57415645" +
+      "4C495354" + "03000000" + "202020" + "00" + fmtData)
+    val notRiff = "not audio content".getBytes("UTF-8")
+    val riffNotWave = unhexBytes("52494646" + "24000000" + "57415648")
+    val truncated = unhexBytes("52494646" + "24000000" + "57415645" + "666D7420" + "10000000" + "0100")
+    val df = Seq((1L, wav), (2L, wavList), (3L, notRiff), (4L, riffNotWave), (5L, truncated))
+      .toDF("id", "content")
+    val out = Multimodal.withAudioMeta("content")(df)
+      .select(col("id"), col("audio_meta.format"), col("audio_meta.channels"),
+        col("audio_meta.sample_rate"), col("audio_meta.bits_per_sample"),
+        col("audio_meta.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(out(1L) == ("wav", 2, 44100, 16, 2L))
+    assert(out(2L) == ("wav", 2, 44100, 16, 2L)) // LIST skipped, pad honored
+    assert(out(3L) == null && out(4L) == null && out(5L) == null)
+  }
+
+  test("synthesized WAV fixture round-trips through the real parser") {
+    val df = Seq((0L, "t0"), (1L, "t1"), (2L, "t2"), (4L, "t3"), (12L, "t4"), (499L, "t5"))
+      .toDF("doc_id", "text")
+      .withColumn("content", Multimodal.synthAudioContent(col("doc_id"), col("text")))
+    val out = Multimodal.withAudioMeta("content")(df)
+      .select(col("doc_id"), col("audio_meta.channels"), col("audio_meta.sample_rate"),
+        col("audio_meta.bits_per_sample"), col("audio_meta.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(out(0L) == (2, 8000, 8, 1L))     // LIST present (0 % 4 == 0)
+    assert(out(2L) == (1, 12000, 8, 3L))
+    assert(out(4L) == (1, 16000, 16, 5L))   // LIST with odd size 5 + pad
+    assert(out(12L) == (2, 12000, 16, 13L)) // LIST with even size 4
+    assert(out(1L) == null && out(499L) == null) // text branch
+  }
+
   test("binaryFile source feeds the multimodal pipeline (real media ingest path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     val payload = Array.tabulate[Byte](300)(i => (i % 251).toByte)
