@@ -537,6 +537,15 @@ object SparkEntry {
       graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // int8 candidate generation vs the exact-cosine top-k: per-probe
+    // recall@k of the 4×-smaller quantized store (llm/Quantize.scala).
+    // The quantized cosine's scales cancel — ranking is exact integer
+    // dots + two IEEE sqrt/divides, so rank order is engine-portable.
+    "sim_quant_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.Quantize.int8RecallAtK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
 
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
@@ -775,6 +784,11 @@ object SparkEntry {
           when(col("idx") < 8, element_at(col("head8"), col("idx") + 1)).as("head_elem"),
           col("scaled_elem"), col("sum_elems"))
     }),
+    // per-vector int8 quantization audit: scalar code checksums plus
+    // `recon_ok` — every element inside the closed-form half-step
+    // bound scale/254 (llm/Quantize.scala scaladoc has the scheme)
+    "vec_quantize_audit" -> ((s, d) =>
+      graft.llm.Quantize.int8Audit("vec_id", "embedding")(t(s, d, "embeddings"))),
 
     // ===== LLM pipeline: multimodal =====
     "mm_binary_meta" -> ((s, d) =>
@@ -1545,6 +1559,54 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
         |        unnest(generate_series(0, len(embedding) - 1)) AS i
         |      FROM embeddings)""".stripMargin,
+    // same max-abs/floor(x+0.5) scheme as Quantize.int8Codes — floor
+    // is spelled out because engines disagree on round()'s half mode
+    "vec_quantize_audit" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |                                     ELSE CAST(floor(x / scale * 127 + 0.5) AS INTEGER) END) AS qa
+        |  FROM v)
+        |SELECT vec_id, CAST(len(v) AS INTEGER) AS n_dims, scale,
+        |  CAST(list_aggregate(qa, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qa, 'min') AS INTEGER) AS q_min,
+        |  CAST(list_aggregate(qa, 'max') AS INTEGER) AS q_max,
+        |  list_max(list_transform(generate_series(1, len(v)),
+        |    i -> abs(qa[i] * scale / 127 - v[i]))) <= scale / 254 + 1e-9 AS recon_ok
+        |FROM q""".stripMargin,
+    "sim_quant_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, v, scale,
+        |         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |                                     ELSE CAST(floor(x / scale * 127 + 0.5) AS INTEGER) END)::DOUBLE[] AS qa
+        |  FROM q),
+        |exact AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |             list_inner_product(c.v, p.v) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(p.v, p.v))) DESC,
+        |             c.vec_id) AS rn
+        |    FROM qq c, qq p WHERE p.vec_id < 5)
+        |  WHERE rn <= 10),
+        |quant AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |             list_inner_product(c.qa, p.qa) / (sqrt(list_inner_product(c.qa, c.qa)) * sqrt(list_inner_product(p.qa, p.qa))) DESC,
+        |             c.vec_id) AS rn
+        |    FROM qq c, qq p WHERE p.vec_id < 5)
+        |  WHERE rn <= 10)
+        |SELECT e.probe_id, count(*) / 10.0 AS recall_at_k
+        |FROM exact e JOIN quant t ON e.probe_id = t.probe_id AND e.neighbor_id = t.neighbor_id
+        |GROUP BY 1""".stripMargin,
     // closed-form statement of what a correct header parser must
     // return for the synthMediaContent fixture (PNG = 33 bytes fixed;
     // baseline JPEG = 45 + COM pad; EXIF/SOF2 JPEG = 33 + APP1 pad;

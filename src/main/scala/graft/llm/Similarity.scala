@@ -68,7 +68,7 @@ object Similarity {
     * the driver on a forced broadcast. (Stats over-estimate filtered
     * reads, so the fallback errs toward NOT broadcasting — safe.)
     */
-  private def maybeBroadcast(df: DataFrame, maxBytes: Long): DataFrame =
+  private[llm] def maybeBroadcast(df: DataFrame, maxBytes: Long): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
 
   /** Exact k-NN join: top-k neighbours for every probe row (small

@@ -48,7 +48,8 @@ class ContractSpec extends SparkSpec {
       "pipeline_preprocess",    // SUMEQ-style 1-row corpus stats broadcast
       "engine_clinical_study",  // study configs contain ATTACH COLUMN/SUMEQ -> 1-row agg cross
       "engine_study", "engine_pipeline", // same SUMEQ pattern via the interpreter
-      "sketch_heavy_hitters"    // crossJoin(broadcast(1-row CMS sketch + total))
+      "sketch_heavy_hitters",   // crossJoin(broadcast(1-row CMS sketch + total))
+      "sim_quant_recall"        // recall audit: guarded probe-set broadcast (maybeBroadcast cap), both rankings
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =

@@ -672,6 +672,62 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("cms_ok")))
   }
 
+  // ===== int8 quantization (llm/Quantize.scala) =====
+
+  test("int8Audit: closed-form codes, half-step reconstruction bound, zero-vector safe") {
+    import graft.llm.Quantize
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)), // scale 1.0 → codes 127,-63,32,0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero: scale 0, codes 0
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))  // scale 2.0, symmetric
+    ).toDF("vec_id", "embedding")
+    val r = Quantize.int8Audit("vec_id", "embedding")(df)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // floor(-0.5*127 + 0.5) = floor(-63) = -63; floor(0.25*127+0.5)=32
+    assert(r(1L).getAs[Long]("q_sum") == (127L - 63L + 32L + 0L))
+    assert(r(1L).getAs[Int]("q_min") == -63 && r(1L).getAs[Int]("q_max") == 127)
+    assert(r(2L).getAs[Double]("scale") == 0.0 && r(2L).getAs[Long]("q_sum") == 0L)
+    assert(r.values.forall(_.getAs[Boolean]("recon_ok")),
+      "every element must sit inside the scale/254 half-step bound")
+  }
+
+  test("int8Audit is a pure map: no exchange in the plan") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = planOf(graft.llm.Quantize.int8Audit("vec_id", "embedding")(df))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("int8Store shrinks the on-disk embedding store (the 4× claim, parquet-measured)") {
+    import graft.llm.Quantize
+    val n = 2000
+    // pseudo-random but deterministic floats — realistic entropy so
+    // parquet can't dictionary-compress either representation away
+    val df = spark.range(n).selectExpr("id AS vec_id",
+      "transform(sequence(1, 64), i -> CAST(sin(id * 64 + i) AS FLOAT)) AS embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    df.write.mode("overwrite").parquet(s"$dir/full")
+    Quantize.int8Store("vec_id", "embedding")(df)
+      .write.mode("overwrite").parquet(s"$dir/int8")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (full, int8) = (bytes(s"$dir/full"), bytes(s"$dir/int8"))
+    assert(int8 * 2 < full, s"int8 store $int8 B should be well under half of float store $full B")
+  }
+
+  test("int8RecallAtK: self is always recalled and recall stays high on separated clusters") {
+    import graft.llm.Quantize
+    // two tight clusters far apart: quantization cannot confuse them
+    val base = Seq.tabulate(20)(i => (i.toLong,
+      Array.tabulate(16)(d => (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + 0.001f * (i * 16 + d)))))
+    val df = base.toDF("vec_id", "embedding")
+    val rec = Quantize.int8RecallAtK(df, df.where($"vec_id" < 4), "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rec.keySet == Set(0L, 1L, 2L, 3L))
+    assert(rec.values.forall(_ >= 0.8), s"quantized candidates lost the cluster: $rec")
+  }
+
   test("CMS probe never underestimates and is partitioning-invariant") {
     graft.functions.ArrayFns.register(spark)
     val df = spark.range(2000).selectExpr("CAST(id % 100 AS STRING) AS w")
