@@ -573,6 +573,15 @@ object SparkEntry {
       TextAnalysis.vocabulary("text", "doc_id")(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats("doc_id", "text", n = 2)(t(s, d, "documents"))),
+    // one BPE-training merge step: corpus-wide top-20 adjacent token
+    // pairs (explode → partial-agg count → TakeOrderedAndProject)
+    "text_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts("text", k = 20)(t(s, d, "documents"))),
+    // RAG retrieval-index prep: 120-char windows on an 80-char stride
+    // (40-char overlap) — pure per-row explode, zero shuffles
+    "text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkText("doc_id", "text", chunkChars = 120, strideChars = 80)(
+        t(s, d, "documents"))),
     // benchmark decontamination: docs with doc_id % 19 == 3 stand in
     // for the eval suite; every other doc is scanned for 5-gram
     // overlap with that set (broadcast semi-join — the bench side is
@@ -1342,6 +1351,22 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
         |FROM cnt GROUP BY 1""".stripMargin,
+    // adjacent-pair counts; the ORDER BY is a total order (count desc,
+    // pair asc) so LIMIT is deterministic in both engines
+    "text_bpe_pairs" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+        |                         ELSE list_transform(generate_series(1, len(t) - 1),
+        |                                i -> concat_ws(' ', t[i], t[i+1])) END) AS pair
+        |      FROM tk)
+        |SELECT pair, count(*) AS n_pairs FROM p
+        |GROUP BY 1 ORDER BY n_pairs DESC, pair ASC LIMIT 20""".stripMargin,
+    "text_chunks" ->
+      """SELECT doc_id, CAST(g.i // 80 AS INTEGER) AS chunk_idx,
+        |  substr(text, CAST(g.i + 1 AS INTEGER), 120) AS chunk,
+        |  CAST(length(substr(text, CAST(g.i + 1 AS INTEGER), 120)) AS INTEGER) AS n_chunk_chars
+        |FROM documents,
+        |     LATERAL (SELECT unnest(generate_series(0, greatest(len(text) - 1, 0), 80)) AS i) g""".stripMargin,
     // 5-gram overlap replay: same shingle rule, bench = doc_id%19==3
     "decontam_overlap" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),

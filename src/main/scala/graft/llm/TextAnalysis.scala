@@ -168,4 +168,52 @@ object TextAnalysis {
         (sum(when(col("__c") > 1, col("__c")).otherwise(0L)).cast("double") / sum("__c"))
           .as("dup_gram_frac"))
   }
+
+  /** One BPE-training merge step at corpus scale: the top-k most
+    * frequent ADJACENT token pairs, ties broken on the pair string —
+    * exactly the argmax a byte-pair/word-pair tokenizer trainer takes
+    * each iteration, re-expressed as explode → partial-aggregated
+    * count → TakeOrderedAndProject. The shuffle key is the pair
+    * (bounded width), never the document; the top-k is a per-partition
+    * heap + k-row driver merge, so the full pair distribution is never
+    * collected. A trainer loops this: merge the winner into the token
+    * stream, re-count — each iteration stays one linear pass.
+    *
+    * Documents with fewer than two tokens contribute no pairs.
+    */
+  def bpePairCounts(textCol: String, k: Int)(df: DataFrame): DataFrame = {
+    val tk = tokens(col(textCol))
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Overlapping fixed-width character chunks — retrieval-index prep
+    * (every RAG corpus build slices documents into windows with
+    * overlap so answers spanning a boundary survive). Pure per-row
+    * explode: zero shuffles, chunk boundaries deterministic in
+    * `(chunkChars, strideChars)`, the trailing partial window kept iff
+    * it starts inside the text. At 100 TB chunking is a map-only
+    * stage ahead of the embedding step; nothing here breaks that.
+    */
+  def chunkText(
+      idCol: String,
+      textCol: String,
+      chunkChars: Int,
+      strideChars: Int)(df: DataFrame): DataFrame = {
+    require(strideChars > 0 && strideChars <= chunkChars,
+      s"stride $strideChars must be in (0, chunkChars=$chunkChars]")
+    df.select(col(idCol), col(textCol).as("__t"),
+        sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)), lit(strideChars))
+          .as("__starts"))
+      .select(col(idCol), col("__t"), posexplode(col("__starts")).as(Seq("chunk_idx", "__off")))
+      .withColumn("chunk", expr(s"substring(__t, __off + 1, $chunkChars)"))
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        length(col("chunk")).as("n_chunk_chars"))
+  }
 }

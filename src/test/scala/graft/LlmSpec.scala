@@ -672,6 +672,41 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("cms_ok")))
   }
 
+  // ===== BPE pair counts + chunking =====
+
+  test("bpePairCounts: the merge-step argmax with deterministic ties; <2-token docs contribute nothing") {
+    val df = Seq(
+      "a b a b c", // pairs: "a b"×2, "b a", "b c"
+      "a b",       // "a b"
+      "solo"       // no pairs
+    ).toDF("text")
+    val top = TextAnalysis.bpePairCounts("text", k = 2)(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "b a" and "b c" tie at 1 → "b a" wins on pair asc
+    assert(top == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("bpePairCounts compiles to TakeOrderedAndProject — no global sort of the pair distribution") {
+    val df = Seq("a b c").toDF("text")
+    val plan = planOf(TextAnalysis.bpePairCounts("text", k = 5)(df))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  test("chunkText: overlap windows cover the text, trailing partial kept, zero shuffles") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars
+    val chunks = TextAnalysis.chunkText("doc_id", "text", chunkChars = 4, strideChars = 3)(df)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+    assert(chunks == Seq(
+      (0, "abcd", 4), (1, "defg", 4), (2, "ghij", 4), (3, "j", 1)))
+    val plan = planOf(TextAnalysis.chunkText("doc_id", "text", 4, 3)(df))
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkText("doc_id", "text", 4, 5)(df) // stride > chunk would skip chars
+    }
+  }
+
   // ===== int8 quantization (llm/Quantize.scala) =====
 
   test("int8Audit: closed-form codes, half-step reconstruction bound, zero-vector safe") {
