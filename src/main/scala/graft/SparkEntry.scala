@@ -630,6 +630,12 @@ object SparkEntry {
       graft.ops.AsOf.asofJoinForward(clicks, purchases, Seq("user_id"),
         "ts", "purchase_ts", Seq("purchase_id", "purchase_ts", "purchase_value"), prefix = "")
     }),
+    // z-order (Morton) key over (user_id, event_id): the bit
+    // interleave the multi-dimensional layout sorts by
+    // (io/ZOrder.scala — pruning itself is spec-measured in IoSpec)
+    "zorder_key" -> ((s, d) =>
+      eventsNanos(s, d).select(col("event_id"), col("user_id"),
+        graft.io.ZOrder.zkey(Seq(col("user_id"), col("event_id"))).as("zkey"))),
     // salted skew join gated against the PLAIN join oracle — salting
     // must be invisible in the result, only in the partitioning
     "skew_salted_join" -> ((s, d) =>
@@ -1322,6 +1328,15 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
         |  CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?&=-]+')) AS INTEGER) AS n_urls
         |FROM documents""".stripMargin,
+    // bit-for-bit replay of ZOrder.zkey's interleave: col i's bit b
+    // lands at global bit b*2 + i; low 16 bits of each dimension
+    "zorder_key" ->
+      """SELECT event_id, user_id,
+        |  CAST(list_aggregate(list_transform(generate_series(0, 15),
+        |         b -> ((((user_id & 65535) >> b) & 1) << (2*b))), 'sum')
+        |     + list_aggregate(list_transform(generate_series(0, 15),
+        |         b -> ((((event_id & 65535) >> b) & 1) << (2*b + 1))), 'sum') AS BIGINT) AS zkey
+        |FROM events""".stripMargin,
     "skew_salted_join" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
         |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
