@@ -26,7 +26,8 @@ object Bench {
     "pipeline_preprocess", "pipeline_train_prep",
     "asof_next_purchase_after_click", "mm_binary_meta",
     "sketch_corpus_ndv", "decontam_overlap", "pack_sequences",
-    "bloom_prefilter_join", "dedup_kgram_coverage", "sketch_heavy_hitters")
+    "bloom_prefilter_join", "dedup_kgram_coverage", "sketch_heavy_hitters",
+    "sim_quant_recall", "text_bpe_pairs", "text_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

