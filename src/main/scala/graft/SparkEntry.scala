@@ -717,6 +717,12 @@ object SparkEntry {
       graft.llm.Sampling.prioritySample("doc_id", "n_tokens", 50)(
         t(s, d, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+    // DSIR importance weights: per-doc log-likelihood ratio of
+    // target-vs-raw hashed-bigram models, fixed-point per bucket so
+    // the per-doc sum is an exact integer (llm/Dsir.scala)
+    "dsir_weights" -> ((s, d) =>
+      graft.llm.Dsir.importanceWeights("doc_id", "text", col("lang") === "en")(
+        t(s, d, "documents"))),
 
     // ===== approx/sketch audit family (llm/Sketch.scala) =====
     // HLL++/GK twins of the exact audits above: each query computes
@@ -1525,6 +1531,30 @@ object SparkEntry {
         |          1.0 / 1152921504606846976.0) AS u
         |      FROM documents)
         |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
+    // same bigram rule as text_repetition, same md5 bucketing as the
+    // hash splits, fixed-point ln-ratio quantized once per bucket
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, lang, array_to_string(w[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 2)
+        |  UNION ALL
+        |  SELECT doc_id, lang, text AS gram FROM toks WHERE len(w) < 2),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN lang = 'en' THEN 1 END AS is_tgt,
+        |        CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |      FROM g0),
+        |cnt AS (SELECT bucket, count(*) AS c_raw, count(is_tgt) AS c_tgt
+        |        FROM g GROUP BY 1),
+        |model AS (SELECT bucket,
+        |            CAST(floor((ln(CAST(c_tgt + 1 AS DOUBLE) / (sum(c_tgt) OVER () + 1024))
+        |                      - ln(CAST(c_raw + 1 AS DOUBLE) / (sum(c_raw) OVER () + 1024)))
+        |                       * 1000000.0 + 0.5) AS BIGINT) AS ratio_fp
+        |          FROM cnt)
+        |SELECT g.doc_id, count(*) AS n_grams, CAST(sum(m.ratio_fp) AS BIGINT) AS score_fp
+        |FROM g JOIN model m USING (bucket)
+        |GROUP BY 1""".stripMargin,
     // sketch audits: the oracle replays the EXACT statistic and pins
     // the ok-booleans to TRUE — hash mismatch iff the sketch leaves
     // its error envelope (see llm/Sketch.scala Scaladoc)

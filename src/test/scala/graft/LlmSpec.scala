@@ -713,6 +713,52 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  // ===== DSIR importance weights (llm/Dsir.scala) =====
+
+  test("dsir: target-gram-matching docs outscore off-target docs; short-doc rule applies") {
+    import graft.llm.Dsir
+    val df = Seq(
+      (1L, "the quick brown fox", "en"),   // target
+      (2L, "the quick brown dog", "en"),   // target
+      (3L, "the quick brown cat", "other"), // raw doc sharing target grams
+      (4L, "совершенно другой текст тут", "other"), // raw doc, disjoint grams
+      (5L, "solo", "other")                // < 2 tokens → whole text one gram
+    ).toDF("doc_id", "text", "lang")
+    val r = Dsir.importanceWeights("doc_id", "text", col("lang") === "en")(df)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L), "every doc must get a score")
+    assert(r(5L)._1 == 1L, "short doc contributes its whole text as one gram")
+    assert(r(1L)._1 == 3L, "4 tokens → 3 bigrams")
+    // docs built from target-corpus grams must outscore the disjoint doc
+    assert(r(3L)._2 > r(4L)._2,
+      s"shared-gram doc must outscore disjoint doc: ${r(3L)._2} <= ${r(4L)._2}")
+    assert(r(1L)._2 > r(4L)._2)
+  }
+
+  test("dsir score is an exact integer sum: invariant under repartitioning") {
+    import graft.llm.Dsir
+    val df = spark.range(200).selectExpr("id AS doc_id",
+      "concat('w', id % 7, ' w', id % 11, ' w', id % 13, ' tail') AS text",
+      "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'other' END AS lang")
+    def scores(parts: Int): Map[Long, Long] =
+      Dsir.importanceWeights("doc_id", "text", col("lang") === "en")(df.repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1) == scores(13), "fixed-point integer sums must not depend on partitioning")
+  }
+
+  test("dsir plan: model table broadcast back, no cartesian, text never a shuffle key") {
+    val df = spark.range(10).selectExpr("id AS doc_id", "concat('a b c ', id) AS text",
+      "'en' AS lang")
+    val plan = planOf(graft.llm.Dsir.importanceWeights("doc_id", "text",
+      col("lang") === "en")(df))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every hash exchange carries bucket/doc ids, never the gram text
+    val exchanges = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(k => k.startsWith("bucket") || k.startsWith("doc_id")),
+      s"unexpected shuffle keys $exchanges in\n$plan")
+  }
+
   // ===== int8 quantization (llm/Quantize.scala) =====
 
   test("int8Audit: closed-form codes, half-step reconstruction bound, zero-vector safe") {
