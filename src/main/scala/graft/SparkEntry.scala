@@ -571,6 +571,12 @@ object SparkEntry {
         .select("doc_id", "n_emails", "n_urls")),
     "text_vocabulary" -> ((s, d) =>
       TextAnalysis.vocabulary("text", "doc_id")(t(s, d, "documents"))),
+    // the redaction transform the PII scan pre-filters for
+    "text_pii_redact" -> ((s, d) =>
+      TextAnalysis.redactPii("text")(t(s, d, "documents")).select("doc_id", "text_redacted")),
+    // tokenizer QA: per-doc OOV fraction against the top-20 vocab
+    "text_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate("doc_id", "text", topN = 20)(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats("doc_id", "text", n = 2)(t(s, d, "documents"))),
     // one BPE-training merge step: corpus-wide top-20 adjacent token
@@ -1531,6 +1537,23 @@ object SparkEntry {
         |          1.0 / 1152921504606846976.0) AS u
         |      FROM documents)
         |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    // global by default); email pass first, same order as redactPii
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    'https?://[A-Za-z0-9./_%?&=-]+', '<URL>', 'g') AS text_redacted
+        |FROM documents""".stripMargin,
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token FROM (SELECT token, count(*) AS c FROM tok
+        |                             GROUP BY 1 ORDER BY c DESC, token LIMIT 20))
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+        |  CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM tok t LEFT JOIN vocab v USING (token)
+        |GROUP BY 1""".stripMargin,
     // same bigram rule as text_repetition, same md5 bucketing as the
     // hash splits, fixed-point ln-ratio quantized once per bucket
     "dsir_weights" ->

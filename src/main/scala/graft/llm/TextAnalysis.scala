@@ -94,6 +94,42 @@ object TextAnalysis {
       .withColumn("n_urls",
         regexp_count(col(textCol), lit("https?://[A-Za-z0-9./_%?&=-]+")))
 
+  /** PII redaction — the transform [[withPiiSignals]] pre-filters
+    * for: email-like and URL-like spans replaced with fixed
+    * placeholder tags. Pure per-row regexp_replace (global, both
+    * engines' default here), zero shuffles; the same explicit
+    * character classes as the scan so Java-regex and RE2 engines
+    * rewrite identical spans. Emails are rewritten FIRST — a URL
+    * pattern can swallow user@host inside a longer span, so the
+    * order is part of the contract.
+    */
+  def redactPii(textCol: String, outCol: String = "text_redacted")(df: DataFrame): DataFrame =
+    df.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+        "https?://[A-Za-z0-9./_%?&=-]+", "<URL>"))
+
+  /** Per-doc out-of-vocabulary rate against the corpus top-N
+    * vocabulary — the tokenizer-QA number (how much of each document
+    * a vocab of size N cannot express). The vocabulary is a
+    * TakeOrderedAndProject over the token counts (deterministic
+    * count-desc/token-asc boundary) broadcast back onto the token
+    * stream; shuffle keys are tokens and doc ids, never text.
+    */
+  def oovRate(idCol: String, textCol: String, topN: Int)(df: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("token").asc).limit(topN)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus vocabulary: token → document frequency and total count —
     * the input a tokenizer-training step consumes. Explode + count is
     * one linear pass with map-side partial aggregation; the shuffle

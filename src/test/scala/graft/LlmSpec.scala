@@ -713,6 +713,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  // ===== PII redaction + OOV rate =====
+
+  test("redactPii replaces email and URL spans with placeholder tags") {
+    val df = Seq(
+      (1L, "visit https://site.com/page?x=1 and mail bob@corp.com now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii("text")(df)
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("text_redacted")).toMap
+    assert(r(1L) == "visit <URL> and mail <EMAIL> now", r(1L))
+    assert(r(2L) == "no pii here at all")
+    val plan = planOf(TextAnalysis.redactPii("text")(df))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("oovRate: tokens outside the top-N vocabulary counted per doc") {
+    // "a" appears 4×, everything else less — topN=1 vocab = {a}
+    val df = Seq(
+      (1L, "a a b"),   // 1/3 oov
+      (2L, "a a c d")  // 2/4 oov
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.oovRate("doc_id", "text", topN = 1)(df)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(r(2L) == ((4L, 2L, 0.5)))
+  }
+
   // ===== DSIR importance weights (llm/Dsir.scala) =====
 
   test("dsir: target-gram-matching docs outscore off-target docs; short-doc rule applies") {
