@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     assert(report == Seq(1L))
   }
 
+  test("stateless transforms (redact → chunk; int8 audit) run unchanged on streams == batch") {
+    import graft.llm.{Quantize, TextAnalysis}
+    val docs = Seq(
+      (1L, "mail bob@corp.com then read https://x.com/page about twenty more words of filler text"),
+      (2L, "plain text with nothing to redact but long enough to chunk into several windows here"))
+    def redactChunk(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkText("doc_id", "text_redacted", chunkChars = 30, strideChars = 20)(
+        TextAnalysis.redactPii("text")(df).select("doc_id", "text_redacted"))
+    val batch = redactChunk(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    runToCompletion(
+      redactChunk(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("schunks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val streamed = spark.table("schunks")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(streamed == batch, "per-row transforms must be stream/batch identical")
+
+    // quantization audit is likewise a pure map — streams as-is
+    val vecs = Seq((1L, Array(1.0f, -0.5f)), (2L, Array(0.25f, 0.75f)))
+    val vb = Quantize.int8Audit("vec_id", "embedding")(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val vmem = MemoryStream[(Long, Array[Float])]
+    vmem.addData(vecs: _*)
+    runToCompletion(
+      Quantize.int8Audit("vec_id", "embedding")(vmem.toDF().toDF("vec_id", "embedding"))
+        .writeStream.format("memory").queryName("squant")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val vs = spark.table("squant").collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(vs == vb)
+  }
+
   test("windowed streaming approx-NDV == batch twin on identical input") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long)]
