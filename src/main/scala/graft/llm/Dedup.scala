@@ -481,11 +481,16 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_),
+      cache: Boolean = false): DataFrame = {
     graft.functions.ArrayFns.register(df.sparkSession)
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+    val sigs = df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
       .groupBy(col(idCol))
       .agg(call_function("graft_simhash", tokenHash(col("__t"))).as("fp"))
+    // same trade as minhashSignatures: the pair self-join reads the
+    // signatures twice, and they're 16 bytes/doc — persisting skips a
+    // second full tokenize+hash pass. Session-scoped.
+    if (cache) sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else sigs
   }
 
   /** SimHash near-dup pairs: block on 16-bit fingerprint chunks
@@ -503,7 +508,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val fp = simhashSignatures(df, idCol, textCol, tokenHash)
+    val fp = simhashSignatures(df, idCol, textCol, tokenHash, cache = true)
     // expr because shiftright-by-lambda-variable has no Scala DSL form
     val chunked = fp.select(col(idCol), col("fp"),
       posexplode(expr("transform(sequence(0, 3), i -> shiftright(fp, CAST(i * 16 AS INT)) & 65535)"))
