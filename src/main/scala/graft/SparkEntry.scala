@@ -729,6 +729,21 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) =>
       graft.llm.Dsir.importanceWeights("doc_id", "text", col("lang") === "en")(
         t(s, d, "documents"))),
+    // corpus drift monitor: PSI between two snapshot halves, per
+    // lang and per length band (llm/Drift.scala — fixed-point
+    // contributions so the total is an exact integer sum)
+    "drift_lang" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Drift.categoryDrift(col("lang"))(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
+    }),
+    "drift_length_bands" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val band = when(col("n_chars") < 200, "short")
+        .when(col("n_chars") < 400, "mid").otherwise("long")
+      graft.llm.Drift.categoryDrift(band)(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
+    }),
 
     // ===== approx/sketch audit family (llm/Sketch.scala) =====
     // HLL++/GK twins of the exact audits above: each query computes
@@ -1578,6 +1593,39 @@ object SparkEntry {
         |SELECT g.doc_id, count(*) AS n_grams, CAST(sum(m.ratio_fp) AS BIGINT) AS score_fp
         |FROM g JOIN model m USING (bucket)
         |GROUP BY 1""".stripMargin,
+    // drift: full-join of per-snapshot counts, add-1 smoothed PSI,
+    // same fixed-point floor(x+0.5) quantization as dsir/quantize
+    "drift_lang" ->
+      """WITH o AS (SELECT lang AS value, count(*) AS n_old FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |n AS (SELECT lang AS value, count(*) AS n_new FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT value, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |      FROM o FULL JOIN n USING (value)),
+        |p AS (SELECT value, n_old, n_new,
+        |        CAST(n_old + 1 AS DOUBLE) / (sum(n_old) OVER () + count(*) OVER ()) AS p_old,
+        |        CAST(n_new + 1 AS DOUBLE) / (sum(n_new) OVER () + count(*) OVER ()) AS p_new
+        |      FROM j),
+        |c AS (SELECT value, n_old, n_new,
+        |        CAST(floor((p_new - p_old) * (ln(p_new) - ln(p_old)) * 1000000.0 + 0.5) AS BIGINT) AS psi_fp
+        |      FROM p)
+        |SELECT value, n_old, n_new, psi_fp, CAST(sum(psi_fp) OVER () AS BIGINT) AS psi_total_fp
+        |FROM c""".stripMargin,
+    "drift_length_bands" ->
+      """WITH b AS (SELECT doc_id,
+        |        CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS band
+        |      FROM documents),
+        |o AS (SELECT band AS value, count(*) AS n_old FROM b WHERE doc_id % 2 = 0 GROUP BY 1),
+        |n AS (SELECT band AS value, count(*) AS n_new FROM b WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT value, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |      FROM o FULL JOIN n USING (value)),
+        |p AS (SELECT value, n_old, n_new,
+        |        CAST(n_old + 1 AS DOUBLE) / (sum(n_old) OVER () + count(*) OVER ()) AS p_old,
+        |        CAST(n_new + 1 AS DOUBLE) / (sum(n_new) OVER () + count(*) OVER ()) AS p_new
+        |      FROM j),
+        |c AS (SELECT value, n_old, n_new,
+        |        CAST(floor((p_new - p_old) * (ln(p_new) - ln(p_old)) * 1000000.0 + 0.5) AS BIGINT) AS psi_fp
+        |      FROM p)
+        |SELECT value, n_old, n_new, psi_fp, CAST(sum(psi_fp) OVER () AS BIGINT) AS psi_total_fp
+        |FROM c""".stripMargin,
     // sketch audits: the oracle replays the EXACT statistic and pins
     // the ok-booleans to TRUE — hash mismatch iff the sketch leaves
     // its error envelope (see llm/Sketch.scala Scaladoc)

@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift report: population stability index (PSI) between two
+  * corpus snapshots, per categorical dimension value.
+  *
+  * A continuously-ingested training corpus changes shape silently —
+  * a crawler config change flips the language mix, a new source
+  * floods one domain — and the damage shows up epochs later in the
+  * model. The standard monitor is PSI over each control dimension
+  * (language, source, length band):
+  * `PSI = Σ_v (p_new(v) − p_old(v)) · ln(p_new(v) / p_old(v))`,
+  * with the usual reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+  * shifted. Both terms are add-1 smoothed so values present in only
+  * one snapshot contribute a finite penalty instead of ∞.
+  *
+  * Scale shape: one partial-aggregated count per snapshot (shuffle
+  * key = the dimension value, never rows), a full-outer join of two
+  * DIMENSION-sized tables, totals via a bounded single-partition
+  * window over that tiny table (the [[Sampling.domainMixture]]
+  * shape), and per-value arithmetic. Corpus size only affects the
+  * two counting scans.
+  *
+  * Engine-portable determinism: per-value PSI contributions are
+  * quantized to FIXED-POINT longs (`floor(x·fpScale + 0.5)`, the
+  * [[Quantize]] half mode), so the headline total is an exact
+  * integer sum — order-independent, replayable bit-for-bit by the
+  * DuckDB oracle. Banded numeric drift reuses this by passing a
+  * CASE band expression as the dimension (see the `drift_doc_lang`
+  * and length-band gate queries in SparkEntry).
+  *
+  * Reference scope note: the reference engine (994-line pandas ETL)
+  * has no monitoring surface; this extends the mandated
+  * training-data-pipeline family (SURVEY.md §6) — the temporal twin
+  * of [[Sampling.domainMixture]]'s static balancing.
+  */
+object Drift {
+
+  /** Per-value drift between `oldDf` and `newDf` on `dim` (a column
+    * or band expression evaluated against BOTH frames). Output: one
+    * row per value seen in either snapshot — counts, fixed-point
+    * smoothed PSI contribution, and the fixed-point total replicated
+    * on every row (integer window sum) so a single-row reading does
+    * not need a second aggregation.
+    */
+  def categoryDrift(
+      dim: Column,
+      fpScale: Double = 1e6)(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.groupBy(dim.as("value")).agg(count(lit(1)).as("n_old"))
+    val n = newDf.groupBy(dim.as("value")).agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("value"), "full")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    // totals + distinct-value count over the dimension-sized table:
+    // single-partition window, bounded by the dimension's cardinality
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val k = count(lit(1)).over(w)
+    val pOld = (col("n_old") + lit(1L)).cast("double") / (sum("n_old").over(w) + k)
+    val pNew = (col("n_new") + lit(1L)).cast("double") / (sum("n_new").over(w) + k)
+    joined
+      .withColumn("psi_fp",
+        floor((pNew - pOld) * (log(pNew) - log(pOld)) * lit(fpScale) + lit(0.5d))
+          .cast("long"))
+      .withColumn("psi_total_fp", sum("psi_fp").over(w))
+  }
+}

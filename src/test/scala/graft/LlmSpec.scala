@@ -713,6 +713,38 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  // ===== corpus drift (llm/Drift.scala) =====
+
+  test("drift: identical snapshots score exactly zero; a full shift scores large and covers one-sided values") {
+    import graft.llm.Drift
+    val a = Seq("en", "en", "de", "fr").toDF("lang")
+    val same = Drift.categoryDrift(col("lang"))(a, a).collect()
+    // p_new == p_old per value → every contribution is floor(0 + .5) = 0
+    assert(same.forall(_.getAs[Long]("psi_fp") == 0L))
+    assert(same.head.getAs[Long]("psi_total_fp") == 0L)
+
+    val b = Seq("zh", "zh", "zh", "zh").toDF("lang")
+    val shifted = Drift.categoryDrift(col("lang"))(a, b)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // full join keeps values present in only one snapshot, zero-filled
+    assert(shifted.keySet == Set("en", "de", "fr", "zh"))
+    assert(shifted("zh").getAs[Long]("n_old") == 0L && shifted("zh").getAs[Long]("n_new") == 4L)
+    // a complete distribution swap is far past the 0.25 'shifted' bar
+    assert(shifted("zh").getAs[Long]("psi_total_fp") > 250000L,
+      s"total ${shifted("zh").getAs[Long]("psi_total_fp")}")
+  }
+
+  test("drift plan: shuffles carry the dimension value only; no cartesian") {
+    val a = spark.range(100).selectExpr("CAST(id % 3 AS STRING) AS lang")
+    val plan = planOf(graft.llm.Drift.categoryDrift(col("lang"))(a, a))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the count exchanges key on the dimension expression (pre-alias
+    // column name at partial-agg time, `value` after)
+    val keys = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.forall(k => k.startsWith("value") || k.startsWith("lang")),
+      s"unexpected shuffle keys $keys")
+  }
+
   // ===== PII redaction + OOV rate =====
 
   test("redactPii replaces email and URL spans with placeholder tags") {
