@@ -429,6 +429,16 @@ object SparkEntry {
       val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingIngest.sessionizeBatch(ev)
     }),
+    // ordered funnel: strict first-touch chaining on raw nano ts
+    // (ops/Funnel.scala — longs order identically to DuckDB's ns
+    // timestamps, no truncation in the comparison path)
+    "funnel_stages" -> ((s, d) =>
+      graft.ops.Funnel.funnelStages("user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))(eventsNanos(s, d))),
+    // cohort retention grid on first-seen date
+    "cohort_retention" -> ((s, d) =>
+      graft.ops.Funnel.cohortRetention("user_id",
+        to_date(timestamp_micros(expr("ts div 1000"))))(eventsNanos(s, d))),
     // rolling-frame window over integer-valued doubles (engine-exact
     // sums) + rank-family: the remaining window surface, gated
     "w4_rolling_sum" -> ((s, d) => {
@@ -1828,6 +1838,24 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
         |       CAST(props->>'k' AS DOUBLE) * value AS weighted
         |FROM events""".stripMargin,
+    // strict-order funnel: each stage's first qualifying time chains
+    // off the previous stage's (first-touch); ns-exact comparisons
+    "funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 'view' AS stage, CAST(1 AS INTEGER) AS stage_idx, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 'click', CAST(2 AS INTEGER), count(*) FROM s2
+        |UNION ALL SELECT 'purchase', CAST(3 AS INTEGER), count(*) FROM s3""".stripMargin,
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cohort_date FROM act GROUP BY 1)
+        |SELECT cohort_date, CAST(datediff('day', cohort_date, d) AS INTEGER) AS offset_days,
+        |       count(*) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "w3_sessionize" ->
       """WITH t AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

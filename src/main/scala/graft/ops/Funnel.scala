@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel and cohort-retention analytics over an event table
+  * — the two standard product-analytics queries a warehouse engine is
+  * asked for daily, expressed so each stage is one partial-aggregated
+  * pass.
+  *
+  * Funnel semantics (strict ordering): a user reaches stage i when
+  * they have an event of stage i's type STRICTLY LATER than their
+  * first qualifying time for stage i−1 (first-touch attribution; the
+  * conventional funnel definition). Each stage is `filter → per-user
+  * min → join back` — the join key and both aggregates are
+  * (user, timestamp) pairs, so at 100 TB each stage shuffles one row
+  * per surviving user, never events. The per-user frontier is
+  * persisted between stages: stage k would otherwise lazily re-run
+  * stages 1..k−1's scans.
+  *
+  * Cohort retention: users bucketed by first-seen date; for every
+  * (cohort_date, offset_days) the count of cohort members active that
+  * day. The (user, day) activity grid is deduplicated BEFORE any
+  * join, so the heavy aggregation's key is (user, date) — bounded by
+  * users×days, not events.
+  *
+  * Reference scope note: the reference engine (994-line pandas ETL)
+  * has no event-analytics surface; this extends the events-table
+  * family (sessionization w3, windowed counts w1) that SURVEY.md §6
+  * mandates alongside the config engine.
+  */
+object Funnel {
+
+  /** Per-stage reach counts for an ordered funnel. `orderCol` may be
+    * any totally-ordered column (timestamp, monotonic long). Output:
+    * one row per stage — (stage, stage_idx, n_users).
+    */
+  def funnelStages(
+      userCol: String,
+      orderCol: String,
+      typeCol: String,
+      stages: Seq[String])(df: DataFrame): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var reached = df.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(orderCol)).as("__t"))
+      .persist(MEMORY_AND_DISK)
+    val frames = stages.zipWithIndex.map { case (stage, i) =>
+      if (i > 0) {
+        reached = df.where(col(typeCol) === stage)
+          .join(reached.select(col(userCol), col("__t").as("__prev")), userCol)
+          .where(col(orderCol) > col("__prev"))
+          .groupBy(col(userCol)).agg(min(col(orderCol)).as("__t"))
+          .persist(MEMORY_AND_DISK)
+      }
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(i + 1).as("stage_idx"), col("n_users"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Retention grid: (cohort_date, offset_days, n_users). `day` is a
+    * DATE-typed expression over the event row (e.g. `to_date(ts)`).
+    */
+  def cohortRetention(userCol: String, day: Column)(df: DataFrame): DataFrame = {
+    val activity = df.select(col(userCol), day.as("__d")).distinct()
+    val cohorts = activity.groupBy(col(userCol)).agg(min("__d").as("cohort_date"))
+    activity.join(cohorts, userCol)
+      .groupBy(col("cohort_date"),
+        datediff(col("__d"), col("cohort_date")).as("offset_days"))
+      // activity is (user, day)-distinct, so each user counts once
+      // per cell — count(1) IS the distinct-user count, without a
+      // count(DISTINCT) expand
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -273,4 +273,50 @@ class OpsSpec extends SparkSpec {
     val sliced = Ops.groupbySlice(Seq("k"), 1, Seq(SortKey("ord")))(df).collect()
     assert(sliced.length == 1 && sliced.head.getInt(1) == 1)
   }
+
+  test("funnel: strict first-touch chaining — out-of-order stages don't count") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1: view → click → purchase, in order: reaches all three
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: purchase BEFORE first click: reaches click, not purchase
+      (2L, 10L, "view"), (2L, 20L, "purchase"), (2L, 30L, "click"),
+      // u3: click with no view at all: reaches nothing
+      (3L, 10L, "click"), (3L, 20L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.funnelStages("user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))(ev)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq(("view", 1, 2L), ("click", 2, 2L), ("purchase", 3, 1L)))
+  }
+
+  test("cohort retention counts each user once per (cohort, offset) cell") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-03"), // dup same-day activity
+      (2L, "2024-01-01"),
+      (3L, "2024-01-02"), (3L, "2024-01-03")
+    ).toDF("user_id", "d").withColumn("d", to_date(col("d")))
+    val r = graft.ops.Funnel.cohortRetention("user_id", col("d"))(ev)
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2))).toSet
+    assert(r == Set(
+      ("2024-01-01", 0, 2L), // u1 + u2 on their cohort day (dup row counted once)
+      ("2024-01-01", 2, 1L), // u1 back on day 3
+      ("2024-01-02", 0, 1L), // u3 cohort
+      ("2024-01-02", 1, 1L))) // u3 back next day
+  }
+
+  test("funnel/cohort plans: joins keyed on user only, no cartesian") {
+    import graft.ops.Funnel
+    val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
+      "date_add(DATE'2024-01-01', CAST(id % 5 AS INT)) AS d",
+      "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 THEN 'click' ELSE 'purchase' END AS event_type")
+    Seq(
+      Funnel.funnelStages("user_id", "ts", "event_type", Seq("view", "click"))(ev),
+      Funnel.cohortRetention("user_id", col("d"))(ev)
+    ).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
 }
