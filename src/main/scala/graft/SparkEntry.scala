@@ -876,6 +876,18 @@ object SparkEntry {
           col("audio_meta.bits_per_sample").as("bits_per_sample"),
           col("audio_meta.n_frames").as("n_frames"))
     }),
+    // REAL MP4 box-walk over the synthesized ISO-BMFF stream — the
+    // video leg of the image/audio/video trio; variable-size free
+    // boxes at BOTH nesting levels and mvhd v0/v1 are in the fixture
+    "mm_video_meta" -> ((s, d) => {
+      val withMp4 = t(s, d, "documents")
+        .withColumn("content", Multimodal.synthVideoContent(col("doc_id"), col("text")))
+      Multimodal.withVideoMeta("content")(withMp4)
+        .select(col("doc_id"), col("video_meta.format").as("format"),
+          col("video_meta.brand").as("brand"),
+          col("video_meta.timescale").as("timescale"),
+          col("video_meta.duration").as("duration"))
+    }),
     // REAL per-chunk byte features: the batched feature-extract pass
     // (histogram stats + Shannon entropy) over 100-byte chunks.
     // Entropy is rounded to 4dp on both sides — the two engines sum
@@ -1778,6 +1790,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(CASE WHEN doc_id % 7 < 4 THEN 8 ELSE 16 END AS INTEGER) END AS bits_per_sample,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS n_frames
+        |FROM documents""".stripMargin,
+    // closed-form mvhd replay: timescale/duration derive from the id
+    // exactly as synthVideoContent builds them; text rows are null
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' END AS brand,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 977 + 1000 AS INTEGER) END AS timescale,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 89 + 1) * (doc_id % 977 + 1000) AS BIGINT) END AS duration
         |FROM documents""".stripMargin,
     // independent byte-level recompute: hex the UTF-8 bytes, unnest to
     // byte values, aggregate the same histogram statistics. Chunking

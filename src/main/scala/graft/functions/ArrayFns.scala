@@ -170,6 +170,8 @@ object ArrayFns {
       exprs => ImageMeta(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_audio_meta",
       exprs => AudioMeta(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_video_meta",
+      exprs => VideoMeta(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_stats",
       exprs => ByteStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_hist",

@@ -85,6 +85,61 @@ object BinaryFns {
     null
   }
 
+  private[functions] def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** (majorBrand, timescale, duration) from an ISO-BMFF (MP4) stream,
+    * or null if the bytes are not a parseable MP4. Walks the
+    * top-level box list (`size(BE32) type(4)`), reads the major brand
+    * from `ftyp`, then descends ONE level into `moov` skipping
+    * unknown child boxes until `mvhd` (both version 0 — 32-bit
+    * timescale/duration — and version 1 — 64-bit duration — per
+    * ISO/IEC 14496-12 §8.2.2). Header-only like [[parseWav]]: media
+    * data (`mdat` payload) is never read, so the probe cost is
+    * independent of file size. 64-bit `largesize` (size==1) and
+    * to-EOF (size==0) boxes return null — corrupt-or-exotic is a
+    * loud null, not a wrong answer.
+    */
+  private[functions] def parseMp4(b: Array[Byte]): (String, Int, Long) = {
+    if (b.length < 12) return null
+    var brand: String = null
+    var ts = -1L
+    var dur = -1L
+    var pos = 0
+    while (pos + 8 <= b.length) {
+      val size = be32(b, pos)
+      if (size < 8 || pos + size > b.length) return null // largesize/to-EOF/corrupt
+      val t0 = u8(b, pos + 4); val t1 = u8(b, pos + 5)
+      val t2 = u8(b, pos + 6); val t3 = u8(b, pos + 7)
+      if (t0 == 'f' && t1 == 't' && t2 == 'y' && t3 == 'p') {
+        if (size < 16) return null
+        brand = new String(b, pos + 8, 4, "US-ASCII")
+      } else if (t0 == 'm' && t1 == 'o' && t2 == 'o' && t3 == 'v') {
+        var c = pos + 8
+        val end = pos + size.toInt
+        while (c + 8 <= end && ts < 0) {
+          val cs = be32(b, c)
+          if (cs < 8 || c + cs > end) return null
+          if (u8(b, c + 4) == 'm' && u8(b, c + 5) == 'v' &&
+              u8(b, c + 6) == 'h' && u8(b, c + 7) == 'd') {
+            val version = u8(b, c + 8)
+            if (version == 0) {
+              if (cs < 108) return null
+              ts = be32(b, c + 20); dur = be32(b, c + 24)
+            } else if (version == 1) {
+              if (cs < 120) return null
+              ts = be32(b, c + 28); dur = be64(b, c + 32)
+            } else return null
+          }
+          c += cs.toInt
+        }
+      }
+      pos += size.toInt
+    }
+    if (brand == null || ts <= 0 || ts > Int.MaxValue || dur < 0) return null
+    (brand, ts.toInt, dur)
+  }
+
   /** (channels, sampleRate, bitsPerSample, nFrames) from a RIFF/WAVE
     * stream, or null if the bytes are not a parseable WAV. Walks the
     * chunk list (word-aligned: odd-size chunks carry a pad byte) until
@@ -303,4 +358,40 @@ case class ByteHist(child: Expression, bins: Expression)
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ByteHist =
     copy(child = newChildren(0), bins = newChildren(1))
+}
+
+/** `graft_video_meta(binary)` → struct(format, brand, timescale,
+  * duration), null for unrecognized bytes. ISO-BMFF/MP4 only — the
+  * video twin of [[ImageMeta]]/[[AudioMeta]]: a header-only box walk
+  * ([[BinaryFns.parseMp4]]) that reads the `ftyp` major brand and the
+  * `moov`/`mvhd` movie header; frame decode would slot in downstream
+  * via mapInArrow, never replace this probe. Seconds = duration /
+  * timescale — left to the caller so the raw header ints stay exact.
+  */
+case class VideoMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_video_meta"
+
+  override def nullSafeEval(input: Any): Any = {
+    BinaryFns.parseMp4(input.asInstanceOf[Array[Byte]]) match {
+      case null => null
+      case (brand, ts, dur) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("mp4"), UTF8String.fromString(brand), ts, dur))
+    }
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_video_meta needs binary input, got ${child.dataType.simpleString}")
+
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
 }

@@ -57,6 +57,71 @@ object Multimodal {
   def withAudioMeta(binCol: String, outCol: String = "audio_meta")(df: DataFrame): DataFrame =
     register(df).withColumn(outCol, call_function("graft_audio_meta", col(binCol)))
 
+  /** REAL video metadata: walk the ISO-BMFF box structure with the
+    * native `graft_video_meta` expression (functions/BinaryFns.scala)
+    * — struct(format, brand, timescale, duration), null for non-MP4
+    * bytes. Header-only like its image/audio siblings: the `mdat`
+    * payload is never read, so probing a 10 GB video costs the same
+    * as a 10 KB one; frame decode (ffmpeg over mapInArrow) slots in
+    * downstream of this probe, not in place of it.
+    */
+  def withVideoMeta(binCol: String, outCol: String = "video_meta")(df: DataFrame): DataFrame =
+    register(df).withColumn(outCol, call_function("graft_video_meta", col(binCol)))
+
+  /** Deterministic MP4 FIXTURE for the correctness gate, completing
+    * the image/audio/video trio: real ISO-BMFF byte streams — ftyp,
+    * a variable-size `free` box (so moov sits at a VARIABLE offset),
+    * and a moov whose mvhd is preceded by another variable `free`
+    * child (so the child walk can't assume mvhd-first). Even ids
+    * alternate mvhd version 0 (32-bit duration) and version 1
+    * (64-bit), exercising both header layouts. Construction is
+    * mirrored closed-form in the DuckDB oracle (SparkEntry):
+    *
+    *  - id % 2 == 0 → MP4: brand "isom", timescale = id%977 + 1000,
+    *    duration = (id%89 + 1)·timescale (whole seconds by build);
+    *    outer free pad = id%23+1, moov-child free pad = id%13+1;
+    *    mvhd v0 when id % 4 == 0, v1 when id % 4 == 2
+    *  - id % 2 == 1 → the raw UTF-8 text (not video)
+    */
+  def synthVideoContent(idCol: Column, textCol: Column): Column = {
+    def byteHex(c: Column) = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+    def be32(c: Column) =
+      concat(byteHex(shiftright(c, 24)), byteHex(shiftright(c, 16)), byteHex(shiftright(c, 8)), byteHex(c))
+    def be64(c: Column) = concat(be32(shiftright(c, 32)), be32(c))
+    val ts = idCol % 977 + 1000L
+    val durSec = idCol % 89 + 1L
+    val dur = durSec * ts
+    val pad1 = idCol % 23 + 1L
+    val pad2 = idCol % 13 + 1L
+    val v0 = idCol % 4 === 0
+    val ftyp = concat(lit("00000014"), lit("66747970"),   // size 20, "ftyp"
+      lit("69736F6D"), lit("00000200"), lit("6D703431")) // "isom", minor, "mp41"
+    val freeOuter = concat(be32(pad1 + 8L), lit("66726565"),
+      call_function("repeat", lit("00"), pad1.cast("int")))
+    val freeInner = concat(be32(pad2 + 8L), lit("66726565"),
+      call_function("repeat", lit("00"), pad2.cast("int")))
+    // mvhd v0: 108 bytes (32-bit times); v1: 120 bytes (64-bit
+    // creation/modification/duration). The post-duration region —
+    // rate(4) volume(2) reserved(10) matrix(36) pre_defined(24)
+    // next_track(4) = 80 bytes — is rate/volume defaults then zeros;
+    // the probe only validates sizes there, per spec these fields
+    // don't affect timescale/duration.
+    val tail = concat(lit("00010000"), lit("0100"),
+      call_function("repeat", lit("00"), lit(70)),
+      lit("00000002"))                                   // next_track_ID
+    val mvhd = when(v0,
+      concat(lit("0000006C"), lit("6D766864"), lit("00000000"),
+        lit("00000000"), lit("00000000"), be32(ts), be32(dur), tail))
+      .otherwise(
+        concat(lit("00000078"), lit("6D766864"), lit("01000000"),
+          be64(lit(0L)), be64(lit(0L)), be32(ts), be64(dur), tail))
+    val mvhdBytes = when(v0, 108L).otherwise(120L)
+    val moov = concat(be32(lit(8L) + (pad2 + 8L) + mvhdBytes), lit("6D6F6F76"),
+      freeInner, mvhd)
+    when(idCol % 2 === 0, unhex(concat(ftyp, freeOuter, moov)))
+      .otherwise(encode(textCol, "UTF-8"))
+  }
+
   /** Deterministic WAV FIXTURE for the correctness gate, mirroring
     * [[synthMediaContent]]: real RIFF/WAVE byte streams with fmt/data
     * parameters derived from the id column, non-audio fallthrough on

@@ -549,6 +549,39 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) == null && out(499L) == null) // text branch
   }
 
+  test("synthesized MP4 fixture round-trips through the real box walk (v0 and v1 mvhd)") {
+    val df = Seq((0L, "t0"), (2L, "t1"), (4L, "t2"), (6L, "t3"), (88L, "t4"), (1L, "t5"), (977L, "t6"))
+      .toDF("doc_id", "text")
+      .withColumn("content", Multimodal.synthVideoContent(col("doc_id"), col("text")))
+    val out = Multimodal.withVideoMeta("content")(df)
+      .select(col("doc_id"), col("video_meta.format"), col("video_meta.brand"),
+        col("video_meta.timescale"), col("video_meta.duration"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getString(1), r.getString(2), r.getInt(3), r.getLong(4)))).toMap
+    def expected(id: Long) = ("mp4", "isom", (id % 977 + 1000).toInt, (id % 89 + 1) * (id % 977 + 1000))
+    assert(out(0L) == expected(0L))   // mvhd v0
+    assert(out(2L) == expected(2L))   // mvhd v1 (64-bit duration)
+    assert(out(4L) == expected(4L))
+    assert(out(6L) == expected(6L))
+    assert(out(88L) == expected(88L)) // max whole-second duration branch
+    assert(out(1L) == null && out(977L) == null) // text branch
+  }
+
+  test("mp4 probe rejects corrupt and foreign bytes loudly (null, not wrong)") {
+    graft.functions.ArrayFns.register(spark)
+    val cases = Seq(
+      ("truncated_ftyp", "0000001466747970"),              // size says 20, only 8 present
+      ("size_lt_8", "00000004667479706973"),               // box size 4 < header
+      ("wav_bytes", "524946460800000057415645"),           // RIFF, not BMFF
+      ("no_moov", "000000106674797069736F6D00000200")      // ftyp only, no mvhd
+    ).toDF("name", "hx")
+    val out = cases.select(col("name"),
+        call_function("graft_video_meta", unhex(col("hx"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out.values.forall(identity), s"expected all null, got $out")
+  }
+
   test("binaryFile source feeds the multimodal pipeline (real media ingest path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     val payload = Array.tabulate[Byte](300)(i => (i % 251).toByte)
