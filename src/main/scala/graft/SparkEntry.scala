@@ -330,6 +330,23 @@ object SparkEntry {
         path, "l_returnflag", "l_linestatus")
       NestedStore.flatten(s.read.parquet(path))
     }),
+    "s6_erase" -> ((s, d) => {
+      // right-to-be-forgotten roundtrip: every 'R' row erased (drops
+      // whole partitions via the FS branch) plus high-quantity rows
+      // everywhere (rewrites surviving partitions); untouched-file
+      // preservation is pinned in IoSpec
+      val path = scratch("erase_store_q")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+      NestedStore.write(NestedStore.nest(base, "l_returnflag", "l_linestatus"),
+        path, "l_returnflag", "l_linestatus")
+      NestedStore.erase(s, path,
+        col("l_returnflag") === "R" || col("l_quantity") >= 40,
+        "l_returnflag", "l_linestatus")
+      NestedStore.flatten(s.read.parquet(path))
+    }),
     "s7_standardized" -> ((s, d) => {
       val src = t(s, d, "customer").select(
         col("c_custkey").as("subject"), col("c_mktsegment").as("country"),
@@ -1181,6 +1198,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity * 2 AS l_quantity
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "s6_erase" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R' OR l_quantity >= 40)""".stripMargin,
     "s7_standardized" ->
       """SELECT 'S001' AS study_code,
         |  concat_ws('#', c_mktsegment, CAST(c_nationkey AS VARCHAR), CAST(c_custkey AS VARCHAR)) AS subject_hierarchy,

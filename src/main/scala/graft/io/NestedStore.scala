@@ -63,6 +63,66 @@ object NestedStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(k1, k2).parquet(path)
 
+  final case class EraseStats(partitionsRewritten: Int, partitionsDropped: Int)
+
+  /** Row-level erase across the store — the right-to-be-forgotten
+    * verb ([[upsert]]'s destructive complement): delete every
+    * flattened row matching `predicate` (evaluated against the
+    * [[flatten]]ed shape, so nested payload fields are addressable),
+    * leaving all other data byte-untouched.
+    *
+    * Mechanics: one scan finds the affected `(k1, k2)` partitions and
+    * whether any rows survive in each (partition-pruned when the
+    * predicate constrains the keys); survivors are re-nested and
+    * written via dynamic partition overwrite — only affected
+    * partitions rewrite, untouched partitions' files are preserved
+    * (pinned by listing digest in IoSpec). A partition whose rows ALL
+    * matched is deleted at the filesystem level: dynamic overwrite
+    * cannot remove a partition it writes no rows into, so an emptied
+    * document would otherwise silently survive — the one failure mode
+    * an erasure audit cannot accept.
+    *
+    * The collected key list is partition-count-sized (config-plane,
+    * same documented allowance as [[compact]]/ConfigReader). At
+    * 100 TB an erase touches exactly the partitions holding matches;
+    * cost is the discovery scan plus a rewrite of those documents.
+    * Key values land verbatim in the deleted-directory path — keys
+    * containing characters the parquet writer partition-escapes
+    * (`/`, `%`, space) are out of this store's key contract.
+    */
+  def erase(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      predicate: Column,
+      k1: String = "study_code",
+      k2: String = "view"): EraseStats = {
+    val flat = flatten(spark.read.parquet(path))
+    val perPart = flat
+      .groupBy(col(k1), col(k2))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(predicate, 1L).otherwise(0L)).as("__m"))
+      .where(col("__m") > 0)
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2) == r.getLong(3)))
+    if (perPart.isEmpty) return EraseStats(0, 0)
+
+    val (emptied, rewrite) = perPart.partition(_._3)
+    if (rewrite.nonEmpty) {
+      val keep = rewrite.map { case (a, b, _) => col(k1) === a && col(k2) === b }
+        .reduce(_ || _)
+      // erase only rows where the predicate is definitively TRUE — a
+      // null-valued predicate must KEEP the row (matching __m above),
+      // not silently drop it through three-valued !null
+      upsert(nest(flat.where(keep && not(coalesce(predicate, lit(false)))), k1, k2),
+        path, k1, k2)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { case (a, b, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$k1=$a/$k2=$b"), true)
+    }
+    EraseStats(rewrite.length, emptied.length)
+  }
+
   final case class CompactionStats(filesBefore: Int, filesAfter: Int)
 
   /** Compact a partitioned store's small files: every micro-batch

@@ -67,6 +67,40 @@ class IoSpec extends SparkSpec {
       ("s2", "v1", "c", 3.0), ("s2", "v2", "d", 4.0)))
   }
 
+  test("erase deletes matching rows, drops emptied partitions, preserves untouched files") {
+    val dir = Files.createTempDirectory("graft_erase").toString
+    val data = Seq(
+      ("s1", "v1", "alice", 1.0), ("s1", "v1", "bob", 2.0),
+      ("s1", "v2", "alice", 3.0),                          // alice-only: partition empties
+      ("s2", "v1", "carol", 4.0)                           // untouched
+    ).toDF("study_code", "view", "name", "score")
+    NestedStore.write(NestedStore.nest(data, "study_code", "view"), dir)
+    def listing(sub: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/$sub")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    }
+    val s2v1Before = listing("study_code=s2/view=v1")
+
+    val stats = NestedStore.erase(spark, dir, col("name") === "alice")
+    assert(stats == NestedStore.EraseStats(partitionsRewritten = 1, partitionsDropped = 1))
+    assert(listing("study_code=s1/view=v2").isEmpty, "fully-erased partition must be deleted")
+    assert(listing("study_code=s2/view=v1") == s2v1Before, "untouched partition rewritten")
+    val back = NestedStore.flatten(spark.read.parquet(dir))
+      .select("study_code", "view", "name", "score").orderBy("name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(back == Seq(("s1", "v1", "bob", 2.0), ("s2", "v1", "carol", 4.0)))
+
+    // null-valued predicates KEEP rows (three-valued logic must not
+    // silently widen an erasure), and a no-match erase is a no-op
+    val none = NestedStore.erase(spark, dir, col("score") > lit(100.0))
+    assert(none == NestedStore.EraseStats(0, 0))
+    val nullPred = NestedStore.erase(spark, dir, lit(null).cast("boolean"))
+    assert(nullPred == NestedStore.EraseStats(0, 0))
+    assert(NestedStore.flatten(spark.read.parquet(dir)).count() == 2)
+  }
+
   test("compaction collapses micro-batch appends to one file per partition, rows intact") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // simulate 4 micro-batch appends -> 4 files per touched partition
