@@ -27,7 +27,8 @@ object Bench {
     "asof_next_purchase_after_click", "mm_binary_meta",
     "sketch_corpus_ndv", "decontam_overlap", "pack_sequences",
     "bloom_prefilter_join", "dedup_kgram_coverage", "sketch_heavy_hitters",
-    "sim_quant_recall", "text_bpe_pairs", "text_chunks", "dsir_weights")
+    "sim_quant_recall", "text_bpe_pairs", "text_chunks", "dsir_weights",
+    "funnel_stages", "drift_lang", "mm_video_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
