@@ -446,16 +446,24 @@ object SparkEntry {
       val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingIngest.sessionizeBatch(ev)
     }),
-    // ordered funnel: strict first-touch chaining on raw nano ts
-    // (ops/Funnel.scala — longs order identically to DuckDB's ns
-    // timestamps, no truncation in the comparison path)
+    // ordered funnel: strict first-touch chaining at truncated-µs
+    // resolution — DuckDB's TIMESTAMP is exactly floor(ns/1000), so
+    // comparisons and gaps agree bit-for-bit (ops/Funnel.scala is
+    // resolution-agnostic; the µs projection is the oracle contract)
     "funnel_stages" -> ((s, d) =>
-      graft.ops.Funnel.funnelStages("user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"))(eventsNanos(s, d))),
+      graft.ops.Funnel.funnelStages("user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))(
+        eventsNanos(s, d).withColumn("ts_us", expr("ts div 1000")))),
     // cohort retention grid on first-seen date
     "cohort_retention" -> ((s, d) =>
       graft.ops.Funnel.cohortRetention("user_id",
         to_date(timestamp_micros(expr("ts div 1000"))))(eventsNanos(s, d))),
+    // per-transition conversion gaps (µs): exact integer diffs, exact
+    // median with the integer-portable (a+b)/2 interpolation
+    "funnel_conversion" -> ((s, d) =>
+      graft.ops.Funnel.funnelConversion("user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))(
+        eventsNanos(s, d).withColumn("ts_us", expr("ts div 1000")))),
     // rolling-frame window over integer-valued doubles (engine-exact
     // sums) + rank-family: the remaining window surface, gated
     "w4_rolling_sum" -> ((s, d) => {
@@ -1891,6 +1899,24 @@ object SparkEntry {
         |SELECT 'view' AS stage, CAST(1 AS INTEGER) AS stage_idx, count(*) AS n_users FROM s1
         |UNION ALL SELECT 'click', CAST(2 AS INTEGER), count(*) FROM s2
         |UNION ALL SELECT 'purchase', CAST(3 AS INTEGER), count(*) FROM s3""".stripMargin,
+    // µs gaps via epoch_us — DuckDB's TIMESTAMP read of the ns column
+    // is floor(ns/1000), identical to the Spark side's `ts div 1000`
+    "funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |g12 AS (SELECT epoch_us(s2.t) - epoch_us(s1.t) AS gap FROM s2 JOIN s1 USING (user_id)),
+        |g23 AS (SELECT epoch_us(s3.t) - epoch_us(s2.t) AS gap FROM s3 JOIN s2 USING (user_id))
+        |SELECT 'view' AS from_stage, 'click' AS to_stage, CAST(2 AS INTEGER) AS to_stage_idx,
+        |       count(*) AS n_converted, min(gap) AS min_gap,
+        |       quantile_cont(gap, 0.5) AS median_gap, max(gap) AS max_gap
+        |FROM g12
+        |UNION ALL
+        |SELECT 'click', 'purchase', CAST(3 AS INTEGER), count(*), min(gap),
+        |       quantile_cont(gap, 0.5), max(gap)
+        |FROM g23""".stripMargin,
     "cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |coh AS (SELECT user_id, min(d) AS cohort_date FROM act GROUP BY 1)

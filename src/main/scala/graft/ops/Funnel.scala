@@ -31,6 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Per-stage user frontiers — (stage name, frame of (user, __t) =
+    * first qualifying time). Each frontier is persisted: the callers
+    * below consume every frontier at least twice, and stage k's
+    * lineage contains stages 1..k−1.
+    */
+  private def frontiers(
+      userCol: String,
+      orderCol: String,
+      typeCol: String,
+      stages: Seq[String])(df: DataFrame): Seq[(String, DataFrame)] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var reached = df.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(orderCol)).as("__t"))
+      .persist(MEMORY_AND_DISK)
+    stages.zipWithIndex.map { case (stage, i) =>
+      if (i > 0) {
+        reached = df.where(col(typeCol) === stage)
+          .join(reached.select(col(userCol), col("__t").as("__prev")), userCol)
+          .where(col(orderCol) > col("__prev"))
+          .groupBy(col(userCol)).agg(min(col(orderCol)).as("__t"))
+          .persist(MEMORY_AND_DISK)
+      }
+      (stage, reached)
+    }
+  }
+
   /** Per-stage reach counts for an ordered funnel. `orderCol` may be
     * any totally-ordered column (timestamp, monotonic long). Output:
     * one row per stage — (stage, stage_idx, n_users).
@@ -39,24 +66,42 @@ object Funnel {
       userCol: String,
       orderCol: String,
       typeCol: String,
+      stages: Seq[String])(df: DataFrame): DataFrame =
+    frontiers(userCol, orderCol, typeCol, stages)(df).zipWithIndex.map {
+      case ((stage, f), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), lit(i + 1).as("stage_idx"), col("n_users"))
+    }.reduce(_ unionByName _)
+
+  /** Conversion-time statistics per funnel transition: for every user
+    * reaching stage i, the gap between their stage-(i−1) and stage-i
+    * first-touch times. Gaps are exact differences of `orderCol`
+    * values (ns longs for the nano-timestamp path); the median is the
+    * exact percentile — integer inputs make its (a+b)/2 interpolation
+    * engine-portable, the [[graft.llm.Sketch.quantileAudit]] rule.
+    * Each transition joins two USERS-sized persisted frontiers.
+    */
+  def funnelConversion(
+      userCol: String,
+      orderCol: String,
+      typeCol: String,
       stages: Seq[String])(df: DataFrame): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var reached = df.where(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(orderCol)).as("__t"))
-      .persist(MEMORY_AND_DISK)
-    val frames = stages.zipWithIndex.map { case (stage, i) =>
-      if (i > 0) {
-        reached = df.where(col(typeCol) === stage)
-          .join(reached.select(col(userCol), col("__t").as("__prev")), userCol)
-          .where(col(orderCol) > col("__prev"))
-          .groupBy(col(userCol)).agg(min(col(orderCol)).as("__t"))
-          .persist(MEMORY_AND_DISK)
-      }
-      reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(stage).as("stage"), lit(i + 1).as("stage_idx"), col("n_users"))
-    }
-    frames.reduce(_ unionByName _)
+    require(stages.size >= 2, "conversion stats need at least two stages")
+    val fs = frontiers(userCol, orderCol, typeCol, stages)(df)
+    fs.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq((from, fFrom), (to, fTo)), i) =>
+        fTo.select(col(userCol), col("__t").as("__to"))
+          .join(fFrom.select(col(userCol), col("__t").as("__from")), userCol)
+          .select((col("__to") - col("__from")).as("__gap"))
+          .agg(
+            count(lit(1)).as("n_converted"),
+            min("__gap").as("min_gap"),
+            expr("percentile(__gap, 0.5)").as("median_gap"),
+            max("__gap").as("max_gap"))
+          .select(lit(from).as("from_stage"), lit(to).as("to_stage"),
+            lit(i + 2).as("to_stage_idx"), col("n_converted"),
+            col("min_gap"), col("median_gap"), col("max_gap"))
+    }.reduce(_ unionByName _)
   }
 
   /** Retention grid: (cohort_date, offset_days, n_users). `day` is a

@@ -306,6 +306,23 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02", 1, 1L))) // u3 back next day
   }
 
+  test("funnelConversion: exact gaps per transition, integer-portable median") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 110L, "purchase"),
+      (2L, 0L, "view"), (2L, 20L, "click"),                       // no purchase
+      (3L, 0L, "view"), (3L, 30L, "click"), (3L, 40L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.funnelConversion("user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))(ev)
+      .collect().map(x => x.getString(1) ->
+        (x.getLong(3), x.getLong(4), x.getDouble(5), x.getLong(6))).toMap
+    // view→click gaps: 10, 20, 30 → median 20
+    assert(r("click") == ((3L, 10L, 20.0, 30L)))
+    // click→purchase gaps: 100 (u1), 10 (u3) → median (10+100)/2 = 55
+    assert(r("purchase") == ((2L, 10L, 55.0, 100L)))
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
