@@ -171,7 +171,13 @@ object BinaryFns {
       } else if (b(pos) == 'd' && b(pos + 1) == 'a' && b(pos + 2) == 't' && b(pos + 3) == 'a') {
         dataSize = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // odd chunks have a pad byte
+      // Long-checked advance: a near-2^31 size field must return null,
+      // not wrap pos negative and throw on the next b(pos) read (the
+      // data payload MAY legitimately extend past b.length — only the
+      // cursor itself needs the overflow guard)
+      val next = pos.toLong + 8L + size + (size & 1L) // odd chunks have a pad byte
+      if (next > Int.MaxValue) return null
+      pos = next.toInt
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0) return null
     (channels, rate, bits, dataSize / blockAlign)

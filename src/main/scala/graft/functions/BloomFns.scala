@@ -148,6 +148,18 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
       s"graft_bloom_contains requires a string or integral key column, got ${other.simpleString}")
   }
 
+  // case-class equality on Array[Byte] is REFERENCE equality, which
+  // would make two semantically identical probes never compare equal —
+  // defeating Catalyst canonicalization / subexpression elimination.
+  // Compare the filter bytes by value.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, bb) =>
+      c == child && java.util.Arrays.equals(bb, bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }

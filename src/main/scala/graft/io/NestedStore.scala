@@ -103,6 +103,16 @@ object NestedStore {
         sum(when(predicate, 1L).otherwise(0L)).as("__m"))
       .where(col("__m") > 0)
       .collect().map(r => (r.get(0), r.get(1), r.getLong(2) == r.getLong(3)))
+    // null-keyed partitions (__HIVE_DEFAULT_PARTITION__) break BOTH
+    // erase mechanics silently: `col === null` excludes the rows from
+    // the rewrite and the interpolated delete path doesn't exist —
+    // matched rows would SURVIVE while EraseStats reports success.
+    // Refuse loudly instead of retaining data a compliance erase was
+    // told to remove.
+    require(perPart.forall(p => p._1 != null && p._2 != null),
+      s"erase: matching rows found under a NULL $k1/$k2 partition key — " +
+        "null-keyed documents are outside the store's key contract and " +
+        "cannot be erased by partition; repair the store keys first")
     if (perPart.isEmpty) return EraseStats(0, 0)
 
     val (emptied, rewrite) = perPart.partition(_._3)

@@ -61,17 +61,26 @@ object Funnel {
   /** Per-stage reach counts for an ordered funnel. `orderCol` may be
     * any totally-ordered column (timestamp, monotonic long). Output:
     * one row per stage — (stage, stage_idx, n_users).
+    *
+    * The result is EAGER (a stages-count-sized local frame): the
+    * per-stage frontiers must be persisted while the chain builds, and
+    * materializing the k counts here lets every cached frontier be
+    * unpersisted before returning instead of pinning users-sized
+    * frames for the session (the [[graft.llm.Dedup.nearDupClusters]]
+    * leak contract, solved by eagerness because the output is tiny).
     */
   def funnelStages(
       userCol: String,
       orderCol: String,
       typeCol: String,
-      stages: Seq[String])(df: DataFrame): DataFrame =
-    frontiers(userCol, orderCol, typeCol, stages)(df).zipWithIndex.map {
-      case ((stage, f), i) =>
-        f.agg(count(lit(1)).as("n_users"))
-          .select(lit(stage).as("stage"), lit(i + 1).as("stage_idx"), col("n_users"))
-    }.reduce(_ unionByName _)
+      stages: Seq[String])(df: DataFrame): DataFrame = {
+    val fs = frontiers(userCol, orderCol, typeCol, stages)(df)
+    try {
+      val rows = fs.zipWithIndex.map { case ((stage, f), i) => (stage, i + 1, f.count()) }
+      import df.sparkSession.implicits._
+      rows.toDF("stage", "stage_idx", "n_users")
+    } finally fs.foreach(_._2.unpersist())
+  }
 
   /** Conversion-time statistics per funnel transition: for every user
     * reaching stage i, the gap between their stage-(i−1) and stage-i
@@ -88,20 +97,29 @@ object Funnel {
       stages: Seq[String])(df: DataFrame): DataFrame = {
     require(stages.size >= 2, "conversion stats need at least two stages")
     val fs = frontiers(userCol, orderCol, typeCol, stages)(df)
-    fs.sliding(2).toSeq.zipWithIndex.map {
-      case (Seq((from, fFrom), (to, fTo)), i) =>
-        fTo.select(col(userCol), col("__t").as("__to"))
-          .join(fFrom.select(col(userCol), col("__t").as("__from")), userCol)
-          .select((col("__to") - col("__from")).as("__gap"))
-          .agg(
-            count(lit(1)).as("n_converted"),
-            min("__gap").as("min_gap"),
-            expr("percentile(__gap, 0.5)").as("median_gap"),
-            max("__gap").as("max_gap"))
-          .select(lit(from).as("from_stage"), lit(to).as("to_stage"),
-            lit(i + 2).as("to_stage_idx"), col("n_converted"),
-            col("min_gap"), col("median_gap"), col("max_gap"))
-    }.reduce(_ unionByName _)
+    try {
+      // eager like funnelStages: one tiny stats row per transition,
+      // collected so the persisted frontiers can be released here
+      val rows = fs.sliding(2).toSeq.zipWithIndex.map {
+        case (Seq((from, fFrom), (to, fTo)), i) =>
+          val r = fTo.select(col(userCol), col("__t").as("__to"))
+            .join(fFrom.select(col(userCol), col("__t").as("__from")), userCol)
+            .select((col("__to") - col("__from")).as("__gap"))
+            .agg(
+              count(lit(1)).as("n_converted"),
+              min("__gap").as("min_gap"),
+              expr("percentile(__gap, 0.5)").as("median_gap"),
+              max("__gap").as("max_gap"))
+            .collect().head
+          (from, to, i + 2, r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }
+      import df.sparkSession.implicits._
+      rows.toDF("from_stage", "to_stage", "to_stage_idx",
+        "n_converted", "min_gap", "median_gap", "max_gap")
+    } finally fs.foreach(_._2.unpersist())
   }
 
   /** Retention grid: (cohort_date, offset_days, n_users). `day` is a

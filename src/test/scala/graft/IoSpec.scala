@@ -101,6 +101,20 @@ class IoSpec extends SparkSpec {
     assert(NestedStore.flatten(spark.read.parquet(dir)).count() == 2)
   }
 
+  test("erase refuses null-keyed partitions instead of silently retaining matches") {
+    val dir = Files.createTempDirectory("graft_erase_nullkey").toString
+    val data = Seq((null.asInstanceOf[String], "v1", "alice", 1.0), ("s1", "v1", "bob", 2.0))
+      .toDF("study_code", "view", "name", "score")
+    NestedStore.write(NestedStore.nest(data, "study_code", "view"), dir)
+    val e = intercept[IllegalArgumentException] {
+      NestedStore.erase(spark, dir, col("name") === "alice")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // matches confined to well-keyed partitions still erase fine
+    val ok = NestedStore.erase(spark, dir, col("name") === "bob")
+    assert(ok == NestedStore.EraseStats(partitionsRewritten = 0, partitionsDropped = 1))
+  }
+
   test("compaction collapses micro-batch appends to one file per partition, rows intact") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // simulate 4 micro-batch appends -> 4 files per touched partition

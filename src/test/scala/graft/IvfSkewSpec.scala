@@ -94,6 +94,18 @@ class IvfSkewSpec extends SparkSpec {
     assert(falsePos < 50, s"bloom false-positive count $falsePos out of envelope")
   }
 
+  test("bloom probes with identical filter bytes are value-equal (canonicalization-safe)") {
+    import graft.functions.BloomMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val build = (1L to 50L).toDF("k")
+    val bytes = BloomJoin.buildKeyBloom(build, "k", expectedItems = 50L)
+    val a = BloomMightContain(Literal(7L), bytes.clone())
+    val b = BloomMightContain(Literal(7L), bytes.clone())
+    assert(a == b && a.hashCode == b.hashCode,
+      "equal filter bytes in distinct arrays must compare equal")
+    assert(a != BloomMightContain(Literal(8L), bytes.clone()))
+  }
+
   test("bloomPrunedJoin rejects join types where pruning would drop preserved rows") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {

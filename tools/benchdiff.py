@@ -198,9 +198,13 @@ def main():
         sys.exit(__doc__)
     if args[0] == "--chain":
         specs = args[1:]
+        if len(specs) < 2:
+            sys.exit(__doc__)
         out = [diff(a, b) for a, b in zip(specs, specs[1:])]
         print("\n".join(out))
     else:
+        if len(args) < 2:
+            sys.exit(__doc__)
         print(diff(args[0], args[1]))
 
 
