@@ -581,6 +581,12 @@ object SparkEntry {
       graft.llm.Quantize.int8RecallAtK(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
     }),
+    // lexical retrieval: 'dup' is the corpus's one rare term (~5% of
+    // docs), so its high idf must dominate the two common terms —
+    // a gate on the idf weighting, not just the mechanics
+    "ret_bm25_topk" -> ((s, d) =>
+      graft.llm.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "spark"), k = 10)),
 
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
@@ -1799,6 +1805,28 @@ object SparkEntry {
         |SELECT e.probe_id, count(*) / 10.0 AS recall_at_k
         |FROM exact e JOIN quant t ON e.probe_id = t.probe_id AND e.neighbor_id = t.neighbor_id
         |GROUP BY 1""".stripMargin,
+    // BM25 replay: same fixed-point per-term quantization as the
+    // dsir_* oracles — the integer per-doc sum is order-independent,
+    // the one cross-engine float op is ln() per query term
+    "ret_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM d),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |post AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+        |         FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl)
+        |         WHERE t IN ('dup', 'vector', 'spark')
+        |         GROUP BY doc_id, t),
+        |dfre AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM post GROUP BY term),
+        |sc AS (SELECT p.doc_id,
+        |         CAST(floor(ln((s.n - f.dft + 0.5) / (f.dft + 0.5) + 1.0)
+        |              * ((p.tf * (1.2 + 1.0))
+        |                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)))
+        |              * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+        |       FROM post p JOIN dfre f USING (term) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+        |       CAST(sum(c_fp) AS BIGINT) AS bm25_fp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25_fp DESC, doc_id LIMIT 10""".stripMargin,
     // closed-form statement of what a correct header parser must
     // return for the synthMediaContent fixture (PNG = 33 bytes fixed;
     // baseline JPEG = 45 + COM pad; EXIF/SOF2 JPEG = 33 + APP1 pad;
