@@ -572,6 +572,12 @@ object SparkEntry {
       graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // SemDeDup: cell-scoped semantic dedup. Same 0.4 threshold
+    // rationale as sim_embedding_neardup (near-orthogonal synthetic
+    // embeddings — 0.9 would gate zero drops)
+    "sim_semdedup_keep" -> ((s, d) =>
+      Similarity.semDedupKeep(t(s, d, "embeddings"), "vec_id", "embedding",
+        ivfModel(s, d), threshold = 0.4)),
     // int8 candidate generation vs the exact-cosine top-k: per-probe
     // recall@k of the 4×-smaller quantized store (llm/Quantize.scala).
     // The quantized cosine's scales cancel — ranking is exact integer
@@ -1071,6 +1077,30 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
+    }),
+    // SemDeDup replay: the assignment CTE mirrors sim_ivf_topk's
+    // (nearest centroid by squared distance, ties to the lower cid);
+    // the drop rule is the keep-lowest-id within-cell cosine gate
+    "sim_semdedup_keep" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |          FROM asg a JOIN asg b USING (centroid_id)
+         |          JOIN e ea ON a.vec_id = ea.vec_id
+         |          JOIN e eb ON b.vec_id = eb.vec_id
+         |          WHERE a.vec_id < b.vec_id AND ${duckCosine("ea.v", "eb.v")} >= 0.4)
+         |SELECT g.vec_id, g.centroid_id FROM asg g
+         |WHERE g.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
     }))
 
   /** DuckDB oracles — every entry in [[queries]] has one here or in

@@ -191,4 +191,42 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic deduplication
+    * scoped to k-means cells. Every vector is assigned to its nearest
+    * [[Ivf]] centroid; within each cell, a row is dropped iff a
+    * LOWER-id row in the SAME cell has cosine ≥ `threshold` to it
+    * (the keep-lowest rule [[Dedup.nearDedup]] uses). Output: the
+    * surviving rows as (idCol, centroid_id).
+    *
+    * This is the published recipe's shape and ITS scale contract:
+    * pairs are only ever formed inside a cell (an equi-join on
+    * centroid_id — never an all-pairs product), so cost is
+    * Σ|cell|² instead of N², and the k-means training behind the
+    * cells is the bounded-sample [[Ivf.train]] path. The difference
+    * vs [[embeddingNearDupPairs]] is the candidate generator:
+    * LSH buckets recall pairs that agree on random hyperplanes;
+    * SemDeDup's cells follow the corpus's own density, the reason the
+    * paper prefers it for pruning semantically redundant web data.
+    * Like the paper, near-duplicates straddling a cell boundary are
+    * (deliberately) not candidates.
+    */
+  def semDedupKeep(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Ivf.IvfModel,
+      threshold: Double): DataFrame = {
+    val assigned = Ivf.assign(df, idCol, vecCol, model)
+    val l = assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
+      asDouble(col(vecCol)).as("__va"))
+    val r = assigned.select(col("centroid_id"), col(idCol).as("__id_b"),
+      asDouble(col(vecCol)).as("__vb"))
+    val drops = l.join(r, Seq("centroid_id"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(cosineFast(df)(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(drops, Seq(idCol), "left_anti")
+  }
 }

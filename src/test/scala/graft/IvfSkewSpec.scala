@@ -29,6 +29,21 @@ class IvfSkewSpec extends SparkSpec {
     assert(top == Set(0L, 1L, 2L)) // own cluster only with nProbe=1
   }
 
+  test("semDedupKeep drops within-cell near-dups (keep-lowest) but never across cells") {
+    val model = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (1L, Array(1.00, 0.01)), // cell 0
+      (2L, Array(0.99, 0.00)), // cell 0, cos(1,2) ~ 1      -> dropped vs 1
+      (3L, Array(0.01, 1.00)), // cell 1
+      (4L, Array(0.00, 0.98)), // cell 1, cos(3,4) ~ 1      -> dropped vs 3
+      (5L, Array(0.70, 0.72)), // cell 1, far from 3
+      (6L, Array(0.72, 0.70))  // cell 0; cos(5,6) ~ 0.9996 but CROSS-cell -> both kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupKeep(df, "vec_id", "embedding", model, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept == Map(1L -> 0, 3L -> 1, 5L -> 1, 6L -> 0))
+  }
+
   test("IVF with nProbe=k degrades to exact: matches brute-force top-k") {
     val model = Ivf.train(vecs, "embedding", k = 2)
     val ivf = Ivf.ivfTopK(vecs, vecs.where(col("vec_id") === 0L),
