@@ -396,6 +396,14 @@ object SparkEntry {
       graft.io.Jsonl.write(docs, path)
       graft.io.Jsonl.read(s, path, docs.schema)
     }),
+    // ORC lake roundtrip: write with the native ORC sink, read back
+    // with the explicit source schema — gated against the plain table
+    "s12_orc_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = scratch("orc_q")
+      Export.writeOrc(docs, path)
+      Export.readOrc(s, path, docs.schema)
+    }),
     "engine_pipeline" -> ((s, d) => {
       val analyte = ConfigReader.readAnalyte(s, "cust_base", "/root/repo/fixtures/study_demo/cust_base")
       Interpreter.deriveAnalyte(PipelineContext(), analyte, new ParquetResolver(s, d))
@@ -1460,6 +1468,8 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 400000""".stripMargin,
     "s11_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "s12_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "text_vocabulary" ->
       """SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -257,4 +257,21 @@ object Export {
   /** S10 CSV sink (Athena_DynamoDB_Normalized.py:15-28). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** ORC dataset sink — the columnar format Hive-lineage estates
+    * standardize on; Spark's native ORC source gives it the same
+    * column pruning and predicate pushdown as parquet (spec-pinned
+    * in IoSpec). No reference analogue (the reference writes
+    * parquet/CSV only); part of widening the lake surface the way
+    * [[graft.io.Jsonl]] did for line-delimited JSON.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC source with an EXPLICIT schema — inference is an extra
+    * footer pass over every file at 100 TB ([[graft.io.Jsonl.read]]'s
+    * rule, same rationale).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
