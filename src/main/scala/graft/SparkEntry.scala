@@ -472,6 +472,13 @@ object SparkEntry {
       graft.ops.Funnel.funnelConversion("user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"))(
         eventsNanos(s, d).withColumn("ts_us", expr("ts div 1000")))),
+    // RFM segmentation at date resolution (ns→µs→date truncation is
+    // monotone, so both engines see identical dates); monetary in
+    // exact cents, bins from boundary comparisons — no global ntile
+    "event_rfm" -> ((s, d) =>
+      graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
+        eventsNanos(s, d).withColumn(
+          "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
     // rolling-frame window over integer-valued doubles (engine-exact
     // sums) + rank-family: the remaining window surface, gated
     "w4_rolling_sum" -> ((s, d) => {
@@ -798,6 +805,20 @@ object SparkEntry {
         .when(col("n_chars") < 400, "mid").otherwise("long")
       graft.llm.Drift.categoryDrift(band)(
         docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
+    }),
+    // content-level snapshot diff: the "new" snapshot is a
+    // deterministic edit of the corpus (drop %17, append to %13,
+    // re-id %19 as additions) replayed identically by the oracle
+    "drift_snapshot" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val added = docs.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.llm.Drift.snapshotDiff(docs, base.unionByName(added), "doc_id",
+        Seq("text", "lang", "source", "n_chars"))
     }),
 
     // ===== approx/sketch audit family (llm/Sketch.scala) =====
@@ -1985,6 +2006,48 @@ object SparkEntry {
         |SELECT 'click', 'purchase', CAST(3 AS INTEGER), count(*), min(gap),
         |       quantile_cont(gap, 0.5), max(gap)
         |FROM g23""".stripMargin,
+    // date truncation commutes with max (floor is monotone), so
+    // last_d from µs timestamps equals the Spark side's from ns
+    "event_rfm" ->
+      """WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |       FROM events GROUP BY 1),
+        |ref AS (SELECT max(last_d) AS ref_d FROM pu),
+        |r AS (SELECT user_id, CAST(date_diff('day', last_d, ref_d) AS INTEGER) AS recency_days,
+        |             frequency, monetary_cents FROM pu CROSS JOIN ref),
+        |b AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |             quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |      FROM r),
+        |binned AS (SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(1 + (recency_days > rb[1])::INT + (recency_days > rb[2])::INT
+        |         + (recency_days > rb[3])::INT + (recency_days > rb[4])::INT AS INTEGER) AS r_bin,
+        |  CAST(1 + (frequency < fb[1])::INT + (frequency < fb[2])::INT
+        |         + (frequency < fb[3])::INT + (frequency < fb[4])::INT AS INTEGER) AS f_bin,
+        |  CAST(1 + (monetary_cents < mb[1])::INT + (monetary_cents < mb[2])::INT
+        |         + (monetary_cents < mb[3])::INT + (monetary_cents < mb[4])::INT AS INTEGER) AS m_bin
+        |  FROM r CROSS JOIN b)
+        |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
+        |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
+        |FROM binned""".stripMargin,
+    "drift_snapshot" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+        |         lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |od AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source, CAST(n_chars AS VARCHAR))) AS h FROM documents),
+        |nd AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source, CAST(n_chars AS VARCHAR))) AS h FROM newsnap)
+        |SELECT COALESCE(od.doc_id, nd.doc_id) AS doc_id,
+        |  CASE WHEN od.h IS NULL THEN 'added'
+        |       WHEN nd.h IS NULL THEN 'removed'
+        |       WHEN od.h != nd.h THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id""".stripMargin,
     "cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |coh AS (SELECT user_id, min(d) AS cohort_date FROM act GROUP BY 1)

@@ -65,4 +65,30 @@ object Drift {
           .cast("long"))
       .withColumn("psi_total_fp", sum("psi_fp").over(w))
   }
+
+  /** Per-document diff between two corpus snapshots: every id seen in
+    * either snapshot labelled `added` / `removed` / `modified` /
+    * `unchanged`. "Modified" compares an md5 DIGEST of the payload
+    * columns (concat with a \u0001 separator that cannot occur in
+    * text), so the full-outer join shuffles 32-char digests keyed by
+    * id — never document bodies — and the whole diff is one
+    * co-partitioned hash join at any corpus size. The content-level
+    * complement of [[categoryDrift]]'s distribution-level view:
+    * PSI says the language mix moved, this says WHICH documents did.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff needs at least one payload column")
+    def digest(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", payloadCols.map(c => col(c).cast("string")): _*)).as(as))
+    digest(oldDf, "__od").join(digest(newDf, "__nd"), Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__od") =!= col("__nd"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
 }

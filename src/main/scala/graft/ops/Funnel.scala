@@ -136,4 +136,60 @@ object Funnel {
       // count(DISTINCT) expand
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** RFM (recency / frequency / monetary) user features with quantile
+    * bins — the classic segmentation a warehouse computes over an
+    * event stream. Per user: days since last event (vs the corpus's
+    * max timestamp, so the result is reproducible), event count, and
+    * total value in CENTS (`floor(v·100 + ½)` per event, summed as
+    * longs — an exact integer sum where a double sum would be
+    * partitioning-order dependent). Each metric is binned 1..nBins
+    * with BIN 1 = BEST (most recent / most frequent / highest spend),
+    * `rfm_code = r·100 + f·10 + m` at the default 5 bins.
+    *
+    * Scale shape: one partial-aggregated pass over events (shuffle
+    * key = user), then everything else is users-sized: the reference
+    * timestamp and the 3×4 quantile boundaries are 1-row aggregates
+    * broadcast back (the SUMEQ attach shape), and binning is four
+    * comparisons per metric — no global ntile window, whose
+    * unpartitioned sort is the thing that does NOT survive a 100×
+    * user count. Boundaries use exact `percentile` over the per-USER
+    * frame (not events); at extreme user counts swap in
+    * [[graft.llm.Sketch]]'s GK path — the binning code is unchanged.
+    */
+  def rfm(
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      nBins: Int = 5)(df: DataFrame): DataFrame = {
+    require(nBins >= 2 && nBins <= 10, s"rfm: nBins must be in [2, 10], got $nBins")
+    val perUser = df.groupBy(col(userCol)).agg(
+      max(col(tsCol)).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long")).as("monetary_cents"))
+    val ref = perUser.agg(max("__last").as("__ref"))
+    val r = perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_days", datediff(to_date(col("__ref")), to_date(col("__last"))))
+      .drop("__last", "__ref")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    def q(c: String) = s"percentile($c, array(${ps.mkString("D, ")}D))"
+    val bounds = r.agg(
+      expr(q("recency_days")).as("__rb"),
+      expr(q("frequency")).as("__fb"),
+      expr(q("monetary_cents")).as("__mb"))
+    // bin 1 = best: recency counts boundaries BELOW the value
+    // (smaller = better), frequency/monetary count boundaries ABOVE
+    def binAsc(m: Column, b: String): Column =
+      (1 until nBins).map(i => (m > element_at(col(b), i)).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+    def binDesc(m: Column, b: String): Column =
+      (1 until nBins).map(i => (m < element_at(col(b), i)).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+    r.crossJoin(broadcast(bounds))
+      .withColumn("r_bin", binAsc(col("recency_days"), "__rb"))
+      .withColumn("f_bin", binDesc(col("frequency"), "__fb"))
+      .withColumn("m_bin", binDesc(col("monetary_cents"), "__mb"))
+      .withColumn("rfm_code", col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+      .drop("__rb", "__fb", "__mb")
+  }
 }

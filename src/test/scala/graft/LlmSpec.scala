@@ -778,6 +778,20 @@ class LlmSpec extends SparkSpec {
       s"unexpected shuffle keys $keys")
   }
 
+  test("snapshotDiff labels added/removed/modified/unchanged; separator defeats concat collisions") {
+    import graft.llm.Drift
+    val old = Seq((1L, "a", "y"), (2L, "b", "y"), (3L, "c", "y"), (5L, "x", "y"))
+      .toDF("doc_id", "text", "extra")
+    val neu = Seq((1L, "a", "y"), (2L, "B", "y"), (4L, "d", "y"), (5L, "xy", ""))
+      .toDF("doc_id", "text", "extra")
+    val r = Drift.snapshotDiff(old, neu, "doc_id", Seq("text", "extra"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed",
+      4L -> "added", 5L -> "modified"))
+    // 5 is the collision case: ("x","y") vs ("xy","") concat equal
+    // without the control-char separator — must still read modified
+  }
+
   // ===== PII redaction + OOV rate =====
 
   test("redactPii replaces email and URL spans with placeholder tags") {

@@ -323,6 +323,30 @@ class OpsSpec extends SparkSpec {
     assert(r("purchase") == ((2L, 10L, 55.0, 100L)))
   }
 
+  test("rfm: exact cents, bin-1-is-best orientation, closed-form bins at nBins=2") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1: recent, frequent, mid spend
+      (1L, "2024-01-07", 2.5), (1L, "2024-01-08", 2.5), (1L, "2024-01-09", 2.5), (1L, "2024-01-10", 2.5),
+      // u2: 2 days stale, infrequent, big spend
+      (2L, "2024-01-07", 20.0), (2L, "2024-01-08", 20.0),
+      // u3: 9 days stale, most frequent, small spend
+      (3L, "2024-01-01", 0.5), (3L, "2024-01-01", 0.5), (3L, "2024-01-01", 0.5),
+      (3L, "2024-01-01", 0.5), (3L, "2024-01-01", 0.5), (3L, "2024-01-01", 0.5),
+      // u4: recent, one event, tiny spend
+      (4L, "2024-01-10", 1.0)
+    ).toDF("user_id", "d", "value").withColumn("d", to_date(col("d")))
+    val r = Funnel.rfm("user_id", "d", "value", nBins = 2)(ev)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getInt(3), x.getInt(4), x.getInt(5), x.getInt(6), x.getInt(7)))
+      .toMap
+    // medians: recency [0,0,2,9]→1, freq [1,2,4,6]→3, cents [100,300,1000,4000]→650
+    assert(r(1L) == ((4L, 1000L, 0, 1, 1, 1, 111)))
+    assert(r(2L) == ((2L, 4000L, 2, 2, 2, 1, 221)))
+    assert(r(3L) == ((6L, 300L, 9, 2, 1, 2, 212)))
+    assert(r(4L) == ((1L, 100L, 0, 1, 2, 2, 122)))
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
