@@ -28,7 +28,8 @@ object Bench {
     "sketch_corpus_ndv", "decontam_overlap", "pack_sequences",
     "bloom_prefilter_join", "dedup_kgram_coverage", "sketch_heavy_hitters",
     "sim_quant_recall", "text_bpe_pairs", "text_chunks", "dsir_weights",
-    "funnel_stages", "drift_lang", "mm_video_meta")
+    "funnel_stages", "drift_lang", "mm_video_meta",
+    "ret_bm25_topk", "sim_semdedup_keep", "event_rfm", "drift_snapshot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,6 +156,13 @@ object Funnel {
     * user count. Boundaries use exact `percentile` over the per-USER
     * frame (not events); at extreme user counts swap in
     * [[graft.llm.Sketch]]'s GK path — the binning code is unchanged.
+    *
+    * The per-user aggregate appears in four lineage branches (result,
+    * reference date, and both under the boundary aggregate), so the
+    * pruned events scan repeats rather than pinning a users-sized
+    * cache for the session — the [[graft.llm.Dsir]] re-scan trade;
+    * callers at extreme scale can persist the per-user frame
+    * themselves and pass it through a 1-event-per-user view.
     */
   def rfm(
       userCol: String,

@@ -49,7 +49,9 @@ class ContractSpec extends SparkSpec {
       "engine_clinical_study",  // study configs contain ATTACH COLUMN/SUMEQ -> 1-row agg cross
       "engine_study", "engine_pipeline", // same SUMEQ pattern via the interpreter
       "sketch_heavy_hitters",   // crossJoin(broadcast(1-row CMS sketch + total))
-      "sim_quant_recall"        // recall audit: guarded probe-set broadcast (maybeBroadcast cap), both rankings
+      "sim_quant_recall",       // recall audit: guarded probe-set broadcast (maybeBroadcast cap), both rankings
+      "ret_bm25_topk",          // crossJoin(broadcast(1-row corpus stats: N, avgdl))
+      "event_rfm"               // crossJoin(broadcast(1-row ref ts + 1-row quantile bounds))
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
