@@ -661,6 +661,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 19 === 3),
         "doc_id", "text", n = 5)
     }),
+    // paraphrase-level decontam: docs 0-24 stand in for the eval
+    // suite; banded MinHash across the two tables, exact-jaccard
+    // verify. Oracle is all-pairs exact jaccard — sound under the
+    // corpus-assumption spec (no pairs in the banding miss zone)
+    "decontam_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.MinhashDecontam.minhashContamination(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", threshold = 0.5)
+    }),
     // range join: clicks attributed to purchases within the hour
     // before them — points bucketed, intervals exploded to covered
     // buckets, candidates meet on an equi-join (no per-key cartesian).
@@ -1542,6 +1552,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) > 0 AS contaminated
         |FROM tg GROUP BY 1""".stripMargin,
+    // cross-table exact jaccard (3-word shingles, short-doc rule):
+    // all-pairs train x bench is oracle-side only — the query's
+    // banded recall equals the exact >= 0.5 set by the
+    // corpus-assumption spec
+    "decontam_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+        |            CAST(len(list_intersect(t.s, b.s)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(t.s, b.s))) AS jaccard
+        |          FROM sh t JOIN sh b ON t.doc_id >= 25 AND b.doc_id < 25)
+        |SELECT train_id, bench_id, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
     "range_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     p AS (SELECT event_id AS purchase_id, user_id,

@@ -87,3 +87,60 @@ object Decontam {
       n: Int = 5): DataFrame =
     docs.where(!contaminated(benchGramSet, textCol, n))
 }
+
+/** Near-duplicate contamination: the paraphrase-level complement of
+  * [[Decontam]]'s exact n-gram overlap. A benchmark item lightly
+  * rewritten into the crawl (changed numbers, reordered clauses)
+  * shares few exact 5-grams but keeps high shingle Jaccard — the
+  * published decontamination recipes pair the n-gram scan with
+  * exactly this MinHash pass for that reason.
+  *
+  * Scale shape — the [[Dedup]] LSH machinery pointed across two
+  * tables instead of at a self-join: both sides signature via the
+  * native `graft_minhash` aggregate (one shingle+hash pass each),
+  * candidates meet on the (band, band_hash) equi-join — the bench
+  * side is eval-suite-sized, so AQE broadcasts it and the corpus
+  * streams through — and exact Jaccard verification shingles ONLY
+  * collided docs (semi-join-scoped, the [[Dedup.nearDupPairs]]
+  * discipline). Never an all-pairs product; the oracle's all-pairs
+  * form is gate-side only, sound under the corpus-assumption spec
+  * (LlmSpec pins no pairs in the banding miss zone).
+  */
+object MinhashDecontam {
+
+  /** Contaminated (train, bench) pairs with exact shingle Jaccard ≥
+    * `threshold`. Train and bench may share an id space — ids are
+    * kept in separate columns throughout. Output: one row per
+    * contaminated pair — (train_id, bench_id, jaccard).
+    */
+  def minhashContamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val tb = Dedup.lshBands(train, idCol, textCol, numPerm, bands, shingleK)
+      .toDF("train_id", "band", "band_hash")
+    val bb = Dedup.lshBands(bench, idCol, textCol, numPerm, bands, shingleK)
+      .toDF("bench_id", "band", "band_hash")
+    val cands = tb.join(bb, Seq("band", "band_hash"))
+      .select("train_id", "bench_id").distinct()
+    // exact verify on candidates only: shingle sets materialize for
+    // the collided sliver of each side, never the whole corpus
+    def sets(df: DataFrame, as: String, keep: DataFrame, keepCol: String) = df
+      .join(keep, col(idCol) === keep(keepCol), "left_semi")
+      .select(col(idCol).as(as),
+        array_distinct(Dedup.shingles(textCol, shingleK)).as(s"__s_$as"))
+    val ts = sets(train, "train_id", cands.select("train_id"), "train_id")
+    val bs = sets(bench, "bench_id", cands.select("bench_id"), "bench_id")
+    cands.join(ts, "train_id").join(bs, "bench_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("__s_train_id"), col("__s_bench_id"))).cast("double") /
+          size(array_union(col("__s_train_id"), col("__s_bench_id"))))
+      .where(col("jaccard") >= threshold)
+      .select("train_id", "bench_id", "jaccard")
+  }
+}

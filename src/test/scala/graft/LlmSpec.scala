@@ -406,6 +406,40 @@ class LlmSpec extends SparkSpec {
     assert(rep(4L) == (1, 0, false))
   }
 
+  test("minhash decontam finds the paraphrase-level leak the exact n-gram scan misses") {
+    import graft.llm.MinhashDecontam
+    // 20 tokens; the train near-dup changes ONLY token 10 ("kappa" →
+    // "kilo"). Shingle jaccard = 15/21 ≈ 0.71 (3 of 18 shingles
+    // touch position 10), but EVERY 12-gram window of a 20-token doc
+    // covers position 10 — so the exact 12-gram scan shares nothing.
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, benchText.replace("kappa", "kilo")),
+      (2L, "completely different text about distributed query planning today"),
+      // id 100 in TRAIN is unrelated text — train/bench id spaces
+      // must stay separate in the output
+      (100L, "unrelated content that reuses the benchmark id only")
+    ).toDF("doc_id", "text")
+    val hits = MinhashDecontam.minhashContamination(train, bench, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)), hits.mkString(","))
+    assert(hits.head._3 > 0.7 && hits.head._3 < 0.72)
+    // the exact scan misses the paraphrase minhash caught
+    val exact = graft.llm.Decontam.contaminationReport(train, bench, "doc_id", "text", n = 12)
+      .where(col("contaminated")).collect()
+    assert(exact.isEmpty, exact.mkString(","))
+  }
+
+  test("minhash decontam plans banded equi-joins — no cartesian, no all-pairs") {
+    import graft.llm.MinhashDecontam
+    val a = Seq((1L, "one two three four five"), (2L, "six seven eight nine ten")).toDF("doc_id", "text")
+    val plan = planOf(MinhashDecontam.minhashContamination(a, a, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("repetition stats separate templated from varied documents") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),          // one 2-gram repeated 5x
