@@ -888,6 +888,26 @@ object SparkEntry {
       graft.llm.Sampling.withHashSplit("doc_id")(near)
         .select("doc_id", "n_tokens", "ttr", "split")
     }),
+    // steady-state ingest: diff the arriving snapshot against the
+    // store, content-dedup ONLY the added docs against the store's
+    // digest set, quality-gate the survivors. The %50==1 rows are
+    // planted content-dups (store rows re-id'd), so the dedup stage
+    // provably drops — nothing here reprocesses the store
+    "pipeline_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = docs.where(col("doc_id") % 5 =!= 0)
+      val incoming = docs.where(col("doc_id") % 5 === 0)
+        .unionByName(docs.where(col("doc_id") % 50 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      val diff = graft.llm.Drift.snapshotDiff(store, store.unionByName(incoming),
+        "doc_id", Seq("text", "lang", "source", "n_chars"))
+      val addedDocs = incoming.join(
+        diff.where(col("status") === "added").select("doc_id"), Seq("doc_id"), "left_semi")
+      val novel = Dedup.incrementalDedup("text", addedDocs, store)
+      TextAnalysis.withQualityScores("text")(novel)
+        .where(col("n_tokens") >= 30)
+        .select("doc_id", "n_tokens", "ttr")
+    }),
 
     // ===== vector-column ops over embeddings =====
     "vec_norm" -> ((s, d) =>
@@ -1834,6 +1854,22 @@ object SparkEntry {
          |FROM (SELECT doc_id, n_tokens, ttr,
          |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bkt
          |      FROM d WHERE doc_id NOT IN (SELECT id_b FROM drops))""".stripMargin,
+    // incoming ids are all absent from the store by construction, so
+    // the diff stage's "added" set equals the incoming set and the
+    // oracle replays dedup + quality directly (the diff labelling
+    // itself is gated by drift_snapshot)
+    "pipeline_incremental" ->
+      """WITH store AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+        |incoming AS (
+        |  SELECT * FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 50 = 1),
+        |novel AS (SELECT * FROM incoming
+        |          WHERE md5(text) NOT IN (SELECT md5(text) FROM store))
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+        |FROM novel WHERE len(string_split(text, ' ')) >= 30""".stripMargin,
     "vec_norm" ->
       "SELECT vec_id, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2 FROM embeddings",
     "vec_slice_ops" ->

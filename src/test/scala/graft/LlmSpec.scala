@@ -440,6 +440,17 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pipeline_incremental drops every planted content-dup and keeps only incoming ids") {
+    val out = SparkEntry.queries("pipeline_incremental")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0))
+    assert(out.nonEmpty)
+    // the re-id'd (+2000000) rows duplicate store CONTENT — the
+    // incremental dedup stage must drop all of them
+    assert(!out.exists(_ >= 2000000L), out.filter(_ >= 2000000L).mkString(","))
+    // survivors are incoming-batch ids only (doc_id % 5 == 0)
+    assert(out.forall(_ % 5 == 0))
+  }
+
   test("repetition stats separate templated from varied documents") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),          // one 2-gram repeated 5x
