@@ -593,6 +593,12 @@ object SparkEntry {
     "sim_semdedup_keep" -> ((s, d) =>
       Similarity.semDedupKeep(t(s, d, "embeddings"), "vec_id", "embedding",
         ivfModel(s, d), threshold = 0.4)),
+    // skew-hardened variant: pairs must also share a 4-plane sign-LSH
+    // sub-bucket inside the cell (multi-probe one side) — the
+    // quadratic-cap path for hot cells; oracle replays cell + bucket
+    "sim_semdedup_bucketed" -> ((s, d) =>
+      Similarity.semDedupKeep(t(s, d, "embeddings"), "vec_id", "embedding",
+        ivfModel(s, d), threshold = 0.4, subBucketPlanes = 4)),
     // int8 candidate generation vs the exact-cosine top-k: per-probe
     // recall@k of the 4×-smaller quantized store (llm/Quantize.scala).
     // The quantized cosine's scales cancel — ranking is exact integer
@@ -1155,6 +1161,40 @@ object SparkEntry {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
          |drops AS (SELECT DISTINCT b.vec_id
          |          FROM asg a JOIN asg b USING (centroid_id)
+         |          JOIN e ea ON a.vec_id = ea.vec_id
+         |          JOIN e eb ON b.vec_id = eb.vec_id
+         |          WHERE a.vec_id < b.vec_id AND ${duckCosine("ea.v", "eb.v")} >= 0.4)
+         |SELECT g.vec_id, g.centroid_id FROM asg g
+         |WHERE g.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+    }),
+    // skew-hardened SemDeDup: cell assignment + 4-plane sub-bucket
+    // (multi-probe left side) replayed with the same plane literals
+    // the query derives from hyperplanes(64, 4, 42)
+    "sim_semdedup_bucketed" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      val planes = Similarity.hyperplanes(64, 4, 42L)
+      val bucketExpr = planes.zipWithIndex.map { case (plane, p) =>
+        s"(CASE WHEN list_inner_product(v, [${plane.mkString(",")}]) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val probeList =
+        s"[bucket${(0 until planes.length).map(i => s", xor(bucket, ${1L << i})").mkString}]"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM e),
+         |l AS (SELECT a.vec_id, a.centroid_id, unnest($probeList) AS bucket
+         |      FROM asg a JOIN bk USING (vec_id)),
+         |r AS (SELECT a.vec_id, a.centroid_id, bucket FROM asg a JOIN bk USING (vec_id)),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |          FROM l a JOIN r b ON a.centroid_id = b.centroid_id AND a.bucket = b.bucket
          |          JOIN e ea ON a.vec_id = ea.vec_id
          |          JOIN e eb ON b.vec_id = eb.vec_id
          |          WHERE a.vec_id < b.vec_id AND ${duckCosine("ea.v", "eb.v")} >= 0.4)

@@ -210,19 +210,47 @@ object Similarity {
     * paper prefers it for pruning semantically redundant web data.
     * Like the paper, near-duplicates straddling a cell boundary are
     * (deliberately) not candidates.
+    *
+    * Skew hardening: Σ|cell|² is quadratic in the LARGEST cell, and a
+    * web corpus's densest topic can be a double-digit share of it.
+    * `subBucketPlanes > 0` additionally requires pairs to share a
+    * sign-LSH bucket INSIDE the cell, splitting a hot cell's pair
+    * count by ~2^planes. Recall guard: with `multiProbe` (default)
+    * one side also probes every Hamming-1 bucket, so a near-dup pair
+    * split by exactly one hyperplane — the dominant miss mode at
+    * high cosine — still meets ([[embeddingNearDupPairs]]'
+    * discipline); the residual ≥2-plane misses are the documented
+    * trade for the quadratic cap.
     */
   def semDedupKeep(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       model: Ivf.IvfModel,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      subBucketPlanes: Int = 0,
+      dim: Int = 64,
+      seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
     val assigned = Ivf.assign(df, idCol, vecCol, model)
-    val l = assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
-      asDouble(col(vecCol)).as("__va"))
-    val r = assigned.select(col("centroid_id"), col(idCol).as("__id_b"),
-      asDouble(col(vecCol)).as("__vb"))
-    val drops = l.join(r, Seq("centroid_id"))
+    val (l, r, joinKeys) =
+      if (subBucketPlanes <= 0) (
+        assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
+          asDouble(col(vecCol)).as("__va")),
+        assigned.select(col("centroid_id"), col(idCol).as("__id_b"),
+          asDouble(col(vecCol)).as("__vb")),
+        Seq("centroid_id"))
+      else {
+        val planes = hyperplanes(dim, subBucketPlanes, seed)
+        val b = lshBucket(asDouble(col(vecCol)), planes)
+        (assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
+          asDouble(col(vecCol)).as("__va"),
+          explode(probeBuckets(b, subBucketPlanes, multiProbe)).as("__bucket")),
+          assigned.select(col("centroid_id"), col(idCol).as("__id_b"),
+            asDouble(col(vecCol)).as("__vb"), b.as("__bucket")),
+          Seq("centroid_id", "__bucket"))
+      }
+    val drops = l.join(r, joinKeys)
       .where(col("__id_a") < col("__id_b"))
       .where(cosineFast(df)(col("__va"), col("__vb")) >= threshold)
       .select(col("__id_b").as(idCol)).distinct()

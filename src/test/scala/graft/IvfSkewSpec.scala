@@ -42,6 +42,14 @@ class IvfSkewSpec extends SparkSpec {
     val kept = Similarity.semDedupKeep(df, "vec_id", "embedding", model, threshold = 0.95)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(kept == Map(1L -> 0, 3L -> 1, 5L -> 1, 6L -> 0))
+
+    // skew-hardened sub-bucketing must not lose the near-parallel
+    // pairs: a >= 0.95-cosine pair differs on at most one hyperplane
+    // sign, which multi-probe covers — same keep set as unbucketed
+    val bucketed = Similarity.semDedupKeep(df, "vec_id", "embedding", model,
+      threshold = 0.95, subBucketPlanes = 4, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bucketed == kept, s"bucketed $bucketed vs $kept")
   }
 
   test("IVF with nProbe=k degrades to exact: matches brute-force top-k") {
