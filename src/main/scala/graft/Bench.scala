@@ -30,7 +30,8 @@ object Bench {
     "sim_quant_recall", "text_bpe_pairs", "text_chunks", "dsir_weights",
     "funnel_stages", "drift_lang", "mm_video_meta",
     "ret_bm25_topk", "sim_semdedup_keep", "event_rfm", "drift_snapshot",
-    "decontam_minhash", "pipeline_incremental", "sim_semdedup_bucketed")
+    "decontam_minhash", "pipeline_incremental", "sim_semdedup_bucketed",
+    "ret_hybrid_topk", "sample_cluster_balanced")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -614,6 +614,15 @@ object SparkEntry {
     "ret_bm25_topk" -> ((s, d) =>
       graft.llm.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Seq("dup", "vector", "spark"), k = 10)),
+    // hybrid retrieval: the BM25 arm and the cosine arm (probe = the
+    // embedded doc 0) fused by reciprocal-rank fusion — candidate
+    // pools of 20 per arm, both oracle-replayed rank-for-rank
+    "ret_hybrid_topk" -> ((s, d) =>
+      graft.llm.Retrieval.hybridTopK(
+        t(s, d, "documents"),
+        t(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "text", "embedding", Seq("dup", "vector", "spark"),
+        probeId = 0L, k = 10, candidates = 20)),
 
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
@@ -748,6 +757,11 @@ object SparkEntry {
       graft.llm.Sampling.stratifiedHashSample("doc_id", "lang",
         Seq("en" -> 10), defaultPct = 30)(t(s, d, "documents"))
         .select("doc_id", "lang")),
+    // diversity-preserving subsample: <= 3 rows per IVF cell in the
+    // stable md5 order (membership a pure function of the data)
+    "sample_cluster_balanced" -> ((s, d) =>
+      graft.llm.Sampling.clusterBalancedSample(t(s, d, "embeddings"),
+        "vec_id", "embedding", ivfModel(s, d), perCell = 3)),
     // temperature-based domain balancing (alpha=0.5: the exponent is
     // a correctly-rounded sqrt, so the rate table is engine-exact)
     "sample_domain_mixture" -> ((s, d) =>
@@ -1166,6 +1180,29 @@ object SparkEntry {
          |          WHERE a.vec_id < b.vec_id AND ${duckCosine("ea.v", "eb.v")} >= 0.4)
          |SELECT g.vec_id, g.centroid_id FROM asg g
          |WHERE g.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+    }),
+    // cluster-balanced sample replay: same assignment CTE; the md5
+    // order key is the 60-bit hex-prefix integer (monotone in the
+    // query's hashFraction, so row_number agrees)
+    "sample_cluster_balanced" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1)
+         |SELECT vec_id, centroid_id FROM (
+         |  SELECT vec_id, centroid_id,
+         |         row_number() OVER (PARTITION BY centroid_id
+         |           ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS rn
+         |  FROM asg)
+         |WHERE rn <= 3""".stripMargin
     }),
     // skew-hardened SemDeDup: cell assignment + 4-plane sub-bucket
     // (multi-probe left side) replayed with the same plane literals
@@ -1990,6 +2027,41 @@ object SparkEntry {
         |       CAST(sum(c_fp) AS BIGINT) AS bm25_fp
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25_fp DESC, doc_id LIMIT 10""".stripMargin,
+    // RRF fusion of the two oracle-replayed arms; CAST(1 AS DOUBLE)
+    // keeps the division IEEE (a bare 1.0 is DECIMAL in DuckDB)
+    "ret_hybrid_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM d),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |post AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+        |         FROM (SELECT doc_id, dl, unnest(tk) AS t FROM dl)
+        |         WHERE t IN ('dup', 'vector', 'spark')
+        |         GROUP BY doc_id, t),
+        |dfre AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM post GROUP BY term),
+        |sc AS (SELECT p.doc_id,
+        |         CAST(floor(ln((s.n - f.dft + 0.5) / (f.dft + 0.5) + 1.0)
+        |              * ((p.tf * (1.2 + 1.0))
+        |                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)))
+        |              * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+        |       FROM post p JOIN dfre f USING (term) CROSS JOIN stats s),
+        |bm AS (SELECT doc_id, CAST(sum(c_fp) AS BIGINT) AS bm25_fp
+        |       FROM sc GROUP BY doc_id ORDER BY bm25_fp DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY bm25_fp DESC, doc_id) AS INTEGER) AS lex_rank
+        |        FROM bm),
+        |probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+        |cos AS (SELECT vec_id AS doc_id,
+        |          list_inner_product(embedding::DOUBLE[], p) /
+        |            (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_inner_product(p, p))) AS sim
+        |        FROM embeddings, probe ORDER BY sim DESC, vec_id LIMIT 20),
+        |sem AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS sem_rank
+        |        FROM cos)
+        |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sem_rank), 0) AS rrf
+        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // closed-form statement of what a correct header parser must
     // return for the synthMediaContent fixture (PNG = 33 bytes fixed;
     // baseline JPEG = 45 + COM pad; EXIF/SOF2 JPEG = 33 + APP1 pad;

@@ -106,4 +106,50 @@ object Retrieval {
       .orderBy(col("bm25_fp").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Hybrid retrieval: lexical BM25 candidates fused with
+    * embedding-cosine candidates by reciprocal-rank fusion
+    * (`RRF(d) = Σ_lists 1/(rrfK + rank_list(d))`, Cormack et al. —
+    * the standard score-free fusion every hybrid search stack uses).
+    * `docs` and `emb` must share `idCol`; the probe is an id into
+    * `emb` (the embedded form of the query/anchor document).
+    *
+    * Scale: each arm is its own top-`candidates` pipeline
+    * ([[bm25TopK]]'s postings discipline; [[Similarity.cosineTopK]]'s
+    * TakeOrderedAndProject), so the fusion join touches
+    * 2·candidates rows — the single-partition rank windows and the
+    * full-outer join run on candidate-sized frames, bounded by
+    * construction ([[graft.llm.Drift]]'s bounded-window class), never
+    * the corpus. RRF terms are 1/(int+int) — engine-exact doubles in
+    * a fixed two-term sum, no score normalization to go non-portable.
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      probeId: Long,
+      k: Int,
+      candidates: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    require(k <= 2 * candidates, s"k ($k) cannot exceed the fused pool (2 x $candidates)")
+    val one = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_fp").desc, col(idCol).asc)
+    val lex = bm25TopK(docs, idCol, textCol, queryTerms, candidates)
+      .withColumn("lex_rank", row_number().over(one))
+      .select(col(idCol), col("lex_rank"))
+    val two = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col(idCol).asc)
+    val sem = Similarity.cosineTopK(emb, idCol, vecCol, probeId, candidates)
+      .withColumn("sem_rank", row_number().over(two))
+      .select(col(idCol), col("sem_rank"))
+    lex.join(sem, Seq(idCol), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

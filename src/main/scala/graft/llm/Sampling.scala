@@ -151,4 +151,36 @@ object Sampling {
       .orderBy(col("priority").desc, col(keyCol))
       .limit(k)
   }
+
+  /** Cluster-balanced subsample: up to `perCell` rows from every
+    * [[Ivf]] k-means cell, chosen by the stable md5 order (so
+    * membership is a pure function of the data, like every sampler
+    * here). The diversity-preserving counterpart of
+    * [[stratifiedHashSample]]: strata come from embedding-space
+    * density instead of a label column, so a corpus dominated by one
+    * topic still yields a spread sample — the standard recipe for
+    * eval-set construction and SemDeDup-style pruning previews.
+    *
+    * Scale: assignment is the broadcast-centroid expression (no
+    * shuffle); the per-cell pick is one window over (centroid_id) —
+    * k partitions, each heap-bounded by the cell's rows — i.e.
+    * WindowGroupLimit prunes to perCell rows per partition before the
+    * exchange, the [[graft.ops.Ops]] GROUPBY SLICE shape.
+    */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: graft.llm.Ivf.IvfModel,
+      perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+      .orderBy(hashFraction(col(idCol)), col(idCol))
+    graft.llm.Ivf.assign(df, idCol, vecCol, model)
+      .select(col(idCol), col("centroid_id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perCell)
+      .select(col(idCol), col("centroid_id"))
+  }
 }

@@ -29,6 +29,23 @@ class IvfSkewSpec extends SparkSpec {
     assert(top == Set(0L, 1L, 2L)) // own cluster only with nProbe=1
   }
 
+  test("clusterBalancedSample caps every cell and is a pure function of the data") {
+    import graft.llm.Sampling
+    val model = Ivf.train(vecs, "embedding", k = 2)
+    val s1 = Sampling.clusterBalancedSample(vecs, "vec_id", "embedding", model, perCell = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // both 3-member cells capped at 2; each cell represented
+    assert(s1.length == 4)
+    assert(s1.groupBy(_._2).values.forall(_.length == 2))
+    // deterministic: same data -> same sample
+    val s2 = Sampling.clusterBalancedSample(vecs, "vec_id", "embedding", model, perCell = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(s1.sorted.sameElements(s2.sorted))
+    // perCell above the cell size keeps everything
+    assert(Sampling.clusterBalancedSample(vecs, "vec_id", "embedding", model, perCell = 10)
+      .count() == 6L)
+  }
+
   test("semDedupKeep drops within-cell near-dups (keep-lowest) but never across cells") {
     val model = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
     val df = Seq(

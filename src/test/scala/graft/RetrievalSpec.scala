@@ -52,6 +52,28 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: both-list docs outrank single-list docs; exact reciprocal sums") {
+    val docs = Seq(
+      (0L, "alpha beta"),           // probe doc: no query term, sem rank 1 (self)
+      (1L, "needle needle gamma"),  // lex rank 1, sem rank 2
+      (2L, "needle delta"),         // lex rank 2, sem rank 4
+      (3L, "plain words")           // sem rank 3 only
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.6, 0.4))
+    ).toDF("doc_id", "embedding")
+    val out = Retrieval.hybridTopK(docs, emb, "doc_id", "text", "embedding",
+      Seq("needle"), probeId = 0L, k = 4, candidates = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // doc 1 (in both lists) wins; doc 2 (both, lower) second; then
+    // the sem-only docs by their single reciprocal
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 0L, 3L), out.mkString(","))
+    assert(out(0)._2 == 1.0 / 61 + 1.0 / 62)
+    assert(out(1)._2 == 1.0 / 62 + 1.0 / 64)
+    assert(out(2)._2 == 1.0 / 61 && out(3)._2 == 1.0 / 63)
+  }
+
   test("bm25 plan: term filter lands below every shuffle (postings-only exchange)") {
     // every shuffle carrying postings (a `term` column in its key)
     // must have the term filter BELOW it — i.e. only matching postings
