@@ -215,6 +215,28 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming incremental ingest against an accumulated STORE: drop
+    * arriving rows whose content digest already exists in the static
+    * store — [[graft.llm.Dedup.incrementalDedup]]'s steady-state
+    * shape as a stream-static LEFT ANTI join (stream side left,
+    * static digest set right), which Structured Streaming runs
+    * STATELESSLY: the static side is planned per micro-batch, no
+    * watermark, no state store, append-mode safe. Compose with
+    * [[streamingFingerprintDedup]] for within-stream dups — this
+    * guards against the already-stored corpus, that against the
+    * stream's own redeliveries.
+    *
+    * At 100 TB the static side should be the store's pre-computed
+    * digest TABLE (16 bytes/doc, bucketed by digest —
+    * [[graft.io.Bucketing]]); re-digesting raw bodies per micro-batch
+    * is the same cost trap the batch scaladoc documents.
+    */
+  def streamingIncrementalIngest(
+      docs: DataFrame,
+      store: DataFrame,
+      textCol: String): DataFrame =
+    graft.llm.Dedup.incrementalDedup(textCol, docs, store)
+
   /** Streaming MinHash-LSH near-dup PAIRS: a watermarked stream-stream
     * self-join on (band, band_hash) surfaces near-duplicate documents
     * that arrive within `horizon` of each other — the streaming face

@@ -244,6 +244,31 @@ class StreamingSpec extends SparkSpec {
     assert(texts.exists(t => t == "The cat sat." || t == "the  cat sat"))
   }
 
+  test("streaming incremental ingest anti-joins the static store; matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq((10L, "already stored content"), (11L, "another stored doc"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "already stored content"),  // content-dup of store doc 10 -> dropped
+      (2L, "genuinely new content"),
+      (3L, "another stored doc"))      // dup of 11 -> dropped
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(arriving: _*)
+    val streamed = StreamingIngest.streamingIncrementalIngest(
+      mem.toDF().toDF("doc_id", "text"), store, "text")
+    assert(streamed.isStreaming)
+    runToCompletion(
+      streamed.writeStream.format("memory").queryName("incr_ingest")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val kept = spark.table("incr_ingest").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L), kept.mkString("|"))
+    // streaming == batch on identical input
+    val batchKept = StreamingIngest.streamingIncrementalIngest(
+      arriving.toDF("doc_id", "text"), store, "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(batchKept.sameElements(kept))
+  }
+
   test("streaming LSH near-dup pairs: matches the batch twin; horizon excludes distant arrivals") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again today"
