@@ -665,6 +665,13 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextAnalysis.chunkText("doc_id", "text", chunkChars = 120, strideChars = 80)(
         t(s, d, "documents"))),
+    // CCNet-style fluency: every doc scored under an add-1 bigram LM
+    // trained on the %4==0 subset standing in for the trusted corpus
+    "text_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.LangModel.withLmScore(docs, docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+    }),
     // benchmark decontamination: docs with doc_id % 19 == 3 stand in
     // for the eval suite; every other doc is scanned for 5-gram
     // overlap with that set (broadcast semi-join — the bench side is
@@ -1634,6 +1641,30 @@ object SparkEntry {
         |  CAST(length(substr(text, CAST(g.i + 1 AS INTEGER), 120)) AS INTEGER) AS n_chunk_chars
         |FROM documents,
         |     LATERAL (SELECT unnest(generate_series(0, greatest(len(text) - 1, 0), 80)) AS i) g""".stripMargin,
+    // bigram-LM replay: same shingle rule (whole text as one "bigram"
+    // for sub-2-token docs), fixed-point per-bigram logs -> integer
+    // per-doc sums; explicit DOUBLE cast keeps the division IEEE
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |              ELSE list_transform(generate_series(1, len(w) - 1),
+        |                     i -> concat_ws(' ', w[i], w[i+1])) END AS gs
+        |       FROM toks),
+        |refbg AS (SELECT g AS bg, CAST(count(*) AS BIGINT) AS cb
+        |          FROM (SELECT unnest(gs) AS g FROM bg WHERE doc_id % 4 = 0) GROUP BY 1),
+        |refu AS (SELECT t AS w1, CAST(count(*) AS BIGINT) AS cu
+        |         FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 4 = 0) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM refu),
+        |docg AS (SELECT doc_id, g AS bg, string_split(g, ' ')[1] AS w1
+        |         FROM (SELECT doc_id, unnest(gs) AS g FROM bg)),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor(ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE) / (COALESCE(cu, 0) + v.v))
+        |              * 1000000.0 + 0.5) AS BIGINT) AS lp
+        |       FROM docg LEFT JOIN refbg USING (bg) LEFT JOIN refu USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
+        |FROM sc GROUP BY 1""".stripMargin,
     // 5-gram overlap replay: same shingle rule, bench = doc_id%19==3
     "decontam_overlap" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),

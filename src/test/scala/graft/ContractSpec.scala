@@ -51,6 +51,7 @@ class ContractSpec extends SparkSpec {
       "sketch_heavy_hitters",   // crossJoin(broadcast(1-row CMS sketch + total))
       "sim_quant_recall",       // recall audit: guarded probe-set broadcast (maybeBroadcast cap), both rankings
       "ret_bm25_topk",          // crossJoin(broadcast(1-row corpus stats: N, avgdl))
+      "text_lm_score",          // crossJoin(broadcast(1-row vocabulary size))
       "ret_hybrid_topk",        // both arms' bounded 1-row broadcasts (bm25 stats + cosine probe)
       "event_rfm"               // crossJoin(broadcast(1-row ref ts + 1-row quantile bounds))
     )

@@ -440,6 +440,25 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bigram LM score: closed-form fixed-point logs; fluent text outranks gibberish") {
+    import graft.llm.LangModel
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // model: c("a b")=2, c("b a")=1; c(a)=c(b)=2; V=2
+    val docs = Seq(
+      (1L, "a b"),  // seen bigram: ln((2+1)/(2+2)) = ln(0.75)
+      (2L, "c d"),  // unseen history: ln(1/(0+2))
+      (3L, "a")     // short-doc rule: whole text, unseen "bigram", seen history
+    ).toDF("doc_id", "text")
+    val out = LangModel.withLmScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    def fp(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((1, fp(3.0 / 4))))
+    assert(out(2L) == ((1, fp(1.0 / 2))))
+    assert(out(3L) == ((1, fp(1.0 / 4))))
+    // fluency ordering: reference-like text scores closer to zero
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("pipeline_incremental drops every planted content-dup and keeps only incoming ids") {
     val out = SparkEntry.queries("pipeline_incremental")(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0))
