@@ -2245,8 +2245,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 19 = 0),
-        |od AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source, CAST(n_chars AS VARCHAR))) AS h FROM documents),
-        |nd AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang, source, CAST(n_chars AS VARCHAR))) AS h FROM newsnap)
+        |od AS (SELECT doc_id, md5(concat_ws(chr(1), CASE WHEN text IS NULL THEN 'N' ELSE 'V' || CAST(text AS VARCHAR) END, CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || CAST(lang AS VARCHAR) END, CASE WHEN source IS NULL THEN 'N' ELSE 'V' || CAST(source AS VARCHAR) END, CASE WHEN n_chars IS NULL THEN 'N' ELSE 'V' || CAST(n_chars AS VARCHAR) END)) AS h FROM documents),
+        |nd AS (SELECT doc_id, md5(concat_ws(chr(1), CASE WHEN text IS NULL THEN 'N' ELSE 'V' || CAST(text AS VARCHAR) END, CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || CAST(lang AS VARCHAR) END, CASE WHEN source IS NULL THEN 'N' ELSE 'V' || CAST(source AS VARCHAR) END, CASE WHEN n_chars IS NULL THEN 'N' ELSE 'V' || CAST(n_chars AS VARCHAR) END)) AS h FROM newsnap)
         |SELECT COALESCE(od.doc_id, nd.doc_id) AS doc_id,
         |  CASE WHEN od.h IS NULL THEN 'added'
         |       WHEN nd.h IS NULL THEN 'removed'

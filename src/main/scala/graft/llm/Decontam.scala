@@ -126,12 +126,19 @@ object MinhashDecontam {
       .toDF("train_id", "band", "band_hash")
     val bb = Dedup.lshBands(bench, idCol, textCol, numPerm, bands, shingleK)
       .toDF("bench_id", "band", "band_hash")
+    // candidate pairs are consumed three times downstream (the verify
+    // join + both semi-join keep-sets) and are tiny (two ids a row) —
+    // persist so the banded join + distinct run once, the
+    // [[Dedup.nearDupPairs]] discipline
     val cands = tb.join(bb, Seq("band", "band_hash"))
       .select("train_id", "bench_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verify on candidates only: shingle sets materialize for
     // the collided sliver of each side, never the whole corpus
     def sets(df: DataFrame, as: String, keep: DataFrame, keepCol: String) = df
-      .join(keep, col(idCol) === keep(keepCol), "left_semi")
+      // qualify the left side: an idCol literally named like keepCol
+      // would otherwise be an ambiguous reference
+      .join(keep, df(idCol) === keep(keepCol), "left_semi")
       .select(col(idCol).as(as),
         array_distinct(Dedup.shingles(textCol, shingleK)).as(s"__s_$as"))
     val ts = sets(train, "train_id", cands.select("train_id"), "train_id")

@@ -75,6 +75,12 @@ object Drift {
     * co-partitioned hash join at any corpus size. The content-level
     * complement of [[categoryDrift]]'s distribution-level view:
     * PSI says the language mix moved, this says WHICH documents did.
+    *
+    * NULLs are encoded, not skipped: `concat_ws` silently drops NULL
+    * arguments (separator and all), which would let (NULL, "en")
+    * collide with ("en", NULL); each column therefore contributes a
+    * presence tag — "N" for NULL, "V" + value otherwise — so a NULL
+    * can never digest equal to any real value.
     */
   def snapshotDiff(
       oldDf: DataFrame,
@@ -82,8 +88,10 @@ object Drift {
       idCol: String,
       payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "snapshotDiff needs at least one payload column")
+    def tagged(c: String) =
+      when(col(c).isNull, lit("N")).otherwise(concat(lit("V"), col(c).cast("string")))
     def digest(df: DataFrame, as: String) = df.select(col(idCol),
-      md5(concat_ws("\u0001", payloadCols.map(c => col(c).cast("string")): _*)).as(as))
+      md5(concat_ws("\u0001", payloadCols.map(tagged): _*)).as(as))
     digest(oldDf, "__od").join(digest(newDf, "__nd"), Seq(idCol), "full")
       .select(col(idCol),
         when(col("__od").isNull, "added")

@@ -46,14 +46,21 @@ object Sampling {
     df.where(hashBucket(col(keyCol)) < pct)
   }
 
+  /** The raw 60-bit md5-prefix integer behind [[hashBucket]] /
+    * [[hashFraction]] — use THIS for ordering (exact; the double form
+    * collapses prefixes closer than one ulp at 2^60, which an
+    * integer-ordered oracle would still distinguish).
+    */
+  def hashKey(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Continuous stable fraction in [0, 1): the md5-bucket construction
     * at full 60-bit resolution (2^60 = 16^15 is exactly representable,
     * so the division is engine-portable bit-for-bit) — for keep rates
     * finer than [[hashBucket]]'s 1% granularity.
     */
   def hashFraction(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(1152921504606846976.0)
+    hashKey(key).cast("double") / lit(1152921504606846976.0)
 
   /** Temperature-based domain mixture (the multilingual/domain
     * balancing rule of mT5/XLM-R-style pipelines): sampling weight per
@@ -174,9 +181,12 @@ object Sampling {
       model: graft.llm.Ivf.IvfModel,
       perCell: Int): DataFrame = {
     require(perCell > 0, s"perCell must be positive, got $perCell")
+    // order by the exact integer key, not hashFraction's double: the
+    // oracle replays the order on the exact BIGINT, and a double
+    // collapses prefixes within one ulp of 2^60
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("centroid_id"))
-      .orderBy(hashFraction(col(idCol)), col(idCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
     graft.llm.Ivf.assign(df, idCol, vecCol, model)
       .select(col(idCol), col("centroid_id"))
       .withColumn("__rn", row_number().over(w))

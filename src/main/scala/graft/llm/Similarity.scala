@@ -229,7 +229,6 @@ object Similarity {
       model: Ivf.IvfModel,
       threshold: Double,
       subBucketPlanes: Int = 0,
-      dim: Int = 64,
       seed: Long = 42L,
       multiProbe: Boolean = true): DataFrame = {
     val assigned = Ivf.assign(df, idCol, vecCol, model)
@@ -241,7 +240,11 @@ object Similarity {
           asDouble(col(vecCol)).as("__vb")),
         Seq("centroid_id"))
       else {
-        val planes = hyperplanes(dim, subBucketPlanes, seed)
+        // plane dim comes from the model — a mismatched explicit dim
+        // would null out every hyperplane dot (zip_with pads with
+        // null) and silently collapse all rows into bucket 0,
+        // disabling the quadratic cap this option exists for
+        val planes = hyperplanes(model.centroids.head.length, subBucketPlanes, seed)
         val b = lshBucket(asDouble(col(vecCol)), planes)
         (assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
           asDouble(col(vecCol)).as("__va"),

@@ -64,7 +64,7 @@ class IvfSkewSpec extends SparkSpec {
     // pairs: a >= 0.95-cosine pair differs on at most one hyperplane
     // sign, which multi-probe covers — same keep set as unbucketed
     val bucketed = Similarity.semDedupKeep(df, "vec_id", "embedding", model,
-      threshold = 0.95, subBucketPlanes = 4, dim = 2)
+      threshold = 0.95, subBucketPlanes = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(bucketed == kept, s"bucketed $bucketed vs $kept")
   }

@@ -844,16 +844,22 @@ class LlmSpec extends SparkSpec {
 
   test("snapshotDiff labels added/removed/modified/unchanged; separator defeats concat collisions") {
     import graft.llm.Drift
-    val old = Seq((1L, "a", "y"), (2L, "b", "y"), (3L, "c", "y"), (5L, "x", "y"))
+    val nul = null.asInstanceOf[String]
+    val old = Seq((1L, "a", "y"), (2L, "b", "y"), (3L, "c", "y"), (5L, "x", "y"),
+      (6L, nul, "en"), (7L, nul, nul))
       .toDF("doc_id", "text", "extra")
-    val neu = Seq((1L, "a", "y"), (2L, "B", "y"), (4L, "d", "y"), (5L, "xy", ""))
+    val neu = Seq((1L, "a", "y"), (2L, "B", "y"), (4L, "d", "y"), (5L, "xy", ""),
+      (6L, "en", nul), (7L, nul, nul))
       .toDF("doc_id", "text", "extra")
     val r = Drift.snapshotDiff(old, neu, "doc_id", Seq("text", "extra"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed",
-      4L -> "added", 5L -> "modified"))
-    // 5 is the collision case: ("x","y") vs ("xy","") concat equal
-    // without the control-char separator — must still read modified
+      4L -> "added", 5L -> "modified", 6L -> "modified", 7L -> "unchanged"))
+    // 5 is the concat-collision case: ("x","y") vs ("xy","") concat
+    // equal without the control-char separator — must read modified.
+    // 6 is the NULL-skip collision: concat_ws drops NULLs, so
+    // (NULL,"en") vs ("en",NULL) would digest equal without the
+    // presence tags; 7 pins that all-NULL rows still compare equal
   }
 
   // ===== PII redaction + OOV rate =====
