@@ -123,4 +123,44 @@ class PropertySpec extends SparkSpec {
       graft.parse.KvList.parse(s, ',') == graft.parse.KvList.parseLenient(s)
     })
   }
+
+  test("property: snapshotDiff(a, a) is all-unchanged; swapping snapshots swaps added/removed") {
+    val cell = Gen.option(Gen.oneOf("x", "y", "", "a b"))
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 30L), cell, cell)
+    val frameGen = Gen.listOfN(12, rowGen).map(_.distinctBy(_._1))
+    checkProp(Prop.forAllNoShrink(frameGen, frameGen) { (as, bs) =>
+      def df(rows: List[(Long, Option[String], Option[String])]) =
+        rows.map { case (i, t, e) => (i, t.orNull, e.orNull) }.toDF("id", "t", "e")
+      val aa = graft.llm.Drift.snapshotDiff(df(as), df(as), "id", Seq("t", "e"))
+        .collect().map(_.getString(1))
+      val ab = graft.llm.Drift.snapshotDiff(df(as), df(bs), "id", Seq("t", "e"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ba = graft.llm.Drift.snapshotDiff(df(bs), df(as), "id", Seq("t", "e"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      aa.forall(_ == "unchanged") &&
+        ab.keySet == ba.keySet &&
+        ab.forall { case (id, st) =>
+          ba(id) == (st match {
+            case "added" => "removed"; case "removed" => "added"; case s => s
+          })
+        }
+    })
+  }
+
+  test("property: rfm bins stay in [1, nBins] and rfm_code decomposes to the bins") {
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(0, 27),
+      Gen.chooseNum(0.0, 99.0).map(v => math.round(v * 100) / 100.0))
+    checkProp(Prop.forAllNoShrink(
+      Gen.nonEmptyListOf(rowGen), Gen.chooseNum(2, 5)) { (rows, nBins) =>
+      val ev = rows.map { case (u, dayOff, v) =>
+        (u, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(dayOff)), v)
+      }.toDF("user_id", "d", "value")
+      val out = graft.ops.Funnel.rfm("user_id", "d", "value", nBins)(ev).collect()
+      out.forall { r =>
+        val (rb, fb, mb, code) = (r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))
+        Seq(rb, fb, mb).forall(b => b >= 1 && b <= nBins) &&
+          code == rb * 100 + fb * 10 + mb
+      }
+    })
+  }
 }
