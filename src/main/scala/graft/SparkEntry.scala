@@ -672,6 +672,16 @@ object SparkEntry {
       graft.llm.LangModel.withLmScore(docs, docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text")
     }),
+    // novelty vs the accumulated store: incoming batch = %5==0 docs,
+    // store = the rest; shuffled 8-byte gram-hash join, never a
+    // broadcast (the store is corpus-scale by contract)
+    "text_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Decontam.noveltyReport(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 3)
+    }),
     // benchmark decontamination: docs with doc_id % 19 == 3 stand in
     // for the eval suite; every other doc is scanned for 5-gram
     // overlap with that set (broadcast semi-join — the bench side is
@@ -1665,6 +1675,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
         |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
         |FROM sc GROUP BY 1""".stripMargin,
+    // novelty replay on RAW grams (the query joins xxhash64 keys; the
+    // oracle's string join additionally pins zero collisions)
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END AS s
+        |       FROM toks),
+        |sg AS (SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 5 != 0)),
+        |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 = 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |  CAST(sum(CASE WHEN g IN (SELECT g FROM sg) THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  CAST(count(*) - sum(CASE WHEN g IN (SELECT g FROM sg) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty
+        |FROM dg GROUP BY 1""".stripMargin,
     // 5-gram overlap replay: same shingle rule, bench = doc_id%19==3
     "decontam_overlap" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),

@@ -56,6 +56,47 @@ object Decontam {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Per-document novelty against a CORPUS-SCALE reference store:
+    * `novelty = (n_grams − n_seen) / n_grams`, the fraction of the
+    * doc's distinct word n-grams never observed in the store — the
+    * curation complement of [[contaminationReport]] (there the
+    * reference is eval-suite-sized and broadcast; here it is the
+    * accumulated corpus, so the overlap test is a SHUFFLED join on
+    * 8-byte xxhash64 gram keys — gram strings never leave their
+    * scan). Pipelines rank an incoming batch by novelty to
+    * prioritize genuinely new content over near-boilerplate.
+    *
+    * The store side reduces to DISTINCT gram hashes via partial
+    * aggregation; at steady state persist that hash set once
+    * (bucketed by hash, [[graft.io.Bucketing]]) instead of
+    * re-shingling the corpus per batch — the
+    * [[Dedup.incrementalDedup]] digest-table discipline. Hash
+    * collisions undercount novelty by ~n_grams·2⁻⁶⁴ — negligible,
+    * and the oracle (which joins raw grams) pins zero collisions on
+    * the gate corpus.
+    */
+  def noveltyReport(
+      docs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sg = store
+      .select(explode(array_distinct(Dedup.shingles(textCol, n))).as("__gram"))
+      .select(xxhash64(col("__gram")).as("__gh")).distinct()
+      .withColumn("__hit", lit(1))
+    docs
+      .select(col(idCol), explode(array_distinct(Dedup.shingles(textCol, n))).as("__gram"))
+      .select(col(idCol), xxhash64(col("__gram")).as("__gh"))
+      .join(sg, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_seen"))
+      .withColumn("novelty",
+        (col("n_grams") - col("n_seen")).cast("double") / col("n_grams"))
+  }
+
   /** The benchmark gram set collected to the driver — bounded by the
     * benchmark's size (eval suites are thousands of documents, never
     * corpus-scale), the same driver-local-bounded-state class as the

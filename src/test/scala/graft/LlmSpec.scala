@@ -433,6 +433,20 @@ class LlmSpec extends SparkSpec {
     assert(exact.isEmpty, exact.mkString(","))
   }
 
+  test("novelty report: closed-form gram fractions against the store") {
+    val store = Seq((10L, "a b c d e")).toDF("doc_id", "text") // grams: abc, bcd, cde
+    val docs = Seq(
+      (1L, "a b c d e"),      // all 3 grams seen -> 0.0
+      (2L, "x y z w"),        // 2 grams, none seen -> 1.0
+      (3L, "a b c q r s")     // 1 of 4 grams seen -> 0.75
+    ).toDF("doc_id", "text")
+    val r = graft.llm.Decontam.noveltyReport(docs, store, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3, 3L, 0.0)))
+    assert(r(2L) == ((2, 0L, 1.0)))
+    assert(r(3L) == ((4, 1L, 0.75)))
+  }
+
   test("minhash decontam plans banded equi-joins — no cartesian, no all-pairs") {
     import graft.llm.MinhashDecontam
     val a = Seq((1L, "one two three four five"), (2L, "six seven eight nine ten")).toDF("doc_id", "text")
