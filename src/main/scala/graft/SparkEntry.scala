@@ -479,6 +479,16 @@ object SparkEntry {
       graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
         eventsNanos(s, d).withColumn(
           "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
+    // robust median/MAD outlier flags per event type — exact-cents
+    // values keep every median/deviation an exact binary fraction,
+    // so med, MAD, and the flag hash-match the oracle bit-for-bit
+    "event_outliers" -> ((s, d) =>
+      graft.ops.Outliers.madFlags("event_type", "value_cents")(
+        eventsNanos(s, d).withColumn(
+          "value_cents", expr("cast(floor(value*100+0.5) as bigint)")))
+        .select(col("event_id"), col("event_type"), col("value_cents"),
+          col("median").as("med_cents"), col("mad").as("mad_cents"),
+          col("is_outlier"))),
     // rolling-frame window over integer-valued doubles (engine-exact
     // sums) + rank-family: the remaining window surface, gated
     "w4_rolling_sum" -> ((s, d) => {
@@ -2262,6 +2272,19 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
         |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
         |FROM binned""".stripMargin,
+    "event_outliers" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(value_cents, 0.5) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.event_id, c.event_type, c.value_cents, m.med,
+        |    abs(c.value_cents - m.med) AS dev
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value_cents,
+        |       d.med AS med_cents, md.mad AS mad_cents,
+        |       d.dev * 2 > md.mad * 7 AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
     "drift_snapshot" ->
       """WITH newsnap AS (
         |  SELECT doc_id,

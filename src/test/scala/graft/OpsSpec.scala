@@ -347,6 +347,39 @@ class OpsSpec extends SparkSpec {
     assert(r(4L) == ((1L, 100L, 0, 1, 2, 2, 122)))
   }
 
+  test("madFlags: exact median/MAD, degenerate MAD=0, and flag threshold") {
+    import graft.ops.Outliers
+    // key a: values 1..9 + spike 1000 → med 5.5, devs {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} → MAD 2.5
+    //   flag: dev*2 > 2.5*7 = 17.5 → only the 1000 spike (dev 994.5)
+    // key b: 7 equal values + one off → MAD 0 → flags exactly the off row
+    val df = ((1L to 9L) :+ 1000L).map(("a", _)) ++
+      (Seq.fill(7)(5L) :+ 50L).map(("b", _))
+    val r = Outliers.madFlags("k", "v")(df.toDF("k", "v"))
+    val a = r.where($"k" === "a").collect()
+    assert(a.forall(x => x.getDouble(2) == 5.5 && x.getDouble(3) == 2.5))
+    assert(a.filter(_.getBoolean(4)).map(_.getLong(1)).toSeq == Seq(1000L))
+    val b = r.where($"k" === "b").collect()
+    assert(b.forall(x => x.getDouble(2) == 5.0 && x.getDouble(3) == 0.0))
+    assert(b.filter(_.getBoolean(4)).map(_.getLong(1)).toSeq == Seq(50L))
+  }
+
+  test("madFlagsSketch agrees with exact flags away from the cutoff") {
+    import graft.ops.Outliers
+    // exp-ish skew: most mass near 0, a sparse far tail — every point
+    // is far from the 3.5·MAD cutoff relative to GK's 1e-4 rank error
+    val df = spark.range(2000)
+      .selectExpr("'g' AS k", "cast(pow(id % 40, 2) + (id % 7) * 10000 * cast(id % 97 = 0 as int) as long) AS v")
+    val exact = Outliers.madFlags("k", "v")(df)
+      .select("v", "is_outlier").distinct().collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val approx = Outliers.madFlagsSketch("k", "v")(df)
+      .select("v", "is_outlier").distinct().collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    val disagree = exact.count { case (v, f) => approx(v) != f }
+    assert(disagree == 0, s"$disagree values flagged differently")
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
