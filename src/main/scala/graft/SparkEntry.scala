@@ -479,6 +479,17 @@ object SparkEntry {
       graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
         eventsNanos(s, d).withColumn(
           "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
+    // link-graph centrality: PageRank over clickstream transition
+    // edges in integer fixed-point (longs at 1e9 scale) — every
+    // iteration is exact long arithmetic, so three unrolled oracle
+    // CTEs replay the ranks bit-for-bit
+    "graph_pagerank" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn(
+        "item", get_json_object(col("props"), "$.k").cast("int"))
+      graft.ops.Graph.pageRankFp(
+        graft.ops.Graph.transitionEdges("user_id", "ts", "event_id", "item")(ev),
+        iters = 3)
+    }),
     // robust median/MAD outlier flags per event type — exact-cents
     // values keep every median/deviation an exact binary fraction,
     // so med, MAD, and the flag hash-match the oracle bit-for-bit
@@ -572,6 +583,20 @@ object SparkEntry {
       Dedup.kgramDupCoverage(t(s, d, "documents"), "doc_id", "text", k = 30)),
     "dedup_kgram_pairs" -> ((s, d) =>
       Dedup.kgramDupPairs(t(s, d, "documents"), "doc_id", "text", k = 30)),
+
+    // ===== entity resolution (blocking + edit distance) =====
+    // candidate pairs never cross blocks (equi-join on the blocking
+    // key, the LSH-band discipline); Levenshtein is engine-exact ints
+    "er_pairs" -> ((s, d) =>
+      graft.ops.EntityRes.candidatePairs(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2)(
+        t(s, d, "customer"))),
+    // transitive match groups over the same pair graph (label
+    // propagation); oracle replays a recursive reachability walk
+    "er_groups" -> ((s, d) =>
+      graft.ops.EntityRes.matchGroups(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2)(
+        t(s, d, "customer"))),
 
     // ===== LLM pipeline: similarity =====
     "sim_cosine_topk" -> ((s, d) =>
@@ -1496,6 +1521,27 @@ object SparkEntry {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    "er_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    "er_groups" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+        |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,
@@ -2272,6 +2318,27 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
         |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
         |FROM binned""".stripMargin,
+    "graph_pagerank" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, CAST(props->>'k' AS INTEGER) AS item FROM events),
+        |tr AS (SELECT lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |              item AS dst FROM ev),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+        |r0 AS (SELECT vertex, CAST(1000000000 AS BIGINT) AS rank_fp FROM v),
+        |c1 AS (SELECT e.dst AS vertex, sum((r.rank_fp * 17 * e.w) // (20 * o.out_w)) AS in_fp
+        |       FROM e JOIN r0 r ON e.src = r.vertex JOIN o ON e.src = o.src GROUP BY 1),
+        |r1 AS (SELECT v.vertex, CAST(150000000 + coalesce(c1.in_fp, 0) AS BIGINT) AS rank_fp
+        |       FROM v LEFT JOIN c1 ON v.vertex = c1.vertex),
+        |c2 AS (SELECT e.dst AS vertex, sum((r.rank_fp * 17 * e.w) // (20 * o.out_w)) AS in_fp
+        |       FROM e JOIN r1 r ON e.src = r.vertex JOIN o ON e.src = o.src GROUP BY 1),
+        |r2 AS (SELECT v.vertex, CAST(150000000 + coalesce(c2.in_fp, 0) AS BIGINT) AS rank_fp
+        |       FROM v LEFT JOIN c2 ON v.vertex = c2.vertex),
+        |c3 AS (SELECT e.dst AS vertex, sum((r.rank_fp * 17 * e.w) // (20 * o.out_w)) AS in_fp
+        |       FROM e JOIN r2 r ON e.src = r.vertex JOIN o ON e.src = o.src GROUP BY 1),
+        |r3 AS (SELECT v.vertex, CAST(150000000 + coalesce(c3.in_fp, 0) AS BIGINT) AS rank_fp
+        |       FROM v LEFT JOIN c3 ON v.vertex = c3.vertex)
+        |SELECT vertex, rank_fp FROM r3""".stripMargin,
     "event_outliers" ->
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents

@@ -380,6 +380,58 @@ class OpsSpec extends SparkSpec {
     assert(disagree == 0, s"$disagree values flagged differently")
   }
 
+  test("entity resolution: blocked pairs, oversized-block refusal, null keys never pair") {
+    import graft.ops.EntityRes
+    val recs = Seq(
+      (1L, "smith john", "NY"), (2L, "smith jon", "NY"), (3L, "smyth john", "NY"),
+      (4L, "doe jane", "CA"), (5L, "doe janet", "CA"),
+      (6L, "smith john", "TX"),              // same name, other block -> no pair
+      (7L, "null-block", null.asInstanceOf[String]),
+      (8L, "null-block", null.asInstanceOf[String])
+    ).toDF("id", "name", "state")
+    val pairs = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2)(recs)
+      .select("id_a", "id_b", "dist").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // NY: (1,2) dist 1, (1,3) dist 1, (2,3) dist 2; CA: (4,5) dist 1; NULL block: nothing
+    assert(pairs.toSet == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2), (4L, 5L, 1)))
+
+    // cap blocks at 2 records: NY (3 recs) is refused and reported
+    val capped = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2, maxBlock = 2)(recs)
+    assert(capped.select("id_a").collect().map(_.getLong(0)).toSet == Set(4L))
+    val over = EntityRes.oversizedBlocks(Seq("state"), maxBlock = 2)(recs).collect()
+    assert(over.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("NY", 3L)))
+
+    // transitive grouping: NY chain {1,2,3} labels to min id 1
+    val groups = EntityRes.matchGroups("id", "name", Seq("state"), maxDist = 2)(recs)
+    val byDoc = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groups.unpersist()
+    assert(byDoc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+
+    val plan = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2)(recs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("pageRankFp: exact fixed-point ranks on a hand-computed graph") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "weight")
+    // scale 1e9, damping 17/20 → base 150M; two exact long iterations:
+    // r1 = (1e9, 1.85e9, 150M); r2 = (1.7225e9, 1.1275e9, 150M)
+    val r = Graph.pageRankFp(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1722500000L, 2L -> 1127500000L, 3L -> 150000000L))
+  }
+
+  test("transitionEdges: per-user consecutive steps, deterministic tie-break") {
+    import graft.ops.Graph
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 20L, 3L, "c"), // tie on ts -> event_id order
+      (2L, 5L, 4L, "a"), (2L, 6L, 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "item")
+    val e = Graph.transitionEdges("user_id", "ts", "event_id", "item")(ev)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(e == Set(("a", "b", 2L), ("b", "c", 1L)))
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
