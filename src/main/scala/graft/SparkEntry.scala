@@ -479,6 +479,15 @@ object SparkEntry {
       graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
         eventsNanos(s, d).withColumn(
           "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
+    // sweep-line session concurrency: distributed global running sum
+    // (per-date windows + broadcast bucket offsets — never a
+    // single-partition window over the data)
+    "session_concurrency" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.ops.Sweep.concurrency(
+        "session_start", "session_end", Seq("user_id", "session_seq"))(
+        graft.streaming.StreamingIngest.sessionizeBatch(ev))
+    }),
     // link-graph centrality: PageRank over clickstream transition
     // edges in integer fixed-point (longs at 1e9 scale) — every
     // iteration is exact long arithmetic, so three unrolled oracle
@@ -2318,6 +2327,24 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
         |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
         |FROM binned""".stripMargin,
+    "session_concurrency" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sq AS (SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM t),
+        |s AS (SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+        |      FROM sq GROUP BY 1, 2),
+        |deltas AS (SELECT st AS ts, CAST(1 AS INTEGER) AS delta, user_id, session_seq FROM s
+        |           UNION ALL
+        |           SELECT en, CAST(-1 AS INTEGER), user_id, session_seq FROM s)
+        |SELECT ts, delta, user_id, session_seq,
+        |       CAST(sum(delta) OVER (ORDER BY ts, -delta, user_id, session_seq
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+        |FROM deltas""".stripMargin,
     "graph_pagerank" ->
       """WITH ev AS (SELECT user_id, ts, event_id, CAST(props->>'k' AS INTEGER) AS item FROM events),
         |tr AS (SELECT lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,

@@ -432,6 +432,39 @@ class OpsSpec extends SparkSpec {
     assert(e == Set(("a", "b", 2L), ("b", "c", 1L)))
   }
 
+  test("sweep-line concurrency: cross-bucket offsets, touching intervals overlap") {
+    import graft.ops.Sweep
+    // three intervals spanning two dates; B touches C end-to-start
+    val iv = Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"), // A
+      (2L, "2024-01-01 10:30:00", "2024-01-02 09:00:00"), // B crosses midnight
+      (3L, "2024-01-02 09:00:00", "2024-01-02 10:00:00")  // C starts as B ends
+    ).toDF("id", "st", "en")
+      .select($"id", to_timestamp($"st").as("st"), to_timestamp($"en").as("en"))
+    val curve = Sweep.concurrency("st", "en", Seq("id"))(iv)
+      .orderBy($"ts", $"delta".desc) // starts before ends at equal ts — the sweep order
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(3)))
+    assert(curve.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 1, 1L),   // A opens
+      ("2024-01-01 10:30:00.0", 1, 2L),   // B opens
+      ("2024-01-01 11:00:00.0", -1, 1L),  // A closes
+      ("2024-01-02 09:00:00.0", 1, 2L),   // C opens BEFORE B's close at same ts
+      ("2024-01-02 09:00:00.0", -1, 1L),  // B closes
+      ("2024-01-02 10:00:00.0", -1, 0L))) // C closes -> all quiet
+  }
+
+  test("globalRunningSum equals a driver-side prefix sum on shuffled input") {
+    import graft.ops.Sweep
+    val rows = (1L to 500L).map(i => (i, (i % 7) - 3, i % 10)) // ordered key, mixed-sign values
+    val df = spark.createDataFrame(scala.util.Random.shuffle(rows))
+      .toDF("k", "v", "bucket10")
+      .withColumn("bucket", expr("k div 50")) // monotone coarsening of k
+    val got = Sweep.globalRunningSum("v", "bucket", Seq("k"))(df)
+      .select("k", "running").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.foreach { case (k, v, _) => acc += v; assert(got(k) == acc, s"at k=$k") }
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
