@@ -31,7 +31,9 @@ object Bench {
     "funnel_stages", "drift_lang", "mm_video_meta",
     "ret_bm25_topk", "sim_semdedup_keep", "event_rfm", "drift_snapshot",
     "decontam_minhash", "pipeline_incremental", "sim_semdedup_bucketed",
-    "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty")
+    "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty",
+    "event_outliers", "er_groups", "graph_pagerank", "session_concurrency",
+    "profile_events", "range_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -479,6 +479,31 @@ object SparkEntry {
       graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
         eventsNanos(s, d).withColumn(
           "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
+    // interval-overlap join (the Flink/Trino interval join): both
+    // interval sets explode to hour buckets, candidates meet on the
+    // bucket equi-join, and each overlapping pair is kept only in
+    // the bucket of the overlap's first instant — exactly-once, no
+    // distinct pass, never a cartesian
+    "range_overlap_join" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sess = graft.streaming.StreamingIngest.sessionizeBatch(ev)
+      val a = sess.where(col("user_id") >= 50).select(
+        col("user_id").as("user_a"), col("session_seq").as("seq_a"),
+        col("session_start").as("sa"), col("session_end").as("ea"))
+      val b = sess.where(col("user_id") < 50).select(
+        col("user_id").as("user_b"), col("session_seq").as("seq_b"),
+        col("session_start").as("sb"), col("session_end").as("eb"))
+      graft.ops.RangeJoin.overlapJoin(a, b, Seq.empty,
+        "sa", "ea", "sb", "eb",
+        Seq("user_a", "seq_a"), Seq("user_b", "seq_b"),
+        bucketMicros = 3600000000L)
+    }),
+    // one-pass numeric profiling (exact-NDV gate twin; the HLL
+    // variant is the no-Expand scale path, spec-pinned)
+    "profile_events" -> ((s, d) =>
+      graft.ops.Profile.numericProfile(Seq("value_cents", "user_id", "event_id"))(
+        eventsNanos(s, d).withColumn(
+          "value_cents", expr("cast(floor(value*100+0.5) as bigint)")))),
     // sweep-line session concurrency: distributed global running sum
     // (per-date windows + broadcast bucket offsets — never a
     // single-partition window over the data)
@@ -2327,6 +2352,41 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
         |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
         |FROM binned""".stripMargin,
+    "range_overlap_join" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sq AS (SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM t),
+        |s AS (SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+        |      FROM sq GROUP BY 1, 2)
+        |SELECT a.st AS ls, a.en AS le, a.user_id AS user_a, a.session_seq AS seq_a,
+        |       b.st AS rs, b.en AS re, b.user_id AS user_b, b.session_seq AS seq_b
+        |FROM s a JOIN s b ON a.user_id >= 50 AND b.user_id < 50
+        |                 AND a.st <= b.en AND b.st <= a.en""".stripMargin,
+    "profile_events" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+        |                  user_id, event_id FROM events)
+        |SELECT 'value_cents' AS "column", CAST(count(value_cents) AS BIGINT) AS n_value,
+        |       CAST(sum(CASE WHEN value_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(count(DISTINCT value_cents) AS BIGINT) AS ndv,
+        |       CAST(min(value_cents) AS BIGINT) AS min_v, CAST(max(value_cents) AS BIGINT) AS max_v,
+        |       CAST(sum(value_cents) AS BIGINT) AS sum_v FROM c
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+        |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT user_id) AS BIGINT),
+        |       CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT),
+        |       CAST(sum(user_id) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 'event_id', CAST(count(event_id) AS BIGINT),
+        |       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT event_id) AS BIGINT),
+        |       CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
+        |       CAST(sum(event_id) AS BIGINT) FROM c""".stripMargin,
     "session_concurrency" ->
       """WITH t AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

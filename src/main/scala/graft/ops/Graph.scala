@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
   * rank table (both keyed on the source vertex — co-partitioned
   * after the first shuffle) + one aggregation keyed on the
   * destination + a left join back onto the vertex table. Edges are
-  * referenced every iteration: at 100 TB the caller materializes
-  * edges once (parquet scratch / [[graft.io.EventStore]]) rather
-  * than re-deriving them per iteration — [[pageRankFp]] takes the
-  * edge FRAME, so that choice stays with the caller; iterations
-  * chain lazily (each intermediate is referenced exactly once, so
-  * the DAG stays linear and nothing needs caching).
+  * referenced every iteration (plus by the vertex and out-weight
+  * derivations), so [[pageRankFp]] materializes the normalized edge
+  * frame ONCE via `localCheckpoint` — without it the edge-derivation
+  * subtree (a window over the raw event log) replays per reference;
+  * blocks release when the frame is garbage-collected (the
+  * [[graft.llm.Dedup.nearDupClusters]] discipline, no cache-manager
+  * entry to leak). Iterations chain lazily — each rank intermediate
+  * is referenced exactly once, so the DAG stays linear in `iters`.
   */
 object Graph {
 
@@ -81,6 +83,7 @@ object Graph {
     require(iters >= 1 && iters <= 20, s"iters $iters out of [1,20]")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .localCheckpoint(true)
     val verts = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
     val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))

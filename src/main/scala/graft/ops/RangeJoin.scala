@@ -40,4 +40,46 @@ object RangeJoin {
       .where(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval OVERLAP join — both sides are intervals; emit every
+    * pair (closed intervals, inclusive touch) that overlaps:
+    * `ls <= re AND rs <= le`. The Flink/Trino "interval join",
+    * bucketized the same way as [[bucketedRangeJoin]]: both sides
+    * explode to covered buckets and candidates meet on the bucket
+    * equi-join. A pair overlapping across several shared buckets
+    * would meet once per bucket, so the match is kept ONLY in the
+    * canonical bucket — the one containing `greatest(ls, rs)` (the
+    * overlap's first instant, which both sides provably cover) —
+    * exactly-once without a distinct pass.
+    *
+    * `leftCols`/`rightCols` name the payload to keep per side
+    * (interval bounds are re-selected under `ls/le/rs/re`). Cost
+    * scales with interval span / bucket width; a multi-day interval
+    * at minute buckets is the caller's skew bug — size `bucketMicros`
+    * near the typical span, as with the point form.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      leftCols: Seq[String], rightCols: Seq[String],
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    def bucketsOf(s: String, e: String) =
+      explode(sequence(
+        floor(unix_micros(col(s)) / bucketMicros),
+        floor(unix_micros(col(e)) / bucketMicros)))
+    val l = left.select(
+      (keys.map(col) :+ bucketsOf(leftStart, leftEnd).as("__bucket") :+
+        col(leftStart).as("ls") :+ col(leftEnd).as("le")) ++ leftCols.map(col): _*)
+    val r = right.select(
+      (keys.map(col) :+ bucketsOf(rightStart, rightEnd).as("__bucket") :+
+        col(rightStart).as("rs") :+ col(rightEnd).as("re")) ++ rightCols.map(col): _*)
+    l.join(r, keys :+ "__bucket")
+      .where(col("ls") <= col("re") && col("rs") <= col("le") &&
+        col("__bucket") === floor(unix_micros(greatest(col("ls"), col("rs"))) / bucketMicros))
+      .drop("__bucket")
+  }
 }

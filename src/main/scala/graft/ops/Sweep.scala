@@ -65,6 +65,13 @@ object Sweep {
     * after that boundary. Distributed by the date of the boundary
     * via [[globalRunningSum]] (boundaries are points, so intervals
     * may span buckets freely).
+    *
+    * The delta frame is `localCheckpoint`ed before the running sum:
+    * it is read twice downstream (within-bucket window + bucket
+    * totals) and derives from the caller's interval pipeline (often
+    * a sessionization window over the raw event log) — without the
+    * materialization that upstream would replay once per reference
+    * (the [[graft.ops.Graph.pageRankFp]] edge discipline).
     */
   def concurrency(
       startCol: String,
@@ -75,10 +82,10 @@ object Sweep {
       .select((col(startCol).as("ts") +: lit(1).as("delta") +: keep): _*)
       .unionByName(intervals
         .select((col(endCol).as("ts") +: lit(-1).as("delta") +: keep): _*))
-    globalRunningSum("delta", "__d", Seq("ts", "__nd") ++ tieCols, "concurrent")(
-      deltas
-        .withColumn("__d", to_date(col("ts")))
-        .withColumn("__nd", -col("delta")))
+      .withColumn("__d", to_date(col("ts")))
+      .withColumn("__nd", -col("delta"))
+      .localCheckpoint(true)
+    globalRunningSum("delta", "__d", Seq("ts", "__nd") ++ tieCols, "concurrent")(deltas)
       .drop("__d", "__nd")
   }
 }

@@ -465,6 +465,57 @@ class OpsSpec extends SparkSpec {
     rows.foreach { case (k, v, _) => acc += v; assert(got(k) == acc, s"at k=$k") }
   }
 
+  test("numericProfile: exact stats with nulls; HLL path inside its error envelope") {
+    import graft.ops.Profile
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 10L), (2L, null), (null, 30L), (3L, 30L)
+    ).toDF("a", "b")
+    val got = Profile.numericProfile(Seq("a", "b"))(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got("a") == ((4L, 1L, 3L, 1L, 3L, 8L)))
+    assert(got("b") == ((4L, 1L, 2L, 10L, 30L, 80L)))
+
+    // HLL path: relative NDV error within the default-rsd envelope (5% + slack)
+    val big = spark.range(10000).selectExpr("id % 2500 AS a", "id AS b")
+    val exact = Profile.numericProfile(Seq("a", "b"))(big)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val hll = Profile.numericProfile(Seq("a", "b"), exact = false)(big)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    Seq("a", "b").foreach { c =>
+      val err = math.abs(hll(c) - exact(c)).toDouble / exact(c)
+      assert(err <= 0.15, s"$c: hll ${hll(c)} vs exact ${exact(c)} (err $err)")
+    }
+    // scale path never plans an Expand (the Sketch no-Expand contract)
+    val plan = Profile.numericProfile(Seq("a", "b"), exact = false)(big)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("overlapJoin: exactly-once across shared buckets, inclusive touch, no cartesian") {
+    import graft.ops.RangeJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq(
+      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 05:30:00")), // spans 6 hour-buckets
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("aid", "sa", "ea")
+    val b = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 04:00:00")), // overlaps a1 in 4 buckets
+      (11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // touches a2 end-to-start
+      (12L, ts("2024-01-01 06:00:00"), ts("2024-01-01 07:00:00"))  // disjoint
+    ).toDF("bid", "sb", "eb")
+    val got = RangeJoin.overlapJoin(a, b, Seq.empty, "sa", "ea", "sb", "eb",
+      Seq("aid"), Seq("bid"), bucketMicros = 3600000000L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multi-bucket overlap appears EXACTLY once; inclusive touch matches
+    assert(got.sorted.toSeq == Seq((1L, 10L), (2L, 11L)))
+
+    val plan = RangeJoin.overlapJoin(a, b, Seq.empty, "sa", "ea", "sb", "eb",
+      Seq("aid"), Seq("bid"), bucketMicros = 3600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",
