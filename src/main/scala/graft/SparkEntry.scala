@@ -479,6 +479,19 @@ object SparkEntry {
       graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
         eventsNanos(s, d).withColumn(
           "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
+    // mergeable-sketch union NDV: each snapshot reduces to ONE
+    // DataSketches HLL sketch; the union estimate merges sketches
+    // without rescanning either side (exact twin + envelope gate)
+    "sketch_union_ndv" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val added = docs.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.llm.Sketch.unionNdvAudit("text")(docs, base.unionByName(added))
+    }),
     // interval-overlap join (the Flink/Trino interval join): both
     // interval sets explode to hour buckets, candidates meet on the
     // bucket equi-join, and each overlapping pair is kept only in
@@ -2352,6 +2365,16 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
         |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
         |FROM binned""".stripMargin,
+    "sketch_union_ndv" ->
+      """WITH newsnap AS (
+        |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 19 = 0),
+        |u AS (SELECT text FROM documents UNION ALL SELECT text FROM newsnap)
+        |SELECT CAST(count(DISTINCT text) AS BIGINT) AS exact_union_ndv,
+        |       TRUE AS union_ndv_ok
+        |FROM u""".stripMargin,
     "range_overlap_join" ->
       """WITH t AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -173,4 +173,43 @@ object Sketch {
       .withColumn("p90_ok", col("ap90") >= col("lo90") && col("ap90") <= col("hi90"))
       .drop("ap50", "ap90", "lo50", "hi50", "lo90", "hi90")
   }
+
+  /** Union NDV via MERGEABLE sketches (DataSketches HLL,
+    * `hll_sketch_agg` / `hll_union_agg`): each snapshot reduces to
+    * one serialized sketch, and the union estimate comes from
+    * MERGING the two sketches — neither snapshot is rescanned. This
+    * is the property [[approxNdv]]'s HLL++ registers cannot expose
+    * through the SQL surface (no union function), and the whole
+    * point of sketching at 100 TB: per-day/per-shard sketches
+    * persisted once answer any cross-snapshot distinct-count later,
+    * in sketch-sized work.
+    *
+    * Gate twin ([[ndvAudit]] discipline): the exact union NDV plus
+    * `union_ndv_ok` = relative error within sigmas × the published
+    * HLL standard error `1.04/√2^lgK` (≈1.6% at the default
+    * lgK = 12). The two 1-row frames meet via
+    * `crossJoin(broadcast(…))` — the SUMEQ bounded-build shape,
+    * allowlisted in ContractSpec.
+    */
+  def unionNdvAudit(
+      valueCol: String,
+      lgK: Int = 12,
+      sigmas: Double = 3.0)(a: DataFrame, b: DataFrame): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK $lgK outside DataSketches' [4,21]")
+    def sk(df: DataFrame) =
+      df.agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("sk"))
+    val merged = sk(a).unionByName(sk(b))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_union_ndv"))
+    val exact = a.select(col(valueCol).as("__v"))
+      .unionByName(b.select(col(valueCol).as("__v")))
+      .agg(count_distinct(col("__v")).as("exact_union_ndv"))
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    exact.crossJoin(broadcast(merged))
+      .withColumn("union_ndv_ok",
+        when(col("exact_union_ndv") === 0, col("approx_union_ndv") === 0)
+          .otherwise(
+            abs(col("approx_union_ndv") - col("exact_union_ndv")).cast("double") /
+              col("exact_union_ndv") <= lit(sigmas * rse)))
+      .drop("approx_union_ndv")
+  }
 }

@@ -772,6 +772,23 @@ class LlmSpec extends SparkSpec {
     assert(exactPlan.contains("HashAggregate"), exactPlan)
   }
 
+  test("unionNdvAudit: merged sketches exact at sparse cardinality, inside envelope at scale") {
+    // sparse-mode HLL is exact at low cardinality — overlap of 10
+    // between sides must estimate the union (40 distinct) exactly
+    val a = (1 to 30).map(i => s"v$i").toDF("x")
+    val b = (21 to 50).map(i => s"v$i").toDF("x")
+    val small = Sketch.unionNdvAudit("x")(a, b).collect().head
+    assert(small.getAs[Long]("exact_union_ndv") == 50L)
+    assert(small.getAs[Boolean]("union_ndv_ok"))
+
+    // dense mode: 30k distinct across a 10k-value overlap, 3σ envelope
+    val bigA = spark.range(20000).selectExpr("concat('k', id) AS x")
+    val bigB = spark.range(10000, 30000).selectExpr("concat('k', id) AS x")
+    val big = Sketch.unionNdvAudit("x")(bigA, bigB).collect().head
+    assert(big.getAs[Long]("exact_union_ndv") == 30000L)
+    assert(big.getAs[Boolean]("union_ndv_ok"))
+  }
+
   test("heavyHittersAudit: exact top-N with deterministic ties, CMS inside envelope, nulls skipped") {
     val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
       Seq.fill(30)("bravo") ++ Seq.fill(5)("gamma") ++ (1 to 40).map(i => s"rare$i")
