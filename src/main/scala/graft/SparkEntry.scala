@@ -479,6 +479,15 @@ object SparkEntry {
       graft.ops.Funnel.rfm("user_id", "ts_date", "value")(
         eventsNanos(s, d).withColumn(
           "ts_date", to_date(timestamp_micros(expr("ts div 1000")))))),
+    // per-type daily volume trend: OLS slope as an exact integer
+    // rational (num, den) — division left to the reader so the gate
+    // stays hash-exact
+    "event_trend" -> ((s, d) =>
+      graft.ops.Trend.groupedLinearTrend("event_type", "day_idx", "value_cents")(
+        eventsNanos(s, d)
+          .withColumn("day_idx",
+            datediff(to_date(timestamp_micros(expr("ts div 1000"))), lit("1970-01-01")))
+          .withColumn("value_cents", expr("cast(floor(value*100+0.5) as bigint)")))),
     // mergeable-sketch union NDV: each snapshot reduces to ONE
     // DataSketches HLL sketch; the union estimate merges sketches
     // without rescanning either side (exact twin + envelope gate)
@@ -2365,6 +2374,16 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents, r_bin, f_bin, m_bin,
         |       CAST(r_bin * 100 + f_bin * 10 + m_bin AS INTEGER) AS rfm_code
         |FROM binned""".stripMargin,
+    "event_trend" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+        |FROM cells GROUP BY 1""".stripMargin,
     "sketch_union_ndv" ->
       """WITH newsnap AS (
         |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text

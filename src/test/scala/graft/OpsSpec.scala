@@ -516,6 +516,21 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("groupedLinearTrend: exact rational slope, degenerate single-x key") {
+    import graft.ops.Trend
+    // key a: day cells (0,10),(1,30),(2,50) -> slope 20 = num/den = 120/6
+    // key b: one distinct day -> slope_den 0 (trend undefined, reported)
+    val df = Seq(
+      ("a", 0, 4L), ("a", 0, 6L), ("a", 1, 30L), ("a", 2, 50L),
+      ("b", 5, 7L), ("b", 5, 8L)
+    ).toDF("k", "x", "y")
+    val r = Trend.groupedLinearTrend("k", "x", "y")(df)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("a") == ((3L, 90L, 120L, 6L))) // slope exactly 20
+    assert(r("b") == ((1L, 15L, 0L, 0L)))
+  }
+
   test("funnel/cohort plans: joins keyed on user only, no cartesian") {
     import graft.ops.Funnel
     val ev = spark.range(100).selectExpr("id % 10 AS user_id", "id AS ts",

@@ -115,6 +115,82 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: overlapJoin equals the theta overlap join for random interval sets") {
+    val time = Gen.chooseNum(0L, 120L)
+    val span = Gen.chooseNum(0L, 40L)
+    val sideGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.zip(time, span)))
+    val bucketGen = Gen.oneOf(1L, 7L, 60L, 1000L)
+    checkProp(Prop.forAllNoShrink(sideGen, sideGen, bucketGen) { (ls, rs, bucketSec) =>
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      val a = ls.zipWithIndex.map { case ((s, len), i) => (i.toLong, ts(s), ts(s + len)) }
+        .toDF("aid", "sa", "ea")
+      val b = rs.zipWithIndex.map { case ((s, len), i) => (i.toLong + 500, ts(s), ts(s + len)) }
+        .toDF("bid", "sb", "eb")
+      val got = graft.ops.RangeJoin.overlapJoin(a, b, Seq.empty,
+        "sa", "ea", "sb", "eb", Seq("aid"), Seq("bid"), bucketSec * 1000000L)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expected = (for {
+        ((s1, l1), i1) <- ls.zipWithIndex
+        ((s2, l2), i2) <- rs.zipWithIndex
+        if s1 <= s2 + l2 && s2 <= s1 + l1
+      } yield (i1.toLong, i2.toLong + 500)).sorted
+      got == expected
+    })
+  }
+
+  test("property: nearDupClusters matches a plain-Scala union-find on random pair graphs") {
+    val node = Gen.chooseNum(0L, 25L)
+    val pairsGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, Gen.zip(node, node)))
+    val p = Prop.forAllNoShrink(pairsGen) { ps0 =>
+      val ps = ps0.filter { case (a, b) => a != b }
+      ps.isEmpty || {
+        val got = Dedup.nearDupClusters(ps.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: driver union-find with min-id labels
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        ps.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(v => v -> find(v)).toMap
+        got == expected
+      }
+    }
+    // fewer cases: each check runs a full distributed fixpoint
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: pageRankFp equals the plain-Scala integer recurrence on random graphs") {
+    val node = Gen.chooseNum(0L, 12L)
+    val edgesGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(node, node, Gen.chooseNum(1L, 5L))))
+    val p = Prop.forAllNoShrink(edgesGen, Gen.chooseNum(1, 4)) { (es0, iters) =>
+      val es = es0.groupBy(e => (e._1, e._2)).map { case ((s, d), g) =>
+        (s, d, g.map(_._3).sum) }.toSeq
+      val got = graft.ops.Graph.pageRankFp(es.toDF("src", "dst", "weight"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: the same exact long recurrence, driver-side
+      val scale = 1000000000L
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val outW = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val base = (scale * 3L) / 20L
+      var ranks = verts.map(_ -> scale).toMap
+      (1 to iters).foreach { _ =>
+        val in = es.groupBy(_._2).map { case (d, g) =>
+          d -> g.map(e => (ranks(e._1) * 17L * e._3) / (20L * outW(e._1))).sum }
+        ranks = verts.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+      }
+      got == ranks
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: KvList parse/parseLenient agree when no value contains the separator") {
     val key = Gen.identifier.suchThat(_.nonEmpty)
     val value = Gen.alphaNumStr.suchThat(_.nonEmpty)
