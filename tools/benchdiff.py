@@ -53,6 +53,12 @@ MODULES = [
     (r"^asof_", [f"{G}/ops/AsOf.scala"]),
     (r"^range_", [f"{G}/ops/RangeJoin.scala"]),
     (r"^skew_", [f"{G}/ops/Skew.scala"]),
+    (r"^event_outliers", [f"{G}/ops/Outliers.scala"]),
+    (r"^event_trend", [f"{G}/ops/Trend.scala"]),
+    (r"^er_", [f"{G}/ops/EntityRes.scala", f"{G}/llm/Dedup.scala"]),
+    (r"^graph_", [f"{G}/ops/Graph.scala"]),
+    (r"^session_concurrency", [f"{G}/ops/Sweep.scala", f"{G}/streaming/StreamingIngest.scala"]),
+    (r"^profile_", [f"{G}/ops/Profile.scala"]),
     (r"^j5_", [f"{G}/io/Bucketing.scala"]),
     (r"^engine_", [f"{G}/engine/Engine.scala", f"{G}/io/ConfigReader.scala",
                    f"{G}/io/Xlsx.scala", f"{G}/parse/Conditions.scala"]),
