@@ -556,6 +556,34 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value_cents"),
           col("median").as("med_cents"), col("mad").as("mad_cents"),
           col("is_outlier"))),
+    // SCD Type-2 dimension history: the per-customer priority stream
+    // (deduped per day via min_by — a deterministic pre-aggregation,
+    // the scd2History input contract) collapsed into version
+    // intervals; run-length collapse is pure window+filter over
+    // exact values, so every version row hash-matches the oracle
+    "scd2_history" -> ((s, d) =>
+      graft.ops.Scd.scd2History(Seq("o_custkey"), "o_orderdate", Seq("priority"))(
+        t(s, d, "orders").groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("priority")))),
+    // point-in-time reconstruction: the dimension "as of" a fixed
+    // instant — a pure filter over the history (no join, no extra
+    // shuffle; partition-prunes on a valid_from-partitioned store)
+    "scd2_asof" -> ((s, d) =>
+      graft.ops.Scd.asOfSnapshot(lit("1995-06-01").cast("timestamp"))(
+        graft.ops.Scd.scd2History(Seq("o_custkey"), "o_orderdate", Seq("priority"))(
+          t(s, d, "orders").groupBy(col("o_custkey"), col("o_orderdate"))
+            .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))))),
+    // categorical mode per month, smallest-value tie-break (a total
+    // engine-portable order; "undefined on ties" doesn't replay)
+    "a7_group_mode" -> ((s, d) =>
+      graft.ops.Profile.groupMode("month", "o_orderpriority")(
+        t(s, d, "orders").withColumn(
+          "month", trunc(col("o_orderdate"), "month")))),
+    // gaps-and-islands day-coverage audit per event type: which
+    // contiguous day runs have data, where the source went dark
+    "profile_day_islands" -> ((s, d) =>
+      graft.ops.Profile.dayIslands("event_type",
+        to_date(timestamp_micros(expr("ts div 1000"))))(eventsNanos(s, d))),
     // rolling-frame window over integer-valued doubles (engine-exact
     // sums) + rank-family: the remaining window surface, gated
     "w4_rolling_sum" -> ((s, d) => {
@@ -2429,6 +2457,55 @@ object SparkEntry {
         |       CAST(count(DISTINCT event_id) AS BIGINT),
         |       CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
         |       CAST(sum(event_id) AS BIGINT) FROM c""".stripMargin,
+    "scd2_history" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey, o_orderdate, arg_min(o_orderpriority, o_orderkey) AS priority
+        |  FROM orders GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT o_custkey, o_orderdate, priority,
+        |         (row_number() OVER w = 1 OR
+        |          priority IS DISTINCT FROM lag(priority) OVER w) AS opens
+        |  FROM snaps WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+        |SELECT o_custkey, priority, o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to
+        |FROM flagged WHERE opens""".stripMargin,
+    "scd2_asof" ->
+      """WITH snaps AS (
+        |  SELECT o_custkey, o_orderdate, arg_min(o_orderpriority, o_orderkey) AS priority
+        |  FROM orders GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT o_custkey, o_orderdate, priority,
+        |         (row_number() OVER w = 1 OR
+        |          priority IS DISTINCT FROM lag(priority) OVER w) AS opens
+        |  FROM snaps WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+        |hist AS (
+        |  SELECT o_custkey, priority, o_orderdate AS valid_from,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to
+        |  FROM flagged WHERE opens)
+        |SELECT * FROM hist
+        |WHERE valid_from <= TIMESTAMP '1995-06-01'
+        |  AND (valid_to IS NULL OR TIMESTAMP '1995-06-01' < valid_to)""".stripMargin,
+    "a7_group_mode" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         o_orderpriority AS mode_value, CAST(count(*) AS BIGINT) AS n_mode
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY month ORDER BY n_mode DESC, mode_value ASC) AS rn
+        |  FROM counts)
+        |SELECT month, mode_value, n_mode FROM r WHERE rn = 1""".stripMargin,
+    "profile_day_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT event_type, d,
+        |         date_diff('day', DATE '1970-01-01', d) -
+        |           row_number() OVER (PARTITION BY event_type ORDER BY d) AS grp
+        |  FROM days)
+        |SELECT event_type, min(d) AS island_start, max(d) AS island_end,
+        |       CAST(count(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY event_type, grp""".stripMargin,
     "session_concurrency" ->
       """WITH t AS (SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

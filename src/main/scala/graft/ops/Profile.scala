@@ -3,11 +3,12 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** One-pass numeric column profiling: per-column row count, null
-  * count, NDV, min/max/sum — the schema-health report a pipeline
-  * prints before trusting a new snapshot (the profiling half of
-  * [[graft.llm.Drift]]'s monitoring story: drift compares snapshots,
-  * the profile describes one).
+/** Data-health profiling: one-pass numeric column stats
+  * ([[numericProfile]]), categorical mode per key ([[groupMode]]),
+  * and day-coverage islands ([[dayIslands]]) — the schema-health
+  * report a pipeline prints before trusting a new snapshot (the
+  * profiling half of [[graft.llm.Drift]]'s monitoring story: drift
+  * compares snapshots, the profile describes one).
   *
   * Reference scope note: the reference engine (994-line pandas ETL)
   * has no profiling surface; this extends the mandated
@@ -46,5 +47,58 @@ object Profile {
       .mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $stacked) AS (column, n_value, n_null, ndv, min_v, max_v, sum_v)"))
+  }
+
+  /** Categorical profiling: the MODE of `valueCol` per key — the
+    * most frequent non-null value, ties broken by the SMALLEST value
+    * (a total, engine-portable order; "undefined on ties" is the
+    * classic nondeterminism that breaks replays). Output:
+    * (keyCol, mode_value, n_mode). NULL values are excluded — the
+    * null COUNT is [[numericProfile]]'s job, and Spark and SQL
+    * engines disagree on where NULL sorts by default, so letting it
+    * contend for the mode would wedge an ordering divergence into
+    * the gate.
+    *
+    * Scale shape: grouped count on (key, value) — partial-aggregated
+    * map-side, so rows never shuffle, only (key, value, count) cells
+    * — then a per-key window over the cell table (second, smaller
+    * shuffle on the key). Mode is a holistic aggregate; the cell
+    * rollup is the one shape that both distributes and stays exact.
+    */
+  def groupMode(keyCol: String, valueCol: String)(df: DataFrame): DataFrame = {
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("mode_value"))
+      .agg(count(lit(1)).as("n_mode"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("n_mode").desc, col("mode_value").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Gaps-and-islands day-coverage audit: per key, the contiguous
+    * runs of calendar days with at least one observation — the
+    * data-completeness report ("source X went dark May 3–7") a
+    * pipeline reads before trusting per-day aggregates. Classic
+    * islands trick: over the distinct (key, day) grid,
+    * `epoch_day − row_number()` is constant exactly within a
+    * contiguous run, so islands fall out of one grouped aggregation.
+    * Output: (keyCol, island_start, island_end, n_days).
+    *
+    * Scale shape: the distinct grid collapses the raw stream to at
+    * most keys × active-days rows map-side; the window and the
+    * island rollup both partition on the key — one data-sized
+    * shuffle (the distinct), then cell-sized work.
+    */
+  def dayIslands(keyCol: String, dayCol: Column)(df: DataFrame): DataFrame = {
+    val days = df.select(col(keyCol), dayCol.cast("date").as("__day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__day"))
+    days
+      .withColumn("__grp",
+        datediff(col("__day"), lit("1970-01-01")) - row_number().over(w))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(min("__day").as("island_start"), max("__day").as("island_end"),
+        count(lit(1)).cast("long").as("n_days"))
+      .drop("__grp")
   }
 }

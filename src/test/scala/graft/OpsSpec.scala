@@ -544,4 +544,63 @@ class OpsSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     }
   }
+
+  test("scd2History: run collapse, null-safe change, all-null first version, valid_to chain") {
+    import graft.ops.Scd
+    val df = Seq[(String, Int, Option[String])](
+      // key a: A A B B A -> versions A@1, B@3, A@5
+      ("a", 1, Some("A")), ("a", 2, Some("A")), ("a", 3, Some("B")),
+      ("a", 4, Some("B")), ("a", 5, Some("A")),
+      // key b: null null X -> the all-NULL FIRST version must open
+      ("b", 1, None), ("b", 2, None), ("b", 3, Some("X"))
+    ).toDF("k", "t", "v")
+    val r = Scd.scd2History(Seq("k"), "t", Seq("v"))(df)
+      .collect().map(x => (x.getString(0), Option(x.getString(1)),
+        x.getInt(2), if (x.isNullAt(3)) -1 else x.getInt(3))).toSet
+    assert(r == Set(
+      ("a", Some("A"), 1, 3), ("a", Some("B"), 3, 5), ("a", Some("A"), 5, -1),
+      ("b", None, 1, 3), ("b", Some("X"), 3, -1)))
+  }
+
+  test("scd2 asOfSnapshot: one covering version per key; boundaries half-open") {
+    import graft.ops.Scd
+    val hist = Scd.scd2History(Seq("k"), "t", Seq("v"))(Seq(
+      ("a", 1, "A"), ("a", 3, "B"), ("b", 2, "Y")).toDF("k", "t", "v"))
+    def at(t: Int) = Scd.asOfSnapshot(lit(t))(hist)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(at(1) == Map("a" -> "A"))
+    assert(at(2) == Map("a" -> "A", "b" -> "Y"))
+    assert(at(3) == Map("a" -> "B", "b" -> "Y")) // [from, to): 3 is B's
+    assert(at(9) == Map("a" -> "B", "b" -> "Y"))
+  }
+
+  test("groupMode: mode per key, smallest-value tie-break, nulls never the mode") {
+    import graft.ops.Profile
+    val df = Seq(
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")),
+      // g2: a and b tied 2-2 -> smallest value a wins
+      ("g2", Some("b")), ("g2", Some("b")), ("g2", Some("a")), ("g2", Some("a")),
+      // g3: null is the most frequent raw value but must not win
+      ("g3", None), ("g3", None), ("g3", Some("z"))
+    ).toDF("k", "v")
+    val r = Profile.groupMode("k", "v")(df)
+      .collect().map(x => x.getString(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r == Map("g1" -> (("b", 2L)), "g2" -> (("a", 2L)), "g3" -> (("z", 1L))))
+  }
+
+  test("dayIslands: contiguous runs split on gaps; duplicate observations collapse") {
+    import graft.ops.Profile
+    val df = Seq(
+      ("s1", "2024-01-01"), ("s1", "2024-01-01"), ("s1", "2024-01-02"),
+      ("s1", "2024-01-03"), ("s1", "2024-01-07"),
+      ("s2", "2024-02-10")
+    ).toDF("k", "d")
+    val r = Profile.dayIslands("k", col("d"))(df)
+      .collect().map(x => (x.getString(0), x.getDate(1).toString,
+        x.getDate(2).toString, x.getLong(3))).toSet
+    assert(r == Set(
+      ("s1", "2024-01-01", "2024-01-03", 3L),
+      ("s1", "2024-01-07", "2024-01-07", 1L),
+      ("s2", "2024-02-10", "2024-02-10", 1L)))
+  }
 }

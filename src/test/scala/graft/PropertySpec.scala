@@ -239,4 +239,29 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: scd2History equals a plain-Scala run-length encoding on random snapshot streams") {
+    val obsGen = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(1, 20),
+        Gen.option(Gen.oneOf("A", "B")))))
+      // operator contract: unique (key, t)
+      .map(_.groupBy(o => (o._1, o._2)).map(_._2.head).toList)
+    checkProp(Prop.forAllNoShrink(obsGen) { obs =>
+      val df = obs.map { case (k, t, v) => (k, t, v.orNull) }.toDF("k", "t", "v")
+      val got = graft.ops.Scd.scd2History(Seq("k"), "t", Seq("v"))(df)
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
+      val expected = obs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // run-length collapse on Option values (null-safe equality)
+        val opens = sorted.zipWithIndex.collect {
+          case ((_, t, v), i) if i == 0 || sorted(i - 1)._3 != v => (t, v)
+        }
+        opens.zipWithIndex.map { case ((from, v), i) =>
+          (k, v, from, opens.lift(i + 1).map(_._1))
+        }
+      }.toSet
+      got == expected
+    })
+  }
 }
