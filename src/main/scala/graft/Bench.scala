@@ -33,7 +33,8 @@ object Bench {
     "decontam_minhash", "pipeline_incremental", "sim_semdedup_bucketed",
     "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty",
     "event_outliers", "er_groups", "graph_pagerank", "session_concurrency",
-    "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend")
+    "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
+    "scd2_history", "profile_day_islands")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
