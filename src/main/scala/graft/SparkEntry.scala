@@ -584,6 +584,19 @@ object SparkEntry {
     "profile_day_islands" -> ((s, d) =>
       graft.ops.Profile.dayIslands("event_type",
         to_date(timestamp_micros(expr("ts div 1000"))))(eventsNanos(s, d))),
+    // journey path discovery: frequency of each user's first-3
+    // event-type sequence (funnels score a KNOWN sequence; paths
+    // discover which sequences happen)
+    "funnel_top_paths" -> ((s, d) =>
+      graft.ops.Funnel.topPaths("user_id", "ts", "event_id", "event_type")(
+        eventsNanos(s, d))),
+    // per-type value histogram at 5-dollar (500-cent) bins; floor
+    // division spelled in integer arithmetic so negative values land
+    // in the same bin under every engine's division semantics
+    "profile_value_hist" -> ((s, d) =>
+      graft.ops.Profile.equiWidthHistogram("event_type", "value_cents", 500L)(
+        eventsNanos(s, d).withColumn(
+          "value_cents", expr("cast(floor(value*100+0.5) as bigint)")))),
     // rolling-frame window over integer-valued doubles (engine-exact
     // sums) + rank-family: the remaining window surface, gated
     "w4_rolling_sum" -> ((s, d) => {
@@ -2495,6 +2508,24 @@ object SparkEntry {
         |    PARTITION BY month ORDER BY n_mode DESC, mode_value ASC) AS rn
         |  FROM counts)
         |SELECT month, mode_value, n_mode FROM r WHERE rn = 1""".stripMargin,
+    "funnel_top_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path HAVING count(*) >= 2""".stripMargin,
+    "profile_value_hist" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type,
+        |       CAST(((v - ((v % 500 + 500) % 500)) // 500) * 500 AS BIGINT) AS bin_lo,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "profile_day_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events),

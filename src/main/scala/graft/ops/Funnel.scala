@@ -199,4 +199,45 @@ object Funnel {
       .withColumn("rfm_code", col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
       .drop("__rb", "__fb", "__mb")
   }
+
+  /** Journey path analysis: the frequency table of each user's first
+    * `maxLen` event types in order — the exploratory complement of
+    * [[funnelStages]] (a funnel scores a KNOWN sequence; paths
+    * DISCOVER which sequences happen). Output: (path — event types
+    * joined by `>`, n_users), restricted to paths reaching
+    * `minSupport` users.
+    *
+    * Determinism: the per-user ordering is (orderCol, tieCol) with a
+    * unique tie column, so the collected prefix — and therefore the
+    * path string — is total-order-defined; counts are exact longs.
+    *
+    * Scale shape: the row_number window and the per-user collect
+    * declare the same (user) distribution, so both run off ONE
+    * shuffle; collected lists are bounded at `maxLen` structs —
+    * never a whole history. The final rollup shuffles one
+    * ≤`maxLen`-type string per user; `maxLen` and `minSupport` are
+    * the caps that keep path cardinality bounded at corpus scale
+    * (documented, caller-visible — not silent).
+    */
+  def topPaths(
+      userCol: String,
+      orderCol: String,
+      tieCol: String,
+      typeCol: String,
+      maxLen: Int = 3,
+      minSupport: Long = 2L)(df: DataFrame): DataFrame = {
+    require(maxLen >= 1, s"maxLen $maxLen must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(orderCol), col(tieCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= maxLen)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+          x => x("t")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .where(col("n_users") >= minSupport)
+  }
 }

@@ -75,6 +75,36 @@ object Profile {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Equi-width histogram of an INTEGER-VALUED column per key:
+    * (keyCol, bin_lo, n) where bin_lo is the inclusive lower edge of
+    * the width-`binWidth` bin containing the value — the
+    * distribution view [[numericProfile]]'s min/max can't give.
+    *
+    * The bin is computed by FLOOR division spelled out in pure
+    * integer arithmetic (`(v − pmod(v, w)) div w`): engines disagree
+    * on whether integer division truncates toward zero or floors
+    * (Spark's `div` truncates; negative values would land one bin
+    * off), so the subtraction form — exact in longs, identical
+    * everywhere — is the gate-portable spelling, and the oracle
+    * replays the same formula.
+    *
+    * Scale shape: one grouped aggregation on (key, bin) —
+    * partial-aggregated map-side, output bounded by keys × occupied
+    * bins, rows shuffle only as cells.
+    */
+  def equiWidthHistogram(
+      keyCol: String,
+      valueCol: String,
+      binWidth: Long)(df: DataFrame): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    val v = s"CAST(`$valueCol` AS BIGINT)"
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol),
+        expr(s"(($v - pmod($v, ${binWidth}L)) div ${binWidth}L) * ${binWidth}L")
+          .as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Gaps-and-islands day-coverage audit: per key, the contiguous
     * runs of calendar days with at least one observation — the
     * data-completeness report ("source X went dark May 3–7") a

@@ -588,6 +588,34 @@ class OpsSpec extends SparkSpec {
     assert(r == Map("g1" -> (("b", 2L)), "g2" -> (("a", 2L)), "g3" -> (("z", 1L))))
   }
 
+  test("topPaths: ordered prefix truncation, tie-break, minSupport filter") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // u1 and u2 share path a>b>c (u1 has a 4th event that must truncate)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      // u3: tie on ts resolved by event_id -> x>y, below minSupport
+      (3L, 10L, 9L, "y"), (3L, 10L, 8L, "x")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Funnel.topPaths("user_id", "ts", "event_id", "event_type")(ev)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a>b>c" -> 2L))
+    val all = Funnel.topPaths("user_id", "ts", "event_id", "event_type",
+      maxLen = 2, minSupport = 1L)(ev)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(all == Map("a>b" -> 2L, "x>y" -> 1L))
+  }
+
+  test("equiWidthHistogram: floor binning puts negatives in the bin below zero") {
+    import graft.ops.Profile
+    val df = Seq(("k", -1L), ("k", 0L), ("k", 499L), ("k", 500L), ("k", -500L))
+      .toDF("g", "v")
+    val r = Profile.equiWidthHistogram("g", "v", 500L)(df)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    // -1 floors to bin_lo -500 (truncating division would put it in bin 0)
+    assert(r == Map(-500L -> 2L, 0L -> 2L, 500L -> 1L))
+  }
+
   test("dayIslands: contiguous runs split on gaps; duplicate observations collapse") {
     import graft.ops.Profile
     val df = Seq(
