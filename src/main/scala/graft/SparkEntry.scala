@@ -501,6 +501,28 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 1000000L)
       graft.llm.Sketch.unionNdvAudit("text")(docs, base.unionByName(added))
     }),
+    // per-key Pearson components in exact longs: covariance
+    // numerator + both variance factors ship; the square root is
+    // the one op that would break the hash gate
+    "event_corr" -> ((s, d) =>
+      graft.ops.Trend.groupedCorrelation("event_type", "day_idx", "value_cents")(
+        eventsNanos(s, d)
+          .withColumn("day_idx",
+            datediff(to_date(timestamp_micros(expr("ts div 1000"))), lit("1970-01-01")))
+          .withColumn("value_cents", expr("cast(floor(value*100+0.5) as bigint)")))),
+    // snapshot-overlap NDV by inclusion-exclusion over the same
+    // mergeable sketches as sketch_union_ndv (absolute error band —
+    // a small intersection of large sets is genuinely hard)
+    "sketch_inter_ndv" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val added = docs.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.llm.Sketch.intersectionNdvAudit("text")(docs, base.unionByName(added))
+    }),
     // interval-overlap join (the Flink/Trino interval join): both
     // interval sets explode to hour buckets, candidates meet on the
     // bucket equi-join, and each overlapping pair is kept only in
@@ -2425,6 +2447,27 @@ object SparkEntry {
         |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
         |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
         |FROM cells GROUP BY 1""".stripMargin,
+    "event_corr" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS var_x,
+        |       CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS var_y
+        |FROM c GROUP BY event_type""".stripMargin,
+    "sketch_inter_ndv" ->
+      """WITH newsnap AS (
+        |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 19 = 0),
+        |a AS (SELECT DISTINCT text FROM documents),
+        |b AS (SELECT DISTINCT text FROM newsnap)
+        |SELECT CAST(count(*) AS BIGINT) AS exact_inter_ndv, TRUE AS inter_ndv_ok
+        |FROM a WHERE text IN (SELECT text FROM b)""".stripMargin,
     "sketch_union_ndv" ->
       """WITH newsnap AS (
         |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text

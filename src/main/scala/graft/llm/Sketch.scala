@@ -212,4 +212,50 @@ object Sketch {
               col("exact_union_ndv") <= lit(sigmas * rse)))
       .drop("approx_union_ndv")
   }
+
+  /** Intersection NDV by inclusion–exclusion over the SAME mergeable
+    * sketches as [[unionNdvAudit]]: `|A∩B| ≈ est(A) + est(B) −
+    * est(A∪B)` — the snapshot-overlap question ("how much of batch B
+    * is already in the store?") answered from three sketch
+    * estimates, with neither side rescanned. This is the standard
+    * HLL intersection (plain HLL cannot intersect directly; the
+    * difference of unions is the textbook route), and the reason the
+    * error bound below is ABSOLUTE, not relative: each estimate
+    * carries its own ±rse·NDV band, so the intersection's band is
+    * rse·(|A|+|B|+|A∪B|) by the triangle inequality — a SMALL
+    * intersection of two large sets is genuinely hard for sketches,
+    * and the gate encodes that honestly instead of pretending a
+    * relative bound.
+    *
+    * Gate twin: exact |A∩B| (gate-only, sf0.01) plus
+    * `inter_ndv_ok` = |approx − exact| within sigmas × that absolute
+    * band. 1-row frames meet via `crossJoin(broadcast(…))` — the
+    * SUMEQ bounded-build shape.
+    */
+  def intersectionNdvAudit(
+      valueCol: String,
+      lgK: Int = 12,
+      sigmas: Double = 3.0)(a: DataFrame, b: DataFrame): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK $lgK outside DataSketches' [4,21]")
+    def sk(df: DataFrame) =
+      df.agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("sk"))
+    val ests = sk(a).select(expr("hll_sketch_estimate(sk)").as("ea"))
+      .crossJoin(broadcast(sk(b).select(expr("hll_sketch_estimate(sk)").as("eb"))))
+      .crossJoin(broadcast(sk(a).unionByName(sk(b))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("eu"))))
+      .select((col("ea") + col("eb") - col("eu")).as("approx_inter_ndv"))
+    val av = a.select(col(valueCol).as("__v")).distinct()
+    val bv = b.select(col(valueCol).as("__v")).distinct()
+    val exact = av.join(bv, Seq("__v"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter_ndv"))
+      .crossJoin(broadcast(av.agg(count(lit(1)).as("na"))))
+      .crossJoin(broadcast(bv.agg(count(lit(1)).as("nb"))))
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    exact.crossJoin(broadcast(ests))
+      .withColumn("inter_ndv_ok",
+        abs(col("approx_inter_ndv") - col("exact_inter_ndv")).cast("double") <=
+          lit(sigmas * rse) *
+            (col("na") + col("nb") + (col("na") + col("nb") - col("exact_inter_ndv"))))
+      .select(col("exact_inter_ndv"), col("inter_ndv_ok"))
+  }
 }

@@ -48,4 +48,42 @@ object Trend {
         (col("n") * col("__sxy") - col("__sx") * col("sum_y")).as("slope_num"),
         (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"))
   }
+
+  /** Per-key Pearson correlation COMPONENTS in exact long arithmetic
+    * — the feature-relevance audit ("does x move with y for this
+    * key?") in the same ships-the-rational discipline as
+    * [[groupedLinearTrend]]: `corr = cov_num / √(var_x·var_y)` where
+    * `cov_num = n·Σxy − Σx·Σy`, `var_x = n·Σx² − (Σx)²`,
+    * `var_y = n·Σy² − (Σy)²` — the square root is the one op that
+    * would break the hash gate, so the three exact factors ship and
+    * the division is left to the reader. `sign(cov_num)` is the
+    * correlation's sign; `var_* = 0` means the column is constant
+    * for the key (correlation undefined, reported not divided).
+    *
+    * Both columns integer-valued (exact-cents discipline); row-level
+    * pairs, no cell rollup — one partial-aggregated reduction to
+    * key-cardinality rows of five long sums. Callers own the
+    * overflow budget: the largest term is n·Σv² ≤ (n·max|v|)², so
+    * keeping n·max|x| and n·max|y| under ~3·10⁹ per key keeps every
+    * factor inside a long; bigger scales pre-shift units or pre-roll
+    * cells as [[groupedLinearTrend]] does.
+    */
+  def groupedCorrelation(
+      keyCol: String,
+      xCol: String,
+      yCol: String)(df: DataFrame): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .select(col(keyCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("cov_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("var_x"),
+        (col("n") * col("__syy") - col("__sy") * col("__sy")).as("var_y"))
+  }
 }

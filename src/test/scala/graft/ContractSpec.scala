@@ -54,7 +54,8 @@ class ContractSpec extends SparkSpec {
       "text_lm_score",          // crossJoin(broadcast(1-row vocabulary size))
       "ret_hybrid_topk",        // both arms' bounded 1-row broadcasts (bm25 stats + cosine probe)
       "event_rfm",              // crossJoin(broadcast(1-row ref ts + 1-row quantile bounds))
-      "sketch_union_ndv"        // crossJoin(broadcast(1-row merged HLL sketch estimate))
+      "sketch_union_ndv",       // crossJoin(broadcast(1-row merged HLL sketch estimate))
+      "sketch_inter_ndv"        // inclusion-exclusion: every cross side a 1-row agg/estimate
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =

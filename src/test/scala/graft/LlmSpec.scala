@@ -789,6 +789,27 @@ class LlmSpec extends SparkSpec {
     assert(big.getAs[Boolean]("union_ndv_ok"))
   }
 
+  test("intersectionNdvAudit: inclusion-exclusion exact at sparse cardinality, inside absolute band at scale") {
+    val a = (1 to 30).map(i => s"v$i").toDF("x")
+    val b = (21 to 50).map(i => s"v$i").toDF("x")
+    val small = Sketch.intersectionNdvAudit("x")(a, b).collect().head
+    assert(small.getAs[Long]("exact_inter_ndv") == 10L)
+    assert(small.getAs[Boolean]("inter_ndv_ok"))
+
+    val bigA = spark.range(20000).selectExpr("concat('k', id) AS x")
+    val bigB = spark.range(10000, 30000).selectExpr("concat('k', id) AS x")
+    val big = Sketch.intersectionNdvAudit("x")(bigA, bigB).collect().head
+    assert(big.getAs[Long]("exact_inter_ndv") == 10000L)
+    assert(big.getAs[Boolean]("inter_ndv_ok"))
+
+    // disjoint sides: exact 0; the absolute band must still hold
+    val da = (1 to 500).map(i => s"a$i").toDF("x")
+    val db = (1 to 500).map(i => s"b$i").toDF("x")
+    val dis = Sketch.intersectionNdvAudit("x")(da, db).collect().head
+    assert(dis.getAs[Long]("exact_inter_ndv") == 0L)
+    assert(dis.getAs[Boolean]("inter_ndv_ok"))
+  }
+
   test("heavyHittersAudit: exact top-N with deterministic ties, CMS inside envelope, nulls skipped") {
     val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
       Seq.fill(30)("bravo") ++ Seq.fill(5)("gamma") ++ (1 to 40).map(i => s"rare$i")

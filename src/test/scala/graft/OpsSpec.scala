@@ -588,6 +588,23 @@ class OpsSpec extends SparkSpec {
     assert(r == Map("g1" -> (("b", 2L)), "g2" -> (("a", 2L)), "g3" -> (("z", 1L))))
   }
 
+  test("groupedCorrelation: exact factors on hand-computed data; constant column reports var 0") {
+    import graft.ops.Trend
+    // key a: y = 2x exactly -> cov_num² == var_x·var_y (|corr| = 1, positive)
+    // key b: y constant -> var_y = 0 (undefined, reported not divided)
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 1L, 5L), ("b", 2L, 5L), ("b", 9L, 5L)
+    ).toDF("k", "x", "y")
+    val r = Trend.groupedCorrelation("k", "x", "y")(df)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val (n, cov, vx, vy) = r("a")
+    assert(n == 3L && cov > 0 && cov * cov == vx * vy)
+    // var_x = 3·(1+4+81) − 12² = 114; constant y zeroes cov and var_y
+    assert(r("b") == ((3L, 0L, 114L, 0L)))
+  }
+
   test("topPaths: ordered prefix truncation, tie-break, minSupport filter") {
     import graft.ops.Funnel
     val ev = Seq(
