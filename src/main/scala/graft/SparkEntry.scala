@@ -595,6 +595,18 @@ object SparkEntry {
         graft.ops.Scd.scd2History(Seq("o_custkey"), "o_orderdate", Seq("priority"))(
           t(s, d, "orders").groupBy(col("o_custkey"), col("o_orderdate"))
             .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))))),
+    // forward-fill (LOCF): a sparse observation stream (priority /
+    // status observed on only a deterministic subset of orders)
+    // gap-filled per customer in (date, key) order; pure value-carry
+    // with zero arithmetic, so every filled row hash-matches the
+    // oracle's IGNORE NULLS running window
+    "ffill_locf" -> ((s, d) =>
+      graft.ops.Scd.forwardFill(Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), Seq("priority", "status"))(
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderpriority")).as("priority"),
+          when(col("o_orderkey") % 5 === 0, col("o_orderstatus")).as("status")))),
     // categorical mode per month, smallest-value tie-break (a total
     // engine-portable order; "undefined on ties" doesn't replay)
     "a7_group_mode" -> ((s, d) =>
@@ -2541,6 +2553,18 @@ object SparkEntry {
         |SELECT * FROM hist
         |WHERE valid_from <= TIMESTAMP '1995-06-01'
         |  AND (valid_to IS NULL OR TIMESTAMP '1995-06-01' < valid_to)""".stripMargin,
+    "ffill_locf" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS priority,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus END AS status
+        |  FROM orders)
+        |SELECT o_custkey, o_orderdate, o_orderkey,
+        |       last_value(priority IGNORE NULLS) OVER w AS priority,
+        |       last_value(status IGNORE NULLS) OVER w AS status
+        |FROM obs
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "a7_group_mode" ->
       """WITH counts AS (
         |  SELECT date_trunc('month', o_orderdate) AS month,

@@ -74,4 +74,35 @@ object Scd {
   def asOfSnapshot(at: Column)(history: DataFrame): DataFrame =
     history.where(col("valid_from") <= at &&
       (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Forward-fill (last observation carried forward): replace each
+    * NULL in `attrCols` with the latest preceding non-null value
+    * within the key's (orderCols) order — the standard gap-fill for
+    * sparsely-reported state (a sensor reports on change; every
+    * reading between reports means "still the last value"), and the
+    * row-level complement of [[scd2History]] (the history compresses
+    * state; ffill decompresses it onto an event stream). Leading
+    * NULLs (no observation yet) stay NULL. Deterministic when
+    * `orderCols` is a total order per key (append a unique tie
+    * column, as everywhere in this family).
+    *
+    * Scale shape: one window per attribute, all declaring the SAME
+    * (key) distribution and (orderCols) ordering — one shuffle, one
+    * sort, shared by every fill (`last(..., ignoreNulls)` over an
+    * unbounded-preceding row frame is a running O(1) accumulator,
+    * not a re-scan per row).
+    */
+  def forwardFill(
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      attrCols: Seq[String])(df: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && attrCols.nonEmpty,
+      "forwardFill needs key, order, and attribute columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    attrCols.foldLeft(df) { (acc, a) =>
+      acc.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+  }
 }

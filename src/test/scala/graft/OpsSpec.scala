@@ -574,6 +574,32 @@ class OpsSpec extends SparkSpec {
     assert(at(9) == Map("a" -> "B", "b" -> "Y"))
   }
 
+  test("forwardFill: carries last non-null per key, leading nulls stay, one shared shuffle") {
+    import graft.ops.Scd
+    val df = Seq[(String, Int, Option[String], Option[Int])](
+      ("a", 1, None, Some(10)),  // leading null v must stay null
+      ("a", 2, Some("X"), None), // w fills from 10
+      ("a", 3, None, None),      // both fill: X / 10
+      ("a", 4, Some("Y"), Some(20)),
+      ("b", 1, None, None)       // no observation ever -> stays null
+    ).toDF("k", "t", "v", "w")
+    val r = Scd.forwardFill(Seq("k"), Seq("t"), Seq("v", "w"))(df)
+    val got = r.collect().map(x => (x.getString(0), x.getInt(1),
+      Option(x.getString(2)),
+      if (x.isNullAt(3)) None else Some(x.getInt(3)))).toSet
+    assert(got == Set(
+      ("a", 1, None, Some(10)), ("a", 2, Some("X"), Some(10)),
+      ("a", 3, Some("X"), Some(10)), ("a", 4, Some("Y"), Some(20)),
+      ("b", 1, None, None)))
+    // both attribute fills declare the same window: CollapseWindow
+    // merges them into ONE Window node -> one shuffle + one sort
+    val windows = r.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length == 1, r.queryExecution.optimizedPlan.toString)
+    assert(windows.head.windowExpressions.length == 2)
+  }
+
   test("groupMode: mode per key, smallest-value tie-break, nulls never the mode") {
     import graft.ops.Profile
     val df = Seq(
