@@ -182,5 +182,14 @@ object Bench {
     val total = timings.map { case (_, v) => median(v) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    // A round with broken queries must not land with rc=0 (round 9 did:
+    // 10 event-family errors, rc 0). The JSON line above is already on
+    // stdout — the driver still gets full timings — but the process
+    // exit code now machine-readably says "this bench had failures".
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.length} queries failed: " +
+        errors.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

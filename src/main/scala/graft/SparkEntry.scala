@@ -73,15 +73,30 @@ object SparkEntry {
   private val doubledDocsSql =
     "(SELECT * FROM documents UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)"
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads
-    * with the legacy nanosAsLong conf. Scope the conf to a derived
-    * session (shared SparkContext, own SQLConf) so a query never
-    * mutates the caller's session state.
+  /** events.parquet's `ts` column has shipped in two physical forms
+    * across testdata generations: TIMESTAMP(NANOS) (readable only as a
+    * nanos `long` via the legacy nanosAsLong conf) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). Normalize both to the
+    * same logical column — nanos-since-epoch as `long` — so every
+    * downstream query's `ts div 1000` arithmetic is generation-proof.
+    * For the micros form, `unix_micros * 1000` is exact (INT64 parquet
+    * timestamps are read value-as-is, no timezone math — matching
+    * DuckDB's `epoch_us` on the same file, which the oracles use).
+    * inferTimestampNTZ is disabled so the naive-micros form resolves
+    * to TimestampType (raw micros) rather than session-TZ-dependent
+    * NTZ casts. Confs are scoped to a derived session (shared
+    * SparkContext, own SQLConf) so a query never mutates the caller's
+    * session state.
     */
   private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s2.read.parquet(s"$dir/events.parquet")
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = s2.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** IVF coarse quantizer, memoized per (data dir, listing digest):

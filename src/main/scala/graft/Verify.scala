@@ -32,6 +32,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A throwing query must read RED in the gate, not silently
+        // vanish from the artifact (round 9 lost the whole event
+        // family this way): dump a sentinel whose schema can never
+        // match the oracle, mirroring the dynamic-oracle sentinel
+        // below.
+        try {
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+          spark.sql(s"SELECT '${msg.replace("'", "''")}' AS __query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel dump failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
