@@ -34,7 +34,9 @@ object Bench {
     "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty",
     "event_outliers", "er_groups", "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
-    "scd2_history", "profile_day_islands")
+    "scd2_history", "profile_day_islands",
+    "epoch_shuffle", "select_token_budget", "span_clean_stats",
+    "dedup_near_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

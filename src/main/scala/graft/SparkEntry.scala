@@ -1007,6 +1007,39 @@ object SparkEntry {
         defaultRate = 0.125, shards = 16)(
         t(s, d, "documents").select("doc_id", "source"))
         .select("doc_id", "source", "shard", "rank_in_source", "vt")),
+    // deterministic per-epoch reshuffle schedule (two-phase ranked,
+    // range-sharded on the order key — exact global hash order)
+    "epoch_shuffle" -> ((s, d) =>
+      graft.llm.Packing.epochShuffle("doc_id", epochs = 2, shards = 16)(
+        t(s, d, "documents").select("doc_id"))),
+    // quality-ranked token-budget selection: keep each source's best
+    // 500 tokens by type-token ratio (bin-wholesale + exact boundary
+    // == the oracle's per-document prefix rule)
+    "select_token_budget" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      graft.llm.Selection.tokenBudgetSelect(
+        "doc_id", "ttr", "n_tokens", "source", budget = 500L)(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+          size(toks).cast("int").as("n_tokens")))
+    }),
+    // exact-substring span cutting: merged removal spans over
+    // corpus-duplicated 30-char grams (Lee et al. ExactSubstr's cut
+    // list; dedup_kgram_coverage is the score-only audit)
+    "span_repeat_spans" -> ((s, d) =>
+      graft.llm.Dedup.kgramDupSpans(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    "span_clean_stats" -> ((s, d) =>
+      graft.llm.Dedup.spanCleanStats(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    // near-dedup keeping each cluster's best-quality doc (ttr score)
+    // instead of its lowest id — the production keep policy
+    "dedup_near_keep_best" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      graft.llm.Dedup.nearDedupKeepBest(
+        t(s, d, "documents").select(col("doc_id"), col("text"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")),
+        "doc_id", "text", "ttr", threshold = 0.5)
+        .select("doc_id", "ttr")
+    }),
     // weighted top-k via priority sampling (w/u, one IEEE division —
     // engine-exact, unlike exponential-keys' libm pow/ln)
     "sample_priority_topk" -> ((s, d) =>
@@ -2042,6 +2075,112 @@ object SparkEntry {
         |                 WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
         |                 ELSE CAST(0.125 AS DOUBLE) END) AS vt
         |FROM r""".stripMargin,
+    // per-epoch reshuffle: the oracle is the naive per-epoch global
+    // row_number the two-phase Spark plan provably equals
+    "epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, e.epoch,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |      CAST(e.epoch AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+        |SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, order_key,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY order_key, doc_id) AS BIGINT) AS "rank"
+        |FROM k""".stripMargin,
+    // token-budget selection: the oracle is the per-document prefix
+    // rule (score DESC, id) the bin-wholesale Spark plan equals
+    "select_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ttr, n_tokens,
+        |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+        |      ORDER BY ttr DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q)
+        |SELECT doc_id, source, ttr, n_tokens FROM c WHERE cum <= 500""".stripMargin,
+    // merged duplicated-span cut list: same positions vocabulary as
+    // dedup_kgram_coverage, islands by running-max-end
+    "span_repeat_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |s AS (SELECT doc_id, pos,
+        |        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS span_id
+        |      FROM i)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(pos) AS span_start, max(pos) + 29 AS span_end,
+        |  max(pos) + 29 - min(pos) + 1 AS span_len
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "span_clean_stats" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |sp AS (SELECT doc_id, span_id, max(pos) + 29 - min(pos) + 1 AS span_len
+        |       FROM (SELECT doc_id, pos,
+        |               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS span_id
+        |             FROM i)
+        |       GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(SUM(span_len) AS BIGINT) AS chars_flagged
+        |        FROM sp GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.chars_flagged, 0) AS chars_flagged,
+        |  CAST(CAST(length(d.text) AS BIGINT) - COALESCE(a.chars_flagged, 0) AS DOUBLE)
+        |    / CAST(length(d.text) AS BIGINT) AS clean_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // keep-best-quality near-dedup: connected components at 0.5
+    // jaccard, representative = (ttr DESC, doc_id) head per cluster
+    "dedup_near_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |q AS (SELECT doc_id, CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr FROM toks),
+        |ranked AS (SELECT c.doc_id,
+        |             row_number() OVER (PARTITION BY c.cluster_id
+        |               ORDER BY q.ttr DESC, c.doc_id) AS rn
+        |           FROM cl c JOIN q USING (doc_id))
+        |SELECT q.doc_id, q.ttr FROM q
+        |WHERE q.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin,
     "sample_priority_topk" ->
       """SELECT doc_id, n_tokens, CAST(n_tokens AS DOUBLE) / u AS priority
         |FROM (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -361,6 +362,39 @@ object Dedup {
     labels
   }
 
+  /** Near-dedup keeping each cluster's BEST document by a quality
+    * score instead of its lowest id — the production policy (near-dup
+    * groups usually contain one clean original and N degraded
+    * variants; keep-lowest-id keeps whichever was ingested first).
+    * Clusters come from [[nearDupClusters]] (so transitive chains
+    * collapse in one pass); the representative is the cluster's
+    * (score DESC, id ASC) head, deterministic under score ties.
+    * Documents in no confirmed pair survive untouched.
+    *
+    * Scale shape: everything downstream of the LSH pipeline operates
+    * on the PAIRED documents only (near-dups are a small fraction of
+    * a deduplicated-upstream corpus); the per-cluster pick is one
+    * window over cluster ids — bounded-width keys, never bodies.
+    */
+  def nearDedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold)
+    val clusters = nearDupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val drop = clusters
+      .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ===== exact substring spans (character k-grams) =====
 
   /** Character k-gram positions: one row per (id, 1-based pos,
@@ -424,6 +458,72 @@ object Dedup {
         count(lit(1)).as("n_grams"),
         count(col("__dup")).as("dup_grams"))
       .withColumn("dup_frac", col("dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /** Merged per-document removal spans over the duplicated k-gram
+    * positions — the CUTTING stage of exact-substring dedup (Lee et
+    * al. 2022's ExactSubstr removes the flagged spans;
+    * [[kgramDupCoverage]] only scores them). A flagged position p
+    * covers characters [p, p+k-1]; overlapping-or-adjacent covered
+    * intervals merge into one span (classic gaps-and-islands: a new
+    * island starts where a position exceeds the running max end + 1).
+    * Output: one row per (id, span_id, span_start, span_end,
+    * span_len), 1-based inclusive character offsets — the instruction
+    * list a span cutter (or [[spanCleanStats]]) consumes.
+    *
+    * Scale shape: positions → gram-frequency group-by → semi-join back
+    * (all keyed on the 8-byte gram hash, same budget as
+    * [[kgramDupCoverage]]), then ONE window per document over only the
+    * FLAGGED positions (duplicated text, typically a small fraction of
+    * the corpus) — never over the full position list.
+    */
+  def kgramDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      minDocs: Int = 2): DataFrame = {
+    val pos = kgramPositions(idCol, textCol, k)(df)
+    val dup = duplicatedGrams(pos, idCol, minDocs)
+    val flagged = pos.join(dup, Seq("gram_hash"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L)
+        .otherwise(0L))
+      .withColumn("span_id",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(
+        min("pos").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+  }
+
+  /** Per-document summary of [[kgramDupSpans]]: how much of each
+    * document the cutter would remove. Documents with no flagged span
+    * report zero (left join back to the corpus), so the frame is a
+    * complete per-document audit — `clean_frac` is the surviving
+    * fraction after span removal.
+    */
+  def spanCleanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      minDocs: Int = 2): DataFrame = {
+    val spans = kgramDupSpans(df, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum("span_len").as("chars_flagged"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(spans, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_spans", "chars_flagged"))
+      .withColumn("clean_frac",
+        (col("n_chars") - col("chars_flagged")).cast("double") / col("n_chars"))
   }
 
   /** Distinct document pairs sharing at least one verbatim k-gram,

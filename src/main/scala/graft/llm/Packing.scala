@@ -137,6 +137,60 @@ object Packing {
       .drop("local_rank", "shard_offset")
   }
 
+  /** Deterministic per-epoch reshuffle schedule — the data-ORDER
+    * counterpart of [[Sampling.withHashSplit]]'s membership
+    * determinism. Multi-epoch training re-reads the corpus in a
+    * different order each epoch; doing it with an RNG makes run
+    * resumption and batch-level reproduction impossible, so loaders
+    * derive the order from a hash of (document, epoch): same corpus +
+    * same epoch → bit-identical order, different epochs → independent
+    * orders.
+    *
+    * `order_key` is the 60-bit md5 prefix of `"id:epoch"`
+    * ([[Sampling.hashKey]]) and `rank` is the document's position in
+    * ascending `order_key` within its epoch — i.e.
+    * `row_number() OVER (PARTITION BY epoch ORDER BY order_key, id)`,
+    * which is exactly what the DuckDB oracle replays.
+    *
+    * Scale shape: that row_number is a PER-EPOCH GLOBAL SORT if
+    * computed naively. Instead the key space is RANGE-sharded on the
+    * order key itself (`shards` must be a power of two so the shard
+    * boundary is an exact binary split of 2^60): ascending
+    * (shard, order_key) equals ascending order_key globally, so
+    * phase-1 ranks within (epoch, shard) after one hash exchange and
+    * phase-2 adds per-shard start offsets from a broadcast
+    * `epochs x shards` count table — the [[mixtureSchedule]] two-phase
+    * trick, here made EXACTLY order-preserving by deriving the shard
+    * from the sort key. md5 is uniform, so range shards are balanced
+    * (no skew caveat).
+    */
+  def epochShuffle(
+      idCol: String,
+      epochs: Int,
+      shards: Int = 16)(df: DataFrame): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    require(shards > 0 && (shards & (shards - 1)) == 0 && shards <= (1 << 30),
+      s"shards must be a power of two, got $shards")
+    val shardWidth = (1L << 60) / shards
+    val keyed = df
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("order_key",
+        Sampling.hashKey(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+      .withColumn("shard", expr(s"order_key div ${shardWidth}L"))
+    val localW = Window.partitionBy("epoch", "shard")
+      .orderBy(col("order_key"), col(idCol))
+    val ranked = keyed.withColumn("local_rank", row_number().over(localW).cast("long"))
+    val offW = Window.partitionBy("epoch").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("epoch", "shard").count()
+      .withColumn("shard_offset", coalesce(sum("count").over(offW), lit(0L)))
+      .drop("count")
+    ranked.join(broadcast(offsets), Seq("epoch", "shard"))
+      .withColumn("rank", col("shard_offset") + col("local_rank"))
+      .drop("local_rank", "shard_offset", "shard")
+  }
+
   /** Length-bucket histogram for batch-shape planning: how many
     * documents and tokens fall in each power-of-two-ish length band.
     * Deciding sequence-length buckets (a padding-efficiency

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality-ranked token-budget corpus selection — "keep the best
+  * `budget` tokens of every source", the step that turns scored and
+  * deduplicated documents into the corpus a training run actually
+  * reads. The reference pipeline ends at flat standardized tables
+  * (`/root/reference/Athena_DynamoDB_Normalized.py:30-81`); this is
+  * the data-selection extension on top, the greedy quality-prefix rule
+  * used by quality-filtered corpus builds: order each group's
+  * documents by score descending and keep the prefix whose cumulative
+  * token count fits the budget.
+  *
+  * Semantics (what the DuckDB oracle replays literally): within each
+  * group, order by (score DESC, id ASC) and keep every document whose
+  * INCLUSIVE running token sum is <= budget. Greedy prefix, not
+  * knapsack — a later shorter document is not pulled forward past the
+  * first overflow, matching how production selectors behave
+  * (deterministic, stable under appends of lower-scored docs).
+  *
+  * Scale shape (what the Spark plan actually does): the naive form is
+  * one window per group ordered by score — a PER-GROUP GLOBAL SORT,
+  * which at 100 TB puts each source's whole corpus through a single
+  * partition. Instead the selection is resolved at SCORE-BIN
+  * granularity first: quantize the score into `bins` buckets,
+  * aggregate token sums per (group, bin) — a partial-aggregated
+  * exchange carrying `groups x bins` rows — and decide each bin
+  * wholesale with a prefix sum over that tiny table. Only the single
+  * boundary bin per group (the bin the budget lands inside) needs
+  * per-document ordering, and that window runs on just the boundary
+  * bin's slice. Because the bin is a monotone function of the score,
+  * bin-wholesale + exact-boundary equals the per-document prefix rule
+  * exactly — the oracle pins that equivalence every round.
+  */
+object Selection {
+
+  /** Keep each group's highest-scored prefix under a token budget.
+    * `scoreCol` must be in [0, 1] (a quality score); `bins` sets the
+    * boundary-resolution granularity (the boundary bin's slice is the
+    * only per-document-sorted work, so more bins = thinner slice).
+    * Output: the kept rows of `df`, original columns only.
+    */
+  def tokenBudgetSelect(
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      groupCol: String,
+      budget: Long,
+      bins: Int = 1000)(df: DataFrame): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(bins > 0, s"bins must be positive, got $bins")
+    // floor(score * bins) is monotone in score, so ordering by
+    // (bin DESC, score DESC, id) == (score DESC, id): deciding whole
+    // bins against the budget is exactly the per-document prefix rule
+    val binned = df.withColumn("__bin",
+      floor(col(scoreCol).cast("double") * bins).cast("long"))
+    val perBin = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col(tokensCol).cast("long")).as("__bin_tokens"))
+    // tokens in strictly higher-scored bins (exclusive prefix over the
+    // groups x bins table — single tiny exchange)
+    val wBins = Window.partitionBy(groupCol).orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val decided = perBin
+      .withColumn("__above", coalesce(sum("__bin_tokens").over(wBins), lit(0L)))
+      .withColumn("__keep_all", col("__above") + col("__bin_tokens") <= budget)
+      .withColumn("__boundary",
+        !col("__keep_all") && col("__above") < budget)
+      .select(col(groupCol), col("__bin"), col("__above"),
+        col("__keep_all"), col("__boundary"))
+    val joined = binned.join(broadcast(decided), Seq(groupCol, "__bin"))
+    val keepWhole = joined.where(col("__keep_all"))
+    // boundary bin: per-document prefix, offset by the higher bins'
+    // total — the window's input is one bin's rows per group, not the
+    // group's corpus
+    val wDocs = Window.partitionBy(groupCol, "__bin")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keepBoundary = joined.where(col("__boundary"))
+      .withColumn("__cum", col("__above") + sum(col(tokensCol).cast("long")).over(wDocs))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+    keepWhole.unionByName(keepBoundary)
+      .drop("__bin", "__above", "__keep_all", "__boundary")
+  }
+}

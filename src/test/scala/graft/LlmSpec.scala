@@ -148,6 +148,73 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  // ===== duplicated-span cutting =====
+
+  // 40-char shared substrings with disjoint alphabets; padding chars
+  // appear in neither, so the only cross-doc 30-grams are inside the
+  // planted occurrences
+  private val sharedA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"
+  private val sharedB = "OPQRSTUVWXYZ0123456789!@#$%^&*()-=_+[]{}"
+  private val spanDocs = Seq(
+    (1L, ",,,,,,,,,," + sharedA + ";;;;;;;;;;"),
+    (2L, "::::::::::" + sharedA + "||||||||||"),
+    (3L, sharedB + ".........." + sharedB),
+    (4L, "''''''''''" + sharedB + "~~~~~~~~~~"),
+    (5L, "tiny"),
+    (6L, sharedA + sharedB)
+  ).toDF("doc_id", "text")
+
+  test("kgramDupSpans merges flagged positions into exact removal spans") {
+    val spans = Dedup.kgramDupSpans(spanDocs, "doc_id", "text", k = 30)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_len")))
+      .toSet
+    assert(spans == Set(
+      (1L, 11, 50, 40), (2L, 11, 50, 40),         // one planted span each
+      (3L, 1, 40, 40), (3L, 51, 90, 40),          // 10-char gap → two islands
+      (4L, 11, 50, 40),
+      (6L, 1, 80, 80)))                           // adjacent regions merge
+  }
+
+  test("spanCleanStats zero-fills clean docs and accounts flagged chars exactly") {
+    val stats = Dedup.spanCleanStats(spanDocs, "doc_id", "text", k = 30)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("chars_flagged"),
+          r.getAs[Double]("clean_frac"))))
+      .toMap
+    assert(stats(5L) == ((0L, 0L, 1.0)))          // <k chars: no grams, fully clean
+    assert(stats(3L) == ((2L, 80L, 10.0 / 90.0)))
+    assert(stats(6L) == ((1L, 80L, 0.0)))
+    assert(stats(1L)._2 == 40L)
+    assert(stats.size == 6)                        // every doc reported
+  }
+
+  test("kgramDupSpans windows only the flagged positions behind a semi-join") {
+    val plan = planOf(Dedup.kgramDupSpans(spanDocs, "doc_id", "text", k = 30))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("nearDedupKeepBest keeps the cluster's best-scored doc, ties to lowest id") {
+    val scored = docs.withColumn("score",
+      expr("case doc_id when 1 then 0.2 when 2 then 0.9 when 4 then 0.5 else 0.1 end"))
+    val best = Dedup.nearDedupKeepBest(scored, "doc_id", "text", "score", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,4}: doc 2 has the top score; 3 and 5 are singletons
+    assert(best == Set(2L, 3L, 5L))
+    // keep-lowest policy would keep 1 — the policies genuinely differ
+    val lowest = Dedup.nearDedup(docs, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lowest == Set(1L, 3L, 5L))
+    // score ties break to the lowest id
+    val tied = Dedup.nearDedupKeepBest(
+      docs.withColumn("score", lit(0.5)), "doc_id", "text", "score", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 3L, 5L))
+  }
+
   test("simhash: exact dups distance 0; near-dups close; unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -162,4 +162,43 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Packing.packSequences("doc_id", "n_tokens", 0)(docs))
     intercept[IllegalArgumentException](Packing.packSequences("doc_id", "n_tokens", 64, 0)(docs))
   }
+
+  test("epochShuffle two-phase rank equals the per-epoch global row_number") {
+    val r = Packing.epochShuffle("doc_id", epochs = 2, shards = 8)(docs.select("doc_id"))
+      .collect()
+      .map(x => (x.getAs[Int]("epoch"), x.getAs[Long]("doc_id"),
+        x.getAs[Long]("order_key"), x.getAs[Long]("rank")))
+    assert(r.length == 400) // 200 docs x 2 epochs
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      // reference: rank ascending (order_key, doc_id) within the epoch
+      val expected = rows.sortBy(x => (x._3, x._2)).zipWithIndex
+        .map { case (x, i) => x._2 -> (i + 1L) }.toMap
+      rows.foreach(x => assert(x._4 == expected(x._2), s"epoch ${x._1} doc ${x._2}"))
+      assert(rows.map(_._4).sorted.toSeq == (1L to 200L)) // a permutation
+    }
+  }
+
+  test("epochShuffle orders are epoch-independent and repartition-invariant") {
+    val byEpoch = Packing.epochShuffle("doc_id", epochs = 2, shards = 4)(docs.select("doc_id"))
+      .collect()
+      .map(x => (x.getAs[Int]("epoch"), x.getAs[Long]("doc_id"), x.getAs[Long]("rank")))
+      .groupBy(_._1).map { case (e, rows) => e -> rows.sortBy(_._3).map(_._2).toSeq }
+    assert(byEpoch(0) != byEpoch(1)) // different epochs → different orders
+    val a = Packing.epochShuffle("doc_id", 2, 4)(docs.select("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val b = Packing.epochShuffle("doc_id", 2, 4)(docs.select("doc_id").repartition(13))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("epochShuffle windows within (epoch, shard) and broadcast-joins offsets — no global sort") {
+    val plan = planOf(Packing.epochShuffle("doc_id", 2, 8)(docs.select("doc_id")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("windowspecdefinition\\(epoch#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("epochShuffle rejects non-power-of-two shards and non-positive epochs") {
+    intercept[IllegalArgumentException](Packing.epochShuffle("doc_id", 2, 3)(docs))
+    intercept[IllegalArgumentException](Packing.epochShuffle("doc_id", 0)(docs))
+  }
 }

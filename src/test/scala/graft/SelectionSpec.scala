@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Selection
+
+/** Token-budget selection: the bin-wholesale + exact-boundary plan
+  * must equal the per-document prefix rule exactly (the equivalence
+  * the DuckDB oracle pins at the gate), including when the budget
+  * lands mid-bin among distinct scores sharing a bin.
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // scores engineered so bins=100 collapses several distinct scores
+  // into one bin (0.50x → bin 50) and the budget boundary lands there
+  private val corpus = Seq(
+    // (id, group, score, tokens)
+    (1L, "a", 0.901, 40), (2L, "a", 0.850, 40), (3L, "a", 0.509, 40),
+    (4L, "a", 0.505, 40), (5L, "a", 0.502, 40), (6L, "a", 0.101, 40),
+    (7L, "b", 0.700, 60), (8L, "b", 0.700, 60), (9L, "b", 0.300, 60)
+  ).toDF("id", "grp", "score", "n_tokens")
+
+  private def naivePrefix(budget: Long): Set[Long] = {
+    // the oracle rule: per group, order (score DESC, id), keep while
+    // inclusive cumsum <= budget
+    corpus.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"),
+        r.getAs[Double]("score"), r.getAs[Int]("n_tokens")))
+      .groupBy(_._2).values.flatMap { rows =>
+        var cum = 0L
+        rows.sortBy(r => (-r._3, r._1)).takeWhile { r =>
+          cum += r._4; cum <= budget
+        }
+      }.map(_._1).toSet
+  }
+
+  private def selected(budget: Long, bins: Int): Set[Long] =
+    Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", budget, bins)(corpus)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("bin-wholesale selection equals the per-document prefix rule at every budget") {
+    // sweep budgets across whole-bin keeps, mid-bin boundaries (the
+    // 0.50x trio shares bin 50 at bins=100), and exhaustion
+    for (budget <- Seq(39L, 40L, 80L, 120L, 160L, 200L, 240L, 60L, 100L, 1000L))
+      assert(selected(budget, bins = 100) == naivePrefix(budget),
+        s"budget=$budget")
+  }
+
+  test("selection is invariant to bin granularity") {
+    for (bins <- Seq(10, 100, 1000, 100000); budget <- Seq(120L, 160L))
+      assert(selected(budget, bins) == naivePrefix(budget), s"bins=$bins budget=$budget")
+  }
+
+  test("budget below the best document empties the group; budget >= total keeps all") {
+    assert(selected(10L, 100) == Set.empty)
+    assert(selected(100000L, 100) == (1L to 9L).toSet)
+  }
+
+  test("the per-document window runs on the boundary slice behind a broadcast of bin decisions") {
+    val plan = Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 120L)(corpus)
+      .queryExecution.executedPlan.toString
+    // bin decisions join back via broadcast (groups x bins rows), and
+    // nothing in the plan is a cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rejects non-positive budget and bins") {
+    intercept[IllegalArgumentException] {
+      Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 0L)(corpus)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 10L, bins = 0)(corpus)
+    }
+  }
+}
