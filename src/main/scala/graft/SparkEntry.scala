@@ -1007,6 +1007,32 @@ object SparkEntry {
         defaultRate = 0.125, shards = 16)(
         t(s, d, "documents").select("doc_id", "source"))
         .select("doc_id", "source", "shard", "rank_in_source", "vt")),
+    // ===== data-quality rule engine (ops/DataQuality.scala) =====
+    // rules arrive as config ROWS (the reference's worksheet idiom)
+    // and evaluate in ONE scan regardless of rule count
+    "dq_summary" -> ((s, d) => {
+      import s.implicits._
+      val rules = graft.ops.DataQuality.rulesFromConfig(Seq(
+        ("nn_orderkey", "NOT_NULL", "l_orderkey", null, null),
+        ("qty_bounds", "BOUNDS", "l_quantity", "1", "30"),
+        ("disc_bounds", "BOUNDS", "l_discount", "0", "0.05"),
+        ("flag_set", "IN_SET", "l_returnflag", "A|N", null)
+      ).toDF("rule_name", "rule_type", "column", "param1", "param2"))
+      graft.ops.DataQuality.summary(t(s, d, "lineitem"), rules)
+    }),
+    "dq_row_flags" -> ((s, d) => {
+      import s.implicits._
+      val rules = graft.ops.DataQuality.rulesFromConfig(Seq(
+        ("qty_bounds", "BOUNDS", "l_quantity", "1", "30"),
+        ("disc_bounds", "BOUNDS", "l_discount", "0", "0.05"),
+        ("flag_set", "IN_SET", "l_returnflag", "A|N", null)
+      ).toDF("rule_name", "rule_type", "column", "param1", "param2"))
+      graft.ops.DataQuality.rowFlags(t(s, d, "lineitem"), rules,
+        Seq("l_orderkey", "l_linenumber"))
+    }),
+    "dq_ref_coverage" -> ((s, d) =>
+      graft.ops.DataQuality.refCoverage(
+        eventsNanos(s, d), "user_id", t(s, d, "customer"), "c_custkey")),
     // deterministic per-epoch reshuffle schedule (two-phase ranked,
     // range-sharded on the order key — exact global hash order)
     "epoch_shuffle" -> ((s, d) =>
@@ -2075,6 +2101,49 @@ object SparkEntry {
         |                 WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
         |                 ELSE CAST(0.125 AS DOUBLE) END) AS vt
         |FROM r""".stripMargin,
+    // data-quality summary: per-rule violation counts over one scan;
+    // null semantics — NOT_NULL counts nulls, other kinds skip them
+    "dq_summary" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT 'nn_orderkey' AS rule_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NULL) AS n_violations,
+        |  n.n_rows, (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AS pass FROM n
+        |UNION ALL
+        |SELECT 'qty_bounds',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)),
+        |  n.n_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) = 0 FROM n
+        |UNION ALL
+        |SELECT 'disc_bounds',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05)),
+        |  n.n_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05)) = 0 FROM n
+        |UNION ALL
+        |SELECT 'flag_set',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')),
+        |  n.n_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')) = 0 FROM n""".stripMargin,
+    "dq_row_flags" ->
+      """SELECT l_orderkey, l_linenumber, 'qty_bounds' AS rule_name FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc_bounds' FROM lineitem
+        |WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05)
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'flag_set' FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')""".stripMargin,
+    "dq_ref_coverage" ->
+      """SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM events e
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT) AS n_orphans,
+        |  (SELECT count(*) FROM events e
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) = 0 AS pass""".stripMargin,
     // per-epoch reshuffle: the oracle is the naive per-epoch global
     // row_number the two-phase Spark plan provably equals
     "epoch_shuffle" ->

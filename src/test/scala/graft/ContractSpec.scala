@@ -55,7 +55,8 @@ class ContractSpec extends SparkSpec {
       "ret_hybrid_topk",        // both arms' bounded 1-row broadcasts (bm25 stats + cosine probe)
       "event_rfm",              // crossJoin(broadcast(1-row ref ts + 1-row quantile bounds))
       "sketch_union_ndv",       // crossJoin(broadcast(1-row merged HLL sketch estimate))
-      "sketch_inter_ndv"        // inclusion-exclusion: every cross side a 1-row agg/estimate
+      "sketch_inter_ndv",       // inclusion-exclusion: every cross side a 1-row agg/estimate
+      "dq_ref_coverage"         // crossJoin(broadcast(1-row orphan count))
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
