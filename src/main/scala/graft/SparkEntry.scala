@@ -1007,6 +1007,19 @@ object SparkEntry {
         defaultRate = 0.125, shards = 16)(
         t(s, d, "documents").select("doc_id", "source"))
         .select("doc_id", "source", "shard", "rank_in_source", "vt")),
+    // incremental view maintenance: per-key mergeable state from two
+    // disjoint time slices, merged + finalized — the oracle is the
+    // direct recompute over all events the merge must equal
+    "ivm_event_stats" -> ((s, d) => {
+      val ev = eventsNanos(s, d).withColumn("value_cents",
+        expr("cast(floor(value*100+0.5) as bigint)"))
+      val cutoff = 1705276800000000000L // 2024-01-15T00:00Z as epoch nanos
+      val a = graft.ops.Ivm.state(Seq("event_type"), "value_cents")(
+        ev.where(col("ts") < cutoff))
+      val b = graft.ops.Ivm.state(Seq("event_type"), "value_cents")(
+        ev.where(col("ts") >= cutoff))
+      graft.ops.Ivm.finalized(graft.ops.Ivm.merge(Seq("event_type"))(a, b))
+    }),
     // ===== data-quality rule engine (ops/DataQuality.scala) =====
     // rules arrive as config ROWS (the reference's worksheet idiom)
     // and evaluate in ONE scan regardless of rule count
@@ -2101,6 +2114,17 @@ object SparkEntry {
         |                 WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
         |                 ELSE CAST(0.125 AS DOUBLE) END) AS vt
         |FROM r""".stripMargin,
+    // IVM merge must equal the direct recompute (integer-cent sums →
+    // re-association is exact)
+    "ivm_event_stats" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(v) AS BIGINT) AS n_vals,
+        |  CAST(sum(v) AS BIGINT) AS sum_val,
+        |  min(v) AS min_val, max(v) AS max_val,
+        |  CASE WHEN count(v) > 0 THEN CAST(sum(v) AS DOUBLE) / count(v) END AS mean_val
+        |FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events)
+        |GROUP BY 1""".stripMargin,
     // data-quality summary: per-rule violation counts over one scan;
     // null semantics — NOT_NULL counts nulls, other kinds skip them
     "dq_summary" ->

@@ -80,6 +80,38 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming data-quality gate: evaluate a declarative rule set
+    * ([[graft.ops.DataQuality]]) over a CSV drop stream and append
+    * the violating (key, rule) rows to a quarantine-audit sink.
+    * [[graft.ops.DataQuality.rowFlags]] is a pure row map (zero
+    * shuffles), so it lifts onto the unbounded frame unchanged — no
+    * foreachBatch, no state, exactly-once via the checkpointed file
+    * sink; streaming == batch parity is spec-pinned (StreamingSpec).
+    * The operational shape: violations land in the audit store as
+    * data arrives, instead of a nightly full-scan audit discovering
+    * them a day late.
+    */
+  def dqViolationsStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      rules: Seq[graft.ops.DataQuality.Rule],
+      keyCols: Seq[String],
+      outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16)
+      .csv(watchDir)
+    graft.ops.DataQuality.rowFlags(raw, rules, keyCols)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * late data beyond the watermark is dropped, state is bounded.
     */

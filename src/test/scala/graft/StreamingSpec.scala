@@ -41,6 +41,32 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.contains("view_id")) // ingestion metadata survived
   }
 
+  test("streaming DQ gate == batch rowFlags over the same drops; violators only") {
+    import graft.ops.DataQuality
+    val watch = Files.createTempDirectory("graft_dqwatch").toString
+    val out = Files.createTempDirectory("graft_dqout").toString
+    val ckpt = Files.createTempDirectory("graft_dqckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, qty DOUBLE, status STRING")
+    val rules = Seq(
+      DataQuality.BoundsRule("qty_range", "qty", 0.0, 20.0),
+      DataQuality.InSetRule("status_ok", "status", Seq("OK")))
+    Files.writeString(java.nio.file.Paths.get(watch, "d1.csv"),
+      "id,qty,status\n1,5,OK\n2,50,OK\n3,,BAD\n")
+    Files.writeString(java.nio.file.Paths.get(watch, "d2.csv"),
+      "id,qty,status\n4,-1,OK\n5,10,OK\n")
+    runToCompletion(
+      StreamingIngest.dqViolationsStream(spark, watch, schema, rules, Seq("id"), out, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("rule_name"))).toSet
+    val batch = DataQuality.rowFlags(
+      spark.read.schema(schema).option("header", "true").csv(watch), rules, Seq("id"))
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("rule_name"))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((2, "qty_range"), (3, "status_ok"), (4, "qty_range")))
+  }
+
   test("streaming upsert sink == batch write+upsert; replay-idempotent per key") {
     val watch = Files.createTempDirectory("graft_uwatch").toString
     val store = Files.createTempDirectory("graft_ustore").toString
