@@ -112,6 +112,35 @@ object DataQuality {
       explode(filter(flags, f => f.isNotNull)).as("rule_name"): _*)
   }
 
+  final case class ColumnStatus(
+      column: String, status: String, expected: String, actual: String)
+
+  /** Schema-contract audit: diff the frame's actual schema against a
+    * declared (column, simpleString type) contract — the check that
+    * catches a widened int, a silently-dropped column, or an
+    * unannounced extra BEFORE a downstream pipeline mis-reads data.
+    * Pure metadata (no job runs); statuses: ok / type_mismatch /
+    * missing (declared, absent) / extra (present, undeclared).
+    * Contract order is preserved, extras follow in frame order.
+    */
+  def checkSchema(df: DataFrame, expected: Seq[(String, String)]): Seq[ColumnStatus] = {
+    require(expected.nonEmpty, "empty schema contract")
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val declared = expected.map(_._1).toSet
+    val checked = expected.map { case (name, tpe) =>
+      actual.get(name) match {
+        case None => ColumnStatus(name, "missing", tpe, "")
+        case Some(a) if a == tpe => ColumnStatus(name, "ok", tpe, a)
+        case Some(a) => ColumnStatus(name, "type_mismatch", tpe, a)
+      }
+    }
+    val extras = df.schema.collect {
+      case f if !declared.contains(f.name) =>
+        ColumnStatus(f.name, "extra", "", f.dataType.simpleString)
+    }
+    checked ++ extras
+  }
+
   /** Referential-coverage audit as one row:
     * (n_rows, n_orphans, pass) — child rows whose key has no match in
     * the parent. One keyed left-anti join against the parent's

@@ -94,6 +94,17 @@ class DataQualitySpec extends SparkSpec {
     assert(e2.getMessage.contains("param2 required"))
   }
 
+  test("checkSchema diffs the contract: ok / type_mismatch / missing / extra") {
+    val statuses = DataQuality.checkSchema(rows, Seq(
+      "id" -> "bigint", "qty" -> "int", "absent" -> "string"))
+    assert(statuses == Seq(
+      ColumnStatus("id", "ok", "bigint", "bigint"),
+      ColumnStatus("qty", "type_mismatch", "int", "double"),
+      ColumnStatus("absent", "missing", "string", ""),
+      ColumnStatus("status", "extra", "", "string"),
+      ColumnStatus("code", "extra", "", "string")))
+  }
+
   test("duplicate rule names and empty rule sets are rejected") {
     intercept[IllegalArgumentException](DataQuality.summary(rows, Seq.empty))
     intercept[IllegalArgumentException](DataQuality.summary(rows,
