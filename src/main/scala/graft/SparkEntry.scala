@@ -1069,6 +1069,10 @@ object SparkEntry {
       graft.llm.Dedup.kgramDupSpans(t(s, d, "documents"), "doc_id", "text", k = 30)),
     "span_clean_stats" -> ((s, d) =>
       graft.llm.Dedup.spanCleanStats(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    // the cut itself: training copy with duplicated spans removed
+    "span_cut_text" -> ((s, d) =>
+      graft.llm.Dedup.cutSpans(t(s, d, "documents"), "doc_id", "text", k = 30)
+        .select("doc_id", "clean_text")),
     // near-dedup keeping each cluster's best-quality doc (ttr score)
     // instead of its lowest id — the production keep policy
     "dedup_near_keep_best" -> ((s, d) => {
@@ -2219,6 +2223,39 @@ object SparkEntry {
         |  min(pos) AS span_start, max(pos) + 29 AS span_end,
         |  max(pos) + 29 - min(pos) + 1 AS span_len
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // the cut replayed character-wise: every position not covered by
+    // a merged span survives, in order (string_agg skips the NULLed
+    // covered chars); fully-covered docs coalesce to ''
+    "span_cut_text" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 29 AS e
+        |       FROM (SELECT doc_id, pos,
+        |               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS span_id
+        |             FROM i)
+        |       GROUP BY 1, 2),
+        |ch AS (SELECT d.doc_id, CAST(g.i AS INTEGER) AS i, substr(d.text, g.i, 1) AS c
+        |       FROM documents d,
+        |            LATERAL (SELECT unnest(generate_series(1, len(d.text))) AS i) g),
+        |cov AS (SELECT ch.doc_id, ch.i, ch.c,
+        |          EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = ch.doc_id
+        |                  AND ch.i BETWEEN sp.s AND sp.e) AS cut
+        |        FROM ch)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN cut THEN NULL ELSE c END, '' ORDER BY i), '') AS clean_text
+        |FROM cov GROUP BY doc_id""".stripMargin,
     "span_clean_stats" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram

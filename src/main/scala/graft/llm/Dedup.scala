@@ -502,6 +502,48 @@ object Dedup {
       .withColumn("span_len", col("span_end") - col("span_start") + 1)
   }
 
+  /** Apply [[kgramDupSpans]]'s cut list: reconstruct each document
+    * with its duplicated spans REMOVED — the final ExactSubstr verb
+    * (Lee et al. cut the spans from the training copy; the original
+    * store is untouched). The spans are merged and sorted, so removal
+    * is one left-to-right fold: keep `(last_end, span_start)` gaps,
+    * then the tail. The fold is a `functions.aggregate` higher-order
+    * expression over the doc's own (few, merged) spans — per-row
+    * compute, no UDF; a document with no flagged span passes through
+    * unchanged, one fully covered becomes the empty string.
+    *
+    * Scale shape: the spans side aggregates to (doc, sorted span
+    * array) — flagged docs only, array length = merged span count —
+    * and joins back on the id; text moves exactly once (through the
+    * join), never as a shuffle key.
+    */
+  def cutSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      minDocs: Int = 2): DataFrame = {
+    val spans = kgramDupSpans(df, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start"), col("span_end")))).as("__spans"))
+    val text = col(textCol)
+    val folded = aggregate(
+      col("__spans"),
+      struct(lit(0).as("last"), lit("").as("acc")),
+      (st, sp) => struct(
+        sp.getField("span_end").as("last"),
+        concat(st.getField("acc"),
+          text.substr(st.getField("last") + 1,
+            sp.getField("span_start") - st.getField("last") - 1)).as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("last") + 1,
+          length(text) - st.getField("last"))))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("clean_text", when(col("__spans").isNull, text).otherwise(folded))
+      .drop("__spans")
+  }
+
   /** Per-document summary of [[kgramDupSpans]]: how much of each
     * document the cutter would remove. Documents with no flagged span
     * report zero (left join back to the corpus), so the frame is a

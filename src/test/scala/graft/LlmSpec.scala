@@ -191,6 +191,26 @@ class LlmSpec extends SparkSpec {
     assert(stats.size == 6)                        // every doc reported
   }
 
+  test("cutSpans removes exactly the merged spans; clean docs pass through") {
+    val cut = Dedup.cutSpans(spanDocs, "doc_id", "text", k = 30)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(cut(1L) == ",,,,,,,,,," + ";;;;;;;;;;")   // planted middle excised
+    assert(cut(2L) == "::::::::::" + "||||||||||")
+    assert(cut(3L) == "..........")                  // both occurrences cut
+    assert(cut(4L) == "''''''''''" + "~~~~~~~~~~")
+    assert(cut(5L) == "tiny")                        // untouched, via the left join
+    assert(cut(6L) == "")                            // fully covered → empty
+    // invariant: clean length == n_chars - chars_flagged for every doc
+    val stats = Dedup.spanCleanStats(spanDocs, "doc_id", "text", k = 30)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("chars_flagged")))).toMap
+    cut.foreach { case (id, txt) =>
+      assert(txt.length == stats(id)._1 - stats(id)._2, s"doc $id")
+    }
+  }
+
   test("kgramDupSpans windows only the flagged positions behind a semi-join") {
     val plan = planOf(Dedup.kgramDupSpans(spanDocs, "doc_id", "text", k = 30))
     assert(plan.contains("LeftSemi"), plan)
