@@ -1062,6 +1062,21 @@ object SparkEntry {
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
           size(toks).cast("int").as("n_tokens")))
     }),
+    // cross-domain score calibration: exact per-source percent_rank
+    // via bin-decomposed two-phase ranking (no per-source global sort)
+    "score_calibrate" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      graft.llm.Selection.calibrateScore("doc_id", "ttr", "source")(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")))
+    }),
+    // per-type IQR winsorization of event values (integer cents +
+    // binary-exact fractions → engine-exact interpolation)
+    "winsorize_events" -> ((s, d) =>
+      graft.ops.Profile.winsorize("event_type", "value_cents")(
+        eventsNanos(s, d)
+          .withColumn("value_cents", expr("cast(floor(value*100+0.5) as bigint)"))
+          .select("event_id", "event_type", "value_cents"))),
     // exact-substring span cutting: merged removal spans over
     // corpus-duplicated 30-char grams (Lee et al. ExactSubstr's cut
     // list; dedup_kgram_coverage is the score-only audit)
@@ -2223,6 +2238,29 @@ object SparkEntry {
         |  min(pos) AS span_start, max(pos) + 29 AS span_end,
         |  max(pos) + 29 - min(pos) + 1 AS span_len
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // calibration oracle: the single-window percent_rank the
+    // two-phase plan provably equals
+    "score_calibrate" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM documents)
+        |SELECT doc_id, source, ttr,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY ttr) AS score_pct
+        |FROM q""".stripMargin,
+    "winsorize_events" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    quantile_cont(value_cents, 0.25) AS lo,
+        |    quantile_cont(value_cents, 0.75) AS hi
+        |  FROM c WHERE value_cents IS NOT NULL GROUP BY 1)
+        |SELECT c.event_id, c.event_type, c.value_cents,
+        |  CASE WHEN c.value_cents IS NULL THEN NULL
+        |       ELSE least(greatest(CAST(c.value_cents AS DOUBLE), b.lo), b.hi) END AS value_cents_w
+        |FROM c LEFT JOIN b USING (event_type)""".stripMargin,
     // the cut replayed character-wise: every position not covered by
     // a merged span survives, in order (string_agg skips the NULLed
     // covered chars); fully-covered docs coalesce to ''

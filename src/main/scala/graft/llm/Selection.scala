@@ -85,4 +85,51 @@ object Selection {
     keepWhole.unionByName(keepBoundary)
       .drop("__bin", "__above", "__keep_all", "__boundary")
   }
+
+  /** Cross-domain score calibration: each document's score becomes
+    * its exact percentile rank WITHIN its group —
+    * `percent_rank() OVER (PARTITION BY group ORDER BY score)`, the
+    * standard fix for mixing quality scores across heterogeneous
+    * sources (a 0.6 from a clean source and a 0.6 from a noisy one
+    * mean different things; their percentiles are comparable).
+    *
+    * Same no-per-group-global-sort discipline as
+    * [[tokenBudgetSelect]]: the rank decomposes over score bins —
+    * `rank = (# docs in lower bins) + rank-within-bin` — because the
+    * bin is monotone in the score. The groups×bins count table
+    * carries the lower-bin prefix sums and group totals (broadcast
+    * back); the per-document `rank()` window runs within
+    * (group, bin) slices, ties (same score ⇒ same bin) resolve
+    * identically to the global window. Equality with the one-window
+    * form is spec-pinned and oracle-replayed.
+    */
+  def calibrateScore(
+      idCol: String,
+      scoreCol: String,
+      groupCol: String,
+      outCol: String = "score_pct",
+      bins: Int = 1000)(df: DataFrame): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val binned = df.withColumn("__bin",
+      floor(col(scoreCol).cast("double") * bins).cast("long"))
+    val counts = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__bin_n"))
+    val wBelow = Window.partitionBy(groupCol).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("__below", coalesce(sum("__bin_n").over(wBelow), lit(0L)))
+      .withColumn("__n", sum("__bin_n").over(wTotal))
+      .drop("__bin_n")
+    val wBin = Window.partitionBy(groupCol, "__bin")
+      .orderBy(col(scoreCol))
+    binned.join(broadcast(offsets), Seq(groupCol, "__bin"))
+      .withColumn("__rank", col("__below") + rank().over(wBin).cast("long"))
+      .withColumn(outCol,
+        when(col("__n") > 1L,
+          (col("__rank") - 1L).cast("double") / (col("__n") - 1L).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__bin", "__below", "__n", "__rank")
+  }
 }

@@ -105,6 +105,42 @@ object Profile {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-key winsorization (robust-statistics trimming): clip each
+    * value to its key's [pLo, pHi] exact percentile band — the
+    * standard defense before means/sums that a single corrupt reading
+    * would otherwise drag (the complement of an outlier REPORT: this
+    * keeps the row, bounded). Percentiles interpolate linearly
+    * (matching `quantile_cont`); the bounds table is key-cardinality-
+    * sized and broadcast back, the clip a per-row `least/greatest` —
+    * one aggregation pass plus a map, no window over the data.
+    *
+    * Exactness note (the oracle contract): run it on integer-valued
+    * columns (cents, counts) with binary-exact fractions (0.25/0.75)
+    * and the interpolation arithmetic is exact in ANY engine —
+    * fractional values or non-binary fractions leave the result one
+    * ulp from another engine's formula order.
+    */
+  def winsorize(
+      keyCol: String,
+      valueCol: String,
+      pLo: Double = 0.25,
+      pHi: Double = 0.75)(df: DataFrame): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val bounds = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        expr(s"percentile(`$valueCol`, $pLo)").as("__lo"),
+        expr(s"percentile(`$valueCol`, $pHi)").as("__hi"))
+    // explicit null-in → null-out: Spark's greatest/least SKIP nulls
+    // (a null value would silently become the lower bound) and engines
+    // disagree on null propagation here — never lean on that quirk
+    df.join(broadcast(bounds), Seq(keyCol), "left")
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Gaps-and-islands day-coverage audit: per key, the contiguous
     * runs of calendar days with at least one observation — the
     * data-completeness report ("source X went dark May 3–7") a

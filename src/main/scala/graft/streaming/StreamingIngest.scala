@@ -112,6 +112,79 @@ object StreamingIngest {
       .format("parquet")
   }
 
+  /** Streaming incremental-view maintenance: fold each micro-batch
+    * into a persistent [[graft.ops.Ivm]] state store — the standing
+    * rollup refreshes as data arrives, reading state + delta, never
+    * history. The merge is NOT naturally idempotent (re-merging a
+    * replayed batch double-counts, unlike [[upsertStream]]'s
+    * overwrite), and foreachBatch is at-least-once on retry — so the
+    * commit is batch-id-gated: the staged state directory carries a
+    * `_ivm_batch` marker written BEFORE the atomic swap-in (underscore
+    * files are invisible to the parquet reader), and a batch whose id
+    * is already recorded is skipped. Marker and data commit in one
+    * rename — a crash between them is impossible, which upgrades
+    * at-least-once delivery to exactly-once state. Same stage-and-swap
+    * discipline as [[NestedStore.compact]], including stage-out
+    * rollback.
+    */
+  def ivmStateStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val raw = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16)
+      .csv(watchDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val state = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = state.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val marker = new org.apache.hadoop.fs.Path(stateDir, "_ivm_batch")
+          val committed = fs.exists(marker) && {
+            val in = fs.open(marker)
+            val id = try new String(
+              in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+            id >= batchId
+          }
+          if (!committed) {
+            val delta = graft.ops.Ivm.state(keys, valueCol)(batch)
+            val merged =
+              if (fs.exists(state))
+                graft.ops.Ivm.merge(keys)(s.read.parquet(stateDir), delta)
+              else delta
+            val tmp = new org.apache.hadoop.fs.Path(stateDir + "__staging")
+            val old = new org.apache.hadoop.fs.Path(stateDir + "__prev")
+            fs.delete(tmp, true); fs.delete(old, true)
+            merged.write.mode("overwrite").parquet(tmp.toString)
+            val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_ivm_batch"), true)
+            try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            val hadState = fs.exists(state)
+            if (hadState)
+              require(fs.rename(state, old), s"ivmStateStream: could not stage out $stateDir")
+            if (!fs.rename(tmp, state)) {
+              val restored = !hadState || fs.rename(old, state)
+              throw new IllegalStateException(
+                s"ivmStateStream: could not swap in $tmp" +
+                  (if (restored) s" (previous state restored at $stateDir)"
+                   else s" (STATE MISSING at $stateDir — manual repair from $old)"))
+            }
+            fs.delete(old, true)
+            ()
+          }
+        }
+      }
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * late data beyond the watermark is dropped, state is bounded.
     */

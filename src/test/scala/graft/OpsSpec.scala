@@ -659,6 +659,29 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(-500L -> 2L, 0L -> 2L, 500L -> 1L))
   }
 
+  test("winsorize clips to exact per-key percentile bounds; nulls and keys survive") {
+    import graft.ops.Profile
+    // key k: values 0,10,20,30,40 → p25=10, p75=30; key m: single value
+    val df = Seq(
+      ("k", Some(0L)), ("k", Some(10L)), ("k", Some(20L)), ("k", Some(30L)),
+      ("k", Some(40L)), ("k", None), ("m", Some(7L))
+    ).toDF("g", "v")
+    val r = Profile.winsorize("g", "v")(df)
+      .collect().map(x => (x.getAs[String]("g"), Option(x.getAs[Any]("v")),
+        Option(x.getAs[Any]("v_w")))).toSet
+    assert(r == Set(
+      ("k", Some(0L), Some(10.0)), ("k", Some(10L), Some(10.0)),
+      ("k", Some(20L), Some(20.0)), ("k", Some(30L), Some(30.0)),
+      ("k", Some(40L), Some(30.0)), ("k", None, None),
+      ("m", Some(7L), Some(7.0))))
+    // interpolated bounds: 1,2,3,4 → p25 = 1.75 exactly (binary fraction)
+    val interp = Profile.winsorize("g", "v")(
+      Seq(("k", 1L), ("k", 2L), ("k", 3L), ("k", 4L)).toDF("g", "v"))
+      .where(col("v") === 1L).collect().head.getAs[Double]("v_w")
+    assert(interp == 1.75)
+    intercept[IllegalArgumentException](Profile.winsorize("g", "v", 0.8, 0.2)(df))
+  }
+
   test("dayIslands: contiguous runs split on gaps; duplicate observations collapse") {
     import graft.ops.Profile
     val df = Seq(

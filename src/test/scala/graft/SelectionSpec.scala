@@ -66,6 +66,33 @@ class SelectionSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("calibrateScore equals the single-window percent_rank, ties included") {
+    // scores with in-bin ties and cross-bin spread at bins=100
+    val scored = Seq(
+      (1L, "a", 0.505), (2L, "a", 0.505), (3L, "a", 0.509), (4L, "a", 0.901),
+      (5L, "a", 0.101), (6L, "b", 0.700), (7L, "b", 0.700), (8L, "b", 0.300),
+      (9L, "c", 0.5) // singleton group → 0.0
+    ).toDF("id", "grp", "score")
+    val twoPhase = Selection.calibrateScore("id", "score", "grp", bins = 100)(scored)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score_pct")).toMap
+    val oneWindow = scored.withColumn("score_pct",
+      org.apache.spark.sql.functions.percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("score")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score_pct")).toMap
+    assert(twoPhase == oneWindow)
+    assert(twoPhase(1L) == twoPhase(2L))        // ties share a percentile
+    assert(twoPhase(9L) == 0.0)                 // singleton
+    assert(twoPhase(4L) == 1.0)                 // group max
+  }
+
+  test("calibrateScore windows within (group, bin) behind broadcast offsets") {
+    val scored = corpus.withColumnRenamed("n_tokens", "nt")
+    val plan = Selection.calibrateScore("id", "score", "grp")(scored)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("windowspecdefinition\\(grp#\\d+, __bin#\\d+".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("rejects non-positive budget and bins") {
     intercept[IllegalArgumentException] {
       Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 0L)(corpus)

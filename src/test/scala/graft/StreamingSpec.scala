@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((2, "qty_range"), (3, "status_ok"), (4, "qty_range")))
   }
 
+  test("streaming IVM state == direct recompute across micro-batches; replay is id-gated") {
+    import graft.ops.Ivm
+    val watch = Files.createTempDirectory("graft_ivmwatch").toString
+    val state = Files.createTempDirectory("graft_ivmstate").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_ivmckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k STRING, v BIGINT")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Ivm.finalized(df).collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_vals"),
+          Option(r.get(r.fieldIndex("sum_val"))))).toSet
+    Files.writeString(java.nio.file.Paths.get(watch, "b1.csv"), "k,v\na,10\na,20\nb,5\n")
+    runToCompletion(
+      StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    Files.writeString(java.nio.file.Paths.get(watch, "b2.csv"), "k,v\na,\nb,7\nc,42\n")
+    runToCompletion(
+      StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    val direct = Ivm.state(Seq("k"), "v")(
+      spark.read.schema(schema).option("header", "true").csv(watch))
+    assert(canon(spark.read.parquet(state)) == canon(direct))
+    // replay protection: a fresh checkpoint re-offers the same files
+    // as an already-recorded batch id — the marker gate skips it and
+    // the state is byte-identical instead of double-counted
+    val ckpt2 = Files.createTempDirectory("graft_ivmckpt2").toString
+    runToCompletion(
+      StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt2)
+        .trigger(Trigger.AvailableNow()).start())
+    assert(canon(spark.read.parquet(state)) == canon(direct))
+  }
+
   test("streaming upsert sink == batch write+upsert; replay-idempotent per key") {
     val watch = Files.createTempDirectory("graft_uwatch").toString
     val store = Files.createTempDirectory("graft_ustore").toString
