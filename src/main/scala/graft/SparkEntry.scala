@@ -1062,6 +1062,16 @@ object SparkEntry {
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
           size(toks).cast("int").as("n_tokens")))
     }),
+    // collocation mining: adjacent-pair lift (exp-PMI) top-k, exact
+    // integer factors + one IEEE division — no logs needed to rank
+    "colloc_lift_topk" -> ((s, d) =>
+      graft.llm.TextAnalysis.collocationTopK("text", k = 20, minPair = 3)(
+        t(s, d, "documents"))),
+    // provenance view of exact-substring dedup: which source pairs
+    // share verbatim 30-grams, rolled up from the doc-pair view
+    "overlap_source_matrix" -> ((s, d) =>
+      graft.llm.Dedup.crossSourceOverlap(
+        t(s, d, "documents"), "doc_id", "text", "source", k = 30)),
     // cross-domain score calibration: exact per-source percent_rank
     // via bin-decomposed two-phase ranking (no per-source global sort)
     "score_calibrate" -> ((s, d) => {
@@ -2238,6 +2248,40 @@ object SparkEntry {
         |  min(pos) AS span_start, max(pos) + 29 AS span_end,
         |  max(pos) + 29 - min(pos) + 1 AS span_len
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "colloc_lift_topk" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+        |  WHERE len(t) >= 2),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM tk)
+        |SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2, tot.n_tokens,
+        |  CAST(p.n_pair * tot.n_tokens AS DOUBLE) / (u1.n_w * u2.n_w) AS lift
+        |FROM pc p
+        |JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2, tot
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    "overlap_source_matrix" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) i),
+        |dp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_doc_pairs,
+        |       CAST(sum(dp.n_shared) AS BIGINT) AS n_shared_grams
+        |FROM dp
+        |JOIN documents da ON da.doc_id = dp.id_a
+        |JOIN documents db ON db.doc_id = dp.id_b
+        |GROUP BY 1, 2""".stripMargin,
     // calibration oracle: the single-window percent_rank the
     // two-phase plan provably equals
     "score_calibrate" ->

@@ -598,6 +598,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Cross-source contamination matrix: roll [[kgramDupPairs]] up to
+    * UNORDERED source pairs — which corpus slices share verbatim text,
+    * and how much. The provenance view of exact-substring dedup: a
+    * hot (web, books) cell says one slice was scraped into the other,
+    * a hot diagonal says a source self-duplicates. Same gram-keyed
+    * join budget as the pair view; the rollup adds one
+    * sources²-bounded aggregation.
+    */
+  def crossSourceOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      k: Int = 30,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val pairs = kgramDupPairs(df, idCol, textCol, k, maxDocFreq)
+      .join(df.select(col(idCol).as("id_a"), col(sourceCol).as("__sa")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(sourceCol).as("__sb")), Seq("id_b"))
+    pairs
+      .groupBy(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(
+        count(lit(1)).as("n_doc_pairs"),
+        sum("n_shared_grams").as("n_shared_grams"))
+  }
+
   // ===== SimHash =====
 
   /** 64-bit SimHash fingerprint of the token stream. Bit j is set when

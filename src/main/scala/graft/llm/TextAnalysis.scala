@@ -234,6 +234,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k collocations by LIFT — adjacent token pairs that co-occur
+    * far above chance (`n_pair·N / (n_w1·n_w2)`, the exp of PMI).
+    * Collocation tables drive tokenizer-vocabulary and phrase-mining
+    * decisions the same way [[bpePairCounts]] drives merges; lift
+    * ranks the SURPRISE of a pair where raw pair counts rank its
+    * frequency. `minPair` prunes hapax pairs (lift is unstable at
+    * count 1 — the classic PMI low-frequency artifact).
+    *
+    * Engine-exact by construction: all four factors are exact longs
+    * and `lift` is ONE IEEE division — no logs (the fixed-point-log
+    * discipline of [[LangModel]] isn't needed when ranking, because
+    * log is monotone: lift order == PMI order). Ties break on the
+    * pair text.
+    *
+    * Scale shape: two linear explode passes (pairs, unigrams) with
+    * map-side partial counts; the unigram table joins back keyed on
+    * the word; the corpus total is a 1-row broadcast (SUMEQ shape);
+    * top-k is TakeOrderedAndProject — the pair distribution never
+    * globally sorts.
+    */
+  def collocationTopK(
+      textCol: String,
+      k: Int = 20,
+      minPair: Long = 2)(df: DataFrame): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tk = col("__tk")
+    // Project boundary first — the bpePairCounts lambda re-eval trap
+    val toks = df.select(tokens(col(textCol)).as("__tk"))
+    val pairsArr = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairCounts = toks.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPair)
+    val uni = toks.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = toks.agg(sum(size(tk)).as("n_tokens"))
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_pair") * col("n_tokens")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_tokens", "lift")
+  }
+
   /** Overlapping fixed-width character chunks — retrieval-index prep
     * (every RAG corpus build slices documents into windows with
     * overlap so answers spanning a boundary survive). Pure per-row

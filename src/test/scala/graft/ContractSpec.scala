@@ -56,7 +56,8 @@ class ContractSpec extends SparkSpec {
       "event_rfm",              // crossJoin(broadcast(1-row ref ts + 1-row quantile bounds))
       "sketch_union_ndv",       // crossJoin(broadcast(1-row merged HLL sketch estimate))
       "sketch_inter_ndv",       // inclusion-exclusion: every cross side a 1-row agg/estimate
-      "dq_ref_coverage"         // crossJoin(broadcast(1-row orphan count))
+      "dq_ref_coverage",        // crossJoin(broadcast(1-row orphan count))
+      "colloc_lift_topk"        // crossJoin(broadcast(1-row corpus token total))
     )
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =

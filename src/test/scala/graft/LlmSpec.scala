@@ -217,6 +217,42 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("collocationTopK ranks the surprising pair above the merely frequent one") {
+    // "rare gem" always co-occurs (lift high); "the cat"/"the dog"
+    // frequent but 'the' pairs with everything (lift low)
+    val colloc = Seq(
+      (1L, "the cat saw the dog and the cat ran"),
+      (2L, "rare gem the cat the dog"),
+      (3L, "rare gem and the dog the cat"),
+      (4L, "rare gem")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.collocationTopK("text", k = 5, minPair = 2)(colloc)
+      .collect().map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        r.getAs[Long]("n_pair"), r.getAs[Double]("lift")))
+    assert(top.head._1 == (("rare", "gem")))
+    assert(top.head._2 == 3L)
+    // exact factors: lift("rare gem") = 3*N/(3*3) = N/3; N = 9+6+7+2
+    assert(top.head._3 == 24.0 / 3)
+    // every 'the *' pair ranks below the planted collocation
+    assert(top.tail.forall(_._3 < top.head._3))
+  }
+
+  test("crossSourceOverlap rolls doc pairs up to unordered source cells") {
+    val shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijkl" // 38 chars > k=30
+    val srcDocs = Seq(
+      (1L, "s1", shared + ",,,,,,,,"),
+      (2L, "s2", shared + ";;;;;;;;"),
+      (3L, "s2", shared + "::::::::"),
+      (4L, "s3", "completely unrelated text with no dup")
+    ).toDF("doc_id", "source", "text")
+    val m = Dedup.crossSourceOverlap(srcDocs, "doc_id", "text", "source", k = 30)
+      .collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        r.getAs[Long]("n_doc_pairs"))).toMap
+    // pairs: (1,2) s1-s2, (1,3) s1-s2, (2,3) s2-s2 (diagonal)
+    assert(m == Map(("s1", "s2") -> 2L, ("s2", "s2") -> 1L))
+  }
+
   test("nearDedupKeepBest keeps the cluster's best-scored doc, ties to lowest id") {
     val scored = docs.withColumn("score",
       expr("case doc_id when 1 then 0.2 when 2 then 0.9 when 4 then 0.5 else 0.1 end"))
