@@ -182,6 +182,8 @@ object ArrayFns {
       BloomMightContain.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_cms_estimate",
       CmsEstimate.fromExprs, "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_hashes",
+      exprs => GramHashes(exprs(0), exprs(1)), "built-in")
   }
 
   /** Fused native dot product — [[register]] the session first;

@@ -414,11 +414,14 @@ object Dedup {
     */
   def kgramPositions(idCol: String, textCol: String, k: Int)(df: DataFrame): DataFrame = {
     require(k >= 2, s"k-gram length must be >= 2, got $k")
-    val n = length(col(textCol)) - (k - 1)
-    // sequence(1, n) with n < 1 would DESCEND; guard to an empty array
-    val hashes = when(n >= 1,
-      transform(sequence(lit(1), n), i => xxhash64(col(textCol).substr(i, lit(k)))))
-      .otherwise(array().cast("array<bigint>"))
+    graft.functions.ArrayFns.register(df.sparkSession)
+    // one O(n) rolling pass per document (graft_gram_hashes) instead
+    // of the O(n·k) transform(sequence, i -> xxhash64(substr)) form —
+    // hash values are Spark-internal (oracles compare gram strings),
+    // only cross-doc equality matters; empty array for docs shorter
+    // than k, so the explode emits nothing (the old guard's contract)
+    val hashes = org.apache.spark.sql.functions.call_function(
+      "graft_gram_hashes", col(textCol), lit(k))
     df.select(col(idCol), posexplode(hashes).as(Seq("pos", "gram_hash")))
       .withColumn("pos", col("pos") + 1)
   }

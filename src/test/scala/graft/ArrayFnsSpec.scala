@@ -10,6 +10,26 @@ class ArrayFnsSpec extends SparkSpec {
 
   private def registered() = { ArrayFns.register(spark); spark }
 
+  test("graft_gram_hashes: rolling == direct polynomial; shared substrings collide exactly") {
+    registered()
+    def hashes(s: String, k: Int): Seq[Long] =
+      Seq(Tuple1(s)).toDF("t")
+        .select(call_function("graft_gram_hashes", col("t"), lit(k)).as("h"))
+        .collect().head.getSeq[Long](0)
+    // direct polynomial reference (wrapping long arithmetic)
+    assert(hashes("abcdef", 3) ==
+      Seq(97000680001266L, 98000687001279L, 99000694001292L, 100000701001305L))
+    assert(hashes("ab", 3).isEmpty)         // shorter than k → empty, not error
+    // the property the dedup family rests on: equal substrings hash
+    // equal at ANY position (position-independent by construction)
+    val h1 = hashes("xxHELLOWORLDyy", 5)
+    val h2 = hashes("qqqHELLOWORLDzz", 5)
+    assert((2 until 8).map(h1) == (3 until 9).map(h2))
+    // code-point alignment (substr semantics), not byte alignment
+    assert(hashes("déjàvu", 3).length == 4)
+    assert(hashes("déjàvu", 3).take(2) == Seq(100000833001705L, 233001504002639L))
+  }
+
   test("native dot/cosine match the composed zip_with form bit-exactly") {
     registered()
     val df = Seq(
