@@ -1062,6 +1062,15 @@ object SparkEntry {
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
           size(toks).cast("int").as("n_tokens")))
     }),
+    // versioned store: publish v1 (subset) then v2 (full), read v1
+    // back — time travel after a newer write; oracle reconstructs v1
+    "s13_versioned_read" -> ((s, d) => {
+      val dir = cleanedTempDir("graft_versioned_")
+      val docs = t(s, d, "documents")
+      graft.io.Versioned.writeVersion(docs.where(col("doc_id") < 250), dir)
+      graft.io.Versioned.writeVersion(docs, dir)
+      graft.io.Versioned.readVersion(s, dir, 1L)
+    }),
     // collocation mining: adjacent-pair lift (exp-PMI) top-k, exact
     // integer factors + one IEEE division — no logs needed to rank
     "colloc_lift_topk" -> ((s, d) =>
@@ -2248,6 +2257,8 @@ object SparkEntry {
         |  min(pos) AS span_start, max(pos) + 29 AS span_end,
         |  max(pos) + 29 - min(pos) + 1 AS span_len
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "s13_versioned_read" ->
+      "SELECT * FROM documents WHERE doc_id < 250",
     "colloc_lift_topk" ->
       """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
         |pairs AS (

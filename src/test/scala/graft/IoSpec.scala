@@ -316,6 +316,35 @@ class IoSpec extends SparkSpec {
     assert(back.columns.contains("view_id"))
   }
 
+  test("versioned store: publish, time travel, marker isolation from orphans, vacuum") {
+    import graft.io.Versioned
+    val dir = Files.createTempDirectory("graft_versioned").toString + "/tbl"
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    assert(Versioned.latestVersion(spark, dir).isEmpty)
+    assert(Versioned.writeVersion(a, dir) == 1L)
+    assert(Versioned.writeVersion(b, dir) == 2L)
+    assert(Versioned.latestVersion(spark, dir).contains(2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(Versioned.readLatest(spark, dir)) == rows(b))
+    assert(rows(Versioned.readVersion(spark, dir, 1L)) == rows(a)) // time travel
+    // crashed-write debris: an orphan v=5 the marker never saw —
+    // readers unaffected, next write skips past it
+    Files.createDirectories(java.nio.file.Paths.get(dir, "v=5"))
+    assert(rows(Versioned.readLatest(spark, dir)) == rows(b))
+    assert(Versioned.writeVersion(a, dir) == 6L)
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L, 5L, 6L))
+    assert(Versioned.published(spark, dir) == Seq(1L, 2L, 6L)) // orphan never published
+    // vacuum keeps the latest 2 published versions; older history AND
+    // the orphan are swept, manifest rewritten to the survivors
+    assert(Versioned.vacuum(spark, dir, keepLast = 2) == Seq(1L, 5L))
+    assert(Versioned.versions(spark, dir) == Seq(2L, 6L))
+    assert(Versioned.published(spark, dir) == Seq(2L, 6L))
+    assert(rows(Versioned.readLatest(spark, dir)) == rows(a))
+    assert(rows(Versioned.readVersion(spark, dir, 2L)) == rows(b))
+  }
+
   test("config reader parses sheets, decision tables, and the study") {
     val study = ConfigReader.readStudy(spark, "/root/repo/fixtures/study_demo")
     assert(study.studyCode == "S001")
