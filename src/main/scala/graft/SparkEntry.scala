@@ -1043,6 +1043,16 @@ object SparkEntry {
       graft.ops.DataQuality.rowFlags(t(s, d, "lineitem"), rules,
         Seq("l_orderkey", "l_linenumber"))
     }),
+    "dq_clean_rows" -> ((s, d) => {
+      import s.implicits._
+      val rules = graft.ops.DataQuality.rulesFromConfig(Seq(
+        ("qty_bounds", "BOUNDS", "l_quantity", "1", "30"),
+        ("disc_bounds", "BOUNDS", "l_discount", "0", "0.05"),
+        ("flag_set", "IN_SET", "l_returnflag", "A|N", null)
+      ).toDF("rule_name", "rule_type", "column", "param1", "param2"))
+      graft.ops.DataQuality.cleanRows(t(s, d, "lineitem"), rules)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+    }),
     "dq_ref_coverage" -> ((s, d) =>
       graft.ops.DataQuality.refCoverage(
         eventsNanos(s, d), "user_id", t(s, d, "customer"), "c_custkey")),
@@ -2200,6 +2210,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'flag_set' FROM lineitem
         |WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')""".stripMargin,
+    "dq_clean_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE NOT ((l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30))
+        |        OR (l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05))
+        |        OR (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')))""".stripMargin,
     "dq_ref_coverage" ->
       """SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
         |  CAST((SELECT count(*) FROM events e

@@ -112,6 +112,17 @@ object DataQuality {
       explode(filter(flags, f => f.isNotNull)).as("rule_name"): _*)
   }
 
+  /** The pass-through complement of [[rowFlags]]: rows violating NO
+    * rule — the clean feed a downstream pipeline consumes while the
+    * flagged rows sit in quarantine. One fused row predicate (the OR
+    * of all violations, negated): zero shuffles, one scan, and
+    * `cleanRows ∪ rowFlags-keys` partitions the input exactly.
+    */
+  def cleanRows(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    requireRules(rules)
+    df.where(!rules.map(violation).reduce(_ || _))
+  }
+
   final case class ColumnStatus(
       column: String, status: String, expected: String, actual: String)
 

@@ -61,6 +61,18 @@ class DataQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("cleanRows ∪ rowFlags-keys partitions the input exactly; zero shuffles") {
+    val clean = DataQuality.cleanRows(rows, rules)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val flagged = DataQuality.rowFlags(rows, rules, Seq("id"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(clean == Set(1L))
+    assert((clean ++ flagged) == (1L to 5L).toSet)
+    assert(clean.intersect(flagged).isEmpty)
+    val plan = planOf(DataQuality.cleanRows(rows, rules))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("refCoverage counts orphans via a keyed anti-join") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(1L, 1L, 2L, 9L, 9L).toDF("fk")
