@@ -1106,6 +1106,14 @@ object SparkEntry {
         eventsNanos(s, d)
           .withColumn("value_cents", expr("cast(floor(value*100+0.5) as bigint)"))
           .select("event_id", "event_type", "value_cents"))),
+    // curriculum schedule: quality-annealed deterministic priority
+    // (best-first percentile blended 50/50 with the stable hash)
+    "curriculum_priority" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      graft.llm.Selection.curriculumPriority("doc_id", "ttr", "source", mix = 0.5)(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")))
+    }),
     // exact-substring span cutting: merged removal spans over
     // corpus-duplicated 30-char grams (Lee et al. ExactSubstr's cut
     // list; dedup_kgram_coverage is the score-only audit)
@@ -2332,6 +2340,23 @@ object SparkEntry {
         |  CASE WHEN c.value_cents IS NULL THEN NULL
         |       ELSE least(greatest(CAST(c.value_cents AS DOUBLE), b.lo), b.hi) END AS value_cents_w
         |FROM c LEFT JOIN b USING (event_type)""".stripMargin,
+    // curriculum blend: (1-pct)*0.5 + hash_frac*0.5, both factors
+    // exact — binary-exact mix keeps the arithmetic engine-portable
+    "curriculum_priority" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ttr,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY ttr) AS score_pct
+        |  FROM q)
+        |SELECT doc_id, source, ttr, score_pct,
+        |  (1.0 - score_pct) * 0.5 +
+        |  (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     / 1152921504606846976.0) * 0.5 AS priority
+        |FROM c""".stripMargin,
     // the cut replayed character-wise: every position not covered by
     // a merged span survives, in order (string_agg skips the NULLed
     // covered chars); fully-covered docs coalesce to ''

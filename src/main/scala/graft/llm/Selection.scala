@@ -132,4 +132,40 @@ object Selection {
           .otherwise(lit(0.0)))
       .drop("__bin", "__below", "__n", "__rank")
   }
+
+  /** Curriculum priority: a deterministic blend of calibrated quality
+    * and a stable per-document hash —
+    * `priority = (1−mix)·score_pct + mix·hash_frac`. Reading the
+    * corpus in ascending priority gives a quality-annealed order
+    * (high-quality docs early) with `mix` controlling how much
+    * hash-shuffle randomness dilutes the ranking: mix=1 is a pure
+    * [[Packing.epochShuffle]]-style reshuffle, mix=0 a strict
+    * quality sort — curriculum-learning schedules live in between,
+    * reproducible batch-for-batch because both ingredients are pure
+    * functions of the data ([[calibrateScore]]'s percentile and the
+    * md5 fraction). NOTE: ascending priority = LOW percentile first;
+    * callers wanting best-first order by `1 − score_pct` via
+    * `descending = true`.
+    *
+    * Exactness: the blend is two exact-scaled doubles and one IEEE
+    * add — engine-portable bit-for-bit when `mix` is binary-exact
+    * (0.5, 0.25, ...), the same contract as [[Packing
+    * .mixtureSchedule]]'s power-of-two rates. Adds nothing to
+    * [[calibrateScore]]'s shuffle budget: the blend is a per-row map.
+    */
+  def curriculumPriority(
+      idCol: String,
+      scoreCol: String,
+      groupCol: String,
+      mix: Double,
+      descending: Boolean = true,
+      outCol: String = "priority",
+      bins: Int = 1000)(df: DataFrame): DataFrame = {
+    require(mix >= 0.0 && mix <= 1.0, s"mix must be in [0,1], got $mix")
+    val calibrated = calibrateScore(idCol, scoreCol, groupCol, bins = bins)(df)
+    val quality =
+      if (descending) lit(1.0) - col("score_pct") else col("score_pct")
+    calibrated.withColumn(outCol,
+      quality * (1.0 - mix) + Sampling.hashFraction(col(idCol)) * mix)
+  }
 }

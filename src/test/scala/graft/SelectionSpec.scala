@@ -93,6 +93,24 @@ class SelectionSpec extends SparkSpec {
     assert("windowspecdefinition\\(grp#\\d+, __bin#\\d+".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("curriculumPriority: mix=0 is a strict quality sort, mix=1 a pure reshuffle") {
+    val scored = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.5), (4L, "a", 0.3), (5L, "a", 0.1)
+    ).toDF("id", "grp", "score")
+    def order(mix: Double): Seq[Long] =
+      Selection.curriculumPriority("id", "score", "grp", mix)(scored)
+        .orderBy("priority", "id").collect().map(_.getAs[Long]("id")).toSeq
+    assert(order(0.0) == Seq(1L, 2L, 3L, 4L, 5L))       // best quality first
+    val shuffled = order(1.0)
+    assert(shuffled.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(shuffled != Seq(1L, 2L, 3L, 4L, 5L))         // hash order, not quality
+    // 0 < mix < 1 blends: deterministic, and distinct from both poles
+    val mid = order(0.5)
+    assert(mid == order(0.5))                            // reproducible
+    intercept[IllegalArgumentException](
+      Selection.curriculumPriority("id", "score", "grp", 1.5)(scored))
+  }
+
   test("rejects non-positive budget and bins") {
     intercept[IllegalArgumentException] {
       Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 0L)(corpus)
