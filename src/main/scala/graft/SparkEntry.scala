@@ -2125,8 +2125,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM toks)
         |SELECT doc_id, n_tokens, shard,
-        |  tokens_before // 2048 AS pack_id,
-        |  tokens_before - (tokens_before // 2048) * 2048 AS pack_offset,
+        |  CAST(tokens_before // 2048 AS BIGINT) AS pack_id,
+        |  CAST(tokens_before - (tokens_before // 2048) * 2048 AS BIGINT) AS pack_offset,
         |  (tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048) AS spans_boundary
         |FROM cum""".stripMargin,
     "pack_manifest" ->
@@ -2140,18 +2140,18 @@ object SparkEntry {
         |    COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM toks)
-        |SELECT shard, tokens_before // 2048 AS pack_id,
+        |SELECT shard, CAST(tokens_before // 2048 AS BIGINT) AS pack_id,
         |  count(*) AS n_docs,
-        |  SUM(CAST(n_tokens AS BIGINT)) AS n_tokens,
-        |  SUM(CASE WHEN tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048
-        |      THEN 1 ELSE 0 END) AS n_spanning
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
         |FROM cum GROUP BY 1, 2""".stripMargin,
     "pack_length_hist" ->
       """SELECT CASE WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
         |    WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
         |    WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
         |    WHEN n_tokens <= 4096 THEN 4096 ELSE -1 END AS bucket_hi,
-        |  count(*) AS n_docs, SUM(CAST(n_tokens AS BIGINT)) AS sum_tokens
+        |  count(*) AS n_docs, CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens
         |FROM (SELECT CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
     "pack_mixture_schedule" ->

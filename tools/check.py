@@ -3,7 +3,17 @@
 dumps against the DuckDB oracles in oracle_sql.json over the same
 sf-dir tables. Compares sorted rows (columns sorted by name) with a
 small float tolerance fallback so we can see whether exact-hash would
-pass too."""
+pass too.
+
+Type-sensitive (round 11): the driver's hash covers parquet PHYSICAL
+types, not just values — DuckDB HUGEINT vs Spark int64 is a red even
+when every value matches (that is exactly how pack_* stayed red for
+two rounds while this replica said green). So this replica now (a)
+compares the DuckDB-side result column types against the types DuckDB
+infers from Spark's parquet dump, and (b) hard-fails any oracle whose
+output schema contains HUGEINT/UHUGEINT — no int128 column can reach
+the driver, because parquet has no int128 physical type for Spark to
+agree with."""
 import json, math, sys
 import duckdb
 
@@ -37,16 +47,52 @@ def approx_eq(a, b):
         return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
+def coltypes(rel):
+    """column name -> duckdb type string, lower-cased names."""
+    return {d[0].lower(): str(t) for d, t in zip(rel.description, rel.types)}
+
+def pdtype(t):
+    """Driver-equivalent dtype: the driver hashes results after a
+    pandas-style conversion, so compare the dtype each duckdb type
+    lands on there. This is what makes HUGEINT (int128 -> float64) a
+    red against Spark's int64 while DECIMAL(4,1) vs DOUBLE is green
+    (both float64) — matching the r10 driver verdicts exactly."""
+    u = t.upper()
+    if "HUGEINT" in u: return "float64"
+    if u.startswith("DECIMAL"): return "float64"
+    m = {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+         "BIGINT": "int64", "UTINYINT": "uint8", "USMALLINT": "uint16",
+         "UINTEGER": "uint32", "UBIGINT": "uint64",
+         "FLOAT": "float32", "REAL": "float32", "DOUBLE": "float64",
+         "VARCHAR": "object", "BLOB": "object", "BOOLEAN": "bool",
+         "DATE": "date"}
+    if u in m: return m[u]
+    if u.startswith("TIMESTAMP"): return "datetime64"
+    return u  # nested/list/struct: compare the rendered type verbatim
+
 fails = exacts = approxs = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        gtypes = coltypes(got)
         want = con.sql(sql)
         wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+        wtypes = coltypes(want)
     except Exception as e:
         print(f"FAIL {name}: error {e}")
+        fails += 1
+        continue
+    huge = {c: t for c, t in wtypes.items() if "HUGEINT" in t.upper()}
+    if huge:
+        print(f"FAIL {name}: oracle emits int128 (driver hash can never match): {huge}")
+        fails += 1
+        continue
+    typediff = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                if c in wtypes and pdtype(gtypes[c]) != pdtype(wtypes[c])}
+    if typediff:
+        print(f"FAIL {name}: column type mismatch spark-vs-oracle: {typediff}")
         fails += 1
         continue
     g, gc = canon(grows, gcols)
