@@ -31,6 +31,37 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  /** The driver hashes results after a pandas-style conversion of
+    * both sides (Spark parquet dump, DuckDB oracle result), so a
+    * gated query's top-level schema must stay inside the types that
+    * conversion round-trips: scalars only (the driver's sort crashes
+    * on arrays/maps/structs), and no DecimalType (pandas keeps Spark
+    * decimals as objects while DuckDB decimals land as float64 — the
+    * hash can never match; emit double instead). The oracle-side twin
+    * of this contract — no DuckDB HUGEINT column may escape an oracle,
+    * since parquet has no int128 for Spark to agree with — needs a
+    * DuckDB engine and lives in tools/check.py, which DESCRIBEs every
+    * oracle and hard-fails int128 outputs (this is how the pack_*
+    * family red of rounds 9-10 is kept from recurring).
+    */
+  test("every gated query emits a driver-hashable schema (scalars, no decimals)") {
+    import org.apache.spark.sql.types._
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val schema = fn(spark, "/root/testdata/sf0.001").schema
+      schema.fields.foreach { f =>
+        f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType =>
+            fail(s"$name column ${f.name} is nested (${f.dataType.simpleString}); " +
+              "the driver's pandas sort cannot hash it — posexplode to scalar rows")
+          case _: DecimalType =>
+            fail(s"$name column ${f.name} is decimal; pandas keeps it as object " +
+              "while the DuckDB oracle lands float64 — cast to double")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   /** The scale contract, enforced over the WHOLE query surface: no
     * plan may contain a CartesianProduct at any size, and a
     * BroadcastNestedLoopJoin may appear only where the build side is
