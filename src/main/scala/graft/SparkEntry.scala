@@ -2387,9 +2387,11 @@ object SparkEntry {
         |          EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = ch.doc_id
         |                  AND ch.i BETWEEN sp.s AND sp.e) AS cut
         |        FROM ch)
-        |SELECT doc_id,
+        |, agg AS (SELECT doc_id,
         |  COALESCE(string_agg(CASE WHEN cut THEN NULL ELSE c END, '' ORDER BY i), '') AS clean_text
-        |FROM cov GROUP BY doc_id""".stripMargin,
+        |FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.clean_text, d.text) AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "span_clean_stats" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
@@ -2417,7 +2419,7 @@ object SparkEntry {
         |  COALESCE(a.n_spans, 0) AS n_spans,
         |  COALESCE(a.chars_flagged, 0) AS chars_flagged,
         |  CAST(CAST(length(d.text) AS BIGINT) - COALESCE(a.chars_flagged, 0) AS DOUBLE)
-        |    / CAST(length(d.text) AS BIGINT) AS clean_frac
+        |    / CAST(NULLIF(length(d.text), 0) AS BIGINT) AS clean_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // keep-best-quality near-dedup: connected components at 0.5
     // jaccard, representative = (ttr DESC, doc_id) head per cluster

@@ -39,7 +39,12 @@ object Verify {
         // below.
         try {
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
-          spark.sql(s"SELECT '${msg.replace("'", "''")}' AS __query_error")
+          // No SQL interpolation: error text routinely holds backslashes
+          // (paths, regexes, rendered \n) that would corrupt a SQL
+          // string literal — exactly the scenario this sentinel exists
+          // for. A local DataFrame carries the message verbatim.
+          import spark.implicits._
+          Seq(msg).toDF("__query_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e2: Throwable =>
           System.err.println(s"[verify] $name sentinel dump failed: ${e2.getMessage}")

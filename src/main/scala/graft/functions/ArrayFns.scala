@@ -153,6 +153,13 @@ object ArrayFns {
     * registry (Column construction from a raw Expression is
     * private[sql]; call_function over a registered builder is the
     * public route). Idempotent.
+    *
+    * Two lifecycles exist deliberately: COLUMN-returning APIs
+    * (dotNative, Ivf.probeCentroids) resolve at the CALLER's later
+    * analysis, so they need this persistent registration; a
+    * DataFrame-returning operator analyzes its own plan eagerly and
+    * should use [[scoped]] instead, leaving the caller's session
+    * unchanged.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -184,6 +191,34 @@ object ArrayFns {
       CmsEstimate.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_gram_hashes",
       exprs => GramHashes(exprs(0), exprs(1)), "built-in")
+  }
+
+  private val registeredNames = Seq(
+    "graft_dot", "graft_cosine", "graft_minhash", "graft_simhash",
+    "graft_ivf_cells", "graft_image_meta", "graft_audio_meta",
+    "graft_video_meta", "graft_byte_stats", "graft_byte_hist",
+    "graft_bloom", "graft_bloom_contains", "graft_cms_estimate",
+    "graft_gram_hashes")
+
+  /** Run `body` with the graft functions registered, then drop any
+    * that were NOT already present — a library operator resolving its
+    * own native expressions must not permanently install temp
+    * functions in the caller's session (the registry is only needed
+    * at ANALYSIS time, which is eager at Dataset construction; the
+    * resolved plan keeps the expression objects, so dropping after
+    * `body` returns is safe). Functions the caller registered
+    * explicitly stay. Not re-entrancy-safe against a concurrent
+    * thread analyzing graft plans on the SAME session mid-body — the
+    * same caveat any temp-function lifecycle has.
+    */
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    val pre = registeredNames.filter(n => reg.functionExists(FunctionIdentifier(n))).toSet
+    register(spark)
+    try body
+    finally registeredNames.filterNot(pre).foreach(n =>
+      reg.dropFunction(FunctionIdentifier(n)))
   }
 
   /** Fused native dot product — [[register]] the session first;

@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_gram_hashes(text, k)` — the 64-bit hash of EVERY k-length
   * character window of `text`, as one `array<bigint>`, in ONE O(n)
-  * rolling pass (Rabin–Karp polynomial hash, wrapping long
-  * arithmetic: `h_{j+1} = (h_j − c_j·B^{k−1})·B + c_{j+k}`).
+  * rolling pass: TWO Rabin–Karp polynomials with independent bases
+  * (wrapping long arithmetic, `h_{j+1} = (h_j − c_j·B^{k−1})·B +
+  * c_{j+k}` each), combined per position through a murmur-style
+  * avalanche finalizer.
   *
   * This is the hot inner loop of the exact-substring family
   * ([[graft.llm.Dedup.kgramPositions]] feeds coverage / pairs / spans
@@ -19,12 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * xxhash64(substr(text, i, k)))` re-reads every character k times —
   * O(n·k) with a fresh substring copy per position, ~30× the work at
   * the default k=30. The hash VALUE is internal to the Spark side
-  * (the DuckDB oracles compare gram STRINGS), so swapping xxhash64
-  * for the rolling polynomial changes no oracle; cross-doc gram
-  * equality is what matters, and that is position-independent by
-  * construction. Collisions: fixed-base 64-bit polynomial — ~n²/2^64
-  * accidental collision odds (same accepted trade as the md5/xxhash
-  * keys elsewhere), not adversarial-proof, fine for dedup audits.
+  * (the DuckDB oracles compare gram STRINGS), so the hashing scheme
+  * changes no oracle; cross-doc gram equality is what matters, and
+  * that is position-independent by construction.
+  *
+  * Collisions, honestly: a SINGLE fixed-base polynomial mod 2^64 has
+  * structured collisions on low-entropy/periodic text (window
+  * differences that are multiples of base-power gaps cancel), so its
+  * real-world odds are worse than the uniform n²/2^65 birthday bound.
+  * Here a false gram match needs the combined avalanche outputs of
+  * BOTH independent-base states to agree — the linear structure a
+  * periodic input induces in one polynomial does not survive the
+  * second base plus the bit-mixing, restoring ≈ birthday-bound odds
+  * for natural text. Still not adversarial-proof (mod-2^64 rolling
+  * hashes never are — anti-hash constructions defeat any base set);
+  * the md5/xxhash keys elsewhere make the same trade.
   *
   * Windows are CODE-POINT aligned (matching `substr`'s code-point
   * counting, so positions line up with the oracles' `substr(text, i,
@@ -70,24 +81,46 @@ case class GramHashes(left: Expression, right: Expression)
 }
 
 object GramHashes {
+  // Two odd bases (units mod 2^64, so the rolling subtraction is
+  // exact); independence of the bases is what breaks cross-window
+  // linear cancellation patterns.
+  private final val B1 = 1000003L
+  private final val B2 = 100000007L
+
+  /** MurmurHash3's 64-bit finalizer — a bijection (adds no collisions
+    * of its own) that avalanches every input bit across the output.
+    */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  private def combine(h1: Long, h2: Long): Long =
+    fmix64(h1) ^ java.lang.Long.rotateLeft(fmix64(h2), 32)
+
   /** Shared by interpreted eval and generated code. */
   def roll(cps: Array[Int], k: Int): Array[Long] = {
     require(k >= 1, s"gram length must be >= 1, got $k")
     val n = cps.length - (k - 1)
     if (n <= 0) return Array.emptyLongArray
-    val B = 1000003L
-    var bk = 1L
+    var bk1 = 1L
+    var bk2 = 1L
     var i = 0
-    while (i < k - 1) { bk *= B; i += 1 }
+    while (i < k - 1) { bk1 *= B1; bk2 *= B2; i += 1 }
     val out = new Array[Long](n)
-    var h = 0L
+    var h1 = 0L
+    var h2 = 0L
     i = 0
-    while (i < k) { h = h * B + cps(i); i += 1 }
-    out(0) = h
+    while (i < k) { h1 = h1 * B1 + cps(i); h2 = h2 * B2 + cps(i); i += 1 }
+    out(0) = combine(h1, h2)
     var j = 1
     while (j < n) {
-      h = (h - cps(j - 1) * bk) * B + cps(j + k - 1)
-      out(j) = h
+      h1 = (h1 - cps(j - 1) * bk1) * B1 + cps(j + k - 1)
+      h2 = (h2 - cps(j - 1) * bk2) * B2 + cps(j + k - 1)
+      out(j) = combine(h1, h2)
       j += 1
     }
     out

@@ -68,6 +68,15 @@ object Versioned {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     published(spark, path).lastOption
 
+  /** Swap in a new manifest with a single overwriting rename — a
+    * reader concurrent with the swap sees the old manifest or the new
+    * one, never a missing one. Plain `FileSystem.rename` won't
+    * overwrite, and delete-then-rename opens exactly the no-manifest
+    * window the versioned layout promises away, so the swap goes
+    * through `FileContext.rename(..., OVERWRITE)`; only if the
+    * filesystem has no AbstractFileSystem binding (no FileContext) do
+    * we fall back to delete+rename, accepting the window there.
+    */
   private def writeManifest(spark: SparkSession, path: String, vs: Seq[Long]): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path, s"$manifestName.tmp")
@@ -75,8 +84,17 @@ object Versioned {
     try out.write(vs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val manifest = new Path(path, manifestName)
-    f.delete(manifest, false)
-    require(f.rename(tmp, manifest), s"versioned write: could not publish manifest at $path")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(new Path(path)).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(manifest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        f.delete(manifest, false)
+        require(f.rename(tmp, manifest),
+          s"versioned write: could not publish manifest at $path")
+    }
   }
 
   /** Publish `df` as the next version and swap the manifest; returns
@@ -113,8 +131,12 @@ object Versioned {
     val keep = pub.takeRight(keepLast).toSet
     val drop = versions(spark, path).filterNot(keep)
     val f = fs(spark, path)
-    drop.foreach(v => f.delete(new Path(path, s"$prefix$v"), true))
+    // Manifest first, then delete: a crash mid-vacuum must leave the
+    // manifest pointing only at versions that still exist (undeleted
+    // survivors become orphans the next vacuum sweeps), never at
+    // swept directories.
     writeManifest(spark, path, pub.filter(keep))
+    drop.foreach(v => f.delete(new Path(path, s"$prefix$v"), true))
     drop
   }
 }

@@ -414,16 +414,22 @@ object Dedup {
     */
   def kgramPositions(idCol: String, textCol: String, k: Int)(df: DataFrame): DataFrame = {
     require(k >= 2, s"k-gram length must be >= 2, got $k")
-    graft.functions.ArrayFns.register(df.sparkSession)
     // one O(n) rolling pass per document (graft_gram_hashes) instead
     // of the O(n·k) transform(sequence, i -> xxhash64(substr)) form —
     // hash values are Spark-internal (oracles compare gram strings),
     // only cross-doc equality matters; empty array for docs shorter
-    // than k, so the explode emits nothing (the old guard's contract)
-    val hashes = org.apache.spark.sql.functions.call_function(
-      "graft_gram_hashes", col(textCol), lit(k))
-    df.select(col(idCol), posexplode(hashes).as(Seq("pos", "gram_hash")))
-      .withColumn("pos", col("pos") + 1)
+    // than k, so the explode emits nothing (the old guard's contract).
+    // Registration is scoped: analysis is eager at select, so the
+    // temp function resolves here and is dropped before returning —
+    // the caller's session keeps no graft registrations it didn't ask
+    // for (the same no-session-mutation discipline as eventsNanos'
+    // derived-session confs).
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      val hashes = org.apache.spark.sql.functions.call_function(
+        "graft_gram_hashes", col(textCol), lit(k))
+      df.select(col(idCol), posexplode(hashes).as(Seq("pos", "gram_hash")))
+        .withColumn("pos", col("pos") + 1)
+    }
   }
 
   /** Grams that appear in at least `minDocs` DISTINCT documents — the
@@ -567,8 +573,14 @@ object Dedup {
     df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
       .join(spans, Seq(idCol), "left")
       .na.fill(0L, Seq("n_spans", "chars_flagged"))
+      // NULL (not NaN) for an empty document: Spark's double division
+      // by zero gives NaN where DuckDB gives NULL, so an un-guarded
+      // denominator breaks the oracle gate the first time the corpus
+      // holds a zero-length text. NULL is also the honest answer —
+      // a surviving FRACTION of nothing is undefined.
       .withColumn("clean_frac",
-        (col("n_chars") - col("chars_flagged")).cast("double") / col("n_chars"))
+        when(col("n_chars") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_chars") - col("chars_flagged")).cast("double") / col("n_chars")))
   }
 
   /** Distinct document pairs sharing at least one verbatim k-gram,

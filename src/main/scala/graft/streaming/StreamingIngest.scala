@@ -126,6 +126,17 @@ object StreamingIngest {
     * at-least-once delivery to exactly-once state. Same stage-and-swap
     * discipline as [[NestedStore.compact]], including stage-out
     * rollback.
+    *
+    * Batch ids are only meaningful within ONE checkpoint lifecycle: a
+    * fresh checkpointDir renumbers batches from 0 and re-reads every
+    * file in watchDir, so comparing new ids against an old marker
+    * would silently skip genuinely new data (and merging would
+    * double-count the re-read files). The marker therefore also
+    * records the streaming query id from `checkpointDir/metadata` —
+    * stable across restarts of the same checkpoint, fresh when the
+    * checkpoint is recreated — and a mismatch fails loudly instead of
+    * guessing: resume with the original checkpoint, or start a fresh
+    * stateDir with the new one.
     */
   def ivmStateStream(
       spark: SparkSession,
@@ -148,12 +159,35 @@ object StreamingIngest {
           val state = new org.apache.hadoop.fs.Path(stateDir)
           val fs = state.getFileSystem(s.sparkContext.hadoopConfiguration)
           val marker = new org.apache.hadoop.fs.Path(stateDir, "_ivm_batch")
+          // The checkpoint's query id is the lifecycle identity batch
+          // ids are scoped to (written by Spark before the first batch;
+          // recreated checkpoint -> new id).
+          val metaPath = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+          val queryId: String =
+            if (fs.exists(metaPath)) {
+              val in = fs.open(metaPath)
+              val txt = try new String(
+                in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+              "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+                .map(_.group(1)).getOrElse("unknown")
+            } else "unknown"
           val committed = fs.exists(marker) && {
             val in = fs.open(marker)
-            val id = try new String(
-              in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            val lines = try new String(
+              in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              .trim.split("\n").toSeq
             finally in.close()
-            id >= batchId
+            val markerQid = lines.drop(1).headOption.map(_.trim)
+            if (markerQid.exists(q => q != "unknown" && queryId != "unknown" && q != queryId))
+              throw new IllegalStateException(
+                s"ivmStateStream: state at $stateDir was committed under streaming query " +
+                  s"${markerQid.get} but this run's checkpoint $checkpointDir is query " +
+                  s"$queryId — batch ids are not comparable across checkpoint lifecycles " +
+                  "(a fresh checkpoint renumbers from 0 and re-reads the whole watch dir, " +
+                  "so merging would double-count and skipping would lose data). Resume " +
+                  "with the original checkpoint, or point this run at a fresh stateDir.")
+            lines.head.trim.toLong >= batchId
           }
           if (!committed) {
             val delta = graft.ops.Ivm.state(keys, valueCol)(batch)
@@ -166,7 +200,8 @@ object StreamingIngest {
             fs.delete(tmp, true); fs.delete(old, true)
             merged.write.mode("overwrite").parquet(tmp.toString)
             val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_ivm_batch"), true)
-            try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            try out.write(s"$batchId\n$queryId"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
             val hadState = fs.exists(state)
             if (hadState)

@@ -10,24 +10,52 @@ class ArrayFnsSpec extends SparkSpec {
 
   private def registered() = { ArrayFns.register(spark); spark }
 
-  test("graft_gram_hashes: rolling == direct polynomial; shared substrings collide exactly") {
+  test("graft_gram_hashes: rolling == direct per-window hash; shared substrings collide exactly") {
     registered()
     def hashes(s: String, k: Int): Seq[Long] =
       Seq(Tuple1(s)).toDF("t")
         .select(call_function("graft_gram_hashes", col("t"), lit(k)).as("h"))
         .collect().head.getSeq[Long](0)
-    // direct polynomial reference (wrapping long arithmetic)
-    assert(hashes("abcdef", 3) ==
-      Seq(97000680001266L, 98000687001279L, 99000694001292L, 100000701001305L))
+    // The rolling update must reproduce the non-rolling path: roll()
+    // computes its FIRST window by direct accumulation, so hashing
+    // each k-window in isolation is an independent reference for
+    // every rolled position (no pinned literals — the scheme, not the
+    // constants, is the contract).
+    def direct(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      cps.sliding(k).filter(_.length == k).toSeq
+        .map(w => graft.functions.GramHashes.roll(w, k).head)
+    }
+    for ((s, k) <- Seq(("abcdef", 3), ("aaaaaaaaaa", 4), ("déjàvu déjà", 3)))
+      assert(hashes(s, k) == direct(s, k), s"rolling != direct for ($s, $k)")
     assert(hashes("ab", 3).isEmpty)         // shorter than k → empty, not error
     // the property the dedup family rests on: equal substrings hash
     // equal at ANY position (position-independent by construction)
     val h1 = hashes("xxHELLOWORLDyy", 5)
     val h2 = hashes("qqqHELLOWORLDzz", 5)
     assert((2 until 8).map(h1) == (3 until 9).map(h2))
+    // distinct windows of periodic text must NOT collide (the
+    // structured-collision class a single fixed-base polynomial is
+    // weak to): all distinct 6-grams of a period-3 string hash apart
+    val periodic = "abcabcabcabcabcabc"
+    val hp = hashes(periodic, 6)
+    val windows = periodic.sliding(6).toSeq
+    assert(windows.zip(hp).toMap.values.toSet.size == windows.distinct.size)
     // code-point alignment (substr semantics), not byte alignment
     assert(hashes("déjàvu", 3).length == 4)
-    assert(hashes("déjàvu", 3).take(2) == Seq(100000833001705L, 233001504002639L))
+  }
+
+  test("gram-hash registration is scoped: kgramPositions leaves no temp functions behind") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val fresh = spark.newSession()
+    val reg = fresh.sessionState.functionRegistry
+    assert(!reg.functionExists(FunctionIdentifier("graft_gram_hashes")))
+    import fresh.implicits._
+    val df = Seq((1L, "hello world hello"), (2L, "hello world again")).toDF("id", "text")
+    val pos = graft.llm.Dedup.kgramPositions("id", "text", 5)(df)
+    assert(!reg.functionExists(FunctionIdentifier("graft_gram_hashes")),
+      "library operator must not install temp functions in the caller's session")
+    assert(pos.count() > 0) // the resolved plan still executes after the drop
   }
 
   test("native dot/cosine match the composed zip_with form bit-exactly") {

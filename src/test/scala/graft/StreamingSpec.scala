@@ -88,13 +88,23 @@ class StreamingSpec extends SparkSpec {
     val direct = Ivm.state(Seq("k"), "v")(
       spark.read.schema(schema).option("header", "true").csv(watch))
     assert(canon(spark.read.parquet(state)) == canon(direct))
-    // replay protection: a fresh checkpoint re-offers the same files
-    // as an already-recorded batch id — the marker gate skips it and
-    // the state is byte-identical instead of double-counted
+    // Lifecycle protection: a FRESH checkpoint renumbers batches from
+    // 0 and re-reads the whole watch dir, so its batch ids are not
+    // comparable to the marker's — skipping against the old marker
+    // would lose genuinely new files, merging would double-count the
+    // re-read ones. The only safe behavior is a loud failure naming
+    // both query ids, with state left untouched.
     val ckpt2 = Files.createTempDirectory("graft_ivmckpt2").toString
-    runToCompletion(
-      StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt2)
-        .trigger(Trigger.AvailableNow()).start())
+    val ex = intercept[Exception] {
+      runToCompletion(
+        StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt2)
+          .trigger(Trigger.AvailableNow()).start())
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("checkpoint lifecycles"))),
+      s"expected the cross-lifecycle guard, got: $ex")
     assert(canon(spark.read.parquet(state)) == canon(direct))
   }
 
