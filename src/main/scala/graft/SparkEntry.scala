@@ -449,6 +449,11 @@ object SparkEntry {
       t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(path)
       graft.io.Ingestion.readFile(s, s"$path/part-00000*.csv")
     }),
+    // S5's other half: the native sas7bdat page reader over the
+    // pd.read_sas-validated fixture (tools/make_sas_fixture.py);
+    // contents are closed-form so the oracle needs no table
+    "s5_sas_source" -> ((s, _) =>
+      graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture.sas7bdat")),
     "c9_filename_meta" -> ((s, d) =>
       graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
         .select("doc_id", "source_file", "view_id", "source_timestamp")),
@@ -2805,6 +2810,10 @@ object SparkEntry {
     "s5_csv_source" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation""".stripMargin,
+    "s5_sas_source" ->
+      """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
+        |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name
+        |FROM generate_series(1, 100) t(i)""".stripMargin,
     "c9_filename_meta" ->
       """SELECT doc_id, 'documents.parquet' AS source_file, 'documents' AS view_id, '' AS source_timestamp
         |FROM documents""".stripMargin,

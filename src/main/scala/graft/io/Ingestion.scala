@@ -13,18 +13,17 @@ import org.apache.spark.sql.functions._
 object Ingestion {
 
   /** S5 file-format source (handling_different_file_formats,
-    * Data_Ingestion_Python.py:22-34): CSV with header+inference; SAS
-    * has no built-in Spark reader (SURVEY §7.4 #6 — out of scope,
-    * pre-convert) and anything else fails loudly like the reference.
+    * Data_Ingestion_Python.py:22-34): CSV with header+inference,
+    * SAS7BDAT through the native [[Sas]] page reader (the reference
+    * uses pd.read_sas), and anything else fails loudly like the
+    * reference.
     */
   def readFile(spark: SparkSession, path: String): DataFrame =
     path.toLowerCase match {
       case p if p.endsWith(".csv") =>
         spark.read.option("header", "true").option("inferSchema", "false").csv(path)
       case p if p.endsWith(".parquet") => spark.read.parquet(path)
-      case p if p.endsWith(".sas7bdat") =>
-        throw new UnsupportedOperationException(
-          "SAS sources need pre-conversion to parquet/CSV (no built-in Spark reader)")
+      case p if p.endsWith(".sas7bdat") => Sas.read(spark, path)
       case other =>
         throw new IllegalArgumentException(s"We cannot handle this file format! ($other)")
     }

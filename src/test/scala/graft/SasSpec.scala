@@ -1,0 +1,46 @@
+package graft
+
+import graft.io.{Ingestion, Sas}
+
+/** The fixture under test was synthesized by tools/make_sas_fixture.py
+  * and is only committed after `pd.read_sas` — an independent parser
+  * of the same public format — validates every value, so agreement
+  * here is real-format compatibility, not self-consistency.
+  */
+class SasSpec extends SparkSpec {
+
+  private val fixture = "fixtures/sas/graft_fixture.sas7bdat"
+
+  test("metadata: 64-bit LE header, 3 columns, 100 rows, multi-page") {
+    val m = Sas.readMeta(spark, fixture)
+    assert(m.u64 && m.littleEndian)
+    assert(m.rowCount == 100 && m.rowLength == 24)
+    assert(m.pageCount == 3) // 1 meta + 2 data: the page loop is exercised
+    assert(m.columns.map(c => (c.name, c.isNumeric)) ==
+      Seq(("id", true), ("val", true), ("name", false)))
+  }
+
+  test("full read matches the closed-form contents pd.read_sas validated") {
+    val df = Sas.read(spark, fixture)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "val", "name"))
+    val rows = df.collect().sortBy(_.getDouble(0))
+    assert(rows.length == 100)
+    for ((r, i0) <- rows.zipWithIndex) {
+      val i = i0 + 1
+      assert(r.getDouble(0) == i.toDouble)
+      assert(r.getDouble(1) == i * 0.25)
+      assert(r.getString(2) == f"row_$i%03d") // trailing pad stripped
+    }
+  }
+
+  test("readFile dispatches .sas7bdat to the native reader") {
+    assert(Ingestion.readFile(spark, fixture).count() == 100)
+  }
+
+  test("non-SAS bytes fail loudly on the magic check") {
+    val ex = intercept[IllegalArgumentException] {
+      Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")
+    }
+    assert(ex.getMessage.contains("magic"))
+  }
+}

@@ -1,0 +1,236 @@
+#!/usr/bin/env python3
+"""Synthesize a minimal but GENUINE uncompressed sas7bdat fixture.
+
+No SAS writer exists in this environment, so the bytes are laid out
+directly from the public format spec (the community-reverse-engineered
+layout implemented by pandas/io/sas, parso, and readstat). The output
+is only committed after `pd.read_sas` — a completely independent
+parser — round-trips it to the exact expected values, which is what
+makes the Scala reader's test against this fixture evidence of
+real-format compatibility rather than self-consistency.
+
+Layout choices (all from the public spec):
+  - 64-bit (byte 32 = 0x33), little-endian (byte 37 = 0x01), align1=0
+    (byte 35 = 0x00 keeps the header scalar offsets at 196/200/204)
+  - header 8192 bytes, page size 8192
+  - page 0: meta page (type 0x0000) carrying row_size, column_size,
+    subheader_counts, column_text, column_name, column_attributes,
+    column_list, and one format_and_label per column
+  - pages 1..n: pure data pages (type 0x0100), rows packed from
+    offset 40 (bit_offset 32 + subheader_pointers_offset 8)
+  - columns: id double, val double, name char(8); row length 24
+  - 100 rows split 60/40 across two data pages (exercises the page
+    loop); values are closed-form so the DuckDB oracle needs no table
+
+Usage: tools/make_sas_fixture.py [out.sas7bdat]
+"""
+import struct
+import sys
+
+U64 = True
+INT = 8
+PAGE = 8192
+HEADER = 8192
+BIT_OFFSET = 32          # page_bit_offset_x64
+SH_PTR_LEN = 24          # subheader_pointer_length_x64
+ROWS = 100
+ROWS_P1 = 60
+ROW_LEN = 24
+COLS = [("id", "d"), ("val", "d"), ("name", "s")]
+
+
+def u16(x):
+    return struct.pack("<H", x)
+
+
+def u32(x):
+    return struct.pack("<I", x)
+
+
+def u64(x):
+    return struct.pack("<Q", x)
+
+
+def f64(x):
+    return struct.pack("<d", x)
+
+
+def header() -> bytes:
+    magic = (b"\x00\x00\x00\x00\x00\x00\x00\x00"
+             b"\x00\x00\x00\x00\xc2\xea\x81\x60"
+             b"\xb3\x14\x11\xcf\xbd\x92\x08\x00"
+             b"\x09\xc7\x31\x8c\x18\x1f\x10\x11")
+    h = bytearray(HEADER)
+    h[0:32] = magic
+    h[32] = 0x33           # u64
+    h[35] = 0x00           # align1 = 0
+    h[37] = 0x01           # little-endian
+    h[39] = ord("1")       # unix
+    h[70] = 20             # encoding: utf-8
+    h[84:92] = b"SAS FILE"
+    h[92:156] = b"GRAFT_SAS_FIXTURE".ljust(64)
+    h[156:164] = b"DATA    "
+    # created/modified: 2026-01-01 as seconds since 1960-01-01
+    secs = float((2026 - 1960) * 365.25 * 86400)
+    h[164:172] = f64(secs)
+    h[172:180] = f64(secs)
+    h[196:200] = u32(HEADER)
+    h[200:204] = u32(PAGE)
+    h[204:208] = u32(3)    # page count: 1 meta + 2 data
+    h[216:224] = b"9.0401M2"
+    h[224:240] = b"Linux".ljust(16)
+    return bytes(h)
+
+
+def subheader_rowsize() -> bytes:
+    b = bytearray(808)
+    b[0:8] = b"\xf7\xf7\xf7\xf7\x00\x00\x00\x00"
+    b[5 * INT:5 * INT + 8] = u64(ROW_LEN)
+    b[6 * INT:6 * INT + 8] = u64(ROWS)
+    b[9 * INT:9 * INT + 8] = u64(len(COLS))   # col_count_p1
+    b[10 * INT:10 * INT + 8] = u64(0)          # col_count_p2
+    b[15 * INT:15 * INT + 8] = u64(0)          # rows on mix page
+    b[682:684] = u16(0)                        # lcs
+    b[706:708] = u16(0)                        # lcp
+    return bytes(b)
+
+
+def subheader_colsize() -> bytes:
+    return (b"\xf6\xf6\xf6\xf6\x00\x00\x00\x00" + u64(len(COLS))).ljust(24, b"\x00")
+
+
+def subheader_counts() -> bytes:
+    return b"\x00\xfc\xff\xff\xff\xff\xff\xff".ljust(64, b"\x00")
+
+
+def text_blob():
+    """The column-name text pool: [size u16][pad 6][names...]; name
+    offsets are relative to the blob start (pandas slices the blob
+    INCLUDING its size prefix). No trailing padding after the last
+    name — the reader rstrips b'\\x00 ' from the whole blob."""
+    names = b""
+    offsets = []
+    base = 8
+    for n, _ in COLS:
+        offsets.append(base + len(names))
+        names += n.encode()
+    blob = u16(8 + len(names)) + b"\x00" * 6 + names
+    return blob, offsets
+
+
+def subheader_text(blob: bytes) -> bytes:
+    return (b"\xfd\xff\xff\xff\xff\xff\xff\xff" + blob).ljust(
+        8 + ((len(blob) + 7) // 8) * 8, b"\x00")
+
+
+def subheader_colname(offsets) -> bytes:
+    # pointer i lives at start + 16 + 8*i: [text_idx u16][offset u16]
+    # [length u16][pad u16]; declared length must satisfy
+    # (length - 2*INT - 12) // 8 == ncols
+    b = bytearray(2 * INT + 12 + 8 * len(COLS))
+    b[0:8] = b"\xff\xff\xff\xff\xff\xff\xff\xff"
+    for i, ((n, _), off) in enumerate(zip(COLS, offsets)):
+        p = 16 + 8 * i
+        b[p:p + 2] = u16(0)            # text subheader index
+        b[p + 2:p + 4] = u16(off)      # offset into the blob
+        b[p + 4:p + 6] = u16(len(n))
+    return bytes(b)
+
+
+def subheader_colattrs() -> bytes:
+    # vector i at start + 16 + 16*i: [data_offset u64][data_len u32]
+    # [pad u16][type u8][pad u8]; type 1=double 2=char
+    b = bytearray(2 * INT + 12 + (INT + 8) * len(COLS))
+    b[0:8] = b"\xfc\xff\xff\xff\xff\xff\xff\xff"
+    data_off = 0
+    for i, (_, t) in enumerate(COLS):
+        p = 16 + 16 * i
+        width = 8
+        b[p:p + 8] = u64(data_off)
+        b[p + 8:p + 12] = u32(width)
+        b[p + 14] = 1 if t == "d" else 2
+        data_off += width
+    assert data_off == ROW_LEN
+    return bytes(b)
+
+
+def subheader_collist() -> bytes:
+    return b"\xfe\xff\xff\xff\xff\xff\xff\xff".ljust(64, b"\x00")
+
+
+def subheader_format() -> bytes:
+    # all-zero format/label fields -> empty format string -> no
+    # date/datetime conversion on the pandas side
+    return b"\xfe\xfb\xff\xff\xff\xff\xff\xff".ljust(64, b"\x00")
+
+
+def meta_page(subheaders) -> bytes:
+    page = bytearray(PAGE)
+    page[BIT_OFFSET:BIT_OFFSET + 2] = u16(0x0000)             # meta
+    page[BIT_OFFSET + 2:BIT_OFFSET + 4] = u16(len(subheaders))
+    page[BIT_OFFSET + 4:BIT_OFFSET + 6] = u16(len(subheaders))
+    ptr = BIT_OFFSET + 8
+    # subheader bodies pack from the page END, like real files
+    tail = PAGE
+    for sh in subheaders:
+        tail -= len(sh)
+        page[tail:tail + len(sh)] = sh
+        page[ptr:ptr + 8] = u64(tail)
+        page[ptr + 8:ptr + 16] = u64(len(sh))
+        page[ptr + 16] = 0   # compression: uncompressed
+        page[ptr + 17] = 0   # type
+        ptr += SH_PTR_LEN
+        assert ptr <= tail, "meta page overflow"
+    return bytes(page)
+
+
+def row_bytes(i: int) -> bytes:
+    return f64(float(i)) + f64(i * 0.25) + f"row_{i:03d}".encode().ljust(8)
+
+
+def data_page(rows) -> bytes:
+    page = bytearray(PAGE)
+    page[BIT_OFFSET:BIT_OFFSET + 2] = u16(0x0100)   # data
+    page[BIT_OFFSET + 2:BIT_OFFSET + 4] = u16(len(rows))
+    page[BIT_OFFSET + 4:BIT_OFFSET + 6] = u16(0)
+    pos = BIT_OFFSET + 8
+    for r in rows:
+        page[pos:pos + ROW_LEN] = r
+        pos += ROW_LEN
+    return bytes(page)
+
+
+def main(out: str) -> None:
+    blob, offsets = text_blob()
+    meta = meta_page([
+        subheader_rowsize(),
+        subheader_colsize(),
+        subheader_counts(),
+        subheader_text(blob),
+        subheader_colname(offsets),
+        subheader_colattrs(),
+        subheader_collist(),
+    ] + [subheader_format() for _ in COLS])
+    rows = [row_bytes(i) for i in range(1, ROWS + 1)]
+    with open(out, "wb") as f:
+        f.write(header())
+        f.write(meta)
+        f.write(data_page(rows[:ROWS_P1]))
+        f.write(data_page(rows[ROWS_P1:]))
+
+    # independent-parser validation: the fixture is only real if
+    # pandas' own sas7bdat reader agrees on every value
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == ["id", "val", "name"], df.columns
+    assert len(df) == ROWS, len(df)
+    for i in range(1, ROWS + 1):
+        r = df.iloc[i - 1]
+        assert r["id"] == float(i), (i, r["id"])
+        assert r["val"] == i * 0.25, (i, r["val"])
+        assert r["name"] == f"row_{i:03d}", (i, repr(r["name"]))
+    print(f"OK: {out} validated by pd.read_sas ({ROWS} rows x {len(COLS)} cols)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "fixtures/sas/graft_fixture.sas7bdat")
