@@ -313,8 +313,14 @@ object Dedup {
     * the standard iterative-Spark discipline (GraphX/GraphFrames
     * checkpoint on the same schedule for the same reason). Each
     * round is one shuffle on the id (bounded-width keys, never
-    * bodies) plus a driver-side changed-count — control flow only,
-    * no data collect.
+    * bodies); convergence detection rides ALONG in the checkpointed
+    * frame (the previous label is carried as a column through the
+    * propagate aggregation, so "anything changed?" is a limit-1 scan
+    * of already-materialized rows) instead of a separate
+    * join-and-count job — on small-diameter graphs the fixpoint's
+    * wall-clock is dominated by per-round JOB overhead, not data.
+    * Together with single-pass edge construction (below) this took
+    * er_groups from 10.2s to 5.1s median at sf0.1 (BENCHDIFF.md r11).
     *
     * The returned frame is materialized (localCheckpoint storage);
     * its blocks release when the frame is garbage-collected —
@@ -328,8 +334,15 @@ object Dedup {
       idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idA).as("__src"), col(idB).as("__dst"))
-      .union(pairs.select(col(idB).as("__src"), col(idA).as("__dst")))
+    // both edge orientations from ONE pass over pairs (explode of a
+    // 2-element array) — the union-of-two-selects form it replaces
+    // embedded the pairs plan twice, and pair generation (blocked
+    // self-join + edit distance upstream) is the expensive part
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("__src"), col(idB).as("__dst")),
+        struct(col(idB).as("__src"), col(idA).as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .distinct().persist(MEMORY_AND_DISK)
     var labels = edges.select(col("__src").as("doc_id"))
       .distinct().withColumn("cluster_id", col("doc_id"))
@@ -337,23 +350,32 @@ object Dedup {
     var it = 0
     var done = false
     while (!done && it < maxIter) {
+      // own rows carry their current label as __old; edge-propagated
+      // rows carry null. After the min-aggregation every doc_id keeps
+      // exactly its previous label in __old (max ignores nulls, and a
+      // doc_id always has its own row), so the change test needs no
+      // join back against the previous round.
+      val own = labels.select(col("doc_id"), col("cluster_id"),
+        col("cluster_id").as("__old"))
       val viaEdges = edges
         .join(labels.select(col("doc_id").as("__src"), col("cluster_id")), "__src")
-        .select(col("__dst").as("doc_id"), col("cluster_id"))
-      val prop = labels.select("doc_id", "cluster_id").union(viaEdges)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(col("__dst").as("doc_id"), col("cluster_id"),
+          lit(null).cast(labels.schema("cluster_id").dataType).as("__old"))
+      val prop = own.unionByName(viaEdges)
+        .groupBy("doc_id").agg(
+          min("cluster_id").as("cluster_id"), max("__old").as("__old"))
       // pointer jump: follow the label one hop (inner join is safe —
       // a label is itself a vertex id, so it always has a labels row)
       val next = prop
         .join(prop.select(col("doc_id").as("__p"), col("cluster_id").as("__pc")),
           col("cluster_id") === col("__p"))
-        .select(col("doc_id"), least(col("cluster_id"), col("__pc")).as("cluster_id"))
+        .select(col("doc_id"), least(col("cluster_id"), col("__pc")).as("cluster_id"),
+          col("__old"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "__old"), "doc_id")
-        .where(col("cluster_id") =!= col("__old")).count()
-      labels = next
-      done = changed == 0
+      // limit-1 scan of the rows the checkpoint just materialized —
+      // no shuffle, no second full job
+      done = next.where(col("cluster_id") =!= col("__old")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
       it += 1
     }
     edges.unpersist()

@@ -75,8 +75,12 @@ object EntityRes {
       col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
     a.join(b, blockCols)
       .where(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      // banded Levenshtein: with the threshold argument Spark computes
+      // only a 2*maxDist+1 diagonal band and early-exits, returning -1
+      // beyond it — O(len*maxDist) instead of O(len^2) per pair, exact
+      // for every pair actually kept
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") >= 0)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
 
