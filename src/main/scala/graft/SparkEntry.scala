@@ -46,6 +46,19 @@ object SparkEntry {
   }
   private def scratch(name: String): String = s"$scratchRoot/$name"
 
+  /** Ranked BPE merge table for text_bpe_encode — rank = position.
+    * Tuned to the corpus vocabulary so frequent words compress to one
+    * token and others stay partially merged (both paths exercised);
+    * a production pipeline loads this from its tokenizer artifact.
+    * The oracle embeds the SAME table as literal rows.
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "l" -> "e", "ta" -> "b", "tab" -> "le",
+    "r" -> "o", "ro" -> "w",
+    "v" -> "a", "va" -> "l", "u" -> "e", "val" -> "ue",
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "q" -> "u", "qu" -> "e", "que" -> "r", "quer" -> "y")
+
   /** The testdata has no physical nulls, so null-exercising ops run
     * on this frame: customer ⟕ per-customer max "big order" total —
     * `big_total` is null for customers without a >200k order.
@@ -812,6 +825,9 @@ object SparkEntry {
 
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeText("text")(t(s, d, "documents"))
+        .select("doc_id", "clean_text", "n_chars_clean", "changed")),
     "text_quality" -> ((s, d) => TextAnalysis.withQualityScores("text")(t(s, d, "documents"))
       .select("doc_id", "n_tokens", "ttr", "mean_token_len", "stopword_ratio", "punct_ratio")),
     "text_langid" -> ((s, d) =>
@@ -828,6 +844,12 @@ object SparkEntry {
     "text_tokens_bpe" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.tokensRegex(col("text"))).as("n_bpe_tokens"))),
+    // REAL tokenizer application: greedy ranked-merge BPE encode per
+    // word (native expression, merge table as a plan literal), giving
+    // the token count a budget/packing stage would actually bill
+    "text_bpe_encode" -> ((s, d) =>
+      TextAnalysis.withBpeTokenCount("text", SparkEntry.bpeMerges)(t(s, d, "documents"))
+        .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "fertility")),
 
     "text_pii_scan" -> ((s, d) =>
       TextAnalysis.withPiiSignals("text")(t(s, d, "documents"))
@@ -1890,6 +1912,15 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS n_chars_calc,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
         |FROM documents""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\t\r\n]+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\t\r\n]+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars_clean,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\t\r\n]+', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ', 'g')) <> text AS changed
+        |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -1970,6 +2001,48 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
         |FROM cnt GROUP BY 1""".stripMargin,
+    // replays the greedy merge loop as a recursive CTE. Parts are
+    // joined AND bounded by chr(31) (boundaries in the pattern stop
+    // prefix false-matches: '|t|ab|' must not match pair (t,a)); each
+    // round applies the lowest-rank merge present via replace().
+    // replace() may leave boundary-sharing occurrences for the next
+    // round — equivalent to the engine's all-occurrences-per-round
+    // merge for every WELL-FORMED table, because a pair consuming a
+    // merged token necessarily ranks after the merge that created the
+    // token, so partially-merged rounds can never surface a
+    // lower-rank competitor. Merge rows interpolate from the SAME
+    // bpeMerges value the query uses, so the two sides cannot drift.
+    "text_bpe_encode" ->
+      s"""WITH RECURSIVE m(rank, a, b) AS (
+         |  SELECT * FROM (VALUES ${bpeMerges.zipWithIndex
+            .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}) v),
+         |ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |wx AS (SELECT doc_id, i, w[i] AS word
+         |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+         |enc(doc_id, i, s, it) AS (
+         |  SELECT doc_id, i,
+         |    chr(31) || array_to_string(list_transform(generate_series(1, length(word)), j -> word[j]), chr(31)) || chr(31), 0
+         |  FROM wx
+         |  UNION ALL
+         |  SELECT doc_id, i,
+         |    replace(s, chr(31) || best.a || chr(31) || best.b || chr(31),
+         |               chr(31) || best.a || best.b || chr(31)), it + 1
+         |  FROM enc, LATERAL (SELECT a, b FROM m
+         |                     WHERE contains(s, chr(31) || a || chr(31) || b || chr(31))
+         |                     ORDER BY rank LIMIT 1) best
+         |  WHERE it < 90),
+         |fin AS (SELECT doc_id, i, s FROM (
+         |  SELECT doc_id, i, s, row_number() OVER (PARTITION BY doc_id, i ORDER BY it DESC) AS rn
+         |  FROM enc) WHERE rn = 1),
+         |cnt AS (SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s = chr(31) || chr(31) THEN 0
+         |           ELSE len(string_split(s, chr(31))) - 2 END) AS INTEGER) AS n_bpe
+         |FROM fin GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens_ws,
+         |  c.n_bpe AS n_tokens_bpe,
+         |  CAST(c.n_bpe AS DOUBLE) / len(string_split(d.text, ' ')) AS fertility
+         |FROM documents d JOIN cnt c USING (doc_id)""".stripMargin,
     // adjacent-pair counts; the ORDER BY is a total order (count desc,
     // pair asc) so LIMIT is deterministic in both engines
     "text_bpe_pairs" ->

@@ -191,6 +191,10 @@ object ArrayFns {
       CmsEstimate.fromExprs, "built-in")
     reg.createOrReplaceTempFunction("graft_gram_hashes",
       exprs => GramHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_encode",
+      exprs => BpeEncode(exprs(0), exprs(1)), "built-in")
   }
 
   private val registeredNames = Seq(
@@ -198,7 +202,7 @@ object ArrayFns {
     "graft_ivf_cells", "graft_image_meta", "graft_audio_meta",
     "graft_video_meta", "graft_byte_stats", "graft_byte_hist",
     "graft_bloom", "graft_bloom_contains", "graft_cms_estimate",
-    "graft_gram_hashes")
+    "graft_gram_hashes", "graft_nfc", "graft_bpe_encode")
 
   /** Run `body` with the graft functions registered, then drop any
     * that were NOT already present — a library operator resolving its

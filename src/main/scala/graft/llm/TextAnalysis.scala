@@ -25,6 +25,61 @@ object TextAnalysis {
   def tokensRegex(c: Column): Column =
     filter(split(c, """[^\p{L}\p{N}]+"""), t => length(t) > 0)
 
+  /** Canonical text cleanup — the stage every web-scale pipeline
+    * (C4, CCNet, RefinedWeb) runs BEFORE hashing, dedup, or quality
+    * scoring, because un-normalized variants of the same content
+    * defeat exact-hash dedup: NFC normalization (native
+    * [[graft.functions.NfcNormalize]], codegen'd, quick-check fast
+    * path), whitespace controls (tab/CR/LF) to spaces, remaining
+    * control/format characters (zero-width, BOM, C0/C1) stripped,
+    * space runs collapsed, ends trimmed. Every step is a row-local
+    * codegen'd expression — zero shuffles, linear at 100 TB — and
+    * every regex class is spelled explicitly so DuckDB's RE2
+    * reproduces it character-for-character.
+    *
+    * Output: input columns + `clean_text`, `n_chars_clean`, and
+    * `changed` (true when cleanup altered the text — the corpus-health
+    * metric a pipeline tracks release over release).
+    */
+  def normalizeText(textCol: String)(df: DataFrame): DataFrame =
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      val nfc = call_function("graft_nfc", col(textCol))
+      val cleaned = trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(nfc, "[\\t\\r\\n]+", " "),
+          "[\\p{Cc}\\p{Cf}]", ""),
+        " +", " "))
+      df.withColumn("clean_text", cleaned)
+        .withColumn("n_chars_clean", length(col("clean_text")))
+        .withColumn("changed", col("clean_text") =!= col(textCol))
+    }
+
+  /** True token counts under a trained BPE tokenizer — the number
+    * token budgets, packing manifests, and mixture weights actually
+    * consume (whitespace counts run 2-5× off the production
+    * tokenizer's). Each whitespace word is encoded by the native
+    * greedy merge loop ([[graft.functions.BpeEncode]]; the ranked
+    * merge table ships as a plan literal, IVF-centroid style) and the
+    * per-word token counts fold into `n_tokens_bpe`; `fertility` =
+    * BPE tokens per whitespace token, the standard tokenizer-fit
+    * metric (rising fertility on a new corpus slice means the
+    * tokenizer fragments it — retrain or re-weigh). Row-local, zero
+    * shuffles; the DuckDB oracle replays the merge loop as a
+    * recursive CTE over separator-joined parts.
+    */
+  def withBpeTokenCount(textCol: String, merges: Seq[(String, String)])(
+      df: DataFrame): DataFrame =
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      val mergesLit = typedlit(merges.map { case (a, b) => Seq(a, b) })
+      val perWord = transform(tokens(col(textCol)),
+        w => size(call_function("graft_bpe_encode", w, mergesLit)))
+      df.withColumn("n_tokens_ws", size(tokens(col(textCol))))
+        .withColumn("n_tokens_bpe",
+          aggregate(perWord, lit(0), (acc, x) => acc + x))
+        .withColumn("fertility",
+          col("n_tokens_bpe").cast("double") / col("n_tokens_ws"))
+    }
+
   /** token_count + char_count + distinct-token count. */
   def withTokenStats(textCol: String)(df: DataFrame): DataFrame = {
     val toks = tokens(col(textCol))

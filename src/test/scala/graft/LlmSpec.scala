@@ -21,6 +21,58 @@ class LlmSpec extends SparkSpec {
     (5L, "short text")
   ).toDF("doc_id", "text")
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse - codegen'd, session untouched") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val decomposed = "cafe\u0301 time"  // e + U+0301 combining acute
+    val composed = "caf\u00e9 time"     // precomposed \u00e9
+    assert(decomposed != composed)      // genuinely different code points going in
+    val cases = Seq(
+      (1L, decomposed),
+      (2L, "  a\t\tb\r\nc  "),          // whitespace controls -> spaces, collapsed, trimmed
+      (3L, "zero\u200bwidth\ufeffgone"), // Cf characters (ZWSP, BOM) stripped
+      (4L, "already clean ascii"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val fresh = spark.newSession()
+    val out = graft.llm.TextAnalysis.normalizeText("text")(cases)
+      .orderBy("doc_id")
+      .select("clean_text", "changed")
+      .collect()
+    assert(out(0).getString(0) == composed && out(0).getBoolean(1))
+    assert(out(1).getString(0) == "a b c" && out(1).getBoolean(1))
+    assert(out(2).getString(0) == "zerowidthgone" && out(2).getBoolean(1))
+    assert(out(3).getString(0) == "already clean ascii" && !out(3).getBoolean(1))
+    assert(out(4).getString(0) == "" && !out(4).getBoolean(1))
+    // library operator leaves no graft_nfc behind on an untouched session
+    assert(!fresh.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier("graft_nfc")))
+    // the whole pipeline stays row-local: no shuffle anywhere
+    val plan = planOf(graft.llm.TextAnalysis.normalizeText("text")(cases))
+    assert(!plan.contains("Exchange"), s"normalizeText must not shuffle:\n$plan")
+  }
+
+  test("BPE encode: ranked greedy merges, L2R non-overlap on repeats, fertility") {
+    val merges = Seq("t" -> "a", "l" -> "e", "ta" -> "b", "tab" -> "le", "a" -> "a")
+    val rankMap = new java.util.HashMap[(String, String), Int]()
+    merges.zipWithIndex.foreach { case (p, i) => rankMap.put(p, i) }
+    def enc(w: String) = graft.functions.BpeEncode.encode(w, rankMap).toSeq
+    assert(enc("table") == Seq("table"))       // full merge chain
+    assert(enc("tables") == Seq("table", "s")) // partial: trailing residue
+    assert(enc("aaa") == Seq("aa", "a"))       // L2R non-overlap on repeats
+    assert(enc("xyz") == Seq("x", "y", "z"))   // no merge applies
+    assert(enc("") == Seq.empty)
+    // operator: counts + fertility, zero shuffles, session untouched
+    val df = Seq((1L, "table tables xyz"), (2L, "")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.withBpeTokenCount("text", merges)(df)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_tokens_ws") == 3)
+    assert(out(0).getAs[Int]("n_tokens_bpe") == 1 + 2 + 3)
+    assert(out(0).getAs[Double]("fertility") == 2.0)
+    assert(out(1).getAs[Int]("n_tokens_bpe") == 0)
+    val plan = planOf(graft.llm.TextAnalysis.withBpeTokenCount("text", merges)(df))
+    assert(!plan.contains("Exchange"), s"BPE encode must not shuffle:\n$plan")
+  }
+
   test("exactDedup keeps lowest id per identical text") {
     val r = Dedup.exactDedup("text", "doc_id")(docs).select("doc_id")
       .collect().map(_.getLong(0)).sorted
