@@ -2001,17 +2001,18 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
         |FROM cnt GROUP BY 1""".stripMargin,
-    // replays the greedy merge loop as a recursive CTE. Parts are
-    // joined AND bounded by chr(31) (boundaries in the pattern stop
-    // prefix false-matches: '|t|ab|' must not match pair (t,a)); each
-    // round applies the lowest-rank merge present via replace().
-    // replace() may leave boundary-sharing occurrences for the next
-    // round — equivalent to the engine's all-occurrences-per-round
-    // merge for every WELL-FORMED table, because a pair consuming a
-    // merged token necessarily ranks after the merge that created the
-    // token, so partially-merged rounds can never surface a
-    // lower-rank competitor. Merge rows interpolate from the SAME
-    // bpeMerges value the query uses, so the two sides cannot drift.
+    // replays the greedy merge loop as a recursive CTE carrying the
+    // PARTS LIST as state: each round finds the lowest-rank merge
+    // whose pair is adjacent anywhere and merges its LEFTMOST
+    // occurrence via list slicing. One-merge-per-round leftmost-first
+    // is exactly canonical L2R-non-overlap merging — including
+    // self-pairs like (a,a), where string replace() tricks consume
+    // shared boundaries and mis-merge runs of 6+ (verified: this form
+    // gives [aa,aa,aa] for 'aaaaaa', matching BpeEncode.encode).
+    // Cross-pair ordering is safe because a well-formed table ranks a
+    // pair consuming a merged token after the merge that created it.
+    // Merge rows interpolate from the SAME bpeMerges value the query
+    // uses, so the two sides cannot drift.
     "text_bpe_encode" ->
       s"""WITH RECURSIVE m(rank, a, b) AS (
          |  SELECT * FROM (VALUES ${bpeMerges.zipWithIndex
@@ -2019,24 +2020,26 @@ object SparkEntry {
          |ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          |wx AS (SELECT doc_id, i, w[i] AS word
          |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
-         |enc(doc_id, i, s, it) AS (
+         |enc(doc_id, i, p, it) AS (
          |  SELECT doc_id, i,
-         |    chr(31) || array_to_string(list_transform(generate_series(1, length(word)), j -> word[j]), chr(31)) || chr(31), 0
+         |    list_transform(generate_series(1, length(word)), j -> word[j]), 0
          |  FROM wx
          |  UNION ALL
          |  SELECT doc_id, i,
-         |    replace(s, chr(31) || best.a || chr(31) || best.b || chr(31),
-         |               chr(31) || best.a || best.b || chr(31)), it + 1
-         |  FROM enc, LATERAL (SELECT a, b FROM m
-         |                     WHERE contains(s, chr(31) || a || chr(31) || b || chr(31))
-         |                     ORDER BY rank LIMIT 1) best
+         |    p[1:pos.j - 1] || [p[pos.j] || p[pos.j + 1]] || p[pos.j + 2:], it + 1
+         |  FROM enc,
+         |    LATERAL (SELECT a, b FROM m
+         |             WHERE len(list_filter(generate_series(1, len(p) - 1),
+         |                                   j -> p[j] = m.a AND p[j + 1] = m.b)) > 0
+         |             ORDER BY rank LIMIT 1) best,
+         |    LATERAL (SELECT min(j) AS j
+         |             FROM (SELECT unnest(generate_series(1, len(p) - 1)) AS j) t
+         |             WHERE p[j] = best.a AND p[j + 1] = best.b) pos
          |  WHERE it < 90),
-         |fin AS (SELECT doc_id, i, s FROM (
-         |  SELECT doc_id, i, s, row_number() OVER (PARTITION BY doc_id, i ORDER BY it DESC) AS rn
+         |fin AS (SELECT doc_id, i, p FROM (
+         |  SELECT doc_id, i, p, row_number() OVER (PARTITION BY doc_id, i ORDER BY it DESC) AS rn
          |  FROM enc) WHERE rn = 1),
-         |cnt AS (SELECT doc_id,
-         |  CAST(SUM(CASE WHEN s = chr(31) || chr(31) THEN 0
-         |           ELSE len(string_split(s, chr(31))) - 2 END) AS INTEGER) AS n_bpe
+         |cnt AS (SELECT doc_id, CAST(SUM(len(p)) AS INTEGER) AS n_bpe
          |FROM fin GROUP BY 1)
          |SELECT d.doc_id,
          |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens_ws,

@@ -52,12 +52,17 @@ case class BpeEncode(word: Expression, merges: Expression)
 
   // rank map decoded once (lazily, off the foldable literal)
   @transient private lazy val rankOf: java.util.HashMap[(String, String), Int] = {
-    val arr = merges.eval(null).asInstanceOf[ArrayData]
+    val raw = merges.eval(null)
+    require(raw != null, s"$prettyName merge table must not be null")
+    val arr = raw.asInstanceOf[ArrayData]
     val m = new java.util.HashMap[(String, String), Int]()
     var i = 0
     while (i < arr.numElements()) {
       val pair = arr.getArray(i)
-      require(pair.numElements() == 2, s"merge $i must be [a, b]")
+      require(pair != null && pair.numElements() == 2,
+        s"$prettyName merge $i must be a non-null [a, b] pair")
+      require(!pair.isNullAt(0) && !pair.isNullAt(1),
+        s"$prettyName merge $i contains a null side")
       val key = (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
       if (!m.containsKey(key)) m.put(key, i) // first occurrence wins the rank
       i += 1
@@ -90,22 +95,21 @@ object BpeEncode {
       word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var continue = parts.length > 1
     while (continue) {
+      // track the winning pair DURING the scan — recovering it from
+      // the rank map afterwards would walk the whole merge table
+      // (50k entries for a production tokenizer) every round
       var bestRank = Int.MaxValue
+      var best: (String, String) = null
       var i = 0
       while (i < parts.length - 1) {
-        val r = rankOf.getOrDefault((parts(i), parts(i + 1)), Int.MaxValue)
-        if (r < bestRank) bestRank = r
+        val key = (parts(i), parts(i + 1))
+        val r = rankOf.getOrDefault(key, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = key }
         i += 1
       }
       if (bestRank == Int.MaxValue) continue = false
       else {
         // merge every left-to-right non-overlapping occurrence
-        var best: (String, String) = null
-        val it = rankOf.entrySet().iterator()
-        while (it.hasNext && best == null) {
-          val e = it.next()
-          if (e.getValue == bestRank) best = e.getKey
-        }
         val out = Array.newBuilder[String]
         var j = 0
         while (j < parts.length) {

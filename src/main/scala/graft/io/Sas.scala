@@ -242,7 +242,13 @@ object Sas {
         val raw = meta.bitOffset + 8 + shCount * meta.shPtrLen
         val aligned = ((raw + 7) / 8) * 8
         val capacity = (page.length - aligned) / meta.rowLength
-        (aligned, math.min(meta.mixPageRowCount, capacity))
+        // pd.read_sas clamps the mix page to min(row_count,
+        // mix_page_row_count); a mix page is always the FIRST
+        // row-bearing page, so the file-level rowCount applies to it
+        // directly — without the clamp a row_size subheader declaring
+        // more mix rows than the table holds would emit garbage rows
+        // parsed from page padding
+        (aligned, Seq(meta.mixPageRowCount, meta.rowCount, capacity).min)
       } else (0, 0L)
     val charset = java.nio.charset.Charset.forName(meta.encoding)
     (0L until n).iterator.map { r =>

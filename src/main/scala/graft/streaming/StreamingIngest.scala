@@ -163,9 +163,13 @@ object StreamingIngest {
           // ids are scoped to (written by Spark before the first batch;
           // recreated checkpoint -> new id).
           val metaPath = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+          // the checkpoint may live on a different filesystem than the
+          // state dir (e.g. local ckpt + object-store state) — resolve
+          // its OWN fs or Hadoop throws "Wrong FS"
+          val ckptFs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           val queryId: String =
-            if (fs.exists(metaPath)) {
-              val in = fs.open(metaPath)
+            if (ckptFs.exists(metaPath)) {
+              val in = ckptFs.open(metaPath)
               val txt = try new String(
                 in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
               finally in.close()

@@ -7,6 +7,7 @@ import graft.llm.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
+  import scala.jdk.CollectionConverters._
 
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -33,8 +34,11 @@ class LlmSpec extends SparkSpec {
       (4L, "already clean ascii"),
       (5L, "")
     ).toDF("doc_id", "text")
+    // run the operator ON a fresh session so the no-leak assertion
+    // below actually covers the registry the operator touched
     val fresh = spark.newSession()
-    val out = graft.llm.TextAnalysis.normalizeText("text")(cases)
+    val freshCases = fresh.createDataFrame(cases.collect().toSeq.asJava, cases.schema)
+    val out = graft.llm.TextAnalysis.normalizeText("text")(freshCases)
       .orderBy("doc_id")
       .select("clean_text", "changed")
       .collect()
@@ -59,6 +63,9 @@ class LlmSpec extends SparkSpec {
     assert(enc("table") == Seq("table"))       // full merge chain
     assert(enc("tables") == Seq("table", "s")) // partial: trailing residue
     assert(enc("aaa") == Seq("aa", "a"))       // L2R non-overlap on repeats
+    assert(enc("aaaaaa") == Seq("aa", "aa", "aa")) // 6-run self-pair: the case
+    // string-replace oracle tricks mis-merge (boundary consumption) —
+    // pinned here AND replayed by the list-state recursive-CTE oracle
     assert(enc("xyz") == Seq("x", "y", "z"))   // no merge applies
     assert(enc("") == Seq.empty)
     // operator: counts + fertility, zero shuffles, session untouched

@@ -64,7 +64,7 @@ def pdtype(t):
          "BIGINT": "int64", "UTINYINT": "uint8", "USMALLINT": "uint16",
          "UINTEGER": "uint32", "UBIGINT": "uint64",
          "FLOAT": "float32", "REAL": "float32", "DOUBLE": "float64",
-         "VARCHAR": "object", "BLOB": "object", "BOOLEAN": "bool",
+         "VARCHAR": "object", "BLOB": "bytes", "BOOLEAN": "bool",
          "DATE": "date"}
     if u in m: return m[u]
     if u.startswith("TIMESTAMP"): return "datetime64"
