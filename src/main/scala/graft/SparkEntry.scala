@@ -747,6 +747,17 @@ object SparkEntry {
       Dedup.kgramDupCoverage(t(s, d, "documents"), "doc_id", "text", k = 30)),
     "dedup_kgram_pairs" -> ((s, d) =>
       Dedup.kgramDupPairs(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    // content-defined chunking (LBFS-style, word granularity):
+    // boundary-aligned NON-overlapping chunks, so the exploded volume
+    // is ~1x corpus (vs k-grams' kx); shuffle carries chunk digests
+    "dedup_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunkStats(t(s, d, "documents"), "doc_id", "text", divisor = 8)),
+    "dedup_cdc_coverage" -> ((s, d) =>
+      Dedup.cdcDupCoverage(t(s, d, "documents"), "doc_id", "text", divisor = 8)),
+    // dedup-rate-over-ingestion monitoring: per doc_id bucket, the
+    // fraction of documents whose exact content is seen first there
+    "dedup_novelty_curve" -> ((s, d) =>
+      Dedup.noveltyCurve(t(s, d, "documents"), "doc_id", "text", bucketSize = 50)),
 
     // ===== entity resolution (blocking + edit distance) =====
     // candidate pairs never cross blocks (equi-join on the blocking
@@ -1438,6 +1449,33 @@ object SparkEntry {
     * blocking is pigeonhole-complete (Dedup.simhashPairs). Replicates
     * md5Hash60 via DuckDB's hex-literal cast; only bits 0–59 exist.
     */
+  /** Shared DuckDB CTE replaying [[graft.llm.Dedup.cdcChunks]]: word
+    * split, md5-prefix boundary hash (% 8), chunk index = count of
+    * boundaries among STRICTLY preceding words (boundary word ends
+    * its chunk), chunk text re-joined in word order. The window SUM's
+    * HUGEINT stays internal — every output column is cast on the way
+    * out by the queries that append to this.
+    */
+  private def cdcChunksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS tk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, g.i AS i, tk[g.i] AS w,
+      |         CASE WHEN CAST(concat('0x', substr(md5(tk[g.i]), 1, 15)) AS BIGINT) % 8 = 0
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g),
+      |cid AS (
+      |  SELECT doc_id, i, w,
+      |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+      |  FROM w),
+      |chunks AS (
+      |  SELECT doc_id, cidx, string_agg(w, ' ' ORDER BY i) AS chunk,
+      |         CAST(count(*) AS BIGINT) AS n_words
+      |  FROM cid GROUP BY doc_id, cidx)
+      |""".stripMargin
+
   private def simhashPairsOracle: String = {
     val bitSums = (0 until 60)
       .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
@@ -1879,6 +1917,42 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // CDC chunk replay: same boundary rule (md5-prefix hash of the
+    // word, % 8), boundary word ends its chunk; the window-sum of
+    // boundary flags over STRICTLY preceding words is the chunk index
+    "dedup_cdc_chunks" ->
+      (cdcChunksCte +
+        """SELECT md5(chunk) AS chunk_md5,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       count(*) AS n_occurrences,
+          |       max(n_words) AS n_words
+          |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    "dedup_cdc_coverage" ->
+      (cdcChunksCte +
+        """, ch AS (SELECT doc_id, md5(chunk) AS h, n_words FROM chunks),
+          |dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+          |per AS (
+          |  SELECT ch.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_chunks,
+          |         CAST(count(CASE WHEN d.h IS NOT NULL THEN 1 END) AS BIGINT) AS dup_chunks,
+          |         CAST(sum(ch.n_words) AS BIGINT) AS n_words,
+          |         CAST(COALESCE(sum(CASE WHEN d.h IS NOT NULL THEN ch.n_words END), 0) AS BIGINT) AS dup_words
+          |  FROM ch LEFT JOIN dup d ON ch.h = d.h GROUP BY 1)
+          |SELECT doc.doc_id,
+          |       COALESCE(p.n_chunks, 0) AS n_chunks,
+          |       COALESCE(p.dup_chunks, 0) AS dup_chunks,
+          |       COALESCE(p.n_words, 0) AS n_words,
+          |       COALESCE(p.dup_words, 0) AS dup_words,
+          |       COALESCE(CAST(p.dup_words AS DOUBLE) / p.n_words, 0.0) AS dup_word_frac
+          |FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id""".stripMargin),
+    "dedup_novelty_curve" ->
+      """WITH firsts AS (
+        |  SELECT md5(text) AS d, min(doc_id) AS first_id FROM documents GROUP BY 1),
+        |nov AS (SELECT first_id // 50 AS bucket, count(*) AS n_novel FROM firsts GROUP BY 1),
+        |tot AS (SELECT doc_id // 50 AS bucket, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.bucket, t.n_docs, COALESCE(n.n_novel, 0) AS n_novel,
+        |       COALESCE(n.n_novel, 0) / CAST(t.n_docs AS DOUBLE) AS novel_frac
+        |FROM tot t LEFT JOIN nov n ON t.bucket = n.bucket""".stripMargin,
     "dedup_near_keep" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT doc_id,

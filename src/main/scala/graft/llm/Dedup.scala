@@ -745,4 +745,143 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ===== content-defined chunking (CDC) =====
+
+  /** Word-level content-defined chunking: a chunk boundary falls
+    * AFTER every word whose [[md5Hash60]] is divisible by `divisor`,
+    * so boundaries depend only on local content — an insertion early
+    * in a document shifts at most one chunk, and identical passages
+    * chunk identically wherever they appear. That re-alignment is the
+    * whole point versus fixed-size chunks (storage-dedup literature:
+    * Muthitacharoen's LBFS rolling-hash CDC, here at word rather than
+    * byte granularity); versus k-grams ([[kgramDupCoverage]]) the
+    * chunks are NON-overlapping, so the exploded volume is ~1× corpus
+    * size instead of k×.
+    *
+    * Output: one row per chunk — (idCol, chunk_md5, n_words). The
+    * chunk TEXT is dropped before any shuffle; downstream aggregations
+    * key on the 32-char digest. Expected chunk length is `divisor`
+    * words. Empty documents produce no rows (callers that must keep
+    * them re-join on the source table, as [[cdcDupCoverage]] does).
+    *
+    * All chunking work is per-row higher-order functions over one
+    * pruned scan — no shuffle, no UDF; the boundary hash is the
+    * engine-portable md5 prefix so a DuckDB oracle replays it
+    * bit-for-bit.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    df.select(col(idCol), words.as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0)
+      // 1-based word positions that END a chunk (boundary word included)
+      .withColumn("__bpos",
+        filter(sequence(lit(1), col("__n")),
+          i => md5Hash60(element_at(col("__w"), i)) % divisor === 0))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__bpos"), i => i + 1)))
+      .withColumn("__ends", concat(col("__bpos"), array(col("__n"))))
+      // the trailing (n+1, n) pair when the last word is itself a
+      // boundary yields null and is filtered — no empty chunks
+      .withColumn("__chunks",
+        filter(
+          zip_with(col("__starts"), col("__ends"), (s, e) =>
+            when(s <= e, array_join(slice(col("__w"), s, e - s + 1), " "))),
+          c => c.isNotNull))
+      .select(col(idCol), explode(col("__chunks")).as("__chunk"))
+      .select(
+        col(idCol),
+        md5(col("__chunk")).as("chunk_md5"),
+        size(split(col("__chunk"), " ")).cast("long").as("n_words"))
+  }
+
+  /** Corpus-level duplicated-chunk inventory: every CDC chunk that
+    * occurs more than once (within or across documents), with its
+    * document spread, occurrence count, and length. The shuffle
+    * carries (digest, small ints) only.
+    */
+  def cdcChunkStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8): DataFrame =
+    cdcChunks(df, idCol, textCol, divisor)
+      .groupBy("chunk_md5")
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("n_words")).as("n_words"))
+      .filter(col("n_occurrences") >= 2)
+
+  /** Per-document duplicate coverage at chunk granularity: the
+    * fraction of a document's words living in chunks that also appear
+    * in ANOTHER document (cross-doc: n_docs >= 2, so within-doc
+    * repetition alone does not count). The cheaper cousin of
+    * [[kgramDupCoverage]] — non-overlapping chunks keep the exploded
+    * row count at ~corpus size — at the price of CDC's boundary-
+    * alignment granularity (a shared passage shorter than one chunk
+    * is invisible). Emits one row per SOURCE document, zero-filled,
+    * so empty documents cannot diverge from an oracle that scans the
+    * base table.
+    */
+  def cdcDupCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, divisor)
+    val dup = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("chunk_md5"), lit(1).as("__dup"))
+    val per = chunks.join(dup, Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n_chunks"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("__dup_chunks"),
+        sum(col("n_words")).as("__n_words"),
+        sum(when(col("__dup").isNotNull, col("n_words")).otherwise(0L)).as("__dup_words"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("__dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("__n_words"), lit(0L)).as("n_words"),
+        coalesce(col("__dup_words"), lit(0L)).as("dup_words"),
+        coalesce(col("__dup_words") / col("__n_words"), lit(0.0)).as("dup_word_frac"))
+  }
+
+  /** Corpus novelty curve: bucket documents by ingestion order
+    * (idCol / bucketSize) and report, per bucket, how many documents
+    * are the FIRST occurrence of their exact content — the
+    * dedup-rate-over-time monitoring view every growing corpus needs
+    * (a collapsing novel_frac means the crawl is re-reading itself).
+    * Two digest-keyed aggregations plus a bucket-keyed join; document
+    * bodies never shuffle.
+    */
+  def noveltyCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketSize: Int = 50): DataFrame = {
+    val firsts = df
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("__first_id"))
+      .groupBy(floor(col("__first_id") / bucketSize).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_novel"))
+    val totals = df
+      .groupBy(floor(col(idCol) / bucketSize).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    totals.join(firsts, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)) / col("n_docs")).as("novel_frac"))
+  }
 }

@@ -276,6 +276,69 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  // ===== content-defined chunking =====
+
+  test("cdcChunks: chunks partition the words in order; boundaries are content-defined") {
+    val r = Dedup.cdcChunks(docs, "doc_id", "text", divisor = 4)
+    // every word of every doc lands in exactly one chunk, in order:
+    // per-doc word totals reconstruct the original word counts
+    val perDoc = r.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    docs.collect().foreach { row =>
+      val id = row.getLong(0)
+      val n = row.getString(1).split(" ").count(_.nonEmpty)
+      assert(perDoc(id) == n.toLong, s"doc $id")
+    }
+    // content-defined: exact-dup docs 1 and 4 chunk identically
+    val byDoc = r.collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(x => (x.getAs[String]("chunk_md5"), x.getAs[Long]("n_words"))).sorted.toSeq)
+      .toMap
+    assert(byDoc(1L) == byDoc(4L))
+    // a shared PASSAGE chunks identically wherever it sits: doc 2 is
+    // doc 1 plus a trailing word, so every chunk of doc 1 except
+    // possibly the last also appears in doc 2's chunk set
+    assert(byDoc(1L).dropRight(1).toSet.subsetOf(byDoc(2L).toSet))
+  }
+
+  test("cdcChunks drops chunk text before the shuffle; stats never plan a cartesian") {
+    val plan = planOf(Dedup.cdcChunkStats(docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the exchange that feeds the digest aggregation carries chunk_md5,
+    // not the chunk string itself
+    assert(plan.contains("chunk_md5"), plan)
+    assert(!"Exchange hashpartitioning\\(__chunk".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("cdcDupCoverage: exact dups fully covered, unique docs zero, all docs reported") {
+    val cov = Dedup.cdcDupCoverage(docs, "doc_id", "text", divisor = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_word_frac")).toMap
+    assert(cov.size == 5)                 // every source doc, via the left join
+    assert(cov(1L) == 1.0, cov)           // doc 4 repeats every chunk of doc 1
+    assert(cov(4L) == 1.0, cov)
+    assert(cov(3L) == 0.0, cov)           // unrelated content: nothing shared
+    assert(cov(5L) == 0.0, cov)
+    assert(cov(2L) > 0.0, cov)            // shares doc 1's prefix chunks
+  }
+
+  test("noveltyCurve: duplicate content counts as novel only in its first bucket") {
+    val d = Seq(
+      (0L, "alpha"), (1L, "beta"),          // bucket 0: both novel
+      (2L, "alpha"), (3L, "gamma"),         // bucket 1: alpha repeats
+      (4L, "beta"), (5L, "beta")            // bucket 2: nothing novel
+    ).toDF("doc_id", "text")
+    val r = Dedup.noveltyCurve(d, "doc_id", "text", bucketSize = 2)
+      .collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_novel"), x.getAs[Double]("novel_frac"))))
+      .toMap
+    assert(r(0L) == ((2L, 2L, 1.0)))
+    assert(r(1L) == ((2L, 1L, 0.5)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("collocationTopK ranks the surprising pair above the merely frequent one") {
     // "rare gem" always co-occurs (lift high); "the cat"/"the dog"
     // frequent but 'the' pairs with everything (lift low)
