@@ -778,11 +778,17 @@ object Dedup {
     val words = filter(split(col(textCol), " "), w => length(w) > 0)
     df.select(col(idCol), words.as("__w"))
       .withColumn("__n", size(col("__w")))
-      .filter(col("__n") > 0)
-      // 1-based word positions that END a chunk (boundary word included)
+      // 1-based word positions that END a chunk (boundary word
+      // included). The when-guard keeps sequence() off the n=0 case
+      // instead of a pre-Filter: a Filter on a derived column gets
+      // predicate-pushed below the Projects with its alias chain
+      // SUBSTITUTED — the whole HOF pipeline re-evaluated as a scan
+      // filter (the bpePairCounts lambda-re-eval trap, Filter form).
       .withColumn("__bpos",
-        filter(sequence(lit(1), col("__n")),
-          i => md5Hash60(element_at(col("__w"), i)) % divisor === 0))
+        when(col("__n") > 0,
+          filter(sequence(lit(1), col("__n")),
+            i => md5Hash60(element_at(col("__w"), i)) % divisor === 0))
+          .otherwise(array().cast("array<int>")))
       .withColumn("__starts",
         concat(array(lit(1)), transform(col("__bpos"), i => i + 1)))
       .withColumn("__ends", concat(col("__bpos"), array(col("__n"))))
@@ -793,7 +799,16 @@ object Dedup {
           zip_with(col("__starts"), col("__ends"), (s, e) =>
             when(s <= e, array_join(slice(col("__w"), s, e - s + 1), " "))),
           c => c.isNotNull))
-      .select(col(idCol), explode(col("__chunks")).as("__chunk"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate would put
+      // `size(__chunks) > 0 AND isnotnull(__chunks)` above the child
+      // and predicate pushdown would re-inline the full chunk
+      // construction into a per-row scan Filter (2x the HOF work).
+      // The outer variant infers nothing; the cheap null filter on the
+      // GENERATED column cannot sink below the Generate and also
+      // drops empty documents (their empty chunk array yields one
+      // null row).
+      .select(col(idCol), explode_outer(col("__chunks")).as("__chunk"))
+      .filter(col("__chunk").isNotNull)
       .select(
         col(idCol),
         md5(col("__chunk")).as("chunk_md5"),
