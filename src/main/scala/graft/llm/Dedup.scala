@@ -849,7 +849,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       divisor: Int = 8): DataFrame = {
+    // the chunk table feeds BOTH the dup-set aggregation and the
+    // per-doc rollup; without a persist each side re-runs the full
+    // chunk construction (the simhashSignatures trade: cache
+    // digest+count rows — ~50 bytes/chunk, spill-capable — to skip a
+    // second corpus-wide HOF pass)
     val chunks = cdcChunks(df, idCol, textCol, divisor)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = chunks.groupBy("chunk_md5")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)
