@@ -797,6 +797,13 @@ object SparkEntry {
       graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // distributed Lloyd refinement, exact-gate projection: per-(cell,
+    // dim) QUANTIZED assignment sums over the full corpus — integer
+    // sums are combine-order-independent, so the single-threaded
+    // DuckDB replay matches bit-for-bit (Ivf.refine consumes the same
+    // aggregate tree in full double precision)
+    "ivf_refine_cells" -> ((s, d) =>
+      graft.llm.Ivf.refineCellSums(t(s, d, "embeddings"), "embedding", ivfModel(s, d))),
     // SemDeDup: cell-scoped semantic dedup. Same 0.4 threshold
     // rationale as sim_embedding_neardup (near-orthogonal synthetic
     // embeddings — 0.9 would gate zero drops)
@@ -1547,6 +1554,29 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
+    }),
+    // Lloyd-refinement replay: same assignment CTE; the per-(cell,
+    // dim) sums quantize each component BEFORE summation, so both
+    // engines sum exact integers and combine order cannot matter
+    "ivf_refine_cells" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |x AS (SELECT a.centroid_id, CAST(g.j - 1 AS INTEGER) AS dim,
+         |             CAST(round(e.v[g.j] * 10000) AS BIGINT) AS q
+         |      FROM asg a JOIN e ON a.vec_id = e.vec_id,
+         |           LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS j) g)
+         |SELECT centroid_id, dim, CAST(SUM(q) AS BIGINT) AS sum_q, count(*) AS n_assigned
+         |FROM x GROUP BY 1, 2""".stripMargin
     }),
     // SemDeDup replay: the assignment CTE mirrors sim_ivf_topk's
     // (nearest centroid by squared distance, ties to the lower cid);

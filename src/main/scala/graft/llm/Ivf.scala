@@ -244,4 +244,91 @@ object Ivf {
       .where(col("__rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
+
+  // ===== distributed Lloyd refinement =====
+
+  /** The distributed half of one Lloyd iteration: per-(cell, dim)
+    * assignment sums over the FULL corpus, with each component
+    * quantized to `round(x * quantScale)` BEFORE summation. Quantized
+    * sums are exact integers, so the result is independent of
+    * partition count and combine order — what makes this shape both
+    * exactly gateable against a single-threaded oracle and
+    * bit-reproducible across cluster layouts. The aggregate tree is
+    * the scale story: posexplode fans each vector into d rows of
+    * (int, int, long) and the partial aggregation collapses them to
+    * k·d rows per partition before the exchange — shuffle volume is
+    * k·d·partitions regardless of corpus size, the same contraction
+    * MLlib's trainKMeans gets from per-partition accumulators.
+    */
+  def refineCellSums(
+      df: DataFrame,
+      vecCol: String,
+      model: IvfModel,
+      quantScale: Long = 10000L): DataFrame = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    df.select(col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
+      .withColumn("centroid_id",
+        element_at(nearestCentroids(col("__v"), model, 1), 1))
+      .select(col("centroid_id"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(
+        sum(round(col("x") * quantScale).cast("long")).as("sum_q"),
+        count(lit(1)).as("n_assigned"))
+  }
+
+  /** `iters` full-corpus Lloyd iterations refining a (typically
+    * sample-trained) model: assign every vector to its nearest
+    * centroid, recompute each centroid as its cell's mean, optionally
+    * re-normalize to unit length (spherical — keep this matching the
+    * flag the model was trained with). Cells that attract no vectors
+    * keep their previous centroid.
+    *
+    * This is THE scale path [[train]]'s bounded driver-side sample
+    * leaves open: at 100 TB the sample fixes k and the rough layout,
+    * and one refine pass (a scan + the k·d-row aggregate of
+    * [[refineCellSums]]'s shape, in full double precision here)
+    * re-centers the cells on the true data distribution. The collect
+    * is k·d doubles — model-sized, not data-sized.
+    */
+  def refine(
+      df: DataFrame,
+      vecCol: String,
+      model: IvfModel,
+      iters: Int = 1,
+      spherical: Boolean = true): IvfModel = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    var m = model
+    for (_ <- 0 until iters) {
+      val rows = df.select(col(vecCol).cast("array<double>").as("__v"))
+        .where(col("__v").isNotNull && size(col("__v")) > 0)
+        .withColumn("centroid_id",
+          element_at(nearestCentroids(col("__v"), m, 1), 1))
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(m.k)(Array.ofDim[Double](m.centroids.head.length))
+      val counts = Array.ofDim[Long](m.k)
+      rows.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        if (c >= 0 && c < m.k && d < sums(c).length) {
+          sums(c)(d) = r.getDouble(2)
+          counts(c) = r.getLong(3)
+        }
+      }
+      val next = m.centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old.clone()
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          if (spherical) {
+            val n = math.sqrt(mean.map(x => x * x).sum)
+            if (n > 0) mean.map(_ / n) else mean
+          } else mean
+        }
+      }
+      m = IvfModel(next)
+    }
+    m
+  }
 }

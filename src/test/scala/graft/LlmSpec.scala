@@ -520,6 +520,59 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) == 0, "all-NaN distances fall back to the lowest id (array_sort NaN-last order)")
   }
 
+  test("refine: one full-corpus Lloyd pass lands each centroid on its cell's exact mean") {
+    import graft.llm.Ivf
+    // two tight clusters; initial centroids deliberately off-center
+    // but on the correct side of the decision boundary
+    val m0 = Ivf.IvfModel(Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 2.0)),      // cell 0: mean (2, 2)
+      (3L, Seq(9.0, 11.0)), (4L, Seq(11.0, 11.0))    // cell 1: mean (10, 11)
+    ).toDF("vec_id", "embedding")
+    val m1 = Ivf.refine(df, "embedding", m0, iters = 1, spherical = false)
+    assert(m1.centroids(0).toSeq == Seq(2.0, 2.0), m1.centroids(0).toSeq)
+    assert(m1.centroids(1).toSeq == Seq(10.0, 11.0), m1.centroids(1).toSeq)
+    // spherical: same means, unit-normalized
+    val m1s = Ivf.refine(df, "embedding", m0, iters = 1, spherical = true)
+    val n0 = math.sqrt(m1s.centroids(0).map(x => x * x).sum)
+    assert(math.abs(n0 - 1.0) < 1e-12)
+    assert(math.abs(m1s.centroids(0)(0) - 2.0 / math.sqrt(8.0)) < 1e-12)
+  }
+
+  test("refine: an emptied cell keeps its previous centroid") {
+    import graft.llm.Ivf
+    // nothing is nearer to (100, 100) than to (0, 0)
+    val m0 = Ivf.IvfModel(Array(Array(0.0, 0.0), Array(100.0, 100.0)))
+    val df = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(2.0, 2.0))).toDF("vec_id", "embedding")
+    val m1 = Ivf.refine(df, "embedding", m0, iters = 1, spherical = false)
+    assert(m1.centroids(1).toSeq == Seq(100.0, 100.0))
+    assert(m1.centroids(0).toSeq == Seq(1.5, 1.5))
+  }
+
+  test("refineCellSums: quantized sums match a local replay; partial agg precedes the exchange") {
+    import graft.llm.Ivf
+    val m = Ivf.IvfModel(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val data = Seq(
+      (1L, Seq(0.11119, 0.2)),   // cell 0
+      (2L, Seq(0.1, -0.25)),     // cell 0
+      (3L, Seq(0.9, 1.1)))       // cell 1
+    val df = data.toDF("vec_id", "embedding")
+    val got = Ivf.refineCellSums(df, "embedding", m)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // local replay of quantize-then-sum (round half away from zero)
+    def q(x: Double) = math.round(x * 10000)
+    assert(got((0, 0)) == ((q(0.11119) + q(0.1), 2L)))
+    assert(got((0, 1)) == ((q(0.2) + q(-0.25), 2L)))
+    assert(got((1, 0)) == ((q(0.9), 1L)))
+    assert(got((1, 1)) == ((q(1.1), 1L)))
+    // scale shape: ONE exchange, keyed by (cell, dim), with a partial
+    // aggregate below it — shuffle volume is k·d rows per partition
+    val plan = planOf(Ivf.refineCellSums(df, "embedding", m))
+    assert("partial_sum".r.findAllIn(plan).nonEmpty, plan)
+    assert("Exchange hashpartitioning\\(centroid_id".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("stratified sampling: per-stratum rates, cross-stratum-stable membership") {
     import graft.llm.Sampling
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
