@@ -725,6 +725,12 @@ object SparkEntry {
     // never a doc-level cartesian)
     "dedup_jaccard_audit" -> ((s, d) =>
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3)),
+    // eval-carve-out contamination: near-dup pairs straddling the
+    // train/val/test hash splits (each side's split is a pure function
+    // of its id — no join back to the corpus, no extra shuffle)
+    "split_leakage_audit" -> ((s, d) =>
+      graft.llm.Sampling.splitLeakageAudit(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.3)),
     // connected components over the exact near-dup pair graph: one
     // call collapses transitive chains; oracle replays the same pairs
     // through a recursive CTE reachability walk
@@ -1890,6 +1896,30 @@ object SparkEntry {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    // leakage replay: the jaccard-audit pair CTE, each side's split
+    // recomputed from its id by the sample_hash_split bucket rule
+    "split_leakage_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |lab AS (
+        |  SELECT id_a, id_b, jaccard,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
+        |         ELSE 'train' END AS split_a,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
+        |         ELSE 'train' END AS split_b
+        |  FROM pairs)
+        |SELECT * FROM lab WHERE split_a <> split_b""".stripMargin,
     "er_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       a.c_name AS name_a, b.c_name AS name_b,

@@ -193,4 +193,40 @@ object Sampling {
       .where(col("__rn") <= perCell)
       .select(col(idCol), col("centroid_id"))
   }
+
+  /** Split-leakage audit: near-duplicate document pairs whose members
+    * land in DIFFERENT hash splits — the contamination path
+    * decontamination scans miss (those gate the corpus against an
+    * external benchmark; this gates the corpus against its own eval
+    * carve-out: a train document that is a near-copy of a val/test
+    * document leaks the answer into training). Candidate pairs come
+    * from [[Dedup.allPairsJaccard]]'s inverted-index enumeration
+    * (never a doc-level cartesian); each side's split is then a PURE
+    * FUNCTION of its id — recomputed per row via [[withHashSplit]]'s
+    * bucket rule, so no join back to the corpus is needed and the
+    * audit adds zero shuffles beyond the pair generation.
+    *
+    * Empty result = clean carve-out. Non-empty = either re-split by
+    * near-dup CLUSTER id instead of doc id, or drop the train-side
+    * member of each leaking pair.
+    */
+  def splitLeakageAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.3,
+      valPct: Int = 5,
+      testPct: Int = 5): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val b = hashBucket(id)
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train")
+    }
+    Dedup.allPairsJaccard(df, idCol, textCol, minJaccard)
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+  }
 }

@@ -573,6 +573,30 @@ class LlmSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(centroid_id".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("splitLeakageAudit flags exactly the cross-split near-dup pairs") {
+    import graft.llm.Sampling
+    // copies of one text: every pair is a near-dup (jaccard 1.0).
+    // Ids chosen so the md5 bucketing genuinely straddles splits:
+    // 18/73 hash to test, 62/65 to val, 1/2/3 to train
+    val d = Seq(1L, 2L, 3L, 18L, 62L, 65L, 73L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val audit = Sampling.splitLeakageAudit(d, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b")))
+    // replay: split per id from the library's own assignment
+    val split = Sampling.withHashSplit("doc_id")(d)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ids = Seq(1L, 2L, 3L, 18L, 62L, 65L, 73L)
+    val expected = for {
+      a <- ids; b <- ids
+      if a < b && split(a) != split(b)
+    } yield (a, b, split(a), split(b))
+    assert(audit.toSet == expected.toSet)
+    assert(audit.nonEmpty, "fixture must actually straddle splits")
+    assert(audit.forall { case (_, _, sa, sb) => sa != sb })
+  }
+
   test("stratified sampling: per-stratum rates, cross-stratum-stable membership") {
     import graft.llm.Sampling
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
