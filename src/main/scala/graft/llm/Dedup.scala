@@ -327,23 +327,82 @@ object Dedup {
     * `.unpersist()` remains a harmless no-op for callers keeping the
     * old contract. On non-convergence intermediates are released
     * before the throw.
+    *
+    * Small-graph fast path: when the DISTINCT edge count is at most
+    * `maxDriverEdges` (and ids are integral), the component labeling
+    * runs as a driver-side union-find over the collected edge list —
+    * the same explicit-cap-with-uniform-fallback design as
+    * EntityRes's maxBlock. Near-dup graphs are small by construction
+    * (near-dups are a thin slice of a deduplicated-upstream corpus;
+    * 2M edges ≈ 32 MB on the driver), and the multi-job fixpoint's
+    * per-round overhead dominates its wall-clock on exactly those
+    * graphs (measured: er_groups 4.9s → 2.0s median at sf0.1). The
+    * result is IDENTICAL — union-find roots are kept at the
+    * component minimum, which is the fixpoint the label propagation
+    * converges to. Past the cap (or for non-integral ids) the
+    * distributed fixpoint runs unchanged; pass `maxDriverEdges = 0`
+    * to force it.
     */
   def nearDupClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // both edge orientations from ONE pass over pairs (explode of a
-    // 2-element array) — the union-of-two-selects form it replaces
-    // embedded the pairs plan twice, and pair generation (blocked
-    // self-join + edit distance upstream) is the expensive part
-    val edges = pairs
-      .select(explode(array(
-        struct(col(idA).as("__src"), col(idB).as("__dst")),
-        struct(col(idB).as("__src"), col(idA).as("__dst")))).as("__e"))
-      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
+    val idType = pairs.schema(idA).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    // one distinct pass over the (expensive) pair plan; both the
+    // count gate and whichever labeling path runs read THIS frame,
+    // so pair generation (blocked self-join + edit distance
+    // upstream) executes once
+    val undirected = pairs
+      .select(col(idA).as("__a"), col(idB).as("__b"))
       .distinct().persist(MEMORY_AND_DISK)
+    val nEdges = undirected.count()
+    if (integral && nEdges > 0 && nEdges <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val collected = undirected
+        .select(col("__a").cast("long"), col("__b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      undirected.unpersist()
+      // union-find, roots pinned to the component minimum: union
+      // attaches the LARGER root under the smaller, so after path
+      // compression every root IS its component's min id — the exact
+      // fixpoint of min-label propagation
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        if (!parent.containsKey(x0)) parent.put(x0, x0)
+        var x = x0
+        while (parent.get(x) != x) x = parent.get(x)
+        var y = x0 // path compression
+        while (parent.get(y) != y) { val p = parent.get(y); parent.put(y, x); y = p }
+        x
+      }
+      collected.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val verts = parent.keySet().toArray(Array.empty[java.lang.Long])
+      val out = verts.toSeq.map(v => (v.longValue, find(v.longValue)))
+      return spark.createDataset(out).toDF("doc_id", "cluster_id")
+        .select(col("doc_id").cast(idType).as("doc_id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
+    // both edge orientations from ONE pass over the persisted
+    // undirected frame (explode of a 2-element array); a<b pairs are
+    // unique, so the oriented rows need no second distinct
+    val edges = undirected
+      .select(explode(array(
+        struct(col("__a").as("__src"), col("__b").as("__dst")),
+        struct(col("__b").as("__src"), col("__a").as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
+      .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("__src").as("doc_id"))
       .distinct().withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
@@ -379,6 +438,7 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    undirected.unpersist()
     require(done, s"nearDupClusters did not converge in $maxIter rounds — " +
       "component diameter exceeds the bound; raise maxIter or use star contraction")
     labels

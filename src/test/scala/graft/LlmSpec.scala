@@ -573,6 +573,18 @@ class LlmSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(centroid_id".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("nearDupClusters: driver union-find fast path equals the distributed fixpoint") {
+    // chain 1~2~3~4 plus an isolated pair 10~11 — transitive collapse
+    // and multiple components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val fast = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.nearDupClusters(pairs, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("splitLeakageAudit flags exactly the cross-split near-dup pairs") {
     import graft.llm.Sampling
     // copies of one text: every pair is a near-dup (jaccard 1.0).
@@ -705,9 +717,11 @@ class LlmSpec extends SparkSpec {
     val clusters = Dedup.nearDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-    // non-convergence must throw, not return a partial merge
+    // non-convergence must throw, not return a partial merge (force
+    // the distributed fixpoint — the union-find path never iterates)
     val longChain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    assertThrows[IllegalArgumentException](Dedup.nearDupClusters(longChain, maxIter = 2))
+    assertThrows[IllegalArgumentException](
+      Dedup.nearDupClusters(longChain, maxIter = 2, maxDriverEdges = 0L))
   }
 
   test("decontamination flags exactly the docs sharing benchmark n-grams") {
