@@ -13,8 +13,8 @@ import graft.ops.Ops
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def checkProp(p: Prop): Unit = {
-    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+  private def checkProp(p: Prop, minTests: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
     assert(r.passed, r.status.toString)
   }
 
@@ -263,5 +263,40 @@ class PropertySpec extends SparkSpec {
       }.toSet
       got == expected
     })
+  }
+
+  test("property: union-find fast path equals the distributed fixpoint on random graphs") {
+    // random edge lists over a small vertex universe: every component
+    // shape (chains, stars, cycles, isolates) shows up across cases
+    val edgeGen = for {
+      n <- Gen.chooseNum(1, 14)
+      edges <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+    } yield edges.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    checkProp(Prop.forAllNoShrink(edgeGen) { edges =>
+      edges.isEmpty || {
+        val pairs = edges.toDF("id_a", "id_b")
+        val fast = Dedup.nearDupClusters(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Dedup.nearDupClusters(pairs, maxDriverEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        fast == dist
+      }
+    }, minTests = 20)
+  }
+
+  test("property: CDC chunks partition every document's words exactly, at any divisor") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2", "zz")
+    val texts = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(12, texts), Gen.chooseNum(2, 9)) { (ts, div) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val perDoc = Dedup.cdcChunks(df, "doc_id", "text", divisor = div)
+        .groupBy("doc_id").agg(sum("n_words").as("w"), count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      ts.zipWithIndex.forall { case (t, i) =>
+        val n = t.split(" ").count(_.nonEmpty)
+        perDoc(i.toLong)._1 == n.toLong && perDoc(i.toLong)._2 >= 1L
+      }
+    }, minTests = 20)
   }
 }
