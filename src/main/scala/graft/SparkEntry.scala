@@ -739,6 +739,16 @@ object SparkEntry {
         Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3))),
     "dedup_near_keep" -> ((s, d) =>
       Dedup.nearDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    // steady-state NEAR-dup ingest (LSH twin of dedup_incremental):
+    // batch = every 5th doc, store = the rest; drop batch docs with a
+    // store near-dup, then keep-lowest among the batch survivors
+    "dedup_incremental_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDedup(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
     // maxHamming=3 keeps the 16-bit-chunk blocking recall-COMPLETE
     // (pigeonhole), so the blocked result equals the all-pairs oracle;
     // md5Hash60 is the engine-portable token hash the oracle can
@@ -1896,6 +1906,32 @@ object SparkEntry {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    // incremental near-dedup replay: exact shingle jaccard (the
+    // corpus-assumption spec pins LSH == exact at gate scales), batch
+    // vs store first, then keep-lowest among the store-survivors
+    "dedup_incremental_near" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |storedrop AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |surv AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM storedrop)),
+        |batchdrop AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM surv)
+        |    AND b.doc_id IN (SELECT doc_id FROM surv)
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT * FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM surv)
+        |  AND doc_id NOT IN (SELECT doc_id FROM batchdrop)""".stripMargin,
     // leakage replay: the jaccard-audit pair CTE, each side's split
     // recomputed from its id by the sample_hash_split bucket rule
     "split_leakage_audit" ->

@@ -283,6 +283,37 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Steady-state NEAR-dup ingest — the LSH twin of
+    * [[incrementalDedup]] (which is exact-only): drop every batch
+    * document with a confirmed near-duplicate in the accumulated
+    * store, then near-dedup the survivors among themselves
+    * (keep-lowest within the batch). Candidates come from
+    * [[MinhashDecontam.minhashContamination]]'s cross-table banded
+    * join — the store side streams through as band signatures, its
+    * bodies shingle only for the collided sliver; the batch is the
+    * small side by nature. Within-batch pairs are computed among
+    * STORE-SURVIVORS only (a batch doc whose near-dup was already
+    * dropped against the store does not shadow its own batch
+    * near-dups) — the deterministic order an incremental pipeline
+    * actually applies. Idempotent: re-offering an ingested batch
+    * drops everything against the store.
+    */
+  def incrementalNearDedup(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val hits = MinhashDecontam.minhashContamination(
+      batch, store, idCol, textCol, threshold, numPerm, bands, shingleK)
+    val survivors = batch.join(
+      hits.select(col("train_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    nearDedup(survivors, idCol, textCol, threshold)
+  }
+
   /** Connected components over a near-dup pair frame: every document
     * appearing in any pair is labeled with the MINIMUM doc id
     * reachable through the pair graph, so a transitive chain a~b~c

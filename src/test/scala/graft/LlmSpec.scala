@@ -101,6 +101,28 @@ class LlmSpec extends SparkSpec {
     assert(again.count() == 0L)
   }
 
+  test("incrementalNearDedup: store near-dups drop, batch survivors keep-lowest, idempotent") {
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of store 1
+      (11L, "fresh novel writing with no resemblance to anything stored before"),
+      (12L, "fresh novel writing with no resemblance to anything stored before now"), // near-dup of 11
+      (13L, "entirely standalone text sharing nothing with any other document")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedup(batch, store, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 10 dropped against the store; 11 beats 12 within the batch
+    assert(kept == Seq(11L, 13L), kept)
+    // idempotent: re-offering the batch against store + ingested
+    // survivors drops everything
+    val again = Dedup.incrementalNearDedup(
+      batch, store.unionByName(batch), "doc_id", "text", threshold = 0.5)
+    assert(again.count() == 0L)
+  }
+
   test("incrementalDedup anti-joins digests — store bodies never cross the join") {
     val plan = planOf(Dedup.incrementalDedup("text", docs, docs))
     assert(plan.contains("LeftAnti"), plan)
