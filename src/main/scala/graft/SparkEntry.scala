@@ -813,6 +813,12 @@ object SparkEntry {
       graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // embedding-space mislabel detection: majority label of the k
+    // nearest same-cell neighbors vs own label (confident-learning
+    // signal; cell equi-join = the SemDeDup cost budget, never N²)
+    "sim_label_consistency" -> ((s, d) =>
+      Similarity.labelConsistencyAudit(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", ivfModel(s, d), k = 5)),
     // distributed Lloyd refinement, exact-gate projection: per-(cell,
     // dim) QUANTIZED assignment sums over the full corpus — integer
     // sums are combine-order-independent, so the single-threaded
@@ -1570,6 +1576,40 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
+    }),
+    // label-consistency replay: same assignment CTE; same-cell
+    // neighbors ranked excluding self (equivalent to the query's
+    // top-(k+1)-then-drop-self two-stage — self holds at most one
+    // slot), majority vote ties to the lowest label
+    "sim_label_consistency" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |knn AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, ${duckCosine("ea.v", "eb.v")} AS sim
+         |        FROM asg a JOIN asg b USING (centroid_id)
+         |        JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
+         |        WHERE a.vec_id <> b.vec_id),
+         |topk AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn FROM knn)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT t.probe_id, e.label AS nl, count(*) AS n
+         |          FROM topk t JOIN e ON t.neighbor_id = e.vec_id GROUP BY 1, 2),
+         |maj AS (SELECT probe_id AS vec_id, nl AS knn_label, n AS n_votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY n DESC, nl) AS rv FROM votes)
+         |  WHERE rv = 1)
+         |SELECT e.vec_id, e.label, m.knn_label,
+         |       COALESCE(m.n_votes, 0) AS n_votes,
+         |       COALESCE(e.label = m.knn_label, FALSE) AS consistent
+         |FROM e LEFT JOIN maj m ON e.vec_id = m.vec_id""".stripMargin
     }),
     // Lloyd-refinement replay: same assignment CTE; the per-(cell,
     // dim) sums quantize each component BEFORE summation, so both

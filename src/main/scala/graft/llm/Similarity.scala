@@ -260,4 +260,49 @@ object Similarity {
     assigned.select(col(idCol), col("centroid_id"))
       .join(drops, Seq(idCol), "left_anti")
   }
+
+  /** k-NN label-consistency audit — embedding-space mislabel
+    * detection (the confident-learning signal at corpus scale): each
+    * vector's label is compared against the majority label of its k
+    * nearest SAME-CELL neighbors; `consistent = false` rows are the
+    * review queue. Neighborhoods come from the IVF cell equi-join
+    * (cost Σ|cell|², the SemDeDup budget — never the N² of a
+    * corpus-wide kNN), which is the honest 100 TB shape: a mislabeled
+    * point's nearest neighbors are inside its cell by construction.
+    * Vote ties break to the LOWEST label id; vectors alone in their
+    * cell report a null `knn_label`, 0 votes, consistent = false (no
+    * evidence ≠ confirmation).
+    */
+  def labelConsistencyAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      model: graft.llm.Ivf.IvfModel,
+      k: Int = 5): DataFrame = {
+    // rank within (cell-mates minus self); taking ivfTopK's top-(k+1)
+    // first bounds the re-ranked set, and dropping self then
+    // re-ranking equals ranking with self excluded outright (self
+    // occupies at most one of the k+1 slots)
+    val knn = graft.llm.Ivf.ivfTopK(df, df, idCol, vecCol, model, k = k + 1, nProbe = 1)
+      .where(col("neighbor_id") =!= col("probe_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    val topk = knn.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+    val votes = topk
+      .join(df.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("__nl"))
+      .agg(count(lit(1)).as("__n"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("__n").desc, col("__nl").asc)
+    val majority = votes.withColumn("__rv", row_number().over(wv)).where(col("__rv") === 1)
+      .select(col("probe_id").as(idCol), col("__nl").as("knn_label"), col("__n").as("n_votes"))
+    df.select(col(idCol), col(labelCol))
+      .join(majority, Seq(idCol), "left")
+      .select(
+        col(idCol), col(labelCol),
+        col("knn_label"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col(labelCol) === col("knn_label"), lit(false)).as("consistent"))
+  }
 }

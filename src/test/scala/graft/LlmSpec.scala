@@ -542,6 +542,24 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) == 0, "all-NaN distances fall back to the lowest id (array_sort NaN-last order)")
   }
 
+  test("labelConsistencyAudit flags the planted mislabel and clears the rest") {
+    import graft.llm.{Ivf, Similarity}
+    // two tight clusters around (1,0) and (0,1); labels follow the
+    // cluster except vec 3, which sits in cluster A labeled as B
+    val m = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 0.1), 7), (2L, Seq(1.0, 0.2), 7), (3L, Seq(1.0, 0.15), 8),
+      (4L, Seq(0.9, 0.05), 7),
+      (10L, Seq(0.1, 1.0), 8), (11L, Seq(0.2, 1.0), 8), (12L, Seq(0.15, 0.9), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val audit = Similarity.labelConsistencyAudit(df, "vec_id", "embedding", "label", m, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(4)))).toMap
+    assert(audit(3L) == ((8, 7, false)), audit)   // mislabel: neighbors vote 7
+    assert(audit(1L)._3 && audit(2L)._3 && audit(4L)._3, audit)
+    assert(audit(10L)._3 && audit(11L)._3 && audit(12L)._3, audit)
+  }
+
   test("refine: one full-corpus Lloyd pass lands each centroid on its cell's exact mean") {
     import graft.llm.Ivf
     // two tight clusters; initial centroids deliberately off-center
