@@ -432,6 +432,15 @@ object SparkEntry {
       Export.writeOrc(docs, path)
       Export.readOrc(s, path, docs.schema)
     }),
+    // native Avro container roundtrip on avro-core (no spark-avro in
+    // this environment): distributed per-partition writers, per-file
+    // reader tasks, schema from the first file's header only
+    "s14_avro_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = scratch("avro_q")
+      graft.io.Avro.write(docs, path)
+      graft.io.Avro.read(s, path)
+    }),
     "engine_pipeline" -> ((s, d) => {
       val analyte = ConfigReader.readAnalyte(s, "cust_base", "/root/repo/fixtures/study_demo/cust_base")
       Interpreter.deriveAnalyte(PipelineContext(), analyte, new ParquetResolver(s, d))
@@ -2191,6 +2200,8 @@ object SparkEntry {
     "s11_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "s12_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "s14_avro_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "text_vocabulary" ->
       """SELECT t AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs

@@ -263,6 +263,42 @@ class IoSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "v"))
   }
 
+  test("Avro roundtrip is lossless on nulls, every supported type, and hostile strings") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/out"
+    val df = Seq(
+      (1L, Some(1.5), Some(true), Some("plain"), Some(Array[Byte](1, 2, 3))),
+      (2L, None, None, Some("quo\"te,\ncomma\tandé"), None),
+      (3L, Some(-0.0), Some(false), None, Some(Array.empty[Byte]))
+    ).toDF("id", "d", "b", "s", "bin")
+    graft.io.Avro.write(df, dir)
+    val back = graft.io.Avro.read(spark, dir)
+    assert(back.schema.map(f => f.name -> f.dataType.simpleString).toMap ==
+      Map("id" -> "bigint", "d" -> "double", "b" -> "boolean",
+        "s" -> "string", "bin" -> "binary"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(4))
+    assert(rows(1).getString(3) == "quo\"te,\ncomma\tandé")
+    assert(rows(0).getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2, 3))
+    assert(rows(2).getAs[Array[Byte]]("bin").isEmpty && rows(2).isNullAt(3))
+    // int columns widen to long through the declared union mapping
+    val widened = graft.io.Avro.read(spark, {
+      val d2 = Files.createTempDirectory("graft_avro_i").toString + "/out"
+      graft.io.Avro.write(Seq((1, 2.0f)).toDF("i", "f"), d2); d2
+    })
+    assert(widened.schema.map(_.dataType).toSet ==
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.DoubleType))
+    // distributed write: one container file per partition
+    val d3 = Files.createTempDirectory("graft_avro_p").toString + "/out"
+    graft.io.Avro.write(spark.range(100).repartition(4).toDF("id"), d3)
+    assert(new java.io.File(d3).listFiles().count(_.getName.endsWith(".avro")) == 4)
+    assert(graft.io.Avro.read(spark, d3).count() == 100L)
+    // unsupported nested types fail loudly, not stringified
+    assertThrows[IllegalArgumentException](
+      graft.io.Avro.write(Seq((1L, Seq(1, 2))).toDF("id", "arr"), dir))
+  }
+
   test("JSONL roundtrip is lossless on hostile strings, nulls, and types") {
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/out"
     val df = Seq[(java.lang.Long, String, java.lang.Double)](
