@@ -822,6 +822,11 @@ object SparkEntry {
       graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // clustering-quality dashboard: per-cell size, majority label,
+    // purity (counts only — engine-exact)
+    "sim_cell_purity" -> ((s, d) =>
+      Similarity.cellPurity(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", ivfModel(s, d))),
     // embedding-space mislabel detection: majority label of the k
     // nearest same-cell neighbors vs own label (confident-learning
     // signal; cell equi-join = the SemDeDup cost budget, never N²)
@@ -1585,6 +1590,31 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
+    }),
+    // cell-purity replay: same assignment CTE; counts + mode with
+    // the tie-to-lowest-label rule
+    "sim_cell_purity" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |counts AS (SELECT a.centroid_id, e.label AS l, count(*) AS n
+         |           FROM asg a JOIN e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |tot AS (SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_vectors FROM counts GROUP BY 1)
+         |SELECT c.centroid_id, t.n_vectors, c.l AS majority_label, c.n AS n_majority,
+         |       CAST(c.n AS DOUBLE) / t.n_vectors AS purity
+         |FROM (SELECT *, row_number() OVER (PARTITION BY centroid_id ORDER BY n DESC, l) AS rn
+         |      FROM counts) c
+         |JOIN tot t ON c.centroid_id = t.centroid_id
+         |WHERE c.rn = 1""".stripMargin
     }),
     // label-consistency replay: same assignment CTE; same-cell
     // neighbors ranked excluding self (equivalent to the query's

@@ -261,6 +261,39 @@ object Similarity {
       .join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Per-cell label purity — the clustering-quality dashboard row:
+    * for every IVF cell, its size, majority label (ties to the
+    * lowest), and purity = majority share. Low-purity cells are where
+    * [[labelConsistencyAudit]]'s review queue concentrates and where
+    * a quantizer retrain ([[graft.llm.Ivf.refine]]) pays. One
+    * assignment pass + a (cell, label)-keyed aggregation — counts
+    * only, engine-exact.
+    */
+  def cellPurity(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      model: graft.llm.Ivf.IvfModel): DataFrame = {
+    val counts = graft.llm.Ivf.assign(df, idCol, vecCol, model)
+      .join(df.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col("centroid_id"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id")).orderBy(col("__n").desc, col("__l").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_vectors", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id"))))
+      .where(col("__rn") === 1)
+      .select(
+        col("centroid_id"),
+        col("n_vectors"),
+        col("__l").as("majority_label"),
+        col("__n").as("n_majority"),
+        (col("__n").cast("double") / col("n_vectors")).as("purity"))
+  }
+
   /** k-NN label-consistency audit — embedding-space mislabel
     * detection (the confident-learning signal at corpus scale): each
     * vector's label is compared against the majority label of its k

@@ -542,6 +542,21 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) == 0, "all-NaN distances fall back to the lowest id (array_sort NaN-last order)")
   }
 
+  test("cellPurity: sizes, tie-to-lowest majority, exact purity ratios") {
+    import graft.llm.{Ivf, Similarity}
+    val m = Ivf.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 0.1), 7), (2L, Seq(1.0, 0.2), 7), (3L, Seq(1.0, 0.15), 8),
+      (10L, Seq(0.1, 1.0), 5), (11L, Seq(0.2, 1.0), 9)   // 1-1 tie -> lowest label
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.cellPurity(df, "vec_id", "embedding", "label", m)
+      .collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getInt(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    assert(r(0) == ((3L, 7, 2L, 2.0 / 3.0)))
+    assert(r(1) == ((2L, 5, 1L, 0.5)))
+  }
+
   test("labelConsistencyAudit flags the planted mislabel and clears the rest") {
     import graft.llm.{Ivf, Similarity}
     // two tight clusters around (1,0) and (0,1); labels follow the
