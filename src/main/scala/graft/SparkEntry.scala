@@ -734,6 +734,12 @@ object SparkEntry {
     // never a doc-level cartesian)
     "dedup_jaccard_audit" -> ((s, d) =>
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3)),
+    // the remedy for split leakage: hash-split on the near-dup
+    // CLUSTER representative, so whole groups land in one split;
+    // unpaired docs keep their withHashSplit assignment
+    "sample_cluster_split" -> ((s, d) =>
+      graft.llm.Sampling.clusterAwareSplit(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.3)),
     // eval-carve-out contamination: near-dup pairs straddling the
     // train/val/test hash splits (each side's split is a pure function
     // of its id — no join back to the corpus, no extra shuffle)
@@ -1985,6 +1991,33 @@ object SparkEntry {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    // cluster-aware split replay: the dedup_clusters recursive
+    // reachability walk for the representative, then the
+    // sample_hash_split bucket rule on COALESCE(cluster, own id)
+    "sample_cluster_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |keyed AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_key
+        |          FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM keyed""".stripMargin,
     // incremental near-dedup replay: exact shingle jaccard (the
     // corpus-assumption spec pins LSH == exact at gate scales), batch
     // vs store first, then keep-lowest among the store-survivors

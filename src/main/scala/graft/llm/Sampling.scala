@@ -194,6 +194,38 @@ object Sampling {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** Cluster-aware split assignment — the REMEDY for what
+    * [[splitLeakageAudit]] detects: the hash-split key is the
+    * document's near-dup CLUSTER representative (its component's
+    * minimum id, from [[Dedup.nearDupClusters]]) instead of its own
+    * id, so an entire near-dup group lands in ONE split and can
+    * never leak across the eval carve-out. Documents in no confirmed
+    * pair keep their own id as the key — their assignment is
+    * identical to [[withHashSplit]]'s, so adopting cluster-aware
+    * splitting reshuffles only the near-dup slice of the corpus.
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.3,
+      valPct: Int = 5,
+      testPct: Int = 5): DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      Dedup.allPairsJaccard(df, idCol, textCol, minJaccard))
+      .withColumnRenamed("doc_id", idCol)
+    val keyed = df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+    val b = hashBucket(col("split_key"))
+    keyed.select(
+      col(idCol),
+      col("split_key"),
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train").as("split"))
+  }
+
   /** Split-leakage audit: near-duplicate document pairs whose members
     * land in DIFFERENT hash splits — the contamination path
     * decontamination scans miss (those gate the corpus against an

@@ -664,6 +664,35 @@ class LlmSpec extends SparkSpec {
     assert(audit.forall { case (_, _, sa, sb) => sa != sb })
   }
 
+  test("clusterAwareSplit: near-dup groups land in one split; unpaired docs keep their hash split") {
+    import graft.llm.Sampling
+    // the leakage fixture: identical texts whose ids straddle splits,
+    // plus two unpaired docs
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (18L, "alpha beta gamma delta epsilon zeta"),
+      (62L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "solitary writing sharing nothing with any other document here"),
+      (73L, "another standalone text with a fully distinct vocabulary set")
+    ).toDF("doc_id", "text")
+    val r = Sampling.clusterAwareSplit(d, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    // the whole near-dup group keys on its minimum id -> one split
+    assert(Seq(1L, 18L, 62L).map(r(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 18L, 62L).map(r(_)._2).toSet.size == 1)
+    // unpaired docs key on themselves, matching withHashSplit
+    val plain = Sampling.withHashSplit("doc_id")(d)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(7L) == ((7L, plain(7L))))
+    assert(r(73L) == ((73L, plain(73L))))
+    // and the audit finds nothing to flag on the remedied assignment:
+    // every near-dup pair is same-split by construction
+    val pairSplits = for (a <- Seq(1L, 18L, 62L); b <- Seq(1L, 18L, 62L) if a < b)
+      yield (r(a)._2, r(b)._2)
+    assert(pairSplits.forall { case (sa, sb) => sa == sb })
+  }
+
   test("stratified sampling: per-stratum rates, cross-stratum-stable membership") {
     import graft.llm.Sampling
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
