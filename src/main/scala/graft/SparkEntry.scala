@@ -754,6 +754,15 @@ object SparkEntry {
         Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3))),
     "dedup_near_keep" -> ((s, d) =>
       Dedup.nearDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    // dedup-graph health: component-size histogram incl. singletons
+    // (a growing max size = boilerplate chaining unrelated docs)
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    // triangle census of the pair graph (a<b<c oriented two-join —
+    // triangle-dense = real dup clusters, chain-shaped = templates)
+    "dedup_graph_triangles" -> ((s, d) =>
+      Dedup.graphTriangleCensus(
+        Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3))),
     // steady-state NEAR-dup ingest (LSH twin of dedup_incremental):
     // batch = every 5th doc, store = the rest; drop batch docs with a
     // store near-dup, then keep-lowest among the batch survivors
@@ -2018,6 +2027,52 @@ object SparkEntry {
         |       WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
         |       ELSE 'train' END AS split
         |FROM keyed""".stripMargin,
+    // cluster-size histogram replay: CC walk at the 0.5 near-dup
+    // threshold, plus the singleton row from the corpus complement
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1),
+        |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+        |single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |                  (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc) AS n_clusters)
+        |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM single WHERE n_clusters > 0)
+        |GROUP BY 1""".stripMargin,
+    // triangle census replay: the same a<b<c oriented two-join over
+    // the 0.3 jaccard pair list
+    "dedup_graph_triangles" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |v AS (SELECT count(DISTINCT x) AS n_vertices FROM
+        |        (SELECT id_a AS x FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |ne AS (SELECT count(*) AS n_edges FROM pairs),
+        |tri AS (SELECT count(*) AS n_triangles FROM pairs e1
+        |        JOIN pairs e2 ON e1.id_b = e2.id_a
+        |        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        |SELECT v.n_vertices, ne.n_edges, tri.n_triangles FROM v, ne, tri""".stripMargin,
     // incremental near-dedup replay: exact shingle jaccard (the
     // corpus-assumption spec pins LSH == exact at gate scales), batch
     // vs store first, then keep-lowest among the store-survivors

@@ -475,6 +475,59 @@ object Dedup {
     labels
   }
 
+  /** Component-size distribution of the near-dup graph — the
+    * dedup-graph health panel: one row per cluster size with the
+    * number of components of that size, INCLUDING size-1 singletons
+    * (documents in no confirmed pair). The number to alarm on is a
+    * growing maximum — a giant component means boilerplate or a
+    * template is chaining unrelated documents together, and keep-one-
+    * per-cluster dedup is about to delete a corpus slice. Counts
+    * only; the cluster labeling reuses [[nearDupClusters]]'s capped
+    * fast path.
+    */
+  def clusterSizeHistogram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(nearDupPairs(df, idCol, textCol, threshold))
+    val paired = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val nPaired = clusters.select(count(lit(1)).as("__n"))
+    val nTotal = df.select(count(lit(1)).as("__t"))
+    val singletons = nTotal.crossJoin(nPaired)
+      .select(lit(1L).as("cluster_size"), (col("__t") - col("__n")).as("n_clusters"))
+      .where(col("n_clusters") > 0)
+    paired.unionByName(singletons)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+  }
+
+  /** Triangle census of the near-dup pair graph, one row:
+    * (n_vertices, n_edges, n_triangles). Triangles are counted on the
+    * a<b oriented edge list — each triangle appears exactly once as
+    * (a<b<c) — via two equi-joins, never an open enumeration; the
+    * pair graph is bounded by the LSH budget, so the join cost is
+    * edges×avg-degree, the standard distributed triangle shape. A
+    * triangle-dense graph corroborates real duplicate clusters;
+    * near-zero triangles with many edges means chains — template
+    * text stitching unrelated docs, the failure mode
+    * [[clusterSizeHistogram]] alarms on from the component side.
+    */
+  def graphTriangleCensus(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(idA).as("a"), col(idB).as("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .agg(countDistinct(col("v")).as("n_vertices"))
+    val nEdges = e.select(count(lit(1)).as("n_edges"))
+    val tri = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      .select(count(lit(1)).as("n_triangles"))
+    verts.crossJoin(nEdges).crossJoin(tri)
+  }
+
   /** Near-dedup keeping each cluster's BEST document by a quality
     * score instead of its lowest id — the production policy (near-dup
     * groups usually contain one clean original and N degraded

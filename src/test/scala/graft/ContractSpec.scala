@@ -88,6 +88,8 @@ class ContractSpec extends SparkSpec {
       "sketch_union_ndv",       // crossJoin(broadcast(1-row merged HLL sketch estimate))
       "sketch_inter_ndv",       // inclusion-exclusion: every cross side a 1-row agg/estimate
       "dq_ref_coverage",        // crossJoin(broadcast(1-row orphan count))
+      "dedup_cluster_sizes",    // crossJoin of two 1-row counts for the singleton row
+      "dedup_graph_triangles",  // crossJoin of three 1-row census aggregates
       "colloc_lift_topk"        // crossJoin(broadcast(1-row corpus token total))
     )
     SparkEntry.queries.foreach { case (name, fn) =>

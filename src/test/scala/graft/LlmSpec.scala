@@ -628,6 +628,25 @@ class LlmSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(centroid_id".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("clusterSizeHistogram counts components including singletons") {
+    // docs fixture: {1,2,4} cluster (2 near-dups 1, 4 exact-dups 1),
+    // 3 and 5 singletons
+    val hist = Dedup.clusterSizeHistogram(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(1L -> 2L, 3L -> 1L), hist)
+  }
+
+  test("graphTriangleCensus: oriented two-join counts each triangle once") {
+    // K3 on {1,2,3} + pendant edge (3,4): 1 triangle, 4 edges, 4 verts
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.graphTriangleCensus(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)))
+    // K4: C(4,3) = 4 triangles, each counted exactly once
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("id_a", "id_b")
+    val r4 = Dedup.graphTriangleCensus(k4).collect().head
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2)) == ((4L, 6L, 4L)))
+  }
+
   test("nearDupClusters: driver union-find fast path equals the distributed fixpoint") {
     // chain 1~2~3~4 plus an isolated pair 10~11 — transitive collapse
     // and multiple components
