@@ -1074,6 +1074,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           avg(col("n_tokens")).as("mean_tokens"),
           expr("percentile(n_tokens, 0.5)").as("median_tokens"))),
+    // one-row release datasheet: volume, diversity, dup fraction,
+    // token-length shape — all counts/integer sums, engine-exact
+    "corpus_datasheet" -> ((s, d) =>
+      TextAnalysis.corpusDatasheet(t(s, d, "documents"), "text", "lang", "source")),
 
     // ===== sequence packing (llm/Packing.scala) =====
     // concat-and-chunk layout: sharded token stream, 2048-token
@@ -2532,6 +2536,18 @@ object SparkEntry {
         |  avg(CAST(len(string_split(text, ' ')) AS INTEGER)) AS mean_tokens,
         |  quantile_cont(CAST(len(string_split(text, ' ')) AS INTEGER), 0.5) AS median_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+    "corpus_datasheet" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT md5(text)) AS n_unique_texts,
+        |  avg(CAST(len(string_split(text, ' ')) AS BIGINT)) AS mean_tokens,
+        |  quantile_cont(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS median_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_frac
+        |FROM documents""".stripMargin,
     // sequence packing: same sharded window cumsum, integer `//`
     "pack_sequences" ->
       """WITH toks AS (

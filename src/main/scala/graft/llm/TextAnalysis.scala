@@ -363,4 +363,45 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx"), col("chunk"),
         length(col("chunk")).as("n_chunk_chars"))
   }
+
+  /** One-row corpus datasheet — the "datasheets for datasets" summary
+    * a release ships with: volume (docs, tokens, chars), diversity
+    * (languages, sources, distinct contents + exact-dup fraction),
+    * and the token-length shape (mean / exact median / max). All
+    * counts and integer sums, so every value is engine-exact; the
+    * only divisions happen once on the aggregated row.
+    *
+    * Scale notes: the three DISTINCT aggregates in one pass plan an
+    * Expand (×4 rows through the partial agg) — fine for a
+    * run-per-release report; swap in [[Sketch.approxNdv]] for the
+    * distinct columns when it must run per-batch. The exact median
+    * buffers the token-count column per group ([[Sketch]]'s GK bound
+    * is the streaming alternative) — same trade `text_corpus_stats`
+    * already documents.
+    */
+  def corpusDatasheet(
+      df: DataFrame,
+      textCol: String,
+      langCol: String,
+      sourceCol: String): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    df.select(
+      nTok.as("__t"),
+      length(col(textCol)).cast("long").as("__c"),
+      md5(col(textCol)).as("__digest"),
+      col(langCol).as("__lang"),
+      col(sourceCol).as("__source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+        countDistinct(col("__lang")).as("n_langs"),
+        countDistinct(col("__source")).as("n_sources"),
+        countDistinct(col("__digest")).as("n_unique_texts"),
+        avg(col("__t")).as("mean_tokens"),
+        expr("percentile(__t, 0.5)").as("median_tokens"),
+        max(col("__t")).as("max_tokens"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"))
+  }
 }

@@ -739,6 +739,23 @@ class LlmSpec extends SparkSpec {
     assert(r(2L) == Seq(("banana", 2L), ("cherry", 2L)))
   }
 
+  test("corpusDatasheet: one engine-exact release summary row") {
+    val d = Seq(
+      (1L, "one two three", "en", "web"),
+      (2L, "one two three", "en", "books"),   // exact dup of 1
+      (3L, "a b c d e", "de", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusDatasheet(d, "text", "lang", "source").collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 11L)          // 3 + 3 + 5
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_unique_texts") == 2L)
+    assert(r.getAs[Double]("dup_frac") == 1.0 / 3.0)
+    assert(r.getAs[Double]("median_tokens") == 3.0)
+    assert(r.getAs[Long]("max_tokens") == 5L)
+  }
+
   test("quality scores on a known sentence") {
     val df = Seq((1L, "the cat, the cat sat!")).toDF("doc_id", "text")
     val r = TextAnalysis.withQualityScores("text")(df).collect().head
