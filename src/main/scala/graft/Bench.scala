@@ -39,7 +39,9 @@ object Bench {
     "dedup_near_keep_best", "dq_summary", "dq_row_flags", "ivm_event_stats",
     "score_calibrate", "winsorize_events", "span_cut_text",
     "colloc_lift_topk", "overlap_source_matrix",
-    "dedup_cdc_coverage", "dedup_novelty_curve")
+    "dedup_cdc_coverage", "dedup_novelty_curve",
+    "dedup_incremental_near", "sim_label_consistency",
+    "sample_cluster_split", "corpus_datasheet")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
