@@ -236,8 +236,14 @@ object Ivf {
       col(vecCol).cast("array<double>").as("__pv"),
       explode(nearestCentroids(col(vecCol).cast("array<double>"), model, nProbe))
         .as("centroid_id"))
+    // fused native cosine (one codegen'd loop, bit-identical to the
+    // composed zip_with form — asserted by ArrayFnsSpec): this is the
+    // inner loop of every in-cell pairing (ANN search, label
+    // consistency), where the composed form's three array
+    // materializations per pair dominate
+    graft.functions.ArrayFns.register(corpus.sparkSession)
     val scored = c.join(p, Seq("centroid_id"))
-      .withColumn("sim", Similarity.cosine(col("__cv"), col("__pv")))
+      .withColumn("sim", graft.functions.ArrayFns.cosineNative(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
