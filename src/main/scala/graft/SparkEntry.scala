@@ -933,6 +933,19 @@ object SparkEntry {
       TextAnalysis.oovRate("doc_id", "text", topN = 20)(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats("doc_id", "text", n = 2)(t(s, d, "documents"))),
+    // the published Gopher rule battery (Rae et al. 2021 table A1):
+    // integer counts + one IEEE division each, so the oracle is exact.
+    // Stop list adapted to the corpus vocabulary (only 'the' from
+    // Gopher's own list occurs in the synthetic word stream — the
+    // default list would make the verdict vacuously false)
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules("doc_id", "text", stopwords = Seq("the", "a"))(
+        t(s, d, "documents"))),
+    // LM training-sample prep: 32-token windows on a 16-token stride
+    // (half-overlap, the standard sliding-window eval/train layout)
+    "text_token_windows" -> ((s, d) =>
+      TextAnalysis.tokenWindows("doc_id", "text", win = 32, stride = 16)(
+        t(s, d, "documents"))),
     // one BPE-training merge step: corpus-wide top-20 adjacent token
     // pairs (explode → partial-agg count → TakeOrderedAndProject)
     "text_bpe_pairs" -> ((s, d) =>
@@ -979,6 +992,24 @@ object SparkEntry {
       graft.llm.MinhashDecontam.minhashContamination(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
         "doc_id", "text", threshold = 0.5)
+    }),
+    // semantic decontam: vectors 0-9 stand in for the embedded eval
+    // suite; every corpus vector reports its nearest bench vector.
+    // Threshold 0.35, not 0.9: the synthetic embeddings are
+    // near-orthogonal (the sim_embedding_neardup rationale), so a
+    // high gate would be vacuously all-false.
+    "decontam_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.Decontam.semanticDecontam(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+    // contrastive-pair mining: anchors 0-7, 2 positives + the 20-24
+    // hard-negative rank band per anchor (DPR/ANCE-style)
+    "mine_contrastive_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.contrastivePairs(emb, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", posK = 2, negLo = 20, negHi = 24)
     }),
     // range join: clicks attributed to purchases within the hour
     // before them — points bucketed, intervals exploded to covered
@@ -2344,6 +2375,37 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
         |FROM cnt GROUP BY 1""".stripMargin,
+    // every Gopher signal is integer counting + one IEEE division,
+    // reproduced op-for-op (including the h + e/3 addition order)
+    "text_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS frac_alpha_words,
+        |    (CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+        |      + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l) AS frac_bullet_lines,
+        |    CAST(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(l) AS frac_ellipsis_lines,
+        |    CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+        |      t -> list_contains(['the','a'], t))) AS INTEGER) AS n_stopwords_present
+        |  FROM base)
+        |SELECT *,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+        |   AND frac_alpha_words > 0.8 AND n_stopwords_present >= 2) AS passes_gopher
+        |FROM m""".stripMargin,
+    // window starts 0, 16, 32, … while inside the doc; slice bounds
+    // are 1-based inclusive on both engines and clamp at the tail
+    "text_token_windows" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
+        |  array_to_string(w[i*16+1 : i*16+32], ' ') AS win_text,
+        |  CAST(len(w[i*16+1 : i*16+32]) AS INTEGER) AS n_win_tokens
+        |FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w)-1)//16)) AS i
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
     // replays the greedy merge loop as a recursive CTE carrying the
     // PARTS LIST as state: each round finds the lowest-rank merge
     // whose pair is adjacent anywhere and merges its LEFTMOST
@@ -2476,6 +2538,34 @@ object SparkEntry {
         |              / len(list_distinct(list_concat(t.s, b.s))) AS jaccard
         |          FROM sh t JOIN sh b ON t.doc_id >= 25 AND b.doc_id < 25)
         |SELECT train_id, bench_id, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    // argmax replay: row_number(sim DESC, bench_id ASC) = Spark's
+    // max(struct(sim, -bench_id)) — highest sim, lowest id on ties
+    "decontam_semantic" ->
+      """WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT e.vec_id, b.bench_id,
+        |        list_inner_product(e.embedding::DOUBLE[], b.bv) /
+        |          (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |           * sqrt(list_inner_product(b.bv, b.bv))) AS sim
+        |      FROM embeddings e, b WHERE e.vec_id >= 10)
+        |SELECT vec_id, bench_id AS nearest_bench_id, sim AS max_sim,
+        |       sim >= 0.35 AS contaminated
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+        |      FROM s)
+        |WHERE rn = 1""".stripMargin,
+    "mine_contrastive_pairs" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT a.anchor_id, e.vec_id AS pair_id,
+        |        list_inner_product(e.embedding::DOUBLE[], a.av) /
+        |          (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |           * sqrt(list_inner_product(a.av, a.av))) AS sim
+        |      FROM embeddings e, a WHERE e.vec_id <> a.anchor_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY sim DESC, pair_id) AS INTEGER) AS rank FROM s)
+        |SELECT anchor_id, pair_id,
+        |       CASE WHEN rank <= 2 THEN 'pos' ELSE 'neg' END AS role, sim, rank
+        |FROM r WHERE rank <= 2 OR rank BETWEEN 20 AND 24""".stripMargin,
     "range_attribution" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     p AS (SELECT event_id AS purchase_id, user_id,

@@ -127,6 +127,49 @@ object Decontam {
       textCol: String,
       n: Int = 5): DataFrame =
     docs.where(!contaminated(benchGramSet, textCol, n))
+
+  /** Semantic (embedding-space) decontamination — the third leg of
+    * the published decontamination stack after exact n-gram overlap
+    * ([[contaminationReport]]) and MinHash paraphrase detection
+    * ([[MinhashDecontam]]): a benchmark item fully REWORDED into the
+    * crawl shares no shingles at all but stays cosine-close in
+    * embedding space (the SemDeDup/"semantic contamination"
+    * observation). For every corpus vector: its nearest benchmark
+    * vector, that max cosine, and `contaminated` = max ≥ `threshold`.
+    *
+    * Scale shape: the bench side is eval-suite-sized → broadcast
+    * cross join; the argmax is `max(struct(sim, −bench_id))` — a
+    * plain aggregate with map-side partial combine, NOT a window, so
+    * with the broadcast in place the only exchange is the final
+    * per-corpus-id agg on ids. The negated-id struct field makes the
+    * tie-break deterministic (highest sim, then LOWEST bench id) —
+    * `max_by` would be nondeterministic on ties. Cosines come from
+    * the fused native expression (bit-identical to the composed
+    * zip_with form, ArrayFnsSpec).
+    */
+  def semanticDecontam(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.ArrayFns.register(corpus.sparkSession)
+    val b = bench.select(
+      col(idCol).as("__bench_id"),
+      col(vecCol).cast("array<double>").as("__bv"))
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(b))
+      .withColumn("__sim",
+        graft.functions.ArrayFns.cosineNative(col("__cv"), col("__bv")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__sim").as("s"), (-col("__bench_id")).as("nb"))).as("__m"))
+      .select(
+        col(idCol),
+        (-col("__m.nb")).as("nearest_bench_id"),
+        col("__m.s").as("max_sim"),
+        (col("__m.s") >= threshold).as("contaminated"))
+  }
 }
 
 /** Near-duplicate contamination: the paraphrase-level complement of

@@ -97,6 +97,52 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
 
+  /** Contrastive-pair mining for embedding-model training: for each
+    * anchor, the `posK` nearest non-self vectors as positives and the
+    * rank band [`negLo`, `negHi`] as HARD negatives — close enough to
+    * be informative, far enough to be wrong, the standard
+    * hard-negative recipe (dense-retrieval training à la DPR/ANCE
+    * mines negatives from top retrieval ranks past the positives).
+    * Rank-band selection (not a similarity threshold) keeps the
+    * output deterministic and non-degenerate whatever the corpus's
+    * similarity distribution.
+    *
+    * Output: (anchor_id, pair_id, role 'pos'|'neg', sim, rank) —
+    * ready to group into per-anchor training tuples.
+    *
+    * Scale shape = [[knnJoin]]'s: anchors are the small mined-batch
+    * side (broadcast), the corpus streams through once, and the
+    * per-anchor rank-and-filter keeps ≤ negHi rows per anchor into
+    * downstream stages. For corpus-scale anchor sets, run the same
+    * band selection per-IVF-cell ([[graft.llm.Ivf]]) instead of
+    * broadcast-vs-all.
+    */
+  def contrastivePairs(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      posK: Int = 1,
+      negLo: Int = 20,
+      negHi: Int = 24,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    require(posK < negLo && negLo <= negHi, s"bad rank bands ($posK, $negLo, $negHi)")
+    val a = anchors.select(col(idCol).as("anchor_id"), asDouble(col(vecCol)).as("__av"))
+    val scored = corpus
+      .select(col(idCol).as("pair_id"), asDouble(col(vecCol)).as("__cv"))
+      .crossJoin(maybeBroadcast(a, maxBroadcastBytes))
+      .where(col("pair_id") =!= col("anchor_id"))
+      .withColumn("sim", cosineFast(corpus)(col("__cv"), col("__av")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("pair_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= posK || col("__rn").between(negLo, negHi))
+      .select(
+        col("anchor_id"), col("pair_id"),
+        when(col("__rn") <= posK, "pos").otherwise("neg").as("role"),
+        col("sim"), col("__rn").as("rank"))
+  }
+
   /** Deterministic random hyperplanes: `nPlanes` sign vectors of
     * dimension `dim`, seeded — reproducible across runs/clusters.
     */

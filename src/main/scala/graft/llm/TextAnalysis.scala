@@ -404,4 +404,96 @@ object TextAnalysis {
       .withColumn("dup_frac",
         (col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"))
   }
+
+  /** Gopher's stopword list (Rae et al. 2021, appendix A1.1) — a doc
+    * must contain at least two of these to pass the battery.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher quality-rule battery (Rae et al. 2021,
+    * "Scaling Language Models", table A1) as one row-local pass:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (`#` and `...`), bullet-line / ellipsis-line fractions, fraction
+    * of words containing an alphabetic character, and the ≥2-stopword
+    * requirement — plus the combined `passes_gopher` verdict. This is
+    * the standard first-cut heuristic filter every web-scale corpus
+    * (Gopher, RefinedWeb, FineWeb, Dolma) runs BEFORE model-based
+    * scoring, complementing [[withQualityScores]] (generic ratios)
+    * with the exact published thresholds.
+    *
+    * Every signal is integer counting followed by ONE IEEE division,
+    * so a SQL oracle reproduces it bit-for-bit. Zero shuffles —
+    * embarrassingly parallel per row, linear at 100 TB.
+    */
+  def gopherRules(
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String] = gopherStopwords)(df: DataFrame): DataFrame = {
+    val w = col("__w")
+    val ls = col("__lines")
+    val nWords = size(w)
+    val nWordsD = nWords.cast("double")
+    val nLinesD = size(ls).cast("double")
+    val sumWordLen = aggregate(transform(w, t => length(t)), lit(0), (a, x) => a + x)
+    val nAlphaWords = size(filter(w, t => t.rlike("[A-Za-z]")))
+    val nStop = size(filter(
+      array_distinct(transform(w, t => lower(t))),
+      t => t.isin(stopwords.map(x => x: Any): _*)))
+    // '#' count = chars removed by replace; '...' count = removed/3
+    val nHash = length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val nBullet = size(filter(ls, l => substring(l, 1, 1).isin("-", "*", "•")))
+    val nEllLine = size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
+    df.select(col(idCol), col(textCol),
+        tokens(col(textCol)).as("__w"), split(col(textCol), "\n").as("__lines"))
+      .select(
+        col(idCol),
+        nWords.cast("int").as("n_words"),
+        (sumWordLen.cast("double") / nWordsD).as("mean_word_len"),
+        (nAlphaWords.cast("double") / nWordsD).as("frac_alpha_words"),
+        ((nHash + nEllipsis).cast("double") / nWordsD).as("symbol_ratio"),
+        (nBullet.cast("double") / nLinesD).as("frac_bullet_lines"),
+        (nEllLine.cast("double") / nLinesD).as("frac_ellipsis_lines"),
+        nStop.cast("int").as("n_stopwords_present"))
+      .withColumn("passes_gopher",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("frac_bullet_lines") <= 0.9 &&
+          col("frac_ellipsis_lines") <= 0.3 &&
+          col("frac_alpha_words") > 0.8 &&
+          col("n_stopwords_present") >= 2)
+  }
+
+  /** Strided token windows — the standard "tokenize → fixed-length
+    * training samples with overlap" prep for context-window training
+    * and RAG chunk indexing: window `win` tokens, stride `stride`
+    * (< win ⇒ overlapping context, the usual LM eval setup). Window
+    * starts at 0, stride, 2·stride, … while the start is inside the
+    * doc, so every token lands in ≥1 window and the tail window may
+    * be short. Complements [[Multimodal]]'s char chunks (`mm_chunks`)
+    * — budgets are token-denominated, not char-denominated.
+    *
+    * One generate → slice per row (the token array is materialized
+    * behind a Project boundary first — the [[bpePairCounts]] lambda
+    * re-eval rule). Zero shuffles; output size is n_tokens/stride
+    * rows per doc, linear at 100 TB.
+    */
+  def tokenWindows(idCol: String, textCol: String, win: Int, stride: Int)(
+      df: DataFrame): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win, s"bad window ($win, $stride)")
+    val tk = col("__tk")
+    val nStarts = floor((size(tk) - 1).cast("double") / stride).cast("int") + 1
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), tk,
+        posexplode(transform(sequence(lit(0), nStarts - 1),
+          i => slice(tk, i * stride + 1, lit(win)))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").as("win_idx"),
+        concat_ws(" ", col("col")).as("win_text"),
+        size(col("col")).cast("int").as("n_win_tokens"))
+  }
 }

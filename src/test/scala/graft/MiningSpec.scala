@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Decontam, Similarity, TextAnalysis}
+
+/** Data-curation mining ops added in round 11 session 3: the Gopher
+  * rule battery, strided token windows, semantic decontamination, and
+  * contrastive-pair mining.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ===== gopherRules =====
+
+  test("gopherRules: word/line signals, symbol counting, verdict thresholds") {
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd"), // 4 words: fails the 50-word floor
+      (2L, "the a " + Seq.fill(58)("word").mkString(" ")), // 60 words, 2 stopwords
+      (3L, "- one\n- two\nthree...") // bullet/ellipsis lines, one '...'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules("doc_id", "text", stopwords = Seq("the", "a"))(docs)
+      .orderBy("doc_id").collect()
+
+    val d1 = out(0)
+    assert(d1.getAs[Int]("n_words") == 4)
+    assert(d1.getAs[Double]("mean_word_len") == 3.0)
+    assert(d1.getAs[Double]("frac_alpha_words") == 1.0)
+    assert(d1.getAs[Int]("n_stopwords_present") == 0)
+    assert(!d1.getAs[Boolean]("passes_gopher")) // too short AND no stopwords
+
+    val d2 = out(1)
+    assert(d2.getAs[Int]("n_words") == 60)
+    assert(d2.getAs[Double]("mean_word_len") == (3 + 1 + 58 * 4).toDouble / 60)
+    assert(d2.getAs[Int]("n_stopwords_present") == 2)
+    assert(d2.getAs[Double]("symbol_ratio") == 0.0)
+    assert(d2.getAs[Boolean]("passes_gopher"))
+
+    // doc 3 splits on ' ' into 3 words; on '\n' into 3 lines
+    val d3 = out(2)
+    assert(d3.getAs[Int]("n_words") == 3)
+    assert(d3.getAs[Double]("frac_bullet_lines") == 2.0 / 3)
+    assert(d3.getAs[Double]("frac_ellipsis_lines") == 1.0 / 3)
+    assert(d3.getAs[Double]("symbol_ratio") == 1.0 / 3) // one '...' over 3 words
+  }
+
+  test("gopherRules: row-local - no shuffle in the plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = planOf(TextAnalysis.gopherRules("doc_id", "text")(docs))
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+  }
+
+  // ===== tokenWindows =====
+
+  test("tokenWindows: half-overlap strides, short tail, every token covered") {
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenWindows("doc_id", "text", win = 32, stride = 16)(docs)
+      .orderBy("doc_id", "win_idx").collect()
+
+    // 40 tokens -> starts 0,16,32 -> lengths 32, 24, 8
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("win_idx")).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getAs[Int]("n_win_tokens")).toSeq == Seq(32, 24, 8))
+    assert(d1(0).getAs[String]("win_text") == words.take(32).mkString(" "))
+    assert(d1(1).getAs[String]("win_text") == words.slice(16, 40).mkString(" "))
+    assert(d1(2).getAs[String]("win_text") == words.slice(32, 40).mkString(" "))
+
+    // 3 tokens -> one short window
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("win_text") == "x y z"
+      && d2(0).getAs[Int]("n_win_tokens") == 3)
+
+    val plan = planOf(
+      TextAnalysis.tokenWindows("doc_id", "text", win = 32, stride = 16)(docs))
+    assert(!plan.contains("Exchange"), s"tokenWindows must not shuffle:\n$plan")
+  }
+
+  // ===== semanticDecontam =====
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("semanticDecontam: nearest bench vector, deterministic tie-break, threshold flag") {
+    val bench = vecs(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f)) // identical pair: tie
+    val corpus = vecs(
+      10L -> Seq(1f, 0f),     // sim 1.0 with BOTH bench vecs -> lowest id 0 wins
+      11L -> Seq(0f, 1f),     // orthogonal -> sim 0.0
+      12L -> Seq(0.6f, 0.8f)) // sim 0.6 -> contaminated at 0.5
+    val out = Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.5)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("nearest_bench_id"),
+      r.getAs[Boolean]("contaminated"))).toSeq ==
+      Seq((10L, 0L, true), (11L, 0L, false), (12L, 0L, true)))
+    // 0.6f/0.8f are not exactly representable in float32
+    assert(math.abs(out(2).getAs[Double]("max_sim") - 0.6) < 1e-6)
+  }
+
+  test("semanticDecontam: bench side broadcast, argmax is an aggregate not a window") {
+    val bench = vecs(0L -> Seq(1f, 0f))
+    val corpus = vecs((10L to 20L).map(i => i -> Seq(i.toFloat, 1f)): _*)
+    val plan = planOf(Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.5))
+    assert(plan.contains("BroadcastExchange"), s"bench must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be an aggregate, not a window:\n$plan")
+  }
+
+  // ===== contrastivePairs =====
+
+  test("contrastivePairs: positives at top ranks, hard negatives in the band, self excluded") {
+    // cosine to anchor [1,0] strictly decreases with id
+    val corpus = vecs(
+      0L -> Seq(1f, 0f), // the anchor itself: must not pair with itself
+      1L -> Seq(1f, 0.01f),
+      2L -> Seq(1f, 0.1f),
+      3L -> Seq(1f, 0.3f),
+      4L -> Seq(1f, 0.6f),
+      5L -> Seq(0f, 1f),
+      6L -> Seq(-1f, 0.5f))
+    val anchors = corpus.where(col("vec_id") === 0L)
+    val out = Similarity.contrastivePairs(corpus, anchors, "vec_id", "embedding",
+      posK = 1, negLo = 3, negHi = 4).orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[Long]("pair_id"), r.getAs[String]("role"),
+      r.getAs[Int]("rank"))).toSeq ==
+      Seq((1L, "pos", 1), (3L, "neg", 3), (4L, "neg", 4)))
+    // sims are genuine cosines: rank 1 closest
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+}
