@@ -41,7 +41,9 @@ object Bench {
     "colloc_lift_topk", "overlap_source_matrix",
     "dedup_cdc_coverage", "dedup_novelty_curve",
     "dedup_incremental_near", "sim_label_consistency",
-    "sample_cluster_split", "corpus_datasheet")
+    "sample_cluster_split", "corpus_datasheet",
+    "text_gopher_rules", "text_token_windows",
+    "decontam_semantic", "mine_contrastive_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
