@@ -43,7 +43,8 @@ object Bench {
     "dedup_incremental_near", "sim_label_consistency",
     "sample_cluster_split", "corpus_datasheet",
     "text_gopher_rules", "text_token_windows",
-    "decontam_semantic", "mine_contrastive_pairs")
+    "decontam_semantic", "mine_contrastive_pairs",
+    "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -933,6 +933,22 @@ object SparkEntry {
       TextAnalysis.oovRate("doc_id", "text", topN = 20)(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats("doc_id", "text", n = 2)(t(s, d, "documents"))),
+    // distributional diversity: fixed-point Σ c·ln(c) + 3 IEEE ops
+    "text_entropy" -> ((s, d) =>
+      TextAnalysis.unigramEntropy("doc_id", "text")(t(s, d, "documents"))),
+    // lexical domain-similarity matrix over source pairs
+    "vocab_overlap_matrix" -> ((s, d) =>
+      graft.llm.Drift.vocabOverlapMatrix(t(s, d, "documents"), "source", "text")),
+    // tokenizer QA by domain: per-source fertility under the trained
+    // merge table (the per-doc native BPE encode rolled up)
+    "bpe_fertility_by_source" -> ((s, d) =>
+      TextAnalysis.withBpeTokenCount("text", SparkEntry.bpeMerges)(t(s, d, "documents"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens_ws").cast("long")).as("sum_tokens_ws"),
+          sum(col("n_tokens_bpe").cast("long")).as("sum_tokens_bpe"))
+        .withColumn("fertility",
+          col("sum_tokens_bpe").cast("double") / col("sum_tokens_ws"))),
     // the published Gopher rule battery (Rae et al. 2021 table A1):
     // integer counts + one IEEE division each, so the oracle is exact.
     // Stop list adapted to the corpus vocabulary (only 'the' from
@@ -2375,6 +2391,36 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
         |FROM cnt GROUP BY 1""".stripMargin,
+    // fixed-point per-token terms (floor(c·ln(c)·1e6 + ½) as BIGINT)
+    // integer-sum across partitions; the entropy assembly is the same
+    // 3 IEEE ops on both engines
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS INTEGER) AS n_distinct,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS sum_clnc_fp
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, sum_clnc_fp,
+        |  (CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(sum_clnc_fp AS DOUBLE) / n_tokens) / 1000000.0 AS entropy_nats
+        |FROM a""".stripMargin,
+    "vocab_overlap_matrix" ->
+      """WITH v AS (SELECT DISTINCT g, t FROM
+        |       (SELECT source AS g, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |s AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |sh AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
+        |       FROM v a JOIN v b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+        |SELECT sa.g AS source_a, sb.g AS source_b, sa.n AS n_vocab_a, sb.n AS n_vocab_b,
+        |  COALESCE(sh.n_shared, 0) AS n_shared,
+        |  CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+        |    / (sa.n + sb.n - COALESCE(sh.n_shared, 0)) AS jaccard
+        |FROM s sa JOIN s sb ON sa.g < sb.g
+        |LEFT JOIN sh ON sh.source_a = sa.g AND sh.source_b = sb.g""".stripMargin,
     // every Gopher signal is integer counting + one IEEE division,
     // reproduced op-for-op (including the h + e/3 addition order)
     "text_gopher_rules" ->
@@ -2451,6 +2497,41 @@ object SparkEntry {
          |  c.n_bpe AS n_tokens_bpe,
          |  CAST(c.n_bpe AS DOUBLE) / len(string_split(d.text, ' ')) AS fertility
          |FROM documents d JOIN cnt c USING (doc_id)""".stripMargin,
+    // the same per-doc recursive-CTE BPE replay, rolled up per source
+    "bpe_fertility_by_source" ->
+      s"""WITH RECURSIVE m(rank, a, b) AS (
+         |  SELECT * FROM (VALUES ${bpeMerges.zipWithIndex
+            .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}) v),
+         |ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |wx AS (SELECT doc_id, i, w[i] AS word
+         |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+         |enc(doc_id, i, p, it) AS (
+         |  SELECT doc_id, i,
+         |    list_transform(generate_series(1, length(word)), j -> word[j]), 0
+         |  FROM wx
+         |  UNION ALL
+         |  SELECT doc_id, i,
+         |    p[1:pos.j - 1] || [p[pos.j] || p[pos.j + 1]] || p[pos.j + 2:], it + 1
+         |  FROM enc,
+         |    LATERAL (SELECT a, b FROM m
+         |             WHERE len(list_filter(generate_series(1, len(p) - 1),
+         |                                   j -> p[j] = m.a AND p[j + 1] = m.b)) > 0
+         |             ORDER BY rank LIMIT 1) best,
+         |    LATERAL (SELECT min(j) AS j
+         |             FROM (SELECT unnest(generate_series(1, len(p) - 1)) AS j) t
+         |             WHERE p[j] = best.a AND p[j + 1] = best.b) pos
+         |  WHERE it < 90),
+         |fin AS (SELECT doc_id, i, p FROM (
+         |  SELECT doc_id, i, p, row_number() OVER (PARTITION BY doc_id, i ORDER BY it DESC) AS rn
+         |  FROM enc) WHERE rn = 1),
+         |cnt AS (SELECT doc_id, CAST(SUM(len(p)) AS INTEGER) AS n_bpe
+         |FROM fin GROUP BY 1)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS sum_tokens_ws,
+         |  CAST(SUM(c.n_bpe) AS BIGINT) AS sum_tokens_bpe,
+         |  CAST(SUM(c.n_bpe) AS DOUBLE) / SUM(len(string_split(d.text, ' '))) AS fertility
+         |FROM documents d JOIN cnt c USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     // adjacent-pair counts; the ORDER BY is a total order (count desc,
     // pair asc) so LIMIT is deterministic in both engines
     "text_bpe_pairs" ->

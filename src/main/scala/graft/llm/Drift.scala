@@ -99,4 +99,52 @@ object Drift {
           .when(col("__od") =!= col("__nd"), "modified")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Cross-source VOCABULARY overlap matrix — the lexical
+    * domain-similarity diagnostic behind mixture planning: for every
+    * unordered source pair, the two vocabulary sizes, the shared
+    * vocabulary, and its Jaccard. Complements
+    * [[graft.llm.Dedup.crossSourceOverlap]] (which finds duplicated
+    * CONTENT across sources via k-gram doc pairs): two domains can
+    * share zero documents yet use near-identical vocabulary — that is
+    * a mixing/weighting signal, not a dedup signal.
+    *
+    * All counts are exact integers; `jaccard` is one IEEE division —
+    * engine-exact. Shuffle budget: one (source, token) distinct (the
+    * vocabulary reduction — partial-agg map-side), then a token-keyed
+    * self-join of VOCABULARY-sized tables (never corpus-sized), a
+    * pair-keyed count, and a broadcast of the per-source totals
+    * (groups-row table). Token strings shuffle once; documents never.
+    */
+  def vocabOverlapMatrix(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // the vocabulary reduction (corpus explode + distinct — the only
+    // corpus-sized work here) feeds FOUR consumers (two total tables,
+    // both self-join sides); persist it so the corpus is scanned once
+    // — the cdcDupCoverage discipline. The cached frame is
+    // vocabulary-sized (groups × distinct tokens), not corpus-sized.
+    val vocab = df
+      .select(col(groupCol).as("__g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val shared = vocab.toDF("__ga", "__t")
+      .join(vocab.toDF("__gb", "__t2"),
+        col("__t") === col("__t2") && col("__ga") < col("__gb"))
+      .groupBy(col("__ga").as("source_a"), col("__gb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // pair frame from the groups-sized totals table, so pairs with
+    // ZERO shared vocabulary still get a row (the inner self-join
+    // alone would silently drop them from the matrix)
+    sizes.toDF("source_a", "__na")
+      .crossJoin(sizes.toDF("source_b", "__nb"))
+      .where(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(
+        col("source_a"), col("source_b"),
+        col("__na").as("n_vocab_a"), col("__nb").as("n_vocab_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("__na") + col("__nb") - coalesce(col("n_shared"), lit(0L)))).as("jaccard"))
+  }
 }

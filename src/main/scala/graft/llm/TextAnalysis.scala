@@ -467,6 +467,39 @@ object TextAnalysis {
           col("n_stopwords_present") >= 2)
   }
 
+  /** Per-document unigram (Shannon) entropy in nats — the diversity
+    * signal that separates keyword-stuffed / template / spam text
+    * (low entropy: few tokens dominate) from natural prose, used by
+    * curation stacks alongside TTR and the repetition fractions
+    * ([[repetitionStats]] sees POSITIONAL repeats; entropy sees
+    * DISTRIBUTIONAL skew even when repeats never touch).
+    *
+    * Engine-portable determinism (the [[LangModel]] discipline):
+    * `H = ln(n) − (Σ c·ln c)/n` decomposes into per-token terms
+    * quantized ONCE to fixed-point longs (`floor(c·ln(c)·fpScale +
+    * ½)`), so the cross-partition sum is exact integer arithmetic —
+    * partitioning-invariant, and a SQL oracle replays it bit-for-bit.
+    * The final assembly is three IEEE ops on the two integers.
+    *
+    * Scale shape: explode → (id, token) partial count → per-doc agg —
+    * the [[repetitionStats]] budget exactly; shuffle keys are
+    * (id, token) then id, never documents.
+    */
+  def unigramEntropy(idCol: String, textCol: String, fpScale: Double = 1e6)(
+      df: DataFrame): DataFrame = {
+    val c = col("__c").cast("double")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tk"))
+      .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        sum(floor(c * log(c) * lit(fpScale) + lit(0.5)).cast("long")).as("sum_clnc_fp"))
+      .withColumn("entropy_nats",
+        (floor(log(col("n_tokens").cast("double")) * lit(fpScale) + lit(0.5)).cast("long")
+          - col("sum_clnc_fp").cast("double") / col("n_tokens")) / lit(fpScale))
+  }
+
   /** Strided token windows — the standard "tokenize → fixed-length
     * training samples with overlap" prep for context-window training
     * and RAG chunk indexing: window `win` tokens, stride `stride`

@@ -79,6 +79,45 @@ class MiningSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"tokenWindows must not shuffle:\n$plan")
   }
 
+  // ===== unigramEntropy =====
+
+  test("unigramEntropy: zero for constant docs, ln(n) for uniform, monotone in skew") {
+    val docs = Seq(
+      (1L, "a a a a"),       // degenerate distribution -> H ~ 0
+      (2L, "a b c d"),       // uniform over 4 -> H ~ ln 4
+      (3L, "a a a b")        // skewed -> strictly between
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramEntropy("doc_id", "text")(docs)
+      .orderBy("doc_id").collect()
+    val h = out.map(_.getAs[Double]("entropy_nats"))
+    assert(math.abs(h(0)) < 1e-5)
+    assert(math.abs(h(1) - math.log(4)) < 1e-5)
+    assert(h(0) < h(2) - 1e-6 && h(2) < h(1) - 1e-6)
+    assert(out(1).getAs[Long]("n_tokens") == 4 && out(1).getAs[Int]("n_distinct") == 4)
+    // fixed-point longs: the shuffled sum is integer arithmetic
+    assert(out(0).getAs[Long]("sum_clnc_fp") ==
+      math.floor(4.0 * math.log(4.0) * 1e6 + 0.5).toLong)
+  }
+
+  // ===== vocabOverlapMatrix =====
+
+  test("vocabOverlapMatrix: shared counts, jaccard, zero-overlap pairs kept") {
+    val docs = Seq(
+      (1L, "g1", "a b"), (2L, "g1", "b"),
+      (3L, "g2", "b c"),
+      (4L, "g3", "x")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.llm.Drift.vocabOverlapMatrix(docs, "source", "text")
+      .orderBy("source_a", "source_b").collect()
+    assert(out.length == 3) // all 3 unordered pairs, including zero-overlap ones
+    val rows = out.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard"))).toSeq
+    assert(rows == Seq(
+      ("g1", "g2", 1L, 1.0 / 3), // {a,b} vs {b,c}: share {b}
+      ("g1", "g3", 0L, 0.0),
+      ("g2", "g3", 0L, 0.0)))
+  }
+
   // ===== semanticDecontam =====
 
   private def vecs(rows: (Long, Seq[Float])*) =

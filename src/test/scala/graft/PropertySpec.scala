@@ -299,4 +299,47 @@ class PropertySpec extends SparkSpec {
       }
     }, minTests = 20)
   }
+
+  test("property: token windows tile every document — first window at 0, stride spacing, every token covered") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val texts = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val geom = for {
+      win <- Gen.chooseNum(2, 12)
+      stride <- Gen.chooseNum(1, win)
+    } yield (win, stride)
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(10, texts), geom) { case (ts, (win, stride)) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val wins = graft.llm.TextAnalysis.tokenWindows("doc_id", "text", win, stride)(df)
+        .collect().map(r => (r.getLong(0), r.getAs[Int]("win_idx"),
+          r.getAs[String]("win_text"), r.getAs[Int]("n_win_tokens")))
+      ts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ")
+        val mine = wins.filter(_._1 == i.toLong).sortBy(_._2)
+        val nStarts = (toks.length - 1) / stride + 1
+        mine.map(_._2).sameElements(0 until nStarts) &&            // dense idx from 0
+        mine.forall { case (_, idx, text, n) =>
+          val expect = toks.slice(idx * stride, idx * stride + win)
+          text == expect.mkString(" ") && n == expect.length       // exact slices
+        } &&
+        mine.map(_._4).sum >= toks.length                          // every token covered
+      }
+    }, minTests = 20)
+  }
+
+  test("property: unigram entropy is bounded by [~0, ln n_tokens] and maximal iff all-distinct") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val texts = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(15, texts)) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = graft.llm.TextAnalysis.unigramEntropy("doc_id", "text")(df)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+          r.getAs[Int]("n_distinct"), r.getAs[Double]("entropy_nats")))
+      rows.forall { case (_, n, d, h) =>
+        val slack = 1e-5 // fixed-point quantization wobble
+        h >= -slack && h <= math.log(n.toDouble) + slack &&
+        (d.toLong != n || math.abs(h - math.log(n.toDouble)) < slack) &&
+        (d != 1 || math.abs(h) < slack)
+      }
+    }, minTests = 20)
+  }
 }
