@@ -77,19 +77,6 @@ object Avro {
     }
   }
 
-  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
-    val it = spark.sparkContext.hadoopConfiguration.iterator()
-    val b = Array.newBuilder[(String, String)]
-    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-    b.result()
-  }
-
-  private def rebuildConf(entries: Array[(String, String)]) = {
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    entries.foreach { case (k, v) => conf.set(k, v) }
-    conf
-  }
-
   /** Distributed write: one Avro container file per Spark partition
     * under `path` (overwriting the directory), rows converted with
     * the widening the schema mapping declares.
@@ -97,7 +84,7 @@ object Avro {
   def write(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val json = avroSchemaJson(df.schema, "graft_row")
-    val confBc = spark.sparkContext.broadcast(hadoopConfEntries(spark))
+    val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
     val fields = df.schema.fields
     val root = new Path(path)
     val driverFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,7 +94,7 @@ object Avro {
     // per-partition logic (the Sas.read rationale, sink-side)
     df.rdd.mapPartitionsWithIndex { (pi, rows) =>
       val schema = new Schema.Parser().parse(json)
-      val fs = new Path(path).getFileSystem(rebuildConf(confBc.value))
+      val fs = new Path(path).getFileSystem(HadoopConfSer.rebuild(confBc.value))
       val out = fs.create(new Path(path, f"part-$pi%05d.avro"), true)
       val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
       writer.create(schema, out)
@@ -161,19 +148,31 @@ object Avro {
       .map(f => StructField(f.name(), sparkType(f.schema()), nullable = true))
     val schema = StructType(sparkFields)
     val names = sparkFields.map(_.name)
-    val confBc = spark.sparkContext.broadcast(hadoopConfEntries(spark))
+    val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
-        val conf = rebuildConf(confBc.value)
+        val conf = HadoopConfSer.rebuild(confBc.value)
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf).open(fp)
           val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-          val out = Vector.newBuilder[Row]
-          while (stream.hasNext) {
-            val rec = stream.next()
-            out += Row.fromSeq(names.map { n =>
+          // stream rows instead of materializing the whole file: close
+          // eagerly on exhaustion (flatMap drains one file at a time)
+          // and on task completion for the early-termination paths
+          // (limit, failure); close is idempotent
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => stream.close()))
+          new Iterator[GenericRecord] {
+            private var exhausted = false
+            def hasNext: Boolean = !exhausted && {
+              val h = stream.hasNext
+              if (!h) { exhausted = true; stream.close() }
+              h
+            }
+            def next(): GenericRecord = stream.next()
+          }.map { rec =>
+            Row.fromSeq(names.map { n =>
               rec.get(n) match {
                 case null => null
                 case u: org.apache.avro.util.Utf8 => u.toString
@@ -185,8 +184,6 @@ object Avro {
               }
             })
           }
-          stream.close()
-          out.result()
         }
       }
     spark.createDataFrame(rows, schema)

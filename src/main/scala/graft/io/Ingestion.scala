@@ -3,6 +3,26 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Hadoop `Configuration` is not `Serializable` (and Spark's
+  * serializable wrapper is private[spark]), so native readers/writers
+  * that need the conf on executors ship its entries and rebuild per
+  * partition. Shared by [[Sas]] and [[Avro]].
+  */
+private[io] object HadoopConfSer {
+  def entries(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  def rebuild(entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+}
+
 /** The ingestion path (Data_Ingestion_Python.py): file source → null
   * fill → filename metadata → nest → keyed store. The reference is a
   * one-file-per-invocation Lambda; here each step is a declarative

@@ -274,22 +274,15 @@ object Sas {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val meta = readMeta(spark, path)
-    // hadoop Configuration is not serializable (and Spark's wrapper is
-    // private[spark]); ship the entries and rebuild per partition
-    val confEntries: Array[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
-    val confBc = spark.sparkContext.broadcast(confEntries)
+    // hadoop Configuration is not serializable; ship the entries and
+    // rebuild per partition ([[HadoopConfSer]], shared with Avro)
+    val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
     val parallelism = math.max(1L,
       math.min(meta.pageCount, spark.sparkContext.defaultParallelism.toLong)).toInt
     val rows = spark.sparkContext
       .range(0L, meta.pageCount, numSlices = parallelism)
       .mapPartitions { pages =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confBc.value.foreach { case (k, v) => conf.set(k, v) }
+        val conf = HadoopConfSer.rebuild(confBc.value)
         val p = new Path(path)
         val fs = p.getFileSystem(conf)
         val in = fs.open(p)

@@ -152,24 +152,27 @@ object Decontam {
       bench: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    graft.functions.ArrayFns.register(corpus.sparkSession)
-    val b = bench.select(
-      col(idCol).as("__bench_id"),
-      col(vecCol).cast("array<double>").as("__bv"))
-    corpus
-      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
-      .crossJoin(broadcast(b))
-      .withColumn("__sim",
-        graft.functions.ArrayFns.cosineNative(col("__cv"), col("__bv")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__sim").as("s"), (-col("__bench_id")).as("nb"))).as("__m"))
-      .select(
-        col(idCol),
-        (-col("__m.nb")).as("nearest_bench_id"),
-        col("__m.s").as("max_sim"),
-        (col("__m.s") >= threshold).as("contaminated"))
-  }
+      threshold: Double): DataFrame =
+    // DataFrame-returning operator: analysis is eager, so the native
+    // cosine resolves inside the scope and the caller's session keeps
+    // no graft registrations (the ArrayFns.scoped discipline)
+    graft.functions.ArrayFns.scoped(corpus.sparkSession) {
+      val b = bench.select(
+        col(idCol).as("__bench_id"),
+        col(vecCol).cast("array<double>").as("__bv"))
+      corpus
+        .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+        .crossJoin(broadcast(b))
+        .withColumn("__sim",
+          graft.functions.ArrayFns.cosineNative(col("__cv"), col("__bv")))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__sim").as("s"), (-col("__bench_id")).as("nb"))).as("__m"))
+        .select(
+          col(idCol),
+          (-col("__m.nb")).as("nearest_bench_id"),
+          col("__m.s").as("max_sim"),
+          (col("__m.s") >= threshold).as("contaminated"))
+    }
 }
 
 /** Near-duplicate contamination: the paraphrase-level complement of

@@ -90,6 +90,9 @@ class ContractSpec extends SparkSpec {
       "dq_ref_coverage",        // crossJoin(broadcast(1-row orphan count))
       "dedup_cluster_sizes",    // crossJoin of two 1-row counts for the singleton row
       "dedup_graph_triangles",  // crossJoin of three 1-row census aggregates
+      "decontam_semantic",      // bench side is eval-suite-sized by construction (broadcast cross)
+      "mine_contrastive_pairs", // anchors are the mined-batch side (guarded maybeBroadcast cap)
+      "vocab_overlap_matrix",   // pair frame from the groups-sized totals cross (groups^2, not data)
       "colloc_lift_topk"        // crossJoin(broadcast(1-row corpus token total))
     )
     SparkEntry.queries.foreach { case (name, fn) =>
