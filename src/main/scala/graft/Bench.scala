@@ -44,7 +44,9 @@ object Bench {
     "sample_cluster_split", "corpus_datasheet",
     "text_gopher_rules", "text_token_windows",
     "decontam_semantic", "mine_contrastive_pairs",
-    "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source")
+    "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source",
+    "text_skipgram_lift", "doc_length_outliers",
+    "dedup_threshold_curve", "curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

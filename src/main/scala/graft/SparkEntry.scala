@@ -933,6 +933,34 @@ object SparkEntry {
       TextAnalysis.oovRate("doc_id", "text", topN = 20)(t(s, d, "documents"))),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats("doc_id", "text", n = 2)(t(s, d, "documents"))),
+    // dedup-threshold tuning: pair counts per 0.1 jaccard band with
+    // the at-or-above cumulative — "what would threshold t remove".
+    // Plain corpus: its bimodal curve (a fat low-band + the 0.9
+    // near-dup spike, nothing between) is exactly the shape the
+    // diagnostic exists to reveal — any threshold in the gap removes
+    // the same pairs. (The doubled frame was tried and reverted: 4×
+    // the shared-shingle join for one more band, 6.7 s vs 1.7 s.)
+    "dedup_threshold_curve" -> ((s, d) =>
+      Dedup.jaccardThresholdCurve(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.05)),
+    // release dashboard: per-source totals -> rule-pass -> exact-dedup
+    // keep, with stage retention fractions. Doubled corpus so the
+    // dedup stage has real work (every text twice)
+    "curation_funnel" -> ((s, d) =>
+      graft.llm.Selection.curationFunnel(doubledDocs(s, d),
+        "doc_id", "text", "source", stopwords = Seq("the", "a"))),
+    // per-source token-length MAD flags: the curation length filter
+    // done robustly (median/MAD, not mean/stddev — web corpora have
+    // heavy length tails), reusing the exact-rational Outliers op
+    "doc_length_outliers" -> ((s, d) =>
+      graft.ops.Outliers.madFlags("source", "n_tokens")(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+        .select("doc_id", "source", "n_tokens", "median", "mad", "is_outlier")),
+    // windowed co-occurrence: colloc generalized to distance <= 3
+    "text_skipgram_lift" -> ((s, d) =>
+      TextAnalysis.skipgramLiftTopK("text", window = 3, k = 20, minPair = 3)(
+        t(s, d, "documents"))),
     // distributional diversity: fixed-point Σ c·ln(c) + 3 IEEE ops
     "text_entropy" -> ((s, d) =>
       TextAnalysis.unigramEntropy("doc_id", "text")(t(s, d, "documents"))),
@@ -2391,6 +2419,92 @@ object SparkEntry {
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac,
         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_gram_frac
         |FROM cnt GROUP BY 1""".stripMargin,
+    // same shingle/jaccard CTE as dedup_jaccard_audit; banding is one
+    // IEEE multiply + floor so the same double lands in the same band
+    "dedup_threshold_curve" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |p AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.05),
+        |b AS (SELECT floor(j * 10) / 10 AS band_lo, CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM p GROUP BY 1)
+        |SELECT band_lo, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY band_lo DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+        |FROM b""".stripMargin,
+    // the gopher verdict CTE (stop list ['the','a']) -> md5 keep-first
+    // -> per-source stage counts
+    "curation_funnel" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS l
+        |  FROM $doubledDocsSql),
+        |m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS frac_alpha_words,
+        |    (CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+        |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l) AS frac_bullet_lines,
+        |    CAST(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(l) AS frac_ellipsis_lines,
+        |    CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+        |      t -> list_contains(['the','a'], t))) AS INTEGER) AS n_stop
+        |  FROM base),
+        |v AS (SELECT doc_id, source, text,
+        |        (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |         AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+        |         AND frac_alpha_words > 0.8 AND n_stop >= 2) AS p
+        |      FROM m),
+        |keep AS (SELECT min(doc_id) AS kid FROM v WHERE p GROUP BY md5(text)),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept_unique
+        |      FROM v WHERE p AND doc_id IN (SELECT kid FROM keep) GROUP BY 1),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |          CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rules
+        |        FROM v GROUP BY 1)
+        |SELECT agg.source, agg.n_docs, agg.n_pass_rules,
+        |  COALESCE(k.n_kept_unique, 0) AS n_kept_unique,
+        |  CAST(agg.n_pass_rules AS DOUBLE) / agg.n_docs AS pass_frac,
+        |  CAST(COALESCE(k.n_kept_unique, 0) AS DOUBLE) / agg.n_docs AS keep_frac
+        |FROM agg LEFT JOIN k USING (source)""".stripMargin,
+    "doc_length_outliers" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.doc_id, c.source, c.n_tokens, m.med,
+        |    abs(c.n_tokens - m.med) AS dev
+        |  FROM c JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_tokens,
+        |       d.med AS median, md.mad AS mad,
+        |       d.dev * 2 > md.mad * 7 AS is_outlier
+        |FROM d JOIN md USING (source)""".stripMargin,
+    // pair enumeration replayed as position × bounded-offset unnest;
+    // same exact-factor lift as colloc_lift_topk
+    "text_skipgram_lift" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tk WHERE len(t) >= 2),
+        |pairs AS (SELECT t[i] AS w1, t[i + g.d] AS w2
+        |          FROM pos, LATERAL (SELECT unnest(generate_series(1, least(3, len(t) - i))) AS d) g),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM tk)
+        |SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2, tot.n_tokens,
+        |  CAST(p.n_pair * tot.n_tokens AS DOUBLE) / (u1.n_w * u2.n_w) AS lift
+        |FROM pc p
+        |JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2, tot
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
     // fixed-point per-token terms (floor(c·ln(c)·1e6 + ½) as BIGINT)
     // integer-sum across partitions; the entropy assembly is the same
     // 3 IEEE ops on both engines

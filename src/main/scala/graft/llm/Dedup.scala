@@ -246,6 +246,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup THRESHOLD sensitivity curve — the tuning diagnostic a
+    * pipeline runs (on a sample) before fixing the dedup threshold:
+    * pairs from [[allPairsJaccard]] rolled into 0.1-wide jaccard
+    * bands, each band with its pair count and the cumulative count of
+    * pairs at-or-above it (`n_pairs_ge` — exactly "how many pairs
+    * would a threshold of band_lo remove"). A curve that cliffs
+    * between 0.7 and 0.8 says those thresholds behave very
+    * differently on THIS corpus; a flat stretch says the choice is
+    * insensitive there.
+    *
+    * Banding is `floor(10·j)/10` — one IEEE multiply + floor, so the
+    * same double lands in the same band on any engine. The cumulative
+    * window runs over ≤ 11 band rows (bounded single-partition state,
+    * the SUMEQ class). Candidate generation inherits
+    * [[allPairsJaccard]]'s shared-shingle budget — sample-sized
+    * audits, [[nearDupPairs]] for the 100 TB recall path.
+    */
+  def jaccardThresholdCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.1,
+      shingleK: Int = 3): DataFrame = {
+    val banded = allPairsJaccard(df, idCol, textCol, minJaccard, shingleK)
+      .withColumn("band_lo", floor(col("jaccard") * 10) / 10)
+      .groupBy("band_lo").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band_lo").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    banded.withColumn("n_pairs_ge", sum("n_pairs").over(w))
+  }
+
   /** Full near-dup pipeline: LSH candidates → exact Jaccard filter.
     * Returns confirmed pairs (id_a < id_b, jaccard >= threshold).
     */

@@ -168,4 +168,50 @@ object Selection {
     calibrated.withColumn(outCol,
       quality * (1.0 - mix) + Sampling.hashFraction(col(idCol)) * mix)
   }
+
+  /** Per-source curation FUNNEL — the release dashboard row every
+    * corpus build reports: how many documents each source contributed,
+    * how many survive the quality-rule gate, and how many remain after
+    * exact dedup (keep-lowest-id per content digest among the
+    * survivors), with the stage-over-stage retention fractions. One
+    * row per source; the cross-stage story `pipeline_preprocess`
+    * executes, re-expressed as counts.
+    *
+    * Shuffle budget: the quality verdict joins back on the id (the
+    * verdict frame carries only (id, boolean)); exact dedup is the
+    * md5-digest keep-first aggregation ([[Dedup.exactDedup]]'s shape);
+    * the final rollup is a groups-sized aggregate. Bodies never
+    * shuffle — digests and booleans do.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      stopwords: Seq[String] = TextAnalysis.gopherStopwords): DataFrame = {
+    val verdict = TextAnalysis.gopherRules(idCol, textCol, stopwords)(docs)
+      .select(col(idCol), col("passes_gopher"))
+    val flagged = docs.select(col(idCol), col(sourceCol), col(textCol))
+      .join(verdict, Seq(idCol))
+    val passing = flagged.where(col("passes_gopher"))
+    val keepIds = passing
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .select(col("__keep_id").as(idCol))
+    val kept = passing.join(keepIds, Seq(idCol), "left_semi")
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_kept_unique"))
+    flagged.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("passes_gopher").cast("long")).as("n_pass_rules"))
+      .join(kept, Seq(sourceCol), "left")
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        col("n_pass_rules"),
+        coalesce(col("n_kept_unique"), lit(0L)).as("n_kept_unique"),
+        (col("n_pass_rules").cast("double") / col("n_docs")).as("pass_frac"),
+        (coalesce(col("n_kept_unique"), lit(0L)).cast("double") / col("n_docs"))
+          .as("keep_frac"))
+  }
 }

@@ -340,6 +340,51 @@ object TextAnalysis {
       .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_tokens", "lift")
   }
 
+  /** Windowed skip-gram co-occurrence lift — [[collocationTopK]]
+    * generalized from adjacent pairs to all ordered pairs within
+    * token distance ≤ `window`: the co-occurrence statistic behind
+    * word2vec-era embedding training and phrase mining, where related
+    * words rarely sit strictly adjacent. Same exact-factor lift
+    * (`n_pair·N / (n_w1·n_w2)`, one IEEE division, log-free PMI
+    * ranking) and the same scale shape — pair enumeration is a
+    * row-local nested transform (≤ window× the adjacent-pair volume,
+    * a constant), partial-agg count on bounded-width pair keys,
+    * unigram join-back, 1-row total broadcast, TakeOrderedAndProject
+    * top-k. The pair distribution never globally sorts.
+    */
+  def skipgramLiftTopK(
+      textCol: String,
+      window: Int = 3,
+      k: Int = 20,
+      minPair: Long = 2)(df: DataFrame): DataFrame = {
+    require(k > 0 && window >= 1, s"bad (k=$k, window=$window)")
+    val tk = col("__tk")
+    // Project boundary first — the bpePairCounts lambda re-eval trap
+    val toks = df.select(tokens(col(textCol)).as("__tk"))
+    val pairsArr = when(size(tk) >= 2,
+      flatten(transform(sequence(lit(1), size(tk) - 1), i =>
+        transform(sequence(lit(1), least(lit(window), size(tk) - i)),
+          d => struct(element_at(tk, i).as("w1"), element_at(tk, i + d).as("w2"))))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairCounts = toks.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPair)
+    val uni = toks.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = toks.agg(sum(size(tk)).as("n_tokens"))
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_pair") * col("n_tokens")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_tokens", "lift")
+  }
+
   /** Overlapping fixed-width character chunks — retrieval-index prep
     * (every RAG corpus build slices documents into windows with
     * overlap so answers spanning a boundary survive). Pure per-row
@@ -426,8 +471,16 @@ object TextAnalysis {
     * so a SQL oracle reproduces it bit-for-bit. Zero shuffles —
     * embarrassingly parallel per row, linear at 100 TB.
     */
-  def gopherRules(
-      idCol: String,
+  private val gopherSignalCols = Seq("n_words", "mean_word_len", "frac_alpha_words",
+    "symbol_ratio", "frac_bullet_lines", "frac_ellipsis_lines", "n_stopwords_present")
+
+  /** All input columns + the seven Gopher signals + `passes_gopher`.
+    * The shared core behind [[gopherRules]] (the report) and
+    * [[gopherFilter]] (the gate) — token/line arrays are materialized
+    * once behind a Project boundary (the [[bpePairCounts]] lambda
+    * re-eval rule), every signal reads them.
+    */
+  def withGopherSignals(
       textCol: String,
       stopwords: Seq[String] = gopherStopwords)(df: DataFrame): DataFrame = {
     val w = col("__w")
@@ -446,17 +499,15 @@ object TextAnalysis {
       (length(col(textCol)) - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
     val nBullet = size(filter(ls, l => substring(l, 1, 1).isin("-", "*", "•")))
     val nEllLine = size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
-    df.select(col(idCol), col(textCol),
-        tokens(col(textCol)).as("__w"), split(col(textCol), "\n").as("__lines"))
-      .select(
-        col(idCol),
-        nWords.cast("int").as("n_words"),
-        (sumWordLen.cast("double") / nWordsD).as("mean_word_len"),
-        (nAlphaWords.cast("double") / nWordsD).as("frac_alpha_words"),
-        ((nHash + nEllipsis).cast("double") / nWordsD).as("symbol_ratio"),
-        (nBullet.cast("double") / nLinesD).as("frac_bullet_lines"),
-        (nEllLine.cast("double") / nLinesD).as("frac_ellipsis_lines"),
-        nStop.cast("int").as("n_stopwords_present"))
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("n_words", nWords.cast("int"))
+      .withColumn("mean_word_len", sumWordLen.cast("double") / nWordsD)
+      .withColumn("frac_alpha_words", nAlphaWords.cast("double") / nWordsD)
+      .withColumn("symbol_ratio", (nHash + nEllipsis).cast("double") / nWordsD)
+      .withColumn("frac_bullet_lines", nBullet.cast("double") / nLinesD)
+      .withColumn("frac_ellipsis_lines", nEllLine.cast("double") / nLinesD)
+      .withColumn("n_stopwords_present", nStop.cast("int"))
       .withColumn("passes_gopher",
         col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3.0, 10.0) &&
@@ -465,6 +516,28 @@ object TextAnalysis {
           col("frac_ellipsis_lines") <= 0.3 &&
           col("frac_alpha_words") > 0.8 &&
           col("n_stopwords_present") >= 2)
+      .drop("__w", "__lines")
+  }
+
+  def gopherRules(
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String] = gopherStopwords)(df: DataFrame): DataFrame =
+    withGopherSignals(textCol, stopwords)(df)
+      .select((col(idCol) +: gopherSignalCols.map(col)) :+ col("passes_gopher"): _*)
+
+  /** The battery as a FILTER: rows that pass, original schema
+    * unchanged. Stateless and row-local, so it composes into any
+    * plan — including append-mode streams
+    * ([[graft.streaming.StreamingIngest.streamingCurationGate]]).
+    */
+  def gopherFilter(
+      textCol: String,
+      stopwords: Seq[String] = gopherStopwords)(df: DataFrame): DataFrame = {
+    val out = df.columns
+    withGopherSignals(textCol, stopwords)(df)
+      .where(col("passes_gopher"))
+      .select(out.head, out.tail: _*)
   }
 
   /** Per-document unigram (Shannon) entropy in nats — the diversity

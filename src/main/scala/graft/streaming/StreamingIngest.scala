@@ -353,11 +353,18 @@ object StreamingIngest {
       docs: DataFrame,
       textCol: String,
       tsCol: String = "ts",
-      watermark: String = "1 hour"): DataFrame =
-    graft.llm.TextAnalysis.withFingerprint(textCol, "__fp")(docs)
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+      watermark: String = "1 hour"): DataFrame = {
+    val fp = graft.llm.TextAnalysis.withFingerprint(textCol, "__fp")(docs)
+    // batch twin: dropDuplicatesWithinWatermark is streaming-only, so
+    // a static frame takes plain dropDuplicates (the
+    // streamingNearDupPairs discipline) — how the parity spec and any
+    // backfill run execute the same composition
+    val deduped =
+      if (fp.isStreaming)
+        fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__fp")
+      else fp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
 
   /** Streaming incremental ingest against an accumulated STORE: drop
     * arriving rows whose content digest already exists in the static
@@ -485,4 +492,47 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("max_value"))
+
+  /** The whole ingest-curation stack as ONE streaming pipeline — the
+    * canonical "crawl feed → training store" gate:
+    *
+    *  1. quality rules ([[graft.llm.TextAnalysis.gopherFilter]]) —
+    *     stateless row predicate, drops junk before anything pays for
+    *     it;
+    *  2. benchmark decontamination
+    *     ([[graft.llm.Decontam.streamingDecontamFilter]]) — stateless
+    *     n-gram predicate over the embedded eval-gram set, so eval
+    *     data can never enter the store;
+    *  3. within-stream near-dup collapse
+    *     ([[streamingFingerprintDedup]]) — watermark-bounded state on
+    *     normalized-content fingerprints, catches the stream's own
+    *     redeliveries and trivial variants;
+    *  4. store-level incremental dedup
+    *     ([[streamingIncrementalIngest]]) — stream-static LEFT ANTI
+    *     against the accumulated corpus's digest set, stateless per
+    *     micro-batch.
+    *
+    * Ordering is cost-ordered: both stateless predicates run before
+    * the stateful dedup so rejected rows never enter the state store,
+    * and the store anti-join sees only survivors. Append-mode safe
+    * end to end (the only state is the watermarked fingerprint
+    * dedup). On a BATCH frame the same composition runs with plain
+    * dropDuplicates inside streamingFingerprintDedup's operator —
+    * StreamingSpec pins streaming == batch on identical input.
+    */
+  def streamingCurationGate(
+      docs: DataFrame,
+      store: DataFrame,
+      benchGramSet: Seq[String],
+      textCol: String = "text",
+      tsCol: String = "ts",
+      stopwords: Seq[String] = graft.llm.TextAnalysis.gopherStopwords,
+      watermark: String = "1 hour",
+      decontamN: Int = 5): DataFrame = {
+    val quality = graft.llm.TextAnalysis.gopherFilter(textCol, stopwords)(docs)
+    val clean = graft.llm.Decontam
+      .streamingDecontamFilter(quality, benchGramSet, textCol, decontamN)
+    val deduped = streamingFingerprintDedup(clean, textCol, tsCol, watermark)
+    streamingIncrementalIngest(deduped, store, textCol)
+  }
 }

@@ -93,6 +93,7 @@ class ContractSpec extends SparkSpec {
       "decontam_semantic",      // bench side is eval-suite-sized by construction (broadcast cross)
       "mine_contrastive_pairs", // anchors are the mined-batch side (guarded maybeBroadcast cap)
       "vocab_overlap_matrix",   // pair frame from the groups-sized totals cross (groups^2, not data)
+      "text_skipgram_lift",     // crossJoin(broadcast(1-row corpus token total))
       "colloc_lift_topk"        // crossJoin(broadcast(1-row corpus token total))
     )
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -118,6 +118,57 @@ class MiningSpec extends SparkSpec {
       ("g2", "g3", 0L, 0.0)))
   }
 
+  // ===== jaccardThresholdCurve =====
+
+  test("jaccardThresholdCurve: banded pair counts with at-or-above cumulative") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),  // exact dup of 1 -> jaccard 1.0
+      (3L, "a b c d x")   // 3-shingles share 2 of 4 with 1/2 -> jaccard 0.5
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.jaccardThresholdCurve(docs, "doc_id", "text", minJaccard = 0.1)
+      .orderBy(col("band_lo").desc).collect()
+      .map(r => (r.getAs[Double]("band_lo"), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_pairs_ge")))
+    assert(out.toSeq == Seq((1.0, 1L, 1L), (0.5, 2L, 3L)))
+  }
+
+  // ===== curationFunnel =====
+
+  test("curationFunnel: per-source totals -> rule pass -> exact-dedup keep") {
+    val passText = "the a " + Seq.fill(58)("word").mkString(" ") // passes the battery
+    val docs = Seq(
+      (1L, "srcA", passText),
+      (2L, "srcA", passText),   // exact dup: dedup stage drops it
+      (3L, "srcA", "too short"),
+      (4L, "srcB", "the a " + Seq.fill(58)("other").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = graft.llm.Selection.curationFunnel(docs, "doc_id", "text", "source",
+      stopwords = Seq("the", "a")).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass_rules"),
+        r.getAs[Long]("n_kept_unique"), r.getAs[Double]("pass_frac")))
+    assert(out.toSeq == Seq(
+      ("srcA", 3L, 2L, 1L, 2.0 / 3),
+      ("srcB", 1L, 1L, 1L, 1.0)))
+  }
+
+  // ===== skipgramLiftTopK =====
+
+  test("skipgramLiftTopK: all ordered pairs within the window, exact lift factors") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramLiftTopK("text", window = 3, k = 100, minPair = 1)(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_pair"), r.getAs[Double]("lift")))).toMap
+    // window 3 over 4 tokens: all 6 forward pairs, each once
+    assert(out.keySet == Set(("a","b"), ("a","c"), ("a","d"), ("b","c"), ("b","d"), ("c","d")))
+    // every count 1, every unigram count 1, N=4 -> lift = 4.0 exactly
+    assert(out.values.forall { case (n, l) => n == 1L && l == 4.0 })
+
+    // window 1 degenerates to adjacent pairs = collocationTopK's set
+    val adj = TextAnalysis.skipgramLiftTopK("text", window = 1, k = 100, minPair = 1)(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(adj == Set(("a","b"), ("b","c"), ("c","d")))
+  }
+
   // ===== semanticDecontam =====
 
   private def vecs(rows: (Long, Seq[Float])*) =

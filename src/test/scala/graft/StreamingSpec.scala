@@ -391,4 +391,47 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(1L).map(_._2).max == 3L)
     assert(byUser(2L).map(_._2).max == 1L)
   }
+
+  test("streaming curation gate: quality + decontam + in-stream dedup + store anti-join in one pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    def passDoc(word: String) = "the and " + Seq.fill(58)(word).mkString(" ")
+    val leakDoc = "the and benchmark leak gram five six " + Seq.fill(53)("word").mkString(" ")
+    val storedText = passDoc("store")
+    val store = Seq((10L, storedText)).toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "junk"),            // fails quality
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, passDoc("alpha")),  // survives
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, passDoc("alpha")),  // in-stream dup of 2
+      (Timestamp.valueOf("2024-01-01 10:03:00"), 4L, leakDoc),           // decontam drop
+      (Timestamp.valueOf("2024-01-01 10:04:00"), 5L, storedText),        // store anti-join drop
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 6L, passDoc("fresh")))  // survives
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val gated = StreamingIngest.streamingCurationGate(
+      docs, store, benchGramSet = Seq("benchmark leak gram five six"))
+    runToCompletion(
+      gated.writeStream.format("memory").queryName("curation")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val survivors = spark.table("curation").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // one representative of the {2,3} dup pair, plus the fresh doc
+    assert(survivors.map(_._2).toSet == Set(passDoc("alpha"), passDoc("fresh")),
+      survivors.map(_._1).mkString("|"))
+    assert(survivors.length == 2)
+
+    // batch twin: the same composition on a static frame agrees
+    val batch = StreamingIngest.streamingCurationGate(
+      docs.sparkSession.createDataFrame(
+        Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "junk"),
+          (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, passDoc("alpha")),
+          (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, passDoc("alpha")),
+          (Timestamp.valueOf("2024-01-01 10:03:00"), 4L, leakDoc),
+          (Timestamp.valueOf("2024-01-01 10:04:00"), 5L, storedText),
+          (Timestamp.valueOf("2024-01-01 10:05:00"), 6L, passDoc("fresh")))
+      ).toDF("ts", "doc_id", "text"),
+      store, benchGramSet = Seq("benchmark leak gram five six"))
+      .collect().map(_.getAs[String]("text")).toSet
+    assert(batch == Set(passDoc("alpha"), passDoc("fresh")))
+  }
 }
