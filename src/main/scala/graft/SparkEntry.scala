@@ -441,6 +441,17 @@ object SparkEntry {
       graft.io.Avro.write(docs, path)
       graft.io.Avro.read(s, path)
     }),
+    // model-artifact lifecycle: save the trained quantizer, load it
+    // back, and assign the corpus with the LOADED model — the oracle
+    // is built from the TRAINED centroids, so a lossy round trip
+    // (or order-scrambled reassembly) reads as a cell-id mismatch
+    "s15_ivf_model_roundtrip" -> ((s, d) => {
+      val path = scratch("ivf_model_q")
+      graft.llm.Ivf.saveModel(ivfModel(s, d), path)(s)
+      val loaded = graft.llm.Ivf.loadModel(s, path)
+      graft.llm.Ivf.assign(t(s, d, "embeddings"), "vec_id", "embedding", loaded)
+        .select(col("vec_id"), col("centroid_id").cast("int").as("centroid_id"))
+    }),
     "engine_pipeline" -> ((s, d) => {
       val analyte = ConfigReader.readAnalyte(s, "cust_base", "/root/repo/fixtures/study_demo/cust_base")
       Interpreter.deriveAnalyte(PipelineContext(), analyte, new ParquetResolver(s, d))
@@ -1684,6 +1695,23 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
+    }),
+    // roundtrip assignment replay: the TRAINED centroids as literals
+    // (loaded == trained iff the artifact round-trips bit-exactly)
+    "s15_ivf_model_roundtrip" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1)
+         |SELECT vec_id, centroid_id FROM asg""".stripMargin
     }),
     // cell-purity replay: same assignment CTE; counts + mode with
     // the tie-to-lowest-label rule

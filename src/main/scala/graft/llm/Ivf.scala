@@ -337,4 +337,37 @@ object Ivf {
     }
     m
   }
+
+  /** Persist the trained quantizer as a tiny parquet artifact — one
+    * row per (centroid_id, dim, value). Train-once / assign-forever is
+    * the production IVF lifecycle: the index that bucketed 100 TB of
+    * vectors must be the EXACT model every later batch, probe, and
+    * refinement round loads, or cell ids silently disagree across
+    * runs. Doubles round-trip parquet bit-exactly, so
+    * `loadModel(saveModel(m)) == m` (spec-pinned) and every dynamic
+    * oracle built from the trained centroids stays valid for the
+    * loaded ones. k·d rows ≈ KBs — a model artifact, not data.
+    */
+  def saveModel(model: IvfModel, path: String)(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, d) => (i, d, v) }
+    }.toSeq.toDF("centroid_id", "dim", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] artifact; centroid and dimension order are
+    * restored from the explicit (centroid_id, dim) keys, never from
+    * row order. The collect is model-sized (k·d doubles).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
+    val rows = spark.read.parquet(path)
+      .select("centroid_id", "dim", "value").collect()
+    require(rows.nonEmpty, s"empty IVF model artifact at $path")
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    val dims = rows.iterator.map(_.getInt(1)).max + 1
+    val cents = Array.fill(k)(Array.ofDim[Double](dims))
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    IvfModel(cents)
+  }
 }

@@ -152,4 +152,24 @@ class IvfSkewSpec extends SparkSpec {
       BloomJoin.bloomPrunedJoin(df, df, "k", "left")
     }
   }
+
+  test("IVF model save/load round-trips bit-exactly and assigns identically") {
+    import graft.llm.Ivf
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f) else Seq(0f, 1f, 0f)
+      (i, base.map(_ + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(vecs, "embedding", k = 2)
+    val path = SparkEntry.cleanedTempDir("ivf_model_spec_") + "/m"
+    Ivf.saveModel(model, path)(spark)
+    val loaded = Ivf.loadModel(spark, path)
+    // bit-exact: doubles survive parquet unchanged, order restored
+    // from explicit keys
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    val direct = Ivf.assign(vecs, "vec_id", "embedding", model)
+      .select("vec_id", "centroid_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaArtifact = Ivf.assign(vecs, "vec_id", "embedding", loaded)
+      .select("vec_id", "centroid_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(direct == viaArtifact)
+  }
 }
