@@ -48,6 +48,13 @@ MODULES = [
     (r"^sketch_", [f"{G}/llm/Sketch.scala"]),
     (r"^text_", [f"{G}/llm/TextAnalysis.scala"]),
     (r"^sample_", [f"{G}/llm/Sampling.scala"]),
+    (r"^decontam_", [f"{G}/llm/Decontam.scala", f"{G}/llm/Dedup.scala",
+                     f"{G}/functions/ArrayFns.scala"]),
+    (r"^mine_", [f"{G}/llm/Similarity.scala", f"{G}/functions/ArrayFns.scala"]),
+    (r"^vocab_overlap", [f"{G}/llm/Drift.scala", f"{G}/llm/TextAnalysis.scala"]),
+    (r"^bpe_fertility", [f"{G}/llm/TextAnalysis.scala", f"{G}/functions/BpeFns.scala"]),
+    (r"^doc_length_outliers", [f"{G}/ops/Outliers.scala"]),
+    (r"^curation_funnel", [f"{G}/llm/Selection.scala", f"{G}/llm/TextAnalysis.scala"]),
     (r"^mm_", [f"{G}/llm/Multimodal.scala", f"{G}/functions/BinaryFns.scala"]),
     (r"^w[0-9]_", [f"{G}/streaming/StreamingIngest.scala"]),
     (r"^asof_", [f"{G}/ops/AsOf.scala"]),
