@@ -46,7 +46,8 @@ object Bench {
     "decontam_semantic", "mine_contrastive_pairs",
     "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source",
     "text_skipgram_lift", "doc_length_outliers",
-    "dedup_threshold_curve", "curation_funnel", "s15_ivf_model_roundtrip")
+    "dedup_threshold_curve", "curation_funnel", "s15_ivf_model_roundtrip",
+    "s16_ivf_cell_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -441,6 +441,17 @@ object SparkEntry {
       graft.io.Avro.write(docs, path)
       graft.io.Avro.read(s, path)
     }),
+    // deployed IVF layout: corpus written partitioned by cell, probes
+    // read back through directory pruning (PartitionFilters), same
+    // top-k as the in-memory ivfTopK — gated against the SAME oracle
+    "s16_ivf_cell_layout" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val path = scratch("ivf_cells_q")
+      graft.llm.Ivf.writeCellLayout(emb, "vec_id", "embedding", m, path)
+      graft.llm.Ivf.cellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+    }),
     // model-artifact lifecycle: save the trained quantizer, load it
     // back, and assign the corpus with the LOADED model — the oracle
     // is built from the TRAINED centroids, so a lossy round trip
@@ -1696,6 +1707,9 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
     }),
+    // the partitioned-layout search answers exactly what the
+    // in-memory IVF answers — same replay
+    "s16_ivf_cell_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),
     // roundtrip assignment replay: the TRAINED centroids as literals
     // (loaded == trained iff the artifact round-trips bit-exactly)
     "s15_ivf_model_roundtrip" -> ((s, d) => {

@@ -251,6 +251,55 @@ object Ivf {
       .select(col("probe_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
 
+  /** Write the corpus PARTITIONED BY its IVF cell — the deployed
+    * index layout the module scaladoc promises: one directory per
+    * centroid_id, so a probe's candidate read is directory pruning,
+    * not a scan-and-filter. At 100 TB a probe touches
+    * nProbe/k of the store's files; footer stats never even open the
+    * rest. Pair with [[saveModel]]: the layout is only valid under
+    * the EXACT model that produced it, which the artifact preserves
+    * bit-for-bit.
+    */
+  def writeCellLayout(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      path: String): Unit =
+    assign(df, idCol, vecCol, model)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** ANN top-k against a [[writeCellLayout]] store: the probe set's
+    * nProbe cells are computed model-side (probes are the small
+    * side), the store read carries `centroid_id IN (cells)` — a
+    * PARTITION filter, visible in the scan's PartitionFilters and
+    * measured in IvfSkewSpec — and only the surviving sliver joins
+    * and ranks, via the same [[ivfTopK]] machinery. Results are
+    * identical to [[ivfTopK]] over the full corpus (candidates
+    * outside probe cells never rank; spec-pinned).
+    *
+    * The probe-cell collect is bounded by the probe batch
+    * (probes × nProbe ints) — the broadcast-dimension exception, same
+    * as [[train]]'s sample.
+    */
+  def cellLayoutTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cells = probes
+      .select(explode(probeCentroids(col(vecCol), model, nProbe)).as("c"))
+      .distinct().collect().map(_.getInt(0))
+    val store = spark.read.parquet(path)
+      .where(col("centroid_id").isin(cells.map(x => x: Any): _*))
+      .select(col(idCol), col(vecCol))
+    ivfTopK(store, probes, idCol, vecCol, model, k, nProbe)
+  }
+
   // ===== distributed Lloyd refinement =====
 
   /** The distributed half of one Lloyd iteration: per-(cell, dim)

@@ -172,4 +172,30 @@ class IvfSkewSpec extends SparkSpec {
       .select("vec_id", "centroid_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(direct == viaArtifact)
   }
+
+  test("IVF cell layout: probes prune partitions and answer exactly the in-memory topK") {
+    import graft.llm.Ivf
+    val vecs = (0L until 60L).map { i =>
+      val base = i % 3 match {
+        case 0 => Seq(1f, 0f, 0f); case 1 => Seq(0f, 1f, 0f); case _ => Seq(0f, 0f, 1f)
+      }
+      (i, base.map(_ + (i % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(vecs, "embedding", k = 3)
+    val path = SparkEntry.cleanedTempDir("ivf_layout_spec_") + "/cells"
+    Ivf.writeCellLayout(vecs, "vec_id", "embedding", model, path)
+    val probes = vecs.where(col("vec_id") < 2)
+    val viaLayout = Ivf.cellLayoutTopK(spark, path, probes,
+      "vec_id", "embedding", model, k = 4, nProbe = 1)
+    // directory pruning reaches the scan: the store read carries a
+    // PARTITION filter on centroid_id, not a post-scan data filter
+    val plan = viaLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("centroid_id"),
+      s"cell read must partition-prune:\n$plan")
+    val direct = Ivf.ivfTopK(vecs, probes, "vec_id", "embedding", model,
+      k = 4, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = viaLayout.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == direct)
+  }
 }
