@@ -282,6 +282,25 @@ object Ivf {
     * (probes × nProbe ints) — the broadcast-dimension exception, same
     * as [[train]]'s sample.
     */
+  /** Incremental index maintenance: assign an ARRIVING batch under
+    * the same (artifact-pinned) model and append it into the cell
+    * layout — dynamic partition append, so only the batch's own cells
+    * gain files and existing directories are untouched. This is the
+    * steady-state write path of a deployed IVF store (the batch face
+    * of a `foreachBatch` streaming sink); [[cellLayoutTopK]] sees the
+    * new vectors on its next read with no rebuild. Re-cluster (retrain
+    * + rewrite) only when [[refine]]'s inertia says the model has
+    * drifted — the layout itself never needs day-to-day rewrites.
+    */
+  def appendToCellLayout(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      path: String): Unit =
+    assign(batch, idCol, vecCol, model)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
   def cellLayoutTopK(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -197,5 +197,18 @@ class IvfSkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val got = viaLayout.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(got == direct)
+
+    // incremental append: a new batch lands only in its own cells and
+    // the next read answers as if the store were rebuilt whole
+    val batch = Seq((100L, Seq(1f, 0.001f, 0f))).toDF("vec_id", "embedding")
+    Ivf.appendToCellLayout(batch, "vec_id", "embedding", model, path)
+    val after = Ivf.cellLayoutTopK(spark, path, probes,
+      "vec_id", "embedding", model, k = 4, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val rebuilt = Ivf.ivfTopK(vecs.unionByName(batch), probes, "vec_id", "embedding",
+      model, k = 4, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(after == rebuilt)
+    assert(after.exists(_._2 == 100L), "the appended vector must be findable")
   }
 }
