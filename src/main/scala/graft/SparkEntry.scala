@@ -983,6 +983,10 @@ object SparkEntry {
     "text_skipgram_lift" -> ((s, d) =>
       TextAnalysis.skipgramLiftTopK("text", window = 3, k = 20, minPair = 3)(
         t(s, d, "documents"))),
+    // lexicon safety pass: word-boundary exact matches only
+    "text_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistScan("doc_id", "text", Seq("slow", "junk", "big"))(
+        t(s, d, "documents"))),
     // distributional diversity: fixed-point Σ c·ln(c) + 3 IEEE ops
     "text_entropy" -> ((s, d) =>
       TextAnalysis.unigramEntropy("doc_id", "text")(t(s, d, "documents"))),
@@ -2547,6 +2551,17 @@ object SparkEntry {
         |JOIN uni u1 ON u1.w = p.w1
         |JOIN uni u2 ON u2.w = p.w2, tot
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(list_transform(w, t -> lower(t)),
+        |    t -> list_contains(['slow','junk','big'], t))) AS INTEGER) AS n_blocklist_hits,
+        |  CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+        |    t -> list_contains(['slow','junk','big'], t))) AS INTEGER) AS n_blocklist_terms,
+        |  CAST(len(list_filter(list_transform(w, t -> lower(t)),
+        |    t -> list_contains(['slow','junk','big'], t))) AS DOUBLE) / len(w) AS frac_blocklist,
+        |  len(list_filter(list_transform(w, t -> lower(t)),
+        |    t -> list_contains(['slow','junk','big'], t))) > 0 AS flagged
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
     // fixed-point per-token terms (floor(c·ln(c)·1e6 + ½) as BIGINT)
     // integer-sum across partitions; the entropy assembly is the same
     // 3 IEEE ops on both engines
@@ -2609,7 +2624,12 @@ object SparkEntry {
         |FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w)-1)//16)) AS i
         |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin,
     // replays the greedy merge loop as a recursive CTE carrying the
-    // PARTS LIST as state: each round finds the lowest-rank merge
+    // PARTS LIST as state. The `it < 90` recursion cap merges one
+    // occurrence per round, so a single word needing >90 merges would
+    // silently keep partial state — impossible here (corpus words are
+    // <=15 chars and every merge consumes >=1 char, so <=15 rounds),
+    // but a longer-word corpus must raise the cap with the word
+    // length. Each round finds the lowest-rank merge
     // whose pair is adjacent anywhere and merges its LEFTMOST
     // occurrence via list slicing. One-merge-per-round leftmost-first
     // is exactly canonical L2R-non-overlap merging — including

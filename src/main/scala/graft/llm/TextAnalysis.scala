@@ -540,6 +540,36 @@ object TextAnalysis {
       .select(out.head, out.tail: _*)
   }
 
+  /** Safety blocklist scan — the lexicon-based filter pass every
+    * production corpus runs alongside PII detection ([[withPiiSignals]]):
+    * per document, total blocklisted-token occurrences, distinct
+    * blocklisted terms present, their fraction of the doc, and the
+    * flag. Word-boundary exact matching on lowercased whitespace
+    * tokens (substring matching is the classic blocklist
+    * false-positive trap — this op deliberately does not do it).
+    * Row-local, zero shuffles; the lexicon is a plan literal (real
+    * lists are thousands of terms — still literal-sized).
+    */
+  def blocklistScan(
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String])(df: DataFrame): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val terms = blocklist.map(_.toLowerCase)
+    val w = col("__w")
+    val isBlocked: Column => Column = t => t.isin(terms.map(x => x: Any): _*)
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(
+        col(idCol),
+        size(filter(transform(w, t => lower(t)), isBlocked)).cast("int")
+          .as("n_blocklist_hits"),
+        size(filter(array_distinct(transform(w, t => lower(t))), isBlocked)).cast("int")
+          .as("n_blocklist_terms"),
+        (size(filter(transform(w, t => lower(t)), isBlocked)).cast("double") /
+          size(w).cast("double")).as("frac_blocklist"))
+      .withColumn("flagged", col("n_blocklist_hits") > 0)
+  }
+
   /** Per-document unigram (Shannon) entropy in nats — the diversity
     * signal that separates keyword-stuffed / template / spam text
     * (low entropy: few tokens dominate) from natural prose, used by

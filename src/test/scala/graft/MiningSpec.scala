@@ -79,6 +79,24 @@ class MiningSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"tokenWindows must not shuffle:\n$plan")
   }
 
+  // ===== blocklistScan =====
+
+  test("blocklistScan: word-boundary exact matches only, counts and fraction") {
+    val docs = Seq(
+      (1L, "bad word here bad"),   // 2 hits, 1 distinct term
+      (2L, "badge words slower"),  // substrings must NOT match
+      (3L, "Bad BAD other")        // case-insensitive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistScan("doc_id", "text", Seq("bad", "slow"))(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_blocklist_hits"), r.getAs[Int]("n_blocklist_terms"),
+        r.getAs[Boolean]("flagged")))
+    assert(out.toSeq == Seq((2, 1, true), (0, 0, false), (2, 1, true)))
+    val plan = TextAnalysis.blocklistScan("doc_id", "text", Seq("bad"))(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklistScan must not shuffle:\n$plan")
+  }
+
   // ===== unigramEntropy =====
 
   test("unigramEntropy: zero for constant docs, ln(n) for uniform, monotone in skew") {
