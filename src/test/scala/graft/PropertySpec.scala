@@ -326,6 +326,39 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("property: curation funnel stages only shrink and fractions stay in [0,1]") {
+    val word = Gen.oneOf("the", "a", "alpha", "beta", "gamma")
+    val texts = Gen.chooseNum(1, 80).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val srcs = Gen.oneOf("s1", "s2", "s3")
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(15, Gen.zip(srcs, texts))) { rows =>
+      val df = rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "source", "text")
+      val out = graft.llm.Selection.curationFunnel(df, "doc_id", "text", "source",
+        stopwords = Seq("the", "a")).collect()
+      out.forall { r =>
+        val (n, p, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass_rules"),
+          r.getAs[Long]("n_kept_unique"))
+        val (pf, kf) = (r.getAs[Double]("pass_frac"), r.getAs[Double]("keep_frac"))
+        k <= p && p <= n && pf >= 0 && pf <= 1 && kf >= 0 && kf <= pf
+      } && out.map(_.getAs[Long]("n_docs")).sum == rows.length
+    }, minTests = 15)
+  }
+
+  test("property: jaccard threshold curve cumulative is monotone and tops out at the total") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val texts = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, texts)) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bands = graft.llm.Dedup.jaccardThresholdCurve(df, "doc_id", "text", minJaccard = 0.1)
+        .orderBy(col("band_lo").desc).collect()
+        .map(r => (r.getAs[Double]("band_lo"), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_pairs_ge")))
+      val cumOk = bands.foldLeft((0L, true)) { case ((acc, ok), (_, n, ge)) =>
+        (acc + n, ok && ge == acc + n)
+      }._2
+      cumOk && bands.map(_._1).forall(b => b >= 0.0 && b <= 1.0)
+    }, minTests = 15)
+  }
+
   test("property: unigram entropy is bounded by [~0, ln n_tokens] and maximal iff all-distinct") {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val texts = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
