@@ -983,6 +983,18 @@ object SparkEntry {
     "text_skipgram_lift" -> ((s, d) =>
       TextAnalysis.skipgramLiftTopK("text", window = 3, k = 20, minPair = 3)(
         t(s, d, "documents"))),
+    // config-driven curation: the reference's table-of-operations
+    // identity applied to the training-data stack — this recipe is
+    // DATA (four stage rows), interpreted into one declarative plan
+    "pipeline_curation_config" -> ((s, d) => {
+      import graft.llm.CurationPipeline.{Stage, run}
+      run(doubledDocs(s, d), Seq(
+        Stage("QUALITY FILTER", Map("stopwords" -> "the,a")),
+        Stage("BLOCKLIST FILTER", Map("terms" -> "slow")),
+        Stage("EXACT DEDUP"),
+        Stage("HASH SPLIT", Map("val_pct" -> "5", "test_pct" -> "5"))))
+        .select("doc_id", "source", "split")
+    }),
     // lexicon safety pass: word-boundary exact matches only
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklistScan("doc_id", "text", Seq("slow", "junk", "big"))(
@@ -2551,6 +2563,39 @@ object SparkEntry {
         |JOIN uni u1 ON u1.w = p.w1
         |JOIN uni u2 ON u2.w = p.w2, tot
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    // stage-by-stage replay: gopher verdict (stop list the,a) ->
+    // blocklist NOT-overlap -> keep-first per md5 -> hash-bucket split
+    "pipeline_curation_config" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS l
+        |  FROM $doubledDocsSql),
+        |m AS (
+        |  SELECT doc_id, source, text, w,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS frac_alpha_words,
+        |    (CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+        |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l) AS frac_bullet_lines,
+        |    CAST(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(l) AS frac_ellipsis_lines,
+        |    CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+        |      t -> list_contains(['the','a'], t))) AS INTEGER) AS n_stop
+        |  FROM base),
+        |q AS (SELECT doc_id, source, text, w FROM m
+        |      WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+        |        AND frac_alpha_words > 0.8 AND n_stop >= 2),
+        |bl AS (SELECT doc_id, source, text FROM q
+        |       WHERE NOT len(list_filter(list_transform(w, t -> lower(t)),
+        |         t -> list_contains(['slow'], t))) > 0),
+        |dd AS (SELECT doc_id, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM bl)
+        |  WHERE rn = 1)
+        |SELECT doc_id, source,
+        |  CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test' ELSE 'train' END AS split
+        |FROM (SELECT doc_id, source,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |      FROM dd)""".stripMargin,
     "text_blocklist" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(list_transform(w, t -> lower(t)),

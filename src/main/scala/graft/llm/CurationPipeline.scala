@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Config-driven corpus curation — the reference engine's identity
+  * (a pipeline is a TABLE of operation rows, not code; cf.
+  * `/root/reference/Data_Preparation_Python.py`'s DF_OPERATIONS
+  * dispatch, re-expressed for the reference ops in
+  * [[graft.engine.Interpreter]]) applied to the training-data stack:
+  * a curation recipe is a sequence of (op, params) rows a data
+  * steward edits without touching Scala, interpreted into ONE
+  * declarative plan. Stages compose lazily — Catalyst sees the whole
+  * folded pipeline, so filters still collapse into scans and nothing
+  * materializes between stages.
+  *
+  * Every stage delegates to the already-gated operator (gopherFilter,
+  * blocklistScan's predicate, exactDedup, nearDedup, Decontam,
+  * hash split/sample), so a config pipeline inherits each stage's
+  * oracle story; the composed form is itself gated
+  * (`pipeline_curation_config`).
+  */
+object CurationPipeline {
+
+  /** One curation stage: an op name (the dispatch key, case-blind)
+    * plus its string params — the shape a config CSV row lands in.
+    */
+  final case class Stage(op: String, params: Map[String, String] = Map.empty)
+
+  /** Interpret a stage list over the corpus. `bench` supplies the
+    * eval-suite frame for DECONTAM stages (config refers to data the
+    * caller resolves — the [[graft.engine.PipelineContext]] pattern).
+    */
+  def run(
+      docs: DataFrame,
+      stages: Seq[Stage],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bench: Option[DataFrame] = None): DataFrame =
+    stages.foldLeft(docs)((df, st) => applyStage(df, st, idCol, textCol, bench))
+
+  private def p(st: Stage, key: String, default: => String): String =
+    st.params.getOrElse(key, default)
+
+  private def list(st: Stage, key: String, default: => Seq[String]): Seq[String] =
+    st.params.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(default)
+
+  def applyStage(
+      df: DataFrame,
+      st: Stage,
+      idCol: String,
+      textCol: String,
+      bench: Option[DataFrame]): DataFrame = st.op.trim.toUpperCase match {
+    case "QUALITY FILTER" =>
+      TextAnalysis.gopherFilter(textCol,
+        list(st, "stopwords", TextAnalysis.gopherStopwords))(df)
+    case "BLOCKLIST FILTER" =>
+      // the blocklistScan predicate inlined as a row filter: original
+      // schema unchanged, word-boundary exact matches only
+      val terms = list(st, "terms", Seq.empty)
+      require(terms.nonEmpty, "BLOCKLIST FILTER needs terms=a,b,...")
+      val hit: Column = arrays_overlap(
+        transform(TextAnalysis.tokens(col(textCol)), t => lower(t)),
+        typedLit(terms.map(_.toLowerCase)))
+      df.where(!hit)
+    case "EXACT DEDUP" =>
+      Dedup.exactDedup(textCol, idCol)(df)
+    case "NEAR DEDUP" =>
+      Dedup.nearDedup(df, idCol, textCol,
+        threshold = p(st, "threshold", "0.8").toDouble)
+    case "DECONTAM" =>
+      val b = bench.getOrElse(
+        throw new IllegalArgumentException("DECONTAM stage needs a bench frame"))
+      val n = p(st, "n", "5").toInt
+      Decontam.streamingDecontamFilter(df,
+        Decontam.collectBenchGrams(b, textCol, n), textCol, n)
+    case "HASH SPLIT" =>
+      Sampling.withHashSplit(idCol,
+        valPct = p(st, "val_pct", "5").toInt,
+        testPct = p(st, "test_pct", "5").toInt)(df)
+    case "HASH SAMPLE" =>
+      Sampling.hashSample(idCol, p(st, "pct", "10").toInt)(df)
+    case other =>
+      // unknown ops fail LOUDLY at plan time — a typo in a curation
+      // recipe must never silently no-op a safety stage
+      throw new IllegalArgumentException(s"unknown curation stage: '$other'")
+  }
+}

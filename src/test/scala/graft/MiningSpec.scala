@@ -79,6 +79,33 @@ class MiningSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"tokenWindows must not shuffle:\n$plan")
   }
 
+  // ===== CurationPipeline =====
+
+  test("curation pipeline: config stages compose; unknown ops fail loudly") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    val passText = "the a " + Seq.fill(58)("word").mkString(" ")
+    val docs = Seq(
+      (1L, passText),                 // survives everything
+      (2L, passText),                 // exact dup of 1 -> dropped
+      (3L, "too short"),              // quality drop
+      (4L, "the a bad " + Seq.fill(57)("word").mkString(" ")) // blocklist drop
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.run(docs, Seq(
+      Stage("QUALITY FILTER", Map("stopwords" -> "the,a")),
+      Stage("BLOCKLIST FILTER", Map("terms" -> "bad")),
+      Stage("EXACT DEDUP"),
+      Stage("HASH SPLIT")))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(Set("train", "val", "test").contains(rows.head.getAs[String]("split")))
+
+    val bad = intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, Seq(Stage("QUALTIY FILTER"))) // the typo must not no-op
+    }
+    assert(bad.getMessage.contains("unknown curation stage"))
+  }
+
   // ===== blocklistScan =====
 
   test("blocklistScan: word-boundary exact matches only, counts and fraction") {
