@@ -986,15 +986,11 @@ object SparkEntry {
     // config-driven curation: the reference's table-of-operations
     // identity applied to the training-data stack — this recipe is
     // DATA (four stage rows), interpreted into one declarative plan
-    "pipeline_curation_config" -> ((s, d) => {
-      import graft.llm.CurationPipeline.{Stage, run}
-      run(doubledDocs(s, d), Seq(
-        Stage("QUALITY FILTER", Map("stopwords" -> "the,a")),
-        Stage("BLOCKLIST FILTER", Map("terms" -> "slow")),
-        Stage("EXACT DEDUP"),
-        Stage("HASH SPLIT", Map("val_pct" -> "5", "test_pct" -> "5"))))
-        .select("doc_id", "source", "split")
-    }),
+    "pipeline_curation_config" -> ((s, d) =>
+      graft.llm.CurationPipeline.run(doubledDocs(s, d),
+        graft.llm.CurationPipeline.readRecipe(s,
+          "/root/repo/fixtures/curation_demo/recipe.csv"))
+        .select("doc_id", "source", "split")),
     // lexicon safety pass: word-boundary exact matches only
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklistScan("doc_id", "text", Seq("slow", "junk", "big"))(

@@ -27,6 +27,37 @@ object CurationPipeline {
     */
   final case class Stage(op: String, params: Map[String, String] = Map.empty)
 
+  /** Load a recipe from a CSV config: header `op,params`, one stage
+    * per row in order, params as `key=value` pairs separated by `;`
+    * (values may contain commas — stop lists, blocklists). The
+    * file-config face of [[run]], mirroring
+    * [[graft.io.ConfigReader]]'s worksheet discipline: config reads
+    * are driver-side and worksheet-sized, and malformed params fail
+    * loudly with the offending row.
+    */
+  def readRecipe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Stage] = {
+    val df = spark.read.option("header", "true").csv(path)
+    require(df.columns.contains("op"), s"recipe $path needs an 'op' column")
+    val hasParams = df.columns.contains("params")
+    df.collect().toSeq.map { r =>
+      val op = Option(r.getAs[String]("op")).map(_.trim).getOrElse("")
+      require(op.nonEmpty, s"recipe $path has a row with an empty op")
+      val raw =
+        if (hasParams) Option(r.getAs[String]("params")).map(_.trim).getOrElse("")
+        else ""
+      val params = raw.split(";").map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"recipe $path: malformed param '$kv' in stage '$op' (want key=value)")
+        }
+      }.toMap
+      Stage(op, params)
+    }
+  }
+
   /** Interpret a stage list over the corpus. `bench` supplies the
     * eval-suite frame for DECONTAM stages (config refers to data the
     * caller resolves — the [[graft.engine.PipelineContext]] pattern).

@@ -106,6 +106,16 @@ class MiningSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown curation stage"))
   }
 
+  test("curation recipe CSV loads to the same stages the inline config declares") {
+    import graft.llm.CurationPipeline
+    val stages = CurationPipeline.readRecipe(spark, "fixtures/curation_demo/recipe.csv")
+    assert(stages == Seq(
+      CurationPipeline.Stage("QUALITY FILTER", Map("stopwords" -> "the,a")),
+      CurationPipeline.Stage("BLOCKLIST FILTER", Map("terms" -> "slow")),
+      CurationPipeline.Stage("EXACT DEDUP"),
+      CurationPipeline.Stage("HASH SPLIT", Map("val_pct" -> "5", "test_pct" -> "5"))))
+  }
+
   // ===== blocklistScan =====
 
   test("blocklistScan: word-boundary exact matches only, counts and fraction") {
