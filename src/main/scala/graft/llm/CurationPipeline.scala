@@ -70,6 +70,36 @@ object CurationPipeline {
       bench: Option[DataFrame] = None): DataFrame =
     stages.foldLeft(docs)((df, st) => applyStage(df, st, idCol, textCol, bench))
 
+  /** [[run]] with per-stage row counts observed for free: an
+    * `observe` node lands after every stage, so the ONE action that
+    * consumes the result also reports the funnel (rows entering,
+    * rows after each stage) — no second scan per stage, which at
+    * 100 TB is the difference between metrics and a doubled bill.
+    * Returns the pipeline plus the named [[org.apache.spark.sql.Observation]]s;
+    * read them (`obs.get("n_rows")`) after the caller's action
+    * completes. The production face of [[Selection.curationFunnel]]
+    * (which is a standalone report query).
+    */
+  def runObserved(
+      docs: DataFrame,
+      stages: Seq[Stage],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bench: Option[DataFrame] = None)
+      : (DataFrame, Seq[(String, org.apache.spark.sql.Observation)]) = {
+    val in = new org.apache.spark.sql.Observation()
+    val observedIn = docs.observe(in, count(lit(1)).as("n_rows"))
+    val (out, obs) = stages.zipWithIndex
+      .foldLeft((observedIn, Seq("input" -> in))) {
+        case ((df, acc), (st, i)) =>
+          val o = new org.apache.spark.sql.Observation()
+          val staged = applyStage(df, st, idCol, textCol, bench)
+            .observe(o, count(lit(1)).as("n_rows"))
+          (staged, acc :+ (s"${i + 1}:${st.op.trim.toUpperCase}" -> o))
+      }
+    (out, obs)
+  }
+
   private def p(st: Stage, key: String, default: => String): String =
     st.params.getOrElse(key, default)
 

@@ -106,6 +106,27 @@ class MiningSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown curation stage"))
   }
 
+  test("curation pipeline observed: per-stage funnel counts ride the single action") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    val passText = "the a " + Seq.fill(58)("word").mkString(" ")
+    val docs = Seq(
+      (1L, passText), (2L, passText), (3L, "junk"),
+      (4L, "the a bad " + Seq.fill(57)("word").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (out, obs) = CurationPipeline.runObserved(docs, Seq(
+      Stage("QUALITY FILTER", Map("stopwords" -> "the,a")),
+      Stage("BLOCKLIST FILTER", Map("terms" -> "bad")),
+      Stage("EXACT DEDUP")))
+    assert(out.count() == 1) // the one action that also fills every observation
+    val counts = obs.map { case (name, o) => name -> o.get("n_rows") }
+    assert(counts.toSeq == Seq(
+      "input" -> 4L,
+      "1:QUALITY FILTER" -> 3L,
+      "2:BLOCKLIST FILTER" -> 2L,
+      "3:EXACT DEDUP" -> 1L))
+  }
+
   test("curation recipe CSV loads to the same stages the inline config declares") {
     import graft.llm.CurationPipeline
     val stages = CurationPipeline.readRecipe(spark, "fixtures/curation_demo/recipe.csv")
