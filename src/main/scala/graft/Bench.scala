@@ -47,7 +47,8 @@ object Bench {
     "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source",
     "text_skipgram_lift", "doc_length_outliers",
     "dedup_threshold_curve", "curation_funnel", "s15_ivf_model_roundtrip",
-    "s16_ivf_cell_layout", "text_blocklist", "pipeline_curation_config")
+    "s16_ivf_cell_layout", "text_blocklist", "pipeline_curation_config",
+    "w6_curation_gate_twin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

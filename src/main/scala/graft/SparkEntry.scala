@@ -983,6 +983,21 @@ object SparkEntry {
     "text_skipgram_lift" -> ((s, d) =>
       TextAnalysis.skipgramLiftTopK("text", window = 3, k = 20, minPair = 3)(
         t(s, d, "documents"))),
+    // the streaming curation gate's BATCH TWIN, oracle-gated: same
+    // composition (quality -> decontam -> keep-first fingerprint
+    // dedup -> store anti-join) on a static frame; vectors: bench =
+    // ids %19==3 (excluded from the feed), store = ids %23==5
+    "w6_curation_gate_twin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      val bench = docs.where(col("doc_id") % 19 === 3)
+      val store = docs.where(col("doc_id") % 23 === 5).select("doc_id", "text")
+      graft.streaming.StreamingIngest.streamingCurationGate(
+        docs.where(col("doc_id") % 19 =!= 3), store,
+        graft.llm.Decontam.collectBenchGrams(bench, "text", 5),
+        stopwords = Seq("the", "a"))
+        .select("doc_id", "source")
+    }),
     // config-driven curation: the reference's table-of-operations
     // identity applied to the training-data stack — this recipe is
     // DATA (four stage rows), interpreted into one declarative plan
@@ -2559,6 +2574,46 @@ object SparkEntry {
         |JOIN uni u1 ON u1.w = p.w1
         |JOIN uni u2 ON u2.w = p.w2, tot
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    // gate replay: gopher verdict -> NOT EXISTS bench 5-gram ->
+    // keep-first per normalized-content fingerprint (ts order ==
+    // doc_id order under the fabricated timestamps) -> md5 anti-join
+    "w6_curation_gate_twin" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS l
+        |  FROM documents WHERE doc_id % 19 <> 3),
+        |m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS frac_alpha_words,
+        |    (CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+        |      + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l) AS frac_bullet_lines,
+        |    CAST(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(l) AS frac_ellipsis_lines,
+        |    CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+        |      t -> list_contains(['the','a'], t))) AS INTEGER) AS n_stop
+        |  FROM base),
+        |q AS (SELECT doc_id, source, text FROM m
+        |      WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+        |        AND frac_alpha_words > 0.8 AND n_stop >= 2),
+        |allg AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM allg WHERE len(w) >= 5)
+        |  UNION ALL
+        |  SELECT doc_id, text AS gram FROM allg WHERE len(w) < 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 3),
+        |dec AS (SELECT q.* FROM q WHERE NOT EXISTS (
+        |    SELECT 1 FROM g WHERE g.doc_id = q.doc_id AND g.gram IN (SELECT gram FROM bench))),
+        |fp AS (SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f FROM dec),
+        |kept AS (SELECT doc_id, source, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+        |  WHERE rn = 1)
+        |SELECT doc_id, source FROM kept
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 23 = 5)""".stripMargin,
     // stage-by-stage replay: gopher verdict (stop list the,a) ->
     // blocklist NOT-overlap -> keep-first per md5 -> hash-bucket split
     "pipeline_curation_config" ->

@@ -356,13 +356,21 @@ object StreamingIngest {
       watermark: String = "1 hour"): DataFrame = {
     val fp = graft.llm.TextAnalysis.withFingerprint(textCol, "__fp")(docs)
     // batch twin: dropDuplicatesWithinWatermark is streaming-only, so
-    // a static frame takes plain dropDuplicates (the
-    // streamingNearDupPairs discipline) — how the parity spec and any
-    // backfill run execute the same composition
+    // a static frame keeps the EARLIEST row per fingerprint (window
+    // keep-first on the event time, text as tie-break) — deterministic,
+    // unlike dropDuplicates' arbitrary survivor, and the batch analogue
+    // of streaming's keep-first-arrival semantics. This is what makes
+    // the composed gate's batch twin ORACLE-gateable (w6), not just
+    // spec-pinned.
     val deduped =
       if (fp.isStreaming)
         fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__fp")
-      else fp.dropDuplicates("__fp")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(tsCol).asc, col(textCol).asc)
+        fp.withColumn("__fp_rn", row_number().over(w))
+          .where(col("__fp_rn") === 1).drop("__fp_rn")
+      }
     deduped.drop("__fp")
   }
 
