@@ -228,8 +228,23 @@ object Ivf {
       vecCol: String,
       model: IvfModel,
       k: Int,
-      nProbe: Int = 2): DataFrame = {
-    val c = assign(corpus, idCol, vecCol, model)
+      nProbe: Int = 2): DataFrame =
+    ivfTopKAssigned(assign(corpus, idCol, vecCol, model),
+      probes, idCol, vecCol, model, k, nProbe)
+
+  /** [[ivfTopK]] over a corpus that ALREADY carries its cell id (a
+    * [[writeCellLayout]] read-back, or a fresh [[assign]]) — the
+    * shared ranking half, so stored assignments are never recomputed.
+    */
+  private def ivfTopKAssigned(
+      assigned: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val c = assigned
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv"), col("centroid_id"))
     val p = probes.select(col(idCol).as("probe_id"),
@@ -241,7 +256,7 @@ object Ivf {
     // inner loop of every in-cell pairing (ANN search, label
     // consistency), where the composed form's three array
     // materializations per pair dominate
-    graft.functions.ArrayFns.register(corpus.sparkSession)
+    graft.functions.ArrayFns.register(assigned.sparkSession)
     val scored = c.join(p, Seq("centroid_id"))
       .withColumn("sim", graft.functions.ArrayFns.cosineNative(col("__cv"), col("__pv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -269,19 +284,6 @@ object Ivf {
     assign(df, idCol, vecCol, model)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
-  /** ANN top-k against a [[writeCellLayout]] store: the probe set's
-    * nProbe cells are computed model-side (probes are the small
-    * side), the store read carries `centroid_id IN (cells)` — a
-    * PARTITION filter, visible in the scan's PartitionFilters and
-    * measured in IvfSkewSpec — and only the surviving sliver joins
-    * and ranks, via the same [[ivfTopK]] machinery. Results are
-    * identical to [[ivfTopK]] over the full corpus (candidates
-    * outside probe cells never rank; spec-pinned).
-    *
-    * The probe-cell collect is bounded by the probe batch
-    * (probes × nProbe ints) — the broadcast-dimension exception, same
-    * as [[train]]'s sample.
-    */
   /** Incremental index maintenance: assign an ARRIVING batch under
     * the same (artifact-pinned) model and append it into the cell
     * layout — dynamic partition append, so only the batch's own cells
@@ -301,6 +303,22 @@ object Ivf {
     assign(batch, idCol, vecCol, model)
       .write.mode("append").partitionBy("centroid_id").parquet(path)
 
+  /** ANN top-k against a [[writeCellLayout]] store: the probe set's
+    * nProbe cells are computed model-side (probes are the small
+    * side), the store read carries `centroid_id IN (cells)` — a
+    * PARTITION filter, visible in the scan's PartitionFilters and
+    * measured in IvfSkewSpec — and only the surviving sliver joins
+    * and ranks, via the same [[ivfTopK]] machinery. The store's
+    * PERSISTED centroid_id (the partition column the layout already
+    * paid for at write time) is reused as-is — the read path never
+    * re-runs nearest-centroid assignment over the candidates. Results
+    * are identical to [[ivfTopK]] over the full corpus (candidates
+    * outside probe cells never rank; spec-pinned).
+    *
+    * The probe-cell collect is bounded by the probe batch
+    * (probes × nProbe ints) — the broadcast-dimension exception, same
+    * as [[train]]'s sample.
+    */
   def cellLayoutTopK(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -315,8 +333,8 @@ object Ivf {
       .distinct().collect().map(_.getInt(0))
     val store = spark.read.parquet(path)
       .where(col("centroid_id").isin(cells.map(x => x: Any): _*))
-      .select(col(idCol), col(vecCol))
-    ivfTopK(store, probes, idCol, vecCol, model, k, nProbe)
+      .select(col(idCol), col(vecCol), col("centroid_id").cast("int").as("centroid_id"))
+    ivfTopKAssigned(store, probes, idCol, vecCol, model, k, nProbe)
   }
 
   // ===== distributed Lloyd refinement =====

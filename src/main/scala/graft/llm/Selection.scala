@@ -177,11 +177,12 @@ object Selection {
     * row per source; the cross-stage story `pipeline_preprocess`
     * executes, re-expressed as counts.
     *
-    * Shuffle budget: the quality verdict joins back on the id (the
-    * verdict frame carries only (id, boolean)); exact dedup is the
-    * md5-digest keep-first aggregation ([[Dedup.exactDedup]]'s shape);
-    * the final rollup is a groups-sized aggregate. Bodies never
-    * shuffle — digests and booleans do.
+    * Shuffle budget: the quality verdict is computed inline
+    * ([[TextAnalysis.withGopherSignals]] is row-local — no join back
+    * on the id); exact dedup is the md5-digest keep-first aggregation
+    * ([[Dedup.exactDedup]]'s shape); the final rollup is a
+    * groups-sized aggregate. Bodies never shuffle — digests and
+    * booleans do.
     */
   def curationFunnel(
       docs: DataFrame,
@@ -189,10 +190,8 @@ object Selection {
       textCol: String,
       sourceCol: String,
       stopwords: Seq[String] = TextAnalysis.gopherStopwords): DataFrame = {
-    val verdict = TextAnalysis.gopherRules(idCol, textCol, stopwords)(docs)
-      .select(col(idCol), col("passes_gopher"))
-    val flagged = docs.select(col(idCol), col(sourceCol), col(textCol))
-      .join(verdict, Seq(idCol))
+    val flagged = TextAnalysis.withGopherSignals(textCol, stopwords)(docs)
+      .select(col(idCol), col(sourceCol), col(textCol), col("passes_gopher"))
     val passing = flagged.where(col("passes_gopher"))
     val keepIds = passing
       .groupBy(md5(col(textCol)).as("__digest"))

@@ -483,6 +483,13 @@ object TextAnalysis {
   def withGopherSignals(
       textCol: String,
       stopwords: Seq[String] = gopherStopwords)(df: DataFrame): DataFrame = {
+    // withColumn REPLACES same-named input columns; a silent clobber
+    // here would make gopherFilter (which restores the input schema by
+    // name) return recomputed values in place of the caller's data
+    val reserved = Seq("__w", "__lines", "passes_gopher") ++ gopherSignalCols
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"withGopherSignals would clobber input column(s): ${clash.mkString(", ")}")
     val w = col("__w")
     val ls = col("__lines")
     val nWords = size(w)
@@ -556,18 +563,23 @@ object TextAnalysis {
       blocklist: Seq[String])(df: DataFrame): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist")
     val terms = blocklist.map(_.toLowerCase)
-    val w = col("__w")
+    val wl = col("__wl")
     val isBlocked: Column => Column = t => t.isin(terms.map(x => x: Any): _*)
-    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    // lowercase ONCE behind the Project boundary (lambda expressions
+    // are excluded from subexpression elimination — the bpePairCounts
+    // re-eval trap), then count hits once and derive the fraction
+    df.select(col(idCol),
+        transform(tokens(col(textCol)), t => lower(t)).as("__wl"))
       .select(
         col(idCol),
-        size(filter(transform(w, t => lower(t)), isBlocked)).cast("int")
-          .as("n_blocklist_hits"),
-        size(filter(array_distinct(transform(w, t => lower(t))), isBlocked)).cast("int")
+        size(filter(wl, isBlocked)).cast("int").as("n_blocklist_hits"),
+        size(filter(array_distinct(wl), isBlocked)).cast("int")
           .as("n_blocklist_terms"),
-        (size(filter(transform(w, t => lower(t)), isBlocked)).cast("double") /
-          size(w).cast("double")).as("frac_blocklist"))
+        size(wl).as("__nw"))
+      .withColumn("frac_blocklist",
+        col("n_blocklist_hits").cast("double") / col("__nw").cast("double"))
       .withColumn("flagged", col("n_blocklist_hits") > 0)
+      .drop("__nw")
   }
 
   /** Per-document unigram (Shannon) entropy in nats — the diversity

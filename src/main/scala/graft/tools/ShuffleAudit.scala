@@ -41,7 +41,12 @@ object ShuffleAudit {
         val gen = count(plan, "\\bGenerate\\b")
         (name, hash + range + single, single, bc, smj, gen, "")
       } catch {
-        case e: Throwable => (name, -1, 0, 0, 0, 0, e.getMessage.take(80))
+        case e: Throwable =>
+          // getMessage may be null (bare NPEs); tabs/newlines in the
+          // message would corrupt the TSV
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\\t\\r\\n]", " ").take(80)
+          (name, -1, 0, 0, 0, 0, msg)
       }
     }
 
