@@ -1006,6 +1006,12 @@ object SparkEntry {
         graft.llm.CurationPipeline.readRecipe(s,
           "/root/repo/fixtures/curation_demo/recipe.csv"))
         .select("doc_id", "source", "split")),
+    // temperature sampling plan: tau=2 (invTau=0.5) upsampling weights
+    "mixture_temperature" -> ((s, d) =>
+      graft.llm.Packing.temperatureMixtureWeights("source",
+        "n_tokens", invTau = 0.5)(
+        t(s, d, "documents").withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")))),
     // lexicon safety pass: word-boundary exact matches only
     "text_blocklist" -> ((s, d) =>
       TextAnalysis.blocklistScan("doc_id", "text", Seq("slow", "junk", "big"))(
@@ -2647,6 +2653,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, source,
         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
         |      FROM dd)""".stripMargin,
+    // the weight total is an ORDERED full-frame window sum (by
+    // source), so both engines add in the same sequence — a plain
+    // aggregate's combine order would be partition-dependent
+    "mixture_temperature" ->
+      """WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM c)
+        |SELECT source, n_tokens, weight,
+        |  weight / sum(weight) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS prob,
+        |  (weight / sum(weight) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |  / (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)) AS upsample_factor
+        |FROM w""".stripMargin,
     "text_blocklist" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(list_transform(w, t -> lower(t)),

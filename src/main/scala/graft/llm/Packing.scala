@@ -213,4 +213,58 @@ object Packing {
       .groupBy("bucket_hi")
       .agg(count(lit(1)).as("n_docs"), sum(n.cast("long")).as("sum_tokens"))
   }
+
+  /** Temperature-based mixture weights — the multilingual/multi-domain
+    * sampling recipe (p_s ∝ n_s^(1/τ), the mBERT/XLM-R exponentiated
+    * upsampling that keeps small sources from vanishing at τ > 1 while
+    * τ = 1 reproduces natural proportions): per source, its token
+    * count, raw weight, normalized sampling probability, and the
+    * upsampling factor vs natural frequency (p_s / (n_s / N) — how
+    * many effective epochs of the source a proportional consumer
+    * makes).
+    *
+    * Engine-exactness engineering: `invTau` must be a binary-exact
+    * dyadic rational (0.5, 0.25, 1.0 — the [[mixtureSchedule]]
+    * power-of-two contract) so `pow(n, invTau)` hits the IEEE-exact
+    * sqrt chain (pow(x, 0.5) == sqrt on both engines), and the weight
+    * TOTAL is summed through an explicitly ORDERED full-frame window
+    * (by source name) — a plain aggregate's combine order is
+    * partition-dependent, but both engines iterate a sorted window
+    * frame in the same sequence, so the running IEEE adds are
+    * bit-identical. The whole computation runs on the groups-sized
+    * count table; the corpus pays one partial-agg scan.
+    */
+  def temperatureMixtureWeights(
+      sourceCol: String,
+      nTokensCol: String,
+      invTau: Double = 0.5)(df: DataFrame): DataFrame = {
+    require(invTau > 0 && invTau <= 1 &&
+      java.lang.Double.toString(invTau).length <= 6,
+      s"invTau must be a small dyadic rational in (0, 1], got $invTau")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol).cast("long")).as("n_tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col(sourceCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // sqrt is IEEE-correctly-rounded on every engine; pow(x, 0.5) is
+    // not bit-guaranteed by libm — spell the dyadic exponents as
+    // sqrt chains so the oracle replays them exactly
+    val base = col("n_tokens").cast("double")
+    val weightExpr = invTau match {
+      case 1.0 => base
+      case 0.5 => sqrt(base)
+      case 0.25 => sqrt(sqrt(base))
+      case t => pow(base, t) // non-dyadic: engine-portable only to ~ulp
+    }
+    counts
+      .withColumn("weight", weightExpr)
+      .withColumn("__wsum", sum(col("weight")).over(wAll))
+      .withColumn("__nsum", sum(col("n_tokens")).over(wAll))
+      .withColumn("prob", col("weight") / col("__wsum"))
+      .withColumn("upsample_factor",
+        (col("weight") / col("__wsum")) /
+          (col("n_tokens").cast("double") / col("__nsum").cast("double")))
+      .drop("__wsum", "__nsum")
+  }
 }

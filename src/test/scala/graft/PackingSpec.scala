@@ -201,4 +201,25 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Packing.epochShuffle("doc_id", 2, 3)(docs))
     intercept[IllegalArgumentException](Packing.epochShuffle("doc_id", 0)(docs))
   }
+
+  test("temperatureMixtureWeights: tau=1 is natural proportions; tau=2 upsamples small sources") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("big", 900L), ("big", 900L),   // 1800 tokens
+      ("small", 200L)                 // 200 tokens
+    ).toDF("source", "n_tokens")
+    val nat = Packing.temperatureMixtureWeights("source", "n_tokens", invTau = 1.0)(corpus)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("prob"), r.getAs[Double]("upsample_factor"))).toMap
+    assert(math.abs(nat("big")._1 - 0.9) < 1e-12 && math.abs(nat("big")._2 - 1.0) < 1e-12)
+    assert(math.abs(nat("small")._2 - 1.0) < 1e-12)
+
+    val warm = Packing.temperatureMixtureWeights("source", "n_tokens", invTau = 0.5)(corpus)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("prob"), r.getAs[Double]("upsample_factor"))).toMap
+    // sqrt weights: small source's share rises above natural 0.1
+    assert(warm("small")._1 > 0.1 && warm("small")._2 > 1.0)
+    assert(warm("big")._2 < 1.0)
+    assert(math.abs(warm.values.map(_._1).sum - 1.0) < 1e-12)
+  }
 }
