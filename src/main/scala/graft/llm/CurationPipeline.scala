@@ -41,7 +41,15 @@ object CurationPipeline {
     val df = spark.read.option("header", "true").csv(path)
     require(df.columns.contains("op"), s"recipe $path needs an 'op' column")
     val hasParams = df.columns.contains("params")
-    df.collect().toSeq.map { r =>
+    // stage ORDER is load-bearing (a reordered safety stage is a
+    // silent semantics change), and Spark preserves CSV row order only
+    // incidentally for a single small file. An explicit `seq` column
+    // makes the order DATA: required whenever the read spans more than
+    // one partition (recipe directories, split files), honored always.
+    val hasSeq = df.columns.contains("seq")
+    require(hasSeq || df.rdd.getNumPartitions <= 1,
+      s"recipe $path spans multiple partitions; add a 'seq' column to pin stage order")
+    val rows = df.collect().toSeq.map { r =>
       val op = Option(r.getAs[String]("op")).map(_.trim).getOrElse("")
       require(op.nonEmpty, s"recipe $path has a row with an empty op")
       val raw =
@@ -54,8 +62,21 @@ object CurationPipeline {
             s"recipe $path: malformed param '$kv' in stage '$op' (want key=value)")
         }
       }.toMap
-      Stage(op, params)
+      val seq =
+        if (hasSeq) {
+          val s = Option(r.getAs[String]("seq")).map(_.trim).getOrElse("")
+          require(s.nonEmpty && s.forall(_.isDigit),
+            s"recipe $path: stage '$op' needs a numeric seq, got '$s'")
+          s.toLong
+        } else 0L
+      (seq, Stage(op, params))
     }
+    if (hasSeq) {
+      val seqs = rows.map(_._1)
+      require(seqs.distinct.length == seqs.length,
+        s"recipe $path has duplicate seq values: ${seqs.mkString(",")}")
+      rows.sortBy(_._1).map(_._2)
+    } else rows.map(_._2)
   }
 
   /** Interpret a stage list over the corpus. `bench` supplies the

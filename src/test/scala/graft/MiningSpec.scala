@@ -137,6 +137,21 @@ class MiningSpec extends SparkSpec {
       CurationPipeline.Stage("HASH SPLIT", Map("val_pct" -> "5", "test_pct" -> "5"))))
   }
 
+  test("curation recipe seq column pins stage order as data, rejects duplicates") {
+    import graft.llm.CurationPipeline
+    val dir = SparkEntry.cleanedTempDir("recipe_spec_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.csv"),
+      "op,params,seq\nEXACT DEDUP,,2\nQUALITY FILTER,,1\n".getBytes)
+    val stages = CurationPipeline.readRecipe(spark, s"$dir/r.csv")
+    assert(stages.map(_.op) == Seq("QUALITY FILTER", "EXACT DEDUP")) // seq order, not file order
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/dup.csv"),
+      "op,params,seq\nEXACT DEDUP,,1\nQUALITY FILTER,,1\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.readRecipe(spark, s"$dir/dup.csv")
+    }
+    assert(e.getMessage.contains("duplicate seq"))
+  }
+
   // ===== blocklistScan =====
 
   test("blocklistScan: word-boundary exact matches only, counts and fraction") {
