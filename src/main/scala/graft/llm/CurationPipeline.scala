@@ -163,6 +163,16 @@ object CurationPipeline {
         testPct = p(st, "test_pct", "5").toInt)(df)
     case "HASH SAMPLE" =>
       Sampling.hashSample(idCol, p(st, "pct", "10").toInt)(df)
+    case "TOKEN BUDGET" =>
+      // the quality-prefix selector as a recipe stage; column names
+      // are params because score/token columns are upstream-produced
+      Selection.tokenBudgetSelect(
+        idCol,
+        p(st, "score_col", "score"),
+        p(st, "tokens_col", "n_tokens"),
+        p(st, "group_col", "source"),
+        budget = p(st, "budget",
+          throw new IllegalArgumentException("TOKEN BUDGET needs budget=<long>")).toLong)(df)
     case other =>
       // unknown ops fail LOUDLY at plan time — a typo in a curation
       // recipe must never silently no-op a safety stage

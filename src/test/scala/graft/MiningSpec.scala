@@ -137,6 +137,23 @@ class MiningSpec extends SparkSpec {
       CurationPipeline.Stage("HASH SPLIT", Map("val_pct" -> "5", "test_pct" -> "5"))))
   }
 
+  test("curation pipeline TOKEN BUDGET stage keeps each group's quality prefix") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    val docs = Seq(
+      (1L, "s1", 0.9, 40L), (2L, "s1", 0.5, 40L), (3L, "s1", 0.1, 40L),
+      (4L, "s2", 0.8, 60L)
+    ).toDF("doc_id", "source", "score", "n_tokens")
+    val out = CurationPipeline.run(docs, Seq(
+      Stage("TOKEN BUDGET", Map("budget" -> "80"))), textCol = "score")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L)) // s1 keeps its best 80 tokens; s2 fits whole
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, Seq(Stage("TOKEN BUDGET")), textCol = "score")
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("curation recipe seq column pins stage order as data, rejects duplicates") {
     import graft.llm.CurationPipeline
     val dir = SparkEntry.cleanedTempDir("recipe_spec_")
