@@ -1707,6 +1707,22 @@ object SparkEntry {
             s.read.parquet(store).where(col("study_code") === "R" && col("view") === "F"))
             .write.mode("overwrite").format("noop").save()
         })
+    }),
+    // the deployed-index lifecycle split into its real phases: the
+    // write-once layout build vs the steady-state pruned probe read —
+    // a fused timing buries the read path the layout exists to serve
+    "s16_ivf_cell_layout" -> ((s, d) => {
+      val path = scratch("bench_ivf_cells")
+      val emb = t(s, d, "embeddings")
+      Seq(
+        "write" -> { () =>
+          graft.llm.Ivf.writeCellLayout(emb, "vec_id", "embedding", ivfModel(s, d), path)
+        },
+        "probe" -> { () =>
+          graft.llm.Ivf.cellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", ivfModel(s, d), k = 5, nProbe = 4)
+            .write.mode("overwrite").format("noop").save()
+        })
     }))
 
   /** Oracles whose SQL depends on runtime-trained state: generated at
