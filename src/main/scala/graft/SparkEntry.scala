@@ -498,6 +498,12 @@ object SparkEntry {
     // contents are closed-form so the oracle needs no table
     "s5_sas_source" -> ((s, _) =>
       graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture.sas7bdat")),
+    // RLE-compressed (COMPRESS=CHAR) variant: rows stored as per-row
+    // subheaders on meta pages, decompressed with the public SASYZCRL
+    // command set; fixture validated by pd.read_sas's independent
+    // decoder before commit (tools/make_sas_fixture.py)
+    "s5_sas_compressed" -> ((s, _) =>
+      graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture_rle.sas7bdat")),
     "c9_filename_meta" -> ((s, d) =>
       graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
         .select("doc_id", "source_file", "view_id", "source_timestamp")),
@@ -3724,6 +3730,11 @@ object SparkEntry {
     "s5_sas_source" ->
       """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
         |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name
+        |FROM generate_series(1, 100) t(i)""".stripMargin,
+    "s5_sas_compressed" ->
+      """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
+        |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name,
+        |  concat('tag_', CAST(i AS VARCHAR)) AS tag
         |FROM generate_series(1, 100) t(i)""".stripMargin,
     "c9_filename_meta" ->
       """SELECT doc_id, 'documents.parquet' AS source_file, 'documents' AS view_id, '' AS source_timestamp

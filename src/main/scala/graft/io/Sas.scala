@@ -28,8 +28,15 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   * truncated IEEE doubles, most-significant bytes kept) widen to
   * DoubleType with SAS missing (NaN) as Spark null; character
   * columns decode with the header's encoding and trailing-pad strip.
-  * Compressed files (SASYZCRL/SASYZCR2) fail loudly — the reference
-  * path reads uncompressed exports.
+  *
+  * RLE-compressed files (SASYZCRL — the common SAS `COMPRESS=CHAR`
+  * export) are supported: rows live as per-row subheaders on meta
+  * pages, each decompressed with the publicly documented run-length
+  * command set (the same table pandas' rle_decompress, parso's
+  * CharDecompressor, and readstat implement). Pages stay
+  * self-describing, so the executor page-range split is unchanged —
+  * a compressed 100 GB file still fans out like parquet row groups.
+  * RDC (SASYZCR2, `COMPRESS=BINARY`) fails loudly.
   */
 object Sas {
 
@@ -40,6 +47,10 @@ object Sas {
     0x09, 0xc7, 0x31, 0x8c, 0x18, 0x1f, 0x10, 0x11).map(_.toByte)
 
   final case class SasColumn(name: String, offset: Long, length: Int, isNumeric: Boolean)
+
+  /** File compression, from the leading column-text subheader. */
+  val CompressNone = 0
+  val CompressRle = 1 // SASYZCRL (COMPRESS=CHAR)
 
   /** Everything an executor needs to parse any page independently. */
   final case class SasMeta(
@@ -52,7 +63,8 @@ object Sas {
       rowLength: Long,
       rowCount: Long,
       mixPageRowCount: Long,
-      columns: Seq[SasColumn]) extends Serializable {
+      columns: Seq[SasColumn],
+      compression: Int = CompressNone) extends Serializable {
     def bitOffset: Int = if (u64) 32 else 16
     def shPtrLen: Int = if (u64) 24 else 12
     def intLen: Int = if (u64) 8 else 4
@@ -138,6 +150,7 @@ object Sas {
       var rowCount = 0L
       var mixRows = 0L
       var colCount = 0
+      var fileCompression = CompressNone
       val textBlobs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
       val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -151,6 +164,7 @@ object Sas {
         in.readFully(headerLength + pi * pageLength, page)
         val pr = new ByteReader(page, le)
         val ptype = (pr.u16(bitOffset) & PageTypeMask2)
+        var dataSeen = false
         if (isMeta(ptype) || isMix(ptype) || ptype == 0x0400) {
           val shCount = pr.u16(bitOffset + 4)
           var i = 0
@@ -159,9 +173,14 @@ object Sas {
             val shOff = pr.uint(base, intLen).toInt
             val shLen = pr.uint(base + intLen, intLen).toInt
             val compression = pr.u8(base + 2 * intLen)
+            val shType = pr.u8(base + 2 * intLen + 1)
             if (shLen > 0 && compression != 1) { // 1 = truncated
               val sig = pr.bytes(shOff, intLen)
-              signatureKind(sig) match {
+              if (isDataSubheader(sig, compression, shType)) {
+                // a compressed file's rows start here — metadata is
+                // complete; stop like pd.read_sas's _process_page_meta
+                dataSeen = true
+              } else signatureKind(sig) match {
                 case "rowsize" =>
                   rowLength = pr.uint(shOff + 5 * intLen, intLen)
                   rowCount = pr.uint(shOff + 6 * intLen, intLen)
@@ -173,9 +192,11 @@ object Sas {
                   val blob = pr.bytes(shOff + intLen, sz)
                   if (textBlobs.isEmpty) {
                     val s = new String(blob, java.nio.charset.StandardCharsets.ISO_8859_1)
-                    if (s.contains("SASYZCRL") || s.contains("SASYZCR2"))
+                    if (s.contains("SASYZCR2"))
                       throw new UnsupportedOperationException(
-                        s"compressed sas7bdat ($path) is not supported — re-export uncompressed")
+                        s"RDC-compressed sas7bdat ($path, COMPRESS=BINARY) is not supported — " +
+                          "re-export uncompressed or COMPRESS=CHAR")
+                    if (s.contains("SASYZCRL")) fileCompression = CompressRle
                   }
                   textBlobs += blob
                 case "colname" =>
@@ -204,14 +225,14 @@ object Sas {
             i += 1
           }
         }
-        if (isData(ptype) || isMix(ptype)) done = true else pi += 1
+        if (isData(ptype) || isMix(ptype) || dataSeen) done = true else pi += 1
       }
       require(rowLength > 0 && names.size == colCount && offsets.size == colCount,
         s"sas7bdat metadata incomplete in $path " +
           s"(cols=$colCount names=${names.size} attrs=${offsets.size} rowLength=$rowLength)")
       val cols = (0 until colCount).map(i => SasColumn(names(i), offsets(i), lengths(i), types(i)))
       SasMeta(u64, le, encoding, headerLength, pageLength, pageCount,
-        rowLength, rowCount, mixRows, cols)
+        rowLength, rowCount, mixRows, cols, fileCompression)
     } finally in.close()
   }
 
@@ -227,6 +248,83 @@ object Sas {
     }
   }
 
+  /** The full published metadata-signature table (the map every public
+    * reader carries: row size, column size, subheader counts, column
+    * text/name/attributes/format/list, in 32- and 64-bit LE/BE forms).
+    * Anything NOT here, carried by a pointer with type=1 and
+    * compression 0 or 4, is a data row in a compressed file.
+    */
+  private val MetaSignatures: Set[String] = Set(
+    "f7f7f7f7", "00000000f7f7f7f7", "f7f7f7f700000000", "f7f7f7f7fffffbfe", // rowsize
+    "f6f6f6f6", "00000000f6f6f6f6", "f6f6f6f600000000", "f6f6f6f6fffffbfe", // colsize
+    "00fcffff", "fffffc00", "00fcffffffffffff", "fffffffffffffc00",         // counts
+    "fdffffff", "fffffffd", "fdffffffffffffff", "fffffffffffffffd",         // text
+    "ffffffff", "ffffffffffffffff",                                         // colname
+    "fcffffff", "fffffffc", "fcffffffffffffff", "fffffffffffffffc",         // colattrs
+    "fefbffff", "fffffbfe", "fefbffffffffffff", "fffffffffffffbfe",         // format
+    "feffffff", "fffffffe", "feffffffffffffff", "fffffffffffffffe")         // collist
+
+  /** Row-data pointer test for compressed files: unknown signature +
+    * pointer type 1 + pointer compression 0 (stored raw) or 4 (RLE/RDC
+    * payload) — the same rule pd.read_sas's _get_subheader_index
+    * applies.
+    */
+  private def isDataSubheader(sig: Array[Byte], compression: Int, shType: Int): Boolean =
+    shType == 1 && (compression == 0 || compression == 4) &&
+      !MetaSignatures.contains(sig.map(b => f"${b & 0xff}%02x").mkString)
+
+  /** Decompress one SASYZCRL (RLE / COMPRESS=CHAR) row. Command set is
+    * the publicly documented one (control high nibble, low nibble
+    * `efb`): 0x0 copy efb*256+next+64 literal; 0x4 repeat the byte
+    * after the length efb*16+next+18 times; 0x6/0x7 insert
+    * efb*256+next+17 blanks/zeros; 0x8/0x9/0xA/0xB copy
+    * efb+1/+17/+33/+49 literal; 0xC repeat next byte efb+3 times;
+    * 0xD/0xE/0xF insert efb+2 '@'/blank/zero bytes.
+    */
+  private[io] def rleDecompress(src: Array[Byte], srcOff: Int, srcLen: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = srcOff
+    val end = srcOff + srcLen
+    var op = 0
+    def fill(b: Byte, n: Int): Unit = {
+      java.util.Arrays.fill(out, op, op + n, b); op += n
+    }
+    def copy(n: Int): Unit = {
+      System.arraycopy(src, ip, out, op, n); ip += n; op += n
+    }
+    while (ip < end && op < outLen) {
+      val ctrl = src(ip) & 0xf0
+      val efb = src(ip) & 0x0f
+      ip += 1
+      ctrl match {
+        case 0x00 =>
+          val n = efb * 256 + (src(ip) & 0xff) + 64; ip += 1; copy(n)
+        case 0x40 =>
+          val n = efb * 16 + (src(ip) & 0xff) + 18; ip += 1
+          val b = src(ip); ip += 1; fill(b, n)
+        case 0x60 =>
+          val n = efb * 256 + (src(ip) & 0xff) + 17; ip += 1; fill(0x20, n)
+        case 0x70 =>
+          val n = efb * 256 + (src(ip) & 0xff) + 17; ip += 1; fill(0x00, n)
+        case 0x80 => copy(efb + 1)
+        case 0x90 => copy(efb + 17)
+        case 0xa0 => copy(efb + 33)
+        case 0xb0 => copy(efb + 49)
+        case 0xc0 =>
+          val b = src(ip); ip += 1; fill(b, efb + 3)
+        case 0xd0 => fill(0x40, efb + 2)
+        case 0xe0 => fill(0x20, efb + 2)
+        case 0xf0 => fill(0x00, efb + 2)
+        case other =>
+          throw new java.io.IOException(
+            f"corrupt SASYZCRL stream: unknown control byte 0x$other%02x at offset ${ip - 1 - srcOff}")
+      }
+    }
+    require(op == outLen,
+      s"SASYZCRL row decompressed to $op bytes, expected $outLen — corrupt or truncated row")
+    out
+  }
+
   /** Parse the rows of ONE page (data or mix); meta pages yield none
     * for uncompressed files. Shared by the executor task and any
     * local debugging.
@@ -234,6 +332,28 @@ object Sas {
   private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] = {
     val pr = new ByteReader(page, meta.littleEndian)
     val ptype = pr.u16(meta.bitOffset) & PageTypeMask2
+    val charset = java.nio.charset.Charset.forName(meta.encoding)
+    if (meta.compression != CompressNone && (isMeta(ptype) || ptype == 0x0400)) {
+      // compressed file: rows are per-row subheaders on meta pages,
+      // RLE-decompressed when shorter than the row length, stored raw
+      // otherwise (pd.read_sas's rule)
+      val shCount = pr.u16(meta.bitOffset + 4)
+      return (0 until shCount).iterator.flatMap { i =>
+        val base = meta.bitOffset + 8 + i * meta.shPtrLen
+        val shOff = pr.uint(base, meta.intLen).toInt
+        val shLen = pr.uint(base + meta.intLen, meta.intLen).toInt
+        val comp = pr.u8(base + 2 * meta.intLen)
+        val shType = pr.u8(base + 2 * meta.intLen + 1)
+        if (shLen > 0 && comp != 1 &&
+            isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType)) {
+          val row =
+            if (shLen < meta.rowLength)
+              rowFrom(rleDecompress(page, shOff, shLen, meta.rowLength.toInt), 0, meta, charset)
+            else rowFrom(page, shOff, meta, charset)
+          Iterator.single(row)
+        } else Iterator.empty
+      }
+    }
     val (start, n) =
       if (isData(ptype)) {
         (meta.bitOffset + 8, pr.u16(meta.bitOffset + 2).toLong)
@@ -250,22 +370,26 @@ object Sas {
         // parsed from page padding
         (aligned, Seq(meta.mixPageRowCount, meta.rowCount, capacity).min)
       } else (0, 0L)
-    val charset = java.nio.charset.Charset.forName(meta.encoding)
-    (0L until n).iterator.map { r =>
-      val base = start + r * meta.rowLength
-      Row.fromSeq(meta.columns.map { c =>
-        val off = (base + c.offset).toInt
+    (0L until n).iterator.map(r => rowFrom(page, (start + r * meta.rowLength).toInt, meta, charset))
+  }
+
+  /** Decode one fixed-width row image starting at `base` in `buf`. */
+  private def rowFrom(
+      buf: Array[Byte], base: Int, meta: SasMeta,
+      charset: java.nio.charset.Charset): Row = {
+    val br = new ByteReader(buf, meta.littleEndian)
+    Row.fromSeq(meta.columns.map { c =>
+        val off = base + c.offset.toInt
         if (c.isNumeric) {
-          val d = pr.sasDouble(off, c.length)
+          val d = br.sasDouble(off, c.length)
           if (java.lang.Double.isNaN(d)) null else d // SAS missing -> Spark null
         } else {
-          val s = new String(page, off, c.length, charset)
+          val s = new String(buf, off, c.length, charset)
           var end = s.length
           while (end > 0 && (s(end - 1) == ' ' || s(end - 1) == '\u0000')) end -= 1
           s.substring(0, end)
         }
       })
-    }
   }
 
   /** Read a .sas7bdat into a DataFrame: one bounded driver-side

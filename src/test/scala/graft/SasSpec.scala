@@ -37,6 +37,31 @@ class SasSpec extends SparkSpec {
     assert(Ingestion.readFile(spark, fixture).count() == 100)
   }
 
+  private val rleFixture = "fixtures/sas/graft_fixture_rle.sas7bdat"
+
+  test("RLE metadata: compression detected, 4 columns, rows in meta pages") {
+    val m = Sas.readMeta(spark, rleFixture)
+    assert(m.compression == Sas.CompressRle)
+    assert(m.rowCount == 100 && m.rowLength == 64)
+    assert(m.pageCount == 2) // both meta pages carry row subheaders
+    assert(m.columns.map(c => (c.name, c.isNumeric)) ==
+      Seq(("id", true), ("val", true), ("name", false), ("tag", false)))
+  }
+
+  test("RLE read matches the closed-form contents pd.read_sas validated") {
+    val df = Sas.read(spark, rleFixture)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "val", "name", "tag"))
+    val rows = df.collect().sortBy(_.getDouble(0))
+    assert(rows.length == 100)
+    for ((r, i0) <- rows.zipWithIndex) {
+      val i = i0 + 1
+      assert(r.getDouble(0) == i.toDouble)
+      assert(r.getDouble(1) == i * 0.25)
+      assert(r.getString(2) == f"row_$i%03d")
+      assert(r.getString(3) == s"tag_$i") // includes the raw (uncompressed) row 60
+    }
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")

@@ -200,6 +200,228 @@ def data_page(rows) -> bytes:
     return bytes(page)
 
 
+# ---------------------------------------------------------------------------
+# RLE-compressed (SASYZCRL / COMPRESS=CHAR) fixture
+#
+# Rows live as one subheader per row on meta pages, pointer type=1 and
+# pointer compression=4 (or 0 when the row is stored raw because the
+# compressed form wouldn't be shorter). The command set below is the
+# publicly documented one (pandas rle_decompress / parso
+# CharDecompressor / readstat); pd.read_sas decompresses with its own
+# independent implementation, so the validation at the bottom is real
+# cross-parser evidence.
+# ---------------------------------------------------------------------------
+
+RLE_COLS = [("id", "d"), ("val", "d"), ("name", "s8"), ("tag", "s40")]
+RLE_ROW_LEN = 8 + 8 + 8 + 40
+RLE_ROWS = 100
+RLE_ROWS_P1 = 30          # rows on the first (metadata-bearing) meta page
+RLE_RAW_ROW = 60          # this row is stored uncompressed (length == row len)
+
+
+def rle_compress(data: bytes) -> bytes:
+    """Greedy SASYZCRL encoder over the public command table."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit = 0  # start of pending literal
+
+    def flush(end):
+        nonlocal lit
+        j = lit
+        while j < end:
+            chunk = min(end - j, 4159)
+            if chunk > 64:
+                v = chunk - 64
+                out.append(0x00 | (v >> 8)); out.append(v & 0xFF)
+            elif chunk > 48:
+                out.append(0xB0 | (chunk - 49))
+            elif chunk > 32:
+                out.append(0xA0 | (chunk - 33))
+            elif chunk > 16:
+                out.append(0x90 | (chunk - 17))
+            else:
+                out.append(0x80 | (chunk - 1))
+            out.extend(data[j:j + chunk])
+            j += chunk
+        lit = end
+
+    while i < n:
+        b = data[i]
+        run = 1
+        while i + run < n and data[i + run] == b:
+            run += 1
+        r = 0
+        if b == 0x20 and run >= 18:
+            r = min(run, 4112); v = r - 17
+            flush(i); out.append(0x60 | (v >> 8)); out.append(v & 0xFF)
+        elif b == 0x20 and run >= 3:
+            r = min(run, 17)
+            flush(i); out.append(0xE0 | (r - 2))
+        elif b == 0x00 and run >= 18:
+            r = min(run, 4112); v = r - 17
+            flush(i); out.append(0x70 | (v >> 8)); out.append(v & 0xFF)
+        elif b == 0x00 and run >= 3:
+            r = min(run, 17)
+            flush(i); out.append(0xF0 | (r - 2))
+        elif b == 0x40 and run >= 3:
+            r = min(run, 17)
+            flush(i); out.append(0xD0 | (r - 2))
+        elif run >= 19:
+            r = min(run, 513); v = r - 18
+            efb = min(15, v >> 4)
+            nxt = v - efb * 16
+            assert 0 <= nxt <= 255
+            flush(i); out.append(0x40 | efb); out.append(nxt); out.append(b)
+        elif run >= 3:
+            r = min(run, 18)
+            flush(i); out.append(0xC0 | (r - 3)); out.append(b)
+        if r:
+            i += r
+            lit = i
+        else:
+            i += 1
+    flush(n)
+    return bytes(out)
+
+
+def rle_text_blob():
+    """First text blob must carry the compression literal; column-name
+    offsets point past it (pandas finds SASYZCRL via substring scan of
+    blob 0)."""
+    sig = b"SASYZCRL"
+    names = b""
+    offsets = []
+    base = 8 + len(sig)
+    for n, _ in RLE_COLS:
+        offsets.append(base + len(names))
+        names += n.encode()
+    blob = u16(8 + len(sig) + len(names)) + b"\x00" * 6 + sig + names
+    return blob, offsets
+
+
+def rle_rowsize() -> bytes:
+    b = bytearray(808)
+    b[0:8] = b"\xf7\xf7\xf7\xf7\x00\x00\x00\x00"
+    b[5 * INT:5 * INT + 8] = u64(RLE_ROW_LEN)
+    b[6 * INT:6 * INT + 8] = u64(RLE_ROWS)
+    b[9 * INT:9 * INT + 8] = u64(len(RLE_COLS))
+    b[15 * INT:15 * INT + 8] = u64(0)
+    return bytes(b)
+
+
+def rle_colsize() -> bytes:
+    return (b"\xf6\xf6\xf6\xf6\x00\x00\x00\x00" + u64(len(RLE_COLS))).ljust(24, b"\x00")
+
+
+def rle_colname(offsets) -> bytes:
+    b = bytearray(2 * INT + 12 + 8 * len(RLE_COLS))
+    b[0:8] = b"\xff\xff\xff\xff\xff\xff\xff\xff"
+    for i, ((n, _), off) in enumerate(zip(RLE_COLS, offsets)):
+        p = 16 + 8 * i
+        b[p:p + 2] = u16(0)
+        b[p + 2:p + 4] = u16(off)
+        b[p + 4:p + 6] = u16(len(n))
+    return bytes(b)
+
+
+def rle_colattrs() -> bytes:
+    b = bytearray(2 * INT + 12 + (INT + 8) * len(RLE_COLS))
+    b[0:8] = b"\xfc\xff\xff\xff\xff\xff\xff\xff"
+    data_off = 0
+    for i, (_, t) in enumerate(RLE_COLS):
+        p = 16 + 16 * i
+        width = 8 if t == "d" else int(t[1:])
+        b[p:p + 8] = u64(data_off)
+        b[p + 8:p + 12] = u32(width)
+        b[p + 14] = 1 if t == "d" else 2
+        data_off += width
+    assert data_off == RLE_ROW_LEN
+    return bytes(b)
+
+
+def rle_row_bytes(i: int) -> bytes:
+    return (f64(float(i)) + f64(i * 0.25)
+            + f"row_{i:03d}".encode().ljust(8)
+            + f"tag_{i}".encode().ljust(40))
+
+
+def meta_page_with_rows(metadata_shs, rows) -> bytes:
+    """A meta page holding metadata subheaders (pointer type 0,
+    compression 0) followed by row subheaders (pointer type 1,
+    compression 4 for RLE payloads, 0 for raw rows)."""
+    page = bytearray(PAGE)
+    page[BIT_OFFSET:BIT_OFFSET + 2] = u16(0x0000)
+    total = len(metadata_shs) + len(rows)
+    page[BIT_OFFSET + 2:BIT_OFFSET + 4] = u16(total)
+    page[BIT_OFFSET + 4:BIT_OFFSET + 6] = u16(total)
+    ptr = BIT_OFFSET + 8
+    tail = PAGE
+    for sh in metadata_shs:
+        tail -= len(sh)
+        page[tail:tail + len(sh)] = sh
+        page[ptr:ptr + 8] = u64(tail)
+        page[ptr + 8:ptr + 16] = u64(len(sh))
+        page[ptr + 16] = 0
+        page[ptr + 17] = 0
+        ptr += SH_PTR_LEN
+    for body, is_raw in rows:
+        tail -= len(body)
+        page[tail:tail + len(body)] = body
+        page[ptr:ptr + 8] = u64(tail)
+        page[ptr + 8:ptr + 16] = u64(len(body))
+        page[ptr + 16] = 0 if is_raw else 4   # pointer compression
+        page[ptr + 17] = 1                    # pointer type: data row
+        ptr += SH_PTR_LEN
+        assert ptr <= tail, "compressed meta page overflow"
+    return bytes(page)
+
+
+def make_compressed(out: str) -> None:
+    blob, offsets = rle_text_blob()
+    metadata = [
+        rle_rowsize(),
+        rle_colsize(),
+        subheader_counts(),
+        subheader_text(blob),
+        rle_colname(offsets),
+        rle_colattrs(),
+        subheader_collist(),
+    ] + [subheader_format() for _ in RLE_COLS]
+
+    rows = []
+    for i in range(1, RLE_ROWS + 1):
+        raw = rle_row_bytes(i)
+        if i == RLE_RAW_ROW:
+            rows.append((raw, True))  # stored raw: length == row length
+        else:
+            comp = rle_compress(raw)
+            assert comp != raw
+            assert len(comp) < RLE_ROW_LEN, f"row {i} did not compress"
+            rows.append((comp, False))
+
+    header_bytes = bytearray(header())
+    header_bytes[204:208] = u32(2)  # 2 meta pages, rows on both
+    with open(out, "wb") as f:
+        f.write(bytes(header_bytes))
+        f.write(meta_page_with_rows(metadata, rows[:RLE_ROWS_P1]))
+        f.write(meta_page_with_rows([], rows[RLE_ROWS_P1:]))
+
+    # independent-parser validation (pandas decompresses with its own
+    # rle_decompress — cross-implementation agreement, not self-check)
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == [n for n, _ in RLE_COLS], df.columns
+    assert len(df) == RLE_ROWS, len(df)
+    for i in range(1, RLE_ROWS + 1):
+        r = df.iloc[i - 1]
+        assert r["id"] == float(i), (i, r["id"])
+        assert r["val"] == i * 0.25, (i, r["val"])
+        assert r["name"] == f"row_{i:03d}", (i, repr(r["name"]))
+        assert r["tag"] == f"tag_{i}", (i, repr(r["tag"]))
+    print(f"OK: {out} validated by pd.read_sas "
+          f"({RLE_ROWS} rows x {len(RLE_COLS)} cols, RLE + 1 raw row)")
+
+
 def main(out: str) -> None:
     blob, offsets = text_blob()
     meta = meta_page([
@@ -234,3 +456,5 @@ def main(out: str) -> None:
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "fixtures/sas/graft_fixture.sas7bdat")
+    make_compressed(
+        sys.argv[2] if len(sys.argv) > 2 else "fixtures/sas/graft_fixture_rle.sas7bdat")
