@@ -1012,6 +1012,25 @@ object SparkEntry {
         graft.llm.CurationPipeline.readRecipe(s,
           "/root/repo/fixtures/curation_demo/recipe.csv"))
         .select("doc_id", "source", "split")),
+    // round-12 vocabulary: PII REDACT -> SEMANTIC DECONTAM (bench =
+    // vectors of docs < 10, excluded from the corpus) -> NEAR DEDUP
+    // KEEP-BEST on an upstream-produced ttr score — the full
+    // published curation stack expressible as recipe rows
+    "pipeline_curation_v2" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val toks = split(col("text"), " ")
+      val corpus = t(s, d, "documents")
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .where(col("doc_id") >= 10)
+        .withColumn("ttr", size(array_distinct(toks)).cast("double") / size(toks))
+      val bench = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      graft.llm.CurationPipeline.run(corpus,
+        graft.llm.CurationPipeline.readRecipe(s,
+          "/root/repo/fixtures/curation_demo/recipe_v2.csv"),
+        bench = Some(bench))
+        .select("doc_id", "source", "ttr")
+    }),
     // temperature sampling plan: tau=2 (invTau=0.5) upsampling weights
     "mixture_temperature" -> ((s, d) =>
       graft.llm.Packing.temperatureMixtureWeights("source",
@@ -2675,6 +2694,52 @@ object SparkEntry {
         |FROM (SELECT doc_id, source,
         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
         |      FROM dd)""".stripMargin,
+    // v2 recipe replay: PII redact (identity on this corpus, but the
+    // regexes run on both engines) -> semantic filter (exact cosine
+    // vs the 10 bench vectors, survivors have max_sim < 0.35) ->
+    // keep-best near-dedup (recursive-CTE components, ttr-desc rank)
+    "pipeline_curation_v2" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT d.doc_id, d.source, d.text AS t0, e.embedding::DOUBLE[] AS cv,
+        |    CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+        |      / len(string_split(d.text, ' ')) AS ttr
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.doc_id >= 10),
+        |red AS (
+        |  SELECT doc_id, source, cv, ttr,
+        |    regexp_replace(
+        |      regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      'https?://[A-Za-z0-9./_%?&=-]+', '<URL>', 'g') AS text
+        |  FROM corpus),
+        |b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id < 10),
+        |sim AS (SELECT r.doc_id,
+        |          max(list_inner_product(r.cv, b.bv) /
+        |            (sqrt(list_inner_product(r.cv, r.cv)) * sqrt(list_inner_product(b.bv, b.bv)))) AS max_sim
+        |        FROM red r, b GROUP BY 1),
+        |dec AS (SELECT r.doc_id, r.source, r.ttr, r.text FROM red r JOIN sim USING (doc_id)
+        |        WHERE max_sim < 0.35),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM dec),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b2.s))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |ranked AS (SELECT c.doc_id,
+        |             row_number() OVER (PARTITION BY c.cluster_id
+        |               ORDER BY d.ttr DESC, c.doc_id) AS rn
+        |           FROM cl c JOIN dec d USING (doc_id))
+        |SELECT d.doc_id, d.source, d.ttr FROM dec d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin,
     // the weight total is an ORDERED full-frame window sum (by
     // source), so both engines add in the same sequence — a plain
     // aggregate's combine order would be partition-dependent

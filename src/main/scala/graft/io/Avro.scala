@@ -141,9 +141,15 @@ object Avro {
       else Seq(path)
     require(files.nonEmpty, s"no .avro files under $path")
     val headIn = fs.open(new Path(files.head))
-    val headStream = new DataFileStream[GenericRecord](headIn, new GenericDatumReader[GenericRecord]())
-    val avroSchema = headStream.getSchema
-    headStream.close()
+    // a corrupt/truncated header throws from the DataFileStream
+    // constructor, before any stream exists to close — close the raw
+    // input in finally either way (DataFileStream.close also closes
+    // it on the happy path; FSDataInputStream.close is idempotent)
+    val avroSchema =
+      try {
+        val headStream = new DataFileStream[GenericRecord](headIn, new GenericDatumReader[GenericRecord]())
+        try headStream.getSchema finally headStream.close()
+      } finally headIn.close()
     val sparkFields = avroSchema.getFields.asScala.toSeq
       .map(f => StructField(f.name(), sparkType(f.schema()), nullable = true))
     val schema = StructType(sparkFields)
@@ -156,7 +162,12 @@ object Avro {
         paths.flatMap { f =>
           val fp = new Path(f)
           val in = fp.getFileSystem(conf).open(fp)
-          val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+          // constructor failure (corrupt header) happens before the
+          // completion listener below exists — close the raw input on
+          // that path or it leaks for the task's lifetime
+          val stream =
+            try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+            catch { case e: Throwable => in.close(); throw e }
           // stream rows instead of materializing the whole file: close
           // eagerly on exhaustion (flatMap drains one file at a time)
           // and on task completion for the early-termination paths

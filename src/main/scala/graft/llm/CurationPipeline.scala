@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Config-driven corpus curation — the reference engine's identity
   * (a pipeline is a TABLE of operation rows, not code; cf.
-  * `/root/reference/Data_Preparation_Python.py`'s DF_OPERATIONS
-  * dispatch, re-expressed for the reference ops in
+  * `/root/reference/Configurable_ETL_Python.py:456-522`'s
+  * DF_OPERATIONS dispatch, re-expressed for the reference ops in
   * [[graft.engine.Interpreter]]) applied to the training-data stack:
   * a curation recipe is a sequence of (op, params) rows a data
   * steward edits without touching Scala, interpreted into ONE
@@ -65,9 +65,14 @@ object CurationPipeline {
       val seq =
         if (hasSeq) {
           val s = Option(r.getAs[String]("seq")).map(_.trim).getOrElse("")
-          require(s.nonEmpty && s.forall(_.isDigit),
-            s"recipe $path: stage '$op' needs a numeric seq, got '$s'")
-          s.toLong
+          // Try(toLong) folds overflow (>19-digit values) into the
+          // same contextual error as other malformed recipe rows
+          val parsed =
+            if (s.nonEmpty && s.forall(_.isDigit)) scala.util.Try(s.toLong).toOption
+            else None
+          require(parsed.isDefined,
+            s"recipe $path: stage '$op' needs a numeric seq (a non-negative 64-bit integer), got '$s'")
+          parsed.get
         } else 0L
       (seq, Stage(op, params))
     }
@@ -90,6 +95,40 @@ object CurationPipeline {
       textCol: String = "text",
       bench: Option[DataFrame] = None): DataFrame =
     stages.foldLeft(docs)((df, st) => applyStage(df, st, idCol, textCol, bench))
+
+  /** Stages that are pure row-local transforms/predicates — no joins,
+    * windows, or aggregations — and therefore compose into an
+    * append-mode stream with no watermark and no state.
+    */
+  val streamSafeOps: Set[String] = Set(
+    "QUALITY FILTER", "BLOCKLIST FILTER", "DECONTAM",
+    "HASH SPLIT", "HASH SAMPLE", "PII REDACT")
+
+  /** Streaming face of the recipe pipeline: compose the stage list
+    * over an unbounded frame. Only the stateless vocabulary is legal —
+    * a recipe carrying a stateful stage (NEAR DEDUP, EXACT DEDUP,
+    * TOKEN BUDGET, SEMANTIC DECONTAM) fails LOUDLY here rather than
+    * at an opaque streaming-planner error three stages deep; those
+    * stages belong to the batch pipeline or to the dedicated
+    * stateful gate ([[graft.streaming.StreamingIngest]]'s
+    * streamingCurationGate, which carries watermarked signature
+    * state). Spec-pinned streaming == batch on identical input.
+    */
+  def runStreaming(
+      stream: DataFrame,
+      stages: Seq[Stage],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bench: Option[DataFrame] = None): DataFrame = {
+    require(stream.isStreaming,
+      "runStreaming needs a streaming frame; use run for batch input")
+    val stateful = stages.map(_.op.trim.toUpperCase).filterNot(streamSafeOps)
+    require(stateful.isEmpty,
+      s"streaming curation recipe contains stateful stage(s) ${stateful.mkString(", ")} — " +
+        "near-dedup/dedup/budget/semantic stages need the batch pipeline or " +
+        "StreamingIngest.streamingCurationGate (watermarked state)")
+    run(stream, stages, idCol, textCol, bench)
+  }
 
   /** [[run]] with per-stage row counts observed for free: an
     * `observe` node lands after every stage, so the ONE action that
@@ -163,6 +202,32 @@ object CurationPipeline {
         testPct = p(st, "test_pct", "5").toInt)(df)
     case "HASH SAMPLE" =>
       Sampling.hashSample(idCol, p(st, "pct", "10").toInt)(df)
+    case "PII REDACT" =>
+      // in place by default, so every downstream stage (dedup
+      // shingles, decontam grams) operates on the redacted text —
+      // the order a published curation pipeline applies them
+      TextAnalysis.redactPii(textCol, p(st, "out_col", textCol))(df)
+    case "SEMANTIC DECONTAM" =>
+      // embedding-space leakage filter: drop docs whose vector is
+      // cosine-close to any bench vector (the SemDeDup leg; report
+      // form is Decontam.semanticDecontam, this is its filter face).
+      // bench must carry (idCol, vec_col) — caller-resolved, like
+      // DECONTAM's gram frame
+      val b = bench.getOrElse(
+        throw new IllegalArgumentException("SEMANTIC DECONTAM stage needs a bench frame"))
+      val vecCol = p(st, "vec_col", "embedding")
+      val thr = p(st, "threshold", "0.9").toDouble
+      val hot = Decontam.semanticDecontam(df, b, idCol, vecCol, thr)
+        .where(col("contaminated")).select(col(idCol))
+      df.join(hot, Seq(idCol), "left_anti")
+    case "NEAR DEDUP KEEP-BEST" =>
+      // near-dedup that keeps each cluster's highest-scoring doc
+      // instead of the lowest id; the score column is
+      // upstream-produced (same discipline as TOKEN BUDGET's params)
+      Dedup.nearDedupKeepBest(df, idCol, textCol,
+        scoreCol = p(st, "score_col",
+          throw new IllegalArgumentException("NEAR DEDUP KEEP-BEST needs score_col=<col>")),
+        threshold = p(st, "threshold", "0.8").toDouble)
     case "TOKEN BUDGET" =>
       // the quality-prefix selector as a recipe stage; column names
       // are params because score/token columns are upstream-produced

@@ -219,20 +219,39 @@ object Dedup {
     * with hot shingles (boilerplate headers) makes those posting
     * lists quadratic. Use it to validate LSH banding assumptions on
     * a sample; at 100 TB the recall path is [[nearDupPairs]].
+    *
+    * `maxDocFreq` is the boilerplate guard (same cap as
+    * [[kgramDupPairs]]): shingles appearing in more than `cap` docs
+    * are dropped from the posting list BEFORE the self-join, bounding
+    * every df(s) term at cap². With a cap, jaccard is computed over
+    * the kept-shingle universe (both |A∩B| and |A∪B| exclude dropped
+    * shingles — the boilerplate-filtered similarity, which is usually
+    * the better audit signal anyway); when no shingle exceeds the
+    * cap, the output is identical to the uncapped run (spec-pinned).
     */
   def allPairsJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     // NOT persisted: the caller gets a lazy frame, so a persist here
     // could never be unpersisted and would leak a corpus-shingle-sized
     // cache per invocation for the session lifetime. Recomputing the
     // explode (3 linear passes) is noise next to the quadratic join
     // this audit path exists to pay.
-    val sh = df.select(col(idCol),
+    val sh0 = df.select(col(idCol),
       explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val kept = sh0.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("__sh")
+        // the using-column semi join moves __sh first; restore the
+        // (id, shingle) order the positional toDF renames below expect
+        sh0.join(kept, Seq("__sh"), "left_semi").select(col(idCol), col("__sh"))
+      case None => sh0
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = sh.toDF("id_a", "__sh").join(sh.toDF("id_b", "__sh"), "__sh")
       .where(col("id_a") < col("id_b"))

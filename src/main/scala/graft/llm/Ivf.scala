@@ -444,7 +444,11 @@ object Ivf {
 
   /** Load a [[saveModel]] artifact; centroid and dimension order are
     * restored from the explicit (centroid_id, dim) keys, never from
-    * row order. The collect is model-sized (k·d doubles).
+    * row order. The collect is model-sized (k·d doubles). A sparse or
+    * torn artifact (missing or duplicated cells from a partial write)
+    * fails LOUDLY here — silently zero-filling a missing cell would
+    * build a plausible-looking model whose cell assignments disagree
+    * with every artifact written before the corruption.
     */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
     val rows = spark.read.parquet(path)
@@ -452,8 +456,17 @@ object Ivf {
     require(rows.nonEmpty, s"empty IVF model artifact at $path")
     val k = rows.iterator.map(_.getInt(0)).max + 1
     val dims = rows.iterator.map(_.getInt(1)).max + 1
+    require(rows.length == k.toLong * dims,
+      s"torn IVF model artifact at $path: ${rows.length} cells for a $k x $dims model " +
+        s"(expected ${k.toLong * dims}) — refusing to zero-fill missing centroid entries")
     val cents = Array.fill(k)(Array.ofDim[Double](dims))
-    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val seen = new java.util.HashSet[Long](rows.length * 2)
+    rows.foreach { r =>
+      val c = r.getInt(0); val d = r.getInt(1)
+      require(seen.add(c.toLong * dims + d),
+        s"duplicate cell (centroid_id=$c, dim=$d) in IVF model artifact at $path")
+      cents(c)(d) = r.getDouble(2)
+    }
     IvfModel(cents)
   }
 }

@@ -238,9 +238,9 @@ object Packing {
       sourceCol: String,
       nTokensCol: String,
       invTau: Double = 0.5)(df: DataFrame): DataFrame = {
-    require(invTau > 0 && invTau <= 1 &&
-      java.lang.Double.toString(invTau).length <= 6,
-      s"invTau must be a small dyadic rational in (0, 1], got $invTau")
+    require(invTau > 0 && invTau <= 1,
+      s"invTau must be in (0, 1], got $invTau — 1.0, 0.5 and 0.25 are engine-exact " +
+        "(sqrt chains); any other exponent takes the pow path, portable only to ~1 ulp")
     val counts = df.groupBy(col(sourceCol))
       .agg(sum(col(nTokensCol).cast("long")).as("n_tokens"))
     val wAll = org.apache.spark.sql.expressions.Window

@@ -91,6 +91,7 @@ class ContractSpec extends SparkSpec {
       "dedup_cluster_sizes",    // crossJoin of two 1-row counts for the singleton row
       "dedup_graph_triangles",  // crossJoin of three 1-row census aggregates
       "decontam_semantic",      // bench side is eval-suite-sized by construction (broadcast cross)
+      "pipeline_curation_v2",   // SEMANTIC DECONTAM stage: same eval-suite-sized bench broadcast
       "mine_contrastive_pairs", // anchors are the mined-batch side (guarded maybeBroadcast cap)
       "vocab_overlap_matrix",   // pair frame from the groups-sized totals cross (groups^2, not data)
       "text_skipgram_lift",     // crossJoin(broadcast(1-row corpus token total))

@@ -173,6 +173,30 @@ class IvfSkewSpec extends SparkSpec {
     assert(direct == viaArtifact)
   }
 
+  test("IVF loadModel refuses torn artifacts instead of zero-filling missing cells") {
+    import graft.llm.Ivf
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f) else Seq(0f, 1f, 0f)
+      (i, base.map(_ + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(vecs, "embedding", k = 2)
+    val dir = SparkEntry.cleanedTempDir("ivf_torn_spec_")
+    Ivf.saveModel(model, s"$dir/full")(spark)
+    // tear the artifact: drop one cell, write it back
+    spark.read.parquet(s"$dir/full")
+      .where(!(col("centroid_id") === 1 && col("dim") === 2))
+      .coalesce(1).write.parquet(s"$dir/torn")
+    val torn = intercept[IllegalArgumentException] { Ivf.loadModel(spark, s"$dir/torn") }
+    assert(torn.getMessage.contains("torn"), torn.getMessage)
+    // duplicate a cell: same count can only pass if keys are distinct
+    val full = spark.read.parquet(s"$dir/full")
+    full.where(!(col("centroid_id") === 1 && col("dim") === 2))
+      .union(full.where(col("centroid_id") === 0 && col("dim") === 0))
+      .coalesce(1).write.parquet(s"$dir/dup")
+    val dup = intercept[IllegalArgumentException] { Ivf.loadModel(spark, s"$dir/dup") }
+    assert(dup.getMessage.contains("duplicate cell"), dup.getMessage)
+  }
+
   test("IVF cell layout: probes prune partitions and answer exactly the in-memory topK") {
     import graft.llm.Ivf
     val vecs = (0L until 60L).map { i =>

@@ -169,6 +169,20 @@ class LlmSpec extends SparkSpec {
     assert(got((1L, 4L)) == 1.0) // exact dups
   }
 
+  test("allPairsJaccard maxDocFreq: no-op when no shingle exceeds the cap, drops hot shingles otherwise") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = collect(Dedup.allPairsJaccard(docs, "doc_id", "text", 0.01))
+    // cap >= corpus size: no shingle can exceed it -> identical output
+    val slack = collect(Dedup.allPairsJaccard(docs, "doc_id", "text", 0.01,
+      maxDocFreq = Some(docs.count().toInt)))
+    assert(slack == uncapped)
+    // cap = 1: every shared shingle has df >= 2 and is dropped, so no
+    // pair can survive (a pair needs at least one shared kept shingle)
+    val capped = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.01, maxDocFreq = Some(1))
+    assert(capped.count() == 0)
+  }
+
   /** The dedup_minhash_pairs / dedup_near_keep oracles are exact
     * all-pairs jaccard, while the queries recall candidates through
     * (numPerm=64, bands=16, r=4) banding — so the gate is only sound

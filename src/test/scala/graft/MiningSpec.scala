@@ -169,6 +169,46 @@ class MiningSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate seq"))
   }
 
+  test("curation recipe seq overflow fails with the contextual error, not NumberFormatException") {
+    import graft.llm.CurationPipeline
+    val dir = SparkEntry.cleanedTempDir("recipe_ovf_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ovf.csv"),
+      "op,params,seq\nEXACT DEDUP,,99999999999999999999\n".getBytes) // 20 digits > Long.MaxValue
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.readRecipe(spark, s"$dir/ovf.csv")
+    }
+    assert(e.getMessage.contains("EXACT DEDUP") && e.getMessage.contains("seq"))
+  }
+
+  test("v2 stages: PII REDACT in place, SEMANTIC DECONTAM filters, NEAR DEDUP KEEP-BEST keeps top score") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    // recipe_v2.csv loads to exactly the staged vocabulary
+    val stages = CurationPipeline.readRecipe(spark, "fixtures/curation_demo/recipe_v2.csv")
+    assert(stages == Seq(
+      Stage("PII REDACT"),
+      Stage("SEMANTIC DECONTAM", Map("threshold" -> "0.35", "vec_col" -> "embedding")),
+      Stage("NEAR DEDUP KEEP-BEST", Map("score_col" -> "ttr", "threshold" -> "0.5"))))
+    // doc 1 ~ bench vector (dropped); docs 2/3 near-dup pair where 3
+    // has the higher score (2 dropped); doc 4 unrelated (kept)
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"mail a@b.com $shared", Array(1.0, 0.0), 0.1),
+      (2L, shared, Array(0.0, 1.0), 0.2),
+      (3L, shared, Array(0.0, 1.0), 0.9),
+      (4L, "completely different words in this document body here", Array(0.0, 1.0), 0.5)
+    ).toDF("doc_id", "text", "embedding", "ttr")
+    val bench = Seq((100L, Array(1.0, 0.0))).toDF("doc_id", "embedding")
+    val out = CurationPipeline.run(docs, stages, bench = Some(bench))
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(3L, 4L))
+    // missing score_col fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, Seq(Stage("NEAR DEDUP KEEP-BEST")), bench = Some(bench)).schema
+    }
+    assert(e.getMessage.contains("score_col"))
+  }
+
   // ===== blocklistScan =====
 
   test("blocklistScan: word-boundary exact matches only, counts and fraction") {

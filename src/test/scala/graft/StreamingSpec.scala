@@ -231,6 +231,52 @@ class StreamingSpec extends SparkSpec {
     assert(vs == vb)
   }
 
+  test("recipe runStreaming: stateless recipe == batch; stateful/batch misuse rejected loudly") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val stages = Seq(
+      Stage("PII REDACT"),
+      Stage("BLOCKLIST FILTER", Map("terms" -> "junkword")),
+      Stage("DECONTAM", Map("n" -> "5")),
+      Stage("HASH SPLIT", Map("val_pct" -> "5", "test_pct" -> "5")))
+    val rows = Seq(
+      (1L, "intro alpha beta gamma delta epsilon zeta outro"),       // bench 5-gram leak
+      (2L, "contains junkword so the blocklist stage drops it"),     // blocklist hit
+      (3L, "mail bob@corp.com then more words that survive intact"), // redacted, kept
+      (4L, "plain words with nothing to drop or redact anywhere"))   // kept
+    val batchDf = rows.toDF("doc_id", "text")
+    val batch = CurationPipeline.run(batchDf, stages, bench = Some(bench))
+      .select("doc_id", "text", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(batch.map(_._1) == Seq(3L, 4L))
+    assert(batch.head._2.contains("<EMAIL>")) // PII REDACT ran in place
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    runToCompletion(
+      CurationPipeline.runStreaming(mem.toDF().toDF("doc_id", "text"), stages, bench = Some(bench))
+        .select("doc_id", "text", "split")
+        .writeStream.format("memory").queryName("srecipe")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    val streamed = spark.table("srecipe")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(streamed == batch, "stateless recipe must be stream/batch identical")
+
+    // stateful stages fail loudly BEFORE any streaming plan is built
+    val stateful = intercept[IllegalArgumentException] {
+      CurationPipeline.runStreaming(mem.toDF().toDF("doc_id", "text"),
+        stages :+ Stage("NEAR DEDUP"), bench = Some(bench))
+    }
+    assert(stateful.getMessage.contains("NEAR DEDUP"))
+    // and a batch frame is routed to run(), not silently accepted
+    val notStream = intercept[IllegalArgumentException] {
+      CurationPipeline.runStreaming(batchDf, stages, bench = Some(bench))
+    }
+    assert(notStream.getMessage.contains("streaming frame"))
+  }
+
   test("windowed streaming approx-NDV == batch twin on identical input") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long)]
