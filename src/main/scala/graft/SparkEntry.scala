@@ -504,6 +504,11 @@ object SparkEntry {
     // decoder before commit (tools/make_sas_fixture.py)
     "s5_sas_compressed" -> ((s, _) =>
       graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture_rle.sas7bdat")),
+    // RDC (COMPRESS=BINARY) variant: control-word scheme with RLE
+    // runs AND sliding-window back-references; fixture validated by
+    // pd.read_sas's independent rdc_decompress before commit
+    "s5_sas_rdc" -> ((s, _) =>
+      graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture_rdc.sas7bdat")),
     "c9_filename_meta" -> ((s, d) =>
       graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
         .select("doc_id", "source_file", "view_id", "source_timestamp")),
@@ -3799,6 +3804,12 @@ object SparkEntry {
     "s5_sas_compressed" ->
       """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
         |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name,
+        |  concat('tag_', CAST(i AS VARCHAR)) AS tag
+        |FROM generate_series(1, 100) t(i)""".stripMargin,
+    "s5_sas_rdc" ->
+      """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
+        |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name,
+        |  repeat(concat(CAST(i % 7 AS VARCHAR), 'ab'), 8) AS pat,
         |  concat('tag_', CAST(i AS VARCHAR)) AS tag
         |FROM generate_series(1, 100) t(i)""".stripMargin,
     "c9_filename_meta" ->

@@ -29,14 +29,14 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   * DoubleType with SAS missing (NaN) as Spark null; character
   * columns decode with the header's encoding and trailing-pad strip.
   *
-  * RLE-compressed files (SASYZCRL — the common SAS `COMPRESS=CHAR`
-  * export) are supported: rows live as per-row subheaders on meta
-  * pages, each decompressed with the publicly documented run-length
-  * command set (the same table pandas' rle_decompress, parso's
-  * CharDecompressor, and readstat implement). Pages stay
-  * self-describing, so the executor page-range split is unchanged —
-  * a compressed 100 GB file still fans out like parquet row groups.
-  * RDC (SASYZCR2, `COMPRESS=BINARY`) fails loudly.
+  * Compressed files are supported in both published schemes — RLE
+  * (SASYZCRL, `COMPRESS=CHAR`) and RDC (SASYZCR2,
+  * `COMPRESS=BINARY`): rows live as per-row subheaders on meta
+  * pages, each decompressed with the publicly documented command
+  * sets (the same tables pandas' rle/rdc_decompress, parso, and
+  * readstat implement). Pages stay self-describing, so the executor
+  * page-range split is unchanged — a compressed 100 GB file still
+  * fans out like parquet row groups.
   */
 object Sas {
 
@@ -51,6 +51,7 @@ object Sas {
   /** File compression, from the leading column-text subheader. */
   val CompressNone = 0
   val CompressRle = 1 // SASYZCRL (COMPRESS=CHAR)
+  val CompressRdc = 2 // SASYZCR2 (COMPRESS=BINARY)
 
   /** Everything an executor needs to parse any page independently. */
   final case class SasMeta(
@@ -192,11 +193,8 @@ object Sas {
                   val blob = pr.bytes(shOff + intLen, sz)
                   if (textBlobs.isEmpty) {
                     val s = new String(blob, java.nio.charset.StandardCharsets.ISO_8859_1)
-                    if (s.contains("SASYZCR2"))
-                      throw new UnsupportedOperationException(
-                        s"RDC-compressed sas7bdat ($path, COMPRESS=BINARY) is not supported — " +
-                          "re-export uncompressed or COMPRESS=CHAR")
                     if (s.contains("SASYZCRL")) fileCompression = CompressRle
+                    else if (s.contains("SASYZCR2")) fileCompression = CompressRdc
                   }
                   textBlobs += blob
                 case "colname" =>
@@ -325,6 +323,67 @@ object Sas {
     out
   }
 
+  /** Decompress one SASYZCR2 (RDC / COMPRESS=BINARY) row. Public
+    * command layout (pandas rdc_decompress / parso / readstat): a
+    * 16-bit big-endian control word precedes each group of 16 items;
+    * a 0 control bit passes one literal byte through, a 1 bit reads a
+    * command byte `(cmd << 4) | cnt`: cmd 0 = repeat next byte cnt+3
+    * times; cmd 1 = repeat next-next byte cnt + (next << 4) + 19
+    * times; cmd 2 = copy (next2 + 16) bytes from output offset
+    * cnt + 3 + (next << 4) back; cmd 3-15 = copy `cmd` bytes from
+    * offset cnt + 3 + (next << 4) back (self-overlap legal — the
+    * copy must run byte-at-a-time).
+    */
+  private[io] def rdcDecompress(src: Array[Byte], srcOff: Int, srcLen: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = srcOff
+    val end = srcOff + srcLen
+    var op = 0
+    var ctrlBits = 0
+    var ctrlMask = 0
+    def fill(b: Byte, n: Int): Unit = {
+      java.util.Arrays.fill(out, op, op + n, b); op += n
+    }
+    def backCopy(ofs: Int, n: Int): Unit = {
+      require(ofs >= 1 && ofs <= op, // a corrupt offset must not read before the row start
+        s"corrupt SASYZCR2 stream: back-reference offset $ofs at output position $op")
+      var k = 0
+      while (k < n) { out(op + k) = out(op - ofs + k); k += 1 } // overlap-safe
+      op += n
+    }
+    while (ip < end && op < outLen) {
+      ctrlMask >>= 1
+      if (ctrlMask == 0) {
+        ctrlBits = ((src(ip) & 0xff) << 8) | (src(ip + 1) & 0xff); ip += 2
+        ctrlMask = 0x8000
+      }
+      if ((ctrlBits & ctrlMask) == 0) {
+        out(op) = src(ip); op += 1; ip += 1
+      } else {
+        val cmd = (src(ip) >> 4) & 0x0f
+        val cnt = src(ip) & 0x0f
+        ip += 1
+        cmd match {
+          case 0 => // short RLE
+            val b = src(ip); ip += 1; fill(b, cnt + 3)
+          case 1 => // long RLE
+            val n = cnt + ((src(ip) & 0xff) << 4) + 19; ip += 1
+            val b = src(ip); ip += 1; fill(b, n)
+          case 2 => // long back-reference
+            val ofs = cnt + 3 + ((src(ip) & 0xff) << 4); ip += 1
+            val n = (src(ip) & 0xff) + 16; ip += 1
+            backCopy(ofs, n)
+          case c => // 3-15: short back-reference of c bytes
+            val ofs = cnt + 3 + ((src(ip) & 0xff) << 4); ip += 1
+            backCopy(ofs, c)
+        }
+      }
+    }
+    require(op == outLen,
+      s"SASYZCR2 row decompressed to $op bytes, expected $outLen — corrupt or truncated row")
+    out
+  }
+
   /** Parse the rows of ONE page (data or mix); meta pages yield none
     * for uncompressed files. Shared by the executor task and any
     * local debugging.
@@ -347,9 +406,13 @@ object Sas {
         if (shLen > 0 && comp != 1 &&
             isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType)) {
           val row =
-            if (shLen < meta.rowLength)
-              rowFrom(rleDecompress(page, shOff, shLen, meta.rowLength.toInt), 0, meta, charset)
-            else rowFrom(page, shOff, meta, charset)
+            if (shLen < meta.rowLength) {
+              val raw =
+                if (meta.compression == CompressRdc)
+                  rdcDecompress(page, shOff, shLen, meta.rowLength.toInt)
+                else rleDecompress(page, shOff, shLen, meta.rowLength.toInt)
+              rowFrom(raw, 0, meta, charset)
+            } else rowFrom(page, shOff, meta, charset)
           Iterator.single(row)
         } else Iterator.empty
       }

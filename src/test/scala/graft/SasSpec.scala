@@ -62,6 +62,26 @@ class SasSpec extends SparkSpec {
     }
   }
 
+  private val rdcFixture = "fixtures/sas/graft_fixture_rdc.sas7bdat"
+
+  test("RDC read matches the closed-form contents pd.read_sas validated (incl. back-references)") {
+    val m = Sas.readMeta(spark, rdcFixture)
+    assert(m.compression == Sas.CompressRdc)
+    assert(m.rowCount == 100 && m.rowLength == 88)
+    val df = Sas.read(spark, rdcFixture)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "val", "name", "pat", "tag"))
+    val rows = df.collect().sortBy(_.getDouble(0))
+    assert(rows.length == 100)
+    for ((r, i0) <- rows.zipWithIndex) {
+      val i = i0 + 1
+      assert(r.getDouble(0) == i.toDouble)
+      assert(r.getDouble(1) == i * 0.25)
+      assert(r.getString(2) == f"row_$i%03d")
+      assert(r.getString(3) == s"${i % 7}ab" * 8) // back-reference-encoded motif
+      assert(r.getString(4) == s"tag_$i")
+    }
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")

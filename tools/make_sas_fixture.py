@@ -422,6 +422,157 @@ def make_compressed(out: str) -> None:
           f"({RLE_ROWS} rows x {len(RLE_COLS)} cols, RLE + 1 raw row)")
 
 
+# ---------------------------------------------------------------------------
+# RDC-compressed (SASYZCR2 / COMPRESS=BINARY) fixture
+#
+# Same page/subheader layout as the RLE fixture; the row payloads use
+# the RDC scheme: a big-endian 16-bit control word per 16 items, bit 0
+# = literal byte, bit 1 = command byte (cmd<<4 | cnt) — cmd 0 short
+# RLE (cnt+3), cmd 1 long RLE (cnt + next<<4 + 19), cmd 2 long
+# back-reference, cmd 3..15 short back-reference of `cmd` bytes from
+# offset cnt+3+(next<<4). The encoder emits RLE runs AND short
+# back-references (the `pat` column repeats a 3-byte motif), so
+# pd.read_sas's own rdc_decompress validates both command families.
+# ---------------------------------------------------------------------------
+
+RDC_COLS = [("id", "d"), ("val", "d"), ("name", "s8"), ("pat", "s24"), ("tag", "s40")]
+RDC_ROW_LEN = 8 + 8 + 8 + 24 + 40
+RDC_ROWS = 100
+RDC_ROWS_P1 = 30
+RDC_RAW_ROW = 60
+
+
+def rdc_compress(data: bytes) -> bytes:
+    tokens = []  # (ctrl_bit, bytes)
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        run = 1
+        while i + run < n and data[i + run] == b:
+            run += 1
+        if run >= 19:
+            r = min(run, 19 + 4095)
+            cnt = r - 19
+            tokens.append((1, bytes([0x10 | (cnt & 0x0F), (cnt >> 4) & 0xFF, b])))
+            i += r
+        elif run >= 3:
+            r = min(run, 18)
+            tokens.append((1, bytes([0x00 | (r - 3), b])))
+            i += r
+        elif i >= 3 and data[i:i + 3] == data[i - 3:i]:
+            # short back-reference at offset 3: extend up to 15 bytes
+            m = 3
+            while m < 15 and i + m < n and data[i + m] == data[i + m - 3]:
+                m += 1
+            # ofs = cnt + 3 + (next << 4) = 3  ->  cnt = 0, next = 0
+            tokens.append((1, bytes([(m << 4) | 0x00, 0x00])))
+            i += m
+        else:
+            tokens.append((0, bytes([b])))
+            i += 1
+    out = bytearray()
+    for g in range(0, len(tokens), 16):
+        chunk = tokens[g:g + 16]
+        ctrl = 0
+        for j, (c, _) in enumerate(chunk):
+            if c:
+                ctrl |= 0x8000 >> j
+        out.append(ctrl >> 8)
+        out.append(ctrl & 0xFF)
+        for _, bs in chunk:
+            out.extend(bs)
+    return bytes(out)
+
+
+def rdc_row_bytes(i: int) -> bytes:
+    motif = f"{i % 7}ab"  # 3-byte motif repeated -> short back-references
+    return (f64(float(i)) + f64(i * 0.25)
+            + f"row_{i:03d}".encode().ljust(8)
+            + (motif * 8).encode()
+            + f"tag_{i}".encode().ljust(40))
+
+
+def make_rdc(out: str) -> None:
+    sig = b"SASYZCR2"
+    names = b""
+    offsets = []
+    base = 8 + len(sig)
+    for n, _ in RDC_COLS:
+        offsets.append(base + len(names))
+        names += n.encode()
+    blob = u16(8 + len(sig) + len(names)) + b"\x00" * 6 + sig + names
+
+    def rowsize() -> bytes:
+        b = bytearray(808)
+        b[0:8] = b"\xf7\xf7\xf7\xf7\x00\x00\x00\x00"
+        b[5 * INT:5 * INT + 8] = u64(RDC_ROW_LEN)
+        b[6 * INT:6 * INT + 8] = u64(RDC_ROWS)
+        b[9 * INT:9 * INT + 8] = u64(len(RDC_COLS))
+        return bytes(b)
+
+    def colsize() -> bytes:
+        return (b"\xf6\xf6\xf6\xf6\x00\x00\x00\x00" + u64(len(RDC_COLS))).ljust(24, b"\x00")
+
+    def colname() -> bytes:
+        b = bytearray(2 * INT + 12 + 8 * len(RDC_COLS))
+        b[0:8] = b"\xff\xff\xff\xff\xff\xff\xff\xff"
+        for i, ((n, _), off) in enumerate(zip(RDC_COLS, offsets)):
+            p = 16 + 8 * i
+            b[p:p + 2] = u16(0)
+            b[p + 2:p + 4] = u16(off)
+            b[p + 4:p + 6] = u16(len(n))
+        return bytes(b)
+
+    def colattrs() -> bytes:
+        b = bytearray(2 * INT + 12 + (INT + 8) * len(RDC_COLS))
+        b[0:8] = b"\xfc\xff\xff\xff\xff\xff\xff\xff"
+        data_off = 0
+        for i, (_, t) in enumerate(RDC_COLS):
+            p = 16 + 16 * i
+            width = 8 if t == "d" else int(t[1:])
+            b[p:p + 8] = u64(data_off)
+            b[p + 8:p + 12] = u32(width)
+            b[p + 14] = 1 if t == "d" else 2
+            data_off += width
+        assert data_off == RDC_ROW_LEN
+        return bytes(b)
+
+    metadata = [rowsize(), colsize(), subheader_counts(), subheader_text(blob),
+                colname(), colattrs(), subheader_collist()] \
+        + [subheader_format() for _ in RDC_COLS]
+
+    rows = []
+    for i in range(1, RDC_ROWS + 1):
+        raw = rdc_row_bytes(i)
+        if i == RDC_RAW_ROW:
+            rows.append((raw, True))
+        else:
+            comp = rdc_compress(raw)
+            assert len(comp) < RDC_ROW_LEN, f"row {i} did not compress"
+            rows.append((comp, False))
+
+    header_bytes = bytearray(header())
+    header_bytes[204:208] = u32(2)
+    with open(out, "wb") as f:
+        f.write(bytes(header_bytes))
+        f.write(meta_page_with_rows(metadata, rows[:RDC_ROWS_P1]))
+        f.write(meta_page_with_rows([], rows[RDC_ROWS_P1:]))
+
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == [n for n, _ in RDC_COLS], df.columns
+    assert len(df) == RDC_ROWS, len(df)
+    for i in range(1, RDC_ROWS + 1):
+        r = df.iloc[i - 1]
+        assert r["id"] == float(i), (i, r["id"])
+        assert r["val"] == i * 0.25, (i, r["val"])
+        assert r["name"] == f"row_{i:03d}", (i, repr(r["name"]))
+        assert r["pat"] == f"{i % 7}ab" * 8, (i, repr(r["pat"]))
+        assert r["tag"] == f"tag_{i}", (i, repr(r["tag"]))
+    print(f"OK: {out} validated by pd.read_sas "
+          f"({RDC_ROWS} rows x {len(RDC_COLS)} cols, RDC incl. back-references + 1 raw row)")
+
+
 def main(out: str) -> None:
     blob, offsets = text_blob()
     meta = meta_page([
@@ -458,3 +609,5 @@ if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "fixtures/sas/graft_fixture.sas7bdat")
     make_compressed(
         sys.argv[2] if len(sys.argv) > 2 else "fixtures/sas/graft_fixture_rle.sas7bdat")
+    make_rdc(
+        sys.argv[3] if len(sys.argv) > 3 else "fixtures/sas/graft_fixture_rdc.sas7bdat")
