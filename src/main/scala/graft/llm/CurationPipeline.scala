@@ -220,6 +220,16 @@ object CurationPipeline {
       val hot = Decontam.semanticDecontam(df, b, idCol, vecCol, thr)
         .where(col("contaminated")).select(col(idCol))
       df.join(hot, Seq(idCol), "left_anti")
+    case "SPAN CUT" =>
+      // ExactSubstr cutting (Lee et al. 2022) as a recipe stage: the
+      // duplicated-span cut list applied IN PLACE, so downstream
+      // stages (dedup shingles, decontam grams, token budgets) see
+      // the training copy, not the raw store
+      Dedup.cutSpans(df, idCol, textCol,
+        k = p(st, "k", "30").toInt,
+        minDocs = p(st, "min_docs", "2").toInt)
+        .withColumn(textCol, col("clean_text"))
+        .drop("clean_text")
     case "NEAR DEDUP KEEP-BEST" =>
       // near-dedup that keeps each cluster's highest-scoring doc
       // instead of the lowest id; the score column is

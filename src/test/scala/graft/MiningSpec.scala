@@ -169,6 +169,28 @@ class MiningSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate seq"))
   }
 
+  test("SPAN CUT stage removes duplicated spans in place; composes with EXACT DEDUP") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    // prefixes share NO suffix, so the common substring (and thus the
+    // cut span) is exactly `shared` — the span merger would otherwise
+    // correctly extend into any common boundary characters
+    val shared = "this forty-plus character run is shared verbatim between documents"
+    val docs = Seq(
+      (1L, s"alpha-one:$shared"),
+      (2L, s"beta+two_$shared"),
+      (3L, "a third document with no duplicated content at all")
+    ).toDF("doc_id", "text")
+    val cut = CurationPipeline.run(docs, Seq(Stage("SPAN CUT", Map("k" -> "30"))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!cut(1L).contains(shared) && !cut(2L).contains(shared))
+    assert(cut(1L) == "alpha-one:" && cut(2L) == "beta+two_")
+    assert(cut(3L) == "a third document with no duplicated content at all") // untouched
+    // schema unchanged: text replaced in place, no helper columns
+    assert(CurationPipeline.run(docs, Seq(Stage("SPAN CUT")))
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("curation recipe seq overflow fails with the contextual error, not NumberFormatException") {
     import graft.llm.CurationPipeline
     val dir = SparkEntry.cleanedTempDir("recipe_ovf_")
