@@ -509,6 +509,14 @@ object SparkEntry {
     // pd.read_sas's independent rdc_decompress before commit
     "s5_sas_rdc" -> ((s, _) =>
       graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture_rdc.sas7bdat")),
+    // the format matrix's other quadrants: 32-bit scalars and
+    // big-endian byte order (legacy SAS exports), same closed form
+    "s5_sas_variants" -> ((s, _) =>
+      graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_32le.sas7bdat")
+        .withColumn("variant", lit("32le"))
+        .unionByName(
+          graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_64be.sas7bdat")
+            .withColumn("variant", lit("64be")))),
     "c9_filename_meta" -> ((s, d) =>
       graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
         .select("doc_id", "source_file", "view_id", "source_timestamp")),
@@ -3812,6 +3820,10 @@ object SparkEntry {
         |  repeat(concat(CAST(i % 7 AS VARCHAR), 'ab'), 8) AS pat,
         |  concat('tag_', CAST(i AS VARCHAR)) AS tag
         |FROM generate_series(1, 100) t(i)""".stripMargin,
+    "s5_sas_variants" ->
+      """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
+        |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name, v AS variant
+        |FROM generate_series(1, 100) t(i), (VALUES ('32le'), ('64be')) s(v)""".stripMargin,
     "c9_filename_meta" ->
       """SELECT doc_id, 'documents.parquet' AS source_file, 'documents' AS view_id, '' AS source_timestamp
         |FROM documents""".stripMargin,

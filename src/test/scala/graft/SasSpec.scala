@@ -82,6 +82,23 @@ class SasSpec extends SparkSpec {
     }
   }
 
+  test("format matrix: 32-bit LE and 64-bit BE variants parse to the same contents") {
+    for ((f, u64, le) <- Seq(
+        ("fixtures/sas/graft_fixture_32le.sas7bdat", false, true),
+        ("fixtures/sas/graft_fixture_64be.sas7bdat", true, false))) {
+      val m = Sas.readMeta(spark, f)
+      assert(m.u64 == u64 && m.littleEndian == le, f)
+      assert(m.rowCount == 100 && m.rowLength == 24, f)
+      val rows = Sas.read(spark, f).collect().sortBy(_.getDouble(0))
+      assert(rows.length == 100, f)
+      for ((r, i0) <- rows.zipWithIndex) {
+        val i = i0 + 1
+        assert(r.getDouble(0) == i.toDouble && r.getDouble(1) == i * 0.25 &&
+          r.getString(2) == f"row_$i%03d", s"$f row $i")
+      }
+    }
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")

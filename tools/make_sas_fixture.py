@@ -201,6 +201,188 @@ def data_page(rows) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Format-matrix variants: 32-bit little-endian and 64-bit big-endian
+#
+# The main fixture is 64-bit LE (the common modern export); these
+# cover the other two quadrants of the public layout the reader
+# claims — 32-bit files (4-byte subheader scalars, bit_offset 16,
+# 12-byte pointers, lcs/lcp at 354/378) and big-endian byte order
+# (header flag byte 37 = 0x00, every scalar and double byte-swapped).
+# Same closed-form contents as the main fixture; pd.read_sas
+# validates both.
+# ---------------------------------------------------------------------------
+
+
+def make_variant(out: str, u64: bool, little: bool) -> None:
+    INT_ = 8 if u64 else 4
+    BIT = 32 if u64 else 16
+    PTR = 24 if u64 else 12
+    e = "<" if little else ">"
+
+    def p16(x):
+        return struct.pack(e + "H", x)
+
+    def p32(x):
+        return struct.pack(e + "I", x)
+
+    def pint(x):
+        return struct.pack(e + ("Q" if u64 else "I"), x)
+
+    def pf64(x):
+        return struct.pack(e + "d", x)
+
+    def sig(four: bytes) -> bytes:
+        # 4-byte signatures widen to 8 on u64 files; the widened forms
+        # must be ones the public signature table lists: LE appends
+        # zeros, BE prepends 0x00s for the symmetric f7/f6 signatures
+        # and 0xFFs for the reversed fd/ff/fc/fe family
+        if not u64:
+            return four if little else bytes(reversed(four))
+        if little:
+            return four + b"\x00" * 4
+        if four[0] in (0xF7, 0xF6):
+            return b"\x00" * 4 + four
+        return b"\xff" * 4 + bytes(reversed(four))
+
+    def hdr() -> bytes:
+        magic = (b"\x00\x00\x00\x00\x00\x00\x00\x00"
+                 b"\x00\x00\x00\x00\xc2\xea\x81\x60"
+                 b"\xb3\x14\x11\xcf\xbd\x92\x08\x00"
+                 b"\x09\xc7\x31\x8c\x18\x1f\x10\x11")
+        h = bytearray(HEADER)
+        h[0:32] = magic
+        h[32] = 0x33 if u64 else 0x22
+        h[35] = 0x00                      # align1 = 0
+        h[37] = 0x01 if little else 0x00  # endianness
+        h[39] = ord("1")
+        h[70] = 20
+        h[84:92] = b"SAS FILE"
+        h[92:156] = b"GRAFT_SAS_VARIANT".ljust(64)
+        h[156:164] = b"DATA    "
+        secs = float((2026 - 1960) * 365.25 * 86400)
+        h[164:172] = pf64(secs)
+        h[172:180] = pf64(secs)
+        h[196:200] = p32(HEADER)
+        h[200:204] = p32(PAGE)
+        h[204:208] = p32(3)
+        h[216:224] = b"9.0401M2"
+        h[224:240] = b"Linux".ljust(16)
+        return bytes(h)
+
+    def sh_rowsize() -> bytes:
+        b = bytearray(808 if u64 else 480)
+        b[0:INT_] = sig(b"\xf7\xf7\xf7\xf7")
+        b[5 * INT_:6 * INT_] = pint(ROW_LEN)
+        b[6 * INT_:7 * INT_] = pint(ROWS)
+        b[9 * INT_:10 * INT_] = pint(len(COLS))
+        b[15 * INT_:16 * INT_] = pint(0)
+        return bytes(b)
+
+    def sh_colsize() -> bytes:
+        return (sig(b"\xf6\xf6\xf6\xf6") + pint(len(COLS))).ljust(24, b"\x00")
+
+    def sh_counts() -> bytes:
+        return sig(b"\x00\xfc\xff\xff").ljust(64, b"\x00")
+
+    def text_pool():
+        names = b""
+        offsets = []
+        base = 8
+        for n, _ in COLS:
+            offsets.append(base + len(names))
+            names += n.encode()
+        blob = p16(8 + len(names)) + b"\x00" * 6 + names
+        return blob, offsets
+
+    def sh_text(blob: bytes) -> bytes:
+        body = sig(b"\xfd\xff\xff\xff") + blob
+        return body.ljust(INT_ + ((len(blob) + 7) // 8) * 8, b"\x00")
+
+    def sh_colname(offsets) -> bytes:
+        b = bytearray(2 * INT_ + 12 + 8 * len(COLS))
+        b[0:INT_] = sig(b"\xff\xff\xff\xff")
+        for i, ((n, _), off) in enumerate(zip(COLS, offsets)):
+            p = INT_ + 8 * (i + 1)
+            b[p:p + 2] = p16(0)
+            b[p + 2:p + 4] = p16(off)
+            b[p + 4:p + 6] = p16(len(n))
+        return bytes(b)
+
+    def sh_colattrs() -> bytes:
+        b = bytearray(2 * INT_ + 12 + (INT_ + 8) * len(COLS))
+        b[0:INT_] = sig(b"\xfc\xff\xff\xff")
+        data_off = 0
+        for i, (_, t) in enumerate(COLS):
+            p = INT_ + 8 + i * (INT_ + 8)
+            b[p:p + INT_] = pint(data_off)
+            b[p + INT_:p + INT_ + 4] = p32(8)
+            b[p + INT_ + 6] = 1 if t == "d" else 2
+            data_off += 8
+        assert data_off == ROW_LEN
+        return bytes(b)
+
+    def sh_collist() -> bytes:
+        return sig(b"\xfe\xff\xff\xff").ljust(64, b"\x00")
+
+    def sh_format() -> bytes:
+        return sig(b"\xfe\xfb\xff\xff").ljust(64, b"\x00")
+
+    def meta_pg(shs) -> bytes:
+        page = bytearray(PAGE)
+        page[BIT:BIT + 2] = p16(0x0000)
+        page[BIT + 2:BIT + 4] = p16(len(shs))
+        page[BIT + 4:BIT + 6] = p16(len(shs))
+        ptr = BIT + 8
+        tail = PAGE
+        for sh in shs:
+            tail -= len(sh)
+            page[tail:tail + len(sh)] = sh
+            page[ptr:ptr + INT_] = pint(tail)
+            page[ptr + INT_:ptr + 2 * INT_] = pint(len(sh))
+            page[ptr + 2 * INT_] = 0
+            page[ptr + 2 * INT_ + 1] = 0
+            ptr += PTR
+            assert ptr <= tail
+        return bytes(page)
+
+    def row(i: int) -> bytes:
+        return pf64(float(i)) + pf64(i * 0.25) + f"row_{i:03d}".encode().ljust(8)
+
+    def data_pg(rows) -> bytes:
+        page = bytearray(PAGE)
+        page[BIT:BIT + 2] = p16(0x0100)
+        page[BIT + 2:BIT + 4] = p16(len(rows))
+        pos = BIT + 8
+        for r in rows:
+            page[pos:pos + ROW_LEN] = r
+            pos += ROW_LEN
+        return bytes(page)
+
+    blob, offsets = text_pool()
+    meta = meta_pg([sh_rowsize(), sh_colsize(), sh_counts(), sh_text(blob),
+                    sh_colname(offsets), sh_colattrs(), sh_collist()]
+                   + [sh_format() for _ in COLS])
+    rows = [row(i) for i in range(1, ROWS + 1)]
+    with open(out, "wb") as f:
+        f.write(hdr())
+        f.write(meta)
+        f.write(data_pg(rows[:ROWS_P1]))
+        f.write(data_pg(rows[ROWS_P1:]))
+
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == ["id", "val", "name"], df.columns
+    assert len(df) == ROWS, len(df)
+    for i in range(1, ROWS + 1):
+        r = df.iloc[i - 1]
+        assert r["id"] == float(i), (i, r["id"])
+        assert r["val"] == i * 0.25, (i, r["val"])
+        assert r["name"] == f"row_{i:03d}", (i, repr(r["name"]))
+    kind = f"{'64' if u64 else '32'}-bit {'LE' if little else 'BE'}"
+    print(f"OK: {out} validated by pd.read_sas ({kind}, {ROWS} rows)")
+
+
+# ---------------------------------------------------------------------------
 # RLE-compressed (SASYZCRL / COMPRESS=CHAR) fixture
 #
 # Rows live as one subheader per row on meta pages, pointer type=1 and
@@ -611,3 +793,5 @@ if __name__ == "__main__":
         sys.argv[2] if len(sys.argv) > 2 else "fixtures/sas/graft_fixture_rle.sas7bdat")
     make_rdc(
         sys.argv[3] if len(sys.argv) > 3 else "fixtures/sas/graft_fixture_rdc.sas7bdat")
+    make_variant("fixtures/sas/graft_fixture_32le.sas7bdat", u64=False, little=True)
+    make_variant("fixtures/sas/graft_fixture_64be.sas7bdat", u64=True, little=False)
