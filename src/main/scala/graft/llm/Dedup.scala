@@ -360,8 +360,17 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val hits = MinhashDecontam.minhashContamination(
       batch, store, idCol, textCol, threshold, numPerm, bands, shingleK)
+    // materialize the store-survivors ONCE (localCheckpoint, the
+    // nearDupClusters discipline — blocks release on GC): the
+    // within-batch near-dedup references this frame three times
+    // (signature pass, verification semi-join, final anti-join), and
+    // each lazy reference would otherwise replan and re-execute the
+    // whole cross-table contamination pipeline (~200 tree exchanges
+    // in the un-checkpointed plan). A batch is bounded by nature —
+    // this is the steady-state ingest shape, not a corpus persist.
     val survivors = batch.join(
       hits.select(col("train_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint()
     nearDedup(survivors, idCol, textCol, threshold)
   }
 
