@@ -509,6 +509,13 @@ object SparkEntry {
     // pd.read_sas's independent rdc_decompress before commit
     "s5_sas_rdc" -> ((s, _) =>
       graft.io.Ingestion.readFile(s, "/root/repo/fixtures/sas/graft_fixture_rdc.sas7bdat")),
+    // the DataSource V2 face: required-column pushdown reaches the
+    // page parser (only the selected slices decode per row) and page
+    // ranges surface as Spark-planned InputPartitions
+    "s5_sas_dsv2" -> ((s, _) =>
+      s.read.format("sas7bdat")
+        .load("/root/repo/fixtures/sas/graft_fixture_rle.sas7bdat")
+        .select("id", "tag")),
     // the format matrix's other quadrants: 32-bit scalars and
     // big-endian byte order (legacy SAS exports), same closed form
     "s5_sas_variants" -> ((s, _) =>
@@ -3824,6 +3831,9 @@ object SparkEntry {
       """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
         |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name, v AS variant
         |FROM generate_series(1, 100) t(i), (VALUES ('32le'), ('64be')) s(v)""".stripMargin,
+    "s5_sas_dsv2" ->
+      """SELECT CAST(i AS DOUBLE) AS id, concat('tag_', CAST(i AS VARCHAR)) AS tag
+        |FROM generate_series(1, 100) t(i)""".stripMargin,
     "c9_filename_meta" ->
       """SELECT doc_id, 'documents.parquet' AS source_file, 'documents' AS view_id, '' AS source_timestamp
         |FROM documents""".stripMargin,

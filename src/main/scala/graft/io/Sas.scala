@@ -384,14 +384,17 @@ object Sas {
     out
   }
 
-  /** Parse the rows of ONE page (data or mix); meta pages yield none
-    * for uncompressed files. Shared by the executor task and any
-    * local debugging.
+  /** Locate the fixed-width row IMAGES of ONE page as `(buffer,
+    * base)` pairs — `buffer` is the page itself for inline rows
+    * (data/mix pages) or a freshly decompressed row image (per-row
+    * subheaders on compressed files' meta pages, decompressed when
+    * shorter than the row length, stored raw otherwise —
+    * pd.read_sas's rule). Shared by the all-column Row materializer
+    * ([[read]]) and the column-pruned scan ([[SasDataSource]]).
     */
-  private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] = {
+  private[io] def pageRowImages(page: Array[Byte], meta: SasMeta): Iterator[(Array[Byte], Int)] = {
     val pr = new ByteReader(page, meta.littleEndian)
     val ptype = pr.u16(meta.bitOffset) & PageTypeMask2
-    val charset = java.nio.charset.Charset.forName(meta.encoding)
     if (meta.compression != CompressNone && (isMeta(ptype) || ptype == 0x0400)) {
       // compressed file: rows are per-row subheaders on meta pages,
       // RLE-decompressed when shorter than the row length, stored raw
@@ -405,15 +408,15 @@ object Sas {
         val shType = pr.u8(base + 2 * meta.intLen + 1)
         if (shLen > 0 && comp != 1 &&
             isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType)) {
-          val row =
+          val img =
             if (shLen < meta.rowLength) {
               val raw =
                 if (meta.compression == CompressRdc)
                   rdcDecompress(page, shOff, shLen, meta.rowLength.toInt)
                 else rleDecompress(page, shOff, shLen, meta.rowLength.toInt)
-              rowFrom(raw, 0, meta, charset)
-            } else rowFrom(page, shOff, meta, charset)
-          Iterator.single(row)
+              (raw, 0)
+            } else (page, shOff)
+          Iterator.single(img)
         } else Iterator.empty
       }
     }
@@ -433,27 +436,41 @@ object Sas {
         // parsed from page padding
         (aligned, Seq(meta.mixPageRowCount, meta.rowCount, capacity).min)
       } else (0, 0L)
-    (0L until n).iterator.map(r => rowFrom(page, (start + r * meta.rowLength).toInt, meta, charset))
+    (0L until n).iterator.map(r => (page, (start + r * meta.rowLength).toInt))
+  }
+
+  /** Parse the rows of ONE page (all columns, external Row form). */
+  private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] = {
+    val charset = java.nio.charset.Charset.forName(meta.encoding)
+    pageRowImages(page, meta).map { case (buf, base) => rowFrom(buf, base, meta, charset) }
+  }
+
+  /** Decode ONE column of a fixed-width row image; null for SAS
+    * missing numerics, trailing space/NUL pad stripped from strings.
+    * Shared by the all-column Row path and the column-pruned
+    * [[SasDataSource]] scan.
+    */
+  private[io] def decodeCol(
+      buf: Array[Byte], base: Int, c: SasColumn, meta: SasMeta,
+      charset: java.nio.charset.Charset): Any = {
+    val off = base + c.offset.toInt
+    if (c.isNumeric) {
+      val br = new ByteReader(buf, meta.littleEndian)
+      val d = br.sasDouble(off, c.length)
+      if (java.lang.Double.isNaN(d)) null else d // SAS missing -> Spark null
+    } else {
+      val s = new String(buf, off, c.length, charset)
+      var end = s.length
+      while (end > 0 && (s(end - 1) == ' ' || s(end - 1) == '\u0000')) end -= 1
+      s.substring(0, end)
+    }
   }
 
   /** Decode one fixed-width row image starting at `base` in `buf`. */
   private def rowFrom(
       buf: Array[Byte], base: Int, meta: SasMeta,
-      charset: java.nio.charset.Charset): Row = {
-    val br = new ByteReader(buf, meta.littleEndian)
-    Row.fromSeq(meta.columns.map { c =>
-        val off = base + c.offset.toInt
-        if (c.isNumeric) {
-          val d = br.sasDouble(off, c.length)
-          if (java.lang.Double.isNaN(d)) null else d // SAS missing -> Spark null
-        } else {
-          val s = new String(buf, off, c.length, charset)
-          var end = s.length
-          while (end > 0 && (s(end - 1) == ' ' || s(end - 1) == '\u0000')) end -= 1
-          s.substring(0, end)
-        }
-      })
-  }
+      charset: java.nio.charset.Charset): Row =
+    Row.fromSeq(meta.columns.map(c => decodeCol(buf, base, c, meta, charset)))
 
   /** Read a .sas7bdat into a DataFrame: one bounded driver-side
     * metadata parse, then executors each parse a disjoint page range

@@ -99,6 +99,25 @@ class SasSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 source: format(\"sas7bdat\") reads all variants; column pruning reaches the page parser") {
+    for (f <- Seq(fixture, rleFixture, rdcFixture)) {
+      val df = spark.read.format("sas7bdat").load(f)
+      assert(df.count() == 100, f)
+      // pruned projection: only the selected columns are decoded —
+      // the scan's description carries the pushed column set
+      val pruned = df.select("id")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("cols=id") && !plan.contains("cols=id,"),
+        s"$f: pruned scan should decode only 'id':\n$plan")
+      assert(pruned.collect().map(_.getDouble(0)).sorted.sameElements((1 to 100).map(_.toDouble)), f)
+    }
+    // values identical to the RDD reader on the compressed fixture
+    val a = spark.read.format("sas7bdat").load(rleFixture)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Sas.read(spark, rleFixture).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")
