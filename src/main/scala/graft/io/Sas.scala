@@ -284,10 +284,24 @@ object Sas {
     var ip = srcOff
     val end = srcOff + srcLen
     var op = 0
+    // every operand read and every write is bounds-checked against the
+    // SUBHEADER's extent, not the page's: a truncated stream must fail
+    // loudly here, never bleed into adjacent rows on the same page or
+    // throw a raw ArrayIndexOutOfBoundsException
+    def corrupt(what: String): Nothing =
+      throw new java.io.IOException(
+        s"corrupt SASYZCRL stream: $what at offset ${ip - srcOff} of $srcLen")
+    def operand(): Int = {
+      if (ip >= end) corrupt("truncated command operand")
+      val v = src(ip) & 0xff; ip += 1; v
+    }
     def fill(b: Byte, n: Int): Unit = {
+      if (op + n > outLen) corrupt(s"run of $n overflows the $outLen-byte row at $op")
       java.util.Arrays.fill(out, op, op + n, b); op += n
     }
     def copy(n: Int): Unit = {
+      if (ip + n > end) corrupt(s"literal of $n overruns the compressed stream")
+      if (op + n > outLen) corrupt(s"literal of $n overflows the $outLen-byte row at $op")
       System.arraycopy(src, ip, out, op, n); ip += n; op += n
     }
     while (ip < end && op < outLen) {
@@ -295,21 +309,17 @@ object Sas {
       val efb = src(ip) & 0x0f
       ip += 1
       ctrl match {
-        case 0x00 =>
-          val n = efb * 256 + (src(ip) & 0xff) + 64; ip += 1; copy(n)
+        case 0x00 => copy(efb * 256 + operand() + 64)
         case 0x40 =>
-          val n = efb * 16 + (src(ip) & 0xff) + 18; ip += 1
-          val b = src(ip); ip += 1; fill(b, n)
-        case 0x60 =>
-          val n = efb * 256 + (src(ip) & 0xff) + 17; ip += 1; fill(0x20, n)
-        case 0x70 =>
-          val n = efb * 256 + (src(ip) & 0xff) + 17; ip += 1; fill(0x00, n)
+          val n = efb * 16 + operand() + 18
+          fill(operand().toByte, n)
+        case 0x60 => fill(0x20, efb * 256 + operand() + 17)
+        case 0x70 => fill(0x00, efb * 256 + operand() + 17)
         case 0x80 => copy(efb + 1)
         case 0x90 => copy(efb + 17)
         case 0xa0 => copy(efb + 33)
         case 0xb0 => copy(efb + 49)
-        case 0xc0 =>
-          val b = src(ip); ip += 1; fill(b, efb + 3)
+        case 0xc0 => fill(operand().toByte, efb + 3)
         case 0xd0 => fill(0x40, efb + 2)
         case 0xe0 => fill(0x20, efb + 2)
         case 0xf0 => fill(0x00, efb + 2)
@@ -341,12 +351,24 @@ object Sas {
     var op = 0
     var ctrlBits = 0
     var ctrlMask = 0
+    // bounds discipline mirrors rleDecompress: every operand read and
+    // every write checked against the subheader's extent — truncated
+    // streams fail loudly instead of consuming the next row's bytes
+    def corrupt(what: String): Nothing =
+      throw new java.io.IOException(
+        s"corrupt SASYZCR2 stream: $what at offset ${ip - srcOff} of $srcLen")
+    def operand(): Int = {
+      if (ip >= end) corrupt("truncated command operand")
+      val v = src(ip) & 0xff; ip += 1; v
+    }
     def fill(b: Byte, n: Int): Unit = {
+      if (op + n > outLen) corrupt(s"run of $n overflows the $outLen-byte row at $op")
       java.util.Arrays.fill(out, op, op + n, b); op += n
     }
     def backCopy(ofs: Int, n: Int): Unit = {
-      require(ofs >= 1 && ofs <= op, // a corrupt offset must not read before the row start
-        s"corrupt SASYZCR2 stream: back-reference offset $ofs at output position $op")
+      if (ofs < 1 || ofs > op) // a corrupt offset must not read before the row start
+        corrupt(s"back-reference offset $ofs at output position $op")
+      if (op + n > outLen) corrupt(s"back-reference of $n overflows the $outLen-byte row at $op")
       var k = 0
       while (k < n) { out(op + k) = out(op - ofs + k); k += 1 } // overlap-safe
       op += n
@@ -354,27 +376,29 @@ object Sas {
     while (ip < end && op < outLen) {
       ctrlMask >>= 1
       if (ctrlMask == 0) {
+        if (ip + 1 >= end) corrupt("truncated control word")
         ctrlBits = ((src(ip) & 0xff) << 8) | (src(ip + 1) & 0xff); ip += 2
         ctrlMask = 0x8000
       }
       if ((ctrlBits & ctrlMask) == 0) {
+        if (ip >= end) corrupt("truncated literal")
+        if (op >= outLen) corrupt(s"literal overflows the $outLen-byte row")
         out(op) = src(ip); op += 1; ip += 1
       } else {
-        val cmd = (src(ip) >> 4) & 0x0f
-        val cnt = src(ip) & 0x0f
-        ip += 1
+        val cmd = (operand() >> 4) & 0x0f
+        val cnt = src(ip - 1) & 0x0f
         cmd match {
           case 0 => // short RLE
-            val b = src(ip); ip += 1; fill(b, cnt + 3)
+            fill(operand().toByte, cnt + 3)
           case 1 => // long RLE
-            val n = cnt + ((src(ip) & 0xff) << 4) + 19; ip += 1
-            val b = src(ip); ip += 1; fill(b, n)
+            val n = cnt + (operand() << 4) + 19
+            fill(operand().toByte, n)
           case 2 => // long back-reference
-            val ofs = cnt + 3 + ((src(ip) & 0xff) << 4); ip += 1
-            val n = (src(ip) & 0xff) + 16; ip += 1
+            val ofs = cnt + 3 + (operand() << 4)
+            val n = operand() + 16
             backCopy(ofs, n)
           case c => // 3-15: short back-reference of c bytes
-            val ofs = cnt + 3 + ((src(ip) & 0xff) << 4); ip += 1
+            val ofs = cnt + 3 + (operand() << 4)
             backCopy(ofs, c)
         }
       }
@@ -445,6 +469,23 @@ object Sas {
     pageRowImages(page, meta).map { case (buf, base) => rowFrom(buf, base, meta, charset) }
   }
 
+  /** Width-w SAS numeric at `off` (most-significant bytes kept) —
+    * the [[ByteReader.sasDouble]] logic as a static method for the
+    * per-cell hot path.
+    */
+  private def sasDoubleAt(buf: Array[Byte], le: Boolean, off: Int, w: Int): Double = {
+    var bits = 0L
+    if (le) {
+      var i = 0
+      while (i < w) { bits |= (buf(off + i) & 0xffL) << ((8 - w + i) * 8); i += 1 }
+    } else {
+      var i = 0
+      while (i < w) { bits = (bits << 8) | (buf(off + i) & 0xffL); i += 1 }
+      bits = bits << ((8 - w) * 8)
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
   /** Decode ONE column of a fixed-width row image; null for SAS
     * missing numerics, trailing space/NUL pad stripped from strings.
     * Shared by the all-column Row path and the column-pruned
@@ -455,8 +496,9 @@ object Sas {
       charset: java.nio.charset.Charset): Any = {
     val off = base + c.offset.toInt
     if (c.isNumeric) {
-      val br = new ByteReader(buf, meta.littleEndian)
-      val d = br.sasDouble(off, c.length)
+      // static decode — this is the innermost per-row/per-column loop
+      // of both scan paths, so no per-cell reader allocation
+      val d = sasDoubleAt(buf, meta.littleEndian, off, c.length)
       if (java.lang.Double.isNaN(d)) null else d // SAS missing -> Spark null
     } else {
       val s = new String(buf, off, c.length, charset)
@@ -483,6 +525,7 @@ object Sas {
     val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
     val parallelism = math.max(1L,
       math.min(meta.pageCount, spark.sparkContext.defaultParallelism.toLong)).toInt
+    val overrides = rowCountOverrides(spark, path, meta)
     val rows = spark.sparkContext
       .range(0L, meta.pageCount, numSlices = parallelism)
       .mapPartitions { pages =>
@@ -495,9 +538,88 @@ object Sas {
         val buf = new Array[Byte](meta.pageLength)
         pages.flatMap { pi =>
           in.readFully(meta.headerLength + pi * meta.pageLength, buf)
-          pageRows(buf, meta).toVector // buf is reused: materialize the page's rows
+          val it = pageRows(buf, meta)
+          overrides.get(pi).map(it.take).getOrElse(it)
+            .toVector // buf is reused: materialize the page's rows
         }
       }
     spark.createDataFrame(rows, meta.schema)
+  }
+
+  /** Count the data rows of ONE page without decompressing or
+    * decoding them — pointer-array walk only. MUST agree with
+    * [[pageRowImages]] row-for-row (spec-pinned via the census).
+    */
+  private[io] def pageRowCount(page: Array[Byte], meta: SasMeta): Int = {
+    val pr = new ByteReader(page, meta.littleEndian)
+    val ptype = pr.u16(meta.bitOffset) & PageTypeMask2
+    if (meta.compression != CompressNone && (isMeta(ptype) || ptype == 0x0400)) {
+      val shCount = pr.u16(meta.bitOffset + 4)
+      var n = 0
+      var i = 0
+      while (i < shCount) {
+        val base = meta.bitOffset + 8 + i * meta.shPtrLen
+        val shOff = pr.uint(base, meta.intLen).toInt
+        val shLen = pr.uint(base + meta.intLen, meta.intLen).toInt
+        val comp = pr.u8(base + 2 * meta.intLen)
+        val shType = pr.u8(base + 2 * meta.intLen + 1)
+        if (shLen > 0 && comp != 1 &&
+            isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType)) n += 1
+        i += 1
+      }
+      n
+    } else if (isData(ptype)) {
+      pr.u16(meta.bitOffset + 2)
+    } else if (isMix(ptype)) {
+      val shCount = pr.u16(meta.bitOffset + 4)
+      val raw = meta.bitOffset + 8 + shCount * meta.shPtrLen
+      val aligned = ((raw + 7) / 8) * 8
+      val capacity = (page.length - aligned) / meta.rowLength
+      Seq(meta.mixPageRowCount, meta.rowCount, capacity).min.toInt
+    } else 0
+  }
+
+  /** pd.read_sas reads EXACTLY `row_count` rows in page order; a
+    * compressed file shortened in place can carry stale row
+    * subheaders past that on its trailing pages, which a naive pass
+    * would emit as extra garbage rows. For compressed files this runs
+    * one decode-free census pass (pointer arrays only — rows are
+    * never decompressed) and returns per-page take limits for the
+    * affected pages; EMPTY for well-formed files, and skipped
+    * entirely for uncompressed files, whose inline rows are bounded
+    * by each data page's declared block count plus the mix-page
+    * clamp. The census is the price of parity: one extra I/O pass
+    * over compressed files (which are small relative to the columnar
+    * stores this engine targets), no decode cost.
+    */
+  private[io] def rowCountOverrides(
+      spark: SparkSession, path: String, meta: SasMeta): Map[Long, Int] = {
+    if (meta.compression == CompressNone) return Map.empty
+    val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
+    val parallelism = math.max(1L,
+      math.min(meta.pageCount, spark.sparkContext.defaultParallelism.toLong)).toInt
+    val census = spark.sparkContext
+      .range(0L, meta.pageCount, numSlices = parallelism)
+      .mapPartitions { pages =>
+        val conf = HadoopConfSer.rebuild(confBc.value)
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val buf = new Array[Byte](meta.pageLength)
+        pages.map { pi =>
+          in.readFully(meta.headerLength + pi * meta.pageLength, buf)
+          (pi, pageRowCount(buf, meta))
+        }
+      }.collect().sortBy(_._1)
+    var cum = 0L
+    val m = Map.newBuilder[Long, Int]
+    census.foreach { case (pi, n) =>
+      val take = math.max(0L, math.min(n.toLong, meta.rowCount - cum))
+      if (take < n) m += pi -> take.toInt
+      cum += n
+    }
+    m.result()
   }
 }

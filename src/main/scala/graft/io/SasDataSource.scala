@@ -38,8 +38,24 @@ class SasDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  // Spark calls inferSchema then getTable on the same provider
+  // instance for one load — cache the metadata parse so the header +
+  // leading meta pages read once per query, not twice (each parse is
+  // a seek sequence; on a remote store that is a real round trip)
+  @volatile private var cachedMeta: (String, Sas.SasMeta) = _
+
+  private def metaFor(p: String): Sas.SasMeta = {
+    val c = cachedMeta
+    if (c != null && c._1 == p) c._2
+    else {
+      val m = Sas.readMeta(SparkSession.active, p)
+      cachedMeta = (p, m)
+      m
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Sas.readMeta(SparkSession.active, path(options)).schema
+    metaFor(path(options)).schema
 
   override def getTable(
       schema: StructType,
@@ -47,7 +63,7 @@ class SasDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val p = properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("sas7bdat source needs a path"))
-    new SasTable(p, Sas.readMeta(SparkSession.active, p))
+    new SasTable(p, metaFor(p))
   }
 }
 
@@ -76,13 +92,21 @@ private[io] class SasScan(path: String, meta: Sas.SasMeta, required: StructType)
 
   /** Contiguous page ranges — one partition per ~`pagesPerSplit`
     * pages so a huge file fans out while a small one stays cheap.
+    * Compressed files first run [[Sas.rowCountOverrides]]' decode-free
+    * census so trailing stale row subheaders truncate at row_count,
+    * exactly like pd.read_sas; each partition carries only its own
+    * slice of the (normally empty) override map.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    val overrides = Sas.rowCountOverrides(spark, path, meta)
     val targetSplits = math.max(1, spark.sparkContext.defaultParallelism)
     val pagesPerSplit = math.max(1L, (meta.pageCount + targetSplits - 1) / targetSplits)
     (0L until meta.pageCount by pagesPerSplit)
-      .map(s => SasInputPartition(s, math.min(s + pagesPerSplit, meta.pageCount)))
+      .map { s =>
+        val e = math.min(s + pagesPerSplit, meta.pageCount)
+        SasInputPartition(s, e, overrides.filter(kv => kv._1 >= s && kv._1 < e))
+      }
       .toArray
   }
 
@@ -93,7 +117,8 @@ private[io] class SasScan(path: String, meta: Sas.SasMeta, required: StructType)
   }
 }
 
-private[io] case class SasInputPartition(startPage: Long, endPage: Long) extends InputPartition
+private[io] case class SasInputPartition(
+    startPage: Long, endPage: Long, takeOverrides: Map[Long, Int]) extends InputPartition
 
 private[io] case class SasReaderFactory(
     path: String,
@@ -102,7 +127,8 @@ private[io] case class SasReaderFactory(
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SasInputPartition]
-    new SasPartitionReader(path, meta, requiredCols, confEntries, p.startPage, p.endPage)
+    new SasPartitionReader(path, meta, requiredCols, confEntries,
+      p.startPage, p.endPage, p.takeOverrides)
   }
 }
 
@@ -117,7 +143,8 @@ private[io] class SasPartitionReader(
     requiredCols: Array[String],
     confEntries: Array[(String, String)],
     startPage: Long,
-    endPage: Long) extends PartitionReader[InternalRow] {
+    endPage: Long,
+    takeOverrides: Map[Long, Int]) extends PartitionReader[InternalRow] {
 
   private val byName = meta.columns.map(c => c.name -> c).toMap
   private val cols = requiredCols.map(n => byName.getOrElse(n,
@@ -135,7 +162,8 @@ private[io] class SasPartitionReader(
   override def next(): Boolean = {
     while (!rows.hasNext && page < endPage) {
       in.readFully(meta.headerLength + page * meta.pageLength, pageBuf)
-      rows = Sas.pageRowImages(pageBuf, meta)
+      val it = Sas.pageRowImages(pageBuf, meta)
+      rows = takeOverrides.get(page).map(it.take).getOrElse(it)
       page += 1
     }
     if (!rows.hasNext) return false

@@ -436,9 +436,15 @@ object Ivf {
     */
   def saveModel(model: IvfModel, path: String)(spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
+    // k and dims ride on every row: a torn artifact that loses ALL of
+    // a trailing centroid's (or dim's) rows would otherwise still
+    // satisfy a max-id-derived completeness check — the declared
+    // shape makes loadModel's census independent of which rows survive
+    val k = model.centroids.length
+    val dims = model.centroids.headOption.map(_.length).getOrElse(0)
     model.centroids.zipWithIndex.flatMap { case (c, i) =>
-      c.zipWithIndex.map { case (v, d) => (i, d, v) }
-    }.toSeq.toDF("centroid_id", "dim", "value")
+      c.zipWithIndex.map { case (v, d) => (i, d, v, k, dims) }
+    }.toSeq.toDF("centroid_id", "dim", "value", "k", "dims")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -452,17 +458,24 @@ object Ivf {
     */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
     val rows = spark.read.parquet(path)
-      .select("centroid_id", "dim", "value").collect()
+      .select("centroid_id", "dim", "value", "k", "dims").collect()
     require(rows.nonEmpty, s"empty IVF model artifact at $path")
-    val k = rows.iterator.map(_.getInt(0)).max + 1
-    val dims = rows.iterator.map(_.getInt(1)).max + 1
+    // the DECLARED shape, not max-of-surviving-ids: losing every row
+    // of the last centroid must read as torn, not as a smaller model
+    val k = rows.head.getInt(3)
+    val dims = rows.head.getInt(4)
+    require(k > 0 && dims > 0, s"corrupt IVF model artifact at $path (k=$k dims=$dims)")
     require(rows.length == k.toLong * dims,
-      s"torn IVF model artifact at $path: ${rows.length} cells for a $k x $dims model " +
+      s"torn IVF model artifact at $path: ${rows.length} cells for the declared $k x $dims model " +
         s"(expected ${k.toLong * dims}) — refusing to zero-fill missing centroid entries")
     val cents = Array.fill(k)(Array.ofDim[Double](dims))
     val seen = new java.util.HashSet[Long](rows.length * 2)
     rows.foreach { r =>
       val c = r.getInt(0); val d = r.getInt(1)
+      require(r.getInt(3) == k && r.getInt(4) == dims,
+        s"inconsistent declared shape in IVF model artifact at $path")
+      require(c >= 0 && c < k && d >= 0 && d < dims,
+        s"cell (centroid_id=$c, dim=$d) outside the declared $k x $dims model at $path")
       require(seen.add(c.toLong * dims + d),
         s"duplicate cell (centroid_id=$c, dim=$d) in IVF model artifact at $path")
       cents(c)(d) = r.getDouble(2)

@@ -195,6 +195,13 @@ class IvfSkewSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$dir/dup")
     val dup = intercept[IllegalArgumentException] { Ivf.loadModel(spark, s"$dir/dup") }
     assert(dup.getMessage.contains("duplicate cell"), dup.getMessage)
+    // losing EVERY row of the last centroid must read as torn, not as
+    // a plausible smaller model (k is declared on the rows, not
+    // derived from surviving max ids)
+    full.where(col("centroid_id") =!= 1)
+      .coalesce(1).write.parquet(s"$dir/lost_tail")
+    val tail = intercept[IllegalArgumentException] { Ivf.loadModel(spark, s"$dir/lost_tail") }
+    assert(tail.getMessage.contains("torn"), tail.getMessage)
   }
 
   test("IVF cell layout: probes prune partitions and answer exactly the in-memory topK") {

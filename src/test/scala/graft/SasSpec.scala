@@ -118,6 +118,21 @@ class SasSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stale trailing row subheaders truncate at row_count, like pd.read_sas") {
+    // fixture carries 105 row subheaders but declares row_count=100;
+    // pd.read_sas returns exactly the first 100 (validated at
+    // generation) — both read paths must agree via the census
+    val stale = "fixtures/sas/graft_fixture_rle_stale.sas7bdat"
+    val rdd = Sas.read(spark, stale)
+    assert(rdd.count() == 100)
+    assert(rdd.select("id").collect().map(_.getDouble(0)).sorted
+      .sameElements((1 to 100).map(_.toDouble)))
+    val dsv2 = spark.read.format("sas7bdat").load(stale)
+    assert(dsv2.count() == 100)
+    assert(dsv2.orderBy("id").collect().map(_.toSeq).toSeq ==
+      rdd.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")

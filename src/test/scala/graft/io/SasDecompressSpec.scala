@@ -60,10 +60,26 @@ class SasDecompressSpec extends AnyFunSuite {
 
   test("RDC: corrupt back-reference offset and truncated output fail loudly") {
     // cmd 3 back-reference before any output exists
-    val bad = intercept[IllegalArgumentException] { rdc(0x80, 0x00, 0x30, 0x00)(3) }
+    val bad = intercept[java.io.IOException] { rdc(0x80, 0x00, 0x30, 0x00)(3) }
     assert(bad.getMessage.contains("back-reference"))
     val short = intercept[IllegalArgumentException] { rdc(0x00, 0x00, 'a')(5) }
     assert(short.getMessage.contains("decompressed to"))
+    // truncated control word / operand / overflowing run: loud, typed
+    assert(intercept[java.io.IOException] { rdc(0x80)(4) }
+      .getMessage.contains("truncated"))
+    assert(intercept[java.io.IOException] { rdc(0x80, 0x00, 0x00)(4) }
+      .getMessage.contains("truncated"))
+    assert(intercept[java.io.IOException] { rdc(0x80, 0x00, 0x0F, 'x')(4) }
+      .getMessage.contains("overflows"))
+  }
+
+  test("RLE: truncated operands and overflowing runs fail loudly, never bleed past bounds") {
+    assert(intercept[java.io.IOException] { rle(0x60)(40) }
+      .getMessage.contains("truncated"))
+    assert(intercept[java.io.IOException] { rle(0xE5)(3) } // 7 blanks into 3 bytes
+      .getMessage.contains("overflows"))
+    assert(intercept[java.io.IOException] { rle(0x8F, 'a', 'b')(16) } // 16-literal, 2 present
+      .getMessage.contains("overruns"))
   }
 
   // ===== generative roundtrips =====

@@ -558,7 +558,13 @@ def meta_page_with_rows(metadata_shs, rows) -> bytes:
     return bytes(page)
 
 
-def make_compressed(out: str) -> None:
+def make_compressed(out: str, stale_rows: int = 0) -> None:
+    """stale_rows > 0 models a shortened-in-place file: that many
+    extra row subheaders (copies of the first rows) follow the real
+    100 on the last page while the header still declares 100.
+    pd.read_sas reads exactly row_count rows in page order — the
+    validation below proves the stale tail is invisible to it, which
+    is the behavior Sas.rowCountOverrides replicates."""
     blob, offsets = rle_text_blob()
     metadata = [
         rle_rowsize(),
@@ -581,6 +587,9 @@ def make_compressed(out: str) -> None:
             assert len(comp) < RLE_ROW_LEN, f"row {i} did not compress"
             rows.append((comp, False))
 
+    for i in range(1, stale_rows + 1):  # stale tail: re-compressed early rows
+        rows.append((rle_compress(rle_row_bytes(i)), False))
+
     header_bytes = bytearray(header())
     header_bytes[204:208] = u32(2)  # 2 meta pages, rows on both
     with open(out, "wb") as f:
@@ -601,7 +610,8 @@ def make_compressed(out: str) -> None:
         assert r["name"] == f"row_{i:03d}", (i, repr(r["name"]))
         assert r["tag"] == f"tag_{i}", (i, repr(r["tag"]))
     print(f"OK: {out} validated by pd.read_sas "
-          f"({RLE_ROWS} rows x {len(RLE_COLS)} cols, RLE + 1 raw row)")
+          f"({RLE_ROWS} rows x {len(RLE_COLS)} cols, RLE + 1 raw row"
+          + (f", {stale_rows} stale subheaders truncated" if stale_rows else "") + ")")
 
 
 # ---------------------------------------------------------------------------
@@ -795,3 +805,4 @@ if __name__ == "__main__":
         sys.argv[3] if len(sys.argv) > 3 else "fixtures/sas/graft_fixture_rdc.sas7bdat")
     make_variant("fixtures/sas/graft_fixture_32le.sas7bdat", u64=False, little=True)
     make_variant("fixtures/sas/graft_fixture_64be.sas7bdat", u64=True, little=False)
+    make_compressed("fixtures/sas/graft_fixture_rle_stale.sas7bdat", stale_rows=5)
