@@ -48,6 +48,7 @@ object Bench {
     "text_skipgram_lift", "doc_length_outliers",
     "dedup_threshold_curve", "curation_funnel", "s15_ivf_model_roundtrip",
     "s16_ivf_cell_layout", "text_blocklist", "pipeline_curation_config",
+    "pipeline_curation_v2",
     "w6_curation_gate_twin", "mixture_temperature")
 
   def main(args: Array[String]): Unit = {
