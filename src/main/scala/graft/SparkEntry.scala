@@ -516,14 +516,22 @@ object SparkEntry {
       s.read.format("sas7bdat")
         .load("/root/repo/fixtures/sas/graft_fixture_rle.sas7bdat")
         .select("id", "tag")),
-    // the format matrix's other quadrants: 32-bit scalars and
-    // big-endian byte order (legacy SAS exports), same closed form
+    // the format matrix's other quadrants: 32-bit scalars, big-endian
+    // byte order, a mix page (metadata + inline rows — the layout of
+    // every small real-world export), and windows-1252 text with
+    // non-ASCII characters; all pd.read_sas-validated fixtures
     "s5_sas_variants" -> ((s, _) =>
       graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_32le.sas7bdat")
         .withColumn("variant", lit("32le"))
         .unionByName(
           graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_64be.sas7bdat")
-            .withColumn("variant", lit("64be")))),
+            .withColumn("variant", lit("64be")))
+        .unionByName(
+          graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_mix.sas7bdat")
+            .withColumn("variant", lit("mix")))
+        .unionByName(
+          graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_w1252.sas7bdat")
+            .withColumn("variant", lit("w1252")))),
     "c9_filename_meta" -> ((s, d) =>
       graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
         .select("doc_id", "source_file", "view_id", "source_timestamp")),
@@ -3829,8 +3837,15 @@ object SparkEntry {
         |FROM generate_series(1, 100) t(i)""".stripMargin,
     "s5_sas_variants" ->
       """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
-        |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name, v AS variant
-        |FROM generate_series(1, 100) t(i), (VALUES ('32le'), ('64be')) s(v)""".stripMargin,
+        |  CASE WHEN v = 'w1252' THEN
+        |         -- NOT lpad: DuckDB lpad TRUNCATES '100' to width 2;
+        |         -- the fixture's %02d only left-pads
+        |         concat('é', CASE WHEN i < 10 THEN concat('0', CAST(i AS VARCHAR))
+        |                          ELSE CAST(i AS VARCHAR) END, 'ü°')
+        |       ELSE concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) END AS name,
+        |  v AS variant
+        |FROM generate_series(1, 100) t(i),
+        |     (VALUES ('32le'), ('64be'), ('mix'), ('w1252')) s(v)""".stripMargin,
     "s5_sas_dsv2" ->
       """SELECT CAST(i AS DOUBLE) AS id, concat('tag_', CAST(i AS VARCHAR)) AS tag
         |FROM generate_series(1, 100) t(i)""".stripMargin,

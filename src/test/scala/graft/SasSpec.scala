@@ -118,6 +118,29 @@ class SasSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mix page: inline rows after the metadata subheaders parse with the alignment clamp") {
+    val f = "fixtures/sas/graft_fixture_mix.sas7bdat"
+    val m = Sas.readMeta(spark, f)
+    assert(m.mixPageRowCount == 40 && m.rowCount == 100)
+    val rows = Sas.read(spark, f).collect().sortBy(_.getDouble(0))
+    assert(rows.length == 100)
+    for ((r, i0) <- rows.zipWithIndex) {
+      val i = i0 + 1
+      assert(r.getDouble(0) == i.toDouble && r.getString(2) == f"row_$i%03d", s"row $i")
+    }
+  }
+
+  test("windows-1252 encoding: non-ASCII characters decode per the header's charset") {
+    val f = "fixtures/sas/graft_fixture_w1252.sas7bdat"
+    assert(Sas.readMeta(spark, f).encoding == "windows-1252")
+    val rows = Sas.read(spark, f).collect().sortBy(_.getDouble(0))
+    assert(rows.length == 100)
+    for ((r, i0) <- rows.zipWithIndex) {
+      val i = i0 + 1
+      assert(r.getString(2) == f"é$i%02dü°", s"row $i got '${r.getString(2)}'")
+    }
+  }
+
   test("stale trailing row subheaders truncate at row_count, like pd.read_sas") {
     // fixture carries 105 row subheaders but declares row_count=100;
     // pd.read_sas returns exactly the first 100 (validated at

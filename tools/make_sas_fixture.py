@@ -383,6 +383,102 @@ def make_variant(out: str, u64: bool, little: bool) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Mix-page fixture: the layout every small real-world export uses —
+# SAS packs the first rows onto the trailing meta page (page type
+# 0x0200: metadata subheaders, then 8-aligned inline rows). Exercises
+# the reader's mix branch (alignment correction + the
+# min(mix_page_row_count, row_count, capacity) clamp).
+# ---------------------------------------------------------------------------
+
+MIX_ROWS_P0 = 40
+
+
+def mix_page(subheaders, rows) -> bytes:
+    page = bytearray(PAGE)
+    page[BIT_OFFSET:BIT_OFFSET + 2] = u16(0x0200)  # mix
+    page[BIT_OFFSET + 2:BIT_OFFSET + 4] = u16(len(subheaders) + len(rows))
+    page[BIT_OFFSET + 4:BIT_OFFSET + 6] = u16(len(subheaders))
+    ptr = BIT_OFFSET + 8
+    tail = PAGE
+    for sh in subheaders:
+        tail -= len(sh)
+        page[tail:tail + len(sh)] = sh
+        page[ptr:ptr + 8] = u64(tail)
+        page[ptr + 8:ptr + 16] = u64(len(sh))
+        page[ptr + 16] = 0
+        page[ptr + 17] = 0
+        ptr += SH_PTR_LEN
+    pos = ((ptr + 7) // 8) * 8  # rows start 8-aligned after the pointers
+    for r in rows:
+        page[pos:pos + ROW_LEN] = r
+        pos += ROW_LEN
+        assert pos <= tail, "mix page overflow"
+    return bytes(page)
+
+
+def make_mix(out: str) -> None:
+    blob, offsets = text_blob()
+    rs = bytearray(subheader_rowsize())
+    rs[15 * INT:15 * INT + 8] = u64(MIX_ROWS_P0)  # rows on the mix page
+    meta_shs = [bytes(rs), subheader_colsize(), subheader_counts(),
+                subheader_text(blob), subheader_colname(offsets),
+                subheader_colattrs(), subheader_collist()] \
+        + [subheader_format() for _ in COLS]
+    rows = [row_bytes(i) for i in range(1, ROWS + 1)]
+    header_bytes = bytearray(header())
+    header_bytes[204:208] = u32(2)  # mix page + 1 data page
+    with open(out, "wb") as f:
+        f.write(bytes(header_bytes))
+        f.write(mix_page(meta_shs, rows[:MIX_ROWS_P0]))
+        f.write(data_page(rows[MIX_ROWS_P0:]))
+
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="utf-8")
+    assert len(df) == ROWS, len(df)
+    for i in range(1, ROWS + 1):
+        r = df.iloc[i - 1]
+        assert r["id"] == float(i) and r["val"] == i * 0.25
+        assert r["name"] == f"row_{i:03d}"
+    print(f"OK: {out} validated by pd.read_sas (mix page {MIX_ROWS_P0} rows + data page)")
+
+
+# ---------------------------------------------------------------------------
+# windows-1252 fixture: non-UTF8 header encoding (code 62) with
+# non-ASCII characters in the character column — the clinical-export
+# case the encoding switch exists for.
+# ---------------------------------------------------------------------------
+
+def make_w1252(out: str) -> None:
+    def text(i: int) -> str:
+        return f"é{i:02d}ü°"  # cp1252: 6 bytes
+
+    blob, offsets = text_blob()
+    meta = meta_page([
+        subheader_rowsize(), subheader_colsize(), subheader_counts(),
+        subheader_text(blob), subheader_colname(offsets),
+        subheader_colattrs(), subheader_collist()]
+        + [subheader_format() for _ in COLS])
+    rows = [f64(float(i)) + f64(i * 0.25) + text(i).encode("cp1252").ljust(8)
+            for i in range(1, ROWS + 1)]
+    header_bytes = bytearray(header())
+    header_bytes[70] = 62  # windows-1252
+    with open(out, "wb") as f:
+        f.write(bytes(header_bytes))
+        f.write(meta)
+        f.write(data_page(rows[:ROWS_P1]))
+        f.write(data_page(rows[ROWS_P1:]))
+
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="windows-1252")
+    assert len(df) == ROWS
+    for i in range(1, ROWS + 1):
+        r = df.iloc[i - 1]
+        assert r["id"] == float(i) and r["val"] == i * 0.25
+        assert r["name"] == text(i), (i, repr(r["name"]))
+    print(f"OK: {out} validated by pd.read_sas (windows-1252, non-ASCII strings)")
+
+
+# ---------------------------------------------------------------------------
 # RLE-compressed (SASYZCRL / COMPRESS=CHAR) fixture
 #
 # Rows live as one subheader per row on meta pages, pointer type=1 and
@@ -806,3 +902,5 @@ if __name__ == "__main__":
     make_variant("fixtures/sas/graft_fixture_32le.sas7bdat", u64=False, little=True)
     make_variant("fixtures/sas/graft_fixture_64be.sas7bdat", u64=True, little=False)
     make_compressed("fixtures/sas/graft_fixture_rle_stale.sas7bdat", stale_rows=5)
+    make_mix("fixtures/sas/graft_fixture_mix.sas7bdat")
+    make_w1252("fixtures/sas/graft_fixture_w1252.sas7bdat")
