@@ -92,21 +92,8 @@ object Sas {
       case 8 => u64v(off)
     }
     def bytes(off: Int, len: Int): Array[Byte] = java.util.Arrays.copyOfRange(buf, off, off + len)
-    /** SAS numeric: width-w slice of an IEEE double keeping the most
-      * significant bytes — for LE the stored bytes are the HIGH end,
-      * so pad zeros on the left of the 8-byte little-endian image. */
-    def sasDouble(off: Int, w: Int): Double = {
-      var bits = 0L
-      if (le) {
-        var i = 0
-        while (i < w) { bits |= (buf(off + i) & 0xffL) << ((8 - w + i) * 8); i += 1 }
-      } else {
-        var i = 0
-        while (i < w) { bits = (bits << 8) | (buf(off + i) & 0xffL); i += 1 }
-        bits = bits << ((8 - w) * 8)
-      }
-      java.lang.Double.longBitsToDouble(bits)
-    }
+    /** SAS numeric — delegates to the one decode ([[sasDoubleAt]]). */
+    def sasDouble(off: Int, w: Int): Double = sasDoubleAt(buf, le, off, w)
   }
 
   private val PageTypeMask = 0xF00
@@ -382,11 +369,11 @@ object Sas {
       }
       if ((ctrlBits & ctrlMask) == 0) {
         if (ip >= end) corrupt("truncated literal")
-        if (op >= outLen) corrupt(s"literal overflows the $outLen-byte row")
-        out(op) = src(ip); op += 1; ip += 1
+        out(op) = src(ip); op += 1; ip += 1 // loop guard holds op < outLen here
       } else {
-        val cmd = (operand() >> 4) & 0x0f
-        val cnt = src(ip - 1) & 0x0f
+        val cb = operand() // one read: high nibble = command, low = count
+        val cmd = (cb >> 4) & 0x0f
+        val cnt = cb & 0x0f
         cmd match {
           case 0 => // short RLE
             fill(operand().toByte, cnt + 3)
@@ -419,49 +406,72 @@ object Sas {
   private[io] def pageRowImages(page: Array[Byte], meta: SasMeta): Iterator[(Array[Byte], Int)] = {
     val pr = new ByteReader(page, meta.littleEndian)
     val ptype = pr.u16(meta.bitOffset) & PageTypeMask2
-    if (meta.compression != CompressNone && (isMeta(ptype) || ptype == 0x0400)) {
+    if (isCompressedRowPage(ptype, meta)) {
       // compressed file: rows are per-row subheaders on meta pages,
       // RLE-decompressed when shorter than the row length, stored raw
       // otherwise (pd.read_sas's rule)
-      val shCount = pr.u16(meta.bitOffset + 4)
-      return (0 until shCount).iterator.flatMap { i =>
-        val base = meta.bitOffset + 8 + i * meta.shPtrLen
-        val shOff = pr.uint(base, meta.intLen).toInt
-        val shLen = pr.uint(base + meta.intLen, meta.intLen).toInt
-        val comp = pr.u8(base + 2 * meta.intLen)
-        val shType = pr.u8(base + 2 * meta.intLen + 1)
-        if (shLen > 0 && comp != 1 &&
-            isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType)) {
-          val img =
-            if (shLen < meta.rowLength) {
-              val raw =
-                if (meta.compression == CompressRdc)
-                  rdcDecompress(page, shOff, shLen, meta.rowLength.toInt)
-                else rleDecompress(page, shOff, shLen, meta.rowLength.toInt)
-              (raw, 0)
-            } else (page, shOff)
-          Iterator.single(img)
-        } else Iterator.empty
+      dataSubheaderPtrs(page, meta).map { case (shOff, shLen) =>
+        if (shLen < meta.rowLength) {
+          val raw =
+            if (meta.compression == CompressRdc)
+              rdcDecompress(page, shOff, shLen, meta.rowLength.toInt)
+            else rleDecompress(page, shOff, shLen, meta.rowLength.toInt)
+          (raw, 0)
+        } else (page, shOff)
       }
+    } else {
+      val (start, n) = inlineRowSpan(pr, ptype, meta)
+      (0L until n).iterator.map(r => (page, (start + r * meta.rowLength).toInt))
     }
-    val (start, n) =
-      if (isData(ptype)) {
-        (meta.bitOffset + 8, pr.u16(meta.bitOffset + 2).toLong)
-      } else if (isMix(ptype)) {
-        val shCount = pr.u16(meta.bitOffset + 4)
-        val raw = meta.bitOffset + 8 + shCount * meta.shPtrLen
-        val aligned = ((raw + 7) / 8) * 8
-        val capacity = (page.length - aligned) / meta.rowLength
-        // pd.read_sas clamps the mix page to min(row_count,
-        // mix_page_row_count); a mix page is always the FIRST
-        // row-bearing page, so the file-level rowCount applies to it
-        // directly — without the clamp a row_size subheader declaring
-        // more mix rows than the table holds would emit garbage rows
-        // parsed from page padding
-        (aligned, Seq(meta.mixPageRowCount, meta.rowCount, capacity).min)
-      } else (0, 0L)
-    (0L until n).iterator.map(r => (page, (start + r * meta.rowLength).toInt))
   }
+
+  private def isCompressedRowPage(ptype: Int, meta: SasMeta): Boolean =
+    meta.compression != CompressNone && (isMeta(ptype) || ptype == 0x0400)
+
+  /** (offset, length) of each row-bearing data subheader of one
+    * compressed-file meta/comp page — the ONE pointer walk under both
+    * the row materializer ([[pageRowImages]]) and the decode-free
+    * census ([[pageRowCount]]); sharing it makes count/emit
+    * divergence structurally impossible.
+    */
+  private def dataSubheaderPtrs(page: Array[Byte], meta: SasMeta): Iterator[(Int, Int)] = {
+    val pr = new ByteReader(page, meta.littleEndian)
+    val shCount = pr.u16(meta.bitOffset + 4)
+    (0 until shCount).iterator.flatMap { i =>
+      val base = meta.bitOffset + 8 + i * meta.shPtrLen
+      val shOff = pr.uint(base, meta.intLen).toInt
+      val shLen = pr.uint(base + meta.intLen, meta.intLen).toInt
+      val comp = pr.u8(base + 2 * meta.intLen)
+      val shType = pr.u8(base + 2 * meta.intLen + 1)
+      if (shLen > 0 && comp != 1 &&
+          isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType))
+        Iterator.single((shOff, shLen))
+      else Iterator.empty
+    }
+  }
+
+  /** (start, count) of the inline fixed-width rows of one
+    * uncompressed data/mix page. Reads ONLY the page header (first
+    * `bitOffset + 8` bytes), so the census can pass a header-only
+    * prefix buffer; the mix-page capacity uses `meta.pageLength` (the
+    * buffer handed to [[pageRowImages]] is always exactly one page).
+    */
+  private def inlineRowSpan(pr: ByteReader, ptype: Int, meta: SasMeta): (Int, Long) =
+    if (isData(ptype)) {
+      (meta.bitOffset + 8, pr.u16(meta.bitOffset + 2).toLong)
+    } else if (isMix(ptype)) {
+      val shCount = pr.u16(meta.bitOffset + 4)
+      val raw = meta.bitOffset + 8 + shCount * meta.shPtrLen
+      val aligned = ((raw + 7) / 8) * 8
+      val capacity = (meta.pageLength - aligned) / meta.rowLength
+      // pd.read_sas clamps the mix page to min(row_count,
+      // mix_page_row_count); a mix page is always the FIRST
+      // row-bearing page, so the file-level rowCount applies to it
+      // directly — without the clamp a row_size subheader declaring
+      // more mix rows than the table holds would emit garbage rows
+      // parsed from page padding
+      (aligned, Seq(meta.mixPageRowCount, meta.rowCount, capacity).min)
+    } else (0, 0L)
 
   /** Parse the rows of ONE page (all columns, external Row form). */
   private def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Row] = {
@@ -547,55 +557,38 @@ object Sas {
   }
 
   /** Count the data rows of ONE page without decompressing or
-    * decoding them — pointer-array walk only. MUST agree with
-    * [[pageRowImages]] row-for-row (spec-pinned via the census).
+    * decoding them. Agrees with [[pageRowImages]] row-for-row BY
+    * CONSTRUCTION: both walk the same [[dataSubheaderPtrs]] /
+    * [[inlineRowSpan]]. For uncompressed files `page` may be a
+    * header-only prefix (`bitOffset + 8` bytes) — the inline span
+    * never reads past the header.
     */
   private[io] def pageRowCount(page: Array[Byte], meta: SasMeta): Int = {
     val pr = new ByteReader(page, meta.littleEndian)
     val ptype = pr.u16(meta.bitOffset) & PageTypeMask2
-    if (meta.compression != CompressNone && (isMeta(ptype) || ptype == 0x0400)) {
-      val shCount = pr.u16(meta.bitOffset + 4)
-      var n = 0
-      var i = 0
-      while (i < shCount) {
-        val base = meta.bitOffset + 8 + i * meta.shPtrLen
-        val shOff = pr.uint(base, meta.intLen).toInt
-        val shLen = pr.uint(base + meta.intLen, meta.intLen).toInt
-        val comp = pr.u8(base + 2 * meta.intLen)
-        val shType = pr.u8(base + 2 * meta.intLen + 1)
-        if (shLen > 0 && comp != 1 &&
-            isDataSubheader(pr.bytes(shOff, meta.intLen), comp, shType)) n += 1
-        i += 1
-      }
-      n
-    } else if (isData(ptype)) {
-      pr.u16(meta.bitOffset + 2)
-    } else if (isMix(ptype)) {
-      val shCount = pr.u16(meta.bitOffset + 4)
-      val raw = meta.bitOffset + 8 + shCount * meta.shPtrLen
-      val aligned = ((raw + 7) / 8) * 8
-      val capacity = (page.length - aligned) / meta.rowLength
-      Seq(meta.mixPageRowCount, meta.rowCount, capacity).min.toInt
-    } else 0
+    if (isCompressedRowPage(ptype, meta)) dataSubheaderPtrs(page, meta).size
+    else inlineRowSpan(pr, ptype, meta)._2.toInt
   }
 
-  /** pd.read_sas reads EXACTLY `row_count` rows in page order; a
-    * compressed file shortened in place can carry stale row
-    * subheaders past that on its trailing pages, which a naive pass
-    * would emit as extra garbage rows. For compressed files this runs
-    * one decode-free census pass (pointer arrays only — rows are
-    * never decompressed) and returns per-page take limits for the
-    * affected pages; EMPTY for well-formed files, and skipped
-    * entirely for uncompressed files, whose inline rows are bounded
-    * by each data page's declared block count plus the mix-page
-    * clamp. The census is the price of parity: one extra I/O pass
-    * over compressed files (which are small relative to the columnar
-    * stores this engine targets), no decode cost.
+  /** pd.read_sas reads EXACTLY `row_count` rows in page order; a file
+    * shortened in place can carry stale rows past that on its
+    * trailing pages — stale row subheaders on compressed files, data
+    * pages whose u16 block counts sum past `row_count` on
+    * uncompressed ones — which a naive pass would emit as extra
+    * garbage rows. This runs one decode-free census (pointer arrays
+    * only — rows are never decompressed) and returns per-page take
+    * limits for the affected pages; EMPTY for well-formed files. The
+    * census is the price of parity, and it is cheap: uncompressed
+    * files read only each page's `bitOffset + 8`-byte HEADER (the
+    * inline row count lives there — ~0.1% of the file's bytes);
+    * compressed files read whole pages (the pointer walk chases
+    * signature bytes anywhere in the page) but never decode a row.
     */
   private[io] def rowCountOverrides(
       spark: SparkSession, path: String, meta: SasMeta): Map[Long, Int] = {
-    if (meta.compression == CompressNone) return Map.empty
     val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
+    val readLen =
+      if (meta.compression == CompressNone) meta.bitOffset + 8 else meta.pageLength
     val parallelism = math.max(1L,
       math.min(meta.pageCount, spark.sparkContext.defaultParallelism.toLong)).toInt
     val census = spark.sparkContext
@@ -607,12 +600,13 @@ object Sas {
         val in = fs.open(p)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        val buf = new Array[Byte](meta.pageLength)
+        val buf = new Array[Byte](readLen)
         pages.map { pi =>
-          in.readFully(meta.headerLength + pi * meta.pageLength, buf)
+          in.readFully(meta.headerLength + pi * meta.pageLength, buf, 0, readLen)
           (pi, pageRowCount(buf, meta))
         }
       }.collect().sortBy(_._1)
+    confBc.destroy() // census is one job; don't accumulate a broadcast per scan
     var cum = 0L
     val m = Map.newBuilder[Long, Int]
     census.foreach { case (pi, n) =>

@@ -72,18 +72,25 @@ private[io] class SasTable(path: String, meta: Sas.SasMeta) extends Table with S
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
+  // the Table instance lives in the logical plan, so every action on
+  // the same DataFrame re-plans through it: run the census ONCE here,
+  // not once per planInputPartitions (per action) — the census is a
+  // real distributed job over the file's page headers
+  private[io] lazy val rowOverrides: Map[Long, Int] =
+    Sas.rowCountOverrides(SparkSession.active, path, meta)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SasScanBuilder(path, meta)
+    new SasScanBuilder(path, meta, this)
 }
 
-private[io] class SasScanBuilder(path: String, meta: Sas.SasMeta)
+private[io] class SasScanBuilder(path: String, meta: Sas.SasMeta, table: SasTable)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = meta.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SasScan(path, meta, required)
+  override def build(): Scan = new SasScan(path, meta, required, table)
 }
 
-private[io] class SasScan(path: String, meta: Sas.SasMeta, required: StructType)
+private[io] class SasScan(
+    path: String, meta: Sas.SasMeta, required: StructType, table: SasTable)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -92,14 +99,15 @@ private[io] class SasScan(path: String, meta: Sas.SasMeta, required: StructType)
 
   /** Contiguous page ranges — one partition per ~`pagesPerSplit`
     * pages so a huge file fans out while a small one stays cheap.
-    * Compressed files first run [[Sas.rowCountOverrides]]' decode-free
-    * census so trailing stale row subheaders truncate at row_count,
-    * exactly like pd.read_sas; each partition carries only its own
-    * slice of the (normally empty) override map.
+    * [[Sas.rowCountOverrides]]' decode-free census (cached on the
+    * table — once per DataFrame, not per action) truncates trailing
+    * stale rows at row_count, exactly like pd.read_sas; each
+    * partition carries only its own slice of the (normally empty)
+    * override map.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val overrides = Sas.rowCountOverrides(spark, path, meta)
+    val overrides = table.rowOverrides
     val targetSplits = math.max(1, spark.sparkContext.defaultParallelism)
     val pagesPerSplit = math.max(1L, (meta.pageCount + targetSplits - 1) / targetSplits)
     (0L until meta.pageCount by pagesPerSplit)

@@ -457,8 +457,12 @@ object Ivf {
     * with every artifact written before the corruption.
     */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
-    val rows = spark.read.parquet(path)
-      .select("centroid_id", "dim", "value", "k", "dims").collect()
+    val df = spark.read.parquet(path)
+    require(Seq("k", "dims").forall(df.columns.contains),
+      s"IVF model artifact at $path predates the declared-shape format " +
+        "(no k/dims columns) — regenerate it with saveModel; loading by " +
+        "max-surviving-id cannot distinguish a torn artifact from a smaller model")
+    val rows = df.select("centroid_id", "dim", "value", "k", "dims").collect()
     require(rows.nonEmpty, s"empty IVF model artifact at $path")
     // the DECLARED shape, not max-of-surviving-ids: losing every row
     // of the last centroid must read as torn, not as a smaller model

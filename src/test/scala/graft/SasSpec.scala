@@ -156,6 +156,22 @@ class SasSpec extends SparkSpec {
       rdd.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("stale trailing INLINE rows on an uncompressed file truncate at row_count too") {
+    // the uncompressed twin of the census: the last data page's u16
+    // block count covers 10 stale rows (ids 9001..9010) past the
+    // declared row_count=100; pd.read_sas returns exactly the first
+    // 100 (validated at generation) — both read paths must agree
+    val stale = "fixtures/sas/graft_fixture_plain_stale.sas7bdat"
+    val rdd = Sas.read(spark, stale)
+    assert(rdd.count() == 100)
+    assert(rdd.select("id").collect().map(_.getDouble(0)).sorted
+      .sameElements((1 to 100).map(_.toDouble)))
+    val dsv2 = spark.read.format("sas7bdat").load(stale)
+    assert(dsv2.count() == 100)
+    assert(dsv2.orderBy("id").collect().map(_.toSeq).toSeq ==
+      rdd.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")

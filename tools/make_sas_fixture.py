@@ -409,10 +409,12 @@ def mix_page(subheaders, rows) -> bytes:
         page[ptr + 17] = 0
         ptr += SH_PTR_LEN
     pos = ((ptr + 7) // 8) * 8  # rows start 8-aligned after the pointers
+    # bounds-check BEFORE writing: a colliding layout must abort, not
+    # clobber the tail-packed subheaders first
+    assert pos + len(rows) * ROW_LEN <= tail, "mix page overflow"
     for r in rows:
         page[pos:pos + ROW_LEN] = r
         pos += ROW_LEN
-        assert pos <= tail, "mix page overflow"
     return bytes(page)
 
 
@@ -893,6 +895,38 @@ def main(out: str) -> None:
     print(f"OK: {out} validated by pd.read_sas ({ROWS} rows x {len(COLS)} cols)")
 
 
+def make_plain_stale(out: str, stale_rows: int = 10) -> None:
+    """Models an UNCOMPRESSED file shortened in place: row_size still
+    declares ROWS rows, but the trailing data page's u16 block count
+    covers `stale_rows` old rows past that. pd.read_sas reads exactly
+    row_count rows in page order — the validation proves the stale
+    inline tail is invisible to it, which is the behavior the Scala
+    census must match (same parity as the compressed stale fixture,
+    on the inline-row path)."""
+    blob, offsets = text_blob()
+    meta_shs = [subheader_rowsize(), subheader_colsize(), subheader_counts(),
+                subheader_text(blob), subheader_colname(offsets),
+                subheader_colattrs(), subheader_collist()] \
+        + [subheader_format() for _ in COLS]
+    rows = [row_bytes(i) for i in range(1, ROWS + 1)]
+    # stale tail: ids far outside 1..ROWS so leakage is unmistakable
+    stale = [row_bytes(9000 + i) for i in range(1, stale_rows + 1)]
+    with open(out, "wb") as f:
+        f.write(header())
+        f.write(meta_page(meta_shs))
+        f.write(data_page(rows[:ROWS_P1]))
+        f.write(data_page(rows[ROWS_P1:] + stale))
+
+    import pandas as pd
+    df = pd.read_sas(out, format="sas7bdat", encoding="utf-8")
+    assert len(df) == ROWS, len(df)
+    assert float(df["id"].max()) == float(ROWS), df["id"].max()
+    assert df["name"].iloc[-1] == f"row_{ROWS:03d}", repr(df["name"].iloc[-1])
+    assert abs(float(df["val"].sum()) - 0.25 * ROWS * (ROWS + 1) / 2) < 1e-9
+    print(f"OK: {out} validated by pd.read_sas "
+          f"({ROWS} rows, {stale_rows} stale inline rows truncated)")
+
+
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "fixtures/sas/graft_fixture.sas7bdat")
     make_compressed(
@@ -902,5 +936,6 @@ if __name__ == "__main__":
     make_variant("fixtures/sas/graft_fixture_32le.sas7bdat", u64=False, little=True)
     make_variant("fixtures/sas/graft_fixture_64be.sas7bdat", u64=True, little=False)
     make_compressed("fixtures/sas/graft_fixture_rle_stale.sas7bdat", stale_rows=5)
+    make_plain_stale("fixtures/sas/graft_fixture_plain_stale.sas7bdat", stale_rows=10)
     make_mix("fixtures/sas/graft_fixture_mix.sas7bdat")
     make_w1252("fixtures/sas/graft_fixture_w1252.sas7bdat")
