@@ -532,6 +532,18 @@ object SparkEntry {
         .unionByName(
           graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_w1252.sas7bdat")
             .withColumn("variant", lit("w1252")))),
+    // pd.read_sas parity on files shortened in place: both fixtures
+    // declare row_count=100 but physically carry stale trailing rows
+    // (105 RLE subheaders / 110 inline rows); the decode-free census
+    // truncates at exactly 100 on both read paths — pandas-validated
+    // at fixture generation (tools/make_sas_fixture.py)
+    "s5_sas_stale" -> ((s, _) =>
+      graft.io.Sas.read(s, "/root/repo/fixtures/sas/graft_fixture_rle_stale.sas7bdat")
+        .select("id", "val", "name").withColumn("variant", lit("rle"))
+        .unionByName(
+          s.read.format("sas7bdat")
+            .load("/root/repo/fixtures/sas/graft_fixture_plain_stale.sas7bdat")
+            .select("id", "val", "name").withColumn("variant", lit("plain")))),
     "c9_filename_meta" -> ((s, d) =>
       graft.io.Ingestion.withFileMetadata(t(s, d, "documents"))
         .select("doc_id", "source_file", "view_id", "source_timestamp")),
@@ -3849,6 +3861,11 @@ object SparkEntry {
     "s5_sas_dsv2" ->
       """SELECT CAST(i AS DOUBLE) AS id, concat('tag_', CAST(i AS VARCHAR)) AS tag
         |FROM generate_series(1, 100) t(i)""".stripMargin,
+    "s5_sas_stale" ->
+      """SELECT CAST(i AS DOUBLE) AS id, CAST(i AS DOUBLE) * 0.25 AS val,
+        |  concat('row_', lpad(CAST(i AS VARCHAR), 3, '0')) AS name, v AS variant
+        |FROM generate_series(1, 100) t(i),
+        |     (VALUES ('rle'), ('plain')) s(v)""".stripMargin,
     "c9_filename_meta" ->
       """SELECT doc_id, 'documents.parquet' AS source_file, 'documents' AS view_id, '' AS source_timestamp
         |FROM documents""".stripMargin,
