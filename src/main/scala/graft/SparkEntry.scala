@@ -3111,7 +3111,7 @@ object SparkEntry {
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN r USING (source)
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      / 1152921504606846976.0 < r.rate""".stripMargin,
+        |      / 1152921504606846976.0 < r.rate OR r.rate >= 1.0""".stripMargin,
     "text_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -50,8 +50,16 @@ object Drift {
       fpScale: Double = 1e6)(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val o = oldDf.groupBy(dim.as("value")).agg(count(lit(1)).as("n_old"))
     val n = newDf.groupBy(dim.as("value")).agg(count(lit(1)).as("n_new"))
-    val joined = o.join(n, Seq("value"), "full")
-      .na.fill(0L, Seq("n_old", "n_new"))
+    // null-safe join key: each side's groupBy keeps ONE null group
+    // (docs with a NULL dimension), and a null-unsafe join would emit
+    // TWO rows for it — (null, n, 0) and (null, 0, n) — each paying a
+    // presence-only smoothed penalty, so a stable corpus with NULLs
+    // would read as drifting (and k would overcount by one)
+    val joined = o.join(n, o("value") <=> n("value"), "full")
+      .select(
+        coalesce(o("value"), n("value")).as("value"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
     // totals + distinct-value count over the dimension-sized table:
     // single-partition window, bounded by the dimension's cardinality
     val w = org.apache.spark.sql.expressions.Window
@@ -119,14 +127,17 @@ object Drift {
   def vocabOverlapMatrix(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     // the vocabulary reduction (corpus explode + distinct — the only
     // corpus-sized work here) feeds FOUR consumers (two total tables,
-    // both self-join sides); persist it so the corpus is scanned once
-    // — the cdcDupCoverage discipline. The cached frame is
-    // vocabulary-sized (groups × distinct tokens), not corpus-sized.
+    // both self-join sides). NOT persisted: a lazily-returned frame
+    // could never unpersist its cache (the allPairsJaccard rule — the
+    // leak outlives the call), and it doesn't need to be: all four
+    // consumers sit in ONE returned plan over the IDENTICAL distinct
+    // subtree, so ReuseExchange computes the corpus explode + distinct
+    // shuffle once and the other consumers read its output
+    // (ReusedExchange in the physical plan — asserted by MiningSpec).
     val vocab = df
       .select(col(groupCol).as("__g"),
         explode(TextAnalysis.tokens(col(textCol))).as("__t"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val shared = vocab.toDF("__ga", "__t")
       .join(vocab.toDF("__gb", "__t2"),

@@ -51,9 +51,12 @@ object Dsir {
     * row predicate on the SAME frame (e.g. `col("lang") === "en"`).
     * Output: one row per input doc — `n_grams` and the fixed-point
     * `score_fp` (micro-nats at the default scale; higher = more
-    * target-like). Docs whose grams all hash to never-seen buckets
-    * cannot occur (raw counts include every doc, so c_raw ≥ 1 for
-    * every bucket a doc touches).
+    * target-like). A NULL text coalesces to the empty string, which
+    * the short-doc rule turns into ONE empty gram — so such docs
+    * still appear in the output (with the empty-gram bucket's ratio)
+    * instead of silently vanishing from `explode(NULL)`. Docs whose
+    * grams all hash to never-seen buckets cannot occur (raw counts
+    * include every doc, so c_raw ≥ 1 for every bucket a doc touches).
     */
   def importanceWeights(
       idCol: String,
@@ -64,7 +67,9 @@ object Dsir {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val grams = df
       .select(col(idCol), isTarget.as("__is_target"),
-        explode(Dedup.shingles(textCol, 2)).as("__gram"))
+        coalesce(col(textCol).cast("string"), lit("")).as("__text"))
+      .select(col(idCol), col("__is_target"),
+        explode(Dedup.shingles("__text", 2)).as("__gram"))
       .select(col(idCol), col("__is_target"),
         Sampling.hashBucket(col("__gram"), buckets).as("bucket"))
 

@@ -19,6 +19,22 @@ object Sampling {
     pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** THE bucket-to-split rule — one definition so [[withHashSplit]],
+    * [[clusterAwareSplit]] and [[splitLeakageAudit]] cannot diverge
+    * (each used to re-spell the when-chain; the audit must apply
+    * exactly the rule the splitters apply or leakage checks lie).
+    */
+  private def splitOf(key: Column, valPct: Int, testPct: Int): Column = {
+    val b = hashBucket(key)
+    when(b < valPct, "val")
+      .when(b < valPct + testPct, "test")
+      .otherwise("train")
+  }
+
+  private def requireSplitPcts(valPct: Int, testPct: Int): Unit =
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"split percentages must fit in 100, got val=$valPct test=$testPct")
+
   /** Deterministic train/val/test assignment: the first `valPct`
     * buckets are validation, the next `testPct` test, the rest train.
     */
@@ -27,13 +43,8 @@ object Sampling {
       valPct: Int = 5,
       testPct: Int = 5,
       outCol: String = "split")(df: DataFrame): DataFrame = {
-    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
-      s"split percentages must fit in 100, got val=$valPct test=$testPct")
-    val b = hashBucket(col(keyCol))
-    df.withColumn(outCol,
-      when(b < valPct, "val")
-        .when(b < valPct + testPct, "test")
-        .otherwise("train"))
+    requireSplitPcts(valPct, testPct)
+    df.withColumn(outCol, splitOf(col(keyCol), valPct, testPct))
   }
 
   /** Deterministic `pct`% sample: keep rows whose key bucket falls
@@ -54,10 +65,15 @@ object Sampling {
   def hashKey(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Continuous stable fraction in [0, 1): the md5-bucket construction
+  /** Continuous stable fraction in [0, 1]: the md5-bucket construction
     * at full 60-bit resolution (2^60 = 16^15 is exactly representable,
     * so the division is engine-portable bit-for-bit) — for keep rates
-    * finer than [[hashBucket]]'s 1% granularity.
+    * finer than [[hashBucket]]'s 1% granularity. Boundary caveat: the
+    * 64 integer prefixes in [2^60−64, 2^60) round UP to 2^60 under the
+    * double cast, so the fraction can be exactly 1.0 (probability
+    * ~6e-17 per key); `fraction < rate` comparisons that must keep
+    * every row at rate = 1.0 need an explicit `rate >= 1` escape (see
+    * [[temperatureBalancedSample]]) — replayed identically in oracles.
     */
   def hashFraction(key: Column): Column =
     hashKey(key).cast("double") / lit(1152921504606846976.0)
@@ -102,8 +118,12 @@ object Sampling {
       alpha: Double = 0.5)(df: DataFrame): DataFrame = {
     val rates = domainMixture(domainCol, alpha)(df)
       .select(col(domainCol), col("sample_rate"))
+    // rate >= 1 escape: the smallest domain's rate is exactly 1.0 and
+    // must keep EVERY row, including the ~6e-17-probability keys whose
+    // hashFraction rounds to exactly 1.0 (see [[hashFraction]])
     df.join(broadcast(rates), Seq(domainCol))
-      .where(hashFraction(col(keyCol)) < col("sample_rate"))
+      .where(hashFraction(col(keyCol)) < col("sample_rate") ||
+        col("sample_rate") >= lit(1.0))
       .drop("sample_rate")
   }
 
@@ -153,6 +173,9 @@ object Sampling {
     */
   def prioritySample(keyCol: String, weightCol: String, k: Int)(df: DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("priority"),
+      "prioritySample writes a 'priority' column; the input already has one " +
+        "— rename it first (silent clobber would destroy caller data)")
     val u = greatest(hashFraction(col(keyCol)), lit(1.0 / 1152921504606846976.0))
     df.withColumn("priority", col(weightCol).cast("double") / u)
       .orderBy(col("priority").desc, col(keyCol))
@@ -211,19 +234,17 @@ object Sampling {
       minJaccard: Double = 0.3,
       valPct: Int = 5,
       testPct: Int = 5): DataFrame = {
+    requireSplitPcts(valPct, testPct)
     val clusters = Dedup.nearDupClusters(
       Dedup.allPairsJaccard(df, idCol, textCol, minJaccard))
       .withColumnRenamed("doc_id", idCol)
-    val keyed = df.select(col(idCol))
+    df.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
-    val b = hashBucket(col("split_key"))
-    keyed.select(
-      col(idCol),
-      col("split_key"),
-      when(b < valPct, "val")
-        .when(b < valPct + testPct, "test")
-        .otherwise("train").as("split"))
+      .select(
+        col(idCol),
+        col("split_key"),
+        splitOf(col("split_key"), valPct, testPct).as("split"))
   }
 
   /** Split-leakage audit: near-duplicate document pairs whose members
@@ -249,15 +270,10 @@ object Sampling {
       minJaccard: Double = 0.3,
       valPct: Int = 5,
       testPct: Int = 5): DataFrame = {
-    def splitOf(id: Column): Column = {
-      val b = hashBucket(id)
-      when(b < valPct, "val")
-        .when(b < valPct + testPct, "test")
-        .otherwise("train")
-    }
+    requireSplitPcts(valPct, testPct)
     Dedup.allPairsJaccard(df, idCol, textCol, minJaccard)
-      .withColumn("split_a", splitOf(col("id_a")))
-      .withColumn("split_b", splitOf(col("id_b")))
+      .withColumn("split_a", splitOf(col("id_a"), valPct, testPct))
+      .withColumn("split_b", splitOf(col("id_b"), valPct, testPct))
       .where(col("split_a") =!= col("split_b"))
       .select("id_a", "id_b", "jaccard", "split_a", "split_b")
   }

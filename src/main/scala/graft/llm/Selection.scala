@@ -52,6 +52,11 @@ object Selection {
       bins: Int = 1000)(df: DataFrame): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(bins > 0, s"bins must be positive, got $bins")
+    val temps = Seq("__bin", "__above", "__keep_all", "__boundary", "__cum")
+    val clash = df.columns.toSet.intersect(temps.toSet)
+    require(clash.isEmpty,
+      s"tokenBudgetSelect uses internal columns ${clash.mkString(", ")} already " +
+        "present in the input — rename them first (silent clobber)")
     // floor(score * bins) is monotone in score, so ordering by
     // (bin DESC, score DESC, id) == (score DESC, id): deciding whole
     // bins against the budget is exactly the per-document prefix rule
@@ -70,7 +75,16 @@ object Selection {
         !col("__keep_all") && col("__above") < budget)
       .select(col(groupCol), col("__bin"), col("__above"),
         col("__keep_all"), col("__boundary"))
-    val joined = binned.join(broadcast(decided), Seq(groupCol, "__bin"))
+    // NULL-SAFE join keys: a NULL score bins to NULL and a NULL group
+    // value is a real group — a null-unsafe equi-join would silently
+    // DROP those rows. NULL bins sort last under the desc windows
+    // (Spark desc = nulls last), so a NULL-scored doc competes after
+    // every scored one — exactly the one-window (score DESC NULLS
+    // LAST, id) rule this decomposition claims to equal.
+    val joined = binned.join(broadcast(decided),
+        binned(groupCol) <=> decided(groupCol) &&
+          binned("__bin") <=> decided("__bin"))
+      .drop(decided(groupCol)).drop(decided("__bin"))
     val keepWhole = joined.where(col("__keep_all"))
     // boundary bin: per-document prefix, offset by the higher bins'
     // total — the window's input is one bin's rows per group, not the
@@ -110,6 +124,11 @@ object Selection {
       outCol: String = "score_pct",
       bins: Int = 1000)(df: DataFrame): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
+    val clash = df.columns.toSet
+      .intersect(Set(outCol, "__bin", "__below", "__n", "__rank"))
+    require(clash.isEmpty,
+      s"calibrateScore writes columns ${clash.mkString(", ")} already present " +
+        "in the input — rename them first (silent clobber)")
     val binned = df.withColumn("__bin",
       floor(col(scoreCol).cast("double") * bins).cast("long"))
     val counts = binned.groupBy(col(groupCol), col("__bin"))
@@ -124,7 +143,13 @@ object Selection {
       .drop("__bin_n")
     val wBin = Window.partitionBy(groupCol, "__bin")
       .orderBy(col(scoreCol))
-    binned.join(broadcast(offsets), Seq(groupCol, "__bin"))
+    // null-safe keys for the same reason as tokenBudgetSelect: NULL
+    // scores/groups must rank (nulls FIRST under the asc windows,
+    // matching the one-window percent_rank form), never silently drop
+    binned.join(broadcast(offsets),
+        binned(groupCol) <=> offsets(groupCol) &&
+          binned("__bin") <=> offsets("__bin"))
+      .drop(offsets(groupCol)).drop(offsets("__bin"))
       .withColumn("__rank", col("__below") + rank().over(wBin).cast("long"))
       .withColumn(outCol,
         when(col("__n") > 1L,

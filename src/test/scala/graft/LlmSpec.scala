@@ -718,6 +718,15 @@ class LlmSpec extends SparkSpec {
     val plain = Sampling.withHashSplit("doc_id")(d)
       .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
     assert(r(7L) == ((7L, plain(7L))))
+    // the shared split rule carries withHashSplit's validation too: a
+    // val+test carve-out over 100% used to pass silently and leave
+    // NO train split at all
+    intercept[IllegalArgumentException] {
+      Sampling.clusterAwareSplit(d, "doc_id", "text", valPct = 60, testPct = 60)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitLeakageAudit(d, "doc_id", "text", valPct = 60, testPct = 60)
+    }
     assert(r(73L) == ((73L, plain(73L))))
     // and the audit finds nothing to flag on the remedied assignment:
     // every near-dup pair is same-split by construction
@@ -1353,6 +1362,19 @@ class LlmSpec extends SparkSpec {
       s"total ${shifted("zh").getAs[Long]("psi_total_fp")}")
   }
 
+  test("drift: a NULL dimension value is ONE value (null-safe join), not two one-sided rows") {
+    import graft.llm.Drift
+    val a = Seq(Some("en"), Some("en"), None, None).toDF("lang")
+    val same = Drift.categoryDrift(col("lang"))(a, a).collect()
+    // a null-unsafe join would emit (null, 2, 0) AND (null, 0, 2),
+    // each paying a presence-only penalty on a perfectly stable corpus
+    assert(same.length == 2, same.mkString("; "))
+    val nullRow = same.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("n_old") == 2L && nullRow.getAs[Long]("n_new") == 2L)
+    assert(same.forall(_.getAs[Long]("psi_fp") == 0L))
+    assert(same.head.getAs[Long]("psi_total_fp") == 0L)
+  }
+
   test("drift plan: shuffles carry the dimension value only; no cartesian") {
     val a = spark.range(100).selectExpr("CAST(id % 3 AS STRING) AS lang")
     val plan = planOf(graft.llm.Drift.categoryDrift(col("lang"))(a, a))
@@ -1360,7 +1382,10 @@ class LlmSpec extends SparkSpec {
     // the count exchanges key on the dimension expression (pre-alias
     // column name at partial-agg time, `value` after)
     val keys = "Exchange hashpartitioning\\(([^,]+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(keys.forall(k => k.startsWith("value") || k.startsWith("lang")),
+    // coalesce(value, <type-default>) is the shape Spark gives a
+    // null-safe (<=>) join key — still the dimension value only
+    assert(keys.forall(k => k.startsWith("value") || k.startsWith("lang") ||
+        k.startsWith("coalesce(value") || k.startsWith("coalesce(lang")),
       s"unexpected shuffle keys $keys")
   }
 
@@ -1431,6 +1456,18 @@ class LlmSpec extends SparkSpec {
     assert(r(3L)._2 > r(4L)._2,
       s"shared-gram doc must outscore disjoint doc: ${r(3L)._2} <= ${r(4L)._2}")
     assert(r(1L)._2 > r(4L)._2)
+  }
+
+  test("dsir: a NULL text scores as one empty gram instead of vanishing from explode(NULL)") {
+    import graft.llm.Dsir
+    val df = Seq(
+      (1L, Option("quick brown fox here"), "en"),
+      (2L, Option.empty[String], "other")
+    ).toDF("doc_id", "text", "lang")
+    val r = Dsir.importanceWeights("doc_id", "text", col("lang") === "en")(df)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L), "one row per input doc includes NULL-text docs")
+    assert(r(2L) == 1L, "NULL coalesces to '' → the short-doc rule's single gram")
   }
 
   test("dsir score is an exact integer sum: invariant under repartitioning") {

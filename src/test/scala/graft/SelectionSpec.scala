@@ -57,6 +57,51 @@ class SelectionSpec extends SparkSpec {
     assert(selected(100000L, 100) == (1L to 9L).toSet)
   }
 
+  test("NULL scores compete last and are never silently dropped (null-safe bin join)") {
+    // a NULL score bins to a NULL __bin; with a null-unsafe join those
+    // rows used to vanish from the output entirely — they must instead
+    // behave as (score DESC NULLS LAST, id), i.e. compete after every
+    // scored document
+    val withNulls = corpus.unionByName(Seq(
+      (10L, "a", Option.empty[Double], 40),
+      (11L, "c", Option.empty[Double], 40)
+    ).toDF("id", "grp", "score", "n_tokens"))
+    def sel(budget: Long): Set[Long] =
+      Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", budget)(withNulls)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // big budget: every doc kept, including both NULL-scored ones
+    assert(sel(100000L) == (1L to 11L).toSet)
+    // budget covering exactly group a's six scored docs: the NULL
+    // -scored doc 10 is the one left out; group c's lone NULL doc fits
+    assert(sel(240L) == (1L to 9L).toSet + 11L)
+  }
+
+  test("calibrateScore keeps NULL-scored rows, ranked nulls-first like the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Seq(
+      (1L, "a", Option(0.9)), (2L, "a", Option(0.5)), (3L, "a", Option.empty[Double]),
+      (4L, "b", Option.empty[Double])
+    ).toDF("id", "grp", "score")
+    val twoPhase = Selection.calibrateScore("id", "score", "grp")(scored)
+      .select("id", "score_pct").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oneWindow = scored.withColumn("score_pct",
+        percent_rank().over(Window.partitionBy("grp").orderBy("score")))
+      .select("id", "score_pct").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(twoPhase == oneWindow, s"two-phase $twoPhase vs one-window $oneWindow")
+    assert(twoPhase.keySet == Set(1L, 2L, 3L, 4L)) // nothing dropped
+  }
+
+  test("temp/output column clashes fail loudly instead of clobbering caller data") {
+    val hasBin = corpus.withColumn("__bin", lit(1))
+    intercept[IllegalArgumentException] {
+      Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 10L)(hasBin)
+    }
+    val hasPct = corpus.withColumn("score_pct", lit(0.5))
+    intercept[IllegalArgumentException] {
+      Selection.calibrateScore("id", "score", "grp")(hasPct)
+    }
+  }
+
   test("the per-document window runs on the boundary slice behind a broadcast of bin decisions") {
     val plan = Selection.tokenBudgetSelect("id", "score", "n_tokens", "grp", 120L)(corpus)
       .queryExecution.executedPlan.toString
