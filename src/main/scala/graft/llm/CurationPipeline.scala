@@ -181,8 +181,13 @@ object CurationPipeline {
       // schema unchanged, word-boundary exact matches only
       val terms = list(st, "terms", Seq.empty)
       require(terms.nonEmpty, "BLOCKLIST FILTER needs terms=a,b,...")
+      // total predicate: NULL text → '' → no tokens overlap → KEPT; on
+      // raw text `!arrays_overlap(NULL, …)` is NULL and where() would
+      // silently delete every NULL-text doc as if it matched a term
       val hit: Column = arrays_overlap(
-        transform(TextAnalysis.tokens(col(textCol)), t => lower(t)),
+        transform(
+          TextAnalysis.tokens(coalesce(col(textCol).cast("string"), lit(""))),
+          t => lower(t)),
         typedLit(terms.map(_.toLowerCase)))
       df.where(!hit)
     case "EXACT DEDUP" =>

@@ -32,12 +32,14 @@ object Decontam {
     * doc's distinct n-gram count, `n_hits` = how many of those appear
     * anywhere in the benchmark set, `contaminated` = n_hits > 0.
     * Documents shorter than n words contribute their whole text as a
-    * single gram (the [[Dedup.shingles]] short-doc rule, which also
-    * guarantees every doc at least one gram — so one aggregation
-    * covers the whole train side). ONE corpus scan: the exploded
-    * grams meet the broadcast bench set in a marker left join, and a
-    * single per-doc aggregation produces both counts — no second
-    * pass, no corpus-side outer join.
+    * single gram (the [[Dedup.shingles]] short-doc rule); a NULL text
+    * coalesces to the empty string first (one empty gram), so EVERY
+    * train doc appears in the report — explode of a NULL shingle
+    * array would silently omit it, voiding the audit's coverage
+    * claim. One aggregation covers the whole train side. ONE corpus
+    * scan: the exploded grams meet the broadcast bench set in a
+    * marker left join, and a single per-doc aggregation produces both
+    * counts — no second pass, no corpus-side outer join.
     */
   def contaminationReport(
       train: DataFrame,
@@ -47,7 +49,8 @@ object Decontam {
       n: Int = 5): DataFrame = {
     val bg = benchGrams(bench, textCol, n).withColumn("__hit", lit(1))
     train
-      .select(col(idCol), explode(array_distinct(Dedup.shingles(textCol, n))).as("gram"))
+      .select(col(idCol), explode(array_distinct(
+        Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), n))).as("gram"))
       .join(broadcast(bg), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -86,7 +89,10 @@ object Decontam {
       .select(xxhash64(col("__gram")).as("__gh")).distinct()
       .withColumn("__hit", lit(1))
     docs
-      .select(col(idCol), explode(array_distinct(Dedup.shingles(textCol, n))).as("__gram"))
+      // NULL text → '' → one empty gram: every doc gets a novelty row
+      // (the contaminationReport totality rule)
+      .select(col(idCol), explode(array_distinct(
+        Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), n))).as("__gram"))
       .select(col(idCol), xxhash64(col("__gram")).as("__gh"))
       .join(sg, Seq("__gh"), "left")
       .groupBy(col(idCol))
@@ -109,10 +115,16 @@ object Decontam {
   /** Pure row predicate: does this text share any word n-gram with
     * the (driver-collected) benchmark set? `arrays_overlap` against
     * the embedded literal — no join, no shuffle, no state, so it
-    * composes into any plan, including append-mode streams.
+    * composes into any plan, including append-mode streams. TOTAL:
+    * a NULL text shingles over '' (one empty gram, overlapping
+    * nothing), so the predicate is true/false, never NULL — a NULL
+    * here would make `where(!contaminated)` silently DELETE the row
+    * under three-valued logic instead of keeping it.
     */
   def contaminated(benchGramSet: Seq[String], textCol: String, n: Int = 5): Column =
-    arrays_overlap(Dedup.shingles(textCol, n), typedLit(benchGramSet))
+    arrays_overlap(
+      Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), n),
+      typedLit(benchGramSet))
 
   /** Streaming face of decontamination: drop stream rows that leak
     * benchmark n-grams. Stateless (a row predicate over the embedded
@@ -138,14 +150,16 @@ object Decontam {
     * vector, that max cosine, and `contaminated` = max ≥ `threshold`.
     *
     * Scale shape: the bench side is eval-suite-sized → broadcast
-    * cross join; the argmax is `max(struct(sim, −bench_id))` — a
+    * cross join; the argmax is `min(struct(−sim, bench_id))` — a
     * plain aggregate with map-side partial combine, NOT a window, so
     * with the broadcast in place the only exchange is the final
-    * per-corpus-id agg on ids. The negated-id struct field makes the
-    * tie-break deterministic (highest sim, then LOWEST bench id) —
-    * `max_by` would be nondeterministic on ties. Cosines come from
-    * the fused native expression (bit-identical to the composed
-    * zip_with form, ArrayFnsSpec).
+    * per-corpus-id agg on ids. Negating the SIM (always a double)
+    * instead of the id makes the tie-break deterministic (highest
+    * sim, then LOWEST bench id) for ids of ANY orderable type —
+    * negating the id would silently break string ids, and `max_by`
+    * would be nondeterministic on ties. Cosines come from the fused
+    * native expression (bit-identical to the composed zip_with form,
+    * ArrayFnsSpec).
     */
   def semanticDecontam(
       corpus: DataFrame,
@@ -166,12 +180,12 @@ object Decontam {
         .withColumn("__sim",
           graft.functions.ArrayFns.cosineNative(col("__cv"), col("__bv")))
         .groupBy(col(idCol))
-        .agg(max(struct(col("__sim").as("s"), (-col("__bench_id")).as("nb"))).as("__m"))
+        .agg(min(struct((-col("__sim")).as("ns"), col("__bench_id").as("nb"))).as("__m"))
         .select(
           col(idCol),
-          (-col("__m.nb")).as("nearest_bench_id"),
-          col("__m.s").as("max_sim"),
-          (col("__m.s") >= threshold).as("contaminated"))
+          col("__m.nb").as("nearest_bench_id"),
+          (-col("__m.ns")).as("max_sim"),
+          (-col("__m.ns") >= threshold).as("contaminated"))
     }
 }
 

@@ -70,8 +70,15 @@ object Dedup {
     * zip pads with null and concat null-propagates — the trailing
     * nulls are filtered off.
     */
-  def shingles(textCol: String, k: Int = 3): Column = {
-    val toks = split(col(textCol), " ")
+  def shingles(textCol: String, k: Int = 3): Column = shinglesOf(col(textCol), k)
+
+  /** [[shingles]] over an arbitrary text EXPRESSION — for call sites
+    * that must pre-process the text (e.g. `coalesce(text, '')` so a
+    * NULL text yields one empty gram instead of a NULL array that
+    * explodes to nothing and null-poisons `arrays_overlap`).
+    */
+  def shinglesOf(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
     val joined = (1 until k).foldLeft(toks: Column) { (acc, off) =>
       zip_with(acc, slice(toks, lit(off + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
     }

@@ -58,7 +58,11 @@ object LangModel {
       .groupBy("__w1").agg(count(lit(1)).as("__cu"))
     val vocab = refUnigrams.agg(count(lit(1)).as("__v"))
 
-    val docBigrams = df.select(col(idCol), explode(Dedup.shingles(textCol, 2)).as("__bg"))
+    // NULL text → '' → the short-doc rule's single empty gram, so
+    // every doc gets a row (explode(NULL) would silently omit it,
+    // breaking the documented totality)
+    val docBigrams = df.select(col(idCol), explode(
+        Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), 2)).as("__bg"))
       .withColumn("__w1", substring_index(col("__bg"), " ", 1))
     val scored = docBigrams
       .join(refBigrams, Seq("__bg"), "left")

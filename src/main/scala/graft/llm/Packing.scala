@@ -118,23 +118,34 @@ object Packing {
     require(shards > 0, s"shards must be positive, got $shards")
     (rates.map(_._2) :+ defaultRate).foreach(r =>
       require(r > 0 && r <= 1.0, s"rates must be in (0, 1], got $r"))
-    val sharded = df.withColumn("shard", Sampling.hashBucket(col(idCol), shards))
-    val localW = Window.partitionBy(sourceCol, "shard").orderBy(col(idCol))
+    // NON-NULL join/partition keys, built BEFORE the ranked/offsets
+    // branch: a NULL source (scheduled at defaultRate — the rate fold
+    // below expects it) or a NULL id (NULL hash bucket) would never
+    // match the null-unsafe offsets join and silently vanish from the
+    // schedule. "N"/"V"+value presence tagging (the snapshotDiff
+    // rule) is collision-free, unlike a sentinel string.
+    val sharded = df
+      .withColumn("shard",
+        coalesce(Sampling.hashBucket(col(idCol), shards), lit(-1L)))
+      .withColumn("__sk",
+        when(col(sourceCol).isNull, lit("N"))
+          .otherwise(concat(lit("V"), col(sourceCol).cast("string"))))
+    val localW = Window.partitionBy("__sk", "shard").orderBy(col(idCol))
     val ranked = sharded.withColumn("local_rank", row_number().over(localW).cast("long"))
     // tiny side: per-(source, shard) counts → exclusive prefix sums
-    val offW = Window.partitionBy(sourceCol).orderBy("shard")
+    val offW = Window.partitionBy("__sk").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(sourceCol, "shard").count()
+    val offsets = sharded.groupBy("__sk", "shard").count()
       .withColumn("shard_offset", coalesce(sum("count").over(offW), lit(0L)))
       .drop("count")
     val rate = rates.foldLeft(lit(null).cast("double")) { case (acc, (s, r)) =>
       coalesce(acc, when(col(sourceCol) === s, lit(r)))
     }
-    ranked.join(broadcast(offsets), Seq(sourceCol, "shard"))
+    ranked.join(broadcast(offsets), Seq("__sk", "shard"))
       .withColumn("rank_in_source", col("shard_offset") + col("local_rank"))
       .withColumn("vt",
         col("rank_in_source").cast("double") / coalesce(rate, lit(defaultRate)))
-      .drop("local_rank", "shard_offset")
+      .drop("local_rank", "shard_offset", "__sk")
   }
 
   /** Deterministic per-epoch reshuffle schedule — the data-ORDER
@@ -174,9 +185,14 @@ object Packing {
     val shardWidth = (1L << 60) / shards
     val keyed = df
       .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      // NULL id coalesces to '' so order_key (and thus the shard join
+      // key) is total — a NULL would drop the doc from EVERY epoch at
+      // the offsets join while packSequences happily packs it; ties
+      // among multiple NULL-id docs order arbitrarily, but none is
+      // lost
       .withColumn("order_key",
-        Sampling.hashKey(concat(col(idCol).cast("string"), lit(":"),
-          col("epoch").cast("string"))))
+        Sampling.hashKey(concat(coalesce(col(idCol).cast("string"), lit("")),
+          lit(":"), col("epoch").cast("string"))))
       .withColumn("shard", expr(s"order_key div ${shardWidth}L"))
     val localW = Window.partitionBy("epoch", "shard")
       .orderBy(col("order_key"), col(idCol))

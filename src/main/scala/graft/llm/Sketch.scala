@@ -125,23 +125,26 @@ object Sketch {
       topN: Int = 20,
       eps: Double = 0.001,
       confidence: Double = 0.9999,
-      seed: Int = 42)(df: DataFrame): DataFrame = {
-    graft.functions.ArrayFns.register(df.sparkSession)
-    val v = col(valueCol)
-    val nonNull = df.where(v.isNotNull)
-    val exactTop = nonNull.groupBy(v.as("value")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("value").asc).limit(topN)
-    val sketch = nonNull.agg(
-      expr(s"count_min_sketch($valueCol, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
-        .as("__cms"),
-      count(v).as("__total"))
-    exactTop.crossJoin(broadcast(sketch))
-      .withColumn("__est", call_function("graft_cms_estimate", col("__cms"), col("value")))
-      .withColumn("cms_ok",
-        col("__est") >= col("exact_n") &&
-          col("__est") <= col("exact_n") + ceil(lit(eps) * col("__total")).cast("long"))
-      .select("value", "exact_n", "cms_ok")
-  }
+      seed: Int = 42)(df: DataFrame): DataFrame =
+    // scoped, not bare register: analysis is eager inside the block,
+    // so graft_cms_estimate resolves here and the CALLER's session
+    // keeps no graft registrations (the ArrayFns.scoped discipline)
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      val v = col(valueCol)
+      val nonNull = df.where(v.isNotNull)
+      val exactTop = nonNull.groupBy(v.as("value")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("value").asc).limit(topN)
+      val sketch = nonNull.agg(
+        expr(s"count_min_sketch(`$valueCol`, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)")
+          .as("__cms"),
+        count(v).as("__total"))
+      exactTop.crossJoin(broadcast(sketch))
+        .withColumn("__est", call_function("graft_cms_estimate", col("__cms"), col("value")))
+        .withColumn("cms_ok",
+          col("__est") >= col("exact_n") &&
+            col("__est") <= col("exact_n") + ceil(lit(eps) * col("__total")).cast("long"))
+        .select("value", "exact_n", "cms_ok")
+    }
 
   /** Gate twin for GK percentiles: per group emits the exact p50
     * (integer-valued columns only — (a+b)/2 interpolation is
@@ -157,7 +160,7 @@ object Sketch {
       rankSlack: Double = 0.02)(df: DataFrame): DataFrame = {
     require(rankSlack > 1.0 / accuracy,
       s"rankSlack $rankSlack inside GK error 1/$accuracy — gate would be vacuous")
-    val v = valueCol
+    val v = s"`$valueCol`" // backticked: names needing quoting must work
     def pct(p: Double) = expr(s"percentile($v, $p)")
     df.groupBy(groupCols.map(col): _*)
       .agg(
@@ -239,10 +242,16 @@ object Sketch {
     require(lgK >= 4 && lgK <= 21, s"lgK $lgK outside DataSketches' [4,21]")
     def sk(df: DataFrame) =
       df.agg(expr(s"hll_sketch_agg(`$valueCol`, $lgK)").as("sk"))
-    val ests = sk(a).select(expr("hll_sketch_estimate(sk)").as("ea"))
-      .crossJoin(broadcast(sk(b).select(expr("hll_sketch_estimate(sk)").as("eb"))))
-      .crossJoin(broadcast(sk(a).unionByName(sk(b))
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("eu"))))
+    // each input is aggregated ONCE: the union estimate comes from the
+    // two already-built 1-row sketches via the hll_union SCALAR (the
+    // old form rebuilt sk(a)/sk(b) in a second subtree, re-scanning
+    // both inputs for hll_union_agg)
+    val ests = sk(a).select(col("sk").as("__ska"))
+      .crossJoin(broadcast(sk(b).select(col("sk").as("__skb"))))
+      .select(
+        expr("hll_sketch_estimate(__ska)").as("ea"),
+        expr("hll_sketch_estimate(__skb)").as("eb"),
+        expr("hll_sketch_estimate(hll_union(__ska, __skb))").as("eu"))
       .select((col("ea") + col("eb") - col("eu")).as("approx_inter_ndv"))
     val av = a.select(col(valueCol).as("__v")).distinct()
     val bv = b.select(col(valueCol).as("__v")).distinct()

@@ -885,6 +885,32 @@ class LlmSpec extends SparkSpec {
     assert(rep(4L) == (1, 0, false))
   }
 
+  test("decontam reports, filter and LM score are TOTAL over NULL-text docs") {
+    import graft.llm.{Decontam, LangModel}
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, Option("alpha beta gamma delta epsilon leaked")),
+      (2L, Option.empty[String]) // NULL text must never silently vanish
+    ).toDF("doc_id", "text")
+    val rep = Decontam.contaminationReport(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(3))).toMap
+    assert(rep.keySet == Set(1L, 2L), "report must cover every train doc")
+    assert(rep(2L) == ((1, false)), "NULL text → one empty gram, uncontaminated")
+    // the streaming predicate: NULL text is kept, not null-deleted
+    val grams = Decontam.collectBenchGrams(bench, "text")
+    val kept = Decontam.streamingDecontamFilter(train, grams, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"doc 1 leaks (dropped), doc 2 must survive: $kept")
+    // novelty: NULL doc gets a row (fully novel unless '' is stored)
+    val nov = Decontam.noveltyReport(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov.keySet == Set(1L, 2L) && nov(2L) == 1.0)
+    // LM fluency: NULL doc scores via the single empty gram
+    val lm = LangModel.withLmScore(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lm.keySet == Set(1L, 2L) && lm(2L) == 1)
+  }
+
   test("minhash decontam finds the paraphrase-level leak the exact n-gram scan misses") {
     import graft.llm.MinhashDecontam
     // 20 tokens; the train near-dup changes ONLY token 10 ("kappa" →
@@ -1293,11 +1319,15 @@ class LlmSpec extends SparkSpec {
     val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
       Seq.fill(30)("bravo") ++ Seq.fill(5)("gamma") ++ (1 to 40).map(i => s"rare$i")
     val df = (words.map(Option(_)) ++ Seq.fill(10)(Option.empty[String])).toDF("w")
+    val had = spark.catalog.functionExists("graft_cms_estimate")
     val rows = Sketch.heavyHittersAudit("w", topN = 3)(df).collect()
     // beta/bravo tie at 30 breaks on value asc — beta in, bravo out at N=3
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("alpha", 50L), ("beta", 30L), ("bravo", 30L)).take(3))
     assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+    // the audit must not mutate the caller's session (scoped, not
+    // bare register)
+    assert(spark.catalog.functionExists("graft_cms_estimate") == had)
   }
 
   // ===== BPE pair counts + chunking =====

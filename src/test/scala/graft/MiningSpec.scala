@@ -373,6 +373,32 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(out(2).getAs[Double]("max_sim") - 0.6) < 1e-6)
   }
 
+  test("semanticDecontam: STRING ids keep the lowest-id tie-break (sim is negated, not the id)") {
+    // negating the id would cast a string id to double → NULL under
+    // the old form; min(struct(-sim, id)) orders ids natively
+    val bench = Seq(("b-2", Seq(1f, 0f)), ("b-1", Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(("c-9", Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("nearest_bench_id") == "b-1", out.head.toString)
+    assert(out.head.getAs[Boolean]("contaminated"))
+  }
+
+  test("BLOCKLIST FILTER keeps NULL-text docs (total predicate, no three-valued drop)") {
+    import graft.llm.CurationPipeline
+    import graft.llm.CurationPipeline.Stage
+    val docs = Seq(
+      (1L, Option("clean words only here")),
+      (2L, Option("contains badword sadly")),
+      (3L, Option.empty[String]) // no text → cannot match a term → KEPT
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.run(docs,
+        Seq(Stage("BLOCKLIST FILTER", Map("terms" -> "badword"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L), s"got $out")
+  }
+
   test("semanticDecontam: bench side broadcast, argmax is an aggregate not a window") {
     val bench = vecs(0L -> Seq(1f, 0f))
     val corpus = vecs((10L to 20L).map(i => i -> Seq(i.toFloat, 1f)): _*)

@@ -146,7 +146,9 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the big-side window ranks within (source, shard) — per-shard
     // parallelism, not one partition per source
-    assert("windowspecdefinition\\(source#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined, plan)
+    // the window partitions on the presence-tagged source key (__sk),
+    // the null-safe stand-in for the raw source column
+    assert("windowspecdefinition\\(__sk#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("mixtureSchedule rejects out-of-range rates") {
@@ -200,6 +202,25 @@ class PackingSpec extends SparkSpec {
   test("epochShuffle rejects non-power-of-two shards and non-positive epochs") {
     intercept[IllegalArgumentException](Packing.epochShuffle("doc_id", 2, 3)(docs))
     intercept[IllegalArgumentException](Packing.epochShuffle("doc_id", 0)(docs))
+  }
+
+  test("mixtureSchedule and epochShuffle keep NULL-source and NULL-id docs (null-safe keys)") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option("web")), (Option(2L), Option("web")),
+      (Option(3L), Option.empty[String]), // NULL source: defaultRate, not dropped
+      (Option.empty[Long], Option("web")) // NULL id: NULL hash bucket, not dropped
+    ).toDF("doc_id", "source")
+    val sched = Packing.mixtureSchedule("doc_id", "source", Seq("web" -> 0.5))(df).collect()
+    assert(sched.length == 4, s"schedule lost docs: ${sched.mkString("; ")}")
+    val nullSrc = sched.find(r => Option(r.getAs[java.lang.Long]("doc_id")).contains(3L)).get
+    // defaultRate 1.0 → vt == rank_in_source exactly
+    assert(nullSrc.getAs[Double]("vt") == nullSrc.getAs[Long]("rank_in_source").toDouble)
+    val shuf = Packing.epochShuffle("doc_id", epochs = 2)(df.select("doc_id")).collect()
+    assert(shuf.length == 8, "every doc must appear in every epoch")
+    // each epoch's ranks are a contiguous 1..4
+    assert(shuf.groupBy(_.getAs[Int]("epoch")).values
+      .forall(_.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 4L)))
   }
 
   test("temperatureMixtureWeights: tau=1 is natural proportions; tau=2 upsamples small sources") {
