@@ -160,7 +160,14 @@ object Interpreter {
         ctx.bind(out, Ops.filterOp(cond)(in), inOrder)
 
       case "LEFT JOIN" =>
-        ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "left"))
+        // pandas' left merge PRESERVES the left frame's row order
+        // (duplicated rows for multi-matches stay adjacent), so an
+        // established sort survives — as long as its key columns came
+        // through unsuffixed (the _x/_y collision policy may rename
+        // them, after which the recorded keys point at nothing)
+        val joined = Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "left")
+        ctx.bind(out, joined,
+          if (inOrder.forall(k => joined.columns.contains(k.col))) inOrder else Nil)
 
       case "OUTER JOIN" =>
         ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "full"))
@@ -242,7 +249,11 @@ object Interpreter {
         ctx.bind(out, Ops.selectColumns(cols)(in), keepOrderIf(cols))
 
       case "SELECT DISTINCT" =>
-        ctx.bind(out, Ops.selectDistinct(KvList.csv(cond))(in))
+        // pandas drop_duplicates keeps first occurrences IN ORDER, so
+        // an established sort survives if its keys survive the
+        // projection (same rule as SELECT COLUMNS)
+        ctx.bind(out, Ops.selectDistinct(KvList.csv(cond))(in),
+          keepOrderIf(KvList.csv(cond)))
 
       case "ATTACH COLUMN" =>
         // grammar: column_name=n, source_col=s, operation=OP[, value=v,
@@ -261,9 +272,12 @@ object Interpreter {
         ctx.bind(out, df2, inOrder)
 
       case "GROUPBY SLICE" =>
-        // grammar: group_by_cols=a,b, slice_num=n (:67-74)
+        // grammar: group_by_cols=a,b, slice_num=n (:67-74). pandas
+        // groupby().head(n) keeps survivors in the frame's original
+        // order and drops no columns — the established sort survives
         val groups = kv("group_by_cols").split(",").map(_.trim).toSeq
-        ctx.bind(out, Ops.groupbySlice(groups, kv("slice_num").trim.toInt, inOrder)(in))
+        ctx.bind(out,
+          Ops.groupbySlice(groups, kv("slice_num").trim.toInt, inOrder)(in), inOrder)
 
       case other =>
         throw new IllegalArgumentException(s"NON-EXISTING DF_OPERATION encountered: $other")

@@ -95,14 +95,19 @@ object ConfigReader {
   def readAnalyte(spark: SparkSession, name: String, configDir: String): AnalyteSpec = {
     val tablesDir = Paths.get(configDir, "tables")
     val tables: Map[String, DecisionTable] =
-      if (Files.isDirectory(tablesDir))
-        Files.list(tablesDir).iterator().asScala
-          .filter(_.toString.endsWith(".csv"))
-          .map { p =>
-            val n = p.getFileName.toString.stripSuffix(".csv")
-            n -> readDecisionTable(spark, p.toString, n)
-          }.toMap
-      else Map.empty
+      if (Files.isDirectory(tablesDir)) {
+        // Files.list holds an open directory descriptor until closed —
+        // a long-lived driver reading many configs would leak one fd
+        // per call without the Using wrapper
+        scala.util.Using.resource(Files.list(tablesDir)) { stream =>
+          stream.iterator().asScala
+            .filter(_.toString.endsWith(".csv"))
+            .map { p =>
+              val n = p.getFileName.toString.stripSuffix(".csv")
+              n -> readDecisionTable(spark, p.toString, n)
+            }.toMap
+        }
+      } else Map.empty
     AnalyteSpec(
       name = name,
       getData = readGetData(spark, s"$configDir/GET_DATA.csv"),

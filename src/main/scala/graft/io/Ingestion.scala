@@ -33,9 +33,14 @@ private[io] object HadoopConfSer {
 object Ingestion {
 
   /** S5 file-format source (handling_different_file_formats,
-    * Data_Ingestion_Python.py:22-34): CSV with header+inference,
-    * SAS7BDAT through the native [[Sas]] page reader (the reference
-    * uses pd.read_sas), and anything else fails loudly like the
+    * Data_Ingestion_Python.py:22-34): CSV with header — ALL-STRING by
+    * deliberate choice, NOT inferred: the reference immediately
+    * fillna('Null')s the frame (object dtype), every downstream store
+    * write stringifies, and inference would make a NaN-free numeric
+    * column sort numerically where the pinned pipeline sorts its
+    * stringified form — the gate's oracles replay the all-string
+    * shape. SAS7BDAT goes through the native [[Sas]] page reader (the
+    * reference uses pd.read_sas); anything else fails loudly like the
     * reference.
     */
   def readFile(spark: SparkSession, path: String): DataFrame =
@@ -59,10 +64,18 @@ object Ingestion {
     * view id from the file's base name, source timestamp parsed from
     * the name when present, load timestamp at ingestion time. Driven
     * by input_file_name() so it stays correct when one job reads many
-    * files.
+    * files; `fallbackPath` covers sources that are NOT FileScans
+    * (the RDD-backed [[Sas.read]]), where input_file_name() returns
+    * '' on every row and the metadata would silently store empty
+    * view ids — which later nest into __HIVE_DEFAULT_PARTITION__
+    * keys [[NestedStore.erase]] refuses.
     */
-  def withFileMetadata(df: DataFrame): DataFrame = {
-    val fname = regexp_extract(input_file_name(), "([^/]+)$", 1)
+  def withFileMetadata(df: DataFrame, fallbackPath: Option[String] = None): DataFrame = {
+    val src = fallbackPath match {
+      case Some(p) => when(input_file_name() === "", lit(p)).otherwise(input_file_name())
+      case None => input_file_name()
+    }
+    val fname = regexp_extract(src, "([^/]+)$", 1)
     df.withColumn("source_file", fname)
       .withColumn("view_id", regexp_extract(fname, "^([^._]+)", 1))
       .withColumn("source_timestamp", regexp_extract(fname, "_(\\d{8,14})\\.", 1))
@@ -70,8 +83,12 @@ object Ingestion {
   }
 
   /** Full batch ingestion: file → fillna → metadata → nest on the two
-    * key columns → partitioned keyed store (the put_item loop
-    * replaced by one partitioned parquet write).
+    * key columns → keyed store UPSERT (the put_item loop replaced by
+    * one dynamic-partition-overwrite write). Upsert, not
+    * [[NestedStore.write]]: the reference Lambda put_items ONE file's
+    * documents and leaves every other view untouched — a static
+    * overwrite here would truncate the whole store on each ingested
+    * file.
     */
   def ingestFile(
       spark: SparkSession,
@@ -79,8 +96,8 @@ object Ingestion {
       k1: String,
       k2: String,
       storeDir: String): Unit = {
-    val df = withFileMetadata(nullFill(readFile(spark, path)))
-    NestedStore.write(NestedStore.nest(df, k1, k2), storeDir, k1, k2)
+    val df = withFileMetadata(nullFill(readFile(spark, path)), fallbackPath = Some(path))
+    NestedStore.upsert(NestedStore.nest(df, k1, k2), storeDir, k1, k2)
   }
 
   /** The ingestion routing table (config.json:4-42 in the reference):

@@ -65,6 +65,36 @@ object NestedStore {
 
   final case class EraseStats(partitionsRewritten: Int, partitionsDropped: Int)
 
+  /** The store's `(k1, k2)` partition directories grouped by VIEW
+    * (k2 value) — the schema-safe read unit. Payload schemas are
+    * heterogeneous BETWEEN views (the store contract,
+    * [[graft.engine.Engine]]): a whole-store `spark.read.parquet`
+    * samples ONE file's footer and silently mis-decodes every other
+    * view's `data` struct (dropped fields read as absent), which is
+    * catastrophic for [[erase]]/[[compact]] because both REWRITE what
+    * they read. Within one view, `mergeSchema` reconciles appended
+    * schema evolution loudly and correctly. Directory listing is
+    * partition-count-sized (config-plane, the documented allowance).
+    */
+  private def viewDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      k1: String,
+      k2: String): Map[String, Seq[String]] =
+    fs.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$k1="))
+      .flatMap(d => fs.listStatus(d.getPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$k2=")))
+      .groupBy(_.getPath.getName)
+      .view.mapValues(_.map(_.getPath.toString).toSeq).toMap
+
+  /** Does `predicate` resolve against this frame's schema? Probed by
+    * ANALYZING a trial filter (analysis is lazy until queryExecution
+    * is forced; no job runs) — Spark 4's Column carries no public
+    * expression to introspect references from.
+    */
+  private def resolvesAgainst(df: DataFrame, predicate: Column): Boolean =
+    scala.util.Try(df.where(predicate).queryExecution.analyzed).isSuccess
+
   /** Row-level erase across the store — the right-to-be-forgotten
     * verb ([[upsert]]'s destructive complement): delete every
     * flattened row matching `predicate` (evaluated against the
@@ -96,41 +126,62 @@ object NestedStore {
       predicate: Column,
       k1: String = "study_code",
       k2: String = "view"): EraseStats = {
-    val flat = flatten(spark.read.parquet(path))
-    val perPart = flat
-      .groupBy(col(k1), col(k2))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(predicate, 1L).otherwise(0L)).as("__m"))
-      .where(col("__m") > 0)
-      .collect().map(r => (r.get(0), r.get(1), r.getLong(2) == r.getLong(3)))
-    // null-keyed partitions (__HIVE_DEFAULT_PARTITION__) break BOTH
-    // erase mechanics silently: `col === null` excludes the rows from
-    // the rewrite and the interpolated delete path doesn't exist —
-    // matched rows would SURVIVE while EraseStats reports success.
-    // Refuse loudly instead of retaining data a compliance erase was
-    // told to remove.
-    require(perPart.forall(p => p._1 != null && p._2 != null),
-      s"erase: matching rows found under a NULL $k1/$k2 partition key — " +
-        "null-keyed documents are outside the store's key contract and " +
-        "cannot be erased by partition; repair the store keys first")
-    if (perPart.isEmpty) return EraseStats(0, 0)
-
-    val (emptied, rewrite) = perPart.partition(_._3)
-    if (rewrite.nonEmpty) {
-      val keep = rewrite.map { case (a, b, _) => col(k1) === a && col(k2) === b }
-        .reduce(_ || _)
-      // erase only rows where the predicate is definitively TRUE — a
-      // null-valued predicate must KEEP the row (matching __m above),
-      // not silently drop it through three-valued !null
-      upsert(nest(flat.where(keep && not(coalesce(predicate, lit(false)))), k1, k2),
-        path, k1, k2)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byView = viewDirs(fs, root, k1, k2)
+    require(byView.nonEmpty, s"erase: no $k1=*/$k2=* partitions under $path")
+    var resolvedAnywhere = false
+    var rewritten = 0
+    var dropped = 0
+    byView.foreach { case (_, dirs) =>
+      // one read PER VIEW (schema-safe — see [[viewDirs]]); basePath
+      // restores the partition key columns
+      val flat = flatten(spark.read
+        .option("basePath", path).option("mergeSchema", "true")
+        .parquet(dirs: _*))
+      // a predicate naming fields this view's payload lacks matches
+      // NOTHING here (the field is undefined for these documents) —
+      // skip rather than fail, but demand it resolves SOMEWHERE so a
+      // typo'd column cannot read as a successful no-op erase
+      if (resolvesAgainst(flat, predicate)) {
+        resolvedAnywhere = true
+        val perPart = flat
+          .groupBy(col(k1), col(k2))
+          .agg(count(lit(1)).as("__n"),
+            sum(when(predicate, 1L).otherwise(0L)).as("__m"))
+          .where(col("__m") > 0)
+          .collect().map(r => (r.get(0), r.get(1), r.getLong(2) == r.getLong(3)))
+        // null-keyed partitions (__HIVE_DEFAULT_PARTITION__) break BOTH
+        // erase mechanics silently: `col === null` excludes the rows
+        // from the rewrite and the interpolated delete path doesn't
+        // exist — matched rows would SURVIVE while EraseStats reports
+        // success. Refuse loudly instead of retaining data a
+        // compliance erase was told to remove.
+        require(perPart.forall(p => p._1 != null && p._2 != null),
+          s"erase: matching rows found under a NULL $k1/$k2 partition key — " +
+            "null-keyed documents are outside the store's key contract and " +
+            "cannot be erased by partition; repair the store keys first")
+        val (emptied, rewrite) = perPart.partition(_._3)
+        if (rewrite.nonEmpty) {
+          val keep = rewrite.map { case (a, b, _) => col(k1) === a && col(k2) === b }
+            .reduce(_ || _)
+          // erase only rows where the predicate is definitively TRUE —
+          // a null-valued predicate must KEEP the row (matching __m
+          // above), not silently drop it through three-valued !null
+          upsert(nest(flat.where(keep && not(coalesce(predicate, lit(false)))), k1, k2),
+            path, k1, k2)
+        }
+        emptied.foreach { case (a, b, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$k1=$a/$k2=$b"), true)
+        }
+        rewritten += rewrite.length
+        dropped += emptied.length
+      }
     }
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    emptied.foreach { case (a, b, _) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$k1=$a/$k2=$b"), true)
-    }
-    EraseStats(rewrite.length, emptied.length)
+    require(resolvedAnywhere,
+      s"erase: predicate $predicate resolves in NO view's schema — " +
+        "refusing to report a no-op erase for what is likely a typo")
+    EraseStats(rewritten, dropped)
   }
 
   final case class CompactionStats(filesBefore: Int, filesAfter: Int)
@@ -168,11 +219,23 @@ object NestedStore {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(path)
-      .repartition(keys.map(col): _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(keys: _*).parquet(tmp.toString)
+    // compact PER VIEW, not via one whole-store read: payload schemas
+    // are heterogeneous between views, and a single read would sample
+    // one footer and rewrite every other view's documents mis-decoded
+    // (see [[viewDirs]]). Appends into tmp compose because each view
+    // writes disjoint partition directories.
+    require(keys.length == 2, s"compact expects the two store keys, got $keys")
+    val byView = viewDirs(fs, hadoopPath, keys.head, keys(1))
+    require(byView.nonEmpty, s"compact: no ${keys.head}=*/${keys(1)}=* partitions under $path")
+    byView.foreach { case (_, dirs) =>
+      spark.read
+        .option("basePath", path).option("mergeSchema", "true")
+        .parquet(dirs: _*)
+        .repartition(keys.map(col): _*)
+        .write.mode("append")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(keys: _*).parquet(tmp.toString)
+    }
     require(fs.rename(hadoopPath, old), s"compact: could not stage out $path")
     // if the swap-in fails after the stage-out succeeded, roll the old
     // directory back — otherwise the store vanishes for every reader
@@ -247,12 +310,16 @@ object Export {
     }
   }
 
-  /** S9 parquet dataset sink: append + mergeSchema — the lake
-    * analogue of the reference's schema_evolution=True Glue write
-    * (Athena_DynamoDB_Normalized.py:30-47).
+  /** S9 parquet dataset sink: append — the lake analogue of the
+    * reference's schema_evolution=True Glue write
+    * (Athena_DynamoDB_Normalized.py:30-47). NOTE: parquet schema
+    * evolution is a READ-side affair — appended files keep their own
+    * footers, and readers reconcile them by passing
+    * `mergeSchema=true` at read time (as the s9 gate query does);
+    * `mergeSchema` is NOT a write option, so none is set here.
     */
   def writeParquetAppend(df: DataFrame, path: String): Unit =
-    df.write.mode("append").option("mergeSchema", "true").parquet(path)
+    df.write.mode("append").parquet(path)
 
   /** S10 CSV sink (Athena_DynamoDB_Normalized.py:15-28). */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -66,7 +66,9 @@ object Ops {
     def flush(): Unit = if (litBuf.nonEmpty) {
       val s = litBuf.toString
       if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
-      else out.append(s)
+      // a bare quote outside a quoted section would START one and
+      // swallow the next pattern letters — escape it on this branch too
+      else out.append(s.replace("'", "''"))
       litBuf.clear()
     }
     var i = 0
@@ -222,12 +224,23 @@ object Ops {
       case Nil => throw new IllegalStateException(
         "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
       case many if many.forall(!_.desc) =>
-        struct(many.map(k => col(k.col)) :+ rowHash(df): _*)
+        // pandas sorts NaN LAST per key (na_position default), but a
+        // null struct FIELD sorts first — pair each key with an isNull
+        // flag (false < true) so a null key ranks after every non-null
+        // one, field by field, exactly like sort_values
+        struct(many.flatMap(k =>
+          Seq(col(k.col).isNull, col(k.col))) :+ rowHash(df): _*)
       case _ => throw new IllegalStateException(
         "first/last after a mixed/desc multi-key sort is not order-encodable; sort on one key")
     }
     def descending = order.nonEmpty && order.head.desc
-    val aggCols = aggs.map { case (c, fn) =>
+    // the reference builds a dict keyed by column (res_dct[c] = fn,
+    // Configurable_ETL_Python.py:351), so a repeated column keeps its
+    // FIRST position with its LAST fn — two literal aggs on one column
+    // would otherwise emit duplicate output names and break every
+    // later reference to the column (AMBIGUOUS_REFERENCE)
+    val effective = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+    val aggCols = effective.map { case (c, fn) =>
       (fn.toLowerCase match {
         case "min" => min(col(c))
         case "max" => max(col(c))

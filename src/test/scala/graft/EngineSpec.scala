@@ -49,6 +49,49 @@ class EngineSpec extends SparkSpec {
     assert(ctx.result("u").collect().map(_.getString(2)).toSeq == Seq("x1"))
   }
 
+  test("order metadata survives SELECT DISTINCT, GROUPBY SLICE and LEFT JOIN (pandas preserves row order)") {
+    val df = Seq(("a", 2, "late"), ("a", 1, "early"), ("b", 5, "only")).toDF("g", "v", "p")
+    // SORT → SELECT DISTINCT (keys survive) → UNIQUE keep-first must
+    // still honor the sort; dropping the metadata would fall back to
+    // arbitrary dropDuplicates
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("d", "SELECT DISTINCT", Seq("s"), "g, v, p"),
+      op("u", "UNIQUE COLUMN", Seq("d"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.order("d").nonEmpty, "SELECT DISTINCT must keep surviving sort keys")
+    assert(ctx.result("u").orderBy("g").collect().map(_.getString(2)).toSeq ==
+      Seq("early", "only"))
+    // GROUPBY SLICE drops no columns: order survives for a later consumer
+    val ctx2 = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("top", "GROUPBY SLICE", Seq("s"), "group_by_cols=g, slice_num=2"),
+      op("u2", "UNIQUE COLUMN", Seq("top"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx2.order("top").nonEmpty)
+    assert(ctx2.result("u2").orderBy("g").collect().map(_.getString(2)).toSeq ==
+      Seq("early", "only"))
+    // LEFT JOIN keeps the left order when keys come through unsuffixed
+    val right = Seq(("a", "ra"), ("b", "rb")).toDF("g", "extra")
+    val ctx3 = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("j", "LEFT JOIN", Seq("s", "r"), "g"),
+      op("u3", "UNIQUE COLUMN", Seq("j"), "g")
+    ).foldLeft(PipelineContext().bind("t", df).bind("r", right))(
+      (c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx3.order("j").nonEmpty, "left join must keep the left frame's order")
+    assert(ctx3.result("u3").orderBy("g").collect().map(_.getString(2)).toSeq ==
+      Seq("early", "only"))
+    // ...but NOT when the suffix policy renamed a sort-key column
+    val clash = Seq(("a", 7, "x")).toDF("g", "v", "q") // 'v' collides → v_x/v_y
+    val ctx4 = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("j2", "LEFT JOIN", Seq("s", "c"), "g")
+    ).foldLeft(PipelineContext().bind("t", df).bind("c", clash))(
+      (c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx4.order("j2").isEmpty, "suffixed-away sort keys must clear the order")
+  }
+
   test("GROUPBY SUMMARISE last uses the threaded order") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 20.0)).toDF("g", "k", "v")
     val ctx = Seq(

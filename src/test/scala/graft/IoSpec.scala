@@ -115,6 +115,73 @@ class IoSpec extends SparkSpec {
     assert(ok == NestedStore.EraseStats(partitionsRewritten = 0, partitionsDropped = 1))
   }
 
+  test("erase and compact are schema-safe across heterogeneous views") {
+    // the store contract: payload schemas differ BETWEEN views. A
+    // whole-store read samples one footer and mis-decodes the rest —
+    // both verbs must process per view instead
+    val dir = Files.createTempDirectory("graft_hetero").toString
+    val a = Seq(("s1", "vA", "alice", 1.0), ("s1", "vA", "bob", 2.0))
+      .toDF("study_code", "view", "name", "score")
+    val b = Seq(("s1", "vB", 7L), ("s2", "vB", 9L))
+      .toDF("study_code", "view", "code") // DIFFERENT payload schema
+    NestedStore.write(NestedStore.nest(a, "study_code", "view"), dir)
+    NestedStore.upsert(NestedStore.nest(b, "study_code", "view"), dir)
+    def readB: Seq[Long] = NestedStore.flatten(spark.read.option("basePath", dir)
+        .parquet(s"$dir/study_code=s1/view=vB", s"$dir/study_code=s2/view=vB"))
+      .select("code").collect().map(_.getLong(0)).sorted.toSeq
+    // erase by a field only view A has: A loses alice, B is untouched
+    val stats = NestedStore.erase(spark, dir, col("name") === "alice")
+    assert(stats == NestedStore.EraseStats(partitionsRewritten = 1, partitionsDropped = 0))
+    val backA = NestedStore.flatten(spark.read.option("basePath", dir)
+        .parquet(s"$dir/study_code=s1/view=vA"))
+      .select("name", "score").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(backA == Seq(("bob", 2.0)))
+    assert(readB == Seq(7L, 9L), "view B payload must survive byte-correct")
+    // a predicate resolving in NO view is a loud error, not a no-op
+    val e = intercept[IllegalArgumentException] {
+      NestedStore.erase(spark, dir, col("no_such_field") === 1)
+    }
+    assert(e.getMessage.contains("NO view"), e.getMessage)
+    // compact preserves both views' schemas and rows
+    NestedStore.compact(spark, dir)
+    assert(readB == Seq(7L, 9L))
+    assert(NestedStore.flatten(spark.read.option("basePath", dir)
+        .parquet(s"$dir/study_code=s1/view=vA"))
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("bob"))
+  }
+
+  test("ingesting a second file upserts — the first file's view survives") {
+    import graft.io.Ingestion
+    val dir = Files.createTempDirectory("graft_ingest2").toString
+    val store = s"$dir/store"
+    Files.writeString(java.nio.file.Paths.get(dir, "drop_ENROL_1.csv"),
+      "project,Folder,SiteGroup\np1,f1,US\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "drop_DS_1.csv"),
+      "project,Folder,Status\np1,f9,DONE\n")
+    Ingestion.ingestRouted(spark, s"$dir/drop_ENROL_1.csv",
+      "/root/repo/fixtures/ingest_config.json", store)
+    Ingestion.ingestRouted(spark, s"$dir/drop_DS_1.csv",
+      "/root/repo/fixtures/ingest_config.json", store)
+    // the reference Lambda put_items one file and leaves other views
+    // alone; a static overwrite would have truncated the ENROL data
+    val enrol = NestedStore.flatten(
+      spark.read.parquet(s"$store/project=p1/Folder=f1"))
+    assert(enrol.count() == 1, "first ingested view must survive the second ingest")
+    assert(NestedStore.flatten(spark.read.parquet(s"$store/project=p1/Folder=f9")).count() == 1)
+  }
+
+  test("withFileMetadata falls back to the explicit path for non-FileScan sources (sas7bdat)") {
+    import graft.io.Ingestion
+    // Sas.read is RDD-backed: input_file_name() is '' on every row, so
+    // without the fallback the metadata silently stores empty view ids
+    val f = "fixtures/sas/graft_fixture.sas7bdat"
+    val md = Ingestion.withFileMetadata(graft.io.Sas.read(spark, f), fallbackPath = Some(f))
+      .select("source_file", "view_id").distinct().collect()
+    assert(md.length == 1)
+    assert(md.head.getString(0) == "graft_fixture.sas7bdat")
+    assert(md.head.getString(1) == "graft")
+  }
+
   test("ORC roundtrip is lossless and the scan takes pushed filters + pruned columns") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Seq((1L, "alpha", 3.5), (2L, "beta", -1.0), (3L, "gamma", 0.0))

@@ -14,6 +14,9 @@ class OpsSpec extends SparkSpec {
     assert(Ops.strftimeToJava("%d-%m-%Y %H:%M") == "dd-MM-yyyy HH:mm")
     assert(Ops.strftimeToJava("%%m") == "'%m'") // escaped percent + literal m, quoted
     assert(Ops.strftimeToJava("%Y at %H") == "yyyy' at 'HH")
+    // a bare quote in letter-free literal text must escape too — an
+    // unescaped one would START a quoted section and swallow %m
+    assert(Ops.strftimeToJava("%d'%m") == "dd''MM")
     assertThrows[IllegalArgumentException](Ops.strftimeToJava("%Q"))
   }
 
@@ -29,6 +32,31 @@ class OpsSpec extends SparkSpec {
     val first = Ops.groupbySummarise(Seq("g"), Seq(("v", "first")), Seq(SortKey("k")))(df)
       .orderBy("g").collect().map(r => (r.getString(0), Option(r.get(1))))
     assert(first.toSeq == Seq(("g1", Some(5.0)), ("g2", Some(7.0)), ("g3", None)))
+  }
+
+  test("groupbySummarise multi-key first/last: null sort keys rank LAST, like sort_values") {
+    // pandas sort_values(na_position='last') puts a null key after
+    // every non-null one; a raw struct field would sort it FIRST
+    val df = Seq(
+      ("g", Option(1), Option(9), "early"),
+      ("g", Option(2), Option(1), "late"),
+      ("g", Option.empty[Int], Option(0), "nullkey") // sorts last on k1
+    ).toDF("g", "k1", "k2", "v")
+    val order = Seq(SortKey("k1"), SortKey("k2"))
+    val first = Ops.groupbySummarise(Seq("g"), Seq(("v", "first")), order)(df)
+    assert(first.collect().head.getString(1) == "early")
+    val last = Ops.groupbySummarise(Seq("g"), Seq(("v", "last")), order)(df)
+    assert(last.collect().head.getString(1) == "nullkey")
+  }
+
+  test("groupbySummarise repeated column keeps first position, last fn (reference dict)") {
+    // the reference's res_dct[c] = fn silently overwrites — c#min,c#max
+    // must yield ONE column 'c' holding the max, never two ambiguous
+    // 'c' columns
+    val df = Seq(("g", 1), ("g", 5)).toDF("g", "c")
+    val r = Ops.groupbySummarise(Seq("g"), Seq(("c", "min"), ("c", "max")), Nil)(df)
+    assert(r.columns.toSeq == Seq("g", "c"))
+    assert(r.collect().head.getInt(1) == 5)
   }
 
   test("groupbySummarise last after DESC sort takes min sort key") {
