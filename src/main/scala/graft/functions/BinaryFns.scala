@@ -47,10 +47,15 @@ object BinaryFns {
       if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
       return ("png", w.toInt, h.toInt)
     }
-    // GIF87a / GIF89a: logical screen descriptor, width/height LE16
+    // GIF87a / GIF89a: logical screen descriptor, width/height LE16.
+    // Zero dimensions are degenerate — null like the PNG branch, so
+    // corrupt media filters identically across formats
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
-        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-      return ("gif", le16(b, 6), le16(b, 8))
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w <= 0 || h <= 0) return null
+      return ("gif", w, h)
+    }
     // JPEG: SOI, then walk marker segments until a SOF frame header:
     // FF <marker> <len BE16 incl itself> <payload>. SOF payload is
     // precision(1), height(2), width(2), ... Entropy-coded data only
@@ -68,7 +73,12 @@ object BinaryFns {
         val m = u8(b, p + 1)
         if (isSof(m)) {
           if (p + 8 >= b.length) return null // truncated SOF
-          return ("jpeg", be16(b, p + 7), be16(b, p + 5))
+          val w = be16(b, p + 7); val h = be16(b, p + 5)
+          // height 0 is the DNL-deferred case (defined later in the
+          // stream, which a header-only probe cannot see) — null like
+          // the other degenerate-dimension branches, never a 0 row
+          if (w <= 0 || h <= 0) return null
+          return ("jpeg", w, h)
         } else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
           pos = p + 2 // standalone marker, no length field
         } else if (m == 0xD9 || m == 0xDA) {
@@ -122,6 +132,11 @@ object BinaryFns {
           if (cs < 8 || c + cs > end) return null
           if (u8(b, c + 4) == 'm' && u8(b, c + 5) == 'v' &&
               u8(b, c + 6) == 'h' && u8(b, c + 7) == 'd') {
+            // size-check BEFORE the version byte: an 8-byte 'mvhd'
+            // child ending at the buffer edge would otherwise index
+            // past the array — corrupt bytes must be a null, not an
+            // ArrayIndexOutOfBoundsException that fails the task
+            if (cs < 9) return null
             val version = u8(b, c + 8)
             if (version == 0) {
               if (cs < 108) return null

@@ -31,10 +31,19 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(binCol)))
       .withColumn("content_sha256", sha2(col(binCol), 256))
 
-  private def register(df: DataFrame): DataFrame = {
-    graft.functions.ArrayFns.register(df.sparkSession)
-    df
-  }
+  /** Run `body` with the native graft_* functions registered and
+    * deregistered around it — analysis is eager, so resolution
+    * happens in-scope and the CALLER's session registry is left
+    * unchanged (the ArrayFns.scoped discipline; a bare register would
+    * permanently install library internals into the session).
+    */
+  private def withNative(df: DataFrame)(body: DataFrame => DataFrame): DataFrame =
+    graft.functions.ArrayFns.scoped(df.sparkSession)(body(df))
+
+  /** One byte of `c` as two hex chars — shared by the audio/video
+    * fixture builders so an encoding fix cannot apply to one oracle's
+    * fixture and miss the other. Assumes non-negative input (ids). */
+  private def byteHex(c: Column): Column = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
 
   /** REAL image metadata: parse PNG IHDR / JPEG SOF / GIF screen
     * descriptor headers from the binary column with the native
@@ -45,7 +54,7 @@ object Multimodal {
     * downstream of this probe, not replace it.
     */
   def withImageMeta(binCol: String, outCol: String = "media_meta")(df: DataFrame): DataFrame =
-    register(df).withColumn(outCol, call_function("graft_image_meta", col(binCol)))
+    withNative(df)(_.withColumn(outCol, call_function("graft_image_meta", col(binCol))))
 
   /** REAL audio metadata: parse the RIFF/WAVE header with the native
     * `graft_audio_meta` expression (functions/BinaryFns.scala) —
@@ -55,7 +64,7 @@ object Multimodal {
     * field, no sample decode.
     */
   def withAudioMeta(binCol: String, outCol: String = "audio_meta")(df: DataFrame): DataFrame =
-    register(df).withColumn(outCol, call_function("graft_audio_meta", col(binCol)))
+    withNative(df)(_.withColumn(outCol, call_function("graft_audio_meta", col(binCol))))
 
   /** REAL video metadata: walk the ISO-BMFF box structure with the
     * native `graft_video_meta` expression (functions/BinaryFns.scala)
@@ -66,7 +75,7 @@ object Multimodal {
     * downstream of this probe, not in place of it.
     */
   def withVideoMeta(binCol: String, outCol: String = "video_meta")(df: DataFrame): DataFrame =
-    register(df).withColumn(outCol, call_function("graft_video_meta", col(binCol)))
+    withNative(df)(_.withColumn(outCol, call_function("graft_video_meta", col(binCol))))
 
   /** Deterministic MP4 FIXTURE for the correctness gate, completing
     * the image/audio/video trio: real ISO-BMFF byte streams — ftyp,
@@ -84,7 +93,6 @@ object Multimodal {
     *  - id % 2 == 1 → the raw UTF-8 text (not video)
     */
   def synthVideoContent(idCol: Column, textCol: Column): Column = {
-    def byteHex(c: Column) = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
     def be32(c: Column) =
       concat(byteHex(shiftright(c, 24)), byteHex(shiftright(c, 16)), byteHex(shiftright(c, 8)), byteHex(c))
     def be64(c: Column) = concat(be32(shiftright(c, 32)), be32(c))
@@ -137,7 +145,6 @@ object Multimodal {
     *  - id % 2 == 1 → the raw UTF-8 text (not audio)
     */
   def synthAudioContent(idCol: Column, textCol: Column): Column = {
-    def byteHex(c: Column) = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
     def le16(c: Column) = concat(byteHex(c), byteHex(shiftright(c, 8)))
     def le32(c: Column) =
       concat(byteHex(c), byteHex(shiftright(c, 8)), byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24)))
@@ -176,7 +183,10 @@ object Multimodal {
     val nChunks = ceil(octet_length(col(binCol)).cast("double") / chunkSize).cast("int")
     df.withColumn("__idx", explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1)))
       .withColumn("chunk_idx", col("__idx"))
-      .withColumn("chunk", expr(s"substring($binCol, __idx * $chunkSize + 1, $chunkSize)"))
+      // Column API, not a SQL string: an interpolated $binCol breaks
+      // (or misresolves) for names that need backticks
+      .withColumn("chunk",
+        col(binCol).substr(col("__idx") * chunkSize + lit(1), lit(chunkSize)))
       .drop("__idx")
   }
 
@@ -195,7 +205,7 @@ object Multimodal {
     * batched feature-extract pass of the pipeline.
     */
   def withByteStats(binCol: String, outCol: String = "byte_stats")(df: DataFrame): DataFrame =
-    register(df).withColumn(outCol, call_function("graft_byte_stats", col(binCol)))
+    withNative(df)(_.withColumn(outCol, call_function("graft_byte_stats", col(binCol))))
 
   /** Normalized `bins`-bin byte histogram (`graft_byte_hist`) — a
     * per-row array<double> feature vector with exact cross-engine
@@ -203,7 +213,7 @@ object Multimodal {
     * would plug in for [[Similarity]] ops downstream.
     */
   def withByteHist(binCol: String, bins: Int = 16, outCol: String = "byte_hist")(df: DataFrame): DataFrame =
-    register(df).withColumn(outCol, call_function("graft_byte_hist", col(binCol), lit(bins)))
+    withNative(df)(_.withColumn(outCol, call_function("graft_byte_hist", col(binCol), lit(bins))))
 
   /** Deterministic image-byte FIXTURE for the correctness gate: real
     * PNG / JPEG byte streams (valid signature, IHDR / segment

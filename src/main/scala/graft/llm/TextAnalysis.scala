@@ -315,13 +315,30 @@ object TextAnalysis {
       minPair: Long = 2)(df: DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tk = col("__tk")
-    // Project boundary first — the bpePairCounts lambda re-eval trap
-    val toks = df.select(tokens(col(textCol)).as("__tk"))
-    val pairsArr = when(size(tk) >= 2,
+    liftTopK(df, textCol, k, minPair,
+      // adjacent pairs only
       transform(sequence(lit(1), size(tk) - 1),
         i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+  }
+
+  /** The shared count → join → lift → top-k pipeline under
+    * [[collocationTopK]] and [[skipgramLiftTopK]] — ONE definition so
+    * the pruning, tie-break, and lift arithmetic cannot diverge
+    * between the two enumerations. `pairsArr` is the pair-array
+    * expression over the tokenized `__tk` column.
+    */
+  private def liftTopK(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      minPair: Long,
+      pairsArr: Column): DataFrame = {
+    val tk = col("__tk")
+    // Project boundary first — the bpePairCounts lambda re-eval trap
+    val toks = df.select(tokens(col(textCol)).as("__tk"))
+    val pairs = when(size(tk) >= 2, pairsArr)
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val pairCounts = toks.select(explode(pairsArr).as("p"))
+    val pairCounts = toks.select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= minPair)
@@ -359,30 +376,11 @@ object TextAnalysis {
       minPair: Long = 2)(df: DataFrame): DataFrame = {
     require(k > 0 && window >= 1, s"bad (k=$k, window=$window)")
     val tk = col("__tk")
-    // Project boundary first — the bpePairCounts lambda re-eval trap
-    val toks = df.select(tokens(col(textCol)).as("__tk"))
-    val pairsArr = when(size(tk) >= 2,
+    liftTopK(df, textCol, k, minPair,
+      // all ordered pairs within token distance <= window
       flatten(transform(sequence(lit(1), size(tk) - 1), i =>
         transform(sequence(lit(1), least(lit(window), size(tk) - i)),
           d => struct(element_at(tk, i).as("w1"), element_at(tk, i + d).as("w2"))))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val pairCounts = toks.select(explode(pairsArr).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("n_pair"))
-      .where(col("n_pair") >= minPair)
-    val uni = toks.select(explode(tk).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n_w"))
-    val total = toks.agg(sum(size(tk)).as("n_tokens"))
-    pairCounts
-      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
-      .crossJoin(broadcast(total))
-      .withColumn("lift",
-        (col("n_pair") * col("n_tokens")).cast("double") /
-          (col("n_w1") * col("n_w2")).cast("double"))
-      .orderBy(col("lift").desc, col("w1"), col("w2"))
-      .limit(k)
-      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_tokens", "lift")
   }
 
   /** Overlapping fixed-width character chunks — retrieval-index prep

@@ -194,13 +194,26 @@ object StreamingIngest {
             lines.head.trim.toLong >= batchId
           }
           if (!committed) {
+            val tmp = new org.apache.hadoop.fs.Path(stateDir + "__staging")
+            val old = new org.apache.hadoop.fs.Path(stateDir + "__prev")
+            // crash-window recovery FIRST — before the exists(state)
+            // probe below and before any delete: an attempt that died
+            // between the stage-out and swap-in renames left the ONLY
+            // copy of the rollup history at __prev with stateDir
+            // missing. Deleting __prev (or building `merged` off the
+            // missing state dir) would make the replayed batch commit
+            // delta-only state — silent loss of every prior batch.
+            // Restore it; the replay then re-merges onto the restored
+            // history (its marker holds the prior batch id, so
+            // `committed` above was correctly false).
+            if (fs.exists(old) && !fs.exists(state))
+              require(fs.rename(old, state),
+                s"ivmStateStream: could not restore staged-out state from $old")
             val delta = graft.ops.Ivm.state(keys, valueCol)(batch)
             val merged =
               if (fs.exists(state))
                 graft.ops.Ivm.merge(keys)(s.read.parquet(stateDir), delta)
               else delta
-            val tmp = new org.apache.hadoop.fs.Path(stateDir + "__staging")
-            val old = new org.apache.hadoop.fs.Path(stateDir + "__prev")
             fs.delete(tmp, true); fs.delete(old, true)
             merged.write.mode("overwrite").parquet(tmp.toString)
             val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_ivm_batch"), true)
@@ -354,6 +367,11 @@ object StreamingIngest {
       textCol: String,
       tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("__fp", "__fp_rn"))
+    require(clash.isEmpty,
+      s"streamingFingerprintDedup uses internal columns ${clash.mkString(", ")} " +
+        "already present in the input — rename them first (the pipeline would " +
+        "silently clobber and then DROP the caller's column)")
     val fp = graft.llm.TextAnalysis.withFingerprint(textCol, "__fp")(docs)
     // batch twin: dropDuplicatesWithinWatermark is streaming-only, so
     // a static frame keeps the EARLIEST row per fingerprint (window

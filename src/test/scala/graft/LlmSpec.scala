@@ -1157,10 +1157,27 @@ class LlmSpec extends SparkSpec {
       ("truncated_ftyp", "0000001466747970"),              // size says 20, only 8 present
       ("size_lt_8", "00000004667479706973"),               // box size 4 < header
       ("wav_bytes", "524946460800000057415645"),           // RIFF, not BMFF
-      ("no_moov", "000000106674797069736F6D00000200")      // ftyp only, no mvhd
+      ("no_moov", "000000106674797069736F6D00000200"),     // ftyp only, no mvhd
+      // valid ftyp, then a moov whose only child is an 8-byte 'mvhd'
+      // ending AT the buffer edge — the version byte sits one past the
+      // end, which must read as null, never AIOOBE
+      ("mvhd_8_bytes_at_eof",
+        "000000106674797069736F6D00000200" + "000000106D6F6F76" + "000000086D766864")
     ).toDF("name", "hx")
     val out = cases.select(col("name"),
         call_function("graft_video_meta", unhex(col("hx"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out.values.forall(identity), s"expected all null, got $out")
+  }
+
+  test("image probe nulls degenerate zero dimensions in every format, like the PNG branch") {
+    graft.functions.ArrayFns.register(spark)
+    val cases = Seq(
+      ("gif_zero_width", "474946383961" + "0000" + "0100"), // GIF89a, w=0 h=1
+      ("jpeg_zero_height", "FFD8" + "FFC0" + "000B" + "08" + "0000" + "0010") // SOF h=0 (DNL case)
+    ).toDF("name", "hx")
+    val out = cases.select(col("name"),
+        call_function("graft_image_meta", unhex(col("hx"))).as("m"))
       .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
     assert(out.values.forall(identity), s"expected all null, got $out")
   }

@@ -108,6 +108,35 @@ class StreamingSpec extends SparkSpec {
     assert(canon(spark.read.parquet(state)) == canon(direct))
   }
 
+  test("IVM crash-window recovery: state staged out but not swapped in is restored, not deleted") {
+    import graft.ops.Ivm
+    val watch = Files.createTempDirectory("graft_ivmcrashw").toString
+    val state = Files.createTempDirectory("graft_ivmcrashs").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_ivmcrashc").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k STRING, v BIGINT")
+    Files.writeString(java.nio.file.Paths.get(watch, "b1.csv"), "k,v\na,10\nb,5\n")
+    runToCompletion(
+      StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    // simulate a crash BETWEEN the stage-out and swap-in renames: the
+    // only copy of the rollup history sits at __prev, stateDir gone
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "__prev")))
+    // next batch must RESTORE the staged-out history before merging —
+    // the old behavior deleted __prev and committed delta-only state
+    Files.writeString(java.nio.file.Paths.get(watch, "b2.csv"), "k,v\nb,7\nc,42\n")
+    runToCompletion(
+      StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
+        .trigger(Trigger.AvailableNow()).start())
+    val got = Ivm.finalized(spark.read.parquet(state)).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"))).toSet
+    assert(got == Set(("a", 1L), ("b", 2L), ("c", 1L)),
+      s"batch 1's history must survive the crash window: $got")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "__prev")))
+  }
+
   test("streaming upsert sink == batch write+upsert; replay-idempotent per key") {
     val watch = Files.createTempDirectory("graft_uwatch").toString
     val store = Files.createTempDirectory("graft_ustore").toString
