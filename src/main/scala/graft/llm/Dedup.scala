@@ -55,7 +55,11 @@ object Dedup {
       batch: DataFrame,
       store: DataFrame): DataFrame = {
     val storeDigests = store.select(md5(col(textCol)).as("__digest")).distinct()
-    batch.join(storeDigests, md5(batch(textCol)) === storeDigests("__digest"), "left_anti")
+    // null-SAFE digest match: md5(NULL) is NULL on both sides, and a
+    // null-unsafe anti-join would re-ingest NULL-text rows on every
+    // replay — breaking the idempotency contract exactDedup honors
+    // (it groups NULL digests together)
+    batch.join(storeDigests, md5(batch(textCol)) <=> storeDigests("__digest"), "left_anti")
   }
 
   // ===== shingles + MinHash-LSH =====
@@ -335,8 +339,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8): DataFrame = {
-    val drop = nearDupPairs(df, idCol, textCol, threshold)
+      threshold: Double = 0.8,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val drop = nearDupPairs(df, idCol, textCol, threshold, numPerm, bands, shingleK)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
@@ -378,7 +385,10 @@ object Dedup {
     val survivors = batch.join(
       hits.select(col("train_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
       .localCheckpoint()
-    nearDedup(survivors, idCol, textCol, threshold)
+    // SAME similarity measure as the cross-store pass: the tuned
+    // numPerm/bands/shingleK must reach the within-batch stage too, or
+    // the two stages silently apply different notions of "near"
+    nearDedup(survivors, idCol, textCol, threshold, numPerm, bands, shingleK)
   }
 
   /** Connected components over a near-dup pair frame: every document

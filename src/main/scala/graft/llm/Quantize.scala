@@ -88,8 +88,14 @@ object Quantize {
     * engine-portable; ties break on neighbor id. This is the number a
     * 100 TB deployment watches when deciding k-for-rerank: candidates
     * come from int8 codes alone, the float rerank only touches k rows.
-    * (All-zero vectors have no direction — their quantized cosine is
-    * NaN and they sort last; drop them upstream if they occur.)
+    * (All-zero vectors have no direction — their cosine is NaN, which
+    * Spark orders GREATER than any double, so the ranking explicitly
+    * demotes NaN below every real cosine [nanvl → −2]; degenerate
+    * vectors can then never displace genuine neighbors from either
+    * list. Probes whose two top-k lists are fully disjoint still get
+    * a row — recall 0.0, zero-filled from the probe set — because an
+    * audit that silently omits its WORST probes overstates the
+    * average it exists to report.)
     */
   def int8RecallAtK(
       corpus: DataFrame,
@@ -109,8 +115,12 @@ object Quantize {
     val fProbes = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
 
     def topk(scored: DataFrame, scoreCol: String): DataFrame = {
+      // nanvl: NaN sorts GREATER than any double in Spark, so a raw
+      // desc ordering would put every zero-vector (0/0 cosine) at the
+      // TOP of both lists, inflating measured recall — demote them
+      // below the cosine floor instead
       val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+        .orderBy(nanvl(col(scoreCol), lit(-2.0)).desc, col("neighbor_id").asc)
       scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
         .select("probe_id", "neighbor_id")
     }
@@ -121,21 +131,32 @@ object Quantize {
       "__sim")
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    // zero-norm guard: an all-zero code vector would divide by 0.0 —
+    // an ANSI DIVIDE_BY_ZERO task failure, not the IEEE NaN the
+    // native exact-side expression produces. Emit null instead
+    // (sorts last under the desc ranking, like nanvl'd NaN).
+    val normProd =
+      sqrt(idot(col("__cq"), col("__cq")).cast("double")) *
+        sqrt(idot(col("__pq"), col("__pq")).cast("double"))
     val quant = topk(
       qCorpus.crossJoin(Similarity.maybeBroadcast(qProbes, maxBroadcastBytes))
         .withColumn("__qsim",
-          idot(col("__cq"), col("__pq")).cast("double") /
-            (sqrt(idot(col("__cq"), col("__cq")).cast("double")) *
-              sqrt(idot(col("__pq"), col("__pq")).cast("double")))),
+          when(normProd > 0d, idot(col("__cq"), col("__pq")).cast("double") / normProd)),
       "__qsim")
 
     // both top-k frames descend from the same corpus lineage; renaming
     // the quant side's join keys before the semi-join removes any
     // same-attribute ambiguity in the equi-condition
     val quantR = quant.select(col("probe_id").as("__qp"), col("neighbor_id").as("__qn"))
-    exact.join(quantR,
+    val hits = exact.join(quantR,
         col("probe_id") === col("__qp") && col("neighbor_id") === col("__qn"), "left_semi")
       .groupBy("probe_id")
       .agg((count(lit(1)).cast("double") / k).as("recall_at_k"))
+    // zero-fill from the probe set: a probe whose exact and quantized
+    // top-k share NOTHING has no semi-join rows at all, and omitting
+    // it would silently drop the worst probes from the audit
+    fProbes.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("recall_at_k"), lit(0.0)).as("recall_at_k"))
   }
 }

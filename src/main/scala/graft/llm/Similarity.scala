@@ -155,11 +155,21 @@ object Similarity {
     * Nearby vectors (cosine) collide with high probability.
     */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.length
     val bits: Seq[Column] = planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
       when(dot(vec, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
-    bits.reduce(_ bitwiseOR _)
+    // loud guard: a vector shorter/longer than the planes nulls every
+    // hyperplane dot (zip_with pads with null), every when() falls to
+    // otherwise(0) — ALL rows silently collapse into bucket 0 and the
+    // "bucketed join, no cartesian" contract degrades to N² in one
+    // bucket. Fail on the first row instead.
+    when(size(vec) === dim, bits.reduce(_ bitwiseOR _))
+      .otherwise(raise_error(concat(
+        lit("lshBucket: vector length "), size(vec).cast("string"),
+        lit(s" != hyperplane dim $dim — pass dim=<your embedding width> " +
+          "or every row would silently land in bucket 0"))))
   }
 
   /** The probe-side bucket list: the vector's own bucket plus, when
@@ -277,13 +287,20 @@ object Similarity {
       subBucketPlanes: Int = 0,
       seed: Long = 42L,
       multiProbe: Boolean = true): DataFrame = {
+    // materialize the nearest-centroid assignment ONCE (localCheckpoint,
+    // the incrementalNearDedup discipline — blocks release on GC): the
+    // join reads it from both sides and the final anti-join a third
+    // time; each lazy reference would re-run the k-centroids-by-dim
+    // dot-product scan, the expensive stage of the whole operator
     val assigned = Ivf.assign(df, idCol, vecCol, model)
+      .select(col(idCol), col("centroid_id"), asDouble(col(vecCol)).as("__v"))
+      .localCheckpoint()
     val (l, r, joinKeys) =
       if (subBucketPlanes <= 0) (
         assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
-          asDouble(col(vecCol)).as("__va")),
+          col("__v").as("__va")),
         assigned.select(col("centroid_id"), col(idCol).as("__id_b"),
-          asDouble(col(vecCol)).as("__vb")),
+          col("__v").as("__vb")),
         Seq("centroid_id"))
       else {
         // plane dim comes from the model — a mismatched explicit dim
@@ -291,12 +308,12 @@ object Similarity {
         // null) and silently collapse all rows into bucket 0,
         // disabling the quadratic cap this option exists for
         val planes = hyperplanes(model.centroids.head.length, subBucketPlanes, seed)
-        val b = lshBucket(asDouble(col(vecCol)), planes)
+        val b = lshBucket(col("__v"), planes)
         (assigned.select(col("centroid_id"), col(idCol).as("__id_a"),
-          asDouble(col(vecCol)).as("__va"),
+          col("__v").as("__va"),
           explode(probeBuckets(b, subBucketPlanes, multiProbe)).as("__bucket")),
           assigned.select(col("centroid_id"), col(idCol).as("__id_b"),
-            asDouble(col(vecCol)).as("__vb"), b.as("__bucket")),
+            col("__v").as("__vb"), b.as("__bucket")),
           Seq("centroid_id", "__bucket"))
       }
     val drops = l.join(r, joinKeys)

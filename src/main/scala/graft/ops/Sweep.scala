@@ -42,8 +42,14 @@ object Sweep {
       .partitionBy(col(bucketCol)).orderBy(orderCols.map(col): _*)
       .rowsBetween(Long.MinValue, 0)
     val within = df.withColumn("__within", sum(col(valueCol)).over(w))
+    // sequence buckets by the FULL lexicographic min, not only the
+    // head order column: two buckets tied on the head (a boundary
+    // inside one head value) would otherwise get an arbitrary
+    // relative order in the offsets window — wrong running sums,
+    // varying run to run
     val totals = df.groupBy(col(bucketCol))
-      .agg(sum(col(valueCol)).as("__tot"), min(col(orderCols.head)).as("__seq"))
+      .agg(sum(col(valueCol)).as("__tot"),
+        min(struct(orderCols.map(col): _*)).as("__seq"))
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("__seq")).rowsBetween(Long.MinValue, -1)
     val offsets = totals
@@ -78,9 +84,16 @@ object Sweep {
       endCol: String,
       tieCols: Seq[String])(intervals: DataFrame): DataFrame = {
     val keep = tieCols.map(col)
+    // NULL bounds: an interval with a NULL end is OPEN — it
+    // contributes its +1 and never closes (a NULL-ts −1 delta would
+    // land in a NULL date bucket that sorts FIRST and shift the whole
+    // curve down by one). A NULL start cannot be placed on the line
+    // at all and contributes nothing.
     val deltas = intervals
+      .where(col(startCol).isNotNull)
       .select((col(startCol).as("ts") +: lit(1).as("delta") +: keep): _*)
       .unionByName(intervals
+        .where(col(startCol).isNotNull && col(endCol).isNotNull)
         .select((col(endCol).as("ts") +: lit(-1).as("delta") +: keep): _*))
       .withColumn("__d", to_date(col("ts")))
       .withColumn("__nd", -col("delta"))

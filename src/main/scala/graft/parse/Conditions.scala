@@ -9,8 +9,8 @@ import java.time.LocalDate
   * Grammar (dispatch by substring scan, priority order mirrors the
   * reference exactly):
   *   cond      := conj | disj | between | single
-  *   conj      := single '&' single          (equality terms only)
-  *   disj      := single '|' single
+  *   conj      := single '&' cond            (n terms fold right)
+  *   disj      := single '|' cond
   *   between   := col 'BETWEEN' '(' lit ',' lit ')'
   *   single    := col ('=' | '>=' | '<=') rhs
   *   rhs       := 'NOT NULL' | lit
@@ -48,9 +48,19 @@ object Conditions {
     val bool = """(?i)BOOLEAN\((.+)\)""".r
     s match {
       case date(d) =>
-        DLit(LocalDate.parse(d.trim)) // yyyy-mm-dd, the observed format
+        try DLit(LocalDate.parse(d.trim)) // yyyy-mm-dd, the observed format
+        catch {
+          case e: java.time.format.DateTimeParseException =>
+            // the module's error contract is ParseError — a leaked
+            // DateTimeParseException would bypass interpreter handlers
+            throw ParseError(s"bad DATE literal '$s' (want yyyy-mm-dd): ${e.getMessage}")
+        }
       case num(n) =>
-        NLit(n.trim.toDouble)
+        try NLit(n.trim.toDouble)
+        catch {
+          case _: NumberFormatException =>
+            throw ParseError(s"bad NUMBER literal '$s'")
+        }
       case bool(b) =>
         BLit(b.trim.equalsIgnoreCase("true"))
       case other => SLit(other)
@@ -98,11 +108,15 @@ object Conditions {
     val t = s.trim
     if (t.isEmpty) throw ParseError("empty condition")
     else if (t.contains("&")) {
+      // RECURSE on the remainder: with parseSingle there, a third term
+      // of 'a = 1 & b = 2 & c = 3' would be absorbed into term two's
+      // string literal (comparing b against "2 & c = 3" — matches
+      // nothing, silently). n-term conjunctions fold right-associative
       val parts = t.split("&", 2)
-      And(parseSingle(parts(0)), parseSingle(parts(1)))
+      And(parseSingle(parts(0)), parse(parts(1)))
     } else if (t.contains("|")) {
       val parts = t.split("\\|", 2)
-      Or(parseSingle(parts(0)), parseSingle(parts(1)))
+      Or(parseSingle(parts(0)), parse(parts(1)))
     } else if (t.toUpperCase.contains("BETWEEN")) parseBetween(t)
     else parseSingle(t)
   }

@@ -50,6 +50,21 @@ class ConditionsSpec extends AnyFunSuite {
     assert(Conditions.parse("a = 1 & b = 2 | c = 3").isInstanceOf[And])
   }
 
+  test("n-term conjunctions fold right, never absorb into a literal") {
+    // the old 2-way split compared b against the literal "2 & c = 3"
+    assert(Conditions.parse("a = 1 & b = 2 & c = 3") ==
+      And(Cmp("a", "=", SLit("1")),
+        And(Cmp("b", "=", SLit("2")), Cmp("c", "=", SLit("3")))))
+    assert(Conditions.parse("a = 1 | b = 2 | c = 3") ==
+      Or(Cmp("a", "=", SLit("1")),
+        Or(Cmp("b", "=", SLit("2")), Cmp("c", "=", SLit("3")))))
+  }
+
+  test("malformed typed literals throw ParseError, not raw JDK exceptions") {
+    intercept[Conditions.ParseError](Conditions.parse("a = NUMBER(1,5)"))
+    intercept[Conditions.ParseError](Conditions.parse("a = DATE(01/02/2020)"))
+  }
+
   test("BETWEEN with typed bounds") {
     assert(Conditions.parse("q BETWEEN (NUMBER(5), NUMBER(10))") ==
       Between("q", NLit(5.0), NLit(10.0)))

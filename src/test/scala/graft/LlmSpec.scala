@@ -99,6 +99,14 @@ class LlmSpec extends SparkSpec {
     // idempotent: re-running the batch against store ∪ batch keeps nothing
     val again = Dedup.incrementalDedup("text", batch, store.unionByName(batch))
     assert(again.count() == 0L)
+    // NULL-text rows dedup too (null-SAFE digest match): a replayed
+    // NULL-text row must not re-ingest forever
+    val nullBatch = Seq((14L, Option.empty[String]), (15L, Option("fresh stuff")))
+      .toDF("doc_id", "text")
+    val nullStore = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val keptNull = Dedup.incrementalDedup("text", nullBatch, nullStore)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keptNull == Seq(15L), s"NULL-text replay must dedup against the store: $keptNull")
   }
 
   test("incrementalNearDedup: store near-dups drop, batch survivors keep-lowest, idempotent") {
@@ -480,6 +488,21 @@ class LlmSpec extends SparkSpec {
     val a = hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val b = unhinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(a == b)
+  }
+
+  test("ANN bucketing fails loudly on a dim mismatch instead of collapsing into bucket 0") {
+    // zip_with pads the shorter side with nulls → every hyperplane dot
+    // nulls → every row lands in bucket 0 → the bucketed join is a
+    // silent N²; the guard must raise on the first row instead
+    val wide = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.annTopK(wide, wide, "vec_id", "embedding", k = 1, nPlanes = 4, dim = 4)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("hyperplane dim"))),
+      s"expected the dim-mismatch guard, got $e")
   }
 
   test("ANN recall: identical probe set finds itself; plan is an equi-join") {
@@ -1595,6 +1618,27 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rec.keySet == Set(0L, 1L, 2L, 3L))
     assert(rec.values.forall(_ >= 0.8), s"quantized candidates lost the cluster: $rec")
+  }
+
+  test("int8RecallAtK: zero vectors rank last, and zero-overlap probes report 0.0 not nothing") {
+    import graft.llm.Quantize
+    // 3 real vectors + 3 all-zero: NaN cosines must NOT occupy the
+    // top-k (Spark sorts NaN greater than any double)
+    val withZeros = (Seq.tabulate(3)(i =>
+        (i.toLong, Array.tabulate(8)(d => 1.0f + 0.01f * (i * 8 + d)))) ++
+      Seq.tabulate(3)(i => (10L + i, Array.fill(8)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val rec = Quantize.int8RecallAtK(withZeros, withZeros.where($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // top-3 of probe 0 = the three REAL vectors on both sides → recall 1
+    assert(rec == Map(0L -> 1.0), s"zero vectors displaced real neighbors: $rec")
+    // a probe present in `probes` but with no top-k agreement still
+    // gets a row: every probe id appears in the audit output
+    val allProbes = Quantize.int8RecallAtK(withZeros, withZeros, "vec_id", "embedding", k = 2)
+      .select("probe_id").collect().map(_.getLong(0)).toSet
+    assert(allProbes == Set(0L, 1L, 2L, 10L, 11L, 12L),
+      s"audit must emit one row per probe, got $allProbes")
   }
 
   test("CMS probe never underestimates and is partitioning-invariant") {

@@ -481,6 +481,36 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02 10:00:00.0", -1, 0L))) // C closes -> all quiet
   }
 
+  test("concurrency: NULL end = open interval (stays open); NULL start contributes nothing") {
+    import graft.ops.Sweep
+    val iv = Seq(
+      (1L, Option("2024-01-01 10:00:00"), Option("2024-01-01 11:00:00")),
+      (2L, Option("2024-01-01 10:30:00"), Option.empty[String]), // open: never closes
+      (3L, Option.empty[String], Option("2024-01-01 12:00:00"))  // unplaceable
+    ).toDF("id", "st", "en")
+      .select($"id", to_timestamp($"st").as("st"), to_timestamp($"en").as("en"))
+    val curve = Sweep.concurrency("st", "en", Seq("id"))(iv)
+      .orderBy($"ts", $"delta".desc)
+      .collect().map(r => (r.getInt(1), r.getLong(3)))
+    // A opens, B opens (open-ended), A closes — curve ends at 1, no
+    // stray NULL-bucket -1 shifting everything down
+    assert(curve.toSeq == Seq((1, 1L), (1, 2L), (-1, 1L)), curve.mkString(","))
+  }
+
+  test("globalRunningSum sequences head-tied buckets by the FULL order key") {
+    import graft.ops.Sweep
+    // two buckets share head value 10; the second order col breaks the
+    // tie — min-of-head-only would order them arbitrarily
+    val df = Seq(
+      (10, 2, "b2", 100L), (11, 1, "b2", 7L),
+      (10, 1, "b1", 1L)
+    ).toDF("day", "seq", "bucket", "v")
+    val got = Sweep.globalRunningSum("v", "bucket", Seq("day", "seq"))(df)
+      .select("day", "seq", "running").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((10, 1) -> 1L, (10, 2) -> 101L, (11, 1) -> 108L), got.toString)
+  }
+
   test("globalRunningSum equals a driver-side prefix sum on shuffled input") {
     import graft.ops.Sweep
     val rows = (1L to 500L).map(i => (i, (i % 7) - 3, i % 10)) // ordered key, mixed-sign values
