@@ -37,14 +37,19 @@ object EntityRes {
   private def blockSizes(blockCols: Seq[String])(df: DataFrame): DataFrame =
     df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("block_n"))
 
-  /** Blocks whose size exceeds `maxBlock` — the accounting output for
-    * every block [[candidatePairs]] refused to pair. Empty means the
-    * candidate set is complete for the blocking scheme.
+  /** Blocks [[candidatePairs]] refuses to pair — oversized ones PLUS
+    * any block with a NULL key (the null-unsafe blocked self-join can
+    * never pair null-keyed rows, at ANY size, so reporting only
+    * size-violations would let a small NULL block read as "candidate
+    * set complete" while its rows were silently never considered).
+    * Empty means the candidate set is complete for the blocking
+    * scheme.
     */
   def oversizedBlocks(
       blockCols: Seq[String],
       maxBlock: Long)(df: DataFrame): DataFrame =
-    blockSizes(blockCols)(df).where(col("block_n") > maxBlock)
+    blockSizes(blockCols)(df).where(col("block_n") > maxBlock ||
+      blockCols.map(c => col(c).isNull).reduce(_ || _))
 
   /** Candidate match pairs: records sharing the blocking key, paired
     * once (`id_a < id_b`), kept when

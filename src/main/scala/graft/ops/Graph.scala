@@ -61,7 +61,10 @@ object Graph {
       .partitionBy(col(userCol)).orderBy(col(orderCol), col(tieCol))
     df.select(col(userCol), lag(col(itemCol), 1).over(w).as("src"),
         col(itemCol).as("dst"))
-      .where(col("src").isNotNull)
+      // null DST too: a null item would otherwise emit (prev -> NULL)
+      // edges whose routed rank mass silently vanishes at pageRankFp's
+      // null-unsafe join-back
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
   }
 
@@ -82,11 +85,20 @@ object Graph {
       dampDen: Long = 20L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters $iters out of [1,20]")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    // defensive null-vertex drop: rank mass routed to a NULL vertex
+    // could never join back (null-unsafe equi-join) — it would just
+    // disappear from the totals with no error
     val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
+    // verts and outW are consumed EVERY iteration (the chained plan
+    // re-evaluates each level) — materialize both once like the edge
+    // frame, or the distinct/aggregate shuffles replay per iteration
     val verts = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint(true)
     val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
+      .localCheckpoint(true)
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = verts.withColumn("rank_fp", lit(scale))
     for (_ <- 1 to iters) {
@@ -94,7 +106,13 @@ object Graph {
         .join(ranks.select(col("vertex").as("src"), col("rank_fp")), "src")
         .join(outW, "src")
         .select(col("dst").as("vertex"),
-          expr(s"(rank_fp * ${dampNum}L * w) div (${dampDen}L * out_w)").as("c"))
+          // DECIMAL(38,0) intermediate: three chained long products
+          // overflow Int64 for hub ranks x heavy edge weights (an ANSI
+          // ARITHMETIC_OVERFLOW task failure at clickstream scale);
+          // the decimal product is exact to 38 digits and `div`
+          // truncates identically, so gate values are unchanged
+          expr(s"CAST((CAST(rank_fp AS DECIMAL(38,0)) * ${dampNum}L * w)" +
+            s" div (${dampDen}L * out_w) AS BIGINT)").as("c"))
         .groupBy("vertex").agg(sum("c").as("in_fp"))
       ranks = verts.join(contrib, Seq("vertex"), "left")
         .select(col("vertex"),

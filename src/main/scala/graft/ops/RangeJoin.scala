@@ -30,9 +30,18 @@ object RangeJoin {
       endCol: String,
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, "bucketMicros must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"bucketedRangeJoin: both sides carry non-key columns ${shared.mkString(", ")} — " +
+        "rename one side first (the raw join would emit duplicate ambiguous columns)")
     val l = left.withColumn("__bucket",
       floor(unix_micros(col(leftTime)) / bucketMicros))
-    val r = right.withColumn("__bucket",
+    // inverted intervals (end < start — swapped columns, sentinel
+    // dates) must DROP, not explode: sequence() auto-steps -1 when
+    // start > stop, so one corrupt row would fan out to every bucket
+    // between the two instants (a ~500k-row skew bomb at hour buckets
+    // across epoch-range sentinels), all filtered out later anyway
+    val r = right.where(col(startCol) <= col(endCol)).withColumn("__bucket",
       explode(sequence(
         floor(unix_micros(col(startCol)) / bucketMicros),
         floor(unix_micros(col(endCol)) / bucketMicros))))
@@ -71,10 +80,12 @@ object RangeJoin {
       explode(sequence(
         floor(unix_micros(col(s)) / bucketMicros),
         floor(unix_micros(col(e)) / bucketMicros)))
-    val l = left.select(
+    // inverted intervals: same sequence() auto-step-(-1) fan-out trap
+    // as bucketedRangeJoin — drop them before the explode
+    val l = left.where(col(leftStart) <= col(leftEnd)).select(
       (keys.map(col) :+ bucketsOf(leftStart, leftEnd).as("__bucket") :+
         col(leftStart).as("ls") :+ col(leftEnd).as("le")) ++ leftCols.map(col): _*)
-    val r = right.select(
+    val r = right.where(col(rightStart) <= col(rightEnd)).select(
       (keys.map(col) :+ bucketsOf(rightStart, rightEnd).as("__bucket") :+
         col(rightStart).as("rs") :+ col(rightEnd).as("re")) ++ rightCols.map(col): _*)
     l.join(r, keys :+ "__bucket")

@@ -277,6 +277,45 @@ class OpsSpec extends SparkSpec {
     assert(got.distinct == got, "each matching pair must appear exactly once")
   }
 
+  test("range joins drop inverted intervals instead of exploding a descending bucket fan-out") {
+    import graft.ops.RangeJoin
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val points = Seq((1L, 100L, ts(5))).toDF("k", "pid", "t")
+    // one good interval + one INVERTED (end < start): sequence() would
+    // auto-step -1 across the whole span for the bad row
+    val intervals = Seq((1L, 200L, ts(0), ts(10)), (1L, 201L, ts(45), ts(1)))
+      .toDF("k", "iid", "s", "e")
+    val got = RangeJoin.bucketedRangeJoin(points, intervals, Seq("k"), "t", "s", "e",
+        bucketMicros = 60L * 1000 * 1000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((100L, 200L)))
+    // shared non-key columns fail loudly instead of emitting ambiguous dups
+    intercept[IllegalArgumentException] {
+      RangeJoin.bucketedRangeJoin(
+        points.withColumn("v", lit(1)), intervals.withColumn("v", lit(2)),
+        Seq("k"), "t", "s", "e", 60L * 1000 * 1000)
+    }
+  }
+
+  test("transitionEdges drops null items; pageRank contributions survive hub-scale products") {
+    import graft.ops.Graph
+    val ev = Seq(
+      (1L, 10L, 1L, Option("a")), (1L, 20L, 2L, Option.empty[String]), // a -> NULL: dropped
+      (1L, 30L, 3L, Option("b"))                                       // NULL -> b: dropped
+    ).toDF("user_id", "ts", "event_id", "item")
+    val e = Graph.transitionEdges("user_id", "ts", "event_id", "item")(ev).collect()
+    assert(e.isEmpty, s"null-item steps must not become edges: ${e.mkString(",")}")
+    // hub-scale weights: rank_fp * dampNum * w would overflow Int64
+    // (1e9 * 17 * 1e9 > 2^63) without the decimal intermediate
+    val heavy = Seq((1L, 2L, 1000000000L), (2L, 1L, 1000000000L))
+      .toDF("src", "dst", "weight")
+    val r = Graph.pageRankFp(heavy, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // symmetric 2-cycle: every iteration keeps both at scale (w cancels)
+    assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L), r.toString)
+  }
+
   test("first/last skip rows whose single sort key is null (tiebreak must not resurrect them)") {
     import graft.model.SortKey
     val df = Seq(
@@ -425,8 +464,12 @@ class OpsSpec extends SparkSpec {
     // cap blocks at 2 records: NY (3 recs) is refused and reported
     val capped = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2, maxBlock = 2)(recs)
     assert(capped.select("id_a").collect().map(_.getLong(0)).toSet == Set(4L))
+    // the NULL block is reported as refused at ANY size: the blocked
+    // self-join can never pair null keys, so omitting it would let
+    // "empty = candidate set complete" lie about rows 7/8
     val over = EntityRes.oversizedBlocks(Seq("state"), maxBlock = 2)(recs).collect()
-    assert(over.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("NY", 3L)))
+    assert(over.map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
+      Set((Some("NY"), 3L), (None, 2L)))
 
     // transitive grouping: NY chain {1,2,3} labels to min id 1
     val groups = EntityRes.matchGroups("id", "name", Seq("state"), maxDist = 2)(recs)
