@@ -46,11 +46,16 @@ final case class PipelineContext(
   /** Terminal fetch: apply any pending sort physically so a trailing
     * SORT DATASET is visible in the output, as in pandas.
     */
-  def result(name: String): DataFrame = order(name) match {
-    case Nil => df(name)
-    case o =>
-      df(name).orderBy(o.map(k =>
-        if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last): _*)
+  def result(name: String): DataFrame = {
+    val base = order(name) match {
+      case Nil => df(name)
+      case o => df(name).orderBy(graft.ops.Ops.sortCols(o): _*)
+    }
+    // strip hidden retained sort keys ([[Interpreter.OrdPrefix]]) —
+    // they are order plumbing, not output schema. The orderBy above
+    // runs first, so a trailing sort on a hidden key is still honored.
+    val hidden = base.columns.filter(_.startsWith(Interpreter.OrdPrefix)).toIndexedSeq
+    if (hidden.isEmpty) base else base.drop(hidden: _*)
   }
 }
 
@@ -90,6 +95,19 @@ final class ParquetResolver(spark: SparkSession, dir: String, storeDir: Option[S
 }
 
 object Interpreter {
+
+  /** Prefix of hidden sort-key columns retained through a projection.
+    * Pandas preserves the PHYSICAL row order through SELECT COLUMNS /
+    * SELECT DISTINCT / REMOVE COLUMN, so a config may sort, project
+    * the sort key away, and still rely on keep-first semantics
+    * downstream. Spark has no physical row order — dropping the key
+    * would silently degrade UNIQUE COLUMN to arbitrary-survivor
+    * dropDuplicates and make SUMMARISE first/last throw — so the
+    * pruned keys ride along under hidden names with the order
+    * metadata remapped. [[PipelineContext.result]] and
+    * [[deriveAnalyte]] strip them at the visible boundaries.
+    */
+  private[engine] val OrdPrefix = "__ord_"
 
   /** GET_DATA phase (Configurable_ETL_Python.py:434-454): load or
     * resolve each source, apply the optional filter then the tolerant
@@ -138,9 +156,12 @@ object Interpreter {
     val cond = spec.condition
     def kv = KvList.parseLenient(cond)
 
-    // `order` survives only if all its key columns survive `cols`.
-    def keepOrderIf(cols: Seq[String]): Seq[SortKey] =
-      if (inOrder.forall(k => cols.contains(k.col))) inOrder else Nil
+    // Sort keys pruned by a projection, and the metadata remap that
+    // points at their hidden ride-along columns (see [[OrdPrefix]]).
+    def prunedKeys(cols: Seq[String]): Seq[String] =
+      inOrder.map(_.col).filterNot(cols.contains)
+    def remapHidden(pruned: Seq[String]): Seq[SortKey] =
+      inOrder.map(k => if (pruned.contains(k.col)) k.copy(col = OrdPrefix + k.col) else k)
 
     spec.opType.trim.toUpperCase match {
       case "RENAME COLUMN" =>
@@ -148,8 +169,9 @@ object Interpreter {
         val toks = cond.split("=").map(_.trim).filter(_.nonEmpty).toSeq
         require(toks.size % 2 == 0, s"RENAME COLUMN needs old=new pairs, got '$cond'")
         val pairs = toks.grouped(2).map { s => (s(0), s(1)) }.toSeq
-        val remapped = inOrder.map(k =>
-          pairs.find(_._1 == k.col).map(p => k.copy(col = p._2)).getOrElse(k))
+        // same last-wins map semantics as Ops.renameColumns (dict order)
+        val m = pairs.toMap
+        val remapped = inOrder.map(k => k.copy(col = m.getOrElse(k.col, k.col)))
         ctx.bind(out, Ops.renameColumns(pairs)(in), remapped)
 
       case "FORMAT COLUMN" =>
@@ -197,8 +219,16 @@ object Interpreter {
 
       case "REMOVE COLUMN" =>
         val cols = KvList.csv(cond)
-        ctx.bind(out, Ops.removeColumns(cols)(in),
-          if (inOrder.exists(k => cols.contains(k.col))) Nil else inOrder)
+        val keyRemovals = inOrder.map(_.col).filter(cols.contains)
+        if (keyRemovals.isEmpty) ctx.bind(out, Ops.removeColumns(cols)(in), inOrder)
+        else {
+          // removed sort keys go hidden instead of gone — pandas keeps
+          // the row order the earlier sort established, and downstream
+          // references to the removed NAME still fail (it's renamed)
+          val dropped = Ops.removeColumns(cols.filterNot(keyRemovals.contains))(in)
+          val renamed = Ops.renameColumns(keyRemovals.map(c => c -> (OrdPrefix + c)))(dropped)
+          ctx.bind(out, renamed, remapHidden(keyRemovals))
+        }
 
       case "UNIQUE COLUMN" =>
         // keep-first semantics need the established order (:291-294)
@@ -246,14 +276,30 @@ object Interpreter {
 
       case "SELECT COLUMNS" =>
         val cols = KvList.csv(cond)
-        ctx.bind(out, Ops.selectColumns(cols)(in), keepOrderIf(cols))
+        val pruned = prunedKeys(cols)
+        if (pruned.isEmpty) ctx.bind(out, Ops.selectColumns(cols)(in), inOrder)
+        else ctx.bind(out,
+          in.select(cols.map(col) ++ pruned.map(c => col(c).as(OrdPrefix + c)): _*),
+          remapHidden(pruned))
 
       case "SELECT DISTINCT" =>
-        // pandas drop_duplicates keeps first occurrences IN ORDER, so
-        // an established sort survives if its keys survive the
-        // projection (same rule as SELECT COLUMNS)
-        ctx.bind(out, Ops.selectDistinct(KvList.csv(cond))(in),
-          keepOrderIf(KvList.csv(cond)))
+        // pandas drop_duplicates keeps first occurrences IN ORDER. If
+        // every sort key survives the projection the survivor set is
+        // order-independent (the output has exactly the dedup cols),
+        // so plain distinct suffices; with keys projected AWAY the
+        // first occurrence's hidden keys are what downstream
+        // order-dependent ops must see, so it compiles to keep-first
+        // dedup over the hidden-key projection instead
+        val dCols = KvList.csv(cond)
+        val dPruned = prunedKeys(dCols)
+        if (inOrder.isEmpty || dPruned.isEmpty)
+          ctx.bind(out, Ops.selectDistinct(dCols)(in), inOrder)
+        else {
+          val remapped = remapHidden(dPruned)
+          val proj = in.select(
+            dCols.map(col) ++ dPruned.map(c => col(c).as(OrdPrefix + c)): _*)
+          ctx.bind(out, Ops.uniqueColumns(dCols, remapped)(proj), remapped)
+        }
 
       case "ATTACH COLUMN" =>
         // grammar: column_name=n, source_col=s, operation=OP[, value=v,
@@ -293,7 +339,21 @@ object Interpreter {
       analyte: AnalyteSpec,
       resolver: SourceResolver): PipelineContext = {
     val loaded = getData(ctx0, analyte.getData, resolver)
-    analyte.operations.foldLeft(loaded)((c, op) => applyOp(c, op, analyte.decisionTables))
+    val derived = analyte.operations.foldLeft(loaded)((c, op) =>
+      applyOp(c, op, analyte.decisionTables))
+    // Analyte boundary: hidden retained sort keys ([[OrdPrefix]]) are
+    // internal to one op chain. Strip them so the stitch join and
+    // AnalyteRef readers see the visible schema; an order that leaned
+    // on a hidden key is no longer honest once the key is gone, so it
+    // clears entirely rather than degrade to a weaker visible prefix.
+    val f = derived.df(analyte.name)
+    val hidden = f.columns.filter(_.startsWith(OrdPrefix)).toIndexedSeq
+    if (hidden.isEmpty) derived
+    else {
+      val ord = derived.order(analyte.name)
+      val keep = if (ord.exists(_.col.startsWith(OrdPrefix))) Nil else ord
+      derived.bind(analyte.name, f.drop(hidden: _*), keep)
+    }
   }
 }
 
@@ -340,8 +400,7 @@ object StudyRunner {
       ctxF.df(a.name).columns.exists(orderCols.contains))
     if (finalOrder.nonEmpty && !collided &&
         finalOrder.forall(k => acc.columns.contains(k.col)))
-      acc.orderBy(finalOrder.map(k =>
-        if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last): _*)
+      acc.orderBy(Ops.sortCols(finalOrder): _*)
     else acc
   }
 }

@@ -215,9 +215,17 @@ object NestedStore {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    val before = dataFiles(hadoopPath)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    // Crash-window recovery (same two-rename discipline as
+    // ivmStateStream): death between the stage-out and swap-in renames
+    // leaves the data ONLY at __precompact. Restore it BEFORE the
+    // leftover cleanup below — deleting `old` first would destroy the
+    // sole copy, and the re-run would then fail on the missing root.
+    if (fs.exists(old) && !fs.exists(hadoopPath))
+      require(fs.rename(old, hadoopPath),
+        s"compact: could not restore staged-out store from $old")
+    val before = dataFiles(hadoopPath)
     fs.delete(tmp, true); fs.delete(old, true)
     // compact PER VIEW, not via one whole-store read: payload schemas
     // are heterogeneous between views, and a single read would sample

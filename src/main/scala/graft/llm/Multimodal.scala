@@ -180,6 +180,12 @@ object Multimodal {
     */
   def chunkBinary(binCol: String, chunkSize: Int)(df: DataFrame): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
+    // same guard discipline as streamingFingerprintDedup's internal
+    // columns: silently overwriting a caller's same-named column (e.g.
+    // re-chunking previously chunked output) loses data
+    val clash = df.columns.toSet.intersect(Set("chunk_idx", "chunk", "__idx"))
+    require(clash.isEmpty,
+      s"chunkBinary: input already has column(s) ${clash.mkString(", ")} — rename them first")
     val nChunks = ceil(octet_length(col(binCol)).cast("double") / chunkSize).cast("int")
     df.withColumn("__idx", explode(sequence(lit(0), greatest(nChunks, lit(1)) - 1)))
       .withColumn("chunk_idx", col("__idx"))

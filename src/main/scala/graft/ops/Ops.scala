@@ -92,8 +92,12 @@ object Ops {
     out.toString
   }
 
-  private def sortCols(order: Seq[SortKey]): Seq[Column] =
-    // pandas sorts NaN last in BOTH directions (R2) — force nulls_last.
+  /** The single SortKey→Column mapping — pandas sorts NaN last in
+    * BOTH directions (R2), so force nulls_last. Shared with the engine
+    * (PipelineContext.result, StudyRunner.run) so the nulls-last
+    * parity invariant lives in exactly one place.
+    */
+  private[graft] def sortCols(order: Seq[SortKey]): Seq[Column] =
     order.map(k => if (k.desc) col(k.col).desc_nulls_last else col(k.col).asc_nulls_last)
 
   /** Deterministic tie-break appended to order-consuming windows: a
@@ -207,33 +211,38 @@ object Ops {
       groupCols: Seq[String],
       aggs: Seq[(String, String)],
       order: Seq[SortKey])(df: DataFrame): DataFrame = {
-    // For first/last we need a single orderable expression; a
-    // multi-key sort compiles to a struct (struct ordering is
-    // lexicographic, matching pandas' multi-key sort). Descending keys
-    // are not struct-encodable, so require a single key in that case.
-    // The content-hash tiebreak makes ties on the sort key resolve
-    // deterministically (see rowHash) — rows tied AND equal in the
-    // aggregated column give the same value either way, so this only
-    // affects genuinely under-specified configs. Single-key null
-    // semantics preserved: a null sort key nulls the WHOLE struct so
-    // max_by/min_by skip the row (bare-column behavior), instead of
-    // struct(null, hash) sorting nulls first.
-    def orderExpr: Column = order match {
-      case Seq(one) =>
-        when(col(one.col).isNotNull, struct(col(one.col), rowHash(df)))
-      case Nil => throw new IllegalStateException(
-        "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
-      case many if many.forall(!_.desc) =>
-        // pandas sorts NaN LAST per key (na_position default), but a
-        // null struct FIELD sorts first — pair each key with an isNull
-        // flag (false < true) so a null key ranks after every non-null
-        // one, field by field, exactly like sort_values
-        struct(many.flatMap(k =>
-          Seq(col(k.col).isNull, col(k.col))) :+ rowHash(df): _*)
-      case _ => throw new IllegalStateException(
-        "first/last after a mixed/desc multi-key sort is not order-encodable; sort on one key")
-    }
-    def descending = order.nonEmpty && order.head.desc
+    // For first/last we need a single ASCENDING-orderable expression.
+    // All-ascending sorts compile to a struct: struct ordering is
+    // lexicographic, matching pandas' multi-key sort_values, with each
+    // key paired with an isNull flag (false < true) so a null key
+    // ranks AFTER every non-null one — pandas puts NaN last
+    // (na_position default), but a bare null struct field would sort
+    // first. Sorts with any descending key are not struct-encodable
+    // (no generic negation exists), so those rank rows once with a
+    // row_number window over the exact sort (sortCols is nulls-last in
+    // BOTH directions, like pandas) — the window partitions on the
+    // group keys, so the aggregation reuses its hash partitioning and
+    // Catalyst plans no second exchange. The content-hash tiebreak
+    // makes ties on the sort keys resolve deterministically (see
+    // rowHash) — rows tied AND equal in the aggregated column give the
+    // same value either way, so it only affects genuinely
+    // under-specified configs.
+    val needsFirstLast =
+      aggs.exists(a => Set("first", "last").contains(a._2.toLowerCase))
+    val (src, orderKeyOpt): (DataFrame, Option[Column]) =
+      if (!needsFirstLast) (df, None)
+      else order match {
+        case Nil => throw new IllegalStateException(
+          "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
+        case o if o.forall(!_.desc) =>
+          (df, Some(struct(o.flatMap(k =>
+            Seq(col(k.col).isNull, col(k.col))) :+ rowHash(df): _*)))
+        case o =>
+          val w = Window.partitionBy(groupCols.map(col): _*)
+            .orderBy(sortCols(o) :+ rowHash(df).asc: _*)
+          (df.withColumn("__gs_rn", row_number().over(w)), Some(col("__gs_rn")))
+      }
+    def orderExpr: Column = orderKeyOpt.get
     // the reference builds a dict keyed by column (res_dct[c] = fn,
     // Configurable_ETL_Python.py:351), so a repeated column keeps its
     // FIRST position with its LAST fn — two literal aggs on one column
@@ -247,22 +256,19 @@ object Ops {
         case "sum" => sum(col(c))
         case "mean" | "avg" => avg(col(c))
         case "count" => count(col(c))
-        // pandas .agg('last') after an ascending sort = last NON-NULL
-        // value in sort order (GroupBy.last skips nulls). Null-guard
-        // the sort key so max_by/min_by skip rows whose value is null:
-        // max_by ignores null ordering keys, so the result is the
-        // value at the greatest key among non-null values — exactly
-        // pandas. All-null group → null, also matching pandas.
-        case "last" =>
-          val key = when(col(c).isNotNull, orderExpr)
-          if (descending) min_by(col(c), key) else max_by(col(c), key)
-        case "first" =>
-          val key = when(col(c).isNotNull, orderExpr)
-          if (descending) max_by(col(c), key) else min_by(col(c), key)
+        // pandas .agg('last') = last NON-NULL value in sort order
+        // (GroupBy.last skips nulls). Null-guard the VALUE so
+        // max_by/min_by skip rows whose value is null: max_by ignores
+        // null ordering keys, so the result is the value at the
+        // greatest order key among non-null values — exactly pandas.
+        // All-null group → null, also matching pandas. Both encodings
+        // above are ascending-in-sort-order, so no direction flip.
+        case "last" => max_by(col(c), when(col(c).isNotNull, orderExpr))
+        case "first" => min_by(col(c), when(col(c).isNotNull, orderExpr))
         case other => throw new IllegalArgumentException(s"unknown summarise fn '$other'")
       }).as(c)
     }
-    df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    src.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** A2 AGGREGATE COLUMN: row-wise min/max across a `#`-separated
@@ -350,9 +356,24 @@ object Ops {
 
   // ===== §2.6 column derivation =====
 
-  /** C1 RENAME COLUMN: `old = new` pairs. */
-  def renameColumns(pairs: Seq[(String, String)])(df: DataFrame): DataFrame =
-    pairs.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+  /** C1 RENAME COLUMN: `old = new` pairs, applied SIMULTANEOUSLY like
+    * pandas df.rename(columns=dict) — a sequential withColumnRenamed
+    * fold would corrupt swaps ('a=b, b=a' leaves two columns named
+    * 'a') and silently duplicate on rename-onto-existing. A repeated
+    * old name keeps its LAST mapping (dict construction order);
+    * missing old names are ignored (pandas default). A mapping that
+    * WOULD produce duplicate names fails loudly — pandas allows
+    * duplicate labels, Spark would defer the failure to the first
+    * ambiguous reference downstream with a far worse message.
+    */
+  def renameColumns(pairs: Seq[(String, String)])(df: DataFrame): DataFrame = {
+    val m = pairs.toMap
+    val newNames = df.columns.map(c => m.getOrElse(c, c)).toSeq
+    require(newNames.distinct.length == newNames.length,
+      "RENAME COLUMN produces duplicate column names: " +
+        newNames.diff(newNames.distinct).distinct.mkString(", "))
+    df.toDF(newNames: _*)
+  }
 
   /** C2 FORMAT COLUMN: `column=c, type=datetime#<strftime>` or
     * `type=number`.

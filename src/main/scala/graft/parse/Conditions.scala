@@ -8,9 +8,10 @@ import java.time.LocalDate
   *
   * Grammar (dispatch by substring scan, priority order mirrors the
   * reference exactly):
-  *   cond      := conj | disj | between | single
-  *   conj      := single '&' cond            (n terms fold right)
-  *   disj      := single '|' cond
+  *   cond      := conj | disj | term
+  *   conj      := term '&' cond              (n terms fold right)
+  *   disj      := term '|' cond
+  *   term      := between | single
   *   between   := col 'BETWEEN' '(' lit ',' lit ')'
   *   single    := col ('=' | '>=' | '<=') rhs
   *   rhs       := 'NOT NULL' | lit
@@ -93,6 +94,14 @@ object Conditions {
     }
   }
 
+  /** One conjunct/disjunct: the same BETWEEN-then-single dispatch the
+    * top level applies to an operator-free condition — so a BETWEEN
+    * term is legal on EITHER side of '&'/'|', not only as the final
+    * remainder.
+    */
+  private def parseTerm(s: String): Cond =
+    if (s.toUpperCase.contains("BETWEEN")) parseBetween(s) else parseSingle(s)
+
   /** Full condition parser. Priority: & → | → BETWEEN → single
     * (matching handling_filter_operation's substring dispatch,
     * Configurable_ETL_Python.py:108-129).
@@ -113,12 +122,11 @@ object Conditions {
       // string literal (comparing b against "2 & c = 3" — matches
       // nothing, silently). n-term conjunctions fold right-associative
       val parts = t.split("&", 2)
-      And(parseSingle(parts(0)), parse(parts(1)))
+      And(parseTerm(parts(0)), parse(parts(1)))
     } else if (t.contains("|")) {
       val parts = t.split("\\|", 2)
-      Or(parseSingle(parts(0)), parse(parts(1)))
-    } else if (t.toUpperCase.contains("BETWEEN")) parseBetween(t)
-    else parseSingle(t)
+      Or(parseTerm(parts(0)), parse(parts(1)))
+    } else parseTerm(t)
   }
 }
 
@@ -160,7 +168,10 @@ object KvList {
       else {
         require(pairs.nonEmpty, s"dangling segment '$seg' in '$s'")
         val (k, v) = pairs.last
-        pairs(pairs.length - 1) = k -> s"$v,$seg"
+        // rejoin with the SAME separator the split consumed — a
+        // hardcoded ',' would corrupt a folded value under the '|'
+        // grammar (GROUPBY SUMMARISE)
+        pairs(pairs.length - 1) = k -> s"$v$pairSep$seg"
       }
     }
     scala.collection.immutable.ListMap.from(pairs)

@@ -17,6 +17,17 @@ import graft.io.{Ingestion, NestedStore}
   */
 object StreamingIngest {
 
+  /** The shared CSV drop-watch source behind every ingest variant —
+    * the tuning (header, maxFilesPerTrigger) lives in one place so it
+    * cannot silently diverge between them.
+    */
+  private def csvSource(spark: SparkSession, watchDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16)
+      .csv(watchDir)
+
   /** Streaming equivalent of the ingestion Lambda: watch a directory
     * for CSV drops, apply the same nullFill+metadata transforms, nest
     * per micro-batch, append to the keyed store.
@@ -29,11 +40,7 @@ object StreamingIngest {
       k2: String,
       storeDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
-    val raw = spark.readStream
-      .schema(schema)
-      .option("header", "true")
-      .option("maxFilesPerTrigger", 16)
-      .csv(watchDir)
+    val raw = csvSource(spark, watchDir, schema)
     val cleaned = Ingestion.withFileMetadata(Ingestion.nullFill(raw))
     cleaned.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -66,11 +73,7 @@ object StreamingIngest {
       k2: String,
       storeDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
-    val raw = spark.readStream
-      .schema(schema)
-      .option("header", "true")
-      .option("maxFilesPerTrigger", 16)
-      .csv(watchDir)
+    val raw = csvSource(spark, watchDir, schema)
     val cleaned = Ingestion.withFileMetadata(Ingestion.nullFill(raw))
     cleaned.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -99,11 +102,7 @@ object StreamingIngest {
       keyCols: Seq[String],
       outDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
-    val raw = spark.readStream
-      .schema(schema)
-      .option("header", "true")
-      .option("maxFilesPerTrigger", 16)
-      .csv(watchDir)
+    val raw = csvSource(spark, watchDir, schema)
     graft.ops.DataQuality.rowFlags(raw, rules, keyCols)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -146,11 +145,7 @@ object StreamingIngest {
       valueCol: String,
       stateDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
-    val raw = spark.readStream
-      .schema(schema)
-      .option("header", "true")
-      .option("maxFilesPerTrigger", 16)
-      .csv(watchDir)
+    val raw = csvSource(spark, watchDir, schema)
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -244,12 +239,13 @@ object StreamingIngest {
       events: DataFrame,
       tsCol: String = "ts",
       keyCol: String = "event_type",
+      valueCol: String = "value",
       windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .agg(count(lit(1)).as("n_events"), max(col(valueCol)).as("max_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"), col("max_value"))
 

@@ -60,6 +60,16 @@ class ConditionsSpec extends AnyFunSuite {
         Or(Cmp("b", "=", SLit("2")), Cmp("c", "=", SLit("3")))))
   }
 
+  test("BETWEEN is legal on EITHER side of a conjunction/disjunction") {
+    // left-of-& was previously order-dependently rejected
+    assert(Conditions.parse("a BETWEEN (NUMBER(1), NUMBER(2)) & b = 3") ==
+      And(Between("a", NLit(1.0), NLit(2.0)), Cmp("b", "=", SLit("3"))))
+    assert(Conditions.parse("b = 3 & a BETWEEN (NUMBER(1), NUMBER(2))") ==
+      And(Cmp("b", "=", SLit("3")), Between("a", NLit(1.0), NLit(2.0))))
+    assert(Conditions.parse("a BETWEEN (NUMBER(1), NUMBER(2)) | b = 3") ==
+      Or(Between("a", NLit(1.0), NLit(2.0)), Cmp("b", "=", SLit("3"))))
+  }
+
   test("malformed typed literals throw ParseError, not raw JDK exceptions") {
     intercept[Conditions.ParseError](Conditions.parse("a = NUMBER(1,5)"))
     intercept[Conditions.ParseError](Conditions.parse("a = DATE(01/02/2020)"))
@@ -107,6 +117,10 @@ class ConditionsSpec extends AnyFunSuite {
     assert(m("slice_num") == "2")
     val s = KvList.parseLenient("sort_cols=x,y,z, sort_order=DESC")
     assert(s("sort_cols") == "x,y,z" && s("sort_order") == "DESC")
+    // the fold must rejoin with the SEPARATOR THE SPLIT CONSUMED — a
+    // hardcoded ',' would corrupt a folded value under the '|' grammar
+    val p = KvList.parseLenient("summary_col_ops=a#min | b#max", '|')
+    assert(p("summary_col_ops") == "a#min|b#max")
   }
 
   test("hashPairs parses col#fn lists") {

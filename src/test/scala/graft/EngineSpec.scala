@@ -92,6 +92,76 @@ class EngineSpec extends SparkSpec {
     assert(ctx4.order("j2").isEmpty, "suffixed-away sort keys must clear the order")
   }
 
+  test("order survives a projection that prunes its sort key (pandas keeps row order)") {
+    // SORT by v → SELECT COLUMNS g,p (v pruned) → UNIQUE COLUMN g:
+    // pandas keeps the physical order, so keep-first still honors the
+    // sort; the engine retains v as a hidden __ord_ column
+    val df = Seq(("a", 2, "late"), ("a", 1, "early"), ("b", 5, "only")).toDF("g", "v", "p")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("sel", "SELECT COLUMNS", Seq("s"), "g, p"),
+      op("u", "UNIQUE COLUMN", Seq("sel"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.order("sel").nonEmpty, "pruning the sort key must not drop the order")
+    val out = ctx.result("u").orderBy("g")
+    assert(out.columns.toSeq == Seq("g", "p"), "hidden columns must not reach the output")
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("early", "only"))
+    // SUMMARISE first/last after the pruning projection must work too
+    // (previously threw 'requires a preceding SORT DATASET')
+    val ctx2 = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("sel", "SELECT COLUMNS", Seq("s"), "g, p"),
+      op("agg", "GROUPBY SUMMARISE", Seq("sel"), "group_by_cols=g | summary_col_ops=p#last")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx2.result("agg").orderBy("g").collect().map(_.getString(1)).toSeq ==
+      Seq("late", "only"))
+  }
+
+  test("REMOVE COLUMN of a sort key keeps the order hidden; the removed name is gone") {
+    val df = Seq(("a", 2, "late"), ("a", 1, "early")).toDF("g", "v", "p")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("rm", "REMOVE COLUMN", Seq("s"), "v"),
+      op("u", "UNIQUE COLUMN", Seq("rm"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(!ctx.df("rm").columns.contains("v"), "the removed visible name must be gone")
+    val out = ctx.result("u")
+    assert(out.columns.toSeq == Seq("g", "p"))
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("early"))
+  }
+
+  test("SELECT DISTINCT pruning the sort key keeps first occurrences' order downstream") {
+    // rows: (g=a,p=x) appears at v=2 and v=9; (g=a,p=y) at v=5.
+    // distinct on (g,p) keeps first occurrences: x@2, y@5 — a later
+    // UNIQUE COLUMN g must pick x (v=2), not y
+    val df = Seq(("a", 2, "x"), ("a", 5, "y"), ("a", 9, "x")).toDF("g", "v", "p")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("d", "SELECT DISTINCT", Seq("s"), "g, p"),
+      op("u", "UNIQUE COLUMN", Seq("d"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.order("d").nonEmpty)
+    val out = ctx.result("u")
+    assert(out.columns.toSeq == Seq("g", "p"))
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("x"))
+  }
+
+  test("analyte boundary strips hidden retained keys from the stitched study") {
+    val subjects = Seq(("alice", 2, "late"), ("alice", 1, "early"), ("bob", 3, "b"))
+      .toDF("subject", "v", "p")
+    val study = StudySpec("s1", Seq(
+      AnalyteSpec("base",
+        Seq(GetDataSpec("base", SourceKind.ParquetTable("subjects"))),
+        Seq(
+          op("base", "SORT DATASET", Seq("base"), "sort_cols=v"),
+          op("base", "SELECT COLUMNS", Seq("base"), "subject, p"),
+          op("base", "UNIQUE COLUMN", Seq("base"), "subject")))),
+      stitchKey = "subject")
+    val r = StudyRunner.run(study, resolver("subjects" -> subjects))
+    assert(r.columns.toSeq == Seq("subject", "p"), s"hidden cols leaked: ${r.columns.toSeq}")
+    assert(r.orderBy("subject").collect().map(_.getString(1)).toSeq == Seq("early", "b"))
+  }
+
   test("GROUPBY SUMMARISE last uses the threaded order") {
     val df = Seq(("g", 1, 10.0), ("g", 2, 20.0)).toDF("g", "k", "v")
     val ctx = Seq(

@@ -220,6 +220,29 @@ class IoSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("study_code"), scan)
   }
 
+  test("compact recovers a crash between the stage-out and swap-in renames") {
+    val dir = Files.createTempDirectory("graft_compact_crash").toString + "/store"
+    Seq(("s1", "v1", 1L), ("s1", "v1", 2L)).toDF("study_code", "view", "x")
+      .write.partitionBy("study_code", "view").parquet(dir)
+    val wanted = spark.read.parquet(dir).orderBy("x").collect().toSeq
+    // simulate death AFTER rename(path -> __precompact) but BEFORE
+    // rename(tmp -> path): the only copy of the data sits at
+    // __precompact, the store path is gone, and a stale tmp remains
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__precompact")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__compacting"))
+    // a re-run must restore the staged-out store FIRST (deleting
+    // __precompact before restoring would destroy the sole copy), then
+    // complete a normal compaction
+    val stats = NestedStore.compact(spark, dir)
+    assert(spark.read.parquet(dir).orderBy("x").collect().toSeq == wanted,
+      "rows must survive crash-window recovery")
+    assert(stats.filesAfter >= 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__precompact")))
+  }
+
   test("time-range layout: window scans skip files via footer stats") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft_events").toString

@@ -316,8 +316,12 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L), r.toString)
   }
 
-  test("first/last skip rows whose single sort key is null (tiebreak must not resurrect them)") {
+  test("single-key first/last: null sort key ranks LAST, like sort_values (same as multi-key)") {
     import graft.model.SortKey
+    // pandas: sort_values('ord') puts the NaN-key row last, and
+    // agg('last') then returns its (non-null) value — the single-key
+    // branch must agree with the multi-key isNull-flag encoding, not
+    // silently exclude null-key rows
     val df = Seq(
       ("g", Option.empty[Int], "from-null-key"),
       ("g", Some(1), "first-val"),
@@ -327,8 +331,54 @@ class OpsSpec extends SparkSpec {
       .collect().head.getString(1)
     val last = Ops.groupbySummarise(Seq("k"), Seq(("v", "last")), Seq(SortKey("ord")))(df)
       .collect().head.getString(1)
-    assert(first == "first-val", s"null-key row must be skipped, got '$first'")
-    assert(last == "last-val")
+    assert(first == "first-val")
+    assert(last == "from-null-key", s"null-key row sorts last, got '$last'")
+  }
+
+  test("desc/mixed-key first/last: window encoding, nulls last in both directions") {
+    import graft.model.SortKey
+    // previously an IllegalStateException; now ranked by a row_number
+    // window over the exact sort. Desc single key with a null: pandas
+    // sort_values(ascending=False) ALSO puts NaN last, so 'last' picks
+    // the null-key row.
+    val df = Seq(
+      ("g", Option.empty[Int], "from-null-key"),
+      ("g", Some(1), "low"),
+      ("g", Some(2), "high")
+    ).toDF("k", "ord", "v")
+    val lastDesc = Ops.groupbySummarise(
+      Seq("k"), Seq(("v", "last")), Seq(SortKey("ord", desc = true)))(df)
+      .collect().head.getString(1)
+    assert(lastDesc == "from-null-key", s"desc sort puts nulls last too, got '$lastDesc'")
+    val firstDesc = Ops.groupbySummarise(
+      Seq("k"), Seq(("v", "first")), Seq(SortKey("ord", desc = true)))(df)
+      .collect().head.getString(1)
+    assert(firstDesc == "high")
+    // mixed multi-key: desc k1 then asc k2
+    val mixed = Seq(
+      ("g", 1, 9, "a"), ("g", 2, 1, "b"), ("g", 2, 5, "c")
+    ).toDF("k", "k1", "k2", "v")
+    val order = Seq(SortKey("k1", desc = true), SortKey("k2"))
+    val first = Ops.groupbySummarise(Seq("k"), Seq(("v", "first")), order)(mixed)
+      .collect().head.getString(1)
+    assert(first == "b") // k1=2 first (desc), then k2=1
+    val last = Ops.groupbySummarise(Seq("k"), Seq(("v", "last")), order)(mixed)
+      .collect().head.getString(1)
+    assert(last == "a")
+  }
+
+  test("renameColumns: simultaneous like pandas dict rename — swap works, collision fails loudly") {
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val swapped = Ops.renameColumns(Seq("a" -> "b", "b" -> "a"))(df)
+    assert(swapped.columns.toSeq == Seq("b", "a", "c"))
+    assert(swapped.select("b").collect().head.getInt(0) == 1) // old 'a' data under 'b'
+    // missing old names ignored (pandas default)
+    assert(Ops.renameColumns(Seq("zz" -> "yy"))(df).columns.toSeq == Seq("a", "b", "c"))
+    // rename onto an existing surviving name would duplicate — loud
+    assertThrows[IllegalArgumentException](Ops.renameColumns(Seq("a" -> "b"))(df).columns)
+    // repeated old name: last mapping wins (dict construction)
+    assert(Ops.renameColumns(Seq("a" -> "x", "a" -> "y"))(df).columns.toSeq ==
+      Seq("y", "b", "c"))
   }
 
   test("order-consuming ops tolerate map-typed columns (tiebreak hash excludes them)") {

@@ -187,7 +187,8 @@ class StreamingSpec extends SparkSpec {
       (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 3.0),
       (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 2.0))
     val events = mem.toDF().toDF("ts", "event_type", "value")
-    val agg = StreamingIngest.windowedCounts(events, "ts", "event_type", "1 hour", "2 hours")
+    val agg = StreamingIngest.windowedCounts(
+      events, "ts", "event_type", "value", "1 hour", "2 hours")
     runToCompletion(
       agg.writeStream.format("memory").queryName("win_counts")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start())
