@@ -10,11 +10,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 private[functions] trait DoubleArrayInputs { self: BinaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = children.forall(_.dataType == ArrayType(DoubleType)) ||
-      children.forall { c => c.dataType match {
-        case ArrayType(DoubleType, _) => true
-        case _ => false
-      }}
+    val ok = children.forall { c => c.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }}
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<double> arguments, got " +

@@ -91,39 +91,80 @@ object Avro {
     if (driverFs.exists(root)) driverFs.delete(root, true)
     driverFs.mkdirs(root)
     // rdd plane: a per-partition binary writer is genuine imperative
-    // per-partition logic (the Sas.read rationale, sink-side)
-    df.rdd.mapPartitionsWithIndex { (pi, rows) =>
+    // per-partition logic (the Sas.read rationale, sink-side).
+    // Task-commit protocol: each attempt writes an attempt-named temp
+    // file and renames it into place only after a clean close —
+    // a retried or speculative attempt can never interleave bytes
+    // into a final part file, and a mid-write failure deletes its
+    // temp instead of leaking an open stream on the final path.
+    val rdd = df.rdd
+    rdd.mapPartitionsWithIndex { (pi, rows) =>
       val schema = new Schema.Parser().parse(json)
       val fs = new Path(path).getFileSystem(HadoopConfSer.rebuild(confBc.value))
-      val out = fs.create(new Path(path, f"part-$pi%05d.avro"), true)
-      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-      writer.create(schema, out)
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = if (tc == null) 0L else tc.taskAttemptId()
+      val finalPath = new Path(path, f"part-$pi%05d.avro")
+      val tmpPath = new Path(path, f".part-$pi%05d-attempt-$attempt.avro.tmp")
+      val out = fs.create(tmpPath, true)
+      val writer =
+        try new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        catch { case e: Throwable => out.close(); throw e }
       var n = 0L
-      rows.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < fields.length) {
-          val v = if (row.isNullAt(i)) null else fields(i).dataType match {
-            case LongType => java.lang.Long.valueOf(row.getLong(i))
-            case IntegerType => java.lang.Long.valueOf(row.getInt(i).toLong)
-            case ShortType => java.lang.Long.valueOf(row.getShort(i).toLong)
-            case ByteType => java.lang.Long.valueOf(row.getByte(i).toLong)
-            case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
-            case FloatType => java.lang.Double.valueOf(row.getFloat(i).toDouble)
-            case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-            case StringType => row.getString(i)
-            case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-            case other => throw new IllegalArgumentException(s"unsupported $other")
+      var ok = false
+      try {
+        writer.create(schema, out)
+        rows.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < fields.length) {
+            val v = if (row.isNullAt(i)) null else fields(i).dataType match {
+              case LongType => java.lang.Long.valueOf(row.getLong(i))
+              case IntegerType => java.lang.Long.valueOf(row.getInt(i).toLong)
+              case ShortType => java.lang.Long.valueOf(row.getShort(i).toLong)
+              case ByteType => java.lang.Long.valueOf(row.getByte(i).toLong)
+              case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+              case FloatType => java.lang.Double.valueOf(row.getFloat(i).toDouble)
+              case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+              case StringType => row.getString(i)
+              case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              case other => throw new IllegalArgumentException(s"unsupported $other")
+            }
+            rec.put(fields(i).name, v)
+            i += 1
           }
-          rec.put(fields(i).name, v)
-          i += 1
+          writer.append(rec)
+          n += 1
         }
-        writer.append(rec)
-        n += 1
+        ok = true
+      } finally {
+        try writer.close() // closes `out` too
+        catch { case e: Throwable => if (ok) { ok = false; throw e } }
+        finally {
+          if (!ok) {
+            // writer.create may have failed before adopting `out`
+            try out.close() catch { case _: Throwable => () }
+            try fs.delete(tmpPath, false) catch { case _: Throwable => () }
+          }
+        }
       }
-      writer.close()
+      // commit: first finished attempt wins; a loser discards its temp
+      if (!fs.rename(tmpPath, finalPath)) {
+        if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+        else throw new java.io.IOException(
+          s"Avro.write: rename $tmpPath -> $finalPath failed")
+      }
       Iterator.single(n)
     }.count(): Unit
+    // a zero-partition frame runs zero tasks — emit one schema-bearing
+    // empty container so write∘read round-trips (parquet parity)
+    if (rdd.getNumPartitions == 0) {
+      val schema = new Schema.Parser().parse(json)
+      val out = driverFs.create(new Path(root, "part-00000.avro"), true)
+      val writer =
+        try new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        catch { case e: Throwable => out.close(); throw e }
+      try writer.create(schema, out) finally writer.close()
+    }
   }
 
   /** Read a directory of Avro container files (or a single file) into

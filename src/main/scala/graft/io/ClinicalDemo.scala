@@ -63,8 +63,14 @@ object ClinicalDemo {
       Seq("S001", "1", "Yes"), Seq("S002", "4", "Yes"),
       Seq("S003", "2", "No"), Seq("S004", "7", "Yes"))))
 
-  /** Build the partitioned nested store under `storeDir`. */
-  def buildStore(spark: SparkSession, storeDir: String): Unit =
+  /** Build the partitioned nested store under `storeDir`. Idempotent:
+    * this study's partitions are dropped first — a bare append on an
+    * existing store would duplicate every view's documents on re-run.
+    */
+  def buildStore(spark: SparkSession, storeDir: String): Unit = {
+    val studyRoot = new org.apache.hadoop.fs.Path(storeDir, s"study_code=$studyCode")
+    val fs = studyRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(studyRoot)) fs.delete(studyRoot, true)
     views.foreach { case (view, cols, rows) =>
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map(Row.fromSeq(_)), 1),
@@ -73,6 +79,7 @@ object ClinicalDemo {
       NestedStore.nest(df, "study_code", "view")
         .write.mode("append").partitionBy("study_code", "view").parquet(storeDir)
     }
+  }
 
   /** Build store + run the seven-analyte study, returning the final
     * stitched per-subject frame with its 12 contract columns.

@@ -127,14 +127,20 @@ object ConfigReader {
     def sheet(n: String): Seq[Map[String, String]] =
       Xlsx.headerMaps(sheets.getOrElse(n,
         throw new IllegalArgumentException(s"$workbookPath: no sheet '$n'")))
-    val tables = (sheets.keySet -- Set("GET_DATA", "DF_OPERATIONS")).map { tn =>
+    val tables = (sheets.keySet -- Set("GET_DATA", "DF_OPERATIONS")).flatMap { tn =>
       val grid = sheets(tn)
-      val header = grid.head
-      val outIdx = header.indexOf("output")
-      require(outIdx >= 0, s"$workbookPath: decision sheet '$tn' has no 'output' column")
-      val mapping = grid.tail.map(row =>
-        (row.headOption.getOrElse(""), if (outIdx < row.length) row(outIdx) else ""))
-      tn -> DecisionTable(tn, mapping)
+      // a leftover blank sheet (Excel's default empty 'Sheet1') is not
+      // a decision table — skip it instead of dying on grid.head; a
+      // NON-blank sheet without an 'output' column still fails loudly
+      if (grid.isEmpty || grid.forall(_.forall(_.isEmpty))) None
+      else {
+        val header = grid.head
+        val outIdx = header.indexOf("output")
+        require(outIdx >= 0, s"$workbookPath: decision sheet '$tn' has no 'output' column")
+        val mapping = grid.tail.map(row =>
+          (row.headOption.getOrElse(""), if (outIdx < row.length) row(outIdx) else ""))
+        Some(tn -> DecisionTable(tn, mapping))
+      }
     }.toMap
     AnalyteSpec(
       name = name,

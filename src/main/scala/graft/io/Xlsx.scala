@@ -58,11 +58,25 @@ object Xlsx {
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
   }
 
-  /** All text under <t> descendants — handles both plain and
-    * rich-text (run-split) shared strings.
+  private def directChildElems(e: Element, tag: String): Seq[Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item(_)).collect {
+      case el: Element if el.getTagName == tag => el
+    }
+  }
+
+  /** Cell text of a CT_Rst string item: one direct <t>, or the <t> of
+    * each rich run <r>. Phonetic runs (<rPh><t>furigana</t></rPh>,
+    * written by Japanese Excel) are NOT cell text — openpyxl/pandas
+    * exclude them, and a descendant-wide <t> walk would concatenate
+    * the furigana onto the value and silently break config matching.
     */
-  private def tText(e: Element): String =
-    childElems(e, "t").map(_.getTextContent).mkString
+  private def tText(e: Element): String = {
+    val direct = directChildElems(e, "t").map(_.getTextContent)
+    val runs = directChildElems(e, "r")
+      .flatMap(directChildElems(_, "t").map(_.getTextContent))
+    (direct ++ runs).mkString
+  }
 
   /** "B7" → 0-based column index 1. */
   def colIndex(cellRef: String): Int =

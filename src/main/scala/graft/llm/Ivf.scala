@@ -401,18 +401,25 @@ object Ivf {
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
       val sums = Array.fill(m.k)(Array.ofDim[Double](m.centroids.head.length))
-      val counts = Array.ofDim[Long](m.k)
+      // counts are per (centroid, dim), not per centroid: with
+      // ragged-length vectors in one cell the per-dim n differs, and
+      // a single per-cell count would divide every dim by whichever
+      // (c, d) group collect() happened to return last — silently
+      // wrong, shuffle-order-dependent means
+      val counts = Array.fill(m.k)(Array.ofDim[Long](m.centroids.head.length))
       rows.foreach { r =>
         val c = r.getInt(0); val d = r.getInt(1)
         if (c >= 0 && c < m.k && d < sums(c).length) {
           sums(c)(d) = r.getDouble(2)
-          counts(c) = r.getLong(3)
+          counts(c)(d) = r.getLong(3)
         }
       }
       val next = m.centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0L) old.clone()
+        if (counts(c).forall(_ == 0L)) old.clone()
         else {
-          val mean = sums(c).map(_ / counts(c))
+          val mean = Array.tabulate(old.length) { d =>
+            if (counts(c)(d) > 0L) sums(c)(d) / counts(c)(d) else 0.0
+          }
           if (spherical) {
             val n = math.sqrt(mean.map(x => x * x).sum)
             if (n > 0) mean.map(_ / n) else mean

@@ -59,6 +59,17 @@ class GoldenStudySpec extends SparkSpec {
     }
   }
 
+  test("buildStore is idempotent: a rebuild replaces the study, never duplicates it") {
+    val dir = Files.createTempDirectory("graft_clinical_idem").toString
+    graft.io.ClinicalDemo.buildStore(spark, dir)
+    val once = spark.read.parquet(dir).count()
+    graft.io.ClinicalDemo.buildStore(spark, dir)
+    val twice = spark.read.parquet(dir).count()
+    // append-on-rebuild would double every view's documents and break
+    // the literal VALUES oracle of the pipeline query
+    assert(twice == once, s"rebuild changed document count: $once -> $twice")
+  }
+
   test("the ORIGINAL reference workbooks drive the study to the identical result") {
     val fromXlsx = graft.io.ClinicalDemo.runFromWorkbooks(
       spark, Files.createTempDirectory("graft_clinical_xlsx").toString)

@@ -389,6 +389,44 @@ class IoSpec extends SparkSpec {
       graft.io.Avro.write(Seq((1L, Seq(1, 2))).toDF("id", "arr"), dir))
   }
 
+  test("Avro write round-trips a zero-partition frame and commits only final part files") {
+    // emptyRDD has ZERO partitions — zero write tasks run, so the
+    // driver must emit a schema-bearing container for read() to accept
+    val dir = Files.createTempDirectory("graft_avro_e").toString + "/out"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(empty.rdd.getNumPartitions == 0)
+    graft.io.Avro.write(empty, dir)
+    val back = graft.io.Avro.read(spark, dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSeq == Seq("id", "s"))
+    // task-commit protocol: a finished write leaves only part-*.avro,
+    // never an attempt temp
+    val d2 = Files.createTempDirectory("graft_avro_c").toString + "/out"
+    graft.io.Avro.write(spark.range(10).repartition(3).toDF("id"), d2)
+    val names = new java.io.File(d2).listFiles().map(_.getName).toSeq
+    // Hadoop's local ChecksumFileSystem adds .crc sidecars; what must
+    // NOT survive a finished write is an attempt temp
+    assert(names.count(_.matches("part-\\d{5}\\.avro")) == 3, names)
+    assert(!names.exists(_.endsWith(".tmp")), names)
+    // a task that dies mid-write deletes its attempt temp instead of
+    // leaving a torn final part file or a stream lease behind
+    val d4 = Files.createTempDirectory("graft_avro_f").toString + "/out"
+    val poison = spark.range(10).repartition(2).toDF("id")
+      .map { r => if (r.getLong(0) == 7L) sys.error("boom mid-write"); r.getLong(0) }
+      .toDF("id")
+    assertThrows[org.apache.spark.SparkException](graft.io.Avro.write(poison, d4))
+    val after = Option(new java.io.File(d4).listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+    assert(!after.exists(_.endsWith(".tmp")), after)
+    // any part file that DID commit (the healthy partition) is a
+    // complete, readable container — torn bytes never reach a final name
+    if (after.exists(_.endsWith(".avro")))
+      graft.io.Avro.read(spark, d4).count() // must not throw
+  }
+
   test("JSONL roundtrip is lossless on hostile strings, nulls, and types") {
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/out"
     val df = Seq[(java.lang.Long, String, java.lang.Double)](

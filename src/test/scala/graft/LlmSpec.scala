@@ -641,6 +641,23 @@ class LlmSpec extends SparkSpec {
     assert(m1.centroids(0).toSeq == Seq(1.5, 1.5))
   }
 
+  test("refine: ragged-length vectors in one cell get per-dim means, not a shared count") {
+    import graft.llm.Ivf
+    val m0 = Ivf.IvfModel(Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    // cell 0 mixes a length-2 and a length-1 vector (the truncated
+    // upstream write train() defends against): dim 0 has n=2, dim 1
+    // has n=1 — a per-CELL count would divide both dims by whichever
+    // (centroid, dim) group the collect happened to return last,
+    // giving [3,2] or [6,4] depending on shuffle order
+    val df = Seq(
+      (1L, Seq(2.0, 4.0)), (2L, Seq(4.0)),           // cell 0
+      (3L, Seq(10.0, 10.0))                          // cell 1
+    ).toDF("vec_id", "embedding")
+    val m1 = Ivf.refine(df, "embedding", m0, iters = 1, spherical = false)
+    assert(m1.centroids(0).toSeq == Seq(3.0, 4.0), m1.centroids(0).toSeq)
+    assert(m1.centroids(1).toSeq == Seq(10.0, 10.0))
+  }
+
   test("refineCellSums: quantized sums match a local replay; partial agg precedes the exchange") {
     import graft.llm.Ivf
     val m = Ivf.IvfModel(Array(Array(0.0, 0.0), Array(1.0, 1.0)))

@@ -63,6 +63,74 @@ class XlsxSpec extends SparkSpec {
     assert(maps(1) == Map("h1" -> "seq"))
   }
 
+  test("shared-string phonetic runs (rPh furigana) are not cell text") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_xlsx_rph", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // si 0: rich run + phonetic run (Japanese Excel furigana); si 1: plain
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><r><t>値</t></r><rPh sb="0" eb="1"><t>あたい</t></rPh><phoneticPr fontId="1"/></si>
+        |<si><t>plain</t></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+        |<c r="C1" t="inlineStr"><is><r><t>in</t></r><rPh sb="0" eb="1"><t>イン</t></rPh></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val grid = Xlsx.sheets(path.toString)("S1")
+    // openpyxl/pandas parity: furigana excluded from both shared and
+    // inline strings; a descendant <t> walk would read "値あたい"
+    assert(grid(0) == Seq("値", "plain", "in"))
+  }
+
+  test("readAnalyteXlsx skips a blank leftover sheet instead of dying on empty.head") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("graft_xlsx_blank", ".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="GET_DATA" sheetId="1" r:id="rId1"/>
+        |<sheet name="DF_OPERATIONS" sheetId="2" r:id="rId2"/>
+        |<sheet name="Sheet1" sheetId="3" r:id="rId3"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="worksheets/sheet3.xml"/></Relationships>""".stripMargin)
+    def headerOnly(cols: Seq[String]): String = {
+      val cells = cols.zipWithIndex.map { case (h, i) =>
+        s"""<c r="${('A' + i).toChar}1" t="inlineStr"><is><t>$h</t></is></c>"""
+      }.mkString
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1">$cells</row></sheetData></worksheet>"""
+    }
+    put("xl/worksheets/sheet1.xml", headerOnly(Seq("Object Name", "Data Source", "View")))
+    put("xl/worksheets/sheet2.xml", headerOnly(Seq("Object Name", "Operation", "Parameters")))
+    // Excel's default leftover blank sheet: no rows at all
+    put("xl/worksheets/sheet3.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData/></worksheet>""")
+    zos.close()
+    val spec = ConfigReader.readAnalyteXlsx("t", path.toString)
+    assert(spec.decisionTables.isEmpty) // blank sheet skipped, not a crash
+    assert(spec.getData.isEmpty && spec.operations.isEmpty)
+  }
+
   test("original reference workbooks parse to the transcribed fixture specs") {
     val fromXlsx = ConfigReader.readStudyXlsx(refStudy)
     val fromCsv = ConfigReader.readStudy(spark, "/root/repo/fixtures/clinical_study")
