@@ -92,8 +92,21 @@ object NestedStore {
     * is forced; no job runs) — Spark 4's Column carries no public
     * expression to introspect references from.
     */
+  /** True iff `predicate` analyzes against `df`. ONLY an unresolved
+    * column/field reads as "this view lacks the field — skip it"; any
+    * other analysis failure (e.g. a type mismatch on a field that
+    * EXISTS) rethrows, because skipping a view over it would let
+    * matching rows silently survive a compliance [[erase]] that
+    * reported success.
+    */
   private def resolvesAgainst(df: DataFrame, predicate: Column): Boolean =
-    scala.util.Try(df.where(predicate).queryExecution.analyzed).isSuccess
+    try { df.where(predicate).queryExecution.analyzed; true }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("UNRESOLVED_COLUMN") || c.startsWith("UNRESOLVED_FIELD") ||
+              c.startsWith("FIELD_NOT_FOUND")) => false
+    }
 
   /** Row-level erase across the store — the right-to-be-forgotten
     * verb ([[upsert]]'s destructive complement): delete every

@@ -103,9 +103,9 @@ object Quantize {
       idCol: String,
       vecCol: String,
       k: Int,
-      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+      graft.functions.ArrayFns.scoped(corpus.sparkSession) {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.ArrayFns.register(corpus.sparkSession)
 
     val qCorpus = int8Store(idCol, vecCol)(corpus)
       .select(col(idCol).as("neighbor_id"), col("codes").as("__cq"))

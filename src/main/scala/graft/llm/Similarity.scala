@@ -164,8 +164,13 @@ object Similarity {
     // hyperplane dot (zip_with pads with null), every when() falls to
     // otherwise(0) — ALL rows silently collapse into bucket 0 and the
     // "bucketed join, no cartesian" contract degrades to N² in one
-    // bucket. Fail on the first row instead.
-    when(size(vec) === dim, bits.reduce(_ bitwiseOR _))
+    // bucket. Fail on the first row instead. A NULL vector is not a
+    // wrong-width vector: it buckets to null (equi-joins drop it, so
+    // the row can never be a candidate — the same survivor outcome the
+    // pre-guard code reached via a null cosine), rather than killing
+    // the whole job over one degraded row.
+    when(vec.isNull, lit(null).cast("long"))
+      .when(size(vec) === dim, bits.reduce(_ bitwiseOR _))
       .otherwise(raise_error(concat(
         lit("lshBucket: vector length "), size(vec).cast("string"),
         lit(s" != hyperplane dim $dim — pass dim=<your embedding width> " +

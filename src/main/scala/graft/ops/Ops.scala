@@ -238,6 +238,12 @@ object Ops {
           (df, Some(struct(o.flatMap(k =>
             Seq(col(k.col).isNull, col(k.col))) :+ rowHash(df): _*)))
         case o =>
+          // internal-column clash guard (the chunkBinary discipline):
+          // withColumn would silently REPLACE a caller's __gs_rn and
+          // any agg on it would aggregate the internal rank
+          require(!df.columns.contains("__gs_rn"),
+            "groupbySummarise: input already has a column named __gs_rn " +
+              "(reserved for the descending first/last rank) — rename it first")
           val w = Window.partitionBy(groupCols.map(col): _*)
             .orderBy(sortCols(o) :+ rowHash(df).asc: _*)
           (df.withColumn("__gs_rn", row_number().over(w)), Some(col("__gs_rn")))

@@ -182,10 +182,14 @@ object KvList {
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Parse "col#fn, col2#fn2" into (col, fn) pairs (GROUPBY SUMMARISE
-    * grammar, Configurable_ETL_Python.py:346-357).
+    * grammar, Configurable_ETL_Python.py:346-357). '|' is accepted as
+    * a pair separator too: [[parseLenient]] under the '|' grammar
+    * folds a dangling "b#max" segment back with '|', so the value this
+    * function receives may be '|'-joined — neither col names nor fn
+    * names can contain either character.
     */
   def hashPairs(s: String): Seq[(String, String)] =
-    csv(s).map { p =>
+    s.split("[,|]").iterator.map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
       val parts = p.split("#", 2)
       require(parts.length == 2, s"bad col#fn pair: '$p'")
       (parts(0).trim, parts(1).trim)

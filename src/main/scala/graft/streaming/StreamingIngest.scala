@@ -508,11 +508,16 @@ object StreamingIngest {
     * semantics minus the watermark) — lets the driver's DuckDB oracle
     * pin the window arithmetic that the streaming path shares.
     */
-  def windowedCountsBatch(events: DataFrame): DataFrame =
+  def windowedCountsBatch(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      windowLen: String = "1 hour"): DataFrame =
     events
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col(valueCol)).as("max_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"), col("max_value"))
 
   /** The whole ingest-curation stack as ONE streaming pipeline — the

@@ -126,5 +126,11 @@ class ConditionsSpec extends AnyFunSuite {
   test("hashPairs parses col#fn lists") {
     assert(KvList.hashPairs("a#min, b#last") == Seq(("a", "min"), ("b", "last")))
     assertThrows[IllegalArgumentException](KvList.hashPairs("a"))
+    // the '|' grammar's parseLenient fold rejoins with '|', so the
+    // value reaching hashPairs may be '|'-separated — both must parse
+    assert(KvList.hashPairs("a#min|b#max") == Seq(("a", "min"), ("b", "max")))
+    assert(KvList.hashPairs(
+      KvList.parseLenient("summary_col_ops=a#min | b#max", '|')("summary_col_ops")) ==
+      Seq(("a", "min"), ("b", "max")))
   }
 }

@@ -101,6 +101,34 @@ class IoSpec extends SparkSpec {
     assert(NestedStore.flatten(spark.read.parquet(dir)).count() == 2)
   }
 
+  test("erase fails loudly on a type-mismatched predicate instead of skipping the view") {
+    val dir = Files.createTempDirectory("graft_erase_typed").toString
+    // v1: amt is array<string> — array_contains resolves; v2: amt is a
+    // plain string — the SAME predicate is a DATATYPE_MISMATCH, which
+    // must NOT read as "view lacks the field": a silent skip would
+    // retain rows a compliance erase then reports as handled
+    NestedStore.write(NestedStore.nest(
+      Seq(("s1", "v1", Seq("x", "y")), ("s1", "v1", Seq("z")))
+        .toDF("study_code", "view", "amt"), "study_code", "view"), dir)
+    NestedStore.upsert(NestedStore.nest(
+      Seq(("s1", "v2", "x")).toDF("study_code", "view", "amt"),
+      "study_code", "view"), dir)
+    // 'zz' matches nothing in v1, so v1's pass is a no-op whichever
+    // view iterates first; v2 must still throw, never skip
+    intercept[org.apache.spark.sql.AnalysisException] {
+      NestedStore.erase(spark, dir, array_contains(col("amt"), "zz"))
+    }
+    def viewCount(v: String): Long = NestedStore.flatten(
+      spark.read.option("basePath", dir).parquet(s"$dir/study_code=s1/view=$v")).count()
+    assert(viewCount("v1") == 2 && viewCount("v2") == 1,
+      "a refused erase must not have deleted anything")
+    // a predicate naming a column NO view has still fails the
+    // resolved-nowhere guard, and one a single view lacks still skips
+    val e = intercept[Exception](NestedStore.erase(spark, dir, col("nope") === "x"))
+    assert(e.getMessage.toLowerCase.contains("resolve") ||
+      e.getMessage.toLowerCase.contains("nope"), e.getMessage)
+  }
+
   test("erase refuses null-keyed partitions instead of silently retaining matches") {
     val dir = Files.createTempDirectory("graft_erase_nullkey").toString
     val data = Seq((null.asInstanceOf[String], "v1", "alice", 1.0), ("s1", "v1", "bob", 2.0))

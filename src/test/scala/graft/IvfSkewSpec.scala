@@ -67,6 +67,17 @@ class IvfSkewSpec extends SparkSpec {
       threshold = 0.95, subBucketPlanes = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(bucketed == kept, s"bucketed $bucketed vs $kept")
+
+    // one degraded row with a NULL embedding must not kill the job
+    // (lshBucket's wrong-width guard is for non-null vectors): it
+    // buckets to null, is never a candidate, and survives — the same
+    // outcome the null-cosine filter produced before the guard existed
+    val withNull = df.union(Seq((7L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding"))
+    val keptNull = Similarity.semDedupKeep(withNull, "vec_id", "embedding", model,
+      threshold = 0.95, subBucketPlanes = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(1L, 3L, 5L, 6L, 7L), keptNull)
   }
 
   test("IVF with nProbe=k degrades to exact: matches brute-force top-k") {

@@ -34,6 +34,17 @@ class OpsSpec extends SparkSpec {
     assert(first.toSeq == Seq(("g1", Some(5.0)), ("g2", Some(7.0)), ("g3", None)))
   }
 
+  test("groupbySummarise refuses an input that already carries __gs_rn") {
+    // the descending first/last path materializes an internal rank
+    // under this name; silently replacing a caller's column would make
+    // any agg on it aggregate the rank instead of the data
+    val df = Seq(("a", 9, 5)).toDF("g", "__gs_rn", "v")
+    val e = intercept[IllegalArgumentException](
+      Ops.groupbySummarise(Seq("g"), Seq(("v", "last")),
+        Seq(SortKey("v", desc = true)))(df))
+    assert(e.getMessage.contains("__gs_rn"), e.getMessage)
+  }
+
   test("groupbySummarise multi-key first/last: null sort keys rank LAST, like sort_values") {
     // pandas sort_values(na_position='last') puts a null key after
     // every non-null one; a raw struct field would sort it FIRST

@@ -196,6 +196,17 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("max_value") == 3.0)
     assert(rows(1).getAs[Long]("n_events") == 1)
+    // the batch twin threads the SAME column/window parameters — a
+    // twin hardcoded to "value" would silently diverge from a
+    // streaming plane driven with custom column names
+    val batchCustom = StreamingIngest.windowedCountsBatch(
+      Seq((Timestamp.valueOf("2024-01-01 10:05:00"), "click", 7.0),
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 4.0))
+        .toDF("t", "kind", "amount"),
+      "t", "kind", "amount", "1 hour").collect()
+    assert(batchCustom.length == 1)
+    assert(batchCustom(0).getAs[Long]("n_events") == 2 &&
+      batchCustom(0).getAs[Double]("max_value") == 7.0)
   }
 
   test("stateless streaming decontamination == batch filter; agrees with the report") {
