@@ -191,6 +191,78 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: hashPairs recovers col#fn lists through parseLenient under either separator") {
+    import graft.parse.KvList
+    val ident = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val fn = Gen.oneOf("min", "max", "sum", "count", "mean", "first", "last")
+    val pairsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, Gen.zip(ident, fn)))
+    val sepGen = Gen.oneOf(',', '|')
+    // the pair list and the condition may each use either separator —
+    // all four combinations must survive the parseLenient fold
+    checkProp(Prop.forAllNoShrink(pairsGen, sepGen, sepGen) { (ps, condSep, listSep) =>
+      val joined = ps.map { case (c, f) => s"$c#$f" }.mkString(s" $listSep ")
+      val cond = s"group_by_cols=g $condSep summary_col_ops=$joined"
+      val m = KvList.parseLenient(cond, condSep)
+      m("group_by_cols") == "g" && KvList.hashPairs(m("summary_col_ops")) == ps
+    })
+  }
+
+  test("property: Avro write-read round-trips random rows, nulls and partition counts") {
+    val cell = Gen.option(Gen.chooseNum(-1000000, 1000000).map(_.toDouble))
+    val strs = Gen.option(Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32, 0x2ff).map(_.toChar)).map(_.mkString)))
+    val bool = Gen.option(Gen.oneOf(true, false))
+    val rowsGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.zip(cell, strs, bool)))
+    checkProp(Prop.forAllNoShrink(rowsGen, Gen.oneOf(1, 2, 5)) { (rows, parts) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_avro_prop").toString + "/out"
+      val typed = rows.zipWithIndex.map { case ((d, s, b), i) => (i.toLong, d, s, b) }
+      val df =
+        if (typed.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            typed.toDF("id", "d", "s", "b").schema) // schema from the empty typed frame
+        else typed.toDF("id", "d", "s", "b").repartition(parts)
+      graft.io.Avro.write(df, dir)
+      val back = graft.io.Avro.read(spark, dir).collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      }.sortBy(_._1).toList
+      back == typed.sortBy(_._1)
+    }, minTests = 12)
+  }
+
+  test("property: Ivf.refine equals a plain-Scala per-dim mean replay on random ragged vectors") {
+    import graft.llm.Ivf
+    // integer-valued doubles: sums are combine-order-exact, so the
+    // distributed aggregate and the local replay agree bit-for-bit
+    val vec = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-8, 8).map(_.toDouble)))
+    val vecsGen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, vec))
+    val cents = Array(Array(-4.0, -4.0, -4.0), Array(4.0, 4.0, 4.0))
+    def assignLocal(v: Seq[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map(t => (t._1 - t._2) * (t._1 - t._2)).sum, i)
+      }.minBy(identity)._2 // strict-min tie-break to the lowest id, like NearestCentroids
+    checkProp(Prop.forAllNoShrink(vecsGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "embedding")
+      val m1 = Ivf.refine(df, "embedding",
+        Ivf.IvfModel(cents.map(_.clone)), iters = 1, spherical = false)
+      val want = cents.indices.map { c =>
+        val mine = vs.filter(v => assignLocal(v) == c)
+        if (mine.isEmpty) cents(c).toSeq
+        else (0 until 3).map { d =>
+          val xs = mine.filter(_.length > d).map(_(d))
+          if (xs.isEmpty) 0.0 else xs.sum / xs.length
+        }
+      }
+      m1.centroids.map(_.toSeq).toSeq == want
+    }, minTests = 25)
+  }
+
   test("property: KvList parse/parseLenient agree when no value contains the separator") {
     val key = Gen.identifier.suchThat(_.nonEmpty)
     val value = Gen.alphaNumStr.suchThat(_.nonEmpty)
