@@ -30,10 +30,15 @@ final case class PipelineContext(
     catalog: ListMap[String, DataFrame] = ListMap.empty,
     lastSort: Map[String, Seq[SortKey]] = Map.empty) {
 
-  def bind(name: String, df: DataFrame, order: Seq[SortKey] = Nil): PipelineContext =
+  def bind(name: String, df: DataFrame, order: Seq[SortKey] = Nil): PipelineContext = {
+    // trim for symmetry with every lookup (df/order/contains all trim
+    // their key) — a padded objectName would otherwise bind a frame no
+    // lookup can resolve
+    val n = name.trim
     copy(
-      catalog = catalog.updated(name, df),
-      lastSort = if (order.isEmpty) lastSort - name else lastSort.updated(name, order))
+      catalog = catalog.updated(n, df),
+      lastSort = if (order.isEmpty) lastSort - n else lastSort.updated(n, order))
+  }
 
   def df(name: String): DataFrame = catalog.getOrElse(
     name.trim,
@@ -85,11 +90,18 @@ final class ParquetResolver(spark: SparkSession, dir: String, storeDir: Option[S
     // lake analogue of a DynamoDB Query point-lookup. Views hold
     // heterogeneous document schemas (different `data` structs), so a
     // whole-store read would fail schema merge; the partition path is
-    // the isolation boundary. Payload columns only, like the
-    // reference's json_normalize(record_path='data') without meta
-    // (Configurable_ETL_Python.py:36-41).
-    graft.io.NestedStore.flatten(
+    // the isolation boundary. The key columns are restored as
+    // constants, like the reference's json_normalize(record_path=
+    // 'data', meta=['study_code','view']) (Configurable_ETL_Python
+    // .py:36-41) — a config may project or filter on them.
+    val flat = graft.io.NestedStore.flatten(
       spark.read.parquet(s"$sd/study_code=$studyCode/view=$view"))
+    // a payload field named like a key would make json_normalize raise
+    // a conflicting-metadata error in the reference; fail equally loud
+    require(!flat.columns.contains("study_code") && !flat.columns.contains("view"),
+      s"store view $studyCode/$view: payload carries a 'study_code'/'view' " +
+        "field that conflicts with the document keys")
+    flat.withColumn("study_code", lit(studyCode)).withColumn("view", lit(view))
   }
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 }
@@ -163,6 +175,22 @@ object Interpreter {
     def remapHidden(pruned: Seq[String]): Seq[SortKey] =
       inOrder.map(k => if (pruned.contains(k.col)) k.copy(col = OrdPrefix + k.col) else k)
 
+    // An op about to OVERWRITE a sort-key column's values: pandas'
+    // physical row order stays frozen at sort time, but our lazy
+    // order metadata would make later windows re-sort by the NEW
+    // values. Snapshot the pre-overwrite values under a hidden name
+    // and remap the metadata — same ride-along discipline as pruned
+    // projections ([[OrdPrefix]]).
+    def shieldOrder(target: String): (DataFrame, Seq[SortKey]) =
+      if (!inOrder.exists(_.col == target)) (in, inOrder)
+      else {
+        val hidden = OrdPrefix + target
+        require(!in.columns.contains(hidden),
+          s"cannot shield sort key '$target': internal column '$hidden' already exists")
+        (in.withColumn(hidden, col(target)),
+          inOrder.map(k => if (k.col == target) k.copy(col = hidden) else k))
+      }
+
     spec.opType.trim.toUpperCase match {
       case "RENAME COLUMN" =>
         // grammar: alternating '='-split pairs (rename_columns, :223-228)
@@ -176,7 +204,8 @@ object Interpreter {
 
       case "FORMAT COLUMN" =>
         // grammar: column=c, type=datetime#<strftime> | type=number (:230-248)
-        ctx.bind(out, Ops.formatColumn(kv("column"), kv("type"))(in), inOrder)
+        val (fSrc, fOrd) = shieldOrder(kv("column"))
+        ctx.bind(out, Ops.formatColumn(kv("column"), kv("type"))(fSrc), fOrd)
 
       case "FILTER" =>
         ctx.bind(out, Ops.filterOp(cond)(in), inOrder)
@@ -184,12 +213,20 @@ object Interpreter {
       case "LEFT JOIN" =>
         // pandas' left merge PRESERVES the left frame's row order
         // (duplicated rows for multi-matches stay adjacent), so an
-        // established sort survives — as long as its key columns came
-        // through unsuffixed (the _x/_y collision policy may rename
-        // them, after which the recorded keys point at nothing)
-        val joined = Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "left")
+        // established sort survives. The _x/_y collision policy may
+        // rename a sort-key column — deterministically to `k_x`
+        // (namedJoin suffixes the LEFT copy), so the metadata remaps
+        // to the suffixed name instead of being dropped.
+        val right = ctx.df(frames(1))
+        val joinKeys = KvList.csv(cond).toSet
+        val joined = Ops.namedJoin(in, right, KvList.csv(cond), "left")
+        val remapped = inOrder.map { k =>
+          if (right.columns.contains(k.col) && !joinKeys.contains(k.col))
+            k.copy(col = k.col + "_x")
+          else k
+        }
         ctx.bind(out, joined,
-          if (inOrder.forall(k => joined.columns.contains(k.col))) inOrder else Nil)
+          if (remapped.forall(k => joined.columns.contains(k.col))) remapped else Nil)
 
       case "OUTER JOIN" =>
         ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "full"))
@@ -215,7 +252,8 @@ object Interpreter {
           case other => throw new IllegalArgumentException(s"unknown AGGREGATE COLUMN op '$other'")
         }
         val cols = kv("operation_cols").split("#").map(_.trim).toSeq
-        ctx.bind(out, Ops.aggregateColumn(kv("new_column"), cols, fn)(in), inOrder)
+        val (aSrc, aOrd) = shieldOrder(kv("new_column"))
+        ctx.bind(out, Ops.aggregateColumn(kv("new_column"), cols, fn)(aSrc), aOrd)
 
       case "REMOVE COLUMN" =>
         val cols = KvList.csv(cond)
@@ -235,7 +273,8 @@ object Interpreter {
         ctx.bind(out, Ops.uniqueColumns(KvList.csv(cond), inOrder)(in), inOrder)
 
       case "ADD COLUMN" =>
-        ctx.bind(out, Ops.addColumn(kv("new_column"), kv("value"))(in), inOrder)
+        val (adSrc, adOrd) = shieldOrder(kv("new_column"))
+        ctx.bind(out, Ops.addColumn(kv("new_column"), kv("value"))(adSrc), adOrd)
 
       case "BIND ROWS" =>
         ctx.bind(out, Ops.bindRows(frames.map(ctx.df)))
@@ -255,7 +294,11 @@ object Interpreter {
         val parts = KvList.parseLenient(cond, '|')
         val groups = parts("group_by_cols").split(",").map(_.trim).toSeq
         val aggs = KvList.hashPairs(parts("summary_col_ops"))
-        ctx.bind(out, Ops.groupbySummarise(groups, aggs, inOrder)(in))
+        // pandas groupby(sort=True).agg().reset_index() leaves the
+        // output PHYSICALLY sorted by the group keys — downstream
+        // order-dependent ops may lean on it with no explicit sort
+        ctx.bind(out, Ops.groupbySummarise(groups, aggs, inOrder)(in),
+          groups.map(SortKey(_)))
 
       case "REMOVE ROWS" =>
         // grammar: col=NULL | col=NULL1 (:359-369)
@@ -270,9 +313,10 @@ object Interpreter {
           throw new NoSuchElementException(s"no decision table '${kv("decision_table_name")}'"))
         // when-chain by default: decision tables are worksheet-sized
         // literals — zero join, stays in whole-stage codegen.
+        val (dSrc, dOrd) = shieldOrder(kv("new_column"))
         ctx.bind(out,
-          Ops.decisionColumnWhenChain(kv("new_column"), kv("lookup_column"), tbl.mapping)(in),
-          inOrder)
+          Ops.decisionColumnWhenChain(kv("new_column"), kv("lookup_column"), tbl.mapping)(dSrc),
+          dOrd)
 
       case "SELECT COLUMNS" =>
         val cols = KvList.csv(cond)
@@ -306,24 +350,28 @@ object Interpreter {
         // column_value=c] (:409-432)
         val name = kv("column_name")
         val src = kv("source_col")
+        val (atSrc, atOrd) = shieldOrder(name)
         val df2 = kv("operation").toUpperCase match {
-          case "NOTNULL" => Ops.attachNotNull(name, src)(in)
+          case "NOTNULL" => Ops.attachNotNull(name, src)(atSrc)
           case "SUMEQ" =>
             val ab = src.split("\\|").map(_.trim)
             require(ab.length == 2, s"SUMEQ needs 'a|b' source cols, got '$src'")
-            Ops.attachSumEq(name, ab(0), ab(1))(in)
-          case "NULL" => Ops.attachNullFill(name, src, kv("value"), kv("column_value"))(in)
+            Ops.attachSumEq(name, ab(0), ab(1))(atSrc)
+          case "NULL" => Ops.attachNullFill(name, src, kv("value"), kv("column_value"))(atSrc)
           case other => throw new IllegalArgumentException(s"unknown ATTACH COLUMN op '$other'")
         }
-        ctx.bind(out, df2, inOrder)
+        ctx.bind(out, df2, atOrd)
 
       case "GROUPBY SLICE" =>
         // grammar: group_by_cols=a,b, slice_num=n (:67-74). pandas
-        // groupby().head(n) keeps survivors in the frame's original
-        // order and drops no columns — the established sort survives
+        // groupby(sort=True).apply(iloc[:n]).droplevel(0) concatenates
+        // the sliced groups in SORTED group-key order, each keeping the
+        // frame's established order within — thread both.
         val groups = kv("group_by_cols").split(",").map(_.trim).toSeq
+        val sliceOrder = groups.map(SortKey(_)) ++
+          inOrder.filterNot(k => groups.contains(k.col))
         ctx.bind(out,
-          Ops.groupbySlice(groups, kv("slice_num").trim.toInt, inOrder)(in), inOrder)
+          Ops.groupbySlice(groups, kv("slice_num").trim.toInt, inOrder)(in), sliceOrder)
 
       case other =>
         throw new IllegalArgumentException(s"NON-EXISTING DF_OPERATION encountered: $other")

@@ -87,12 +87,8 @@ object NestedStore {
       .groupBy(_.getPath.getName)
       .view.mapValues(_.map(_.getPath.toString).toSeq).toMap
 
-  /** Does `predicate` resolve against this frame's schema? Probed by
-    * ANALYZING a trial filter (analysis is lazy until queryExecution
-    * is forced; no job runs) — Spark 4's Column carries no public
-    * expression to introspect references from.
-    */
-  /** True iff `predicate` analyzes against `df`. ONLY an unresolved
+  /** True iff `predicate` analyzes against `df` (probed by ANALYZING
+    * a trial filter — no job runs). ONLY an unresolved
     * column/field reads as "this view lacks the field — skip it"; any
     * other analysis failure (e.g. a type mismatch on a field that
     * EXISTS) rethrows, because skipping a view over it would let
@@ -185,7 +181,18 @@ object NestedStore {
             path, k1, k2)
         }
         emptied.foreach { case (a, b, _) =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$k1=$a/$k2=$b"), true)
+          // the dir name is the Hive-ESCAPED value (the scan unescaped
+          // it into the key column), and a delete that returns false
+          // leaves the matched rows on disk while EraseStats reports
+          // them dropped — the silent survival this function's doc
+          // calls unacceptable. Escape back and demand success.
+          val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName _
+          val part = new org.apache.hadoop.fs.Path(
+            s"$path/$k1=${esc(a.toString)}/$k2=${esc(b.toString)}")
+          require(fs.exists(part) && fs.delete(part, true),
+            s"erase: failed to delete fully-matched partition $part — " +
+              "matched rows would survive an erase that reported success")
         }
         rewritten += rewrite.length
         dropped += emptied.length
@@ -228,8 +235,14 @@ object NestedStore {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    // derive siblings from the NORMALIZED path — raw concatenation on
+    // a trailing-slash input would nest them INSIDE the store, and the
+    // stage-out rename (a dir into its own subdir) would then fail
+    // after the per-view loop had already written a full copy there
+    val tmp = new org.apache.hadoop.fs.Path(
+      hadoopPath.getParent, hadoopPath.getName + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(
+      hadoopPath.getParent, hadoopPath.getName + "__precompact")
     // Crash-window recovery (same two-rename discipline as
     // ivmStateStream): death between the stage-out and swap-in renames
     // leaves the data ONLY at __precompact. Restore it BEFORE the
@@ -292,7 +305,15 @@ object Standardized {
     */
   def toStandardized(df: DataFrame, studyCode: String, retention: Seq[String] = RetentionList): DataFrame = {
     val have = df.columns.toSet
-    val asStrings = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+    // pandas astype('string') renders booleans 'True'/'False'; Spark's
+    // string cast gives 'true'/'false' — map them so a boolean carried
+    // into the standardized records matches the reference byte-for-byte
+    def asStr(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.BooleanType =>
+        when(col(c), "True").when(!col(c), "False").as(c)
+      case _ => col(c).cast("string").as(c)
+    }
+    val asStrings = df.select(df.columns.map(asStr): _*)
       .na.fill("Null")
     val retEntries: Seq[Column] = retention.flatMap(f =>
       Seq(lit(f), if (have.contains(f)) coalesce(col(f), lit("Null")) else lit("Null")))

@@ -158,14 +158,26 @@ object Ops {
   def uniqueColumns(cols: Seq[String], order: Seq[SortKey])(df: DataFrame): DataFrame =
     if (order.isEmpty) df.dropDuplicates(cols)
     else {
+      require(!df.columns.contains("__rn"),
+        "uniqueColumns: input already has a column named __rn (reserved " +
+          "for the internal keep-first rank) — rename it first")
       val w = Window.partitionBy(cols.map(col): _*)
         .orderBy(sortCols(order) :+ rowHash(df).asc: _*)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
 
-  /** P5 REMOVE COLUMN. */
-  def removeColumns(cols: Seq[String])(df: DataFrame): DataFrame =
+  /** P5 REMOVE COLUMN. Strict like the reference: pandas df.drop
+    * (axis='columns', default errors='raise') raises KeyError on a
+    * missing column (Configurable_ETL_Python.py:286-289) — a typo'd
+    * config fails loudly instead of silently no-op'ing.
+    */
+  def removeColumns(cols: Seq[String])(df: DataFrame): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"REMOVE COLUMN: no such column(s) ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
     df.drop(cols: _*)
+  }
 
   // ===== §2.3 filter =====
 
@@ -227,15 +239,25 @@ object Ops {
     // rowHash) — rows tied AND equal in the aggregated column give the
     // same value either way, so it only affects genuinely
     // under-specified configs.
+    // the reference builds a dict keyed by column (res_dct[c] = fn,
+    // Configurable_ETL_Python.py:351), so a repeated column keeps its
+    // FIRST position with its LAST fn — and only the EFFECTIVE fns
+    // decide whether an order is required: 'c#first, c#sum' runs
+    // order-free in pandas because the dict keeps only {c: sum}
+    val effective = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
     val needsFirstLast =
-      aggs.exists(a => Set("first", "last").contains(a._2.toLowerCase))
+      effective.exists(a => Set("first", "last").contains(a._2.toLowerCase))
+    // pandas groupby defaults to dropna=True: rows with ANY null group
+    // key are excluded from the aggregation, not emitted as a
+    // null-keyed group (reference :356 uses the default)
+    val keyed = df.where(groupCols.map(col(_).isNotNull).reduce(_ && _))
     val (src, orderKeyOpt): (DataFrame, Option[Column]) =
-      if (!needsFirstLast) (df, None)
+      if (!needsFirstLast) (keyed, None)
       else order match {
         case Nil => throw new IllegalStateException(
           "GROUPBY SUMMARISE first/last requires a preceding SORT DATASET")
         case o if o.forall(!_.desc) =>
-          (df, Some(struct(o.flatMap(k =>
+          (keyed, Some(struct(o.flatMap(k =>
             Seq(col(k.col).isNull, col(k.col))) :+ rowHash(df): _*)))
         case o =>
           // internal-column clash guard (the chunkBinary discipline):
@@ -246,20 +268,16 @@ object Ops {
               "(reserved for the descending first/last rank) — rename it first")
           val w = Window.partitionBy(groupCols.map(col): _*)
             .orderBy(sortCols(o) :+ rowHash(df).asc: _*)
-          (df.withColumn("__gs_rn", row_number().over(w)), Some(col("__gs_rn")))
+          (keyed.withColumn("__gs_rn", row_number().over(w)), Some(col("__gs_rn")))
       }
     def orderExpr: Column = orderKeyOpt.get
-    // the reference builds a dict keyed by column (res_dct[c] = fn,
-    // Configurable_ETL_Python.py:351), so a repeated column keeps its
-    // FIRST position with its LAST fn — two literal aggs on one column
-    // would otherwise emit duplicate output names and break every
-    // later reference to the column (AMBIGUOUS_REFERENCE)
-    val effective = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
     val aggCols = effective.map { case (c, fn) =>
       (fn.toLowerCase match {
         case "min" => min(col(c))
         case "max" => max(col(c))
-        case "sum" => sum(col(c))
+        // pandas .agg('sum') uses min_count=0: an all-null group sums
+        // to 0, not null (same rule attachSumEq codifies, SURVEY D4)
+        case "sum" => coalesce(sum(col(c)), lit(0))
         case "mean" | "avg" => avg(col(c))
         case "count" => count(col(c))
         // pandas .agg('last') = last NON-NULL value in sort order
@@ -295,9 +313,15 @@ object Ops {
     */
   def groupbySlice(groupCols: Seq[String], n: Int, order: Seq[SortKey])(df: DataFrame): DataFrame = {
     require(order.nonEmpty, "GROUPBY SLICE requires a preceding SORT DATASET")
+    require(!df.columns.contains("__rn"),
+      "groupbySlice: input already has a column named __rn (reserved " +
+        "for the internal slice rank) — rename it first")
+    // pandas groupby defaults to dropna=True (reference :73): rows
+    // with a null group key are excluded, not sliced as a null group
+    val keyed = df.where(groupCols.map(col(_).isNotNull).reduce(_ && _))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(sortCols(order) :+ rowHash(df).asc: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    keyed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
   /** A5 rollup/cube summarise (beyond-reference OLAP surface): the

@@ -82,14 +82,21 @@ class EngineSpec extends SparkSpec {
     assert(ctx3.order("j").nonEmpty, "left join must keep the left frame's order")
     assert(ctx3.result("u3").orderBy("g").collect().map(_.getString(2)).toSeq ==
       Seq("early", "only"))
-    // ...but NOT when the suffix policy renamed a sort-key column
+    // ...and when the suffix policy renamed a sort-key column, the
+    // metadata remaps to the deterministic _x name (pandas preserves
+    // the left frame's physical order through the merge; the left
+    // copy of 'v' IS the order those rows carry)
     val clash = Seq(("a", 7, "x")).toDF("g", "v", "q") // 'v' collides → v_x/v_y
     val ctx4 = Seq(
       op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
-      op("j2", "LEFT JOIN", Seq("s", "c"), "g")
+      op("j2", "LEFT JOIN", Seq("s", "c"), "g"),
+      op("u4", "UNIQUE COLUMN", Seq("j2"), "g")
     ).foldLeft(PipelineContext().bind("t", df).bind("c", clash))(
       (c, o) => Interpreter.applyOp(c, o, Map.empty))
-    assert(ctx4.order("j2").isEmpty, "suffixed-away sort keys must clear the order")
+    assert(ctx4.order("j2").map(_.col) == Seq("v_x"),
+      "suffixed sort keys must remap to the left copy's _x name")
+    assert(ctx4.result("u4").orderBy("g").collect().map(_.getString(2)).toSeq ==
+      Seq("early", "only"))
   }
 
   test("order survives a projection that prunes its sort key (pandas keeps row order)") {
@@ -259,5 +266,48 @@ class EngineSpec extends SparkSpec {
     // a2 has only bob → alice's right side null
     assert(r.map(x => (x.getString(0), Option(x.get(1)))).toSeq ==
       Seq(("alice", None), ("bob", Some(2))))
+  }
+
+  test("overwriting a sort-key column freezes the PRE-overwrite order, like pandas") {
+    // lexicographic string order ('03-01-2021' < '04-12-2020') is the
+    // order the sort established; FORMAT COLUMN then reparses the
+    // values chronologically (2020-12-04 < 2021-01-03). pandas keeps
+    // the PHYSICAL order from sort time — keep-first must see jan3.
+    val df = Seq(("a", "03-01-2021", "jan3"), ("a", "04-12-2020", "dec4"))
+      .toDF("g", "d", "tag")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=d"),
+      op("f", "FORMAT COLUMN", Seq("s"), "column=d, type=datetime#%d-%m-%Y"),
+      op("u", "UNIQUE COLUMN", Seq("f"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.result("u").collect().map(_.getAs[String]("tag")).toSeq == Seq("jan3"))
+    // the shield is transparent: no hidden column in the visible output
+    assert(!ctx.result("u").columns.exists(_.startsWith("__ord_")))
+  }
+
+  test("GROUPBY SUMMARISE output is ordered by its group keys, like pandas groupby(sort=True)") {
+    val df = Seq(("b", 2, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)).toDF("g", "k", "v")
+    // downstream order-dependent ops may lean on the group-key order
+    // with NO explicit sort — pandas runs this config as-is
+    val ctx = Seq(
+      op("agg", "GROUPBY SUMMARISE", Seq("t"), "group_by_cols=g | summary_col_ops=v#sum"),
+      op("top", "GROUPBY SLICE", Seq("agg"), "group_by_cols=g, slice_num=1")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.result("agg").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(ctx.result("top").count() == 2)
+  }
+
+  test("store views carry study_code and view columns (json_normalize meta parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_engine_store").toString
+    val data = Seq(("S1", "V1", "x", 1.0)).toDF("study_code", "view", "name", "score")
+    graft.io.NestedStore.write(
+      graft.io.NestedStore.nest(data, "study_code", "view"), s"$dir/store")
+    val v = new graft.engine.ParquetResolver(spark, dir).storeView("S1", "V1")
+    // the reference's json_normalize(record_path='data',
+    // meta=['study_code','view']) restores the keys on every row
+    assert(v.columns.takeRight(2).toSeq == Seq("study_code", "view"))
+    assert(v.select("study_code", "view", "name").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq ==
+      Seq(("S1", "V1", "x")))
   }
 }

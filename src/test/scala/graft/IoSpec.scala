@@ -357,6 +357,18 @@ class IoSpec extends SparkSpec {
     assert(bob.getAs[String]("ltfu_date") == "Null") // real null → 'Null' string
   }
 
+  test("standardized sink renders booleans 'True'/'False' like pandas astype(string)") {
+    val df = Seq(
+      ("US", "s01", "a", java.lang.Boolean.TRUE),
+      ("US", "s01", "b", java.lang.Boolean.FALSE),
+      ("US", "s01", "c", null.asInstanceOf[java.lang.Boolean])
+    ).toDF("country", "site", "subject", "flag")
+    val std = Standardized.toStandardized(df, "S", retention = Seq("flag"))
+    val flat = Standardized.flattenStandardized(std, retention = Seq("flag"))
+      .orderBy("subject").collect()
+    assert(flat.map(_.getAs[String]("flag")).toSeq == Seq("True", "False", "Null"))
+  }
+
   test("export flatten applies case-collision renames") {
     val df = Seq(("s1", "v1", "X123", "W2")).toDF("study_code", "view", "SUBJECT", "Visit")
     val out = Export.exportFlatten(NestedStore.nest(df, "study_code", "view"))

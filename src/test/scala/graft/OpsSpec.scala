@@ -34,6 +34,42 @@ class OpsSpec extends SparkSpec {
     assert(first.toSeq == Seq(("g1", Some(5.0)), ("g2", Some(7.0)), ("g3", None)))
   }
 
+  test("groupbySummarise and groupbySlice drop null group keys like pandas groupby(dropna=True)") {
+    val df = Seq(
+      (Some("g1"), 1, 5.0), (Some("g1"), 2, 3.0),
+      (None, 3, 9.0) // null key: pandas excludes, never a null group
+    ).toDF("g", "k", "v")
+    val agg = Ops.groupbySummarise(Seq("g"), Seq(("v", "sum")), Nil)(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(agg.toSeq == Seq(("g1", 8.0)), agg.toSeq)
+    val sliced = Ops.groupbySlice(Seq("g"), 1, Seq(SortKey("k")))(df)
+      .collect().map(_.getString(0))
+    assert(sliced.toSeq == Seq("g1"), sliced.toSeq)
+  }
+
+  test("groupbySummarise sum of an all-null group is 0 (pandas min_count=0), and a superseded first needs no sort") {
+    val df = Seq(
+      ("g1", Some(2.0)), ("g1", Some(3.0)),
+      ("g2", Option.empty[Double]) // all-null: pandas sums to 0.0
+    ).toDF("g", "v")
+    val got = Ops.groupbySummarise(Seq("g"), Seq(("v", "sum")), Nil)(df)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("g1", 5.0), ("g2", 0.0)), got.toSeq)
+    // the reference's dict semantics keep only {v: sum} for
+    // 'v#first, v#sum' — no order requirement may leak from the
+    // discarded first (pandas runs this config unsorted)
+    val dict = Ops.groupbySummarise(Seq("g"), Seq(("v", "first"), ("v", "sum")), Nil)(df)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(dict.toSeq == Seq(("g1", 5.0), ("g2", 0.0)), dict.toSeq)
+  }
+
+  test("removeColumns raises on a missing column like pandas df.drop") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](Ops.removeColumns(Seq("a", "nope"))(df))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    assert(Ops.removeColumns(Seq("a"))(df).columns.toSeq == Seq("b"))
+  }
+
   test("groupbySummarise refuses an input that already carries __gs_rn") {
     // the descending first/last path materializes an internal rank
     // under this name; silently replacing a caller's column would make
