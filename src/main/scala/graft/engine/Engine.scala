@@ -97,8 +97,12 @@ final class ParquetResolver(spark: SparkSession, dir: String, storeDir: Option[S
     val flat = graft.io.NestedStore.flatten(
       spark.read.parquet(s"$sd/study_code=$studyCode/view=$view"))
     // a payload field named like a key would make json_normalize raise
-    // a conflicting-metadata error in the reference; fail equally loud
-    require(!flat.columns.contains("study_code") && !flat.columns.contains("view"),
+    // a conflicting-metadata error in the reference; fail equally loud.
+    // Case-INSENSITIVE check: withColumn resolves case-insensitively
+    // under Spark's default caseSensitive=false, so a payload
+    // 'Study_Code' would otherwise be silently REPLACED by the constant
+    require(!flat.columns.exists(c =>
+        c.equalsIgnoreCase("study_code") || c.equalsIgnoreCase("view")),
       s"store view $studyCode/$view: payload carries a 'study_code'/'view' " +
         "field that conflicts with the document keys")
     flat.withColumn("study_code", lit(studyCode)).withColumn("view", lit(view))
@@ -185,9 +189,18 @@ object Interpreter {
       if (!inOrder.exists(_.col == target)) (in, inOrder)
       else {
         val hidden = OrdPrefix + target
-        require(!in.columns.contains(hidden),
-          s"cannot shield sort key '$target': internal column '$hidden' already exists")
-        (in.withColumn(hidden, col(target)),
+        // a hidden snapshot from an EARLIER shield whose order entry a
+        // later SORT DATASET replaced is dead plumbing — drop it and
+        // re-snapshot (the config 'sort d, format d, sort d, format d'
+        // is valid pandas). Only a snapshot the CURRENT order still
+        // references is a genuine clash: overwriting it would corrupt
+        // the active order, so that fails loudly (unreachable through
+        // the grammar, which can't name __ord_ columns in sort_cols).
+        require(!inOrder.exists(_.col == hidden),
+          s"cannot shield sort key '$target': the current order still " +
+            s"references internal column '$hidden'")
+        val src = if (in.columns.contains(hidden)) in.drop(hidden) else in
+        (src.withColumn(hidden, col(target)),
           inOrder.map(k => if (k.col == target) k.copy(col = hidden) else k))
       }
 
@@ -225,8 +238,13 @@ object Interpreter {
             k.copy(col = k.col + "_x")
           else k
         }
+        // demand each remapped key resolves to exactly ONE column: a
+        // left frame that already carried 'v_x' plus a suffixed 'v'
+        // yields duplicate 'v_x' columns, and keeping the order would
+        // turn the next order-consuming op into AMBIGUOUS_REFERENCE —
+        // clearing it (the pre-remap behavior) is the safe degrade
         ctx.bind(out, joined,
-          if (remapped.forall(k => joined.columns.contains(k.col))) remapped else Nil)
+          if (remapped.forall(k => joined.columns.count(_ == k.col) == 1)) remapped else Nil)
 
       case "OUTER JOIN" =>
         ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "full"))
@@ -264,7 +282,18 @@ object Interpreter {
           // the row order the earlier sort established, and downstream
           // references to the removed NAME still fail (it's renamed)
           val dropped = Ops.removeColumns(cols.filterNot(keyRemovals.contains))(in)
-          val renamed = Ops.renameColumns(keyRemovals.map(c => c -> (OrdPrefix + c)))(dropped)
+          // same stale-snapshot discipline as shieldOrder: a hidden
+          // column left by an EARLIER shield/remove whose order entry
+          // was since replaced would collide with the rename — drop it
+          // if dead, fail loudly if the current order still uses it
+          val hiddenNames = keyRemovals.map(OrdPrefix + _)
+          val live = hiddenNames.filter(h => inOrder.exists(_.col == h))
+          require(live.isEmpty,
+            s"cannot hide removed sort key(s) ${keyRemovals.mkString(", ")}: the " +
+              s"current order still references ${live.mkString(", ")}")
+          val stale = hiddenNames.filter(dropped.columns.contains)
+          val cleaned = if (stale.isEmpty) dropped else dropped.drop(stale: _*)
+          val renamed = Ops.renameColumns(keyRemovals.map(c => c -> (OrdPrefix + c)))(cleaned)
           ctx.bind(out, renamed, remapHidden(keyRemovals))
         }
 

@@ -125,9 +125,11 @@ object NestedStore {
     * same documented allowance as [[compact]]/ConfigReader). At
     * 100 TB an erase touches exactly the partitions holding matches;
     * cost is the discovery scan plus a rewrite of those documents.
-    * Key values land verbatim in the deleted-directory path — keys
-    * containing characters the parquet writer partition-escapes
-    * (`/`, `%`, space) are out of this store's key contract.
+    * Emptied-partition paths are rebuilt with the same Hive escaping
+    * the parquet writer applied (`/`, `%`, space round-trip through
+    * ExternalCatalogUtils.escapePathName), and the delete demands
+    * success — matched rows can't silently survive behind an escaped
+    * directory name.
     */
   def erase(
       spark: org.apache.spark.sql.SparkSession,

@@ -126,6 +126,18 @@ object Ops {
     if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
   }
 
+  /** pandas groupby(dropna=True) "missing" test for one group key:
+    * pandas drops NaN keys the same as None, but Spark's isNotNull
+    * keeps NaN — float keys need the extra isnan leg.
+    */
+  private def groupKeyPresent(df: DataFrame)(c: String): Column = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    df.schema(c).dataType match {
+      case DoubleType | FloatType => col(c).isNotNull && !isnan(col(c))
+      case _ => col(c).isNotNull
+    }
+  }
+
   // ===== §2.2 projection / distinct =====
 
   /** P1 `columns_selection`: tolerant projection — if ANY requested
@@ -250,7 +262,7 @@ object Ops {
     // pandas groupby defaults to dropna=True: rows with ANY null group
     // key are excluded from the aggregation, not emitted as a
     // null-keyed group (reference :356 uses the default)
-    val keyed = df.where(groupCols.map(col(_).isNotNull).reduce(_ && _))
+    val keyed = df.where(groupCols.map(groupKeyPresent(df)).reduce(_ && _))
     val (src, orderKeyOpt): (DataFrame, Option[Column]) =
       if (!needsFirstLast) (keyed, None)
       else order match {
@@ -318,7 +330,7 @@ object Ops {
         "for the internal slice rank) — rename it first")
     // pandas groupby defaults to dropna=True (reference :73): rows
     // with a null group key are excluded, not sliced as a null group
-    val keyed = df.where(groupCols.map(col(_).isNotNull).reduce(_ && _))
+    val keyed = df.where(groupCols.map(groupKeyPresent(df)).reduce(_ && _))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(sortCols(order) :+ rowHash(df).asc: _*)
     keyed.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")

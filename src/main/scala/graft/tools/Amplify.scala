@@ -33,13 +33,17 @@ object Amplify {
         case Some(id) =>
           // remap by a stride past the current max id so copies never
           // collide; identical payloads by design (see scaladoc)
-          val stride = df.agg(max(col(id))).head.getLong(0) + 1L
+          val maxRow = df.agg(max(col(id))).head
+          require(!maxRow.isNullAt(0), s"${f.getName}: empty table — nothing to amplify")
+          val stride = maxRow.getLong(0) + 1L
           (0 until copies).map(i => df.withColumn(id, col(id) + lit(i * stride)))
             .reduce(_ unionAll _)
         case None => df
       }
       out.write.mode("overwrite").parquet(s"$dst/${f.getName}")
-      println(s"${f.getName}: ${out.count()} rows -> $dst")
+      // count the WRITTEN parquet — counting `out` would recompute the
+      // whole amplified union a second time just for the log line
+      println(s"${f.getName}: ${spark.read.parquet(s"$dst/${f.getName}").count()} rows -> $dst")
     }
     spark.stop()
   }

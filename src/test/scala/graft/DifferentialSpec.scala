@@ -1,0 +1,354 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.{Interpreter, PipelineContext}
+import graft.model.OperationSpec
+
+/** Generative differential test of the interpreter's ORDER semantics:
+  * random DF_OPERATIONS pipelines run both through the Spark engine
+  * and through a tiny in-memory "pandas twin" that maintains a real
+  * physical row order (the thing pandas has and Spark doesn't). The
+  * engine models that order lazily — sort-key metadata, hidden
+  * ride-along columns through projections ([[Interpreter.OrdPrefix]]),
+  * shield snapshots on overwrite — and every reviewed bug this round
+  * lived in exactly that machinery. The model needs none of it: rows
+  * are a Vector, order is order. If the two agree on arbitrary
+  * pipelines, the lazy encoding is faithful.
+  *
+  * Generation constraints keep both sides deterministic: sort keys are
+  * columns with unique values (pandas' tie behavior is kind-dependent
+  * and the engine tiebreaks by content hash, so ties are out of
+  * scope), numeric data is dyadic (sums are exact in any fp order),
+  * and keep-first ops are only generated under an established order
+  * (orderless dropDuplicates picks arbitrary survivors by design).
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ===== the pandas twin =====
+
+  private type MRow = Map[String, Any]
+  private case class MFrame(cols: Vector[String], rows: Vector[MRow])
+
+  private def cmpVal(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => 1 // nulls last, both directions of our use
+    case (_, null) => -1
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+    case (x: String, y: String) => x.compareTo(y)
+    case other => throw new IllegalStateException(s"uncomparable $other")
+  }
+
+  private def mSort(f: MFrame, keys: Seq[String]): MFrame =
+    // Vector.sortWith is stable; generated sort keys are unique anyway
+    f.copy(rows = f.rows.sortWith { (a, b) =>
+      keys.iterator.map(k => cmpVal(a(k), b(k))).find(_ != 0).exists(_ < 0)
+    })
+
+  private def mFormatNumber(f: MFrame, c: String): MFrame =
+    f.copy(rows = f.rows.map { r =>
+      r.updated(c, r(c) match {
+        case null => null
+        case d: Double => d
+        case l: Long => l.toDouble
+        case s: String => s.toDoubleOption.orNull
+      })
+    })
+
+  private def mAdd(f: MFrame, c: String, v: String): MFrame =
+    MFrame(if (f.cols.contains(c)) f.cols else f.cols :+ c,
+      f.rows.map(_.updated(c, v)))
+
+  private def mUnique(f: MFrame, keys: Seq[String]): MFrame = {
+    val seen = scala.collection.mutable.HashSet.empty[Vector[Any]]
+    f.copy(rows = f.rows.filter(r => seen.add(keys.map(r(_)).toVector)))
+  }
+
+  private def mSelect(f: MFrame, cols: Seq[String]): MFrame =
+    MFrame(cols.toVector, f.rows.map(r => cols.map(c => c -> r(c)).toMap))
+
+  private def mRemove(f: MFrame, cols: Seq[String]): MFrame =
+    mSelect(f, f.cols.filterNot(cols.contains))
+
+  private def mRename(f: MFrame, from: String, to: String): MFrame =
+    MFrame(f.cols.map(c => if (c == from) to else c),
+      f.rows.map(r => (r - from).updated(to, r(from))))
+
+  private def mFilterGe(f: MFrame, c: String, x: Double): MFrame =
+    f.copy(rows = f.rows.filter(r => r(c) match {
+      case null => false
+      case d: Double => d >= x
+      case l: Long => l >= x
+    }))
+
+  private def keyPresent(v: Any): Boolean = v match {
+    case null => false
+    case d: Double => !d.isNaN
+    case _ => true
+  }
+
+  private def mGroups(f: MFrame, g: String): Vector[(Any, Vector[MRow])] =
+    f.rows.filter(r => keyPresent(r(g)))
+      .groupBy(_(g)).toVector.sortWith((a, b) => cmpVal(a._1, b._1) < 0)
+      .map { case (k, rs) => (k, rs.toVector) } // groupBy keeps encounter order per key in 2.13
+
+  private def mSlice(f: MFrame, g: String, n: Int): MFrame =
+    f.copy(rows = mGroups(f, g).flatMap(_._2.take(n)))
+
+  private def mSummarise(
+      f: MFrame, g: String, aggs: Seq[(String, String)], longCols: Set[String]): MFrame = {
+    val effective = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+    val rows = mGroups(f, g).map { case (k, rs) =>
+      val m = effective.map { case (c, fn) =>
+        val vs = rs.map(_(c)).filter(_ != null)
+        def num(a: Any): Double = a match { case d: Double => d; case l: Long => l.toDouble }
+        c -> (fn match {
+          // Spark sum(bigint) stays bigint; sum(double) stays double —
+          // the model mirrors the column's static type like the engine
+          case "sum" if longCols(c) =>
+            if (vs.isEmpty) 0L else vs.map(_.asInstanceOf[Long]).sum
+          case "sum" => if (vs.isEmpty) 0.0 else vs.map(num).sum
+          case "count" => vs.length.toLong
+          case "min" => if (vs.isEmpty) null else vs.minBy(identity[Any])(Ordering.fromLessThan(cmpVal(_, _) < 0))
+          case "max" => if (vs.isEmpty) null else vs.maxBy(identity[Any])(Ordering.fromLessThan(cmpVal(_, _) < 0))
+        })
+      }.toMap
+      m.updated(g, k)
+    }
+    MFrame(g +: effective.map(_._1).toVector, rows)
+  }
+
+  private def mLeftJoin(left: MFrame, right: MFrame, key: String): MFrame = {
+    val overlap = (left.cols.toSet intersect right.cols.toSet) - key
+    def lx(c: String) = if (overlap(c)) c + "_x" else c
+    def rx(c: String) = if (overlap(c)) c + "_y" else c
+    val outCols = left.cols.map(lx) ++ right.cols.filterNot(_ == key).map(rx)
+    val rows = left.rows.flatMap { l =>
+      val matches = right.rows.filter(r => l(key) == r(key))
+      val lRen: MRow = l.map { case (c, v) => lx(c) -> v }
+      if (matches.isEmpty)
+        Vector(lRen ++ right.cols.filterNot(_ == key).map(c => rx(c) -> null).toMap)
+      else matches.map(r => lRen ++ r.collect { case (c, v) if c != key => rx(c) -> v })
+    }
+    MFrame(outCols, rows)
+  }
+
+  // ===== pipeline ADT and generator =====
+
+  private sealed trait POp
+  private case class PSort(keys: Seq[String]) extends POp
+  private case class PFormatNum(c: String) extends POp
+  private case class PAdd(c: String, v: String) extends POp
+  private case class PUnique(c: String) extends POp
+  private case class PSelect(cols: Seq[String]) extends POp
+  private case class PRemove(cols: Seq[String]) extends POp
+  private case class PRename(from: String, to: String) extends POp
+  private case class PFilterGe(c: String, x: Int) extends POp
+  private case class PSlice(n: Int) extends POp
+  private case class PSummarise(aggs: Seq[(String, String)]) extends POp
+  private case object PJoin extends POp
+
+  /** Generator state mirroring the interpreter's own order rules. */
+  private case class GState(
+      cols: Vector[String], // visible columns
+      uniqueCols: Set[String], // unique-valued (sortable without ties)
+      numericCols: Set[String],
+      ordered: Boolean, // engine order metadata expected nonempty
+      joined: Boolean)
+
+  private val BaseCols = Vector("g", "k", "s", "v")
+
+  private def step(st: GState): Gen[Option[(POp, GState)]] = {
+    val sortable = (st.uniqueCols intersect st.cols.toSet).toSeq.sorted
+    val candidates = Seq.newBuilder[Gen[(POp, GState)]]
+    if (sortable.nonEmpty) {
+      candidates += (for {
+        u <- Gen.oneOf(sortable)
+        pre <- Gen.oneOf(true, false)
+      } yield {
+        val keys = if (pre && st.cols.contains("g") && u != "g") Seq("g", u) else Seq(u)
+        (PSort(keys), st.copy(ordered = true))
+      })
+    }
+    val numeric = (st.numericCols intersect st.cols.toSet).toSeq.sorted
+    // uniqueCols membership doubles as "not overwritten by ADD": the
+    // reference's FORMAT number is pd.to_numeric(errors='raise') and
+    // the engine's ANSI cast matches — junk input is an ERROR on both
+    // sides, so the generator only formats still-parseable columns
+    if (st.cols.contains("s") && st.uniqueCols.contains("s"))
+      candidates += Gen.const((PFormatNum("s"),
+        st.copy(numericCols = st.numericCols + "s")))
+    candidates += (for {
+      fresh <- Gen.oneOf(true, false)
+      name <- if (fresh || st.cols.size < 2) Gen.oneOf(Seq("c1", "c2"))
+              else Gen.oneOf(st.cols) // overwrite: exercises the shield
+      v <- Gen.oneOf("x", "y")
+    } yield (PAdd(name, v),
+      st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
+        // an overwritten column holds a constant: no longer unique/numeric
+        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name)))
+    if (st.ordered && st.cols.contains("g"))
+      candidates += Gen.const((PUnique("g"), st))
+    if (st.cols.size > 1) {
+      candidates += (for {
+        keep <- Gen.someOf(st.cols).suchThat(_.nonEmpty)
+      } yield (PSelect(keep.toSeq), st.copy(cols = keep.toVector)))
+      candidates += (for {
+        drop <- Gen.someOf(st.cols).suchThat(d => d.nonEmpty && d.size < st.cols.size)
+      } yield (PRemove(drop.toSeq), st.copy(cols = st.cols.filterNot(drop.contains))))
+    }
+    if (st.cols.contains("k") && !st.cols.contains("k2"))
+      candidates += Gen.const((PRename("k", "k2"), st.copy(
+        cols = st.cols.map(c => if (c == "k") "k2" else c),
+        uniqueCols = st.uniqueCols - "k" + "k2",
+        numericCols = st.numericCols - "k" + "k2")))
+    if (numeric.nonEmpty)
+      candidates += (for {
+        c <- Gen.oneOf(numeric); x <- Gen.chooseNum(0, 9)
+      } yield (PFilterGe(c, x), st))
+    if (st.ordered && st.cols.contains("g"))
+      candidates += Gen.chooseNum(1, 2).map(n => (PSlice(n), st))
+    if (st.cols.contains("g") && numeric.nonEmpty)
+      candidates += (for {
+        n <- Gen.chooseNum(1, 2)
+        aggs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(numeric), Gen.oneOf("sum", "count", "min", "max")))
+      } yield (PSummarise(aggs),
+        GState(("g" +: aggs.map(_._1).distinct).toVector,
+          // ONLY the group key is unique post-agg: aggregated values
+          // can collide across groups, and a tie'd sort would compare
+          // the engine's content-hash tiebreak against model stability
+          Set("g"),
+          st.numericCols, ordered = true, joined = st.joined)))
+    if (!st.joined && st.cols.contains("g"))
+      candidates += Gen.const((PJoin, st.copy(
+        cols = st.cols :+ "w", numericCols = st.numericCols + "w", joined = true)))
+    Gen.oneOf(candidates.result()).flatMap(identity).map(Some(_))
+  }
+
+  private def pipelineGen: Gen[List[POp]] = {
+    val st0 = GState(BaseCols, Set("k", "s", "v"), Set("k", "v"), ordered = false, joined = false)
+    def loop(st: GState, n: Int, acc: List[POp]): Gen[List[POp]] =
+      if (n == 0) Gen.const(acc.reverse)
+      else step(st).flatMap {
+        case Some((op, st2)) => loop(st2, n - 1, op :: acc)
+        case None => Gen.const(acc.reverse)
+      }
+    for {
+      n <- Gen.chooseNum(3, 8)
+      u <- Gen.oneOf(Seq("k", "v", "s")) // pipelines start ordered
+      rest <- loop(st0.copy(ordered = true), n, Nil)
+    } yield PSort(Seq(u)) :: rest
+  }
+
+  // ===== execution on both sides =====
+
+  private def opSpec(i: Int, prev: String, p: POp): OperationSpec = {
+    def spec(t: String, cond: String) = OperationSpec(s"o$i", t, Seq(prev), cond)
+    p match {
+      case PSort(keys) => spec("SORT DATASET", s"sort_cols=${keys.mkString(",")}")
+      case PFormatNum(c) => spec("FORMAT COLUMN", s"column=$c, type=number")
+      case PAdd(c, v) => spec("ADD COLUMN", s"new_column=$c, value=$v")
+      case PUnique(c) => spec("UNIQUE COLUMN", c)
+      case PSelect(cols) => spec("SELECT COLUMNS", cols.mkString(","))
+      case PRemove(cols) => spec("REMOVE COLUMN", cols.mkString(","))
+      case PRename(f, t) => spec("RENAME COLUMN", s"$f=$t")
+      case PFilterGe(c, x) => spec("FILTER", s"$c >= NUMBER($x)")
+      case PSlice(n) => spec("GROUPBY SLICE", s"group_by_cols=g, slice_num=$n")
+      case PSummarise(aggs) => spec("GROUPBY SUMMARISE",
+        s"group_by_cols=g | summary_col_ops=${aggs.map { case (c, f) => s"$c#$f" }.mkString(", ")}")
+      case PJoin => OperationSpec(s"o$i", "LEFT JOIN", Seq(prev, "r"), "g")
+    }
+  }
+
+  private def mApply(f: MFrame, right: MFrame, p: POp, longCols: Set[String]): MFrame = p match {
+    case PSort(keys) => mSort(f, keys)
+    case PFormatNum(c) => mFormatNumber(f, c)
+    case PAdd(c, v) => mAdd(f, c, v)
+    case PUnique(c) => mUnique(f, Seq(c))
+    case PSelect(cols) => mSelect(f, cols)
+    case PRemove(cols) => mRemove(f, cols)
+    case PRename(from, to) => mRename(f, from, to)
+    case PFilterGe(c, x) => mFilterGe(f, c, x.toDouble)
+    case PSlice(n) => mSlice(f, "g", n)
+    case PSummarise(aggs) => mSummarise(f, "g", aggs, longCols)
+    case PJoin => mLeftJoin(f, right, "g")
+  }
+
+  /** Which columns Spark types as bigint after each op — the model
+    * mirrors the engine's sum/count result types with it.
+    */
+  private def updateLongCols(lc: Set[String], p: POp): Set[String] = p match {
+    case PRename(f, t) => if (lc(f)) lc - f + t else lc
+    case PAdd(c, _) => lc - c
+    case PFormatNum(c) => lc - c
+    case PSummarise(aggs) =>
+      val eff = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+      eff.collect { case (c, fn) if fn == "count" || lc(c) => c }.toSet
+    case _ => lc
+  }
+
+  private def normalize(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case other => other
+  }
+
+  test("property: the interpreter's lazy order semantics match a physical-order pandas twin") {
+    // base table: g repeats (grouping), k/s/v unique (tie-free sort
+    // keys); v dyadic so fp sums are order-independent and exact
+    val base = Vector.tabulate(12) { i =>
+      Map[String, Any]("g" -> s"g${i % 3}", "k" -> (((i * 7) % 12) + 1).toLong,
+        "s" -> f"${(i * 5) % 12 + 0.5}%.1f", "v" -> (((i * 11) % 12) + 0.25))
+    }
+    val mBase = MFrame(BaseCols, base)
+    val mRight = MFrame(Vector("g", "w"), Vector(
+      Map("g" -> "g0", "w" -> 1.25), Map("g" -> "g1", "w" -> 2.5))) // g2 unmatched → null w
+    val sBase = base.map(r => (r("g").asInstanceOf[String], r("k").asInstanceOf[Long],
+      r("s").asInstanceOf[String], r("v").asInstanceOf[Double])).toDF("g", "k", "s", "v")
+    val sRight = Seq(("g0", 1.25), ("g1", 2.5)).toDF("g", "w")
+
+    val prop = Prop.forAllNoShrink(pipelineGen) { ops =>
+      val specs = ops.zipWithIndex.map { case (p, i) =>
+        opSpec(i, if (i == 0) "t" else s"o${i - 1}", p)
+      }
+      val ctx = specs.foldLeft(PipelineContext().bind("t", sBase).bind("r", sRight))(
+        (c, o) => Interpreter.applyOp(c, o, Map.empty))
+      val last = s"o${ops.length - 1}"
+      val engine = ctx.result(last)
+      val model = ops.foldLeft((mBase, Set("k"))) { case ((f, lc), p) =>
+        (mApply(f, mRight, p, lc), updateLongCols(lc, p))
+      }._1
+
+      val eCols = engine.columns.toVector
+      val eRows = engine.collect().map(r =>
+        eCols.map(c => c -> normalize(r.get(eCols.indexOf(c)))).toMap).toVector
+      val mRows = model.rows.map(r => r.map { case (c, v) => c -> normalize(v) })
+
+      val colsOk = eCols.sorted == model.cols.sorted.toVector
+      // canonical row key: Map.toString depends on internal entry
+      // order, so sort rows by their name-sorted entry list instead
+      def canon(r: MRow): String =
+        r.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"$k=${if (v == null) "null" else s"${v.getClass.getSimpleName}:$v"}"
+        }.mkString("|")
+      // compare CONTENT always; compare ORDER whenever the engine
+      // still claims one (the whole point of the machinery under test)
+      val contentOk = colsOk && eRows.map(canon).sorted == mRows.map(canon).sorted
+      val orderOk = ctx.order(last).isEmpty || eRows == mRows
+      if (!(contentOk && orderOk)) {
+        println(s"PIPELINE: ${ops.mkString(" -> ")}")
+        println(s"engine cols=$eCols order=${ctx.order(last)}")
+        eRows.foreach(r => println(s"  E $r"))
+        println(s"model cols=${model.cols}")
+        mRows.foreach(r => println(s"  M $r"))
+      }
+      contentOk && orderOk
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(r.passed, r.status.toString)
+  }
+}

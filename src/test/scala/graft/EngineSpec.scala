@@ -297,6 +297,55 @@ class EngineSpec extends SparkSpec {
     assert(ctx.result("top").count() == 2)
   }
 
+  test("re-shielding a sort key after a later sort replaces the stale snapshot") {
+    // sort d (string order: '10' < '2'), FORMAT d number (shield #1),
+    // sort d again (numeric order: 2.0 < 10.0), FORMAT d number
+    // (shield #2 — used to crash on the stale __ord_d from shield #1;
+    // now the dead snapshot is dropped and re-taken)
+    val df = Seq(("a", "2", "two"), ("a", "10", "ten")).toDF("g", "d", "tag")
+    val ctx = Seq(
+      op("s1", "SORT DATASET", Seq("t"), "sort_cols=d"),
+      op("f1", "FORMAT COLUMN", Seq("s1"), "column=d, type=number"),
+      op("s2", "SORT DATASET", Seq("f1"), "sort_cols=d"),
+      op("f2", "FORMAT COLUMN", Seq("s2"), "column=d, type=number"),
+      op("u", "UNIQUE COLUMN", Seq("f2"), "g")
+    ).foldLeft(PipelineContext().bind("t", df))((c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.result("u").collect().map(_.getAs[String]("tag")).toSeq == Seq("two"))
+    assert(!ctx.result("u").columns.exists(_.startsWith("__ord_")))
+  }
+
+  test("LEFT JOIN clears the order when the _x remap would be ambiguous") {
+    // the left frame ALREADY has a 'v_x' column; the suffix policy
+    // renames its 'v' to a second 'v_x' — keeping the remapped order
+    // would make the next order-consuming op AMBIGUOUS_REFERENCE, so
+    // the safe degrade is the pre-remap behavior: clear it
+    val left = Seq(("a", 2, 99), ("a", 1, 98)).toDF("g", "v", "v_x")
+    val right = Seq(("a", 7)).toDF("g", "v")
+    val ctx = Seq(
+      op("s", "SORT DATASET", Seq("t"), "sort_cols=v"),
+      op("j", "LEFT JOIN", Seq("s", "c"), "g"),
+      op("u", "UNIQUE COLUMN", Seq("j"), "g")
+    ).foldLeft(PipelineContext().bind("t", left).bind("c", right))(
+      (c, o) => Interpreter.applyOp(c, o, Map.empty))
+    assert(ctx.order("j").isEmpty, "ambiguous remap must clear the order")
+    assert(ctx.result("u").count() == 1) // and the pipeline still completes
+  }
+
+  test("store views reject a payload key column in any casing (silent-overwrite guard)") {
+    // withColumn resolves case-insensitively under the default
+    // spark.sql.caseSensitive=false — a payload 'Study_Code' would be
+    // silently REPLACED by the key constant if only exact names were
+    // checked
+    val dir = java.nio.file.Files.createTempDirectory("graft_engine_store_case").toString
+    Seq(("S-payload", "x")).toDF("Study_Code", "name")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct($"Study_Code", $"name")).as("data"))
+      .write.parquet(s"$dir/store/study_code=S1/view=V1")
+    val e = intercept[IllegalArgumentException](
+      new graft.engine.ParquetResolver(spark, dir).storeView("S1", "V1"))
+    assert(e.getMessage.contains("conflicts"), e.getMessage)
+  }
+
   test("store views carry study_code and view columns (json_normalize meta parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_engine_store").toString
     val data = Seq(("S1", "V1", "x", 1.0)).toDF("study_code", "view", "name", "score")

@@ -63,6 +63,19 @@ class OpsSpec extends SparkSpec {
     assert(dict.toSeq == Seq(("g1", 5.0), ("g2", 0.0)), dict.toSeq)
   }
 
+  test("NaN group keys are dropped like null ones (pandas treats NaN as missing)") {
+    val df = Seq(
+      (Some(1.0), 5.0), (Some(1.0), 3.0),
+      (Some(Double.NaN), 9.0), (None, 7.0)
+    ).toDF("g", "v")
+    val agg = Ops.groupbySummarise(Seq("g"), Seq(("v", "sum")), Nil)(df)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(agg.toSeq == Seq((1.0, 8.0)), agg.toSeq)
+    val sliced = Ops.groupbySlice(Seq("g"), 1, Seq(SortKey("v")))(df)
+      .collect().map(_.getDouble(0))
+    assert(sliced.toSeq == Seq(1.0), sliced.toSeq)
+  }
+
   test("removeColumns raises on a missing column like pandas df.drop") {
     val df = Seq((1, 2)).toDF("a", "b")
     val e = intercept[IllegalArgumentException](Ops.removeColumns(Seq("a", "nope"))(df))
