@@ -138,6 +138,24 @@ class DifferentialSpec extends SparkSpec {
     MFrame(outCols, rows)
   }
 
+  private def mOuterJoin(left: MFrame, right: MFrame, key: String): MFrame = {
+    val asLeft = mLeftJoin(left, right, key)
+    val matchedKeys = left.rows.map(_(key)).toSet
+    // right-unmatched rows: the key coalesces (Spark full join on
+    // using-columns), every left payload column is null
+    val extra = right.rows.filterNot(r => matchedKeys(r(key))).map { r =>
+      (asLeft.cols.map(_ -> (null: Any)).toMap ++ r).updated(key, r(key))
+    }
+    asLeft.copy(rows = asLeft.rows ++ extra)
+  }
+
+  private def mDistinct(f: MFrame, cols: Seq[String]): MFrame =
+    mUnique(mSelect(f, cols), cols)
+
+  private def mNotNull(f: MFrame, name: String, src: String): MFrame =
+    MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
+      f.rows.map(r => r.updated(name, Boolean.box(r(src) != null))))
+
   // ===== pipeline ADT and generator =====
 
   private sealed trait POp
@@ -152,6 +170,9 @@ class DifferentialSpec extends SparkSpec {
   private case class PSlice(n: Int) extends POp
   private case class PSummarise(aggs: Seq[(String, String)]) extends POp
   private case object PJoin extends POp
+  private case class PDistinct(cols: Seq[String]) extends POp
+  private case class PNotNull(name: String, src: String) extends POp
+  private case object POuterJoin extends POp
 
   /** Generator state mirroring the interpreter's own order rules. */
   private case class GState(
@@ -205,8 +226,11 @@ class DifferentialSpec extends SparkSpec {
     if (st.cols.contains("k") && !st.cols.contains("k2"))
       candidates += Gen.const((PRename("k", "k2"), st.copy(
         cols = st.cols.map(c => if (c == "k") "k2" else c),
-        uniqueCols = st.uniqueCols - "k" + "k2",
-        numericCols = st.numericCols - "k" + "k2")))
+        // TRANSFER membership, don't grant it: post-summarise 'k' may
+        // hold per-group counts (ties), and blessing the renamed column
+        // as unique would let a later sort tie — out of scope by design
+        uniqueCols = if (st.uniqueCols("k")) st.uniqueCols - "k" + "k2" else st.uniqueCols,
+        numericCols = if (st.numericCols("k")) st.numericCols - "k" + "k2" else st.numericCols)))
     if (numeric.nonEmpty)
       candidates += (for {
         c <- Gen.oneOf(numeric); x <- Gen.chooseNum(0, 9)
@@ -224,9 +248,31 @@ class DifferentialSpec extends SparkSpec {
           // the engine's content-hash tiebreak against model stability
           Set("g"),
           st.numericCols, ordered = true, joined = st.joined)))
-    if (!st.joined && st.cols.contains("g"))
+    if (!st.joined && st.cols.contains("g")) {
       candidates += Gen.const((PJoin, st.copy(
         cols = st.cols :+ "w", numericCols = st.numericCols + "w", joined = true)))
+      // OUTER JOIN clears the order (set-compare until the next sort);
+      // the right table's unmatched g9 row materializes as null-left
+      candidates += Gen.const((POuterJoin, st.copy(
+        cols = st.cols :+ "w", numericCols = st.numericCols + "w",
+        joined = true, ordered = false)))
+    }
+    if (st.ordered && st.cols.size > 1)
+      candidates += (for {
+        keep <- Gen.someOf(st.cols).suchThat(_.nonEmpty)
+      } yield (PDistinct(keep.toSeq), st.copy(
+        cols = keep.toVector,
+        uniqueCols = st.uniqueCols intersect keep.toSet)))
+    candidates += (for {
+      fresh <- Gen.oneOf(true, false)
+      // never overwrite 'g' with a boolean: a later join on g would
+      // compare boolean against the right table's string key
+      name <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(Seq("b1", "b2"))
+              else Gen.oneOf(st.cols.filterNot(_ == "g")) // overwrite: exercises the shield
+      src <- Gen.oneOf(st.cols)
+    } yield (PNotNull(name, src),
+      st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
+        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name)))
     Gen.oneOf(candidates.result()).flatMap(identity).map(Some(_))
   }
 
@@ -262,6 +308,10 @@ class DifferentialSpec extends SparkSpec {
       case PSummarise(aggs) => spec("GROUPBY SUMMARISE",
         s"group_by_cols=g | summary_col_ops=${aggs.map { case (c, f) => s"$c#$f" }.mkString(", ")}")
       case PJoin => OperationSpec(s"o$i", "LEFT JOIN", Seq(prev, "r"), "g")
+      case PDistinct(cols) => spec("SELECT DISTINCT", cols.mkString(","))
+      case PNotNull(name, src) =>
+        spec("ATTACH COLUMN", s"column_name=$name, source_col=$src, operation=NOTNULL")
+      case POuterJoin => OperationSpec(s"o$i", "OUTER JOIN", Seq(prev, "r"), "g")
     }
   }
 
@@ -277,6 +327,9 @@ class DifferentialSpec extends SparkSpec {
     case PSlice(n) => mSlice(f, "g", n)
     case PSummarise(aggs) => mSummarise(f, "g", aggs, longCols)
     case PJoin => mLeftJoin(f, right, "g")
+    case PDistinct(cols) => mDistinct(f, cols)
+    case PNotNull(name, src) => mNotNull(f, name, src)
+    case POuterJoin => mOuterJoin(f, right, "g")
   }
 
   /** Which columns Spark types as bigint after each op — the model
@@ -285,6 +338,7 @@ class DifferentialSpec extends SparkSpec {
   private def updateLongCols(lc: Set[String], p: POp): Set[String] = p match {
     case PRename(f, t) => if (lc(f)) lc - f + t else lc
     case PAdd(c, _) => lc - c
+    case PNotNull(c, _) => lc - c
     case PFormatNum(c) => lc - c
     case PSummarise(aggs) =>
       val eff = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
@@ -306,10 +360,13 @@ class DifferentialSpec extends SparkSpec {
     }
     val mBase = MFrame(BaseCols, base)
     val mRight = MFrame(Vector("g", "w"), Vector(
-      Map("g" -> "g0", "w" -> 1.25), Map("g" -> "g1", "w" -> 2.5))) // g2 unmatched → null w
+      Map("g" -> "g0", "w" -> 1.25), Map("g" -> "g1", "w" -> 2.5),
+      // g2 unmatched on the left (null w); g9 unmatched on the right
+      // (materializes only through OUTER JOIN, as a null-left row)
+      Map("g" -> "g9", "w" -> 9.75)))
     val sBase = base.map(r => (r("g").asInstanceOf[String], r("k").asInstanceOf[Long],
       r("s").asInstanceOf[String], r("v").asInstanceOf[Double])).toDF("g", "k", "s", "v")
-    val sRight = Seq(("g0", 1.25), ("g1", 2.5)).toDF("g", "w")
+    val sRight = Seq(("g0", 1.25), ("g1", 2.5), ("g9", 9.75)).toDF("g", "w")
 
     val prop = Prop.forAllNoShrink(pipelineGen) { ops =>
       val specs = ops.zipWithIndex.map { case (p, i) =>
