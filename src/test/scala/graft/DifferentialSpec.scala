@@ -44,10 +44,16 @@ class DifferentialSpec extends SparkSpec {
     case other => throw new IllegalStateException(s"uncomparable $other")
   }
 
-  private def mSort(f: MFrame, keys: Seq[String]): MFrame =
-    // Vector.sortWith is stable; generated sort keys are unique anyway
+  private def mSort(f: MFrame, keys: Seq[String], desc: Boolean = false): MFrame =
+    // Vector.sortWith is stable; generated sort keys are unique anyway.
+    // Nulls sort LAST in BOTH directions (pandas na_position default,
+    // matched by the engine's sortCols).
     f.copy(rows = f.rows.sortWith { (a, b) =>
-      keys.iterator.map(k => cmpVal(a(k), b(k))).find(_ != 0).exists(_ < 0)
+      keys.iterator.map { k =>
+        val (x, y) = (a(k), b(k))
+        if (x == null || y == null) cmpVal(x, y)
+        else if (desc) -cmpVal(x, y) else cmpVal(x, y)
+      }.find(_ != 0).exists(_ < 0)
     })
 
   private def mFormatNumber(f: MFrame, c: String): MFrame =
@@ -116,6 +122,10 @@ class DifferentialSpec extends SparkSpec {
           case "count" => vs.length.toLong
           case "min" => if (vs.isEmpty) null else vs.minBy(identity[Any])(Ordering.fromLessThan(cmpVal(_, _) < 0))
           case "max" => if (vs.isEmpty) null else vs.maxBy(identity[Any])(Ordering.fromLessThan(cmpVal(_, _) < 0))
+          // pandas GroupBy.first/last = first/last NON-NULL in the
+          // frame's current (sorted) row order
+          case "first" => vs.headOption.orNull
+          case "last" => vs.lastOption.orNull
         })
       }.toMap
       m.updated(g, k)
@@ -159,7 +169,7 @@ class DifferentialSpec extends SparkSpec {
   // ===== pipeline ADT and generator =====
 
   private sealed trait POp
-  private case class PSort(keys: Seq[String]) extends POp
+  private case class PSort(keys: Seq[String], desc: Boolean = false) extends POp
   private case class PFormatNum(c: String) extends POp
   private case class PAdd(c: String, v: String) extends POp
   private case class PUnique(c: String) extends POp
@@ -191,9 +201,10 @@ class DifferentialSpec extends SparkSpec {
       candidates += (for {
         u <- Gen.oneOf(sortable)
         pre <- Gen.oneOf(true, false)
+        desc <- Gen.oneOf(true, false)
       } yield {
         val keys = if (pre && st.cols.contains("g") && u != "g") Seq("g", u) else Seq(u)
-        (PSort(keys), st.copy(ordered = true))
+        (PSort(keys, desc), st.copy(ordered = true))
       })
     }
     val numeric = (st.numericCols intersect st.cols.toSet).toSeq.sorted
@@ -240,7 +251,9 @@ class DifferentialSpec extends SparkSpec {
     if (st.cols.contains("g") && numeric.nonEmpty)
       candidates += (for {
         n <- Gen.chooseNum(1, 2)
-        aggs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(numeric), Gen.oneOf("sum", "count", "min", "max")))
+        fns = if (st.ordered) Seq("sum", "count", "min", "max", "first", "last")
+              else Seq("sum", "count", "min", "max")
+        aggs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(numeric), Gen.oneOf(fns)))
       } yield (PSummarise(aggs),
         GState(("g" +: aggs.map(_._1).distinct).toVector,
           // ONLY the group key is unique post-agg: aggregated values
@@ -296,7 +309,8 @@ class DifferentialSpec extends SparkSpec {
   private def opSpec(i: Int, prev: String, p: POp): OperationSpec = {
     def spec(t: String, cond: String) = OperationSpec(s"o$i", t, Seq(prev), cond)
     p match {
-      case PSort(keys) => spec("SORT DATASET", s"sort_cols=${keys.mkString(",")}")
+      case PSort(keys, desc) => spec("SORT DATASET",
+        s"sort_cols=${keys.mkString(",")}${if (desc) ", sort_order=DESC" else ""}")
       case PFormatNum(c) => spec("FORMAT COLUMN", s"column=$c, type=number")
       case PAdd(c, v) => spec("ADD COLUMN", s"new_column=$c, value=$v")
       case PUnique(c) => spec("UNIQUE COLUMN", c)
@@ -316,7 +330,7 @@ class DifferentialSpec extends SparkSpec {
   }
 
   private def mApply(f: MFrame, right: MFrame, p: POp, longCols: Set[String]): MFrame = p match {
-    case PSort(keys) => mSort(f, keys)
+    case PSort(keys, desc) => mSort(f, keys, desc)
     case PFormatNum(c) => mFormatNumber(f, c)
     case PAdd(c, v) => mAdd(f, c, v)
     case PUnique(c) => mUnique(f, Seq(c))
