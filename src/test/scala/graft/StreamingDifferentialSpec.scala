@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.streaming.StreamingIngest
+
+/** Generative BATCH-SPLIT INVARIANCE tests for the stateful streaming
+  * operators: the result of a streaming computation must not depend on
+  * where the micro-batch boundaries fall. The fixed StreamingSpec
+  * twins pin one split; here random event sets are cut at random
+  * points into 1-4 micro-batches (driven one `addData` +
+  * `processAllAvailable` at a time, so each cut IS a real micro-batch
+  * with state carried across), and the final result must equal the
+  * batch twin over the concatenated events. Events are generated in
+  * ascending event-time order, so the watermark never drops anything
+  * and exact equality is the contract.
+  */
+class StreamingDifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qId = new java.util.concurrent.atomic.AtomicInteger
+
+  private def segments[A](xs: List[A], cuts: Seq[Int]): List[List[A]] = {
+    val bounds = (0 +: cuts.distinct.sorted.filter(c => c > 0 && c < xs.length) :+ xs.length)
+    bounds.sliding(2).map { case Seq(a, b) => xs.slice(a, b) }.toList.filter(_.nonEmpty)
+  }
+
+  test("property: windowed aggregation is invariant to micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val eventsGen = for {
+      n <- Gen.chooseNum(4, 25)
+      mins <- Gen.listOfN(n, Gen.chooseNum(0, 600))
+      keys <- Gen.listOfN(n, Gen.oneOf("click", "view", "buy"))
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 40).map(_ + 0.25))
+    } yield mins.sorted.lazyZip(keys).lazyZip(vals).toList.map { case (m, k, v) =>
+      (new Timestamp(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + m * 60000L), k, v)
+    }
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1, 24)))
+    val prop = Prop.forAllNoShrink(eventsGen, cutsGen) { (events, cuts) =>
+      val mem = MemoryStream[(Timestamp, String, Double)]
+      val name = s"win_diff_${qId.incrementAndGet()}"
+      val agg = StreamingIngest.windowedCounts(
+        mem.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value",
+        "1 hour", "2 hours")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        segments(events, cuts).foreach { seg =>
+          mem.addData(seg); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = StreamingIngest.windowedCountsBatch(
+        events.toDF("ts", "event_type", "value"), "ts", "event_type", "value", "1 hour")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      if (got != want) {
+        println(s"cuts=$cuts events=${events.size}")
+        println(s"streaming: $got")
+        println(s"batch:     $want")
+      }
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: sessionization state accumulates identically across any micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val eventsGen = for {
+      n <- Gen.chooseNum(3, 20)
+      users <- Gen.listOfN(n, Gen.chooseNum(1L, 4L))
+    } yield users
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1, 19)))
+    val prop = Prop.forAllNoShrink(eventsGen, cutsGen) { (users, cuts) =>
+      val mem = MemoryStream[Long]
+      val name = s"sess_diff_${qId.incrementAndGet()}"
+      val sessions = StreamingIngest.sessionize(mem.toDF().toDF("user_id"), gapMs = None)
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        segments(users, cuts).foreach { seg =>
+          mem.addData(seg: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // update-mode emissions are cumulative per user: the LAST (= max)
+      // update must equal the batch count regardless of the split
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).max).toMap
+      val want = users.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (got != want) println(s"cuts=$cuts got=$got want=$want")
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+}
