@@ -150,6 +150,15 @@ object Interpreter {
             case None => base
           }
           val projected = Ops.selectColumnsTolerant(g.columns, g.distinct)(filtered)
+          // reserve the hidden-snapshot namespace at the pipeline
+          // entrance: with no source able to smuggle a __ord_ column
+          // in, any such column mid-pipeline is engine-created, and
+          // the stale-snapshot replacement in shieldOrder/REMOVE can
+          // never clobber user data
+          val reserved = projected.columns.filter(_.startsWith(Interpreter.OrdPrefix))
+          require(reserved.isEmpty,
+            s"source '${g.objectName}' carries column(s) ${reserved.mkString(", ")} " +
+              s"using the reserved internal prefix '${Interpreter.OrdPrefix}' — rename them")
           ctx.bind(g.objectName, projected)
       }
     }
@@ -179,13 +188,26 @@ object Interpreter {
     def remapHidden(pruned: Seq[String]): Seq[SortKey] =
       inOrder.map(k => if (pruned.contains(k.col)) k.copy(col = OrdPrefix + k.col) else k)
 
+    // the other half of getData's reservation: ops that CREATE a
+    // column under a user-chosen name must not mint one inside the
+    // hidden-snapshot namespace
+    def userName(n: String): String = {
+      require(!n.startsWith(OrdPrefix),
+        s"column name '$n' uses the reserved internal prefix '$OrdPrefix' — pick another")
+      n
+    }
+
     // An op about to OVERWRITE a sort-key column's values: pandas'
     // physical row order stays frozen at sort time, but our lazy
     // order metadata would make later windows re-sort by the NEW
     // values. Snapshot the pre-overwrite values under a hidden name
     // and remap the metadata — same ride-along discipline as pruned
     // projections ([[OrdPrefix]]).
-    def shieldOrder(target: String): (DataFrame, Seq[SortKey]) =
+    def shieldOrder(target: String): (DataFrame, Seq[SortKey]) = {
+      // every caller passes a user-supplied column name (the overwrite
+      // target), so the namespace check rides here once — OUTSIDE the
+      // exists predicate, which never evaluates on an empty order
+      userName(target)
       if (!inOrder.exists(_.col == target)) (in, inOrder)
       else {
         val hidden = OrdPrefix + target
@@ -203,13 +225,14 @@ object Interpreter {
         (src.withColumn(hidden, col(target)),
           inOrder.map(k => if (k.col == target) k.copy(col = hidden) else k))
       }
+    }
 
     spec.opType.trim.toUpperCase match {
       case "RENAME COLUMN" =>
         // grammar: alternating '='-split pairs (rename_columns, :223-228)
         val toks = cond.split("=").map(_.trim).filter(_.nonEmpty).toSeq
         require(toks.size % 2 == 0, s"RENAME COLUMN needs old=new pairs, got '$cond'")
-        val pairs = toks.grouped(2).map { s => (s(0), s(1)) }.toSeq
+        val pairs = toks.grouped(2).map { s => (s(0), userName(s(1))) }.toSeq
         // same last-wins map semantics as Ops.renameColumns (dict order)
         val m = pairs.toMap
         val remapped = inOrder.map(k => k.copy(col = m.getOrElse(k.col, k.col)))
@@ -242,9 +265,14 @@ object Interpreter {
         // left frame that already carried 'v_x' plus a suffixed 'v'
         // yields duplicate 'v_x' columns, and keeping the order would
         // turn the next order-consuming op into AMBIGUOUS_REFERENCE —
-        // clearing it (the pre-remap behavior) is the safe degrade
+        // clearing it (the pre-remap behavior) is the safe degrade.
+        // Case-INSENSITIVE count: Spark resolves references that way
+        // under the default caseSensitive=false, so 'V_x' vs 'v_x'
+        // is just as ambiguous as an exact duplicate.
         ctx.bind(out, joined,
-          if (remapped.forall(k => joined.columns.count(_ == k.col) == 1)) remapped else Nil)
+          if (remapped.forall(k =>
+              joined.columns.count(_.equalsIgnoreCase(k.col)) == 1)) remapped
+          else Nil)
 
       case "OUTER JOIN" =>
         ctx.bind(out, Ops.namedJoin(in, ctx.df(frames(1)), KvList.csv(cond), "full"))

@@ -217,8 +217,11 @@ class DifferentialSpec extends SparkSpec {
         st.copy(numericCols = st.numericCols + "s")))
     candidates += (for {
       fresh <- Gen.oneOf(true, false)
-      name <- if (fresh || st.cols.size < 2) Gen.oneOf(Seq("c1", "c2"))
-              else Gen.oneOf(st.cols) // overwrite: exercises the shield
+      // never overwrite 'g': constant-g makes EVERY right row unmatched
+      // under a later OUTER JOIN, and >1 null-left extras tie on every
+      // sort column — tie order is deliberately out of the model's scope
+      name <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(Seq("c1", "c2"))
+              else Gen.oneOf(st.cols.filterNot(_ == "g")) // overwrite: exercises the shield
       v <- Gen.oneOf("x", "y")
     } yield (PAdd(name, v),
       st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,

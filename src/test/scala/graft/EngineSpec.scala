@@ -346,6 +346,32 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("conflicts"), e.getMessage)
   }
 
+  test("the __ord_ namespace is reserved: sources and user-created names are rejected") {
+    val df = Seq(("a", 1)).toDF("g", "v")
+    // name-creating ops cannot mint a column inside the hidden namespace
+    val e1 = intercept[IllegalArgumentException](Interpreter.applyOp(
+      PipelineContext().bind("t", df),
+      op("o", "ADD COLUMN", Seq("t"), "new_column=__ord_x, value=1"), Map.empty))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Interpreter.applyOp(
+      PipelineContext().bind("t", df),
+      op("o", "RENAME COLUMN", Seq("t"), "v=__ord_v"), Map.empty))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // and a source carrying one is rejected at the GET_DATA boundary,
+    // so any __ord_ column mid-pipeline is engine-created by induction
+    val bad = Seq(("a", 1)).toDF("g", "__ord_g")
+    val resolver = new SourceResolver {
+      def storeView(s: String, v: String): DataFrame = bad
+      def table(n: String): DataFrame = bad
+    }
+    val e3 = intercept[IllegalArgumentException](Interpreter.getData(
+      PipelineContext(),
+      Seq(graft.model.GetDataSpec("x", graft.model.SourceKind.ParquetTable("bad"),
+        Nil, None, distinct = false)),
+      resolver))
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+  }
+
   test("store views carry study_code and view columns (json_normalize meta parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_engine_store").toString
     val data = Seq(("S1", "V1", "x", 1.0)).toDF("study_code", "view", "name", "score")

@@ -69,6 +69,85 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: windowed approx-NDV sketches merge identically across any micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    // HLL registers merge associatively — the streaming state-store
+    // merge across arbitrary splits must be bit-identical to the batch
+    // single-pass aggregate, not just approximately equal
+    val eventsGen = for {
+      n <- Gen.chooseNum(4, 25)
+      mins <- Gen.listOfN(n, Gen.chooseNum(0, 600))
+      keys <- Gen.listOfN(n, Gen.oneOf("click", "view"))
+      users <- Gen.listOfN(n, Gen.chooseNum(1L, 9L))
+    } yield mins.sorted.lazyZip(keys).lazyZip(users).toList.map { case (m, k, u) =>
+      (new Timestamp(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + m * 60000L), k, u)
+    }
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1, 24)))
+    val prop = Prop.forAllNoShrink(eventsGen, cutsGen) { (events, cuts) =>
+      val mem = MemoryStream[(Timestamp, String, Long)]
+      val name = s"ndv_diff_${qId.incrementAndGet()}"
+      val agg = StreamingIngest.windowedNdv(mem.toDF().toDF("ts", "event_type", "user_id"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        segments(events, cuts).foreach { seg => mem.addData(seg); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val want = StreamingIngest.windowedNdv(events.toDF("ts", "event_type", "user_id"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      if (got != want) println(s"cuts=$cuts\nstreaming: $got\nbatch:     $want")
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: streaming dedup keeps exactly the first arrival per key across any split") {
+    implicit val sqlCtx = spark.sqlContext
+    // watermark far beyond the data horizon: no state eviction, so the
+    // survivors must be EXACTLY one row per distinct key — the first
+    // arrival's payload — however the batches are cut
+    val eventsGen = for {
+      n <- Gen.chooseNum(3, 20)
+      keys <- Gen.listOfN(n, Gen.chooseNum(1L, 5L))
+    } yield keys.zipWithIndex.map { case (k, i) =>
+      (new Timestamp(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + i * 60000L),
+        k, i.toLong) // seq payload identifies WHICH arrival survived
+    }
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1, 19)))
+    val prop = Prop.forAllNoShrink(eventsGen, cutsGen) { (events, cuts) =>
+      val mem = MemoryStream[(Timestamp, Long, Long)]
+      val name = s"dedup_diff_${qId.incrementAndGet()}"
+      val deduped = StreamingIngest.streamingDedup(
+        mem.toDF().toDF("ts", "key", "seq"), Seq("key"), "ts", "10 days")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val segs = segments(events, cuts)
+      try {
+        segs.foreach { seg => mem.addData(seg); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      // the cross-batch contract: exactly one survivor per key, and it
+      // must come from the FIRST micro-batch that contained the key
+      // (later batches hit the state store). WITHIN one batch the
+      // surviving duplicate is not order-guaranteed, so any occurrence
+      // from that first segment is acceptable.
+      val firstSeg: Map[Long, Set[Long]] = segs.foldLeft(Map.empty[Long, Set[Long]]) {
+        (acc, seg) =>
+          acc ++ seg.groupBy(_._2).collect {
+            case (k, es) if !acc.contains(k) => k -> es.map(_._3).toSet
+          }
+      }
+      val keysOk = got.map(_._1) == firstSeg.keySet && got.size == firstSeg.size
+      val originOk = got.forall { case (k, seq) => firstSeg(k).contains(seq) }
+      if (!(keysOk && originOk)) println(s"cuts=$cuts got=$got firstSeg=$firstSeg")
+      keysOk && originOk
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: sessionization state accumulates identically across any micro-batch split") {
     implicit val sqlCtx = spark.sqlContext
     val eventsGen = for {
