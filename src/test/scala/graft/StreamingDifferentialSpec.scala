@@ -1,8 +1,10 @@
 package graft
 
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.streaming.StreamingIngest
@@ -145,6 +147,48 @@ class StreamingDifferentialSpec extends SparkSpec {
       keysOk && originOk
     }
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: IVM state across query restarts equals the direct recompute for any file split") {
+    // the IVM state store survives QUERY RESTARTS (same checkpoint):
+    // random rows land in 1-4 CSV files, each driven by its own
+    // AvailableNow run, and the persisted rollup must equal a direct
+    // aggregation of everything — nulls, single-key files, replays of
+    // already-committed batches and all
+    import graft.ops.Ivm
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k STRING, v BIGINT")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Ivm.finalized(df).collect().map(r =>
+        (r.getAs[String]("k"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_vals"),
+          Option(r.get(r.fieldIndex("sum_val"))), Option(r.get(r.fieldIndex("mean_val"))))).toSet
+    val rowsGen = for {
+      n <- Gen.chooseNum(2, 15)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c", "d")
+        v <- Gen.option(Gen.chooseNum(-50L, 50L))
+      } yield (k, v))
+    } yield rows
+    val cutsGen = Gen.chooseNum(0, 2).flatMap(c => Gen.listOfN(c, Gen.chooseNum(1, 14)))
+    val prop = Prop.forAllNoShrink(rowsGen, cutsGen) { (rows, cuts) =>
+      val watch = Files.createTempDirectory("graft_ivmdiff_watch").toString
+      val state = Files.createTempDirectory("graft_ivmdiff_state").toString + "/state"
+      val ckpt = Files.createTempDirectory("graft_ivmdiff_ckpt").toString
+      segments(rows, cuts).zipWithIndex.foreach { case (seg, i) =>
+        val csv = "k,v\n" + seg.map { case (k, v) => s"$k,${v.getOrElse("")}" }.mkString("\n") + "\n"
+        Files.writeString(java.nio.file.Paths.get(watch, f"b$i%03d.csv"), csv)
+        val q = StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try assert(q.awaitTermination(120000)) finally if (q.isActive) q.stop()
+      }
+      val direct = Ivm.state(Seq("k"), "v")(
+        spark.read.schema(schema).option("header", "true").csv(watch))
+      val got = canon(spark.read.parquet(state))
+      val want = canon(direct)
+      if (got != want) println(s"cuts=$cuts rows=$rows\ngot=$got\nwant=$want")
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(r.passed, r.status.toString)
   }
 
