@@ -153,9 +153,10 @@ class StreamingDifferentialSpec extends SparkSpec {
   test("property: IVM state across query restarts equals the direct recompute for any file split") {
     // the IVM state store survives QUERY RESTARTS (same checkpoint):
     // random rows land in 1-4 CSV files, each driven by its own
-    // AvailableNow run, and the persisted rollup must equal a direct
-    // aggregation of everything — nulls, single-key files, replays of
-    // already-committed batches and all
+    // AvailableNow run, then the newest commit marker is deleted so
+    // the final restart REPLAYS that batch — the persisted rollup must
+    // equal a direct aggregation of everything, nulls, single-key
+    // files and the forced at-least-once replay included
     import graft.ops.Ivm
     val schema = org.apache.spark.sql.types.StructType.fromDDL("k STRING, v BIGINT")
     def canon(df: org.apache.spark.sql.DataFrame) =
@@ -169,18 +170,32 @@ class StreamingDifferentialSpec extends SparkSpec {
         v <- Gen.option(Gen.chooseNum(-50L, 50L))
       } yield (k, v))
     } yield rows
-    val cutsGen = Gen.chooseNum(0, 2).flatMap(c => Gen.listOfN(c, Gen.chooseNum(1, 14)))
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(c => Gen.listOfN(c, Gen.chooseNum(1, 14)))
     val prop = Prop.forAllNoShrink(rowsGen, cutsGen) { (rows, cuts) =>
       val watch = Files.createTempDirectory("graft_ivmdiff_watch").toString
       val state = Files.createTempDirectory("graft_ivmdiff_state").toString + "/state"
       val ckpt = Files.createTempDirectory("graft_ivmdiff_ckpt").toString
+      def drive(): Unit = {
+        val q = StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try assert(q.awaitTermination(120000), "streaming query did not finish within 120000ms")
+        finally if (q.isActive) q.stop()
+      }
       segments(rows, cuts).zipWithIndex.foreach { case (seg, i) =>
         val csv = "k,v\n" + seg.map { case (k, v) => s"$k,${v.getOrElse("")}" }.mkString("\n") + "\n"
         Files.writeString(java.nio.file.Paths.get(watch, f"b$i%03d.csv"), csv)
-        val q = StreamingIngest.ivmStateStream(spark, watch, schema, Seq("k"), "v", state, ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        try assert(q.awaitTermination(120000)) finally if (q.isActive) q.stop()
+        drive()
       }
+      // force a genuine REPLAY: deleting the newest commit marker makes
+      // the restarted query re-run that batch under the SAME batch id,
+      // and the _ivm_batch gate must skip the merge — double-counting
+      // here is exactly the at-least-once failure the marker exists for
+      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+      val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = cfs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.forall(_.isDigit))
+      cfs.delete(markers.maxBy(_.getName.toLong), false)
+      drive()
       val direct = Ivm.state(Seq("k"), "v")(
         spark.read.schema(schema).option("header", "true").csv(watch))
       val got = canon(spark.read.parquet(state))
