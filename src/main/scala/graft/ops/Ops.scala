@@ -311,7 +311,12 @@ object Ops {
     * column list; NaN/null skipped — exactly `least`/`greatest`.
     */
   def aggregateColumn(newCol: String, srcCols: Seq[String], fn: String)(df: DataFrame): DataFrame = {
+    require(srcCols.nonEmpty, "AGGREGATE COLUMN needs at least one source column")
+    // pandas df[cols].min(axis=1) accepts a single column (identity);
+    // Spark's least/greatest demand two args — special-case it, don't
+    // throw WRONG_NUM_ARGS at a config the reference runs fine
     val c = fn.toLowerCase match {
+      case "min" | "max" if srcCols.size == 1 => col(srcCols.head)
       case "min" => least(srcCols.map(col): _*)
       case "max" => greatest(srcCols.map(col): _*)
       case other => throw new IllegalArgumentException(s"unknown row-wise fn '$other'")

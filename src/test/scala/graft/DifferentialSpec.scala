@@ -166,6 +166,48 @@ class DifferentialSpec extends SparkSpec {
     MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
       f.rows.map(r => r.updated(name, Boolean.box(r(src) != null))))
 
+  private def mRemoveRows(f: MFrame, c: String): MFrame =
+    f.copy(rows = f.rows.filter(_(c) != null))
+
+  private def mAggRow(f: MFrame, name: String, srcs: Seq[String], fn: String): MFrame = {
+    val rows = f.rows.map { r =>
+      val vs = srcs.map(r(_)).filter(_ != null).map(_.asInstanceOf[Double])
+      r.updated(name, if (vs.isEmpty) null else if (fn == "min") vs.min else vs.max)
+    }
+    MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name, rows)
+  }
+
+  private def mSumEq(f: MFrame, name: String, a: String, b: String): MFrame = {
+    def s(c: String): Double = f.rows.map(_(c)).filter(_ != null).map {
+      case d: Double => d; case l: Long => l.toDouble
+    }.sum
+    val eq = Boolean.box(s(a) == s(b))
+    MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
+      f.rows.map(_.updated(name, eq)))
+  }
+
+  private def mNullFill(f: MFrame, name: String, src: String): MFrame =
+    MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
+      f.rows.map(r => r.updated(name,
+        if (r(src) == null) "MISSING" else r("g").asInstanceOf[String])))
+
+  private val DecisionMapping = Seq("g0" -> "red", "g1" -> "blue")
+
+  private def mDecision(f: MFrame, name: String): MFrame =
+    MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
+      f.rows.map(r => r.updated(name,
+        // the when-chain folds left with otherwise(acc): the LAST
+        // mapping row is checked first, so duplicate keys are last-wins
+        DecisionMapping.reverse.find(_._1 == r("g")).map(_._2).orNull)))
+
+  private def mBind(f: MFrame, u: MFrame): MFrame = {
+    val extra = u.cols.filterNot(f.cols.contains)
+    val cols = f.cols ++ extra
+    val uRows = u.rows.map(r => cols.map(c => c -> r.getOrElse(c, null)).toMap)
+    val fRows = f.rows.map(r => cols.map(c => c -> r.getOrElse(c, null)).toMap)
+    MFrame(cols, fRows ++ uRows)
+  }
+
   // ===== pipeline ADT and generator =====
 
   private sealed trait POp
@@ -183,16 +225,23 @@ class DifferentialSpec extends SparkSpec {
   private case class PDistinct(cols: Seq[String]) extends POp
   private case class PNotNull(name: String, src: String) extends POp
   private case object POuterJoin extends POp
+  private case class PRemoveRows(c: String) extends POp
+  private case class PAggRow(name: String, srcs: Seq[String], fn: String) extends POp
+  private case class PSumEq(name: String, a: String, b: String) extends POp
+  private case class PNullFill(name: String, src: String) extends POp
+  private case class PDecision(name: String) extends POp
+  private case object PBind extends POp
 
   /** Generator state mirroring the interpreter's own order rules. */
   private case class GState(
       cols: Vector[String], // visible columns
       uniqueCols: Set[String], // unique-valued (sortable without ties)
       numericCols: Set[String],
+      longCols: Set[String], // Spark bigint columns (count outputs, k)
       ordered: Boolean, // engine order metadata expected nonempty
       joined: Boolean)
 
-  private val BaseCols = Vector("g", "k", "s", "v")
+  private val BaseCols = Vector("g", "k", "s", "v", "p")
 
   private def step(st: GState): Gen[Option[(POp, GState)]] = {
     val sortable = (st.uniqueCols intersect st.cols.toSet).toSeq.sorted
@@ -226,7 +275,8 @@ class DifferentialSpec extends SparkSpec {
     } yield (PAdd(name, v),
       st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
         // an overwritten column holds a constant: no longer unique/numeric
-        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name)))
+        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
+        longCols = st.longCols - name)))
     if (st.ordered && st.cols.contains("g"))
       candidates += Gen.const((PUnique("g"), st))
     if (st.cols.size > 1) {
@@ -244,7 +294,8 @@ class DifferentialSpec extends SparkSpec {
         // hold per-group counts (ties), and blessing the renamed column
         // as unique would let a later sort tie — out of scope by design
         uniqueCols = if (st.uniqueCols("k")) st.uniqueCols - "k" + "k2" else st.uniqueCols,
-        numericCols = if (st.numericCols("k")) st.numericCols - "k" + "k2" else st.numericCols)))
+        numericCols = if (st.numericCols("k")) st.numericCols - "k" + "k2" else st.numericCols,
+        longCols = if (st.longCols("k")) st.longCols - "k" + "k2" else st.longCols)))
     if (numeric.nonEmpty)
       candidates += (for {
         c <- Gen.oneOf(numeric); x <- Gen.chooseNum(0, 9)
@@ -257,13 +308,20 @@ class DifferentialSpec extends SparkSpec {
         fns = if (st.ordered) Seq("sum", "count", "min", "max", "first", "last")
               else Seq("sum", "count", "min", "max")
         aggs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(numeric), Gen.oneOf(fns)))
-      } yield (PSummarise(aggs),
-        GState(("g" +: aggs.map(_._1).distinct).toVector,
-          // ONLY the group key is unique post-agg: aggregated values
-          // can collide across groups, and a tie'd sort would compare
-          // the engine's content-hash tiebreak against model stability
-          Set("g"),
-          st.numericCols, ordered = true, joined = st.joined)))
+      } yield {
+        val eff = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+        (PSummarise(aggs),
+          GState(("g" +: aggs.map(_._1).distinct).toVector,
+            // ONLY the group key is unique post-agg: aggregated values
+            // can collide across groups, and a tie'd sort would compare
+            // the engine's content-hash tiebreak against model stability
+            Set("g"),
+            st.numericCols,
+            // count outputs are bigint whatever the source; sum/min/max
+            // inherit the source column's longness
+            eff.collect { case (c, fn) if fn == "count" || st.longCols(c) => c }.toSet,
+            ordered = true, joined = st.joined))
+      })
     if (!st.joined && st.cols.contains("g")) {
       candidates += Gen.const((PJoin, st.copy(
         cols = st.cols :+ "w", numericCols = st.numericCols + "w", joined = true)))
@@ -288,12 +346,60 @@ class DifferentialSpec extends SparkSpec {
       src <- Gen.oneOf(st.cols)
     } yield (PNotNull(name, src),
       st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
-        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name)))
+        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
+        longCols = st.longCols - name)))
+    // name-creating ops share one overwrite policy: fresh from a small
+    // pool, or any non-g column (exercises the overwrite shield)
+    def namedTarget(pool: Seq[String]): Gen[String] = for {
+      fresh <- Gen.oneOf(true, false)
+      n <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(pool)
+           else Gen.oneOf(st.cols.filterNot(_ == "g"))
+    } yield n
+    def bindNamed(name: String): GState =
+      st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
+        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
+        longCols = st.longCols - name)
+    // nullable numeric columns exist (p, w): REMOVE ROWS drops their
+    // null rows like pandas notna filtering, order preserved
+    candidates += Gen.oneOf(st.cols).map(c => (PRemoveRows(c), st))
+    val doubles = numeric.filterNot(st.longCols)
+    if (doubles.nonEmpty) {
+      candidates += (for {
+        name <- namedTarget(Seq("a1"))
+        srcs <- Gen.someOf(doubles).suchThat(_.nonEmpty)
+        fn <- Gen.oneOf("min", "max")
+      } yield (PAggRow(name, srcs.toSeq, fn),
+        bindNamed(name).copy(numericCols = bindNamed(name).numericCols + name)))
+    }
+    if (numeric.nonEmpty)
+      candidates += (for {
+        name <- namedTarget(Seq("e1"))
+        a <- Gen.oneOf(numeric); b <- Gen.oneOf(numeric)
+      } yield (PSumEq(name, a, b), bindNamed(name)))
+    if (st.cols.contains("g")) {
+      candidates += (for {
+        name <- namedTarget(Seq("f1"))
+        src <- Gen.oneOf(st.cols)
+      } yield (PNullFill(name, src), bindNamed(name)))
+      candidates += namedTarget(Seq("d1")).map(n => (PDecision(n), bindNamed(n)))
+    }
+    if (st.cols.contains("g") && st.uniqueCols.contains("k"))
+      // BIND ROWS appends the static u table (g,k): k values are
+      // disjoint so k stays tie-free, every other column gains nulls.
+      // uniqueCols membership doubles as "k is still the original
+      // bigint" — an overwritten k (boolean/double) would make the
+      // unionByName an INCOMPATIBLE_COLUMN_TYPE error
+      candidates += Gen.const((PBind, st.copy(
+        ordered = false,
+        uniqueCols = st.uniqueCols intersect Set("k"))))
     Gen.oneOf(candidates.result()).flatMap(identity).map(Some(_))
   }
 
   private def pipelineGen: Gen[List[POp]] = {
-    val st0 = GState(BaseCols, Set("k", "s", "v"), Set("k", "v"), ordered = false, joined = false)
+    // p is nullable (ties among nulls) so it is numeric but never a
+    // sort key; its nulls drive REMOVE ROWS / null-skipping agg paths
+    val st0 = GState(BaseCols, Set("k", "s", "v"), Set("k", "v", "p"),
+      Set("k"), ordered = false, joined = false)
     def loop(st: GState, n: Int, acc: List[POp]): Gen[List[POp]] =
       if (n == 0) Gen.const(acc.reverse)
       else step(st).flatMap {
@@ -329,6 +435,17 @@ class DifferentialSpec extends SparkSpec {
       case PNotNull(name, src) =>
         spec("ATTACH COLUMN", s"column_name=$name, source_col=$src, operation=NOTNULL")
       case POuterJoin => OperationSpec(s"o$i", "OUTER JOIN", Seq(prev, "r"), "g")
+      case PRemoveRows(c) => spec("REMOVE ROWS", s"$c=NULL")
+      case PAggRow(n, srcs, fn) => spec("AGGREGATE COLUMN",
+        s"new_column=$n, operation=${if (fn == "min") "MINIMUM" else "MAXIMUM"}, " +
+          s"operation_cols=${srcs.mkString("#")}")
+      case PSumEq(n, a, b) =>
+        spec("ATTACH COLUMN", s"column_name=$n, source_col=$a|$b, operation=SUMEQ")
+      case PNullFill(n, src) => spec("ATTACH COLUMN",
+        s"column_name=$n, source_col=$src, operation=NULL, value=MISSING, column_value=g")
+      case PDecision(n) =>
+        spec("DECISION COLUMN", s"new_column=$n, lookup_column=g, decision_table_name=T")
+      case PBind => OperationSpec(s"o$i", "BIND ROWS", Seq(prev, "u"), "")
     }
   }
 
@@ -347,6 +464,13 @@ class DifferentialSpec extends SparkSpec {
     case PDistinct(cols) => mDistinct(f, cols)
     case PNotNull(name, src) => mNotNull(f, name, src)
     case POuterJoin => mOuterJoin(f, right, "g")
+    case PRemoveRows(c) => mRemoveRows(f, c)
+    case PAggRow(name, srcs, fn) => mAggRow(f, name, srcs, fn)
+    case PSumEq(name, a, b) => mSumEq(f, name, a, b)
+    case PNullFill(name, src) => mNullFill(f, name, src)
+    case PDecision(name) => mDecision(f, name)
+    case PBind => mBind(f, MFrame(Vector("g", "k"), Vector(
+      Map("g" -> "g0", "k" -> 101L), Map("g" -> "g9", "k" -> 102L))))
   }
 
   /** Which columns Spark types as bigint after each op — the model
@@ -356,6 +480,10 @@ class DifferentialSpec extends SparkSpec {
     case PRename(f, t) => if (lc(f)) lc - f + t else lc
     case PAdd(c, _) => lc - c
     case PNotNull(c, _) => lc - c
+    case PAggRow(c, _, _) => lc - c
+    case PSumEq(c, _, _) => lc - c
+    case PNullFill(c, _) => lc - c
+    case PDecision(c) => lc - c
     case PFormatNum(c) => lc - c
     case PSummarise(aggs) =>
       val eff = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
@@ -373,7 +501,8 @@ class DifferentialSpec extends SparkSpec {
     // keys); v dyadic so fp sums are order-independent and exact
     val base = Vector.tabulate(12) { i =>
       Map[String, Any]("g" -> s"g${i % 3}", "k" -> (((i * 7) % 12) + 1).toLong,
-        "s" -> f"${(i * 5) % 12 + 0.5}%.1f", "v" -> (((i * 11) % 12) + 0.25))
+        "s" -> f"${(i * 5) % 12 + 0.5}%.1f", "v" -> (((i * 11) % 12) + 0.25),
+        "p" -> (if (i % 4 == 0) null else (i + 0.125): Any))
     }
     val mBase = MFrame(BaseCols, base)
     val mRight = MFrame(Vector("g", "w"), Vector(
@@ -382,15 +511,19 @@ class DifferentialSpec extends SparkSpec {
       // (materializes only through OUTER JOIN, as a null-left row)
       Map("g" -> "g9", "w" -> 9.75)))
     val sBase = base.map(r => (r("g").asInstanceOf[String], r("k").asInstanceOf[Long],
-      r("s").asInstanceOf[String], r("v").asInstanceOf[Double])).toDF("g", "k", "s", "v")
+      r("s").asInstanceOf[String], r("v").asInstanceOf[Double],
+      Option(r("p")).map(_.asInstanceOf[Double]))).toDF("g", "k", "s", "v", "p")
     val sRight = Seq(("g0", 1.25), ("g1", 2.5), ("g9", 9.75)).toDF("g", "w")
+    val sBind = Seq(("g0", 101L), ("g9", 102L)).toDF("g", "k")
+    val tables = Map("T" -> graft.model.DecisionTable("T", DecisionMapping))
 
     val prop = Prop.forAllNoShrink(pipelineGen) { ops =>
       val specs = ops.zipWithIndex.map { case (p, i) =>
         opSpec(i, if (i == 0) "t" else s"o${i - 1}", p)
       }
-      val ctx = specs.foldLeft(PipelineContext().bind("t", sBase).bind("r", sRight))(
-        (c, o) => Interpreter.applyOp(c, o, Map.empty))
+      val ctx = specs.foldLeft(
+        PipelineContext().bind("t", sBase).bind("r", sRight).bind("u", sBind))(
+        (c, o) => Interpreter.applyOp(c, o, tables))
       val last = s"o${ops.length - 1}"
       val engine = ctx.result(last)
       val model = ops.foldLeft((mBase, Set("k"))) { case ((f, lc), p) =>

@@ -76,6 +76,18 @@ class OpsSpec extends SparkSpec {
     assert(sliced.toSeq == Seq(1.0), sliced.toSeq)
   }
 
+  test("aggregateColumn accepts a single source column like pandas min(axis=1)") {
+    // Spark's least/greatest demand two args; a one-column config is
+    // valid in the reference and must not throw WRONG_NUM_ARGS
+    val df = Seq((Some(2.0)), (None: Option[Double])).toDF("a")
+    val got = Ops.aggregateColumn("m", Seq("a"), "min")(df)
+      .collect().map(r => Option(r.get(1)))
+    assert(got.toSeq == Seq(Some(2.0), None), got.toSeq)
+    val e = intercept[IllegalArgumentException](
+      Ops.aggregateColumn("m", Nil, "min")(df))
+    assert(e.getMessage.contains("at least one"), e.getMessage)
+  }
+
   test("removeColumns raises on a missing column like pandas df.drop") {
     val df = Seq((1, 2)).toDF("a", "b")
     val e = intercept[IllegalArgumentException](Ops.removeColumns(Seq("a", "nope"))(df))
