@@ -106,9 +106,20 @@ class DifferentialSpec extends SparkSpec {
   private def mSlice(f: MFrame, g: String, n: Int): MFrame =
     f.copy(rows = mGroups(f, g).flatMap(_._2.take(n)))
 
+  /** The reference's dict-keyed agg rule: a repeated column keeps its
+    * FIRST position with its LAST fn — one definition for the model,
+    * the generator state and the longCols fold. */
+  private def effectiveAggs(aggs: Seq[(String, String)]): Seq[(String, String)] =
+    aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+
+  /** Spark types count outputs bigint whatever the source; sum/min/max
+    * inherit the source column's longness. */
+  private def aggLongCols(eff: Seq[(String, String)], lc: Set[String]): Set[String] =
+    eff.collect { case (c, fn) if fn == "count" || lc(c) => c }.toSet
+
   private def mSummarise(
       f: MFrame, g: String, aggs: Seq[(String, String)], longCols: Set[String]): MFrame = {
-    val effective = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+    val effective = effectiveAggs(aggs)
     val rows = mGroups(f, g).map { case (k, rs) =>
       val m = effective.map { case (c, fn) =>
         val vs = rs.map(_(c)).filter(_ != null)
@@ -193,6 +204,10 @@ class DifferentialSpec extends SparkSpec {
 
   private val DecisionMapping = Seq("g0" -> "red", "g1" -> "blue")
 
+  /** The BIND ROWS side table — ONE definition drives both the model
+    * frame and the Spark frame so they cannot desynchronize. */
+  private val BindRowsTable = Vector(("g0", 101L), ("g9", 102L))
+
   private def mDecision(f: MFrame, name: String): MFrame =
     MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
       f.rows.map(r => r.updated(name,
@@ -239,7 +254,8 @@ class DifferentialSpec extends SparkSpec {
       numericCols: Set[String],
       longCols: Set[String], // Spark bigint columns (count outputs, k)
       ordered: Boolean, // engine order metadata expected nonempty
-      joined: Boolean)
+      joined: Boolean,
+      bound: Boolean = false) // BIND ROWS used (once-only, like joins)
 
   private val BaseCols = Vector("g", "k", "s", "v", "p")
 
@@ -264,19 +280,25 @@ class DifferentialSpec extends SparkSpec {
     if (st.cols.contains("s") && st.uniqueCols.contains("s"))
       candidates += Gen.const((PFormatNum("s"),
         st.copy(numericCols = st.numericCols + "s")))
-    candidates += (for {
+    // name-creating ops share one overwrite policy: fresh from a small
+    // pool, or any non-g column (exercises the overwrite shield; 'g' is
+    // excluded because a retyped/constant join key either breaks the
+    // join or floods it with tie-prone null-left rows)
+    def namedTarget(pool: Seq[String]): Gen[String] = for {
       fresh <- Gen.oneOf(true, false)
-      // never overwrite 'g': constant-g makes EVERY right row unmatched
-      // under a later OUTER JOIN, and >1 null-left extras tie on every
-      // sort column — tie order is deliberately out of the model's scope
-      name <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(Seq("c1", "c2"))
-              else Gen.oneOf(st.cols.filterNot(_ == "g")) // overwrite: exercises the shield
-      v <- Gen.oneOf("x", "y")
-    } yield (PAdd(name, v),
+      n <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(pool)
+           else Gen.oneOf(st.cols.filterNot(_ == "g"))
+    } yield n
+    // state after creating/overwriting `name`: present, but no longer
+    // unique/numeric/long — each op re-grants what its output type has
+    def bindNamed(name: String): GState =
       st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
-        // an overwritten column holds a constant: no longer unique/numeric
         uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
-        longCols = st.longCols - name)))
+        longCols = st.longCols - name)
+    candidates += (for {
+      name <- namedTarget(Seq("c1", "c2"))
+      v <- Gen.oneOf("x", "y")
+    } yield (PAdd(name, v), bindNamed(name)))
     if (st.ordered && st.cols.contains("g"))
       candidates += Gen.const((PUnique("g"), st))
     if (st.cols.size > 1) {
@@ -309,7 +331,7 @@ class DifferentialSpec extends SparkSpec {
               else Seq("sum", "count", "min", "max")
         aggs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(numeric), Gen.oneOf(fns)))
       } yield {
-        val eff = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
+        val eff = effectiveAggs(aggs)
         (PSummarise(aggs),
           GState(("g" +: aggs.map(_._1).distinct).toVector,
             // ONLY the group key is unique post-agg: aggregated values
@@ -319,8 +341,8 @@ class DifferentialSpec extends SparkSpec {
             st.numericCols,
             // count outputs are bigint whatever the source; sum/min/max
             // inherit the source column's longness
-            eff.collect { case (c, fn) if fn == "count" || st.longCols(c) => c }.toSet,
-            ordered = true, joined = st.joined))
+            aggLongCols(eff, st.longCols),
+            ordered = true, joined = st.joined, bound = st.bound))
       })
     if (!st.joined && st.cols.contains("g")) {
       candidates += Gen.const((PJoin, st.copy(
@@ -338,27 +360,9 @@ class DifferentialSpec extends SparkSpec {
         cols = keep.toVector,
         uniqueCols = st.uniqueCols intersect keep.toSet)))
     candidates += (for {
-      fresh <- Gen.oneOf(true, false)
-      // never overwrite 'g' with a boolean: a later join on g would
-      // compare boolean against the right table's string key
-      name <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(Seq("b1", "b2"))
-              else Gen.oneOf(st.cols.filterNot(_ == "g")) // overwrite: exercises the shield
+      name <- namedTarget(Seq("b1", "b2"))
       src <- Gen.oneOf(st.cols)
-    } yield (PNotNull(name, src),
-      st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
-        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
-        longCols = st.longCols - name)))
-    // name-creating ops share one overwrite policy: fresh from a small
-    // pool, or any non-g column (exercises the overwrite shield)
-    def namedTarget(pool: Seq[String]): Gen[String] = for {
-      fresh <- Gen.oneOf(true, false)
-      n <- if (fresh || st.cols.count(_ != "g") < 1) Gen.oneOf(pool)
-           else Gen.oneOf(st.cols.filterNot(_ == "g"))
-    } yield n
-    def bindNamed(name: String): GState =
-      st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
-        uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
-        longCols = st.longCols - name)
+    } yield (PNotNull(name, src), bindNamed(name)))
     // nullable numeric columns exist (p, w): REMOVE ROWS drops their
     // null rows like pandas notna filtering, order preserved
     candidates += Gen.oneOf(st.cols).map(c => (PRemoveRows(c), st))
@@ -368,8 +372,11 @@ class DifferentialSpec extends SparkSpec {
         name <- namedTarget(Seq("a1"))
         srcs <- Gen.someOf(doubles).suchThat(_.nonEmpty)
         fn <- Gen.oneOf("min", "max")
-      } yield (PAggRow(name, srcs.toSeq, fn),
-        bindNamed(name).copy(numericCols = bindNamed(name).numericCols + name)))
+      } yield {
+        val named = bindNamed(name)
+        (PAggRow(name, srcs.toSeq, fn),
+          named.copy(numericCols = named.numericCols + name))
+      })
     }
     if (numeric.nonEmpty)
       candidates += (for {
@@ -383,14 +390,15 @@ class DifferentialSpec extends SparkSpec {
       } yield (PNullFill(name, src), bindNamed(name)))
       candidates += namedTarget(Seq("d1")).map(n => (PDecision(n), bindNamed(n)))
     }
-    if (st.cols.contains("g") && st.uniqueCols.contains("k"))
-      // BIND ROWS appends the static u table (g,k): k values are
+    if (!st.bound && st.cols.contains("g") && st.uniqueCols.contains("k"))
+      // BIND ROWS appends the static u table (g,k) ONCE — a second
+      // bind would duplicate the u rows and tie k. k values are
       // disjoint so k stays tie-free, every other column gains nulls.
       // uniqueCols membership doubles as "k is still the original
       // bigint" — an overwritten k (boolean/double) would make the
       // unionByName an INCOMPATIBLE_COLUMN_TYPE error
       candidates += Gen.const((PBind, st.copy(
-        ordered = false,
+        ordered = false, bound = true,
         uniqueCols = st.uniqueCols intersect Set("k"))))
     Gen.oneOf(candidates.result()).flatMap(identity).map(Some(_))
   }
@@ -469,8 +477,8 @@ class DifferentialSpec extends SparkSpec {
     case PSumEq(name, a, b) => mSumEq(f, name, a, b)
     case PNullFill(name, src) => mNullFill(f, name, src)
     case PDecision(name) => mDecision(f, name)
-    case PBind => mBind(f, MFrame(Vector("g", "k"), Vector(
-      Map("g" -> "g0", "k" -> 101L), Map("g" -> "g9", "k" -> 102L))))
+    case PBind => mBind(f, MFrame(Vector("g", "k"),
+      BindRowsTable.map { case (g, k) => Map[String, Any]("g" -> g, "k" -> k) }))
   }
 
   /** Which columns Spark types as bigint after each op — the model
@@ -485,9 +493,7 @@ class DifferentialSpec extends SparkSpec {
     case PNullFill(c, _) => lc - c
     case PDecision(c) => lc - c
     case PFormatNum(c) => lc - c
-    case PSummarise(aggs) =>
-      val eff = aggs.map(_._1).distinct.map(c => c -> aggs.filter(_._1 == c).last._2)
-      eff.collect { case (c, fn) if fn == "count" || lc(c) => c }.toSet
+    case PSummarise(aggs) => aggLongCols(effectiveAggs(aggs), lc)
     case _ => lc
   }
 
@@ -514,7 +520,7 @@ class DifferentialSpec extends SparkSpec {
       r("s").asInstanceOf[String], r("v").asInstanceOf[Double],
       Option(r("p")).map(_.asInstanceOf[Double]))).toDF("g", "k", "s", "v", "p")
     val sRight = Seq(("g0", 1.25), ("g1", 2.5), ("g9", 9.75)).toDF("g", "w")
-    val sBind = Seq(("g0", 101L), ("g9", 102L)).toDF("g", "k")
+    val sBind = BindRowsTable.toDF("g", "k")
     val tables = Map("T" -> graft.model.DecisionTable("T", DecisionMapping))
 
     val prop = Prop.forAllNoShrink(pipelineGen) { ops =>
