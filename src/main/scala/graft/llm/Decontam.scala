@@ -160,6 +160,20 @@ object Decontam {
     * would be nondeterministic on ties. Cosines come from the fused
     * native expression (bit-identical to the composed zip_with form,
     * ArrayFnsSpec).
+    *
+    * NULL robustness: a null/ragged embedding on EITHER side yields a
+    * NULL cosine, and Spark's struct ordering sorts a NULL field
+    * FIRST ascending — an unguarded `min(struct(−sim, …))` would let
+    * one null pair win the argmax and null out `max_sim`, so a doc
+    * whose real nearest bench vector exceeds the threshold would slip
+    * through `where(contaminated)` under three-valued logic. The
+    * struct input is therefore null-guarded (`when(sim.isNotNull, …)`
+    * — min/max skip NULL inputs), and `contaminated` is made TOTAL:
+    * a doc with no comparable bench vector at all (its own vector is
+    * null/ragged against every bench vector) reports
+    * `nearest_bench_id`/`max_sim` NULL and `contaminated` FALSE, so
+    * both the flag face (`where(contaminated)`) and the keep face
+    * (`where(!contaminated)`) behave deterministically.
     */
   def semanticDecontam(
       corpus: DataFrame,
@@ -180,12 +194,13 @@ object Decontam {
         .withColumn("__sim",
           graft.functions.ArrayFns.cosineNative(col("__cv"), col("__bv")))
         .groupBy(col(idCol))
-        .agg(min(struct((-col("__sim")).as("ns"), col("__bench_id").as("nb"))).as("__m"))
+        .agg(min(when(col("__sim").isNotNull,
+          struct((-col("__sim")).as("ns"), col("__bench_id").as("nb")))).as("__m"))
         .select(
           col(idCol),
           col("__m.nb").as("nearest_bench_id"),
           (-col("__m.ns")).as("max_sim"),
-          (-col("__m.ns") >= threshold).as("contaminated"))
+          coalesce(-col("__m.ns") >= threshold, lit(false)).as("contaminated"))
     }
 }
 

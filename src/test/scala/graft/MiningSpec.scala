@@ -385,6 +385,40 @@ class MiningSpec extends SparkSpec {
     assert(out.head.getAs[Boolean]("contaminated"))
   }
 
+  test("semanticDecontam: a NULL embedding on the bench side cannot null out max_sim") {
+    // Spark struct ordering sorts a NULL field FIRST ascending, so an
+    // unguarded min(struct(-sim, id)) would let the null-cosine pair
+    // win and the contaminated doc slip through where(contaminated)
+    val bench = Seq(
+      (0L, Option(Seq(1f, 0f))),
+      (1L, Option.empty[Seq[Float]]) // ragged/null bench vector -> NULL cosine
+    ).toDF("vec_id", "embedding")
+    val corpus = vecs(10L -> Seq(1f, 0f)) // sim 1.0 with bench 0 -> MUST flag
+    val out = Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("nearest_bench_id") == 0L, out.head.toString)
+    assert(math.abs(out.head.getAs[Double]("max_sim") - 1.0) < 1e-6)
+    assert(out.head.getAs[Boolean]("contaminated"))
+  }
+
+  test("semanticDecontam: all-null sims report contaminated=FALSE, never NULL (total flag)") {
+    val bench = vecs(0L -> Seq(1f, 0f))
+    val corpus = Seq(
+      (10L, Option(Seq(1f, 0f))),
+      (11L, Option.empty[Seq[Float]]) // null corpus vector: no comparable bench vec
+    ).toDF("vec_id", "embedding")
+    val out = Decontam.semanticDecontam(corpus, bench, "vec_id", "embedding", 0.5)
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows.length == 2)
+    // doc 11: no cosine at all -> NULL sim/nearest, FALSE (not NULL) flag
+    assert(rows(1).isNullAt(rows(1).fieldIndex("max_sim")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("contaminated")), "flag must be total")
+    assert(!rows(1).getAs[Boolean]("contaminated"))
+    // both filter faces behave: flag face sees only doc 10, keep face only doc 11
+    assert(out.where(col("contaminated")).collect().map(_.getLong(0)).toSeq == Seq(10L))
+    assert(out.where(!col("contaminated")).collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("BLOCKLIST FILTER keeps NULL-text docs (total predicate, no three-valued drop)") {
     import graft.llm.CurationPipeline
     import graft.llm.CurationPipeline.Stage
