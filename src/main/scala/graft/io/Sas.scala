@@ -570,6 +570,24 @@ object Sas {
     else inlineRowSpan(pr, ptype, meta)._2.toInt
   }
 
+  /** Driver-side census cache. The override map is a pure function of
+    * the file's bytes, so it is keyed on (path, mtime, length) — an
+    * in-place rewrite bumps mtime (or length) and invalidates; a
+    * static file pays the census job ONCE per driver, not once per
+    * `Sas.read` call / per DSv2 DataFrame (for compressed files the
+    * uncached census re-reads the whole file — 2× I/O per read on the
+    * overwhelmingly common well-formed case). Access-ordered and
+    * bounded so a long-lived driver scanning many files cannot grow
+    * it without bound; entries are page-index→take-limit maps, empty
+    * for well-formed files, so memory per entry is ~0.
+    */
+  private val censusCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Map[Long, Int]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Map[Long, Int]]): Boolean =
+        size > 256
+    }
+
   /** pd.read_sas reads EXACTLY `row_count` rows in page order; a file
     * shortened in place can carry stale rows past that on its
     * trailing pages — stale row subheaders on compressed files, data
@@ -582,10 +600,33 @@ object Sas {
     * files read only each page's `bitOffset + 8`-byte HEADER (the
     * inline row count lives there — ~0.1% of the file's bytes);
     * compressed files read whole pages (the pointer walk chases
-    * signature bytes anywhere in the page) but never decode a row.
+    * signature bytes anywhere in the page) but never decode a row —
+    * and either way it runs once per (path, mtime, length) per
+    * driver, via [[censusCache]].
     */
   private[io] def rowCountOverrides(
       spark: SparkSession, path: String, meta: SasMeta): Map[Long, Int] = {
+    val st = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new Path(path))
+    val key = (path, st.getModificationTime, st.getLen)
+    censusCache.synchronized(Option(censusCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val computed = censusUncached(spark, path, meta)
+        censusCache.synchronized(censusCache.put(key, computed))
+        computed
+    }
+  }
+
+  /** Distinct census executions (cache misses) — lets specs pin the
+    * once-per-file discipline without scraping the scheduler.
+    */
+  private[graft] val censusRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def censusUncached(
+      spark: SparkSession, path: String, meta: SasMeta): Map[Long, Int] = {
+    censusRuns.incrementAndGet()
     val confBc = spark.sparkContext.broadcast(HadoopConfSer.entries(spark))
     val readLen =
       if (meta.compression == CompressNone) meta.bitOffset + 8 else meta.pageLength

@@ -57,13 +57,37 @@ class SasDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     metaFor(path(options)).schema
 
+  // accept a user-supplied .schema(...) — getTable VALIDATES it
+  // against the file's metadata schema (exact names+types) instead of
+  // Spark's blanket "does not support user-specified schema" error, so
+  // a caller pinning an expected layout gets either the read or a
+  // loud, specific mismatch
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val p = properties.asScala.getOrElse("path",
       throw new IllegalArgumentException("sas7bdat source needs a path"))
-    new SasTable(p, metaFor(p))
+    val meta = metaFor(p)
+    // Spark hands back inferSchema's result when the user supplied no
+    // schema; a user-pinned `.schema(...)` arrives here instead. The
+    // file's layout is fixed by its metadata pages, so a divergent pin
+    // cannot be honored — fail loudly rather than silently serving the
+    // file schema under a different declaration (name/type mismatches
+    // would otherwise surface only as downstream analysis errors or,
+    // worse, as silently mis-typed reads). Nullability/metadata are
+    // not load-bearing for the fixed-width decode, so only names +
+    // types (case-sensitive, in order) must agree.
+    val declared = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val actual = meta.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (declared != actual)
+      throw new IllegalArgumentException(
+        s"sas7bdat $p: user-supplied schema does not match the file's " +
+          s"metadata schema and cannot be honored.\n  declared: ${schema.simpleString}\n" +
+          s"  file:     ${meta.schema.simpleString}")
+    new SasTable(p, meta)
   }
 }
 

@@ -172,6 +172,41 @@ class SasSpec extends SparkSpec {
       rdd.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("census runs once per file: repeated reads and DSv2 re-loads hit the driver cache") {
+    // compressed file: an uncached census re-reads the WHOLE file per
+    // read (2x I/O) — the cache must make it once per (path, mtime,
+    // length), across both the RDD and DSv2 faces
+    Sas.read(spark, rleFixture).count() // warm (may or may not be the first census)
+    val before = Sas.censusRuns.get()
+    Sas.read(spark, rleFixture).count()
+    Sas.read(spark, rleFixture).count()
+    spark.read.format("sas7bdat").load(rleFixture).count()
+    assert(Sas.censusRuns.get() == before,
+      s"census re-ran ${Sas.censusRuns.get() - before} times on a cached file")
+    // the cache keys on the file identity, so the stale fixture (a
+    // different path) still pays — and still truncates — its own census
+    val staleBefore = Sas.censusRuns.get()
+    assert(Sas.read(spark, "fixtures/sas/graft_fixture_rle_stale.sas7bdat").count() == 100)
+    assert(Sas.censusRuns.get() <= staleBefore + 1)
+  }
+
+  test("DSv2: a user-pinned schema is validated — match reads, mismatch fails loudly") {
+    import org.apache.spark.sql.types._
+    val fileSchema = Sas.readMeta(spark, fixture).schema
+    // exact pin: honored
+    assert(spark.read.format("sas7bdat").schema(fileSchema).load(fixture).count() == 100)
+    // divergent pin (wrong type for id): loud failure, not a silent
+    // read under the file's real schema
+    val bad = StructType(fileSchema.fields.map {
+      case f if f.name == "id" => f.copy(dataType = StringType)
+      case f => f
+    })
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("sas7bdat").schema(bad).load(fixture).count()
+    }
+    assert(ex.getMessage.contains("does not match"), ex.getMessage)
+  }
+
   test("non-SAS bytes fail loudly on the magic check") {
     val ex = intercept[IllegalArgumentException] {
       Sas.readMeta(spark, "/root/testdata/sf0.001/region.parquet")
