@@ -46,7 +46,8 @@ object Bench {
     "decontam_semantic", "mine_contrastive_pairs",
     "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source",
     "text_skipgram_lift", "doc_length_outliers",
-    "dedup_threshold_curve", "curation_funnel", "s15_ivf_model_roundtrip",
+    "dedup_threshold_curve", "dedup_threshold_curve_capped",
+    "curation_funnel", "s15_ivf_model_roundtrip",
     "s16_ivf_cell_layout", "text_blocklist", "pipeline_curation_config",
     "pipeline_curation_v2",
     "w6_curation_gate_twin", "mixture_temperature")

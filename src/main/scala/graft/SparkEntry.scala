@@ -86,6 +86,30 @@ object SparkEntry {
   private val doubledDocsSql =
     "(SELECT * FROM documents UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)"
 
+  /** Shared by dedup_threshold_curve and its capped twin: the cap (16)
+    * exceeds the gate corpus's hottest shingle df (7), so both gates
+    * compare against the SAME uncapped SQL — the oracle hash-proves
+    * capped==uncapped whenever no shingle exceeds the cap.
+    */
+  private val thresholdCurveSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+      |       FROM toks),
+      |p AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.s, b.s))) AS j
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.05),
+      |b AS (SELECT floor(j * 10) / 10 AS band_lo, CAST(count(*) AS BIGINT) AS n_pairs
+      |      FROM p GROUP BY 1)
+      |SELECT band_lo, n_pairs,
+      |  CAST(sum(n_pairs) OVER (ORDER BY band_lo DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+      |FROM b""".stripMargin
+
   /** events.parquet's `ts` column has shipped in two physical forms
     * across testdata generations: TIMESTAMP(NANOS) (readable only as a
     * nanos `long` via the legacy nanosAsLong conf) and
@@ -1011,6 +1035,15 @@ object SparkEntry {
     "dedup_threshold_curve" -> ((s, d) =>
       Dedup.jaccardThresholdCurve(t(s, d, "documents"), "doc_id", "text",
         minJaccard = 0.05)),
+    // the CAPPED twin: maxDocFreq=16 bounds every shingle's posting
+    // list (Σdf² → Σmin(df,16)², the flattened scale curve in
+    // SCALE.md). The gate corpus's hottest shingle has df=7, so the
+    // cap provably drops nothing at sf0.01 — the oracle is the SAME
+    // SQL as dedup_threshold_curve, making capped==uncapped a
+    // hash-checked identity, not an assertion
+    "dedup_threshold_curve_capped" -> ((s, d) =>
+      Dedup.jaccardThresholdCurve(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.05, maxDocFreq = Some(16))),
     // release dashboard: per-source totals -> rule-pass -> exact-dedup
     // keep, with stage retention fractions. Doubled corpus so the
     // dedup stage has real work (every text twice)
@@ -2577,24 +2610,12 @@ object SparkEntry {
         |FROM cnt GROUP BY 1""".stripMargin,
     // same shingle/jaccard CTE as dedup_jaccard_audit; banding is one
     // IEEE multiply + floor so the same double lands in the same band
-    "dedup_threshold_curve" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
-        |       FROM toks),
-        |p AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.s, b.s))) AS j
-        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.05),
-        |b AS (SELECT floor(j * 10) / 10 AS band_lo, CAST(count(*) AS BIGINT) AS n_pairs
-        |      FROM p GROUP BY 1)
-        |SELECT band_lo, n_pairs,
-        |  CAST(sum(n_pairs) OVER (ORDER BY band_lo DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
-        |FROM b""".stripMargin,
+    "dedup_threshold_curve" -> thresholdCurveSql,
+    // IDENTICAL oracle by design: the sf0.01 corpus's hottest shingle
+    // df is 7, below the query's cap of 16, so the capped curve must
+    // hash-match the uncapped one — the gate IS the capped==uncapped
+    // pin the cap's no-op contract claims
+    "dedup_threshold_curve_capped" -> thresholdCurveSql,
     // the gopher verdict CTE (stop list ['the','a']) -> md5 keep-first
     // -> per-source stage counts
     "curation_funnel" ->

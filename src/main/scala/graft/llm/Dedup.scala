@@ -291,15 +291,21 @@ object Dedup {
     * window runs over ≤ 11 band rows (bounded single-partition state,
     * the SUMEQ class). Candidate generation inherits
     * [[allPairsJaccard]]'s shared-shingle budget — sample-sized
-    * audits, [[nearDupPairs]] for the 100 TB recall path.
+    * audits, [[nearDupPairs]] for the 100 TB recall path — including
+    * its `maxDocFreq` boilerplate cap: with a cap the curve is the
+    * boilerplate-filtered sensitivity curve (every df(s)² term
+    * bounded at cap², flattening the Σdf² growth — measured in
+    * SCALE.md), identical to the uncapped curve when no shingle
+    * exceeds the cap (spec- and oracle-pinned).
     */
   def jaccardThresholdCurve(
       df: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double = 0.1,
-      shingleK: Int = 3): DataFrame = {
-    val banded = allPairsJaccard(df, idCol, textCol, minJaccard, shingleK)
+      shingleK: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val banded = allPairsJaccard(df, idCol, textCol, minJaccard, shingleK, maxDocFreq)
       .withColumn("band_lo", floor(col("jaccard") * 10) / 10)
       .groupBy("band_lo").agg(count(lit(1)).as("n_pairs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -191,6 +191,22 @@ class LlmSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("jaccardThresholdCurve maxDocFreq: identical curve under a slack cap, engaged cap flattens it") {
+    def curve(cap: Option[Int]) =
+      Dedup.jaccardThresholdCurve(docs, "doc_id", "text", minJaccard = 0.01,
+          maxDocFreq = cap)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = curve(None)
+    assert(uncapped.nonEmpty)
+    // slack cap (>= corpus size): the curve is bit-identical — the
+    // no-op contract the dedup_threshold_curve_capped ORACLE also
+    // hash-pins at sf0.01 (cap 16 > max df 7 there)
+    assert(curve(Some(docs.count().toInt)) == uncapped)
+    // engaged cap: dropping all df>=2 shingles kills every pair — the
+    // curve collapses rather than silently equaling the uncapped one
+    assert(curve(Some(1)).isEmpty)
+  }
+
   /** The dedup_minhash_pairs / dedup_near_keep oracles are exact
     * all-pairs jaccard, while the queries recall candidates through
     * (numPerm=64, bands=16, r=4) banding — so the gate is only sound
