@@ -24,7 +24,12 @@ object Amplify {
         graft.SparkEntry.cleanedTempDir("graft_warehouse_amplify_"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val idCols = Map("documents.parquet" -> "doc_id", "embeddings.parquet" -> "vec_id")
+    // customer joined the map in round 13 for the er_groups skew study:
+    // identical-copy amplification multiplies every (nation, segment)
+    // block's size by the copy count — the blocked self-join's
+    // duplicate-heavy worst case, exactly like hot shingles for dedup
+    val idCols = Map("documents.parquet" -> "doc_id",
+      "embeddings.parquet" -> "vec_id", "customer.parquet" -> "c_custkey")
     val files = new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
     require(files.nonEmpty, s"no parquet tables under $src")
     files.sortBy(_.getName).foreach { f =>

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** maxBlock sensitivity points for er_groups (SCALE.md "Round 13"):
+  * runs `EntityRes.matchGroups` on a dir's customer table at a given
+  * `maxBlock`, so the amplified protocol can measure the blocked
+  * self-join's growth with the cap disengaged (10000 — no sf0.1
+  * amplification reaches it below 64×) vs engaged. Identical query
+  * shape to the gated er_groups; same session and median-of-reps
+  * discipline as [[graft.Bench]].
+  *
+  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock>
+  */
+object ErScale {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ErScale <sfDir> <maxBlock>")
+    val Array(sfDir, maxBlockStr) = args
+    val maxBlock = maxBlockStr.toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.warehouse.dir",
+        graft.SparkEntry.cleanedTempDir("graft_warehouse_erscale_"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/customer.parquet").limit(1).count()
+
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val g = graft.ops.EntityRes.matchGroups(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        maxDist = 2, maxBlock = maxBlock)(
+        spark.read.parquet(s"$sfDir/customer.parquet"))
+      g.write.mode("overwrite").format("noop").save()
+      g.unpersist()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
+    val ts = (0 until reps).map(_ => run()).sorted
+    val med = if (reps % 2 == 1) ts(reps / 2) else (ts(reps / 2 - 1) + ts(reps / 2)) / 2
+    val refused = graft.ops.EntityRes.oversizedBlocks(
+      Seq("c_nationkey", "c_mktsegment"), maxBlock)(
+      spark.read.parquet(s"$sfDir/customer.parquet")).count()
+    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -604,6 +604,38 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("entity resolution: the loud cap fires under identical-copy amplification") {
+    import graft.ops.EntityRes
+    // the Amplify protocol in miniature: union id-remapped copies, so
+    // every block's size multiplies by the copy count (the skew-growth
+    // worst case the maxBlock cap exists for)
+    val base = (
+      (1L to 4L).map(i => (i, s"alpha $i", "AA")) ++
+      (1L to 6L).map(i => (i + 100L, s"beta $i", "BB")) ++
+      (1L to 8L).map(i => (i + 200L, s"gamma $i", "CC"))
+    ).toDF("id", "name", "state")
+    val copies = 4
+    val amplified = (0 until copies)
+      .map(c => base.withColumn("id", col("id") + lit(c * 1000L)))
+      .reduce(_ unionAll _)
+    // amplified block sizes: AA=16, BB=24, CC=32. Cap 20: AA survives,
+    // BB and CC cross the cap and MUST be loudly reported + excluded
+    val over = EntityRes.oversizedBlocks(Seq("state"), maxBlock = 20)(amplified)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(over == Set(("BB", 24L), ("CC", 32L)), s"got $over")
+    val capped = EntityRes.candidatePairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = 20)(amplified)
+    // capped pairs live ONLY in surviving blocks — the worst block's
+    // size^2 cost is held at maxBlock^2 no matter how skew grows
+    val states = capped.join(amplified.select(col("id").as("id_a"), col("state")), "id_a")
+      .select("state").distinct().collect().map(_.getString(0)).toSet
+    assert(states == Set("AA"), s"pairs leaked from refused blocks: $states")
+    // and within a surviving block the pair set is the uncapped one:
+    // 16 'alpha N' copies, every cross pair within levenshtein 2
+    // (digits differ by at most 1 char) -> C(16,2) = 120
+    assert(capped.count() == 120)
+  }
+
   test("pageRankFp: exact fixed-point ranks on a hand-computed graph") {
     import graft.ops.Graph
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "weight")
