@@ -72,37 +72,15 @@ class ContractSpec extends SparkSpec {
     * production at 100 TB.
     */
   test("no query plans a cartesian; nested-loop joins only with bounded build sides") {
-    val boundedBuildSide = Set(
-      "c5_attach_sumeq",        // crossJoin(broadcast(1-row global agg))
-      "sim_cosine_topk",        // crossJoin(broadcast(1-row probe vector))
-      "sim_knn_join",           // exact-kNN baseline: guarded probe-set broadcast (maybeBroadcast cap)
-      "pipeline_preprocess",    // SUMEQ-style 1-row corpus stats broadcast
-      "engine_clinical_study",  // study configs contain ATTACH COLUMN/SUMEQ -> 1-row agg cross
-      "engine_study", "engine_pipeline", // same SUMEQ pattern via the interpreter
-      "sketch_heavy_hitters",   // crossJoin(broadcast(1-row CMS sketch + total))
-      "sim_quant_recall",       // recall audit: guarded probe-set broadcast (maybeBroadcast cap), both rankings
-      "ret_bm25_topk",          // crossJoin(broadcast(1-row corpus stats: N, avgdl))
-      "text_lm_score",          // crossJoin(broadcast(1-row vocabulary size))
-      "ret_hybrid_topk",        // both arms' bounded 1-row broadcasts (bm25 stats + cosine probe)
-      "event_rfm",              // crossJoin(broadcast(1-row ref ts + 1-row quantile bounds))
-      "sketch_union_ndv",       // crossJoin(broadcast(1-row merged HLL sketch estimate))
-      "sketch_inter_ndv",       // inclusion-exclusion: every cross side a 1-row agg/estimate
-      "dq_ref_coverage",        // crossJoin(broadcast(1-row orphan count))
-      "dedup_cluster_sizes",    // crossJoin of two 1-row counts for the singleton row
-      "dedup_graph_triangles",  // crossJoin of three 1-row census aggregates
-      "decontam_semantic",      // bench side is eval-suite-sized by construction (broadcast cross)
-      "pipeline_curation_v2",   // SEMANTIC DECONTAM stage: same eval-suite-sized bench broadcast
-      "mine_contrastive_pairs", // anchors are the mined-batch side (guarded maybeBroadcast cap)
-      "vocab_overlap_matrix",   // pair frame from the groups-sized totals cross (groups^2, not data)
-      "text_skipgram_lift",     // crossJoin(broadcast(1-row corpus token total))
-      "colloc_lift_topk"        // crossJoin(broadcast(1-row corpus token total))
-    )
+    // the allowlist lives in graft.Contracts so the cluster-shape
+    // audit tool (tools/ClusterShape, 512-partition sweep) enforces
+    // the SAME contract — one source of truth, two partition regimes
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan =
         try fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed planning: ${e.getMessage}") }
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$plan")
-      if (!boundedBuildSide(name))
+      if (!Contracts.boundedBuildSide(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin outside the bounded allowlist:\n$plan")
     }
