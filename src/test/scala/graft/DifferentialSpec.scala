@@ -92,6 +92,56 @@ class DifferentialSpec extends SparkSpec {
       case l: Long => l >= x
     }))
 
+  private def mFilterBetween(f: MFrame, c: String, lo: Double, hi: Double): MFrame =
+    f.copy(rows = f.rows.filter(r => r(c) match {
+      case null => false
+      case d: Double => d >= lo && d <= hi
+      case l: Long => l >= lo && l <= hi
+    }))
+
+  // ===== datetime modeling =====
+  // The model keeps timestamps as CANONICAL "yyyy-MM-dd HH:mm:ss"
+  // strings: lexicographic order on that form IS chronological order,
+  // so sorts/filters/dedups need no special casing, and the engine's
+  // collected java.sql.Timestamp normalizes to the same string
+  // (session TZ and JVM TZ are both UTC in the test session).
+
+  private val CanonFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val MdyFmt = java.time.format.DateTimeFormatter.ofPattern("MM/dd/yyyy")
+
+  /** FORMAT COLUMN type=datetime#%m/%d/%Y, the engine's LENIENT rule:
+    * pattern parse first, fall back to the default timestamp cast
+    * (our ISO-formed values), else null. Already-timestamp columns
+    * pass through — the generator encodes that via `alreadyTs`.
+    */
+  private def mFormatDate(f: MFrame, c: String): MFrame =
+    f.copy(rows = f.rows.map { r =>
+      r.updated(c, r(c) match {
+        case null => null
+        case s: String if s.matches("""\d{2}/\d{2}/\d{4}""") =>
+          java.time.LocalDate.parse(s, MdyFmt).atStartOfDay.format(CanonFmt)
+        case s: String if s.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}""") =>
+          s // already canonical — the try_cast fallback accepts it as-is
+        case _ => null
+      })
+    })
+
+  /** DATE(yyyy-mm-dd) literal → the canonical midnight string the
+    * engine's Timestamp.valueOf(atStartOfDay) literal collapses to. */
+  private def dateLit(d: String): String = s"$d 00:00:00"
+
+  private def mFilterDate(f: MFrame, c: String, op: String, lo: String, hi: String): MFrame =
+    f.copy(rows = f.rows.filter(r => r(c) match {
+      case null => false
+      case s: String => op match {
+        case "ge" => s >= dateLit(lo)
+        case "le" => s <= dateLit(lo)
+        case "eq" => s == dateLit(lo)
+        case "between" => s >= dateLit(lo) && s <= dateLit(hi)
+      }
+    }))
+
   private def keyPresent(v: Any): Boolean = v match {
     case null => false
     case d: Double => !d.isNaN
@@ -202,18 +252,16 @@ class DifferentialSpec extends SparkSpec {
       f.rows.map(r => r.updated(name,
         if (r(src) == null) "MISSING" else r("g").asInstanceOf[String])))
 
-  private val DecisionMapping = Seq("g0" -> "red", "g1" -> "blue")
-
   /** The BIND ROWS side table — ONE definition drives both the model
     * frame and the Spark frame so they cannot desynchronize. */
   private val BindRowsTable = Vector(("g0", 101L), ("g9", 102L))
 
-  private def mDecision(f: MFrame, name: String): MFrame =
+  private def mDecision(f: MFrame, name: String, mapping: Seq[(String, String)]): MFrame =
     MFrame(if (f.cols.contains(name)) f.cols else f.cols :+ name,
       f.rows.map(r => r.updated(name,
         // the when-chain folds left with otherwise(acc): the LAST
         // mapping row is checked first, so duplicate keys are last-wins
-        DecisionMapping.reverse.find(_._1 == r("g")).map(_._2).orNull)))
+        mapping.reverse.find(_._1 == r("g")).map(_._2).orNull)))
 
   private def mBind(f: MFrame, u: MFrame): MFrame = {
     val extra = u.cols.filterNot(f.cols.contains)
@@ -234,6 +282,9 @@ class DifferentialSpec extends SparkSpec {
   private case class PRemove(cols: Seq[String]) extends POp
   private case class PRename(from: String, to: String) extends POp
   private case class PFilterGe(c: String, x: Int) extends POp
+  private case class PFilterBetween(c: String, lo: Int, hi: Int) extends POp
+  private case class PFormatDate(alreadyTs: Boolean) extends POp
+  private case class PFilterDate(op: String, lo: String, hi: String) extends POp
   private case class PSlice(n: Int) extends POp
   private case class PSummarise(aggs: Seq[(String, String)]) extends POp
   private case object PJoin extends POp
@@ -255,9 +306,14 @@ class DifferentialSpec extends SparkSpec {
       longCols: Set[String], // Spark bigint columns (count outputs, k)
       ordered: Boolean, // engine order metadata expected nonempty
       joined: Boolean,
-      bound: Boolean = false) // BIND ROWS used (once-only, like joins)
+      bound: Boolean = false, // BIND ROWS used (once-only, like joins)
+      tsCols: Set[String] = Set.empty) // FORMAT datetime already applied
 
-  private val BaseCols = Vector("g", "k", "s", "v", "p")
+  private val BaseCols = Vector("g", "k", "s", "v", "p", "d")
+
+  private val DateLitPool = Seq(
+    "2021-01-01", "2021-02-11", "2021-03-12", "2021-06-15",
+    "2021-07-01", "2021-09-03", "2022-01-01")
 
   private def step(st: GState): Gen[Option[(POp, GState)]] = {
     val sortable = (st.uniqueCols intersect st.cols.toSet).toSeq.sorted
@@ -290,11 +346,12 @@ class DifferentialSpec extends SparkSpec {
            else Gen.oneOf(st.cols.filterNot(_ == "g"))
     } yield n
     // state after creating/overwriting `name`: present, but no longer
-    // unique/numeric/long — each op re-grants what its output type has
+    // unique/numeric/long/timestamp — each op re-grants what its
+    // output type has
     def bindNamed(name: String): GState =
       st.copy(cols = if (st.cols.contains(name)) st.cols else st.cols :+ name,
         uniqueCols = st.uniqueCols - name, numericCols = st.numericCols - name,
-        longCols = st.longCols - name)
+        longCols = st.longCols - name, tsCols = st.tsCols - name)
     candidates += (for {
       name <- namedTarget(Seq("c1", "c2"))
       v <- Gen.oneOf("x", "y")
@@ -318,10 +375,32 @@ class DifferentialSpec extends SparkSpec {
         uniqueCols = if (st.uniqueCols("k")) st.uniqueCols - "k" + "k2" else st.uniqueCols,
         numericCols = if (st.numericCols("k")) st.numericCols - "k" + "k2" else st.numericCols,
         longCols = if (st.longCols("k")) st.longCols - "k" + "k2" else st.longCols)))
-    if (numeric.nonEmpty)
+    if (numeric.nonEmpty) {
       candidates += (for {
         c <- Gen.oneOf(numeric); x <- Gen.chooseNum(0, 9)
       } yield (PFilterGe(c, x), st))
+      // BETWEEN with NUMBER literals (F5); lo may exceed hi — an empty
+      // range must empty the frame on both sides, not error
+      candidates += (for {
+        c <- Gen.oneOf(numeric); lo <- Gen.chooseNum(0, 9); hi <- Gen.chooseNum(0, 12)
+      } yield (PFilterBetween(c, lo, hi), st))
+    }
+    // FORMAT datetime on the date column while it still holds the
+    // original values (uniqueCols doubles as "never overwritten", the
+    // FORMAT number discipline). Re-formatting an already-timestamp
+    // column exercises the engine's pass-through branch.
+    if (st.cols.contains("d") && st.uniqueCols.contains("d"))
+      candidates += Gen.const((PFormatDate(st.tsCols("d")),
+        st.copy(tsCols = st.tsCols + "d")))
+    // DATE-literal filters only on the post-FORMAT timestamp column:
+    // the reference compares pd.to_datetime columns against date
+    // literals, never raw strings against timestamps
+    if (st.cols.contains("d") && st.tsCols.contains("d"))
+      candidates += (for {
+        op <- Gen.oneOf("ge", "le", "eq", "between")
+        lo <- Gen.oneOf(DateLitPool)
+        hi <- Gen.oneOf(DateLitPool)
+      } yield (PFilterDate(op, lo, hi), st))
     if (st.ordered && st.cols.contains("g"))
       candidates += Gen.chooseNum(1, 2).map(n => (PSlice(n), st))
     if (st.cols.contains("g") && numeric.nonEmpty)
@@ -406,7 +485,7 @@ class DifferentialSpec extends SparkSpec {
   private def pipelineGen: Gen[List[POp]] = {
     // p is nullable (ties among nulls) so it is numeric but never a
     // sort key; its nulls drive REMOVE ROWS / null-skipping agg paths
-    val st0 = GState(BaseCols, Set("k", "s", "v"), Set("k", "v", "p"),
+    val st0 = GState(BaseCols, Set("k", "s", "v", "d"), Set("k", "v", "p"),
       Set("k"), ordered = false, joined = false)
     def loop(st: GState, n: Int, acc: List[POp]): Gen[List[POp]] =
       if (n == 0) Gen.const(acc.reverse)
@@ -416,7 +495,7 @@ class DifferentialSpec extends SparkSpec {
       }
     for {
       n <- Gen.chooseNum(3, 8)
-      u <- Gen.oneOf(Seq("k", "v", "s")) // pipelines start ordered
+      u <- Gen.oneOf(Seq("k", "v", "s", "d")) // pipelines start ordered
       rest <- loop(st0.copy(ordered = true), n, Nil)
     } yield PSort(Seq(u)) :: rest
   }
@@ -435,6 +514,13 @@ class DifferentialSpec extends SparkSpec {
       case PRemove(cols) => spec("REMOVE COLUMN", cols.mkString(","))
       case PRename(f, t) => spec("RENAME COLUMN", s"$f=$t")
       case PFilterGe(c, x) => spec("FILTER", s"$c >= NUMBER($x)")
+      case PFilterBetween(c, lo, hi) => spec("FILTER", s"$c BETWEEN (NUMBER($lo), NUMBER($hi))")
+      case PFormatDate(_) => spec("FORMAT COLUMN", "column=d, type=datetime#%m/%d/%Y")
+      case PFilterDate("ge", lo, _) => spec("FILTER", s"d >= DATE($lo)")
+      case PFilterDate("le", lo, _) => spec("FILTER", s"d <= DATE($lo)")
+      case PFilterDate("eq", lo, _) => spec("FILTER", s"d = DATE($lo)")
+      case PFilterDate("between", lo, hi) => spec("FILTER", s"d BETWEEN (DATE($lo), DATE($hi))")
+      case PFilterDate(op, _, _) => throw new IllegalStateException(s"bad date op $op")
       case PSlice(n) => spec("GROUPBY SLICE", s"group_by_cols=g, slice_num=$n")
       case PSummarise(aggs) => spec("GROUPBY SUMMARISE",
         s"group_by_cols=g | summary_col_ops=${aggs.map { case (c, f) => s"$c#$f" }.mkString(", ")}")
@@ -457,7 +543,8 @@ class DifferentialSpec extends SparkSpec {
     }
   }
 
-  private def mApply(f: MFrame, right: MFrame, p: POp, longCols: Set[String]): MFrame = p match {
+  private def mApply(f: MFrame, right: MFrame, p: POp, longCols: Set[String],
+      mapping: Seq[(String, String)]): MFrame = p match {
     case PSort(keys, desc) => mSort(f, keys, desc)
     case PFormatNum(c) => mFormatNumber(f, c)
     case PAdd(c, v) => mAdd(f, c, v)
@@ -466,6 +553,9 @@ class DifferentialSpec extends SparkSpec {
     case PRemove(cols) => mRemove(f, cols)
     case PRename(from, to) => mRename(f, from, to)
     case PFilterGe(c, x) => mFilterGe(f, c, x.toDouble)
+    case PFilterBetween(c, lo, hi) => mFilterBetween(f, c, lo.toDouble, hi.toDouble)
+    case PFormatDate(alreadyTs) => if (alreadyTs) f else mFormatDate(f, "d")
+    case PFilterDate(op, lo, hi) => mFilterDate(f, "d", op, lo, hi)
     case PSlice(n) => mSlice(f, "g", n)
     case PSummarise(aggs) => mSummarise(f, "g", aggs, longCols)
     case PJoin => mLeftJoin(f, right, "g")
@@ -476,7 +566,7 @@ class DifferentialSpec extends SparkSpec {
     case PAggRow(name, srcs, fn) => mAggRow(f, name, srcs, fn)
     case PSumEq(name, a, b) => mSumEq(f, name, a, b)
     case PNullFill(name, src) => mNullFill(f, name, src)
-    case PDecision(name) => mDecision(f, name)
+    case PDecision(name) => mDecision(f, name, mapping)
     case PBind => mBind(f, MFrame(Vector("g", "k"),
       BindRowsTable.map { case (g, k) => Map[String, Any]("g" -> g, "k" -> k) }))
   }
@@ -499,16 +589,36 @@ class DifferentialSpec extends SparkSpec {
 
   private def normalize(v: Any): Any = v match {
     case i: Int => i.toLong
+    // the model keeps timestamps as canonical strings; collected
+    // engine timestamps map to the same form (JVM TZ == session TZ)
+    case t: java.sql.Timestamp => t.toLocalDateTime.format(CanonFmt)
     case other => other
   }
 
+  /** Decision tables are generated PER CASE: duplicate keys (the
+    * last-wins when-chain fold), keys absent from the data, values
+    * that collide, and the empty table (all-null output) are all in
+    * the space — the reference's worksheet-sourced tables have every
+    * one of these shapes.
+    */
+  private val mappingGen: Gen[List[(String, String)]] = for {
+    n <- Gen.chooseNum(0, 4)
+    m <- Gen.listOfN(n, Gen.zip(
+      Gen.oneOf("g0", "g1", "g2", "g9"), Gen.oneOf("red", "blue", "green")))
+  } yield m
+
   test("property: the interpreter's lazy order semantics match a physical-order pandas twin") {
-    // base table: g repeats (grouping), k/s/v unique (tie-free sort
-    // keys); v dyadic so fp sums are order-independent and exact
+    // base table: g repeats (grouping), k/s/v/d unique (tie-free sort
+    // keys); v dyadic so fp sums are order-independent and exact; d is
+    // a date string in TWO physical forms — MM/dd/yyyy (the strftime
+    // pattern path) and ISO yyyy-MM-dd HH:mm:ss (the try_cast fallback
+    // path FORMAT datetime's lenient rule exists for)
     val base = Vector.tabulate(12) { i =>
       Map[String, Any]("g" -> s"g${i % 3}", "k" -> (((i * 7) % 12) + 1).toLong,
         "s" -> f"${(i * 5) % 12 + 0.5}%.1f", "v" -> (((i * 11) % 12) + 0.25),
-        "p" -> (if (i % 4 == 0) null else (i + 0.125): Any))
+        "p" -> (if (i % 4 == 0) null else (i + 0.125): Any),
+        "d" -> (if (i < 6) f"${i + 1}%02d/${10 + i}%02d/2021"
+                else f"2021-${i + 1}%02d-${i - 5}%02d 12:30:00"))
     }
     val mBase = MFrame(BaseCols, base)
     val mRight = MFrame(Vector("g", "w"), Vector(
@@ -518,12 +628,13 @@ class DifferentialSpec extends SparkSpec {
       Map("g" -> "g9", "w" -> 9.75)))
     val sBase = base.map(r => (r("g").asInstanceOf[String], r("k").asInstanceOf[Long],
       r("s").asInstanceOf[String], r("v").asInstanceOf[Double],
-      Option(r("p")).map(_.asInstanceOf[Double]))).toDF("g", "k", "s", "v", "p")
+      Option(r("p")).map(_.asInstanceOf[Double]),
+      r("d").asInstanceOf[String])).toDF("g", "k", "s", "v", "p", "d")
     val sRight = Seq(("g0", 1.25), ("g1", 2.5), ("g9", 9.75)).toDF("g", "w")
     val sBind = BindRowsTable.toDF("g", "k")
-    val tables = Map("T" -> graft.model.DecisionTable("T", DecisionMapping))
 
-    val prop = Prop.forAllNoShrink(pipelineGen) { ops =>
+    val prop = Prop.forAllNoShrink(pipelineGen, mappingGen) { (ops, mapping) =>
+      val tables = Map("T" -> graft.model.DecisionTable("T", mapping))
       val specs = ops.zipWithIndex.map { case (p, i) =>
         opSpec(i, if (i == 0) "t" else s"o${i - 1}", p)
       }
@@ -533,7 +644,7 @@ class DifferentialSpec extends SparkSpec {
       val last = s"o${ops.length - 1}"
       val engine = ctx.result(last)
       val model = ops.foldLeft((mBase, Set("k"))) { case ((f, lc), p) =>
-        (mApply(f, mRight, p, lc), updateLongCols(lc, p))
+        (mApply(f, mRight, p, lc, mapping), updateLongCols(lc, p))
       }._1
 
       val eCols = engine.columns.toVector
@@ -553,7 +664,7 @@ class DifferentialSpec extends SparkSpec {
       val contentOk = colsOk && eRows.map(canon).sorted == mRows.map(canon).sorted
       val orderOk = ctx.order(last).isEmpty || eRows == mRows
       if (!(contentOk && orderOk)) {
-        println(s"PIPELINE: ${ops.mkString(" -> ")}")
+        println(s"PIPELINE: ${ops.mkString(" -> ")} [decision table: $mapping]")
         println(s"engine cols=$eCols order=${ctx.order(last)}")
         eRows.foreach(r => println(s"  E $r"))
         println(s"model cols=${model.cols}")
