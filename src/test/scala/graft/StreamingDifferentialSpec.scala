@@ -207,6 +207,88 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: streaming LSH near-dup pairs survive checkpoint kills and a forced replay") {
+    // streamingNearDupPairs buffers LSH signatures in stream-stream
+    // join state; a pair whose two documents arrive in DIFFERENT runs
+    // only surfaces if that state is restored from the checkpoint.
+    // Random docs land in 1-4 CSV files, each driven by its own
+    // AvailableNow run (a full query stop/start = a crash-recovery
+    // cycle), then the newest commit marker is deleted so the final
+    // restart REPLAYS a batch — the file sink's transaction log must
+    // absorb the replay without duplicating pairs. The accumulated
+    // sink must equal the batch twin over all rows, triple-for-triple.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val baseText = "the quick brown fox jumps over the lazy dog again and again today"
+    val docsGen = for {
+      n <- Gen.chooseNum(4, 9)
+      fams <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.const("A"),   // base text: exact dups of each other
+        2 -> Gen.const("A'"),  // near-dup variant (one appended word)
+        2 -> Gen.const("U")))  // unrelated, doc-unique shingles
+    } yield fams.zipWithIndex.map { case (fam, i) =>
+      val text = fam match {
+        case "A" => baseText
+        case "A'" => baseText + " extra"
+        case _ => s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      }
+      // 7-minute spacing: most adjacent pairs are inside the 30-minute
+      // horizon, distant ones fall outside — both paths generated
+      (i.toLong, new Timestamp(t0 + i * 7 * 60000L), text)
+    }
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(c => Gen.listOfN(c, Gen.chooseNum(1, 8)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, ts TIMESTAMP, text STRING")
+    val prop = Prop.forAllNoShrink(docsGen, cutsGen) { (docs, cuts) =>
+      val watch = Files.createTempDirectory("graft_lshdiff_watch").toString
+      val out = Files.createTempDirectory("graft_lshdiff_out").toString + "/pairs"
+      val ckpt = Files.createTempDirectory("graft_lshdiff_ckpt").toString
+      def drive(): Unit = {
+        val stream = StreamingIngest.streamingNearDupPairs(
+          spark.readStream.schema(schema).option("header", "true").csv(watch),
+          "doc_id", "text", "ts",
+          horizon = "30 minutes", watermark = "1 hour", threshold = 0.5)
+        val q = stream.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try assert(q.awaitTermination(180000), "streaming query did not finish within 180000ms")
+        finally if (q.isActive) q.stop()
+      }
+      segments(docs, cuts).zipWithIndex.foreach { case (seg, i) =>
+        val csv = "doc_id,ts,text\n" +
+          seg.map { case (id, ts, tx) => s"$id,$ts,$tx" }.mkString("\n") + "\n"
+        Files.writeString(java.nio.file.Paths.get(watch, f"b$i%03d.csv"), csv)
+        drive() // one crash-recovery cycle per file
+      }
+      // force a genuine at-least-once replay of the newest batch: the
+      // join state rewinds and the batch re-runs under the same id —
+      // the sink's _spark_metadata log must drop the duplicate output
+      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+      val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = cfs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.forall(_.isDigit))
+      cfs.delete(markers.maxBy(_.getName.toLong), false)
+      drive()
+      def triple(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("est_jaccard"))
+      val got = spark.read.parquet(out).collect().map(triple).toSeq
+      val want = StreamingIngest.streamingNearDupPairs(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        horizon = "30 minutes", watermark = "1 hour", threshold = 0.5)
+        .collect().map(triple).toSeq
+      // sorted-seq equality, not set: a replay-induced DUPLICATE pair
+      // must fail even though the pair itself is legitimate
+      val ok = got.sorted == want.sorted
+      if (!ok) {
+        println(s"cuts=$cuts docs=$docs")
+        println(s"streaming+restarts: ${got.sorted}")
+        println(s"batch twin:         ${want.sorted}")
+      }
+      ok
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: sessionization state accumulates identically across any micro-batch split") {
     implicit val sqlCtx = spark.sqlContext
     val eventsGen = for {
