@@ -1,0 +1,594 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ParquetResolver, StudyRunner, Interpreter, PipelineContext}
+import graft.io.{ConfigReader, Export, NestedStore, Standardized}
+import graft.llm.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
+import graft.model._
+import graft.ops.Ops
+
+/** Query registry — document deduplication: exact, MinHash-LSH, SimHash, k-gram/CDC spans, clustering, entity resolution, curation funnels.
+  *
+  * Split out of SparkEntry (round 13) purely for maintainability: the
+  * public driver contract is still `SparkEntry.queries` /
+  * `SparkEntry.oracleSql`, which concatenate the per-family maps.
+  * Helpers shared across families live in [[QueryHelpers]].
+  */
+private[graft] object DedupQueries {
+  import QueryHelpers._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== LLM pipeline: dedup =====
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup("text", "doc_id")(doubledDocs(s, d))),
+    "dedup_exact_stats" -> ((s, d) => Dedup.exactDedupStats("text", "doc_id")(doubledDocs(s, d))),
+    // steady-state ingest: a new batch (half re-crawled content, half
+    // fresh) anti-joins the store's digest set — only novel content
+    // survives
+    "dedup_incremental" -> ((s, d) => {
+      val store = t(s, d, "documents")
+      val batch = store.withColumn("doc_id", col("doc_id") + 10000L)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(" fresh")))
+            .otherwise(col("text")))
+      Dedup.incrementalDedup("text", batch, store).select("doc_id", "text")
+    }),
+    // Banding (numPerm=64, bands=16, r=4) is tuned to the DATA, not
+    // the threshold: the corpus's true near-dup pairs sit at jaccard
+    // >= 0.9 (sf0.01) / >= 0.8 (sf0.1), nothing in [0.3, 0.8)
+    // (measured — tools/JaccardGap), where the r=4 S-curve gives
+    // per-pair miss probability <= (1-0.8^4)^16 ≈ 2e-4, expected
+    // misses ≈ 1.5e-3 across the 7 sf0.1 pairs in [0.8, 0.9) — safe
+    // against the exact all-pairs oracle. That assumption is PINNED
+    // by LlmSpec ("corpus assumption: no jaccard pairs in the LSH
+    // miss zone"), so regenerated testdata fails loudly. r=2
+    // (bands=32) would put the 50%-candidate point at j≈0.15 and
+    // flood the verify stage with low-jaccard candidates (measured
+    // 10× slower) for recall this corpus doesn't need.
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, numPerm = 64, bands = 16)),
+    // the exact audit path that VALIDATES the banding assumption:
+    // inverted-index all-pairs jaccard (shared-shingle enumeration,
+    // never a doc-level cartesian)
+    "dedup_jaccard_audit" -> ((s, d) =>
+      Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3)),
+    // eval-carve-out contamination: near-dup pairs straddling the
+    // train/val/test hash splits (each side's split is a pure function
+    // of its id — no join back to the corpus, no extra shuffle)
+    "split_leakage_audit" -> ((s, d) =>
+      graft.llm.Sampling.splitLeakageAudit(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.3)),
+    // connected components over the exact near-dup pair graph: one
+    // call collapses transitive chains; oracle replays the same pairs
+    // through a recursive CTE reachability walk
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(
+        Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3))),
+    "dedup_near_keep" -> ((s, d) =>
+      Dedup.nearDedup(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    // dedup-graph health: component-size histogram incl. singletons
+    // (a growing max size = boilerplate chaining unrelated docs)
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    // triangle census of the pair graph (a<b<c oriented two-join —
+    // triangle-dense = real dup clusters, chain-shaped = templates)
+    "dedup_graph_triangles" -> ((s, d) =>
+      Dedup.graphTriangleCensus(
+        Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3))),
+    // steady-state NEAR-dup ingest (LSH twin of dedup_incremental):
+    // batch = every 5th doc, store = the rest; drop batch docs with a
+    // store near-dup, then keep-lowest among the batch survivors
+    "dedup_incremental_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDedup(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+    // maxHamming=3 keeps the 16-bit-chunk blocking recall-COMPLETE
+    // (pigeonhole), so the blocked result equals the all-pairs oracle;
+    // md5Hash60 is the engine-portable token hash the oracle can
+    // replicate (production default stays xxhash64).
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3,
+        tokenHash = Dedup.md5Hash60)),
+    // exact-substring (Lee et al. ExactSubstr) audit: per-doc fraction
+    // of 30-char spans duplicated verbatim in another document — the
+    // shuffle carries 8-byte gram hashes, the oracle the raw substrings
+    "dedup_kgram_coverage" -> ((s, d) =>
+      Dedup.kgramDupCoverage(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    "dedup_kgram_pairs" -> ((s, d) =>
+      Dedup.kgramDupPairs(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    // content-defined chunking (LBFS-style, word granularity):
+    // boundary-aligned NON-overlapping chunks, so the exploded volume
+    // is ~1x corpus (vs k-grams' kx); shuffle carries chunk digests
+    "dedup_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunkStats(t(s, d, "documents"), "doc_id", "text", divisor = 8)),
+    "dedup_cdc_coverage" -> ((s, d) =>
+      Dedup.cdcDupCoverage(t(s, d, "documents"), "doc_id", "text", divisor = 8)),
+    // dedup-rate-over-ingestion monitoring: per doc_id bucket, the
+    // fraction of documents whose exact content is seen first there
+    "dedup_novelty_curve" -> ((s, d) =>
+      Dedup.noveltyCurve(t(s, d, "documents"), "doc_id", "text", bucketSize = 50)),
+
+    // ===== entity resolution (blocking + edit distance) =====
+    // candidate pairs never cross blocks (equi-join on the blocking
+    // key, the LSH-band discipline); Levenshtein is engine-exact ints
+    "er_pairs" -> ((s, d) =>
+      graft.ops.EntityRes.candidatePairs(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2)(
+        t(s, d, "customer"))),
+    // transitive match groups over the same pair graph (label
+    // propagation); oracle replays a recursive reachability walk
+    "er_groups" -> ((s, d) =>
+      graft.ops.EntityRes.matchGroups(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2)(
+        t(s, d, "customer"))),
+    // dedup-threshold tuning: pair counts per 0.1 jaccard band with
+    // the at-or-above cumulative — "what would threshold t remove".
+    // Plain corpus: its bimodal curve (a fat low-band + the 0.9
+    // near-dup spike, nothing between) is exactly the shape the
+    // diagnostic exists to reveal — any threshold in the gap removes
+    // the same pairs. (The doubled frame was tried and reverted: 4×
+    // the shared-shingle join for one more band, 6.7 s vs 1.7 s.)
+    "dedup_threshold_curve" -> ((s, d) =>
+      Dedup.jaccardThresholdCurve(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.05)),
+    // the CAPPED twin: maxDocFreq=16 bounds every shingle's posting
+    // list (Σdf² → Σmin(df,16)², the flattened scale curve in
+    // SCALE.md). The gate corpus's hottest shingle has df=7, so the
+    // cap provably drops nothing at sf0.01 — the oracle is the SAME
+    // SQL as dedup_threshold_curve, making capped==uncapped a
+    // hash-checked identity, not an assertion
+    "dedup_threshold_curve_capped" -> ((s, d) =>
+      Dedup.jaccardThresholdCurve(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.05, maxDocFreq = Some(16))),
+    // release dashboard: per-source totals -> rule-pass -> exact-dedup
+    // keep, with stage retention fractions. Doubled corpus so the
+    // dedup stage has real work (every text twice)
+    "curation_funnel" -> ((s, d) =>
+      graft.llm.Selection.curationFunnel(doubledDocs(s, d),
+        "doc_id", "text", "source", stopwords = Seq("the", "a"))),
+    // provenance view of exact-substring dedup: which source pairs
+    // share verbatim 30-grams, rolled up from the doc-pair view
+    "overlap_source_matrix" -> ((s, d) =>
+      graft.llm.Dedup.crossSourceOverlap(
+        t(s, d, "documents"), "doc_id", "text", "source", k = 30)),
+    // exact-substring span cutting: merged removal spans over
+    // corpus-duplicated 30-char grams (Lee et al. ExactSubstr's cut
+    // list; dedup_kgram_coverage is the score-only audit)
+    "span_repeat_spans" -> ((s, d) =>
+      graft.llm.Dedup.kgramDupSpans(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    "span_clean_stats" -> ((s, d) =>
+      graft.llm.Dedup.spanCleanStats(t(s, d, "documents"), "doc_id", "text", k = 30)),
+    // the cut itself: training copy with duplicated spans removed
+    "span_cut_text" -> ((s, d) =>
+      graft.llm.Dedup.cutSpans(t(s, d, "documents"), "doc_id", "text", k = 30)
+        .select("doc_id", "clean_text")),
+    // near-dedup keeping each cluster's best-quality doc (ttr score)
+    // instead of its lowest id — the production keep policy
+    "dedup_near_keep_best" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      graft.llm.Dedup.nearDedupKeepBest(
+        t(s, d, "documents").select(col("doc_id"), col("text"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")),
+        "doc_id", "text", "ttr", threshold = 0.5)
+        .select("doc_id", "ttr")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT doc_id, text, lang, source, n_chars
+         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $doubledDocsSql)
+         |WHERE rn = 1""".stripMargin,
+    "dedup_exact_stats" ->
+      s"SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_id FROM $doubledDocsSql GROUP BY 1",
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    CASE WHEN (doc_id + 10000) % 2 = 1 THEN text || ' fresh' ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, text FROM batch
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)""".stripMargin,
+    "dedup_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
+    "dedup_jaccard_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    // cluster-size histogram replay: CC walk at the 0.5 near-dup
+    // threshold, plus the singleton row from the corpus complement
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1),
+        |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+        |single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |                  (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc) AS n_clusters)
+        |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM single WHERE n_clusters > 0)
+        |GROUP BY 1""".stripMargin,
+    // triangle census replay: the same a<b<c oriented two-join over
+    // the 0.3 jaccard pair list
+    "dedup_graph_triangles" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |v AS (SELECT count(DISTINCT x) AS n_vertices FROM
+        |        (SELECT id_a AS x FROM pairs UNION ALL SELECT id_b FROM pairs)),
+        |ne AS (SELECT count(*) AS n_edges FROM pairs),
+        |tri AS (SELECT count(*) AS n_triangles FROM pairs e1
+        |        JOIN pairs e2 ON e1.id_b = e2.id_a
+        |        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        |SELECT v.n_vertices, ne.n_edges, tri.n_triangles FROM v, ne, tri""".stripMargin,
+    // incremental near-dedup replay: exact shingle jaccard (the
+    // corpus-assumption spec pins LSH == exact at gate scales), batch
+    // vs store first, then keep-lowest among the store-survivors
+    "dedup_incremental_near" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |storedrop AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |surv AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM storedrop)),
+        |batchdrop AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM surv)
+        |    AND b.doc_id IN (SELECT doc_id FROM surv)
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT * FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM surv)
+        |  AND doc_id NOT IN (SELECT doc_id FROM batchdrop)""".stripMargin,
+    // leakage replay: the jaccard-audit pair CTE, each side's split
+    // recomputed from its id by the sample_hash_split bucket rule
+    "split_leakage_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |lab AS (
+        |  SELECT id_a, id_b, jaccard,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(id_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
+        |         ELSE 'train' END AS split_a,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
+        |         ELSE 'train' END AS split_b
+        |  FROM pairs)
+        |SELECT * FROM lab WHERE split_a <> split_b""".stripMargin,
+    "er_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    "er_groups" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+        |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+        |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
+    "dedup_kgram_coverage" ->
+      """WITH pos AS (
+        |  SELECT doc_id, g.i AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT p.doc_id, count(*) AS n_grams,
+        |       count(CASE WHEN d.gram IS NOT NULL THEN 1 END) AS dup_grams,
+        |       count(CASE WHEN d.gram IS NOT NULL THEN 1 END) / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM pos p LEFT JOIN dup d USING (gram)
+        |GROUP BY 1""".stripMargin,
+    "dedup_kgram_pairs" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) i)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    // CDC chunk replay: same boundary rule (md5-prefix hash of the
+    // word, % 8), boundary word ends its chunk; the window-sum of
+    // boundary flags over STRICTLY preceding words is the chunk index
+    "dedup_cdc_chunks" ->
+      (cdcChunksCte +
+        """SELECT md5(chunk) AS chunk_md5,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       count(*) AS n_occurrences,
+          |       max(n_words) AS n_words
+          |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    "dedup_cdc_coverage" ->
+      (cdcChunksCte +
+        """, ch AS (SELECT doc_id, md5(chunk) AS h, n_words FROM chunks),
+          |dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+          |per AS (
+          |  SELECT ch.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_chunks,
+          |         CAST(count(CASE WHEN d.h IS NOT NULL THEN 1 END) AS BIGINT) AS dup_chunks,
+          |         CAST(sum(ch.n_words) AS BIGINT) AS n_words,
+          |         CAST(COALESCE(sum(CASE WHEN d.h IS NOT NULL THEN ch.n_words END), 0) AS BIGINT) AS dup_words
+          |  FROM ch LEFT JOIN dup d ON ch.h = d.h GROUP BY 1)
+          |SELECT doc.doc_id,
+          |       COALESCE(p.n_chunks, 0) AS n_chunks,
+          |       COALESCE(p.dup_chunks, 0) AS dup_chunks,
+          |       COALESCE(p.n_words, 0) AS n_words,
+          |       COALESCE(p.dup_words, 0) AS dup_words,
+          |       COALESCE(CAST(p.dup_words AS DOUBLE) / p.n_words, 0.0) AS dup_word_frac
+          |FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id""".stripMargin),
+    "dedup_novelty_curve" ->
+      """WITH firsts AS (
+        |  SELECT md5(text) AS d, min(doc_id) AS first_id FROM documents GROUP BY 1),
+        |nov AS (SELECT first_id // 50 AS bucket, count(*) AS n_novel FROM firsts GROUP BY 1),
+        |tot AS (SELECT doc_id // 50 AS bucket, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.bucket, t.n_docs, COALESCE(n.n_novel, 0) AS n_novel,
+        |       COALESCE(n.n_novel, 0) / CAST(t.n_docs AS DOUBLE) AS novel_frac
+        |FROM tot t LEFT JOIN nov n ON t.bucket = n.bucket""".stripMargin,
+    "dedup_near_keep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |drops AS (SELECT DISTINCT b.doc_id AS id_b
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT * FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    // same shingle/jaccard CTE as dedup_jaccard_audit; banding is one
+    // IEEE multiply + floor so the same double lands in the same band
+    "dedup_threshold_curve" -> thresholdCurveSql,
+    // IDENTICAL oracle by design: the sf0.01 corpus's hottest shingle
+    // df is 7, below the query's cap of 16, so the capped curve must
+    // hash-match the uncapped one — the gate IS the capped==uncapped
+    // pin the cap's no-op contract claims
+    "dedup_threshold_curve_capped" -> thresholdCurveSql,
+    // the gopher verdict CTE (stop list ['the','a']) -> md5 keep-first
+    // -> per-source stage counts
+    "curation_funnel" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS l
+        |  FROM $doubledDocsSql),
+        |m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE) / len(w) AS mean_word_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS frac_alpha_words,
+        |    (CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+        |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3) / len(w) AS symbol_ratio,
+        |    CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l) AS frac_bullet_lines,
+        |    CAST(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(l) AS frac_ellipsis_lines,
+        |    CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+        |      t -> list_contains(['the','a'], t))) AS INTEGER) AS n_stop
+        |  FROM base),
+        |v AS (SELECT doc_id, source, text,
+        |        (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |         AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+        |         AND frac_alpha_words > 0.8 AND n_stop >= 2) AS p
+        |      FROM m),
+        |keep AS (SELECT min(doc_id) AS kid FROM v WHERE p GROUP BY md5(text)),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept_unique
+        |      FROM v WHERE p AND doc_id IN (SELECT kid FROM keep) GROUP BY 1),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |          CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rules
+        |        FROM v GROUP BY 1)
+        |SELECT agg.source, agg.n_docs, agg.n_pass_rules,
+        |  COALESCE(k.n_kept_unique, 0) AS n_kept_unique,
+        |  CAST(agg.n_pass_rules AS DOUBLE) / agg.n_docs AS pass_frac,
+        |  CAST(COALESCE(k.n_kept_unique, 0) AS DOUBLE) / agg.n_docs AS keep_frac
+        |FROM agg LEFT JOIN k USING (source)""".stripMargin,
+    // merged duplicated-span cut list: same positions vocabulary as
+    // dedup_kgram_coverage, islands by running-max-end
+    "span_repeat_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |s AS (SELECT doc_id, pos,
+        |        SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS span_id
+        |      FROM i)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(pos) AS span_start, max(pos) + 29 AS span_end,
+        |  max(pos) + 29 - min(pos) + 1 AS span_len
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "overlap_source_matrix" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) i),
+        |dp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_doc_pairs,
+        |       CAST(sum(dp.n_shared) AS BIGINT) AS n_shared_grams
+        |FROM dp
+        |JOIN documents da ON da.doc_id = dp.id_a
+        |JOIN documents db ON db.doc_id = dp.id_b
+        |GROUP BY 1, 2""".stripMargin,
+    // the cut replayed character-wise: every position not covered by
+    // a merged span survives, in order (string_agg skips the NULLed
+    // covered chars); fully-covered docs coalesce to ''
+    "span_cut_text" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 29 AS e
+        |       FROM (SELECT doc_id, pos,
+        |               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS span_id
+        |             FROM i)
+        |       GROUP BY 1, 2),
+        |ch AS (SELECT d.doc_id, CAST(g.i AS INTEGER) AS i, substr(d.text, g.i, 1) AS c
+        |       FROM documents d,
+        |            LATERAL (SELECT unnest(generate_series(1, len(d.text))) AS i) g),
+        |cov AS (SELECT ch.doc_id, ch.i, ch.c,
+        |          EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = ch.doc_id
+        |                  AND ch.i BETWEEN sp.s AND sp.e) AS cut
+        |        FROM ch)
+        |, agg AS (SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN cut THEN NULL ELSE c END, '' ORDER BY i), '') AS clean_text
+        |FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.clean_text, d.text) AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "span_clean_stats" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, substr(text, g.i, 30) AS gram
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, len(text) - 29)) AS i) g),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 29) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM f),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |sp AS (SELECT doc_id, span_id, max(pos) + 29 - min(pos) + 1 AS span_len
+        |       FROM (SELECT doc_id, pos,
+        |               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS span_id
+        |             FROM i)
+        |       GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(SUM(span_len) AS BIGINT) AS chars_flagged
+        |        FROM sp GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.chars_flagged, 0) AS chars_flagged,
+        |  CAST(CAST(length(d.text) AS BIGINT) - COALESCE(a.chars_flagged, 0) AS DOUBLE)
+        |    / CAST(NULLIF(length(d.text), 0) AS BIGINT) AS clean_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // keep-best-quality near-dedup: connected components at 0.5
+    // jaccard, representative = (ttr DESC, doc_id) head per cluster
+    "dedup_near_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+        |q AS (SELECT doc_id, CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr FROM toks),
+        |ranked AS (SELECT c.doc_id,
+        |             row_number() OVER (PARTITION BY c.cluster_id
+        |               ORDER BY q.ttr DESC, c.doc_id) AS rn
+        |           FROM cl c JOIN q USING (doc_id))
+        |SELECT q.doc_id, q.ttr FROM q
+        |WHERE q.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
+  )
+}

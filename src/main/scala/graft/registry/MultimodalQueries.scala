@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ParquetResolver, StudyRunner, Interpreter, PipelineContext}
+import graft.io.{ConfigReader, Export, NestedStore, Standardized}
+import graft.llm.{Dedup, Multimodal, Similarity, Sketch, TextAnalysis}
+import graft.model._
+import graft.ops.Ops
+
+/** Query registry — multimodal binary columns: header decodes (PNG/JPEG/WAV/MP4), byte stats, chunking, feature stubs.
+  *
+  * Split out of SparkEntry (round 13) purely for maintainability: the
+  * public driver contract is still `SparkEntry.queries` /
+  * `SparkEntry.oracleSql`, which concatenate the per-family maps.
+  * Helpers shared across families live in [[QueryHelpers]].
+  */
+private[graft] object MultimodalQueries {
+  import QueryHelpers._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== LLM pipeline: multimodal =====
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.withBinaryMeta("content")(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select("doc_id", "n_bytes", "content_sha256")),
+    "mm_chunks" -> ((s, d) =>
+      Multimodal.chunkBinary("content", 100)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select(col("doc_id"), col("chunk_idx"), decode(col("chunk"), "UTF-8").as("chunk_str"))),
+    // REAL header decode over synthesized-but-valid PNG/JPEG byte
+    // streams (and raw text as the unrecognized branch): the parser is
+    // the general segment walker, the fixture varies the SOF offset
+    // per row, the oracle states the dimensions closed-form
+    "mm_decode" -> ((s, d) => {
+      val withImg = t(s, d, "documents")
+        .withColumn("content", Multimodal.synthMediaContent(col("doc_id"), col("text")))
+      Multimodal.withImageMeta("content")(withImg)
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          octet_length(col("content")).as("n_bytes"))
+    }),
+    // REAL WAV header decode over the synthesized RIFF stream — the
+    // audio twin of mm_decode; LIST chunks at variable offsets and
+    // odd-size alignment pads are part of the fixture
+    "mm_audio_meta" -> ((s, d) => {
+      val withWav = t(s, d, "documents")
+        .withColumn("content", Multimodal.synthAudioContent(col("doc_id"), col("text")))
+      Multimodal.withAudioMeta("content")(withWav)
+        .select(col("doc_id"), col("audio_meta.format").as("format"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.bits_per_sample").as("bits_per_sample"),
+          col("audio_meta.n_frames").as("n_frames"))
+    }),
+    // REAL MP4 box-walk over the synthesized ISO-BMFF stream — the
+    // video leg of the image/audio/video trio; variable-size free
+    // boxes at BOTH nesting levels and mvhd v0/v1 are in the fixture
+    "mm_video_meta" -> ((s, d) => {
+      val withMp4 = t(s, d, "documents")
+        .withColumn("content", Multimodal.synthVideoContent(col("doc_id"), col("text")))
+      Multimodal.withVideoMeta("content")(withMp4)
+        .select(col("doc_id"), col("video_meta.format").as("format"),
+          col("video_meta.brand").as("brand"),
+          col("video_meta.timescale").as("timescale"),
+          col("video_meta.duration").as("duration"))
+    }),
+    // REAL per-chunk byte features: the batched feature-extract pass
+    // (histogram stats + Shannon entropy) over 100-byte chunks.
+    // Entropy is rounded to 4dp on both sides — the two engines sum
+    // the same c*ln(c) terms in different orders (~1e-13 apart), and
+    // at 4dp the odds of that perturbation straddling a rounding
+    // boundary are negligible (6dp left a ~1e-7 per-chunk flake).
+    "mm_features" -> ((s, d) =>
+      Multimodal.withByteStats("chunk")(
+        Multimodal.chunkBinary("content", 100)(
+          Multimodal.withBinaryContent("text")(t(s, d, "documents"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("byte_stats.n_bytes").as("n_bytes"),
+          col("byte_stats.n_distinct").as("n_distinct"),
+          col("byte_stats.byte_sum").as("byte_sum"),
+          col("byte_stats.n_printable").as("n_printable"),
+          round(col("byte_stats.entropy"), 4).as("entropy"))),
+    // whole-doc normalized 16-bin byte histogram, posexploded to
+    // scalar rows (same array-compare rationale as vec_slice_ops)
+    "mm_byte_hist" -> ((s, d) =>
+      Multimodal.withByteHist("content", bins = 16)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .select(col("doc_id"), posexplode(col("byte_hist")).as(Seq("bin_idx", "p")))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS content_sha256
+        |FROM documents""".stripMargin,
+    "mm_chunks" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, substr(text, CAST(i * 100 + 1 AS INTEGER), 100) AS chunk_str
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, CAST(ceil(length(text) / 100.0) AS BIGINT) - 1)) AS i
+        |      FROM documents)""".stripMargin,
+    // closed-form statement of what a correct header parser must
+    // return for the synthMediaContent fixture (PNG = 33 bytes fixed;
+    // baseline JPEG = 45 + COM pad; EXIF/SOF2 JPEG = 33 + APP1 pad;
+    // text rows decode to null)
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1913 + 16 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 1061 + 16 AS INTEGER) END AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33
+        |       WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 34 ELSE 46 END) + doc_id % 37
+        |       ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(CASE WHEN doc_id % 7 < 4 THEN 8 ELSE 16 END AS INTEGER) END AS bits_per_sample,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 500 + 1 AS BIGINT) END AS n_frames
+        |FROM documents""".stripMargin,
+    // closed-form mvhd replay: timescale/duration derive from the id
+    // exactly as synthVideoContent builds them; text rows are null
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' END AS brand,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 977 + 1000 AS INTEGER) END AS timescale,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 89 + 1) * (doc_id % 977 + 1000) AS BIGINT) END AS duration
+        |FROM documents""".stripMargin,
+    // independent byte-level recompute: hex the UTF-8 bytes, unnest to
+    // byte values, aggregate the same histogram statistics. Chunking
+    // happens on the HEX STRING (200 hex chars = 100 bytes) so the
+    // oracle splits the encoded BYTES exactly like the Spark side —
+    // substr(text, …) would split by CHARACTER and diverge on any
+    // non-ASCII document.
+    "mm_features" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |         substr(hx, CAST(i * 200 + 1 AS INTEGER), 200) AS hx
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) - 1)) AS i
+        |        FROM documents)),
+        |bytes AS (
+        |  SELECT doc_id, chunk_idx,
+        |         CAST(concat('0x', substr(hx, CAST(j * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS v
+        |  FROM (SELECT doc_id, chunk_idx, hx,
+        |          unnest(generate_series(0, CAST(length(hx) / 2 AS BIGINT) - 1)) AS j
+        |        FROM chunks)),
+        |cnt AS (SELECT doc_id, chunk_idx, v, count(*) AS c FROM bytes GROUP BY 1, 2, 3)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(sum(c) AS INTEGER) AS n_bytes,
+        |  CAST(count(*) AS INTEGER) AS n_distinct,
+        |  CAST(sum(v * c) AS BIGINT) AS byte_sum,
+        |  CAST(sum(CASE WHEN v BETWEEN 32 AND 126 THEN c ELSE 0 END) AS INTEGER) AS n_printable,
+        |  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) / ln(2), 4) AS entropy
+        |FROM cnt GROUP BY 1, 2""".stripMargin,
+    "mm_byte_hist" ->
+      """WITH bytes AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(hx, CAST(j * 2 + 1 AS INTEGER), 2)) AS INTEGER) // 16 AS bin
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          unnest(generate_series(0, octet_length(encode(text)) - 1)) AS j
+        |        FROM documents)),
+        |cnt AS (SELECT doc_id, bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+        |n AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT n.doc_id, CAST(g.i AS INTEGER) AS bin_idx,
+        |  COALESCE(cnt.c, 0) / CAST(n.n AS DOUBLE) AS p
+        |FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+        |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = g.i""".stripMargin,
+  )
+}

@@ -20,6 +20,25 @@ class ContractSpec extends SparkSpec {
     assert(overlap.isEmpty, s"oracle defined both statically and dynamically: $overlap")
   }
 
+  test("registry maps are disjoint: ++ concatenation cannot silently drop a query") {
+    // since the round-13 split, queries/oracleSql are built by ++ over
+    // per-family registries — a duplicated name ACROSS registries
+    // would silently overwrite where the old single Map literal would
+    // have at least been reviewable. Pin sum-of-parts == whole.
+    val regsQ = Seq(
+      ConfigOpQueries.queries, EngineStoreQueries.queries, EventQueries.queries,
+      DedupQueries.queries, SimilarityQueries.queries, TextQueries.queries,
+      CorpusQueries.queries, DqSketchQueries.queries, MultimodalQueries.queries)
+    assert(regsQ.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across registries")
+    val regsO = Seq(
+      ConfigOpQueries.oracleSql, EngineStoreQueries.oracleSql, EventQueries.oracleSql,
+      DedupQueries.oracleSql, SimilarityQueries.oracleSql, TextQueries.oracleSql,
+      CorpusQueries.oracleSql, DqSketchQueries.oracleSql, MultimodalQueries.oracleSql)
+    assert(regsO.map(_.size).sum == SparkEntry.oracleSql.size,
+      "duplicate oracle name across registries")
+  }
+
   test("entry() runs the flagship pipeline at sf0.001 with rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
