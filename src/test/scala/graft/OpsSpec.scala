@@ -20,6 +20,59 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Ops.strftimeToJava("%Q"))
   }
 
+  test("property: strftimeToJava renders every directive/literal mix like Python strftime") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // FORMAT the translated pattern through java.time and compare with
+    // a direct strftime model — generative coverage of the whole
+    // translation table plus the quoting/escaping of arbitrary literal
+    // runs (the fixed cases above pin only a handful of shapes)
+    def py(dir: Char, dt: java.time.LocalDateTime): String = dir match {
+      case 'Y' => f"${dt.getYear}%04d"
+      case 'y' => f"${dt.getYear % 100}%02d"
+      case 'm' => f"${dt.getMonthValue}%02d"
+      case 'd' => f"${dt.getDayOfMonth}%02d"
+      case 'H' => f"${dt.getHour}%02d"
+      case 'I' => f"${(dt.getHour % 12) match { case 0 => 12; case h => h }}%02d"
+      case 'M' => f"${dt.getMinute}%02d"
+      case 'S' => f"${dt.getSecond}%02d"
+      case 'f' => f"${dt.getNano / 1000}%06d"
+      case 'p' => if (dt.getHour < 12) "AM" else "PM"
+      case 'j' => f"${dt.getDayOfYear}%03d"
+    }
+    val dirs = "YymdHIMSfpj"
+    val tokGen = Gen.frequency(
+      3 -> Gen.oneOf(dirs.map(c => s"%$c")),
+      1 -> Gen.const("%%"),
+      // literal runs: letters (must be quoted), a bare quote (must be
+      // escaped), digits/punct (pass through unquoted)
+      2 -> Gen.oneOf("-", "/", " ", ":", "T", "at ", "'", "x", "7", "."))
+    val fmtGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString)
+    val dts = Seq(
+      java.time.LocalDateTime.of(2021, 3, 7, 4, 5, 6, 123456000),
+      java.time.LocalDateTime.of(2021, 12, 31, 23, 59, 59, 1000),
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0, 0),
+      java.time.LocalDateTime.of(2024, 2, 29, 12, 0, 1, 999999000))
+    val prop = Prop.forAllNoShrink(fmtGen) { fmt =>
+      val jf = java.time.format.DateTimeFormatter
+        .ofPattern(Ops.strftimeToJava(fmt), java.util.Locale.US)
+      dts.forall { dt =>
+        val want = {
+          val sb = new StringBuilder; var i = 0
+          while (i < fmt.length) {
+            if (fmt(i) == '%') { sb.append(if (fmt(i + 1) == '%') "%" else py(fmt(i + 1), dt)); i += 2 }
+            else { sb.append(fmt(i)); i += 1 }
+          }
+          sb.toString
+        }
+        val got = jf.format(dt)
+        if (got != want) println(s"fmt='$fmt' java='${Ops.strftimeToJava(fmt)}' got='$got' want='$want'")
+        got == want
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("groupbySummarise last/first skip nulls like pandas GroupBy.last") {
     val df = Seq(
       ("g1", 1, Some(5.0)), ("g1", 2, None), // last non-null is 5.0 at k=1
