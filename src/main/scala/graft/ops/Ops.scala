@@ -54,7 +54,13 @@ object Ops {
     * (SURVEY.md §2.6 C2). Tokenizes left-to-right so `%%` escapes are
     * seen before directive rules, and single-quotes literal text
     * containing letters so DateTimeFormatter doesn't read it as
-    * pattern chars. Unknown directives fail loudly.
+    * pattern chars. Unknown directives fail loudly — and so do
+    * separator-less adjacent directives that would MERGE into one
+    * field (`%y%Y` → `yyyyyy`, a single 6-digit year instead of two
+    * fields; found by the generative OpsSpec property): Java has no
+    * empty separator (`''` renders a literal quote), so no faithful
+    * translation exists and silently emitting the merged field would
+    * format/parse wrong values.
     */
   def strftimeToJava(fmt: String): String = {
     val table = Map(
@@ -77,7 +83,13 @@ object Ops {
         fmt(i + 1) match {
           case '%' => litBuf.append('%')
           case d => table.get(d) match {
-            case Some(j) => flush(); out.append(j)
+            case Some(j) =>
+              flush()
+              if (out.nonEmpty && out.last == j.head)
+                throw new IllegalArgumentException(
+                  s"adjacent strftime directives merge into one field around '%$d' in " +
+                    s"'$fmt' ('${out.takeRight(2)}$j') — insert a separator")
+              out.append(j)
             case None => throw new IllegalArgumentException(
               s"untranslated strftime directive '%$d' in '$fmt'")
           }

@@ -18,6 +18,12 @@ class OpsSpec extends SparkSpec {
     // unescaped one would START a quoted section and swallow %m
     assert(Ops.strftimeToJava("%d'%m") == "dd''MM")
     assertThrows[IllegalArgumentException](Ops.strftimeToJava("%Q"))
+    // separator-less same-letter adjacency merges fields in Java
+    // ('yyyyyy' = ONE 6-digit year, not '21'+'2021') — caught by the
+    // generative property below, now a loud error
+    assertThrows[IllegalArgumentException](Ops.strftimeToJava("%y%Y"))
+    assertThrows[IllegalArgumentException](Ops.strftimeToJava("%d%d"))
+    assert(Ops.strftimeToJava("%y-%Y") == "yy-yyyy") // separated: fine
   }
 
   test("property: strftimeToJava renders every directive/literal mix like Python strftime") {
@@ -53,8 +59,18 @@ class OpsSpec extends SparkSpec {
       java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0, 0),
       java.time.LocalDateTime.of(2024, 2, 29, 12, 0, 1, 999999000))
     val prop = Prop.forAllNoShrink(fmtGen) { fmt =>
+      val translated =
+        try Right(Ops.strftimeToJava(fmt))
+        catch { case e: IllegalArgumentException => Left(e.getMessage) }
+      translated match {
+        // separator-less same-letter adjacency has no faithful Java
+        // translation — the loud reject IS the correct behavior (the
+        // first run of this property caught '%y%Y' -> 'yyyyyy'
+        // silently formatting '002021')
+        case Left(msg) => msg.contains("adjacent")
+        case Right(jp) =>
       val jf = java.time.format.DateTimeFormatter
-        .ofPattern(Ops.strftimeToJava(fmt), java.util.Locale.US)
+        .ofPattern(jp, java.util.Locale.US)
       dts.forall { dt =>
         val want = {
           val sb = new StringBuilder; var i = 0
@@ -65,8 +81,9 @@ class OpsSpec extends SparkSpec {
           sb.toString
         }
         val got = jf.format(dt)
-        if (got != want) println(s"fmt='$fmt' java='${Ops.strftimeToJava(fmt)}' got='$got' want='$want'")
+        if (got != want) println(s"fmt='$fmt' java='$jp' got='$got' want='$want'")
         got == want
+      }
       }
     }
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
