@@ -226,6 +226,11 @@ object Sampling {
     * pair keep their own id as the key — their assignment is
     * identical to [[withHashSplit]]'s, so adopting cluster-aware
     * splitting reshuffles only the near-dup slice of the corpus.
+    *
+    * `maxDocFreq` passes through to [[Dedup.allPairsJaccard]]'s
+    * boilerplate cap (no-op when no shingle exceeds it, measured flat
+    * through 8× amplification in SCALE.md) — set it on boilerplate-
+    * heavy corpora so the audit-grade pair enumeration stays bounded.
     */
   def clusterAwareSplit(
       df: DataFrame,
@@ -233,10 +238,11 @@ object Sampling {
       textCol: String,
       minJaccard: Double = 0.3,
       valPct: Int = 5,
-      testPct: Int = 5): DataFrame = {
+      testPct: Int = 5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     requireSplitPcts(valPct, testPct)
     val clusters = Dedup.nearDupClusters(
-      Dedup.allPairsJaccard(df, idCol, textCol, minJaccard))
+      Dedup.allPairsJaccard(df, idCol, textCol, minJaccard, maxDocFreq = maxDocFreq))
       .withColumnRenamed("doc_id", idCol)
     df.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
@@ -269,9 +275,10 @@ object Sampling {
       textCol: String,
       minJaccard: Double = 0.3,
       valPct: Int = 5,
-      testPct: Int = 5): DataFrame = {
+      testPct: Int = 5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     requireSplitPcts(valPct, testPct)
-    Dedup.allPairsJaccard(df, idCol, textCol, minJaccard)
+    Dedup.allPairsJaccard(df, idCol, textCol, minJaccard, maxDocFreq = maxDocFreq)
       .withColumn("split_a", splitOf(col("id_a"), valPct, testPct))
       .withColumn("split_b", splitOf(col("id_b"), valPct, testPct))
       .where(col("split_a") =!= col("split_b"))

@@ -784,6 +784,19 @@ class LlmSpec extends SparkSpec {
       Sampling.splitLeakageAudit(d, "doc_id", "text", valPct = 60, testPct = 60)
     }
     assert(r(73L) == ((73L, plain(73L))))
+    // maxDocFreq passes through: a slack cap is a no-op on both audit
+    // entry points (the measured-flat guard from the threshold curve,
+    // available wherever allPairsJaccard powers an audit)
+    val rCapped = Sampling.clusterAwareSplit(d, "doc_id", "text", minJaccard = 0.5,
+        maxDocFreq = Some(d.count().toInt))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(rCapped == r)
+    // cap=1 drops every shared shingle: no pairs, so every doc keys on
+    // itself — identical to the plain hash split
+    val rTight = Sampling.clusterAwareSplit(d, "doc_id", "text", minJaccard = 0.5,
+        maxDocFreq = Some(1))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(rTight == plain)
     // and the audit finds nothing to flag on the remedied assignment:
     // every near-dup pair is same-split by construction
     val pairSplits = for (a <- Seq(1L, 18L, 62L); b <- Seq(1L, 18L, 62L) if a < b)
