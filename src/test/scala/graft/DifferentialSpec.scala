@@ -99,6 +99,46 @@ class DifferentialSpec extends SparkSpec {
       case l: Long => l >= lo && l <= hi
     }))
 
+  /** One side of a compound filter. op: "ge" | "le" | "between". */
+  private case class FTerm(c: String, op: String, lo: Int, hi: Int) {
+    def cond: String = op match {
+      case "ge" => s"$c >= NUMBER($lo)"
+      case "le" => s"$c <= NUMBER($lo)"
+      case "between" => s"$c BETWEEN (NUMBER($lo), NUMBER($hi))"
+    }
+  }
+
+  /** Compound `a & b` / `a | b` filters under KLEENE three-valued
+    * logic — the part single-term generation never exercises: a NULL
+    * operand makes the term UNKNOWN, and `unknown OR true` KEEPS the
+    * row while `unknown AND true` drops it. The model evaluates each
+    * term to Option[Boolean] and keeps rows only on Some(true),
+    * exactly Spark's WHERE semantics.
+    */
+  private def mFilter2(f: MFrame, or: Boolean, a: FTerm, b: FTerm): MFrame = {
+    def term(r: MRow, t: FTerm): Option[Boolean] = r(t.c) match {
+      case null => None
+      case v =>
+        val d = v match { case x: Double => x; case l: Long => l.toDouble }
+        Some(t.op match {
+          case "ge" => d >= t.lo
+          case "le" => d <= t.lo
+          case "between" => d >= t.lo && d <= t.hi
+        })
+    }
+    def kleene(x: Option[Boolean], y: Option[Boolean]): Option[Boolean] =
+      if (or) (x, y) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (None, _) | (_, None) => None
+        case _ => Some(false)
+      } else (x, y) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (None, _) | (_, None) => None
+        case _ => Some(true)
+      }
+    f.copy(rows = f.rows.filter(r => kleene(term(r, a), term(r, b)).contains(true)))
+  }
+
   // ===== datetime modeling =====
   // The model keeps timestamps as CANONICAL "yyyy-MM-dd HH:mm:ss"
   // strings: lexicographic order on that form IS chronological order,
@@ -283,6 +323,7 @@ class DifferentialSpec extends SparkSpec {
   private case class PRename(from: String, to: String) extends POp
   private case class PFilterGe(c: String, x: Int) extends POp
   private case class PFilterBetween(c: String, lo: Int, hi: Int) extends POp
+  private case class PFilter2(or: Boolean, a: FTerm, b: FTerm) extends POp
   private case class PFormatDate(alreadyTs: Boolean) extends POp
   private case class PFilterDate(op: String, lo: String, hi: String) extends POp
   private case class PSlice(n: Int) extends POp
@@ -384,6 +425,16 @@ class DifferentialSpec extends SparkSpec {
       candidates += (for {
         c <- Gen.oneOf(numeric); lo <- Gen.chooseNum(0, 9); hi <- Gen.chooseNum(0, 12)
       } yield (PFilterBetween(c, lo, hi), st))
+      // compound '&'/'|' filters (F3/F4), BETWEEN legal on either side;
+      // nullable operands (p, w) exercise the Kleene-logic edges
+      val termGen = for {
+        c <- Gen.oneOf(numeric)
+        op <- Gen.oneOf("ge", "le", "between")
+        lo <- Gen.chooseNum(0, 9); hi <- Gen.chooseNum(0, 12)
+      } yield FTerm(c, op, lo, hi)
+      candidates += (for {
+        or <- Gen.oneOf(true, false); a <- termGen; b <- termGen
+      } yield (PFilter2(or, a, b), st))
     }
     // FORMAT datetime on the date column while it still holds the
     // original values (uniqueCols doubles as "never overwritten", the
@@ -515,6 +566,7 @@ class DifferentialSpec extends SparkSpec {
       case PRename(f, t) => spec("RENAME COLUMN", s"$f=$t")
       case PFilterGe(c, x) => spec("FILTER", s"$c >= NUMBER($x)")
       case PFilterBetween(c, lo, hi) => spec("FILTER", s"$c BETWEEN (NUMBER($lo), NUMBER($hi))")
+      case PFilter2(or, a, b) => spec("FILTER", s"${a.cond} ${if (or) "|" else "&"} ${b.cond}")
       case PFormatDate(_) => spec("FORMAT COLUMN", "column=d, type=datetime#%m/%d/%Y")
       case PFilterDate("ge", lo, _) => spec("FILTER", s"d >= DATE($lo)")
       case PFilterDate("le", lo, _) => spec("FILTER", s"d <= DATE($lo)")
@@ -554,6 +606,7 @@ class DifferentialSpec extends SparkSpec {
     case PRename(from, to) => mRename(f, from, to)
     case PFilterGe(c, x) => mFilterGe(f, c, x.toDouble)
     case PFilterBetween(c, lo, hi) => mFilterBetween(f, c, lo.toDouble, hi.toDouble)
+    case PFilter2(or, a, b) => mFilter2(f, or, a, b)
     case PFormatDate(alreadyTs) => if (alreadyTs) f else mFormatDate(f, "d")
     case PFilterDate(op, lo, hi) => mFilterDate(f, "d", op, lo, hi)
     case PSlice(n) => mSlice(f, "g", n)
