@@ -289,6 +289,84 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: the streaming curation gate survives checkpoint kills and a forced replay") {
+    // the composed gate's only state is the watermarked fingerprint
+    // dedup — a duplicate whose FIRST copy arrived in an earlier run
+    // is dropped in a later run only if that state was restored from
+    // the checkpoint. Random docs from five families (quality-pass
+    // unique, exact duplicates, bench-contaminated, store-duplicates,
+    // gopher-junk) land in 1-4 CSV files driven by separate
+    // AvailableNow runs, then the newest commit marker is deleted to
+    // force a replay the sink's log must absorb. Accumulated sink ==
+    // the batch twin (the oracle-gated w6 composition) id-for-id.
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 08:00:00").getTime
+    val base = "the quick brown fox and the lazy dog have been with that crowd " * 5
+    val storeText = base + "stored forever"
+    val benchText = base + "zebra omega lattice prism quartz"
+    val docsGen = for {
+      n <- Gen.chooseNum(4, 10)
+      fams <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.const("P"),  // passing, per-doc-unique suffix
+        3 -> Gen.const("D"),  // exact duplicates of one text: keep-first
+        2 -> Gen.const("C"),  // carries a bench 5-gram: decontam drop
+        1 -> Gen.const("S"),  // store content dup: anti-join drop
+        1 -> Gen.const("J"))) // 3 words: gopher drop
+    } yield fams.zipWithIndex.map { case (fam, i) =>
+      val text = fam match {
+        case "P" => base + s"mark$i"
+        case "D" => base.trim
+        case "C" => benchText
+        case "S" => storeText
+        case _ => "x y z"
+      }
+      (i.toLong, new Timestamp(t0 + i * 60000L), text, s"src${i % 2}")
+    }
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(c => Gen.listOfN(c, Gen.chooseNum(1, 9)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, ts TIMESTAMP, text STRING, source STRING")
+    val store = Seq((1000L, storeText)).toDF("doc_id", "text")
+    val benchGrams = graft.llm.Decontam.collectBenchGrams(
+      Seq((1L, benchText)).toDF("doc_id", "text"), "text", 5)
+    val prop = Prop.forAllNoShrink(docsGen, cutsGen) { (docs, cuts) =>
+      val watch = Files.createTempDirectory("graft_gatediff_watch").toString
+      val out = Files.createTempDirectory("graft_gatediff_out").toString + "/kept"
+      val ckpt = Files.createTempDirectory("graft_gatediff_ckpt").toString
+      def drive(): Unit = {
+        val stream = StreamingIngest.streamingCurationGate(
+          spark.readStream.schema(schema).option("header", "true").csv(watch),
+          store, benchGrams)
+        val q = stream.select("doc_id", "source").writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try assert(q.awaitTermination(180000), "streaming query did not finish within 180000ms")
+        finally if (q.isActive) q.stop()
+      }
+      segments(docs, cuts).zipWithIndex.foreach { case (seg, i) =>
+        // texts contain spaces only (no commas/quotes): plain CSV is safe
+        val csv = "doc_id,ts,text,source\n" +
+          seg.map { case (id, ts, tx, src) => s"$id,$ts,$tx,$src" }.mkString("\n") + "\n"
+        Files.writeString(java.nio.file.Paths.get(watch, f"b$i%03d.csv"), csv)
+        drive()
+      }
+      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+      val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = cfs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.forall(_.isDigit))
+      cfs.delete(markers.maxBy(_.getName.toLong), false)
+      drive()
+      val got = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq.sorted
+      val want = StreamingIngest.streamingCurationGate(
+        docs.toDF("doc_id", "ts", "text", "source"), store, benchGrams)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      // sorted-SEQ equality: a replayed batch double-emitting a kept
+      // doc must fail even though the doc itself is legitimate
+      if (got != want) println(s"cuts=$cuts fams=${docs.map(_._3.take(12))}\ngot=$got\nwant=$want")
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: sessionization state accumulates identically across any micro-batch split") {
     implicit val sqlCtx = spark.sqlContext
     val eventsGen = for {
