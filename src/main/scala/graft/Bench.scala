@@ -41,7 +41,7 @@ object Bench {
     "colloc_lift_topk", "overlap_source_matrix",
     "dedup_cdc_coverage", "dedup_novelty_curve",
     "dedup_incremental_near", "sim_label_consistency",
-    "sample_cluster_split", "corpus_datasheet",
+    "sample_cluster_split", "sample_cluster_split_capped", "corpus_datasheet",
     "text_gopher_rules", "text_token_windows",
     "decontam_semantic", "mine_contrastive_pairs",
     "text_entropy", "vocab_overlap_matrix", "bpe_fertility_by_source",

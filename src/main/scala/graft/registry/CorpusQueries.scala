@@ -26,6 +26,14 @@ private[graft] object CorpusQueries {
     "sample_cluster_split" -> ((s, d) =>
       graft.llm.Sampling.clusterAwareSplit(t(s, d, "documents"), "doc_id", "text",
         minJaccard = 0.3)),
+    // CAPPED twin (the dedup_threshold_curve_capped discipline): the
+    // gate corpus's hottest shingle df is 7 < 16, so the capped split
+    // gates against the SAME oracle SQL — every driver round
+    // hash-proves the cap's no-op contract on this second audit
+    // entry point; SCALE.md carries the amplified measurement
+    "sample_cluster_split_capped" -> ((s, d) =>
+      graft.llm.Sampling.clusterAwareSplit(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.3, maxDocFreq = Some(16))),
     // config-driven curation: the reference's table-of-operations
     // identity applied to the training-data stack — this recipe is
     // DATA (four stage rows), interpreted into one declarative plan
@@ -231,34 +239,42 @@ private[graft] object CorpusQueries {
     }),
   )
 
+  /** Shared by sample_cluster_split and its capped twin — the cap (16)
+    * exceeds the gate corpus's hottest shingle df (7), so both gate
+    * against the SAME uncapped replay (the thresholdCurveSql pattern).
+    */
+  private val clusterSplitSql =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+      |       FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+      |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |walk(v, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+      |  UNION
+      |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+      |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+      |keyed AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_key
+      |          FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+      |SELECT doc_id, split_key,
+      |  CASE WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
+      |       WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM keyed""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // cluster-aware split replay: the dedup_clusters recursive
     // reachability walk for the representative, then the
     // sample_hash_split bucket rule on COALESCE(cluster, own id)
-    "sample_cluster_split" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
-        |       FROM toks),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
-        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |walk(v, r) AS (
-        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
-        |  UNION
-        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
-        |cc AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
-        |keyed AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_key
-        |          FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
-        |SELECT doc_id, split_key,
-        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5 THEN 'val'
-        |       WHEN CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10 THEN 'test'
-        |       ELSE 'train' END AS split
-        |FROM keyed""".stripMargin,
+    "sample_cluster_split" -> clusterSplitSql,
+    // IDENTICAL oracle by design — the capped==uncapped hash pin
+    "sample_cluster_split_capped" -> clusterSplitSql,
     // stage-by-stage replay: gopher verdict (stop list the,a) ->
     // blocklist NOT-overlap -> keep-first per md5 -> hash-bucket split
     "pipeline_curation_config" ->
