@@ -20,6 +20,7 @@ object Bench {
     "w1_event_windows", "w2_json_props",
     "asof_click_before_purchase", "range_attribution",
     "dedup_exact", "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash_pairs",
+    "dedup_jaccard_audit_capped",
     "sim_cosine_topk", "sim_knn_join", "sim_ann_topk", "sim_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint", "text_top_terms",
     "sample_stratified",

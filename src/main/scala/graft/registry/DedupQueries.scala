@@ -55,6 +55,14 @@ private[graft] object DedupQueries {
     // never a doc-level cartesian)
     "dedup_jaccard_audit" -> ((s, d) =>
       Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3)),
+    // CAPPED twin (cap 16 > gate-corpus max df 7): gates against the
+    // SAME oracle SQL, the third hash-proven capped==uncapped pin
+    // alongside the threshold curve and the cluster split — all three
+    // allPairsJaccard-powered headline audits now carry the measured
+    // boilerplate guard (SCALE.md)
+    "dedup_jaccard_audit_capped" -> ((s, d) =>
+      Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", minJaccard = 0.3,
+        maxDocFreq = Some(16))),
     // eval-carve-out contamination: near-dup pairs straddling the
     // train/val/test hash splits (each side's split is a pure function
     // of its id — no join back to the corpus, no extra shuffle)
@@ -180,6 +188,22 @@ private[graft] object DedupQueries {
     }),
   )
 
+  /** Shared by dedup_jaccard_audit and its capped twin — the cap (16)
+    * exceeds the gate corpus's hottest shingle df (7), so both gate
+    * against the SAME uncapped replay (the thresholdCurveSql pattern).
+    */
+  private val jaccardAuditSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+      |       FROM toks)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT doc_id, text, lang, source, n_chars
@@ -205,17 +229,9 @@ private[graft] object DedupQueries {
         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin,
-    "dedup_jaccard_audit" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
-        |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
-        |       FROM toks)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin,
+    "dedup_jaccard_audit" -> jaccardAuditSql,
+    // IDENTICAL oracle by design — the capped==uncapped hash pin
+    "dedup_jaccard_audit_capped" -> jaccardAuditSql,
     // cluster-size histogram replay: CC walk at the 0.5 near-dup
     // threshold, plus the singleton row from the corpus complement
     "dedup_cluster_sizes" ->
