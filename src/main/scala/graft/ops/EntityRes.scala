@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * that bound EXPLICITLY: blocks larger than `maxBlock` are excluded
   * from pairing and surfaced by [[oversizedBlocks]] — a loud cap,
   * never a silent one (a hot block at 100 TB is a key-design bug the
-  * operator must report, not absorb; sub-block hot keys on an extra
-  * column, the [[graft.llm.Similarity]] SemDeDup hot-cell fix).
+  * operator must report, not absorb). The remedy is implemented too:
+  * `subBlock` re-blocks hot blocks on a caller-supplied finer key
+  * (the [[graft.llm.Similarity]] SemDeDup hot-cell fix, here as
+  * standard ER sub-blocking) with the same bound enforced on the
+  * refined blocks.
   * Rows with a NULL in any blocking column never pair (SQL equi-join
   * semantics — standard blocking behavior, documented not silent).
   * Transitive match groups come from
@@ -61,32 +64,68 @@ object EntityRes {
     * onto bounded blocks, then the blocked equi-self-join; the
     * Levenshtein runs only inside co-blocked pairs. Never a
     * cartesian (ContractSpec-gated like every registered query).
+    *
+    * `subBlock` is the hot-block REMEDY the loud cap's scaladoc
+    * prescribes, implemented: blocks larger than `maxBlock` are —
+    * instead of being refused outright — re-blocked on
+    * `blockCols :+ subBlock` (a caller-supplied finer key: a name
+    * prefix/suffix, a zip code, a birth year) and paired within the
+    * refined blocks, with the SAME `maxBlock` bound enforced on the
+    * refined blocks (a sub-block still over the cap is still refused
+    * — the bound is never silently waived). The documented trade is
+    * standard blocking recall: pairs inside a hot block whose members
+    * disagree on the sub-key are not candidates. Small blocks are
+    * untouched, so enabling `subBlock` only ever ADDS pairs relative
+    * to the refusal behavior, and per-block cost stays ≤ maxBlock².
     */
   def candidatePairs(
       idCol: String,
       nameCol: String,
       blockCols: Seq[String],
       maxDist: Int,
-      maxBlock: Long = 10000L)(df: DataFrame): DataFrame = {
+      maxBlock: Long = 10000L,
+      subBlock: Option[Column] = None)(df: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "candidatePairs needs at least one blocking column")
     require(maxDist >= 0 && maxBlock >= 2, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
-    val bounded = df
-      .join(blockSizes(blockCols)(df).where(col("block_n") <= maxBlock),
-        blockCols, "left_semi")
+
+    def pairWithin(bounded: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val a = bounded.select(keyCols.map(col) :+
+        col(idCol).as("id_a") :+ col(nameCol).as("name_a"): _*)
+      val b = bounded.select(keyCols.map(col) :+
+        col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
+      a.join(b, keyCols)
+        .where(col("id_a") < col("id_b"))
+        // banded Levenshtein: with the threshold argument Spark computes
+        // only a 2*maxDist+1 diagonal band and early-exits, returning -1
+        // beyond it — O(len*maxDist) instead of O(len^2) per pair, exact
+        // for every pair actually kept
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+        .where(col("dist") >= 0)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    }
+
+    val sizes = blockSizes(blockCols)(df)
+    val small = df
+      .join(sizes.where(col("block_n") <= maxBlock), blockCols, "left_semi")
       .select((blockCols :+ idCol :+ nameCol).map(col): _*)
-    val a = bounded.select(blockCols.map(col) :+
-      col(idCol).as("id_a") :+ col(nameCol).as("name_a"): _*)
-    val b = bounded.select(blockCols.map(col) :+
-      col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
-    a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
-      // banded Levenshtein: with the threshold argument Spark computes
-      // only a 2*maxDist+1 diagonal band and early-exits, returning -1
-      // beyond it — O(len*maxDist) instead of O(len^2) per pair, exact
-      // for every pair actually kept
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
-      .where(col("dist") >= 0)
-      .select("id_a", "id_b", "name_a", "name_b", "dist")
+    val smallPairs = pairWithin(small, blockCols)
+    subBlock match {
+      case None => smallPairs
+      case Some(sb) =>
+        require(!df.columns.contains("__sb"),
+          "candidatePairs' subBlock path uses internal column __sb — rename it first")
+        val subCols = blockCols :+ "__sb"
+        val hot = df
+          .join(sizes.where(col("block_n") > maxBlock), blockCols, "left_semi")
+          .withColumn("__sb", sb)
+          .select((subCols :+ idCol :+ nameCol).map(col): _*)
+        val subSizes = hot.groupBy(subCols.map(col): _*).agg(count(lit(1)).as("block_n"))
+        val hotKept = hot.join(
+          subSizes.where(col("block_n") <= maxBlock), subCols, "left_semi")
+          // re-select: the using-column semi join moves join cols first
+          .select((subCols :+ idCol :+ nameCol).map(col): _*)
+        smallPairs.unionByName(pairWithin(hotKept, subCols))
+    }
   }
 
   /** Transitive match groups: connected components over
@@ -101,7 +140,8 @@ object EntityRes {
       nameCol: String,
       blockCols: Seq[String],
       maxDist: Int,
-      maxBlock: Long = 10000L)(df: DataFrame): DataFrame =
+      maxBlock: Long = 10000L,
+      subBlock: Option[Column] = None)(df: DataFrame): DataFrame =
     graft.llm.Dedup.nearDupClusters(
-      candidatePairs(idCol, nameCol, blockCols, maxDist, maxBlock)(df))
+      candidatePairs(idCol, nameCol, blockCols, maxDist, maxBlock, subBlock)(df))
 }

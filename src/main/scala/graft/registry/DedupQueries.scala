@@ -129,6 +129,16 @@ private[graft] object DedupQueries {
       graft.ops.EntityRes.candidatePairs(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2)(
         t(s, d, "customer"))),
+    // the hot-block remedy exercised END TO END: maxBlock=12 splits
+    // the gate corpus's 125 blocks into 74 small (paired as usual)
+    // and 51 hot, which re-block on the last two c_name characters
+    // (TPC-H names share their long prefix — the SUFFIX is the
+    // discriminative key) and pair within the refined blocks
+    "er_pairs_subblocked" -> ((s, d) =>
+      graft.ops.EntityRes.candidatePairs(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, subBlock = Some(substring(col("c_name"), -2, 2)))(
+        t(s, d, "customer"))),
     // transitive match groups over the same pair graph (label
     // propagation); oracle replays a recursive reachability walk
     "er_groups" -> ((s, d) =>
@@ -335,6 +345,37 @@ private[graft] object DedupQueries {
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // replay both paths: small blocks pair on the block key, hot ones
+    // on block + last-2-chars sub-key, same maxBlock bound on both
+    "er_pairs_subblocked" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |            FROM customer GROUP BY 1, 2),
+        |small AS (SELECT c.* FROM customer c
+        |          JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |          WHERE sz.n <= 12),
+        |hot AS (SELECT c.*, substr(c.c_name, length(c.c_name) - 1, 2) AS sb
+        |        FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.n > 12),
+        |hsz AS (SELECT c_nationkey, c_mktsegment, sb, count(*) AS m FROM hot GROUP BY 1, 2, 3),
+        |hkept AS (SELECT h.* FROM hot h
+        |          JOIN hsz ON h.c_nationkey = hsz.c_nationkey AND h.c_mktsegment = hsz.c_mktsegment
+        |                  AND h.sb = hsz.sb
+        |          WHERE hsz.m <= 12)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM small a JOIN small b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |UNION ALL
+        |SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+        |FROM hkept a JOIN hkept b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.sb = b.sb AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "er_groups" ->
       """WITH RECURSIVE pairs AS (

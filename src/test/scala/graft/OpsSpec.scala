@@ -674,6 +674,39 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("entity resolution: subBlock refines hot blocks instead of refusing them") {
+    import graft.ops.EntityRes
+    val recs = Seq(
+      (1L, "smith john", "NY"), (2L, "smith jon", "NY"), (3L, "smyth john", "NY"),
+      (4L, "doe jane", "CA"), (5L, "doe janet", "CA")
+    ).toDF("id", "name", "state")
+    // maxBlock=2 refuses NY (3 recs) outright today; with a first-3-
+    // chars sub-key NY splits into {smi: 2 recs, smy: 1} — both within
+    // the bound, so the smi pair (1,2) is RECOVERED. (1,3)/(2,3) cross
+    // sub-keys: the documented blocking-recall trade, not candidates.
+    val pairs = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2,
+      maxBlock = 2, subBlock = Some(substring(col("name"), 1, 3)))(recs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)), s"got $pairs")
+    // small blocks are untouched: enabling subBlock only ADDS pairs
+    val refusedOnly = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2,
+      maxBlock = 2)(recs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refusedOnly.subsetOf(pairs))
+    // a sub-block still over the bound is still refused (never waived):
+    // sub-key constant over the hot block -> refined blocks = block
+    val stillHot = EntityRes.candidatePairs("id", "name", Seq("state"), maxDist = 2,
+      maxBlock = 2, subBlock = Some(lit("k")))(recs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stillHot == refusedOnly, s"got $stillHot")
+    // matchGroups composes: the recovered NY pair groups 1-2
+    val groups = EntityRes.matchGroups("id", "name", Seq("state"), maxDist = 2,
+      maxBlock = 2, subBlock = Some(substring(col("name"), 1, 3)))(recs)
+    val byDoc = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groups.unpersist()
+    assert(byDoc == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("entity resolution: the loud cap fires under identical-copy amplification") {
     import graft.ops.EntityRes
     // the Amplify protocol in miniature: union id-remapped copies, so
