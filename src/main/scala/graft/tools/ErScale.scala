@@ -10,13 +10,20 @@ import org.apache.spark.sql.SparkSession
   * shape to the gated er_groups; same session and median-of-reps
   * discipline as [[graft.Bench]].
   *
-  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock>
+  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock> [sub]
+  * (`sub` engages the hot-block remedy: sub-block oversized blocks on
+  * the last two c_name chars instead of refusing them.)
   */
 object ErScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: ErScale <sfDir> <maxBlock>")
-    val Array(sfDir, maxBlockStr) = args
-    val maxBlock = maxBlockStr.toLong
+    require(args.length == 2 || args.length == 3, "usage: ErScale <sfDir> <maxBlock> [sub]")
+    val sfDir = args(0)
+    val maxBlock = args(1).toLong
+    val subBlock =
+      if (args.length == 3 && args(2) == "sub")
+        Some(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("c_name"), -2, 2))
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +41,7 @@ object ErScale {
       val t0 = System.nanoTime()
       val g = graft.ops.EntityRes.matchGroups(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-        maxDist = 2, maxBlock = maxBlock)(
+        maxDist = 2, maxBlock = maxBlock, subBlock = subBlock)(
         spark.read.parquet(s"$sfDir/customer.parquet"))
       g.write.mode("overwrite").format("noop").save()
       g.unpersist()
@@ -46,7 +53,7 @@ object ErScale {
     val refused = graft.ops.EntityRes.oversizedBlocks(
       Seq("c_nationkey", "c_mktsegment"), maxBlock)(
       spark.read.parquet(s"$sfDir/customer.parquet")).count()
-    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"sf":"$sfDir"}""")
+    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"subBlock":${subBlock.isDefined},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
