@@ -95,7 +95,7 @@ object SparkEntry {
     * map. sim_ivf_topk embeds the seeded-KMeans centroids (shared with
     * the query via [[ivfModel]]) as DOUBLE[] literals.
     */
-  def dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] = reg(
     "sim_ivf_topk" -> ((s, d) => {
       val m = ivfModel(s, d)
       val cents = m.centroids.zipWithIndex.map { case (c, i) =>

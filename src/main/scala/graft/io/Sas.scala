@@ -65,7 +65,18 @@ object Sas {
       rowCount: Long,
       mixPageRowCount: Long,
       columns: Seq[SasColumn],
-      compression: Int = CompressNone) extends Serializable {
+      compression: Int = CompressNone,
+      /** CRC32 of the bytes [[readMeta]] actually read (header + every
+        * page up to and including the first data/mix page). Folded into
+        * the census cache key so an in-place rewrite that preserves
+        * (mtime, length) — second-granularity filesystems, object-store
+        * copies — still invalidates whenever the metadata prefix
+        * changed. A shortened-in-place file ALWAYS changes this prefix
+        * (row_count lives in the rowsize subheader on a meta page), so
+        * the stale-row hazard the census exists for is covered even
+        * under mtime-granularity collisions.
+        */
+      metaFingerprint: Long = 0L) extends Serializable {
     def bitOffset: Int = if (u64) 32 else 16
     def shPtrLen: Int = if (u64) 24 else 12
     def intLen: Int = if (u64) 8 else 4
@@ -113,6 +124,8 @@ object Sas {
     try {
       val head = new Array[Byte](288)
       in.readFully(0, head)
+      val crc = new java.util.zip.CRC32
+      crc.update(head)
       require(head.take(32).sameElements(Magic),
         s"not a sas7bdat file (magic mismatch): $path")
       val u64 = (head(32) & 0xff) == 0x33
@@ -150,6 +163,7 @@ object Sas {
       var done = false
       while (pi < pageCount && !done) {
         in.readFully(headerLength + pi * pageLength, page)
+        crc.update(page)
         val pr = new ByteReader(page, le)
         val ptype = (pr.u16(bitOffset) & PageTypeMask2)
         var dataSeen = false
@@ -217,7 +231,7 @@ object Sas {
           s"(cols=$colCount names=${names.size} attrs=${offsets.size} rowLength=$rowLength)")
       val cols = (0 until colCount).map(i => SasColumn(names(i), offsets(i), lengths(i), types(i)))
       SasMeta(u64, le, encoding, headerLength, pageLength, pageCount,
-        rowLength, rowCount, mixRows, cols, fileCompression)
+        rowLength, rowCount, mixRows, cols, fileCompression, crc.getValue)
     } finally in.close()
   }
 
@@ -571,20 +585,29 @@ object Sas {
   }
 
   /** Driver-side census cache. The override map is a pure function of
-    * the file's bytes, so it is keyed on (path, mtime, length) — an
-    * in-place rewrite bumps mtime (or length) and invalidates; a
-    * static file pays the census job ONCE per driver, not once per
-    * `Sas.read` call / per DSv2 DataFrame (for compressed files the
-    * uncached census re-reads the whole file — 2× I/O per read on the
-    * overwhelmingly common well-formed case). Access-ordered and
-    * bounded so a long-lived driver scanning many files cannot grow
-    * it without bound; entries are page-index→take-limit maps, empty
-    * for well-formed files, so memory per entry is ~0.
+    * the file's bytes, so it is keyed on (path, mtime, length,
+    * metaFingerprint) — an in-place rewrite bumps mtime or length and
+    * invalidates, and a rewrite landing WITHIN the filesystem's mtime
+    * granularity (second-level on object stores) at the same length is
+    * caught by the fingerprint: [[readMeta]] CRCs every byte it reads
+    * (header + meta-page prefix), and the stale-row hazard the census
+    * exists for requires a changed rowsize subheader, which lives in
+    * that prefix. Residual blind spot — a same-length rewrite altering
+    * ONLY data-page bytes past the first data/mix page within mtime
+    * granularity — cannot change row_count and so cannot introduce the
+    * hazard. A static file pays the census job ONCE per driver, not
+    * once per `Sas.read` call / per DSv2 DataFrame (for compressed
+    * files the uncached census re-reads the whole file — 2× I/O per
+    * read on the overwhelmingly common well-formed case).
+    * Access-ordered and bounded so a long-lived driver scanning many
+    * files cannot grow it without bound; entries are
+    * page-index→take-limit maps, empty for well-formed files, so
+    * memory per entry is ~0.
     */
   private val censusCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Map[Long, Int]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Map[Long, Int]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Map[Long, Int]]): Boolean =
+          e: java.util.Map.Entry[(String, Long, Long, Long), Map[Long, Int]]): Boolean =
         size > 256
     }
 
@@ -609,7 +632,7 @@ object Sas {
     val st = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(new Path(path))
-    val key = (path, st.getModificationTime, st.getLen)
+    val key = (path, st.getModificationTime, st.getLen, meta.metaFingerprint)
     censusCache.synchronized(Option(censusCache.get(key))) match {
       case Some(hit) => hit
       case None =>

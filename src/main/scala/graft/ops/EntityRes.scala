@@ -54,6 +54,35 @@ object EntityRes {
     blockSizes(blockCols)(df).where(col("block_n") > maxBlock ||
       blockCols.map(c => col(c).isNull).reduce(_ || _))
 
+  /** The loud-cap contract one level down: with `subBlock` engaged,
+    * [[candidatePairs]] re-blocks hot blocks on the finer key — and a
+    * refined group can STILL fall out of the candidate set, either
+    * because it is itself over `maxBlock` (the bound is never waived)
+    * or because its sub-key evaluated to NULL (an equi-semi-join can
+    * never match a NULL group, mirroring the blocking-column NULL
+    * contract). [[oversizedBlocks]] cannot see either: it enumerates
+    * top-level blocks only. This face enumerates the refused refined
+    * groups — (block key, sub_key, block_n) — so the remedy's own
+    * drops are a report, not a silent recall loss. Empty means every
+    * hot-block row landed in a paired sub-block.
+    *
+    * Scale shape: the same two aggregations [[candidatePairs]]'
+    * subBlock path already runs (top-level sizes, refined sizes over
+    * hot rows only) — no new join pattern, nothing all-pairs.
+    */
+  def refusedSubBlocks(
+      blockCols: Seq[String],
+      maxBlock: Long,
+      subBlock: Column)(df: DataFrame): DataFrame = {
+    val sizes = blockSizes(blockCols)(df)
+    val hot = df
+      .join(sizes.where(col("block_n") > maxBlock), blockCols, "left_semi")
+      .withColumn("sub_key", subBlock)
+    hot.groupBy((blockCols :+ "sub_key").map(col): _*)
+      .agg(count(lit(1)).as("block_n"))
+      .where(col("block_n") > maxBlock || col("sub_key").isNull)
+  }
+
   /** Candidate match pairs: records sharing the blocking key, paired
     * once (`id_a < id_b`), kept when
     * `levenshtein(name_a, name_b) <= maxDist`. Output: id_a, id_b,
@@ -74,7 +103,14 @@ object EntityRes {
     * refined blocks (a sub-block still over the cap is still refused
     * — the bound is never silently waived). The documented trade is
     * standard blocking recall: pairs inside a hot block whose members
-    * disagree on the sub-key are not candidates. Small blocks are
+    * disagree on the sub-key are not candidates, and — mirroring the
+    * blocking-column NULL contract above — a hot-block row whose
+    * sub-key expression evaluates to NULL never pairs at all (the
+    * equi-semi-join on `__sb` cannot match a NULL group). Both drops
+    * are enumerable, not silent: [[refusedSubBlocks]] reports the
+    * still-over-cap and NULL-sub-key groups, and
+    * [[subBlockRecall]] / the gated `er_subblock_recall` query put a
+    * per-block number on the recall trade. Small blocks are
     * untouched, so enabling `subBlock` only ever ADDS pairs relative
     * to the refusal behavior, and per-block cost stays ≤ maxBlock².
     */
@@ -126,6 +162,76 @@ object EntityRes {
           .select((subCols :+ idCol :+ nameCol).map(col): _*)
         smallPairs.unionByName(pairWithin(hotKept, subCols))
     }
+  }
+
+  /** The subBlock recall trade, quantified per hot block: for every
+    * top-level block over `maxBlock` that contains at least one
+    * within-block match pair (`dist <= maxDist`), count where its
+    * uncapped match pairs land under the sub-blocking remedy —
+    *
+    *   - `n_kept`: both members share a non-NULL sub-key and the
+    *     refined block is within the bound (pairs the remedy keeps);
+    *   - `n_lost_refused`: same sub-key, but the refined block is
+    *     STILL over `maxBlock` (the never-waived bound — these groups
+    *     are exactly [[refusedSubBlocks]]' over-cap rows);
+    *   - `n_lost_cross`: members disagree on the sub-key, or either
+    *     side's sub-key is NULL (the documented blocking-recall trade
+    *     plus the NULL-sub-key drop).
+    *
+    * `n_pairs_uncapped = n_kept + n_lost_cross + n_lost_refused` by
+    * construction (the classification is exhaustive), and `recall =
+    * n_kept / n_pairs_uncapped` is the number a user weighs when
+    * choosing the sub-key expression.
+    *
+    * Scale shape: this is an AUDIT — it enumerates the hot blocks'
+    * uncapped within-block pairs, the exact Σblock² cost the cap
+    * exists to refuse, through the same never-cartesian blocked
+    * equi-self-join. Point it at a bounded sample (or accept the
+    * uncapped audit bill, as with `dedup_jaccard_audit`); the
+    * production path stays [[candidatePairs]] with the cap engaged.
+    */
+  def subBlockRecall(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      subBlock: Column)(df: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "subBlockRecall needs at least one blocking column")
+    val sizes = blockSizes(blockCols)(df)
+    // inner join (not semi) so block_n rides along with every hot row
+    val hot = df
+      .join(sizes.where(col("block_n") > maxBlock), blockCols)
+      .withColumn("__sb", subBlock)
+    val subCols = blockCols :+ "__sb"
+    val subSizes = hot.groupBy(subCols.map(col): _*).agg(count(lit(1)).as("__sub_n"))
+    // NULL sub-keys drop out of this equi-join; re-attach them with a
+    // sentinel size so the pair classification below sees every row
+    // (they can only ever classify as n_lost_cross)
+    val withSub = hot.join(subSizes, subCols, "left")
+      .withColumn("__sub_n", coalesce(col("__sub_n"), lit(Long.MaxValue)))
+    def side(tag: String) = withSub.select(
+      blockCols.map(col) :+ col("block_n") :+
+        col(idCol).as(s"id_$tag") :+ col(nameCol).as(s"name_$tag") :+
+        col("__sb").as(s"sb_$tag") :+ col("__sub_n").as(s"sub_n_$tag"): _*)
+    val pairs = side("a").join(side("b"), blockCols :+ "block_n")
+      .where(col("id_a") < col("id_b"))
+      .where(levenshtein(col("name_a"), col("name_b"), maxDist) >= 0)
+    val sameSub = col("sb_a").isNotNull && col("sb_b").isNotNull &&
+      col("sb_a") === col("sb_b")
+    pairs
+      .withColumn("__cls",
+        when(sameSub && col("sub_n_a") <= maxBlock, lit("kept"))
+          .when(sameSub, lit("refused"))
+          .otherwise(lit("cross")))
+      .groupBy((blockCols :+ "block_n").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_pairs_uncapped"),
+        sum(when(col("__cls") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__cls") === "cross", 1L).otherwise(0L)).as("n_lost_cross"),
+        sum(when(col("__cls") === "refused", 1L).otherwise(0L)).as("n_lost_refused"))
+      .withColumn("recall",
+        col("n_kept").cast("double") / col("n_pairs_uncapped"))
   }
 
   /** Transitive match groups: connected components over

@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object ConfigOpQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
     // ===== §2.2 projection / distinct =====
     "p1_tolerant_project_skip" -> ((s, d) =>
       Ops.selectColumnsTolerant(Seq("l_orderkey", "no_such_column"), distinct = false)(
@@ -211,7 +211,7 @@ private[graft] object ConfigOpQueries {
           "month", trunc(col("o_orderdate"), "month")))),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     "p1_tolerant_project_skip" -> "SELECT * FROM lineitem",
     "p1_tolerant_project" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "p2_select_columns" -> "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",

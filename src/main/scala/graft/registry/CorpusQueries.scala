@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object CorpusQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
     // the remedy for split leakage: hash-split on the near-dup
     // CLUSTER representative, so whole groups land in one split;
     // unpaired docs keep their withHashSplit assignment
@@ -268,7 +268,7 @@ private[graft] object CorpusQueries {
       |       ELSE 'train' END AS split
       |FROM keyed""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     // cluster-aware split replay: the dedup_clusters recursive
     // reachability walk for the representative, then the
     // sample_hash_split bucket rule on COALESCE(cluster, own id)

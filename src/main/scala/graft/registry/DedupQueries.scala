@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object DedupQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== LLM pipeline: dedup =====
     "dedup_exact" -> ((s, d) => Dedup.exactDedup("text", "doc_id")(doubledDocs(s, d))),
@@ -139,6 +139,18 @@ private[graft] object DedupQueries {
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 12, subBlock = Some(substring(col("c_name"), -2, 2)))(
         t(s, d, "customer"))),
+    // the remedy's recall trade, quantified per hot block: where do a
+    // hot block's uncapped match pairs land under sub-blocking —
+    // kept / lost-to-cross-sub-key / lost-to-still-refused — plus the
+    // recall fraction a user weighs when choosing the sub-key. An
+    // AUDIT (it pays the hot blocks' uncapped pair bill on purpose);
+    // same maxBlock=12 / last-2-chars sub-key as er_pairs_subblocked,
+    // so the two queries describe the same remedy run
+    "er_subblock_recall" -> ((s, d) =>
+      graft.ops.EntityRes.subBlockRecall(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, subBlock = substring(col("c_name"), -2, 2))(
+        t(s, d, "customer"))),
     // transitive match groups over the same pair graph (label
     // propagation); oracle replays a recursive reachability walk
     "er_groups" -> ((s, d) =>
@@ -214,7 +226,7 @@ private[graft] object DedupQueries {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.3""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     "dedup_exact" ->
       s"""SELECT doc_id, text, lang, source, n_chars
          |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $doubledDocsSql)
@@ -377,6 +389,35 @@ private[graft] object DedupQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         | AND a.sb = b.sb AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // replay the classification: hot blocks (n > 12), sub-key = last
+    // 2 name chars, kept iff same sub-key AND refined size <= 12
+    "er_subblock_recall" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS block_n
+        |            FROM customer GROUP BY 1, 2),
+        |hot AS (SELECT c.*, sz.block_n,
+        |               substr(c.c_name, length(c.c_name) - 1, 2) AS sb
+        |        FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.block_n > 12),
+        |hsz AS (SELECT c_nationkey, c_mktsegment, sb, count(*) AS m FROM hot GROUP BY 1, 2, 3),
+        |h2 AS (SELECT hot.*, hsz.m FROM hot
+        |       JOIN hsz ON hot.c_nationkey = hsz.c_nationkey
+        |               AND hot.c_mktsegment = hsz.c_mktsegment AND hot.sb = hsz.sb),
+        |p AS (SELECT a.c_nationkey, a.c_mktsegment, a.block_n,
+        |             CASE WHEN a.sb = b.sb AND a.m <= 12 THEN 'kept'
+        |                  WHEN a.sb = b.sb THEN 'refused'
+        |                  ELSE 'cross' END AS cls
+        |      FROM h2 a JOIN h2 b
+        |        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |       AND a.c_custkey < b.c_custkey
+        |      WHERE levenshtein(a.c_name, b.c_name) <= 2)
+        |SELECT c_nationkey, c_mktsegment, block_n,
+        |       count(*) AS n_pairs_uncapped,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN cls = 'cross' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross,
+        |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
     "er_groups" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

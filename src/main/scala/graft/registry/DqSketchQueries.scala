@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object DqSketchQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
     // mergeable-sketch union NDV: each snapshot reduces to ONE
     // DataSketches HLL sketch; the union estimate merges sketches
     // without rescanning either side (exact twin + envelope gate)
@@ -117,7 +117,7 @@ private[graft] object DqSketchQueries {
         t(s, d, "documents").select(explode(split(col("text"), " ")).as("token")))),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     // data-quality summary: per-rule violation counts over one scan;
     // null semantics — NOT_NULL counts nulls, other kinds skip them
     "dq_summary" ->

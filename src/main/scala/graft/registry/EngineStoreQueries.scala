@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object EngineStoreQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== engine + sources/sinks =====
     "s1_nested_roundtrip" -> ((s, d) => {
@@ -243,7 +243,7 @@ private[graft] object EngineStoreQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     "s1_nested_roundtrip" ->
       "SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "s6_upsert" ->

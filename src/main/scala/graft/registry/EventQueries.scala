@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object EventQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
     "w2_json_props" -> ((s, d) =>
       // semi-structured payload handling: typed extraction from the
       // events JSON props column
@@ -338,7 +338,7 @@ private[graft] object EventQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     // bit-for-bit replay of ZOrder.zkey's interleave: col i's bit b
     // lands at global bit b*2 + i; low 16 bits of each dimension
     "zorder_key" ->

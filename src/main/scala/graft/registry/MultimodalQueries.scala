@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object MultimodalQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== LLM pipeline: multimodal =====
     "mm_binary_meta" -> ((s, d) =>
@@ -91,7 +91,7 @@ private[graft] object MultimodalQueries {
         .select(col("doc_id"), posexplode(col("byte_hist")).as(Seq("bin_idx", "p")))),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS content_sha256
         |FROM documents""".stripMargin,

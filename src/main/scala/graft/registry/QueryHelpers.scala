@@ -21,6 +21,22 @@ private[graft] object QueryHelpers {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Registry-literal constructor: a `Map(...)` literal silently
+    * last-wins on a duplicated key, and ContractSpec's cross-registry
+    * disjointness gate (sum-of-sizes vs merged size) cannot see a
+    * duplicate WITHIN one registry's literal — the varargs pairs are
+    * gone by the time the Map exists. Building from the pairs keeps
+    * the literal syntax identical while asserting distinctness loudly
+    * at object init, so an accidental intra-file duplicate fails every
+    * test that touches the registry, with the offending name.
+    */
+  def reg[V](pairs: (String, V)*): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query name(s) within a registry literal: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
   /** Per-JVM-invocation scratch root for queries that round-trip
     * through local disk (S1/S2/S5/S9/S10, clinical store): two
     * concurrent Verify/Bench invocations on one machine must never

@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object SimilarityQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== LLM pipeline: similarity =====
     "sim_cosine_topk" -> ((s, d) =>
@@ -137,7 +137,7 @@ private[graft] object SimilarityQueries {
       graft.llm.Quantize.int8Audit("vec_id", "embedding")(t(s, d, "embeddings"))),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     "sim_cosine_topk" ->
       """WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -19,7 +19,7 @@ import graft.ops.Ops
 private[graft] object TextQueries {
   import QueryHelpers._
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== LLM pipeline: text analysis =====
     "text_stats" -> ((s, d) => TextAnalysis.withTokenStats("text")(t(s, d, "documents"))),
@@ -151,7 +151,7 @@ private[graft] object TextQueries {
         t(s, d, "documents"))),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = reg(
     "text_stats" ->
       """SELECT doc_id, text, lang, source, n_chars,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -20,11 +20,27 @@ class ContractSpec extends SparkSpec {
     assert(overlap.isEmpty, s"oracle defined both statically and dynamically: $overlap")
   }
 
+  test("registry literals reject intra-file duplicate names (reg constructor)") {
+    // the disjointness gate below only sees ACROSS-registry dups; a
+    // key duplicated WITHIN one Map literal last-wins before any test
+    // can look. Registries therefore build via QueryHelpers.reg, which
+    // sees the raw varargs pairs and refuses duplicates at object init
+    // — pin that behavior here so a revert to bare Map(...) can't
+    // silently reopen the hole (every registry is already initialized
+    // by other tests in this suite, so a dup would have thrown there).
+    val e = intercept[IllegalArgumentException] {
+      QueryHelpers.reg("dup" -> 1, "ok" -> 2, "dup" -> 3)
+    }
+    assert(e.getMessage.contains("dup"))
+    assert(QueryHelpers.reg("a" -> 1, "b" -> 2) == Map("a" -> 1, "b" -> 2))
+  }
+
   test("registry maps are disjoint: ++ concatenation cannot silently drop a query") {
     // since the round-13 split, queries/oracleSql are built by ++ over
     // per-family registries — a duplicated name ACROSS registries
     // would silently overwrite where the old single Map literal would
-    // have at least been reviewable. Pin sum-of-parts == whole.
+    // have at least been reviewable (intra-registry dups are caught by
+    // QueryHelpers.reg at init). Pin sum-of-parts == whole.
     val regsQ = Seq(
       ConfigOpQueries.queries, EngineStoreQueries.queries, EventQueries.queries,
       DedupQueries.queries, SimilarityQueries.queries, TextQueries.queries,

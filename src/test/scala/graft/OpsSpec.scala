@@ -739,6 +739,63 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 120)
   }
 
+  test("entity resolution: refused sub-blocks are enumerated and exactly explain the missing pairs") {
+    import graft.ops.EntityRes
+    // every hot-block outcome in one fixture (cap 4):
+    //   S  small (3 rows)                      -> paired as usual
+    //   H1 hot (8): sub x*3 kept, sub y*5 STILL over cap -> refused
+    //   H2 hot (6): sub x*4 kept, sub NULL*2   -> dropped, reported
+    // names are all pairwise levenshtein<=1 within a block, so every
+    // within-block pair is a match pair and the arithmetic is exact
+    val rows =
+      (1L to 3L).map(i => (i, s"a$i", "S", "x")) ++
+      (11L to 13L).map(i => (i, s"a${i - 10}", "H1", "x")) ++
+      (14L to 18L).map(i => (i, s"a${i - 10}", "H1", "y")) ++
+      (21L to 24L).map(i => (i, s"a${i - 20}", "H2", "x")) ++
+      (25L to 26L).map(i => (i, s"a${i - 20}", "H2", null.asInstanceOf[String]))
+    val recs = rows.toDF("id", "name", "state", "sk")
+    val cap = 4L
+
+    // the reporting face: H1's y-group is still over the bound, H2's
+    // NULL group can never equi-join — both enumerated, nothing else
+    val refused = EntityRes.refusedSubBlocks(Seq("state"), cap, col("sk"))(recs)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(refused == Set(("H1", Some("y"), 5L), ("H2", None, 2L)), s"got $refused")
+
+    // the accounting: recall rows carry kept/cross/refused per block
+    val recall = EntityRes.subBlockRecall("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, subBlock = col("sk"))(recs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // H1: C(8,2)=28 pairs; kept C(3,2)=3; cross 3*5=15; refused C(5,2)=10
+    assert(recall("H1") == (8L, 28L, 3L, 15L, 10L, 3.0 / 28))
+    // H2: C(6,2)=15; kept C(4,2)=6; cross 2*4 + C(2,2)=9 (NULL sub-key
+    // pairs are cross by definition); refused 0
+    assert(recall("H2") == (6L, 15L, 6L, 9L, 0L, 6.0 / 15))
+    recall.values.foreach { case (_, un, k, c, rf, _) => assert(un == k + c + rf) }
+
+    // the missing-pair identity, each side computed independently:
+    // uncapped - subblocked == sum(lost), subblocked - refusal-only ==
+    // sum(kept) — the enumerated drops EXACTLY explain the delta
+    val uncapped = EntityRes.candidatePairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = 10000L)(recs).count()
+    val refusalOnly = EntityRes.candidatePairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap)(recs).count()
+    val subBlocked = EntityRes.candidatePairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, subBlock = Some(col("sk")))(recs).count()
+    assert(uncapped == 46L && refusalOnly == 3L && subBlocked == 12L)
+    val lost = recall.values.map { case (_, _, _, c, rf, _) => c + rf }.sum
+    val kept = recall.values.map { case (_, _, k, _, _, _) => k }.sum
+    assert(uncapped - subBlocked == lost)
+    assert(subBlocked - refusalOnly == kept)
+
+    // and n_lost_refused re-derived from the reporting face alone:
+    // pairs inside the enumerated over-cap sub-groups (y*5 -> C(5,2))
+    val refusedPairs = recall.values.map { case (_, _, _, _, rf, _) => rf }.sum
+    assert(refusedPairs == 10L)
+  }
+
   test("pageRankFp: exact fixed-point ranks on a hand-computed graph") {
     import graft.ops.Graph
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "weight")
