@@ -33,7 +33,8 @@ object Bench {
     "ret_bm25_topk", "sim_semdedup_keep", "event_rfm", "drift_snapshot",
     "decontam_minhash", "pipeline_incremental", "sim_semdedup_bucketed",
     "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty",
-    "event_outliers", "er_groups", "graph_pagerank", "session_concurrency",
+    "event_outliers", "er_groups", "er_pairs_subblocked", "er_subblock_recall",
+    "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
     "scd2_history", "profile_day_islands",
     "epoch_shuffle", "select_token_budget", "span_clean_stats",

@@ -10,20 +10,24 @@ import org.apache.spark.sql.SparkSession
   * shape to the gated er_groups; same session and median-of-reps
   * discipline as [[graft.Bench]].
   *
-  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock> [sub]
+  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock> [sub|recall]
   * (`sub` engages the hot-block remedy: sub-block oversized blocks on
-  * the last two c_name chars instead of refusing them.)
+  * the last two c_name chars instead of refusing them. `recall` runs
+  * [[graft.ops.EntityRes.subBlockRecall]] with the same sub-key
+  * instead of matchGroups, timing the audit and printing the
+  * corpus-total kept / lost-cross / lost-refused pair counts — the
+  * measured recall trade for SCALE.md.)
   */
 object ErScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3, "usage: ErScale <sfDir> <maxBlock> [sub]")
+    require(args.length == 2 || args.length == 3,
+      "usage: ErScale <sfDir> <maxBlock> [sub|recall]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
-    val subBlock =
-      if (args.length == 3 && args(2) == "sub")
-        Some(org.apache.spark.sql.functions.substring(
-          org.apache.spark.sql.functions.col("c_name"), -2, 2))
-      else None
+    val mode = if (args.length == 3) args(2) else ""
+    val lastTwo = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.col("c_name"), -2, 2)
+    val subBlock = if (mode == "sub") Some(lastTwo) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,12 +43,20 @@ object ErScale {
 
     def run(): Double = {
       val t0 = System.nanoTime()
-      val g = graft.ops.EntityRes.matchGroups(
-        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-        maxDist = 2, maxBlock = maxBlock, subBlock = subBlock)(
-        spark.read.parquet(s"$sfDir/customer.parquet"))
-      g.write.mode("overwrite").format("noop").save()
-      g.unpersist()
+      if (mode == "recall") {
+        graft.ops.EntityRes.subBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, subBlock = lastTwo)(
+          spark.read.parquet(s"$sfDir/customer.parquet"))
+          .write.mode("overwrite").format("noop").save()
+      } else {
+        val g = graft.ops.EntityRes.matchGroups(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, subBlock = subBlock)(
+          spark.read.parquet(s"$sfDir/customer.parquet"))
+        g.write.mode("overwrite").format("noop").save()
+        g.unpersist()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
@@ -53,7 +65,24 @@ object ErScale {
     val refused = graft.ops.EntityRes.oversizedBlocks(
       Seq("c_nationkey", "c_mktsegment"), maxBlock)(
       spark.read.parquet(s"$sfDir/customer.parquet")).count()
-    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"subBlock":${subBlock.isDefined},"sf":"$sfDir"}""")
+    val recallTail = if (mode == "recall") {
+      // corpus totals of the per-block accounting — one extra pass,
+      // outside the timing loop
+      val r = graft.ops.EntityRes.subBlockRecall(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+        maxDist = 2, maxBlock = maxBlock, subBlock = lastTwo)(
+        spark.read.parquet(s"$sfDir/customer.parquet"))
+        .selectExpr("sum(n_pairs_uncapped) AS u", "sum(n_kept) AS k",
+          "sum(n_lost_cross) AS c", "sum(n_lost_refused) AS r")
+        .collect()(0)
+      // sums are null when no hot block has a match pair (cap never
+      // engaged at this dir) — report explicit zeros, not an NPE
+      def lng(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      val (u, k, c, rr) = (lng(0), lng(1), lng(2), lng(3))
+      val rec = if (u == 0) 1.0 else k.toDouble / u
+      s""","pairsUncapped":$u,"pairsKept":$k,"pairsLostCross":$c,"pairsLostRefused":$rr,"recall":$rec"""
+    } else ""
+    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode"$recallTail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
