@@ -190,6 +190,42 @@ class SasSpec extends SparkSpec {
     assert(Sas.censusRuns.get() <= staleBefore + 1)
   }
 
+  test("census cache: a same-(mtime,length) in-place rewrite still invalidates via the metadata fingerprint") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // the ADVICE r13 hazard: second-granularity filesystems can land a
+    // rewrite on the same (mtime, length) — the CRC of the bytes
+    // readMeta actually reads must then be what invalidates
+    val fp1 = Sas.readMeta(spark, rleFixture).metaFingerprint
+    assert(fp1 != 0L && fp1 == Sas.readMeta(spark, rleFixture).metaFingerprint,
+      "fingerprint must be deterministic and non-trivial")
+    assert(fp1 != Sas.readMeta(spark, fixture).metaFingerprint,
+      "different files must fingerprint differently")
+
+    val tmp = Files.createTempFile("graft_sas_fp_", ".sas7bdat")
+    try {
+      val pinned = FileTime.fromMillis(1700000000000L)
+      Files.copy(Paths.get(rleFixture), tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(tmp, pinned)
+      Sas.read(spark, tmp.toString).count()
+      val n1 = Sas.censusRuns.get()
+      Sas.read(spark, tmp.toString).count() // cached: same path/mtime/len/fingerprint
+      assert(Sas.censusRuns.get() == n1)
+      // rewrite IN PLACE: flip a byte in the header's dataset-name
+      // region (offset 100 — read by readMeta's 288-byte header read,
+      // ignored by every parsed field), restore the pinned mtime; the
+      // length is unchanged, so only the fingerprint can notice
+      val bytes = Files.readAllBytes(Paths.get(rleFixture))
+      bytes(100) = (bytes(100) ^ 0x5A).toByte
+      Files.write(tmp, bytes)
+      Files.setLastModifiedTime(tmp, pinned)
+      assert(Files.size(tmp) == Files.size(Paths.get(rleFixture)))
+      Sas.read(spark, tmp.toString).count()
+      assert(Sas.censusRuns.get() == n1 + 1,
+        "same-(path,mtime,length) rewrite must re-run the census via the fingerprint")
+    } finally Files.deleteIfExists(tmp)
+  }
+
   test("DSv2: a user-pinned schema is validated — match reads, mismatch fails loudly") {
     import org.apache.spark.sql.types._
     val fileSchema = Sas.readMeta(spark, fixture).schema
