@@ -453,8 +453,21 @@ class SasDifferentialSpec extends SparkSpec {
         images.drop(nMix).grouped(math.max(1, dataCapacity))
           .foreach(g => pages += dataPage(g))
       } else {
-        pages += subheaderPage(if (rnd.nextBoolean()) 0x0000 else 0x4000,
-          metaSubs, Nil, noise = true)
+        // splitSubheaders additionally splits the metadata across TWO
+        // meta pages (readMeta keeps walking until the first data/mix
+        // page); any cut preserves the global processing order, so
+        // text blobs still precede the colname subheaders that index
+        // into them
+        if (f.splitSubheaders && metaSubs.size >= 4) {
+          val cut = 1 + rnd.nextInt(metaSubs.size - 1)
+          pages += subheaderPage(if (rnd.nextBoolean()) 0x0000 else 0x4000,
+            metaSubs.take(cut), Nil, noise = true)
+          pages += subheaderPage(if (rnd.nextBoolean()) 0x0000 else 0x4000,
+            metaSubs.drop(cut), Nil, noise = true)
+        } else {
+          pages += subheaderPage(if (rnd.nextBoolean()) 0x0000 else 0x4000,
+            metaSubs, Nil, noise = true)
+        }
         images.grouped(math.max(1, dataCapacity)).foreach(g => pages += dataPage(g))
       }
     } else {
