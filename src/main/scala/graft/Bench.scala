@@ -34,6 +34,7 @@ object Bench {
     "decontam_minhash", "pipeline_incremental", "sim_semdedup_bucketed",
     "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty",
     "event_outliers", "er_groups", "er_pairs_subblocked", "er_subblock_recall",
+    "er_refused_subblocks",
     "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
     "scd2_history", "profile_day_islands",

@@ -139,6 +139,18 @@ private[graft] object DedupQueries {
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 12, subBlock = Some(substring(col("c_name"), -2, 2)))(
         t(s, d, "customer"))),
+    // the loud-cap reporting face one level down, oracle-gated: the
+    // refined groups the subBlock remedy still refuses (over-cap, or
+    // NULL sub-key — none here, names are non-null; OpsSpec pins that
+    // arm). maxBlock=3 with a last-1-char sub-key leaves 41 refused
+    // sub-groups at sf0.01 — a non-degenerate report, unlike the
+    // er_pairs_subblocked parameters where every refined block lands
+    // under the bound
+    "er_refused_subblocks" -> ((s, d) =>
+      graft.ops.EntityRes.refusedSubBlocks(
+        Seq("c_nationkey", "c_mktsegment"), maxBlock = 3,
+        subBlock = substring(col("c_name"), -1, 1))(
+        t(s, d, "customer"))),
     // the remedy's recall trade, quantified per hot block: where do a
     // hot block's uncapped match pairs land under sub-blocking —
     // kept / lost-to-cross-sub-key / lost-to-still-refused — plus the
@@ -389,6 +401,16 @@ private[graft] object DedupQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         | AND a.sb = b.sb AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // replay: sub-group sizes within hot blocks, kept only over the cap
+    "er_refused_subblocks" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |            FROM customer GROUP BY 1, 2),
+        |hot AS (SELECT c.*, substr(c.c_name, length(c.c_name), 1) AS sb
+        |        FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.n > 3)
+        |SELECT c_nationkey, c_mktsegment, sb AS sub_key, count(*) AS block_n
+        |FROM hot GROUP BY 1, 2, 3 HAVING count(*) > 3""".stripMargin,
     // replay the classification: hot blocks (n > 12), sub-key = last
     // 2 name chars, kept iff same sub-key AND refined size <= 12
     "er_subblock_recall" ->
