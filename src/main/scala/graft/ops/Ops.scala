@@ -71,10 +71,15 @@ object Ops {
     val litBuf = new StringBuilder
     def flush(): Unit = if (litBuf.nonEmpty) {
       val s = litBuf.toString
-      if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
-      // a bare quote outside a quoted section would START one and
-      // swallow the next pattern letters — escape it on this branch too
-      else out.append(s.replace("'", "''"))
+      // letters must be quoted (reserved as pattern fields), and so
+      // must ANY literal containing a quote: the bare `''` escape only
+      // works in isolation — two adjacent escapes (`''''` from a
+      // literal `''`) parse as open + escaped + close, i.e. ONE quote
+      // (found by the generative strftime property, round 14). Inside
+      // a quoted section each doubled quote is unambiguous.
+      if (s.exists(_.isLetter) || s.contains("'"))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
       litBuf.clear()
     }
     var i = 0

@@ -15,8 +15,16 @@ class OpsSpec extends SparkSpec {
     assert(Ops.strftimeToJava("%%m") == "'%m'") // escaped percent + literal m, quoted
     assert(Ops.strftimeToJava("%Y at %H") == "yyyy' at 'HH")
     // a bare quote in letter-free literal text must escape too — an
-    // unescaped one would START a quoted section and swallow %m
-    assert(Ops.strftimeToJava("%d'%m") == "dd''MM")
+    // unescaped one would START a quoted section and swallow %m.
+    // Quote-bearing literals use the fully-quoted encoding since
+    // round 14: bare `''` pairs are only unambiguous in isolation
+    // (literal `''` would emit `''''` = open+escaped+close = ONE
+    // quote — found by the generative property below)
+    assert(Ops.strftimeToJava("%d'%m") == "dd''''MM")
+    assert(Ops.strftimeToJava("%d''%m") == "dd''''''MM") // two literal quotes
+    // the found case: the whole quote-bearing literal run `''%-`
+    // lands in one quoted section with its quotes doubled
+    assert(Ops.strftimeToJava("%y''%%-") == "yy'''''%-'")
     assertThrows[IllegalArgumentException](Ops.strftimeToJava("%Q"))
     // separator-less same-letter adjacency merges fields in Java
     // ('yyyyyy' = ONE 6-digit year, not '21'+'2021') — caught by the
