@@ -367,6 +367,72 @@ class StreamingDifferentialSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: mapGroupsWithState session counts survive checkpoint kills and a forced replay") {
+    // the third stateful family to get the kill-and-replay treatment
+    // (after the LSH join state and the curation gate's dedup state):
+    // mapGroupsWithState keeps a per-user running count in the state
+    // store — a user whose events are split across SEPARATE runs only
+    // totals correctly if that state is restored from the checkpoint.
+    // Each CSV file is driven by its own AvailableNow run; update-mode
+    // emissions land through the canonical idempotent foreachBatch
+    // sink (dynamic partition overwrite on the batch id), so the
+    // forced replay after deleting the newest commit marker must
+    // overwrite its own partition rather than double-count.
+    val usersGen = for {
+      n <- Gen.chooseNum(3, 16)
+      us <- Gen.listOfN(n, Gen.chooseNum(1L, 4L))
+    } yield us
+    val cutsGen = Gen.chooseNum(0, 3).flatMap(k => Gen.listOfN(k, Gen.chooseNum(1, 15)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT")
+    val prop = Prop.forAllNoShrink(usersGen, cutsGen) { (users, cuts) =>
+      val watch = Files.createTempDirectory("graft_sessdiff_watch").toString
+      val outRoot = Files.createTempDirectory("graft_sessdiff_out").toString + "/updates"
+      val ckpt = Files.createTempDirectory("graft_sessdiff_ckpt").toString
+      def drive(): Unit = {
+        val sessions = StreamingIngest.sessionize(
+          spark.readStream.schema(schema).option("header", "true").csv(watch),
+          gapMs = None)
+        val q = sessions.toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            // idempotent per-batch sink: a replayed batch id rewrites
+            // ONLY its own partition (never appends a duplicate)
+            batch.withColumn("__b", org.apache.spark.sql.functions.lit(id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__b").parquet(outRoot)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        try assert(q.awaitTermination(180000), "streaming query did not finish within 180000ms")
+        finally if (q.isActive) q.stop()
+      }
+      segments(users, cuts).zipWithIndex.foreach { case (seg, i) =>
+        Files.writeString(java.nio.file.Paths.get(watch, f"b$i%03d.csv"),
+          "user_id\n" + seg.mkString("\n") + "\n")
+        drive() // one crash-recovery cycle per file
+      }
+      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+      val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = cfs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.forall(_.isDigit))
+      cfs.delete(markers.maxBy(_.getName.toLong), false)
+      drive() // replays the last batch from the RESTORED prior state
+      // cumulative update-mode emissions: the max per user must equal
+      // the all-runs batch total — true only if every run resumed from
+      // the previous runs' state, and the replay overwrote in place
+      val got = spark.read.parquet(outRoot).collect()
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("nEvents")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val want = users.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (got != want) println(s"cuts=$cuts users=$users\ngot=$got\nwant=$want")
+      got == want
+    }
+    // stressed at 20 cases before commit (restart-heavy discipline)
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: sessionization state accumulates identically across any micro-batch split") {
     implicit val sqlCtx = spark.sqlContext
     val eventsGen = for {
