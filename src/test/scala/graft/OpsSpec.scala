@@ -296,6 +296,20 @@ class OpsSpec extends SparkSpec {
     assert(r.toString.startsWith("2021-01-31"))
   }
 
+  test("formatColumn datetime: quote-bearing literals survive Spark's own pattern compiler") {
+    // the round-14 consecutive-quote fix emits fully-quoted literal
+    // sections ('''' for one literal quote); the engine path hands the
+    // translated pattern to try_to_timestamp, whose pattern dialect
+    // must accept the encoding too — pin it end-to-end, single and
+    // consecutive quotes both
+    val one = Seq("31'01'2021").toDF("d")
+    val r1 = Ops.formatColumn("d", "datetime#%d'%m'%Y")(one).collect().head.getTimestamp(0)
+    assert(r1 != null && r1.toString.startsWith("2021-01-31"), s"got $r1")
+    val two = Seq("31''01''2021").toDF("d")
+    val r2 = Ops.formatColumn("d", "datetime#%d''%m''%Y")(two).collect().head.getTimestamp(0)
+    assert(r2 != null && r2.toString.startsWith("2021-01-31"), s"got $r2")
+  }
+
   test("asofJoinBackward: nearest preceding row per key, ties at equal time match, no-match is null") {
     import graft.ops.AsOf
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"), (3L, 9L, "p4"))
