@@ -23,7 +23,7 @@ object Bench {
     "dedup_jaccard_audit_capped",
     "sim_cosine_topk", "sim_knn_join", "sim_ann_topk", "sim_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint", "text_top_terms",
-    "sample_stratified",
+    "sample_stratified", "sample_unimax",
     "pipeline_preprocess", "pipeline_train_prep",
     "asof_next_purchase_after_click", "mm_binary_meta",
     "sketch_corpus_ndv", "decontam_overlap", "pack_sequences",

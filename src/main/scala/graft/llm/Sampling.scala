@@ -106,6 +106,66 @@ object Sampling {
     counts.withColumn("sample_rate", rate)
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023 — the
+    * successor to [[domainMixture]]'s temperature rule for
+    * multilingual pretraining): distribute a total training budget
+    * across languages as UNIFORMLY as possible, subject to a per-
+    * language repetition cap of `maxEpochs` passes over its data.
+    * Languages too small to sustain the uniform share contribute
+    * everything up to their cap; the remaining budget re-levels
+    * uniformly over the rest (water-filling).
+    *
+    * Computed in closed form rather than by the paper's iterative
+    * loop: with languages ascending by cap, the water level after
+    * refusing the first i caps is `level_i = (budget - Σ_{j<i}
+    * cap_j) / (n - i + 1)`; levels rise while languages still fall
+    * below them and fall after the break, so the allocation level is
+    * the MAX over rows where `level_i <= cap_i`, and `alloc_i =
+    * min(cap_i, level)`. Σ alloc == budget exactly whenever the
+    * budget fits under Σ caps; otherwise every language caps out and
+    * the budget is reported unfillable by `allocation < budget`
+    * totals (no silent stretch past the epoch cap).
+    *
+    * Scale shape: one partial-aggregated group-by over the corpus
+    * (the only corpus-sized work), then windows over the
+    * LANGUAGES-sized table — the [[domainMixture]] bounded-state
+    * pattern; the single-partition exchange carries one row per
+    * language. Float discipline: caps and prefix sums are
+    * integer-valued doubles accumulated in the sorted frame order
+    * (the ordered-window rule), and the level is a single division —
+    * every value replays bit-exactly in the DuckDB oracle.
+    */
+  def unimaxAllocation(
+      langCol: String,
+      weightCol: String,
+      budget: Double,
+      maxEpochs: Double)(df: DataFrame): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, s"bad budget=$budget / maxEpochs=$maxEpochs")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cap"), col(langCol))
+    val all = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    val sizes = df.groupBy(col(langCol))
+      .agg(sum(col(weightCol)).cast("double").as("n_weight"))
+      .withColumn("cap", col("n_weight") * lit(maxEpochs))
+    val leveled = sizes
+      .withColumn("__prefix",
+        coalesce(sum("cap").over(w.rowsBetween(Long.MinValue, -1)), lit(0.0)))
+      .withColumn("__rem",
+        count(lit(1)).over(all) - row_number().over(w) + 1)
+      .withColumn("__level", (lit(budget) - col("__prefix")) / col("__rem"))
+    leveled
+      // the first feasible level is the max: levels rise strictly
+      // until the break (each refused cap sits below the running
+      // average) and never rise after it
+      .withColumn("__L",
+        max(when(col("__level") <= col("cap"), col("__level"))).over(all))
+      .withColumn("allocation",
+        when(col("__L").isNull, col("cap")) // budget exceeds every cap
+          .otherwise(least(col("cap"), col("__L"))))
+      .withColumn("epochs", col("allocation") / col("n_weight"))
+      .select(col(langCol), col("n_weight"), col("cap"),
+        col("allocation"), col("epochs"))
+  }
+
   /** Apply [[domainMixture]]'s rates as a deterministic hash filter:
     * keep a row iff its key's [[hashFraction]] falls under its
     * domain's acceptance rate. Membership per key is stable under

@@ -123,6 +123,13 @@ private[graft] object CorpusQueries {
     "sample_domain_balanced" -> ((s, d) =>
       graft.llm.Sampling.temperatureBalancedSample("doc_id", "source")(t(s, d, "documents"))
         .select("doc_id", "source")),
+    // UniMax water-filling: budget 213001 chars at <=2 epochs per
+    // language — at sf0.01 three languages cap out (de/fr/es) and two
+    // share a fractional uniform level (zh/en), exercising BOTH
+    // allocation branches plus the non-integer water level
+    "sample_unimax" -> ((s, d) =>
+      graft.llm.Sampling.unimaxAllocation("lang", "n_chars",
+        budget = 213001.0, maxEpochs = 2.0)(t(s, d, "documents"))),
     // one-row release datasheet: volume, diversity, dup fraction,
     // token-length shape — all counts/integer sums, engine-exact
     "corpus_datasheet" -> ((s, d) =>
@@ -428,6 +435,23 @@ private[graft] object CorpusQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+    // closed-form water-filling replay: ascending (cap, lang) prefix
+    // sums, level_i = (B - prefix)/remaining, L = max feasible level
+    "sample_unimax" ->
+      """WITH sz AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n_weight
+        |            FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_weight, n_weight * 2.0 AS cap FROM sz),
+        |r AS (SELECT lang, n_weight, cap,
+        |        COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix,
+        |        COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY cap, lang) + 1 AS rem
+        |      FROM c),
+        |l AS (SELECT *, (213001.0 - prefix) / rem AS lv FROM r),
+        |g AS (SELECT *, MAX(CASE WHEN lv <= cap THEN lv END) OVER () AS wl FROM l)
+        |SELECT lang, n_weight, cap,
+        |  CASE WHEN wl IS NULL THEN cap ELSE LEAST(cap, wl) END AS allocation,
+        |  (CASE WHEN wl IS NULL THEN cap ELSE LEAST(cap, wl) END) / n_weight AS epochs
+        |FROM g""".stripMargin,
     "sample_domain_mixture" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |m AS (SELECT min(n_docs) AS n_min FROM c)

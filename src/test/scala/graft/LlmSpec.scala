@@ -920,6 +920,67 @@ class LlmSpec extends SparkSpec {
     assert(keptIds == keptShuffled)
   }
 
+  test("unimax allocation: water-filling hand case, budget conservation, and the iterative model") {
+    import graft.llm.Sampling
+    // hand case: weights 10/20/100, cap 2 epochs -> caps 20/40/200,
+    // budget 150: a=20 (capped: 150/3=50>20), b=40 (capped:
+    // 130/2=65>40), c=90 (uniform level, under its 200 cap)
+    val df = ((1 to 10).map(i => (i.toLong, "a", 1L)) ++
+      (1 to 20).map(i => (i + 100L, "b", 1L)) ++
+      (1 to 100).map(i => (i + 200L, "c", 1L))).toDF("id", "lang", "w")
+    val got = Sampling.unimaxAllocation("lang", "w", budget = 150.0, maxEpochs = 2.0)(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == (10.0, 20.0, 20.0, 2.0))
+    assert(got("b") == (20.0, 40.0, 40.0, 2.0))
+    assert(got("c") == (100.0, 200.0, 90.0, 0.9))
+    // budget exceeding every cap: all languages cap out, loudly short
+    val over = Sampling.unimaxAllocation("lang", "w", budget = 1e6, maxEpochs = 2.0)(df)
+      .collect().map(r => r.getDouble(3)).sum
+    assert(over == 260.0)
+
+    // property: the closed form equals the paper's ITERATIVE
+    // water-filling on random language-size sets (the independent
+    // model), and allocations sum to the budget whenever it fits
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def iterative(sizes: Map[String, Long], budget: Double, cap: Double): Map[String, Double] = {
+      var remaining = budget
+      var todo = sizes.toSeq.map { case (l, n) => (l, n * cap) }.sortBy(t => (t._2, t._1))
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      while (todo.nonEmpty) {
+        val level = remaining / todo.size
+        val (l, c) = todo.head
+        if (level <= c) { todo.foreach { case (l2, c2) => out(l2) = math.min(c2, level) }; todo = Nil }
+        else { out(l) = c; remaining -= c; todo = todo.tail }
+      }
+      out.toMap
+    }
+    val gen = for {
+      n <- Gen.chooseNum(1, 6)
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 50L))
+      b <- Gen.chooseNum(1, 400)
+    } yield (ws, b)
+    val prop = Prop.forAllNoShrink(gen) { case (ws, b) =>
+      val langs = ws.zipWithIndex.map { case (w, i) => (s"l$i", w) }
+      val rows = langs.flatMap { case (l, w) => Seq((l, w)) }
+      val res = Sampling.unimaxAllocation("lang", "w", b.toDouble, maxEpochs = 2.0)(
+        rows.toDF("lang", "w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val want = iterative(langs.toMap.view.mapValues(identity).toMap, b.toDouble, 2.0)
+      val totalCaps = ws.map(_ * 2.0).sum
+      val sumOk =
+        if (b.toDouble >= totalCaps) res.values.sum == totalCaps
+        else math.abs(res.values.sum - b.toDouble) < 1e-9
+      // exact equality: the iterative model divides in the SAME
+      // sequence (sorted order, one division per level trial)
+      val eqOk = res == want
+      if (!(sumOk && eqOk)) println(s"ws=$ws b=$b res=$res want=$want")
+      sumOk && eqOk
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("near-dup clustering collapses transitive chains in one call") {
     // chain 1~2, 2~3, 3~4 plus a separate pair 10~11: one call must
     // label {1,2,3,4} -> 1 and {10,11} -> 10 (keep-lowest nearDedup
