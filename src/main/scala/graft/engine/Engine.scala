@@ -358,9 +358,11 @@ object Interpreter {
           groups.map(SortKey(_)))
 
       case "REMOVE ROWS" =>
-        // grammar: col=NULL | col=NULL1 (:359-369)
+        // grammar: col=NULL | col=NULL1, EXACTLY — the reference
+        // ValueErrors on any other operand (:359-369), so 'NULLX'
+        // must fail loudly here too, not silently drop nulls
         val toks = cond.split("=").map(_.trim)
-        require(toks.length == 2 && toks(1).toUpperCase.startsWith("NULL"),
+        require(toks.length == 2 && Set("NULL", "NULL1")(toks(1).toUpperCase),
           s"NON-EXISTING REMOVE ROWS OPERAND: '$cond'")
         ctx.bind(out, Ops.removeRows(toks(0))(in), inOrder)
 

@@ -593,9 +593,12 @@ object Sas {
     * (header + meta-page prefix), and the stale-row hazard the census
     * exists for requires a changed rowsize subheader, which lives in
     * that prefix. Residual blind spot — a same-length rewrite altering
-    * ONLY data-page bytes past the first data/mix page within mtime
-    * granularity — cannot change row_count and so cannot introduce the
-    * hazard. A static file pays the census job ONCE per driver, not
+    * ONLY bytes past the first data/mix page within mtime
+    * granularity — cannot change the DECLARED row_count (it lives in
+    * the CRC'd prefix) but CAN still add or drop physical rows on
+    * trailing pages, leaving a stale cached census; accepted as
+    * strictly narrower than the pre-fingerprint (path,mtime,length)
+    * blind spot, which also missed rowsize/row_count rewrites. A static file pays the census job ONCE per driver, not
     * once per `Sas.read` call / per DSv2 DataFrame (for compressed
     * files the uncached census re-reads the whole file — 2× I/O per
     * read on the overwhelmingly common well-formed case).

@@ -134,6 +134,14 @@ object Sampling {
     * integer-valued doubles accumulated in the sorted frame order
     * (the ordered-window rule), and the level is a single division —
     * every value replays bit-exactly in the DuckDB oracle.
+    *
+    * Degenerate-weight contract: a language whose weight sum is NULL
+    * (all-NULL weights) or non-positive gets `n_weight` coalesced to
+    * the observed sum or 0.0, `cap = 0.0`, `allocation = 0.0`, and
+    * `epochs = 0.0` — explicitly, so it sorts deterministically at
+    * the head of the cap order and never yields NaN (0/0) or a NULL
+    * cap with engine-dependent sort position. It consumes none of
+    * the budget; the water level re-levels over the rest.
     */
   def unimaxAllocation(
       langCol: String,
@@ -144,8 +152,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("cap"), col(langCol))
     val all = w.rowsBetween(Long.MinValue, Long.MaxValue)
     val sizes = df.groupBy(col(langCol))
-      .agg(sum(col(weightCol)).cast("double").as("n_weight"))
-      .withColumn("cap", col("n_weight") * lit(maxEpochs))
+      .agg(coalesce(sum(col(weightCol)).cast("double"), lit(0.0)).as("n_weight"))
+      // degenerate-weight contract (scaladoc): non-positive weight
+      // sums cap at exactly 0.0 — never a NULL cap in the sort key
+      .withColumn("cap",
+        when(col("n_weight") > 0.0, col("n_weight") * lit(maxEpochs))
+          .otherwise(lit(0.0)))
     val leveled = sizes
       .withColumn("__prefix",
         coalesce(sum("cap").over(w.rowsBetween(Long.MinValue, -1)), lit(0.0)))
@@ -161,7 +173,9 @@ object Sampling {
       .withColumn("allocation",
         when(col("__L").isNull, col("cap")) // budget exceeds every cap
           .otherwise(least(col("cap"), col("__L"))))
-      .withColumn("epochs", col("allocation") / col("n_weight"))
+      .withColumn("epochs",
+        when(col("n_weight") > 0.0, col("allocation") / col("n_weight"))
+          .otherwise(lit(0.0)))
       .select(col(langCol), col("n_weight"), col("cap"),
         col("allocation"), col("epochs"))
   }

@@ -410,7 +410,7 @@ private[graft] object DedupQueries {
         |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
         |        WHERE sz.n > 3)
         |SELECT c_nationkey, c_mktsegment, sb AS sub_key, count(*) AS block_n
-        |FROM hot GROUP BY 1, 2, 3 HAVING count(*) > 3""".stripMargin,
+        |FROM hot GROUP BY 1, 2, 3 HAVING count(*) > 3 OR sb IS NULL""".stripMargin,
     // replay the classification: hot blocks (n > 12), sub-key = last
     // 2 name chars, kept iff same sub-key AND refined size <= 12
     "er_subblock_recall" ->

@@ -219,6 +219,20 @@ class EngineSpec extends SparkSpec {
         op("o", "REMOVE ROWS", Seq("t"), "x=SOMETHING"), Map.empty)
     }
     assert(e.getMessage.contains("REMOVE ROWS"))
+    // the operand set is EXACTLY {NULL, NULL1} — a NULL* prefix like
+    // NULLX ValueErrors in the reference (:363-369) and must here too
+    val e2 = intercept[IllegalArgumentException] {
+      Interpreter.applyOp(PipelineContext().bind("t", Seq(1).toDF("x")),
+        op("o", "REMOVE ROWS", Seq("t"), "x=NULLX"), Map.empty)
+    }
+    assert(e2.getMessage.contains("REMOVE ROWS"))
+    // both accepted spellings drop null rows identically
+    val withNull = Seq[(Integer, Int)]((null, 1), (2, 2)).toDF("x", "y")
+    Seq("NULL", "null1").foreach { operand =>
+      val kept = Interpreter.applyOp(PipelineContext().bind("t", withNull),
+        op("o", "REMOVE ROWS", Seq("t"), s"x=$operand"), Map.empty).df("o")
+      assert(kept.collect().map(_.getInt(1)).toSeq == Seq(2), operand)
+    }
   }
 
   test("unknown op type raises like the reference dispatcher") {

@@ -939,6 +939,24 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getDouble(3)).sum
     assert(over == 260.0)
 
+    // degenerate-weight contract: a language with an all-NULL weight
+    // sum and one with weight 0 get cap/allocation/epochs exactly 0.0
+    // (no NaN from 0/0, no NULL cap in the sort key), consume no
+    // budget, and the water level re-levels over the real languages
+    val degen = (Seq(("z_nullw", null.asInstanceOf[java.lang.Long]),
+      ("z_zerow", java.lang.Long.valueOf(0L))) ++
+      (1 to 10).map(_ => ("a", java.lang.Long.valueOf(1L))) ++
+      (1 to 100).map(_ => ("c", java.lang.Long.valueOf(1L))))
+      .toDF("lang", "w")
+    val dres = Sampling.unimaxAllocation("lang", "w", budget = 60.0, maxEpochs = 2.0)(degen)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(dres("z_nullw") == (0.0, 0.0, 0.0, 0.0))
+    assert(dres("z_zerow") == (0.0, 0.0, 0.0, 0.0))
+    assert(dres("a") == (10.0, 20.0, 20.0, 2.0)) // capped
+    assert(dres("c") == (100.0, 200.0, 40.0, 0.4)) // leveled over the rest
+    assert(!dres.values.exists(t => t._4.isNaN))
+
     // property: the closed form equals the paper's ITERATIVE
     // water-filling on random language-size sets (the independent
     // model), and allocations sum to the budget whenever it fits
