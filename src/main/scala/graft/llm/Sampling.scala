@@ -180,6 +180,50 @@ object Sampling {
         col("allocation"), col("epochs"))
   }
 
+  /** [[unimaxAllocation]] made ACTIONABLE — the allocation table
+    * applied back to the corpus as a deterministic sampling/repetition
+    * schedule (the budget's consumer, closing the loop into the
+    * [[Packing]] family): each document materializes
+    * `n_copies = floor(epochs) + (hashFraction(id) < frac(epochs))`
+    * training copies — so a language allocated 1.4 epochs trains on
+    * ALL of its data once plus a stable 40% hash-selected resample,
+    * and one allocated 0.4 epochs on a stable 40% subset — and every
+    * copy gets a deterministic `order_key` (the 60-bit md5 of
+    * `"id:copy"`, the [[Packing.epochShuffle]] construction): ascending
+    * order_key IS the training order, reproducible bit-for-bit across
+    * runs, engines, and cluster layouts. Per-language realized volume
+    * converges to `allocation` with pure hash-sampling variance; the
+    * selection is membership-monotone under corpus growth like every
+    * md5 sampler here.
+    *
+    * Scale shape: the allocation is the languages-sized closed form
+    * (one corpus group-by + tiny windows); applying it is a broadcast
+    * join on language plus pure row expressions and an explode bounded
+    * by ceil(maxEpochs) — no corpus-sized shuffle at all. NULL-language
+    * rows never schedule (the equi-join contract, as in
+    * [[temperatureBalancedSample]]); give them a real bucket upstream
+    * if they must train.
+    */
+  def unimaxSchedule(
+      idCol: String,
+      langCol: String,
+      weightCol: String,
+      budget: Double,
+      maxEpochs: Double)(df: DataFrame): DataFrame = {
+    val rates = unimaxAllocation(langCol, weightCol, budget, maxEpochs)(df)
+      .select(col(langCol), col("epochs"))
+    df.join(broadcast(rates), Seq(langCol))
+      .withColumn("n_copies",
+        floor(col("epochs")).cast("long") +
+          when(hashFraction(col(idCol)) <
+            col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col(idCol), col(langCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .withColumn("order_key",
+        hashKey(concat(col(idCol).cast("string"), lit(":"), col("copy").cast("string"))))
+  }
+
   /** Apply [[domainMixture]]'s rates as a deterministic hash filter:
     * keep a row iff its key's [[hashFraction]] falls under its
     * domain's acceptance rate. Membership per key is stable under

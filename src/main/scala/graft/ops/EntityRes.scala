@@ -40,6 +40,21 @@ object EntityRes {
   private def blockSizes(blockCols: Seq[String])(df: DataFrame): DataFrame =
     df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("block_n"))
 
+  /** Deterministic block-level hash sample for the recall audits:
+    * keep a block iff the md5 bucket of its '|'-joined key falls
+    * under `samplePct` ([[graft.llm.Sampling.hashBucket]] — the
+    * engine-portable construction, replayed verbatim in the DuckDB
+    * oracle). 100 = keep everything (no filter node at all).
+    */
+  private def hotBlockSample(
+      blockCols: Seq[String], samplePct: Int)(sizes: DataFrame): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be 1..100, got $samplePct")
+    if (samplePct == 100) sizes
+    else sizes.where(graft.llm.Sampling.hashBucket(
+      concat_ws("|", blockCols.map(c => col(c).cast("string")): _*)) < samplePct)
+  }
+
   /** Blocks [[candidatePairs]] refuses to pair — oversized ones PLUS
     * any block with a NULL key (the null-unsafe blocked self-join can
     * never pair null-keyed rows, at ANY size, so reporting only
@@ -83,6 +98,82 @@ object EntityRes {
       .where(col("block_n") > maxBlock || col("sub_key").isNull)
   }
 
+  /** Shared within-block pairing: equi-self-join on `keyCols`, paired
+    * once, kept when the banded Levenshtein lands within `maxDist`
+    * (threshold form — O(len·maxDist) per pair, -1 beyond the band).
+    */
+  private def pairWithin(
+      bounded: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      nameCol: String,
+      maxDist: Int): DataFrame = {
+    val a = bounded.select(keyCols.map(col) :+
+      col(idCol).as("id_a") :+ col(nameCol).as("name_a"): _*)
+    val b = bounded.select(keyCols.map(col) :+
+      col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
+    a.join(b, keyCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
+  /** PassJoin-style positional segment bands (Li/Deng/Feng, ICDE 2011
+    * "PASS-JOIN: a partition-based method for similarity joins"): the
+    * string splits into `numBands` contiguous segments; by pigeonhole,
+    * two EQUAL-LENGTH strings within `numBands - 1` substitutions
+    * agree on at least one full segment — so banding hot blocks on
+    * (segment index, segment text) recovers every such pair, where a
+    * single lexical sub-key (prefix/suffix) keeps only the pairs whose
+    * edits avoid it (the measured ~0.30 recall of the last-2-chars
+    * key, SCALE.md round 14). Each band key carries the string LENGTH
+    * (PassJoin's length grouping): different-length strings have
+    * shifted segment boundaries and must never collide — the
+    * documented recall trade is insert/delete pairs, whose lengths
+    * differ. Segment boundaries are `floor(i·len/numBands)`, identical
+    * integer arithmetic in the DuckDB replay. NULL input → every band
+    * key NULL (banded callers drop NULL keys, the blocking-NULL
+    * contract — the row never pairs).
+    */
+  def segmentBands(c: Column, numBands: Int): Column = {
+    require(numBands >= 2, s"segmentBands needs >= 2 bands, got $numBands")
+    val len = length(c)
+    transform(sequence(lit(0), lit(numBands - 1)), i => {
+      val start = floor(i * len / numBands).cast("int") + 1
+      val end = floor((i + 1) * len / numBands).cast("int") + 1
+      concat(len.cast("string"), lit(":"), c.substr(start, end - start))
+    })
+  }
+
+  /** MinHash band keys over character `shingleK`-grams — the
+    * similarity-aware sub-key family ([[graft.llm.Dedup]]'s LSH-band
+    * discipline applied to short strings): band `b`'s key is the MIN
+    * over shingles of the engine-portable 60-bit md5 hash of
+    * `"b:shingle"` ([[graft.llm.Sampling.hashKey]] — NOT xxhash64,
+    * so the DuckDB oracle replays it bit-for-bit). One hash row per
+    * band (r = 1): two strings collide in band `b` with probability
+    * equal to their shingle Jaccard, so `numBands` independent bands
+    * catch a similarity-`j` pair with 1 - (1-j)^numBands. The trade
+    * vs [[segmentBands]] is documented and MEASURED (SCALE.md round
+    * 15): short strings with a long shared prefix (TPC-H-style names)
+    * give high Jaccard to NON-matching pairs too, so r = 1 buckets
+    * run coarse and the cap refuses them; positional segments
+    * discriminate better there. Strings shorter than `shingleK` hash
+    * as one whole-string shingle.
+    */
+  def minhashBands(c: Column, shingleK: Int = 3, numBands: Int = 4): Column = {
+    require(shingleK >= 1 && numBands >= 1,
+      s"bad shingleK=$shingleK / numBands=$numBands")
+    val shingles = transform(
+      sequence(lit(1), greatest(length(c) - (shingleK - 1), lit(1))),
+      i => c.substr(i, lit(shingleK)))
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      array_min(transform(shingles, sh =>
+        graft.llm.Sampling.hashKey(concat(b.cast("string"), lit(":"), sh))))
+        .cast("string"))
+  }
+
   /** Candidate match pairs: records sharing the blocking key, paired
     * once (`id_a < id_b`), kept when
     * `levenshtein(name_a, name_b) <= maxDist`. Output: id_a, id_b,
@@ -124,27 +215,11 @@ object EntityRes {
     require(blockCols.nonEmpty, "candidatePairs needs at least one blocking column")
     require(maxDist >= 0 && maxBlock >= 2, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
 
-    def pairWithin(bounded: DataFrame, keyCols: Seq[String]): DataFrame = {
-      val a = bounded.select(keyCols.map(col) :+
-        col(idCol).as("id_a") :+ col(nameCol).as("name_a"): _*)
-      val b = bounded.select(keyCols.map(col) :+
-        col(idCol).as("id_b") :+ col(nameCol).as("name_b"): _*)
-      a.join(b, keyCols)
-        .where(col("id_a") < col("id_b"))
-        // banded Levenshtein: with the threshold argument Spark computes
-        // only a 2*maxDist+1 diagonal band and early-exits, returning -1
-        // beyond it — O(len*maxDist) instead of O(len^2) per pair, exact
-        // for every pair actually kept
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
-        .where(col("dist") >= 0)
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
-    }
-
     val sizes = blockSizes(blockCols)(df)
     val small = df
       .join(sizes.where(col("block_n") <= maxBlock), blockCols, "left_semi")
       .select((blockCols :+ idCol :+ nameCol).map(col): _*)
-    val smallPairs = pairWithin(small, blockCols)
+    val smallPairs = pairWithin(small, blockCols, idCol, nameCol, maxDist)
     subBlock match {
       case None => smallPairs
       case Some(sb) =>
@@ -160,8 +235,131 @@ object EntityRes {
           subSizes.where(col("block_n") <= maxBlock), subCols, "left_semi")
           // re-select: the using-column semi join moves join cols first
           .select((subCols :+ idCol :+ nameCol).map(col): _*)
-        smallPairs.unionByName(pairWithin(hotKept, subCols))
+        smallPairs.unionByName(pairWithin(hotKept, subCols, idCol, nameCol, maxDist))
     }
+  }
+
+  /** [[candidatePairs]]' hot-block remedy, OR-amplified: instead of
+    * ONE refined partition (a row lives in exactly one sub-block, so
+    * every pair straddling the sub-key is lost — the measured ~0.30
+    * recall of the last-2-chars key), each hot-block row lands in one
+    * bucket PER BAND of the caller-supplied `bands` array expression
+    * ([[segmentBands]] for bounded edit distance, [[minhashBands]]
+    * for shingle similarity), and a pair is a candidate if it
+    * collides in ANY within-bound bucket. Duplicates from multi-band
+    * collisions collapse with one distinct over the (deterministic)
+    * pair rows. Small blocks pair exactly as in [[candidatePairs]];
+    * hot-block rules carry over band-wise:
+    *
+    *   - the `maxBlock` bound is never waived: a (band, key) bucket
+    *     over the cap is refused — but ONLY that band; the pair can
+    *     still surface through a finer band ([[bandedSubBlockRecall]]
+    *     counts pairs ALL of whose collisions were refused);
+    *   - a NULL band key never pairs (the blocking-NULL contract);
+    *     a NULL `bands` array contributes no buckets at all.
+    *
+    * Scale shape: hot rows explode ×numBands (bands are few and the
+    * per-band key is short — bytes, not bodies, cross the shuffle);
+    * per-bucket cost stays ≤ maxBlock²; the pair-level distinct
+    * shuffles only surviving pairs. Never a cartesian.
+    */
+  def candidatePairsBanded(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      bands: Column)(df: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "candidatePairsBanded needs at least one blocking column")
+    require(maxDist >= 0 && maxBlock >= 2, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
+    Seq("__band", "__bkey").foreach(c => require(!df.columns.contains(c),
+      s"candidatePairsBanded uses internal column $c — rename it first"))
+    val sizes = blockSizes(blockCols)(df)
+    val small = df
+      .join(sizes.where(col("block_n") <= maxBlock), blockCols, "left_semi")
+      .select((blockCols :+ idCol :+ nameCol).map(col): _*)
+    val smallPairs = pairWithin(small, blockCols, idCol, nameCol, maxDist)
+    val bandCols = blockCols :+ "__band" :+ "__bkey"
+    val banded = df
+      .join(sizes.where(col("block_n") > maxBlock), blockCols, "left_semi")
+      .select(blockCols.map(col) :+ col(idCol) :+ col(nameCol) :+
+        posexplode(bands).as(Seq("__band", "__bkey")): _*)
+      .where(col("__bkey").isNotNull)
+    val bucketSizes = banded.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("block_n"))
+    val kept = banded.join(
+      bucketSizes.where(col("block_n") <= maxBlock), bandCols, "left_semi")
+      // re-select: the using-column semi join moves join cols first
+      .select((bandCols :+ idCol :+ nameCol).map(col): _*)
+    smallPairs.unionByName(
+      pairWithin(kept, bandCols, idCol, nameCol, maxDist).distinct())
+  }
+
+  /** [[subBlockRecall]] for the banded remedy: for every hot block
+    * with at least one uncapped within-block match pair, classify
+    * where its pairs land under [[candidatePairsBanded]] —
+    *
+    *   - `n_kept`: the pair collides in ≥ 1 band whose bucket is
+    *     within `maxBlock` (the remedy finds it);
+    *   - `n_lost_refused`: it collides somewhere, but EVERY colliding
+    *     bucket is over the cap (the never-waived bound ate all of
+    *     its routes);
+    *   - `n_lost_cross`: no band collides at all (including NULL band
+    *     keys — the blocking-NULL contract).
+    *
+    * Same exhaustive accounting and `recall` column as
+    * [[subBlockRecall]]; same audit-cost caveat (it pays the hot
+    * blocks' uncapped Σblock² bill ON PURPOSE — sample it with
+    * `samplePct` at scale, see [[subBlockRecall]]'s sampled face).
+    */
+  def bandedSubBlockRecall(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      bands: Column,
+      samplePct: Int = 100)(df: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "bandedSubBlockRecall needs at least one blocking column")
+    val sizes = hotBlockSample(blockCols, samplePct)(blockSizes(blockCols)(df))
+    // inner join (not semi) so block_n rides along with every hot row
+    val hot = df.join(sizes.where(col("block_n") > maxBlock), blockCols)
+    val bandCols = blockCols :+ "__band" :+ "__bkey"
+    val banded = hot
+      .select(blockCols.map(col) :+ col(idCol) :+
+        posexplode(bands).as(Seq("__band", "__bkey")): _*)
+      .where(col("__bkey").isNotNull)
+    val bucketSizes = banded.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    val bandedM = banded.join(bucketSizes, bandCols)
+    def bside(tag: String) = bandedM.select(
+      blockCols.map(col) :+ col("__band") :+ col("__bkey") :+
+        col(idCol).as(s"id_$tag") :+ col("__m"): _*)
+    // per-pair collision verdict: does ANY colliding bucket fit the cap
+    val collisions = bside("a").join(
+      bside("b").withColumnRenamed("__m", "__mb"), bandCols)
+      .where(col("id_a") < col("id_b"))
+      .groupBy((blockCols :+ "id_a" :+ "id_b").map(col): _*)
+      .agg(max(when(col("__m") <= maxBlock, 1).otherwise(0)).as("__any_kept"))
+    def side(tag: String) = hot.select(
+      blockCols.map(col) :+ col("block_n") :+
+        col(idCol).as(s"id_$tag") :+ col(nameCol).as(s"name_$tag"): _*)
+    val pairs = side("a").join(side("b"), blockCols :+ "block_n")
+      .where(col("id_a") < col("id_b"))
+      .where(levenshtein(col("name_a"), col("name_b"), maxDist) >= 0)
+    pairs.join(collisions, blockCols :+ "id_a" :+ "id_b", "left")
+      .withColumn("__cls",
+        when(col("__any_kept") === 1, lit("kept"))
+          .when(col("__any_kept") === 0, lit("refused"))
+          .otherwise(lit("cross")))
+      .groupBy((blockCols :+ "block_n").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_pairs_uncapped"),
+        sum(when(col("__cls") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__cls") === "cross", 1L).otherwise(0L)).as("n_lost_cross"),
+        sum(when(col("__cls") === "refused", 1L).otherwise(0L)).as("n_lost_refused"))
+      .withColumn("recall",
+        col("n_kept").cast("double") / col("n_pairs_uncapped"))
   }
 
   /** The subBlock recall trade, quantified per hot block: for every
@@ -186,9 +384,16 @@ object EntityRes {
     * Scale shape: this is an AUDIT — it enumerates the hot blocks'
     * uncapped within-block pairs, the exact Σblock² cost the cap
     * exists to refuse, through the same never-cartesian blocked
-    * equi-self-join. Point it at a bounded sample (or accept the
-    * uncapped audit bill, as with `dedup_jaccard_audit`); the
-    * production path stays [[candidatePairs]] with the cap engaged.
+    * equi-self-join. `samplePct < 100` is the scale face: a
+    * DETERMINISTIC md5 hash-sample over HOT BLOCKS (the
+    * [[graft.llm.Sampling.hashBucket]] construction on the
+    * '|'-joined block key) audits only the sampled blocks, cutting
+    * the Σblock² bill to ~samplePct% while the per-block accounting
+    * stays EXACT for every audited block — the estimate error is
+    * pure between-block sampling variance on the corpus-total
+    * recall, and re-runs audit the identical block set (no RNG).
+    * Default 100 = the full audit; the production path stays
+    * [[candidatePairs]] with the cap engaged either way.
     */
   def subBlockRecall(
       idCol: String,
@@ -196,9 +401,10 @@ object EntityRes {
       blockCols: Seq[String],
       maxDist: Int,
       maxBlock: Long,
-      subBlock: Column)(df: DataFrame): DataFrame = {
+      subBlock: Column,
+      samplePct: Int = 100)(df: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "subBlockRecall needs at least one blocking column")
-    val sizes = blockSizes(blockCols)(df)
+    val sizes = hotBlockSample(blockCols, samplePct)(blockSizes(blockCols)(df))
     // inner join (not semi) so block_n rides along with every hot row
     val hot = df
       .join(sizes.where(col("block_n") > maxBlock), blockCols)

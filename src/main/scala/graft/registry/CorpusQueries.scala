@@ -130,6 +130,14 @@ private[graft] object CorpusQueries {
     "sample_unimax" -> ((s, d) =>
       graft.llm.Sampling.unimaxAllocation("lang", "n_chars",
         budget = 213001.0, maxEpochs = 2.0)(t(s, d, "documents"))),
+    // the allocation made ACTIONABLE (round 15): same budget piped
+    // back onto the corpus as per-doc copy counts (floor(epochs) +
+    // a stable hash-fractional resample) with a deterministic
+    // per-copy order key — the UniMax → packing bridge; capped
+    // languages emit 2 copies per doc, leveled ones a hash subset
+    "sample_unimax_schedule" -> ((s, d) =>
+      graft.llm.Sampling.unimaxSchedule("doc_id", "lang", "n_chars",
+        budget = 213001.0, maxEpochs = 2.0)(t(s, d, "documents"))),
     // one-row release datasheet: volume, diversity, dup fraction,
     // token-length shape — all counts/integer sums, engine-exact
     "corpus_datasheet" -> ((s, d) =>
@@ -452,6 +460,35 @@ private[graft] object CorpusQueries {
         |  CASE WHEN wl IS NULL THEN cap ELSE LEAST(cap, wl) END AS allocation,
         |  (CASE WHEN wl IS NULL THEN cap ELSE LEAST(cap, wl) END) / n_weight AS epochs
         |FROM g""".stripMargin,
+    // allocation replay (same CTEs) -> per-doc copy count via the
+    // 60-bit md5 fraction under frac(epochs) -> one row per copy with
+    // the deterministic "id:copy" order key
+    "sample_unimax_schedule" ->
+      """WITH sz AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n_weight
+        |            FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_weight, n_weight * 2.0 AS cap FROM sz),
+        |r AS (SELECT lang, n_weight, cap,
+        |        COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix,
+        |        COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY cap, lang) + 1 AS rem
+        |      FROM c),
+        |l AS (SELECT *, (213001.0 - prefix) / rem AS lv FROM r),
+        |g AS (SELECT *, MAX(CASE WHEN lv <= cap THEN lv END) OVER () AS wl FROM l),
+        |a AS (SELECT lang,
+        |        (CASE WHEN wl IS NULL THEN cap ELSE LEAST(cap, wl) END) / n_weight AS epochs
+        |      FROM g),
+        |k AS (SELECT d.doc_id, d.lang,
+        |        CAST(floor(a.epochs) AS BIGINT) +
+        |        CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                  / 1152921504606846976.0 < a.epochs - floor(a.epochs)
+        |             THEN 1 ELSE 0 END AS n_copies
+        |      FROM documents d JOIN a USING (lang)),
+        |e AS (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+        |      FROM k WHERE n_copies > 0)
+        |SELECT doc_id, lang, copy,
+        |       CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        |         CAST(copy AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+        |FROM e""".stripMargin,
     "sample_domain_mixture" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |m AS (SELECT min(n_docs) AS n_min FROM c)

@@ -163,6 +163,53 @@ private[graft] object DedupQueries {
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 12, subBlock = substring(col("c_name"), -2, 2))(
         t(s, d, "customer"))),
+    // the recall audit's SCALE face: deterministic md5 hash-sample
+    // over hot blocks (40% here) — per-block rows stay exact, the
+    // corpus-total recall estimate carries only between-block
+    // sampling variance; OpsSpec pins sampled ⊂ full and the
+    // estimate tolerance, SCALE.md the bounded growth curve
+    "er_subblock_recall_sampled" -> ((s, d) =>
+      graft.ops.EntityRes.subBlockRecall(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, subBlock = substring(col("c_name"), -2, 2), samplePct = 40)(
+        t(s, d, "customer"))),
+    // the OR-AMPLIFIED remedy (round 15, replacing the single lexical
+    // sub-key's measured ~0.30 recall): hot blocks re-block on
+    // PassJoin positional segments of the digit suffix — 3 bands of
+    // 2 chars over c_name[13..18] — and a pair is a candidate if it
+    // collides in ANY within-cap bucket. Pigeonhole: ≤2 substitutions
+    // touch ≤2 of 3 segments, so every equal-length substitution pair
+    // collides SOMEWHERE; what the cap refuses is enumerated by class
+    // in er_banded_recall. The coarse first segment ("00"/"01" at
+    // gate ids) buckets over the cap and is refused — the loud-cap
+    // contract exercised on the banded path
+    "er_pairs_banded" -> ((s, d) =>
+      graft.ops.EntityRes.candidatePairsBanded(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12,
+        bands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 13, 6), 3))(
+        t(s, d, "customer"))),
+    // the banded remedy's recall accounting: kept (≥1 within-cap
+    // collision) / refused (collides only over-cap) / cross (no band
+    // collides — shift pairs whose segments all moved). Same params
+    // as er_pairs_banded so the two queries describe one remedy run
+    "er_banded_recall" -> ((s, d) =>
+      graft.ops.EntityRes.bandedSubBlockRecall(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12,
+        bands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 13, 6), 3))(
+        t(s, d, "customer"))),
+    // the similarity-aware band family (the Dedup LSH discipline on a
+    // short string field): 4 MinHash bands (r=1) over char 3-grams of
+    // the full name, md5-based so the oracle replays bit-for-bit.
+    // Kept alongside the positional bands because the recall/cost
+    // trade DIFFERS by field shape — measured in SCALE.md round 15
+    "er_pairs_minhash_sub" -> ((s, d) =>
+      graft.ops.EntityRes.candidatePairsBanded(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12,
+        bands = graft.ops.EntityRes.minhashBands(col("c_name"), shingleK = 3, numBands = 4))(
+        t(s, d, "customer"))),
     // transitive match groups over the same pair graph (label
     // propagation); oracle replays a recursive reachability walk
     "er_groups" -> ((s, d) =>
@@ -440,6 +487,166 @@ private[graft] object DedupQueries {
         |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
         |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
         |FROM p GROUP BY 1, 2, 3""".stripMargin,
+    // the full-audit SQL with the deterministic 40%-of-hot-blocks md5
+    // filter — the same hashBucket construction every sampler replays
+    "er_subblock_recall_sampled" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS block_n
+        |            FROM customer GROUP BY 1, 2),
+        |hot AS (SELECT c.*, sz.block_n,
+        |               substr(c.c_name, length(c.c_name) - 1, 2) AS sb
+        |        FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.block_n > 12
+        |          AND CAST(concat('0x', substr(md5(concat_ws('|',
+        |                CAST(sz.c_nationkey AS VARCHAR),
+        |                CAST(sz.c_mktsegment AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 40),
+        |hsz AS (SELECT c_nationkey, c_mktsegment, sb, count(*) AS m FROM hot GROUP BY 1, 2, 3),
+        |h2 AS (SELECT hot.*, hsz.m FROM hot
+        |       JOIN hsz ON hot.c_nationkey = hsz.c_nationkey
+        |               AND hot.c_mktsegment = hsz.c_mktsegment AND hot.sb = hsz.sb),
+        |p AS (SELECT a.c_nationkey, a.c_mktsegment, a.block_n,
+        |             CASE WHEN a.sb = b.sb AND a.m <= 12 THEN 'kept'
+        |                  WHEN a.sb = b.sb THEN 'refused'
+        |                  ELSE 'cross' END AS cls
+        |      FROM h2 a JOIN h2 b
+        |        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |       AND a.c_custkey < b.c_custkey
+        |      WHERE levenshtein(a.c_name, b.c_name) <= 2)
+        |SELECT c_nationkey, c_mktsegment, block_n,
+        |       count(*) AS n_pairs_uncapped,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN cls = 'cross' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross,
+        |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
+    // replay both paths: small blocks pair on the block key; hot rows
+    // land in one bucket per positional segment band (length-tagged,
+    // floor(i*len/3) boundaries — the exact Spark arithmetic) and
+    // pair within within-cap buckets, DISTINCT over multi-band dups
+    "er_pairs_banded" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |            FROM customer GROUP BY 1, 2),
+        |small AS (SELECT c.* FROM customer c
+        |          JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |          WHERE sz.n <= 12),
+        |hot AS (SELECT c.*, substr(c.c_name, 13, 6) AS s6 FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.n > 12),
+        |bands AS (SELECT h.*, b.band,
+        |            concat(CAST(length(h.s6) AS VARCHAR), ':',
+        |              substr(h.s6,
+        |                CAST(floor(b.band * length(h.s6) / 3) AS INT) + 1,
+        |                CAST(floor((b.band + 1) * length(h.s6) / 3) AS INT)
+        |                  - CAST(floor(b.band * length(h.s6) / 3) AS INT))) AS bkey
+        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+        |        FROM bands GROUP BY 1, 2, 3, 4),
+        |bkept AS (SELECT bands.* FROM bands
+        |          JOIN bsz ON bands.c_nationkey = bsz.c_nationkey
+        |                  AND bands.c_mktsegment = bsz.c_mktsegment
+        |                  AND bands.band = bsz.band AND bands.bkey = bsz.bkey
+        |          WHERE bsz.m <= 12)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM small a JOIN small b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |UNION ALL
+        |SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+        |FROM bkept a JOIN bkept b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.band = b.band AND a.bkey = b.bkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // replay the OR-amplified classification: a hot-block match pair
+    // is kept iff ANY band collision sits in a within-cap bucket,
+    // refused iff it collides only over-cap, cross iff no collision
+    "er_banded_recall" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS block_n
+        |            FROM customer GROUP BY 1, 2),
+        |hot AS (SELECT c.*, sz.block_n, substr(c.c_name, 13, 6) AS s6 FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.block_n > 12),
+        |bands AS (SELECT h.c_nationkey, h.c_mktsegment, h.c_custkey, b.band,
+        |            concat(CAST(length(h.s6) AS VARCHAR), ':',
+        |              substr(h.s6,
+        |                CAST(floor(b.band * length(h.s6) / 3) AS INT) + 1,
+        |                CAST(floor((b.band + 1) * length(h.s6) / 3) AS INT)
+        |                  - CAST(floor(b.band * length(h.s6) / 3) AS INT))) AS bkey
+        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+        |        FROM bands GROUP BY 1, 2, 3, 4),
+        |bm AS (SELECT bands.*, bsz.m FROM bands
+        |       JOIN bsz ON bands.c_nationkey = bsz.c_nationkey
+        |               AND bands.c_mktsegment = bsz.c_mktsegment
+        |               AND bands.band = bsz.band AND bands.bkey = bsz.bkey),
+        |coll AS (SELECT a.c_nationkey, a.c_mktsegment,
+        |                a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |                max(CASE WHEN a.m <= 12 THEN 1 ELSE 0 END) AS any_kept
+        |         FROM bm a JOIN bm b
+        |           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |          AND a.band = b.band AND a.bkey = b.bkey AND a.c_custkey < b.c_custkey
+        |         GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT a.c_nationkey, a.c_mktsegment, a.block_n,
+        |             a.c_custkey AS id_a, b.c_custkey AS id_b
+        |      FROM hot a JOIN hot b
+        |        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |       AND a.c_custkey < b.c_custkey
+        |      WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |cls AS (SELECT p.c_nationkey, p.c_mktsegment, p.block_n,
+        |               CASE WHEN c.any_kept = 1 THEN 'kept'
+        |                    WHEN c.any_kept = 0 THEN 'refused'
+        |                    ELSE 'cross' END AS cls
+        |        FROM p LEFT JOIN coll c
+        |          ON p.c_nationkey = c.c_nationkey AND p.c_mktsegment = c.c_mktsegment
+        |         AND p.id_a = c.id_a AND p.id_b = c.id_b)
+        |SELECT c_nationkey, c_mktsegment, block_n,
+        |       count(*) AS n_pairs_uncapped,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN cls = 'cross' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross,
+        |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM cls GROUP BY 1, 2, 3""".stripMargin,
+    // replay the md5 MinHash bands bit-for-bit: band b's key is the
+    // min over char 3-grams of the 60-bit md5 prefix of "b:shingle"
+    "er_pairs_minhash_sub" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |            FROM customer GROUP BY 1, 2),
+        |small AS (SELECT c.* FROM customer c
+        |          JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |          WHERE sz.n <= 12),
+        |hot AS (SELECT c.* FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.n > 12),
+        |bands AS (SELECT h.*, b.band,
+        |            CAST(list_min(list_transform(
+        |              generate_series(1, greatest(length(h.c_name) - 2, 1)),
+        |              i -> CAST(concat('0x', substr(md5(concat(CAST(b.band AS VARCHAR), ':',
+        |                     substr(h.c_name, i, 3))), 1, 15)) AS BIGINT))) AS VARCHAR) AS bkey
+        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+        |        FROM bands GROUP BY 1, 2, 3, 4),
+        |bkept AS (SELECT bands.* FROM bands
+        |          JOIN bsz ON bands.c_nationkey = bsz.c_nationkey
+        |                  AND bands.c_mktsegment = bsz.c_mktsegment
+        |                  AND bands.band = bsz.band AND bands.bkey = bsz.bkey
+        |          WHERE bsz.m <= 12)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       a.c_name AS name_a, b.c_name AS name_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM small a JOIN small b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |UNION ALL
+        |SELECT DISTINCT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+        |FROM bkept a JOIN bkept b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.band = b.band AND a.bkey = b.bkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "er_groups" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

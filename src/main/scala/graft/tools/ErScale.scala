@@ -10,23 +10,39 @@ import org.apache.spark.sql.SparkSession
   * shape to the gated er_groups; same session and median-of-reps
   * discipline as [[graft.Bench]].
   *
-  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock> [sub|recall]
-  * (`sub` engages the hot-block remedy: sub-block oversized blocks on
-  * the last two c_name chars instead of refusing them. `recall` runs
-  * [[graft.ops.EntityRes.subBlockRecall]] with the same sub-key
-  * instead of matchGroups, timing the audit and printing the
-  * corpus-total kept / lost-cross / lost-refused pair counts — the
-  * measured recall trade for SCALE.md.)
+  * Usage: runMain graft.tools.ErScale <sfDir> <maxBlock> [mode]
+  * Modes:
+  *   - `sub` engages the hot-block remedy: sub-block oversized blocks
+  *     on the last two c_name chars instead of refusing them;
+  *   - `recall` runs [[graft.ops.EntityRes.subBlockRecall]] with the
+  *     same sub-key instead of matchGroups, timing the audit and
+  *     printing the corpus-total kept / lost-cross / lost-refused
+  *     pair counts — the measured recall trade for SCALE.md;
+  *   - `bandedsub` times [[graft.ops.EntityRes.candidatePairsBanded]]
+  *     with the round-15 positional segment bands (3 × 2 chars over
+  *     c_name[13..18]) — the OR-amplified remedy's production cost;
+  *   - `bandedrecall` / `minhashrecall` run
+  *     [[graft.ops.EntityRes.bandedSubBlockRecall]] with the
+  *     positional / md5-MinHash(4 bands, 3-grams) band family;
+  *   - any recall mode takes an optional `:<pct>` suffix
+  *     (e.g. `recall:25`) engaging the deterministic hot-block
+  *     hash-sample — the audit's scale face.
   */
 object ErScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
-      "usage: ErScale <sfDir> <maxBlock> [sub|recall]")
+      "usage: ErScale <sfDir> <maxBlock> [sub|recall|bandedsub|bandedrecall|minhashrecall][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
-    val mode = if (args.length == 3) args(2) else ""
-    val lastTwo = org.apache.spark.sql.functions.substring(
-      org.apache.spark.sql.functions.col("c_name"), -2, 2)
+    val modeArg = if (args.length == 3) args(2) else ""
+    val (mode, samplePct) = modeArg.split(":") match {
+      case Array(m, p) => (m, p.toInt)
+      case _ => (modeArg, 100)
+    }
+    import org.apache.spark.sql.functions.{col, substring}
+    val lastTwo = substring(col("c_name"), -2, 2)
+    val segBands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 13, 6), 3)
+    val mhBands = graft.ops.EntityRes.minhashBands(col("c_name"), shingleK = 3, numBands = 4)
     val subBlock = if (mode == "sub") Some(lastTwo) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -41,12 +57,31 @@ object ErScale {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/customer.parquet").limit(1).count()
 
+    def recallFrame() = {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      mode match {
+        case "recall" => graft.ops.EntityRes.subBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, subBlock = lastTwo, samplePct = samplePct)(cust)
+        case "bandedrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = segBands, samplePct = samplePct)(cust)
+        case "minhashrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = mhBands, samplePct = samplePct)(cust)
+        case m => throw new IllegalArgumentException(s"not a recall mode: $m")
+      }
+    }
+    val isRecall = Set("recall", "bandedrecall", "minhashrecall")(mode)
+
     def run(): Double = {
       val t0 = System.nanoTime()
-      if (mode == "recall") {
-        graft.ops.EntityRes.subBlockRecall(
+      if (isRecall) {
+        recallFrame().write.mode("overwrite").format("noop").save()
+      } else if (mode == "bandedsub") {
+        graft.ops.EntityRes.candidatePairsBanded(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-          maxDist = 2, maxBlock = maxBlock, subBlock = lastTwo)(
+          maxDist = 2, maxBlock = maxBlock, bands = segBands)(
           spark.read.parquet(s"$sfDir/customer.parquet"))
           .write.mode("overwrite").format("noop").save()
       } else {
@@ -65,13 +100,10 @@ object ErScale {
     val refused = graft.ops.EntityRes.oversizedBlocks(
       Seq("c_nationkey", "c_mktsegment"), maxBlock)(
       spark.read.parquet(s"$sfDir/customer.parquet")).count()
-    val recallTail = if (mode == "recall") {
+    val recallTail = if (isRecall) {
       // corpus totals of the per-block accounting — one extra pass,
       // outside the timing loop
-      val r = graft.ops.EntityRes.subBlockRecall(
-        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-        maxDist = 2, maxBlock = maxBlock, subBlock = lastTwo)(
-        spark.read.parquet(s"$sfDir/customer.parquet"))
+      val r = recallFrame()
         .selectExpr("sum(n_pairs_uncapped) AS u", "sum(n_kept) AS k",
           "sum(n_lost_cross) AS c", "sum(n_lost_refused) AS r")
         .collect()(0)
@@ -82,7 +114,7 @@ object ErScale {
       val rec = if (u == 0) 1.0 else k.toDouble / u
       s""","pairsUncapped":$u,"pairsKept":$k,"pairsLostCross":$c,"pairsLostRefused":$rr,"recall":$rec"""
     } else ""
-    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode"$recallTail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode","samplePct":$samplePct$recallTail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

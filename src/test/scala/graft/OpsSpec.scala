@@ -818,6 +818,136 @@ class OpsSpec extends SparkSpec {
     assert(refusedPairs == 10L)
   }
 
+  test("entity resolution: OR-amplified banded sub-blocking — kept/refused/cross accounting and multi-band dedup") {
+    import graft.ops.EntityRes
+    // one hot block (cap 4) exercising every banded outcome, with
+    // caller-supplied band columns so bucket membership is explicit:
+    //   1,2  collide in TWO within-cap buckets (p and q) -> ONE pair
+    //   3..7 collide only in over-cap buckets (r*5, v*5) -> refused
+    //   8    NULL in both bands -> never collides -> its pairs cross
+    //   1x3..7 etc. share no bucket -> cross
+    // names pairwise levenshtein 1, so every within-block pair matches
+    val rows =
+      Seq((1L, "a1", "p", "q"), (2L, "a2", "p", "q"),
+        (3L, "a3", "r", "v"), (4L, "a4", "r", "v"), (5L, "a5", "r", "v"),
+        (6L, "a6", "r", "v"), (7L, "a7", "r", "v"),
+        (8L, "a8", null.asInstanceOf[String], null.asInstanceOf[String]))
+        .map { case (i, n, b0, b1) => (i, n, "H", b0, b1) } ++
+      Seq((21L, "s1", "S", "x", "x"), (22L, "s2", "S", "x", "x")) // small block
+    val recs = rows.toDF("id", "name", "state", "b0", "b1")
+    val bands = array(col("b0"), col("b1"))
+    val cap = 4L
+
+    val pairs = EntityRes.candidatePairsBanded("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, bands = bands)(recs)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the dual collision of (1,2) must collapse to ONE row (distinct)
+    assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 2L), (21L, 22L)), s"got ${got.toSeq}")
+
+    val recall = EntityRes.bandedSubBlockRecall("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, bands = bands)(recs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // H: C(8,2)=28 pairs; kept (1,2); refused C(5,2)=10 (rows 3..7,
+    // every collision over cap); cross 2*5 + 7 (row 8's pairs) = 17
+    assert(recall == Map("H" -> (8L, 28L, 1L, 17L, 10L, 1.0 / 28)), s"got $recall")
+    recall.values.foreach { case (_, un, k, c, rf, _) => assert(un == k + c + rf) }
+    // never a cartesian on the banded path either
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("segmentBands: pigeonhole recovery for bounded substitutions, length tagging") {
+    import graft.ops.EntityRes
+    // hand case: boundaries are floor(i*len/3)
+    val r = spark.range(1).select(
+      EntityRes.segmentBands(lit("abcdef"), 3).as("b6"),
+      EntityRes.segmentBands(lit("abcdefg"), 3).as("b7"),
+      EntityRes.segmentBands(lit(null).cast("string"), 3).as("bn")).collect()(0)
+    assert(r.getSeq[String](0) == Seq("6:ab", "6:cd", "6:ef"))
+    // len 7: floors at 0,2,4,7 -> segments ab, cd, efg — length-tagged
+    // so same-content prefixes of different lengths never collide
+    assert(r.getSeq[String](1) == Seq("7:ab", "7:cd", "7:efg"))
+    // NULL input: every band KEY is NULL (dropped by the banded
+    // callers' blocking-NULL contract — the row never pairs)
+    assert(r.getSeq[String](2) == Seq(null, null, null))
+
+    // PROPERTY (the PassJoin guarantee the banded remedy rests on):
+    // two equal-length strings differing in <= 2 substitutions agree
+    // on >= 1 of 3 segment bands — checked for every length 3..30 and
+    // every substitution-position pair, exhaustively, in one job
+    val cases = for {
+      len <- 3 to 30
+      i <- 0 until len
+      j <- i until len
+    } yield {
+      val s = (0 until len).map(p => ('a' + (p % 26)).toChar).mkString
+      val t = s.updated(i, 'Z').updated(j, if (i == j) 'Z' else 'Y')
+      (s, t)
+    }
+    val df = cases.toDF("s", "t")
+      .select(EntityRes.segmentBands(col("s"), 3).as("bs"),
+        EntityRes.segmentBands(col("t"), 3).as("bt"))
+      .select(exists(zip_with(col("bs"), col("bt"), (a, b) => a === b),
+        identity[org.apache.spark.sql.Column]).as("hit"))
+    val misses = df.where(!col("hit")).count()
+    assert(misses == 0L, s"$misses substitution pairs missed by all 3 bands")
+  }
+
+  test("minhashBands: deterministic, identity-collides, short-string path") {
+    import graft.ops.EntityRes
+    val r = spark.range(1).select(
+      EntityRes.minhashBands(lit("smith john"), 3, 4).as("a"),
+      EntityRes.minhashBands(lit("smith john"), 3, 4).as("b"),
+      EntityRes.minhashBands(lit("smith jon"), 3, 4).as("c"),
+      EntityRes.minhashBands(lit("zz"), 3, 4).as("short"),
+      EntityRes.minhashBands(lit("completely different"), 3, 4).as("far")).collect()(0)
+    val (a, b, c) = (r.getSeq[String](0), r.getSeq[String](1), r.getSeq[String](2))
+    assert(a == b) // pure function of the input
+    assert(a.length == 4 && a.forall(_ != null))
+    // near-identical names (high shingle jaccard) collide in >= 1 band
+    assert(a.zip(c).exists { case (x, y) => x == y }, s"$a vs $c")
+    // strings shorter than k hash as one whole-string shingle, no crash
+    assert(r.getSeq[String](3).length == 4)
+    // a distant string shares no band with a near-exact cluster's keys
+    assert(!a.zip(r.getSeq[String](4)).exists { case (x, y) => x == y })
+  }
+
+  test("subBlockRecall sampled face: deterministic block subset, exact per-block rows, estimate near full on the gate corpus") {
+    import graft.ops.EntityRes
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    val args = ("c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"))
+    def audit(pct: Int) = EntityRes.subBlockRecall(args._1, args._2, args._3,
+      maxDist = 2, maxBlock = 12, subBlock = substring(col("c_name"), -2, 2),
+      samplePct = pct)(cust)
+    val full = audit(100).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.toSeq).toMap
+    val sampled = audit(40).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.toSeq).toMap
+    // sampled hot blocks are a strict, DETERMINISTIC subset…
+    assert(sampled.nonEmpty && sampled.size < full.size)
+    assert(sampled.keySet.subsetOf(full.keySet))
+    // …whose per-block accounting is EXACT (identical rows)
+    sampled.foreach { case (k, v) => assert(v == full(k), s"block $k diverged") }
+    // re-run: identical block set (hash, not RNG)
+    assert(audit(40).collect().map(r => (r.get(0), r.getString(1))).toSet
+      == sampled.keySet)
+    // and the corpus-total estimate lands near the full audit (the
+    // between-block variance the scaladoc promises — measured 0.046
+    // vs 0.054 on this corpus; bound it loosely so testdata regen
+    // doesn't flake)
+    def recallOf(m: Map[(Any, String), Seq[Any]]) = {
+      val u = m.values.map(_(3).asInstanceOf[Long]).sum
+      val k = m.values.map(_(4).asInstanceOf[Long]).sum
+      k.toDouble / u
+    }
+    assert(math.abs(recallOf(sampled) - recallOf(full)) <= 0.1,
+      s"sampled ${recallOf(sampled)} vs full ${recallOf(full)}")
+  }
+
   test("pageRankFp: exact fixed-point ranks on a hand-computed graph") {
     import graft.ops.Graph
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "weight")
