@@ -19,6 +19,14 @@ import graft.ops.Ops
 private[graft] object DedupQueries {
   import QueryHelpers._
 
+  // round-15 recommended ER band set (measured dominant — SCALE.md):
+  // the coarse {d4d5} name segment plus the three PassJoin suffix
+  // segments of c_name[15..18]; "2:" mirrors segmentBands' length tag
+  private def quadBands =
+    concat(
+      array(concat(lit("2:"), substring(col("c_name"), 13, 2))),
+      graft.ops.EntityRes.segmentBands(substring(col("c_name"), 15, 4), 3))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== LLM pipeline: dedup =====
@@ -174,21 +182,22 @@ private[graft] object DedupQueries {
         maxBlock = 12, subBlock = substring(col("c_name"), -2, 2), samplePct = 40)(
         t(s, d, "customer"))),
     // the OR-AMPLIFIED remedy (round 15, replacing the single lexical
-    // sub-key's measured ~0.30 recall): hot blocks re-block on
-    // PassJoin positional segments of the digit suffix — 3 bands of
-    // 2 chars over c_name[13..18] — and a pair is a candidate if it
-    // collides in ANY within-cap bucket. Pigeonhole: ≤2 substitutions
-    // touch ≤2 of 3 segments, so every equal-length substitution pair
-    // collides SOMEWHERE; what the cap refuses is enumerated by class
-    // in er_banded_recall. The coarse first segment ("00"/"01" at
-    // gate ids) buckets over the cap and is refused — the loud-cap
-    // contract exercised on the banded path
+    // sub-key's measured ~0.30 recall): hot blocks re-block on the
+    // measured-dominant QUAD band set (SCALE.md round 15) — the three
+    // PassJoin suffix segments {d6},{d7},{d8d9} of c_name[15..18]
+    // (pigeonhole: ≤2 substitutions ANYWHERE leave ≥1 of them intact,
+    // and their buckets stay ~block/10 at every measured scale) plus
+    // the coarse {d4d5} segment (recovers shift pairs while its
+    // bucket fits the cap) — and a pair is a candidate if it collides
+    // in ANY within-cap bucket. Measured hot-block pair recall at
+    // maxBlock=1000: 0.996 at 8×, 0.967 at 16× (vs 0.30/0.32
+    // lexical). At the gate's cap 12 the coarse bucket and the fat
+    // {d6} buckets refuse — the loud-cap contract exercised on the
+    // banded path, enumerated by class in er_banded_recall
     "er_pairs_banded" -> ((s, d) =>
       graft.ops.EntityRes.candidatePairsBanded(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
-        maxBlock = 12,
-        bands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 13, 6), 3))(
-        t(s, d, "customer"))),
+        maxBlock = 12, bands = quadBands)(t(s, d, "customer"))),
     // the banded remedy's recall accounting: kept (≥1 within-cap
     // collision) / refused (collides only over-cap) / cross (no band
     // collides — shift pairs whose segments all moved). Same params
@@ -196,9 +205,7 @@ private[graft] object DedupQueries {
     "er_banded_recall" -> ((s, d) =>
       graft.ops.EntityRes.bandedSubBlockRecall(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
-        maxBlock = 12,
-        bands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 13, 6), 3))(
-        t(s, d, "customer"))),
+        maxBlock = 12, bands = quadBands)(t(s, d, "customer"))),
     // the similarity-aware band family (the Dedup LSH discipline on a
     // short string field): 4 MinHash bands (r=1) over char 3-grams of
     // the full name, md5-based so the oracle replays bit-for-bit.
@@ -520,7 +527,8 @@ private[graft] object DedupQueries {
         |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
         |FROM p GROUP BY 1, 2, 3""".stripMargin,
     // replay both paths: small blocks pair on the block key; hot rows
-    // land in one bucket per positional segment band (length-tagged,
+    // land in one bucket per QUAD band (band 0 = the coarse {d4d5}
+    // segment; bands 1-3 = positional suffix segments, length-tagged,
     // floor(i*len/3) boundaries — the exact Spark arithmetic) and
     // pair within within-cap buckets, DISTINCT over multi-band dups
     "er_pairs_banded" ->
@@ -529,16 +537,19 @@ private[graft] object DedupQueries {
         |small AS (SELECT c.* FROM customer c
         |          JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
         |          WHERE sz.n <= 12),
-        |hot AS (SELECT c.*, substr(c.c_name, 13, 6) AS s6 FROM customer c
+        |hot AS (SELECT c.*, substr(c.c_name, 15, 4) AS s4 FROM customer c
         |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
         |        WHERE sz.n > 12),
         |bands AS (SELECT h.*, b.band,
-        |            concat(CAST(length(h.s6) AS VARCHAR), ':',
-        |              substr(h.s6,
-        |                CAST(floor(b.band * length(h.s6) / 3) AS INT) + 1,
-        |                CAST(floor((b.band + 1) * length(h.s6) / 3) AS INT)
-        |                  - CAST(floor(b.band * length(h.s6) / 3) AS INT))) AS bkey
-        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+        |            CASE WHEN b.band = 0
+        |              THEN concat('2:', substr(h.c_name, 13, 2))
+        |              ELSE concat(CAST(length(h.s4) AS VARCHAR), ':',
+        |                substr(h.s4,
+        |                  CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT) + 1,
+        |                  CAST(floor(b.band * length(h.s4) / 3) AS INT)
+        |                    - CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT)))
+        |            END AS bkey
+        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
         |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
         |        FROM bands GROUP BY 1, 2, 3, 4),
         |bkept AS (SELECT bands.* FROM bands
@@ -566,16 +577,19 @@ private[graft] object DedupQueries {
     "er_banded_recall" ->
       """WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS block_n
         |            FROM customer GROUP BY 1, 2),
-        |hot AS (SELECT c.*, sz.block_n, substr(c.c_name, 13, 6) AS s6 FROM customer c
+        |hot AS (SELECT c.*, sz.block_n, substr(c.c_name, 15, 4) AS s4 FROM customer c
         |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
         |        WHERE sz.block_n > 12),
         |bands AS (SELECT h.c_nationkey, h.c_mktsegment, h.c_custkey, b.band,
-        |            concat(CAST(length(h.s6) AS VARCHAR), ':',
-        |              substr(h.s6,
-        |                CAST(floor(b.band * length(h.s6) / 3) AS INT) + 1,
-        |                CAST(floor((b.band + 1) * length(h.s6) / 3) AS INT)
-        |                  - CAST(floor(b.band * length(h.s6) / 3) AS INT))) AS bkey
-        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+        |            CASE WHEN b.band = 0
+        |              THEN concat('2:', substr(h.c_name, 13, 2))
+        |              ELSE concat(CAST(length(h.s4) AS VARCHAR), ':',
+        |                substr(h.s4,
+        |                  CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT) + 1,
+        |                  CAST(floor(b.band * length(h.s4) / 3) AS INT)
+        |                    - CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT)))
+        |            END AS bkey
+        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
         |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
         |        FROM bands GROUP BY 1, 2, 3, 4),
         |bm AS (SELECT bands.*, bsz.m FROM bands

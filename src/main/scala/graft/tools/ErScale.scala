@@ -42,6 +42,21 @@ object ErScale {
     import org.apache.spark.sql.functions.{col, substring}
     val lastTwo = substring(col("c_name"), -2, 2)
     val segBands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 13, 6), 3)
+    // the audit-driven refinement (SCALE.md round 15): band only the
+    // 4 suffix digits ({d6},{d7},{d8d9}) — pigeonhole still covers <=2
+    // substitutions ANYWHERE (edits outside the banded region break no
+    // band), and every bucket stays ~block/10 or finer, so nothing
+    // crosses the cap at 16x where the coarse {d4d5} bucket refused
+    val sfxBands = graft.ops.EntityRes.segmentBands(substring(col("c_name"), 15, 4), 3)
+    // the dominating 4-band set (SCALE.md round 15): the 3 suffix
+    // bands (substitution recall at every scale) PLUS the coarse
+    // {d4d5} segment, whose within-cap buckets recover shift pairs at
+    // low amplification and whose refusal at 16x costs nothing the
+    // suffix bands don't already keep
+    val quadBands = {
+      import org.apache.spark.sql.functions.{array, concat, lit}
+      concat(array(concat(lit("2:"), substring(col("c_name"), 13, 2))), sfxBands)
+    }
     val mhBands = graft.ops.EntityRes.minhashBands(col("c_name"), shingleK = 3, numBands = 4)
     val subBlock = if (mode == "sub") Some(lastTwo) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,22 +81,30 @@ object ErScale {
         case "bandedrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
           maxDist = 2, maxBlock = maxBlock, bands = segBands, samplePct = samplePct)(cust)
+        case "sfxrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = sfxBands, samplePct = samplePct)(cust)
+        case "quadrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = quadBands, samplePct = samplePct)(cust)
         case "minhashrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
           maxDist = 2, maxBlock = maxBlock, bands = mhBands, samplePct = samplePct)(cust)
         case m => throw new IllegalArgumentException(s"not a recall mode: $m")
       }
     }
-    val isRecall = Set("recall", "bandedrecall", "minhashrecall")(mode)
+    val isRecall = Set("recall", "bandedrecall", "sfxrecall", "quadrecall", "minhashrecall")(mode)
 
     def run(): Double = {
       val t0 = System.nanoTime()
       if (isRecall) {
         recallFrame().write.mode("overwrite").format("noop").save()
-      } else if (mode == "bandedsub") {
+      } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub") {
         graft.ops.EntityRes.candidatePairsBanded(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-          maxDist = 2, maxBlock = maxBlock, bands = segBands)(
+          maxDist = 2, maxBlock = maxBlock,
+          bands = if (mode == "sfxsub") sfxBands
+            else if (mode == "quadsub") quadBands else segBands)(
           spark.read.parquet(s"$sfDir/customer.parquet"))
           .write.mode("overwrite").format("noop").save()
       } else {
