@@ -860,6 +860,48 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("banded sub-blocking: generative accounting identity across three independent paths") {
+    import graft.ops.EntityRes
+    // seeded random fixtures: the recall audit's per-block accounting
+    // must be exhaustive (uncapped == kept + cross + refused), the
+    // production path's pair count must equal small-block pairs plus
+    // exactly the audit's kept pairs, and banded pairs must be a
+    // subset of the uncapped pair set — three paths, each computed by
+    // different code (pairWithin vs the banded explode vs the audit's
+    // classification join), reconciled per case
+    val rnd = new scala.util.Random(15)
+    for (c <- 1 to 8) {
+      val nBlocks = 1 + rnd.nextInt(4)
+      val n = 8 + rnd.nextInt(40)
+      val rows = (1 to n).map { i =>
+        val name = "n" + (1 to 3).map(_ => ('0' + rnd.nextInt(4)).toChar).mkString
+        def bv(k: Int): String = if (rnd.nextInt(100) < 15) null else "v" + rnd.nextInt(k)
+        (i.toLong, name, "B" + rnd.nextInt(nBlocks), bv(2), bv(4))
+      }
+      val recs = rows.toDF("id", "name", "state", "b0", "b1")
+      val bands = array(col("b0"), col("b1"))
+      val cap = 4L
+      val banded = EntityRes.candidatePairsBanded(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = cap, bands = bands)(recs)
+      val audit = EntityRes.bandedSubBlockRecall(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = cap, bands = bands)(recs)
+        .collect()
+      val uncapped = EntityRes.candidatePairs(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = 100000L)(recs)
+      audit.foreach { r =>
+        assert(r.getLong(2) == r.getLong(3) + r.getLong(4) + r.getLong(5),
+          s"case $c: non-exhaustive classification in ${r.mkString(",")}")
+      }
+      val hotUncapped = audit.map(_.getLong(2)).sum
+      val kept = audit.map(_.getLong(3)).sum
+      assert(banded.count() == uncapped.count() - hotUncapped + kept,
+        s"case $c: banded pair count != small pairs + audit kept")
+      assert(banded.select("id_a", "id_b")
+        .exceptAll(uncapped.select("id_a", "id_b")).count() == 0L,
+        s"case $c: banded produced a pair the uncapped path doesn't have")
+    }
+  }
+
   test("segmentBands: pigeonhole recovery for bounded substitutions, length tagging") {
     import graft.ops.EntityRes
     // hand case: boundaries are floor(i*len/3)
