@@ -35,7 +35,8 @@ object Bench {
     "ret_hybrid_topk", "sample_cluster_balanced", "text_lm_score", "text_novelty",
     "event_outliers", "er_groups", "er_pairs_subblocked", "er_subblock_recall",
     "er_refused_subblocks", "er_pairs_banded", "er_banded_recall",
-    "er_pairs_minhash_sub", "er_subblock_recall_sampled", "sample_unimax_schedule",
+    "er_pairs_minhash_sub", "er_subblock_recall_sampled", "er_groups_banded",
+    "sample_unimax_schedule",
     "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
     "scd2_history", "profile_day_islands",

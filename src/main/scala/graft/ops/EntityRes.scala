@@ -119,8 +119,9 @@ object EntityRes {
       .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
 
-  /** PassJoin-style positional segment bands (Li/Deng/Feng, ICDE 2011
-    * "PASS-JOIN: a partition-based method for similarity joins"): the
+  /** PassJoin-style positional segment bands (Li, Deng, Wang, Feng,
+    * PVLDB 5(3), 2011 — "Pass-Join: a partition-based method for
+    * similarity joins"): the
     * string splits into `numBands` contiguous segments; by pigeonhole,
     * two EQUAL-LENGTH strings within `numBands - 1` substitutions
     * agree on at least one full segment — so banding hot blocks on
@@ -134,7 +135,11 @@ object EntityRes {
     * differ. Segment boundaries are `floor(i·len/numBands)`, identical
     * integer arithmetic in the DuckDB replay. NULL input → every band
     * key NULL (banded callers drop NULL keys, the blocking-NULL
-    * contract — the row never pairs).
+    * contract — the row never pairs). Strings shorter than `numBands`
+    * produce empty segments whose keys collide vacuously within the
+    * length group — a candidate-cost matter only (the distance filter
+    * still decides), and one the per-bucket cap bounds like any other
+    * hot key.
     */
   def segmentBands(c: Column, numBands: Int): Column = {
     require(numBands >= 2, s"segmentBands needs >= 2 bands, got $numBands")
@@ -456,4 +461,21 @@ object EntityRes {
       subBlock: Option[Column] = None)(df: DataFrame): DataFrame =
     graft.llm.Dedup.nearDupClusters(
       candidatePairs(idCol, nameCol, blockCols, maxDist, maxBlock, subBlock)(df))
+
+  /** [[matchGroups]] over the OR-amplified banded remedy — the
+    * end-to-end face of [[candidatePairsBanded]]: transitive match
+    * groups whose hot-block edges come from the banded candidate set
+    * (measured recall 0.97-1.00 vs ~0.30 for a single lexical
+    * sub-key, SCALE.md round 15). Same persist contract as
+    * [[matchGroups]]: `.unpersist()` when done.
+    */
+  def matchGroupsBanded(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      bands: Column)(df: DataFrame): DataFrame =
+    graft.llm.Dedup.nearDupClusters(
+      candidatePairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, bands)(df))
 }

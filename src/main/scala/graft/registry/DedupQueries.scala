@@ -21,8 +21,10 @@ private[graft] object DedupQueries {
 
   // round-15 recommended ER band set (measured dominant — SCALE.md):
   // the coarse {d4d5} name segment plus the three PassJoin suffix
-  // segments of c_name[15..18]; "2:" mirrors segmentBands' length tag
-  private def quadBands =
+  // segments of c_name[15..18]; "2:" mirrors segmentBands' length
+  // tag. Shared with tools.ErScale so the gate and the scale
+  // measurements can never band differently.
+  private[graft] def quadBands =
     concat(
       array(concat(lit("2:"), substring(col("c_name"), 13, 2))),
       graft.ops.EntityRes.segmentBands(substring(col("c_name"), 15, 4), 3))
@@ -223,6 +225,14 @@ private[graft] object DedupQueries {
       graft.ops.EntityRes.matchGroups(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2)(
         t(s, d, "customer"))),
+    // the banded remedy's END-TO-END face: transitive match groups
+    // whose hot-block edges come from the QUAD-banded candidate set
+    // (same cap/bands as er_pairs_banded); oracle composes the banded
+    // pair replay with the recursive reachability walk
+    "er_groups_banded" -> ((s, d) =>
+      graft.ops.EntityRes.matchGroupsBanded(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, bands = quadBands)(t(s, d, "customer"))),
     // dedup-threshold tuning: pair counts per 0.1 jaccard band with
     // the at-or-above cumulative — "what would threshold t remove".
     // Plain corpus: its bimodal curve (a fat low-band + the 0.9
@@ -661,6 +671,51 @@ private[graft] object DedupQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         | AND a.band = b.band AND a.bkey = b.bkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // banded pair replay (er_pairs_banded's CTEs) + the er_groups walk
+    "er_groups_banded" ->
+      """WITH RECURSIVE sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |            FROM customer GROUP BY 1, 2),
+        |small AS (SELECT c.* FROM customer c
+        |          JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |          WHERE sz.n <= 12),
+        |hot AS (SELECT c.*, substr(c.c_name, 15, 4) AS s4 FROM customer c
+        |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+        |        WHERE sz.n > 12),
+        |bands AS (SELECT h.*, b.band,
+        |            CASE WHEN b.band = 0
+        |              THEN concat('2:', substr(h.c_name, 13, 2))
+        |              ELSE concat(CAST(length(h.s4) AS VARCHAR), ':',
+        |                substr(h.s4,
+        |                  CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT) + 1,
+        |                  CAST(floor(b.band * length(h.s4) / 3) AS INT)
+        |                    - CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT)))
+        |            END AS bkey
+        |          FROM hot h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+        |        FROM bands GROUP BY 1, 2, 3, 4),
+        |bkept AS (SELECT bands.* FROM bands
+        |          JOIN bsz ON bands.c_nationkey = bsz.c_nationkey
+        |                  AND bands.c_mktsegment = bsz.c_mktsegment
+        |                  AND bands.band = bsz.band AND bands.bkey = bsz.bkey
+        |          WHERE bsz.m <= 12),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM small a JOIN small b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |  UNION
+        |  SELECT a.c_custkey, b.c_custkey
+        |  FROM bkept a JOIN bkept b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.band = b.band AND a.bkey = b.bkey AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+        |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
     "er_groups" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -53,10 +53,9 @@ object ErScale {
     // {d4d5} segment, whose within-cap buckets recover shift pairs at
     // low amplification and whose refusal at 16x costs nothing the
     // suffix bands don't already keep
-    val quadBands = {
-      import org.apache.spark.sql.functions.{array, concat, lit}
-      concat(array(concat(lit("2:"), substring(col("c_name"), 13, 2))), sfxBands)
-    }
+    // the gate's exact band set (shared definition — gate and scale
+    // measurements can never band differently)
+    val quadBands = graft.DedupQueries.quadBands
     val mhBands = graft.ops.EntityRes.minhashBands(col("c_name"), shingleK = 3, numBands = 4)
     val subBlock = if (mode == "sub") Some(lastTwo) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

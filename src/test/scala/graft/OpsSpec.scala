@@ -858,6 +858,14 @@ class OpsSpec extends SparkSpec {
     // never a cartesian on the banded path either
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+
+    // matchGroupsBanded composes: the banded pair graph groups
+    // {1,2} -> 1 and {21,22} -> 21; the refused/cross rows stay out
+    val groups = EntityRes.matchGroupsBanded("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, bands = bands)(recs)
+    val byDoc = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groups.unpersist()
+    assert(byDoc == Map(1L -> 1L, 2L -> 1L, 21L -> 21L, 22L -> 21L), s"got $byDoc")
   }
 
   test("banded sub-blocking: generative accounting identity across three independent paths") {
