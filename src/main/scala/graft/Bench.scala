@@ -36,7 +36,7 @@ object Bench {
     "event_outliers", "er_groups", "er_pairs_subblocked", "er_subblock_recall",
     "er_refused_subblocks", "er_pairs_banded", "er_banded_recall",
     "er_pairs_minhash_sub", "er_subblock_recall_sampled", "er_groups_banded",
-    "sample_unimax_schedule",
+    "sample_unimax_schedule", "pack_unimax_budget",
     "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
     "scd2_history", "profile_day_islands",

@@ -266,7 +266,13 @@ object EntityRes {
     * Scale shape: hot rows explode ×numBands (bands are few and the
     * per-band key is short — bytes, not bodies, cross the shuffle);
     * per-bucket cost stays ≤ maxBlock²; the pair-level distinct
-    * shuffles only surviving pairs. Never a cartesian.
+    * shuffles only surviving pairs. Never a cartesian. Plan note
+    * (reviewed on the AQE-final plan, round 15): the duplicated
+    * block-sizes aggregate collapses to one ReusedExchange at
+    * runtime; the self-join sides re-scan the input's 4-column
+    * projection (the standard self-join shape) — a caller whose
+    * record table is expensive to produce (a view, not a parquet
+    * scan) should `.persist()` the projected input first.
     */
   def candidatePairsBanded(
       idCol: String,

@@ -151,6 +151,22 @@ private[graft] object CorpusQueries {
       graft.llm.Packing.packSequences("doc_id", "n_tokens", budget = 2048, shards = 16)(
         t(s, d, "documents")
           .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens")))),
+    // the full budget -> training-layout composition (round 15): the
+    // UniMax schedule's copies (unit key "doc_id:copy", the same
+    // string the order key hashes) join their token counts and flow
+    // through the concat-and-chunk layout — a language allocated 1.4
+    // epochs literally occupies 1.4x its tokens in the packed stream
+    "pack_unimax_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sched = graft.llm.Sampling.unimaxSchedule("doc_id", "lang", "n_chars",
+        budget = 213001.0, maxEpochs = 2.0)(docs)
+      val units = sched.join(
+          docs.select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tokens")),
+          Seq("doc_id"))
+        .select(concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string"))
+          .as("copy_key"), col("lang"), col("n_tokens"))
+      graft.llm.Packing.packSequences("copy_key", "n_tokens", budget = 2048, shards = 16)(units)
+    }),
     // per-chunk loader manifest: docs/tokens starting in each chunk
     "pack_manifest" -> ((s, d) =>
       graft.llm.Packing.packManifest("doc_id", "n_tokens", budget = 2048, shards = 16)(
@@ -527,6 +543,46 @@ private[graft] object CorpusQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM toks)
         |SELECT doc_id, n_tokens, shard,
+        |  CAST(tokens_before // 2048 AS BIGINT) AS pack_id,
+        |  CAST(tokens_before - (tokens_before // 2048) * 2048 AS BIGINT) AS pack_offset,
+        |  (tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048) AS spans_boundary
+        |FROM cum""".stripMargin,
+    // schedule replay (sample_unimax_schedule's CTEs) -> token join
+    // -> the pack_sequences window cumsum over "doc_id:copy" units
+    "pack_unimax_budget" ->
+      """WITH sz AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n_weight
+        |            FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_weight, n_weight * 2.0 AS cap FROM sz),
+        |r AS (SELECT lang, n_weight, cap,
+        |        COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix,
+        |        COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY cap, lang) + 1 AS rem
+        |      FROM c),
+        |l AS (SELECT *, (213001.0 - prefix) / rem AS lv FROM r),
+        |g AS (SELECT *, MAX(CASE WHEN lv <= cap THEN lv END) OVER () AS wl FROM l),
+        |a AS (SELECT lang,
+        |        (CASE WHEN wl IS NULL THEN cap ELSE LEAST(cap, wl) END) / n_weight AS epochs
+        |      FROM g),
+        |k AS (SELECT d.doc_id, d.lang,
+        |        CAST(floor(a.epochs) AS BIGINT) +
+        |        CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                  / 1152921504606846976.0 < a.epochs - floor(a.epochs)
+        |             THEN 1 ELSE 0 END AS n_copies
+        |      FROM documents d JOIN a USING (lang)),
+        |e AS (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+        |      FROM k WHERE n_copies > 0),
+        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |        FROM documents),
+        |u AS (SELECT concat(CAST(e.doc_id AS VARCHAR), ':', CAST(e.copy AS VARCHAR)) AS copy_key,
+        |             e.lang, tok.n_tokens,
+        |             CAST(concat('0x', substr(md5(concat(CAST(e.doc_id AS VARCHAR), ':',
+        |               CAST(e.copy AS VARCHAR))), 1, 15)) AS BIGINT) % 16 AS shard
+        |      FROM e JOIN tok ON e.doc_id = tok.doc_id),
+        |cum AS (SELECT copy_key, lang, n_tokens, shard,
+        |          COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard ORDER BY copy_key
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |        FROM u)
+        |SELECT copy_key, lang, n_tokens, shard,
         |  CAST(tokens_before // 2048 AS BIGINT) AS pack_id,
         |  CAST(tokens_before - (tokens_before // 2048) * 2048 AS BIGINT) AS pack_offset,
         |  (tokens_before - (tokens_before // 2048) * 2048 + n_tokens > 2048) AS spans_boundary
