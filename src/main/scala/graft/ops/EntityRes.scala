@@ -403,8 +403,14 @@ object EntityRes {
     * stays EXACT for every audited block — the estimate error is
     * pure between-block sampling variance on the corpus-total
     * recall, and re-runs audit the identical block set (no RNG).
-    * Default 100 = the full audit; the production path stays
-    * [[candidatePairs]] with the cap engaged either way.
+    * Confidence note: the returned PER-BLOCK rows are exact, so any
+    * standard ratio-estimator interval applies directly — e.g.
+    * bootstrap the returned block rows, or jackknife-leave-one-block
+    * - out on Σn_kept / Σn_pairs_uncapped; measured on this repo's
+    * amplified dirs a 25% sample reproduced the full-audit recall
+    * within ±0.002 (SCALE.md round 15). Default 100 = the full
+    * audit; the production path stays [[candidatePairs]] with the
+    * cap engaged either way.
     */
   def subBlockRecall(
       idCol: String,

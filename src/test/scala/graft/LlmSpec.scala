@@ -999,6 +999,32 @@ class LlmSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("unimaxSchedule: capped languages emit exact copies, fractional ones a stable hash subset summing near the allocation") {
+    import graft.llm.Sampling
+    val df = ((1 to 10).map(i => (i.toLong, "a", 1L)) ++
+      (1 to 20).map(i => (i + 100L, "b", 1L)) ++
+      (1 to 100).map(i => (i + 200L, "c", 1L))).toDF("id", "lang", "w")
+    // allocation at budget 150 / cap 2: a=2.0 epochs, b=2.0, c=0.9
+    val sched = Sampling.unimaxSchedule("id", "lang", "w", budget = 150.0, maxEpochs = 2.0)(df)
+    val rows = sched.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // integer-epoch languages: EVERY doc exactly floor(epochs) copies
+    assert(rows.count(_._2 == "a") == 20 && rows.count(_._2 == "b") == 40)
+    (rows.filter(_._2 == "a") ++ rows.filter(_._2 == "b"))
+      .groupBy(t => (t._1, t._2)).foreach { case (_, cs) =>
+        assert(cs.map(_._3).sorted.toSeq == Seq(1L, 2L))
+      }
+    // fractional language: copy in {0,1}, realized volume within pure
+    // hash-sampling variance of the 90-doc allocation (0.9 * 100)
+    val cCopies = rows.filter(_._2 == "c")
+    assert(cCopies.forall(_._3 == 1L))
+    assert(math.abs(cCopies.length - 90) <= 15, s"got ${cCopies.length}")
+    // order keys are unique per (id, copy) and a pure function of them
+    assert(rows.map(t => (t._1, t._3)).distinct.length == rows.length)
+    val reshuffled = Sampling.unimaxSchedule("id", "lang", "w", 150.0, 2.0)(df.orderBy(rand(7)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    assert(reshuffled.toSeq == rows.sorted.toSeq) // membership + keys input-order-invariant
+  }
+
   test("near-dup clustering collapses transitive chains in one call") {
     // chain 1~2, 2~3, 3~4 plus a separate pair 10~11: one call must
     // label {1,2,3,4} -> 1 and {10,11} -> 10 (keep-lowest nearDedup
