@@ -332,7 +332,7 @@ class DifferentialSpec extends SparkSpec {
   private case class PDistinct(cols: Seq[String]) extends POp
   private case class PNotNull(name: String, src: String) extends POp
   private case object POuterJoin extends POp
-  private case class PRemoveRows(c: String) extends POp
+  private case class PRemoveRows(c: String, operand: String) extends POp
   private case class PAggRow(name: String, srcs: Seq[String], fn: String) extends POp
   private case class PSumEq(name: String, a: String, b: String) extends POp
   private case class PNullFill(name: String, src: String) extends POp
@@ -495,7 +495,14 @@ class DifferentialSpec extends SparkSpec {
     } yield (PNotNull(name, src), bindNamed(name)))
     // nullable numeric columns exist (p, w): REMOVE ROWS drops their
     // null rows like pandas notna filtering, order preserved
-    candidates += Gen.oneOf(st.cols).map(c => (PRemoveRows(c), st))
+    // both accepted operand spellings (the reference treats NULL and
+    // NULL1 identically and ValueErrors on anything else — the exact
+    // set is pinned by EngineSpec; here the differential exercises
+    // both through random pipelines, case-insensitively)
+    candidates += (for {
+      c <- Gen.oneOf(st.cols)
+      op <- Gen.oneOf("NULL", "NULL1", "null", "null1")
+    } yield (PRemoveRows(c, op), st))
     val doubles = numeric.filterNot(st.longCols)
     if (doubles.nonEmpty) {
       candidates += (for {
@@ -581,7 +588,7 @@ class DifferentialSpec extends SparkSpec {
       case PNotNull(name, src) =>
         spec("ATTACH COLUMN", s"column_name=$name, source_col=$src, operation=NOTNULL")
       case POuterJoin => OperationSpec(s"o$i", "OUTER JOIN", Seq(prev, "r"), "g")
-      case PRemoveRows(c) => spec("REMOVE ROWS", s"$c=NULL")
+      case PRemoveRows(c, operand) => spec("REMOVE ROWS", s"$c=$operand")
       case PAggRow(n, srcs, fn) => spec("AGGREGATE COLUMN",
         s"new_column=$n, operation=${if (fn == "min") "MINIMUM" else "MAXIMUM"}, " +
           s"operation_cols=${srcs.mkString("#")}")
@@ -615,7 +622,7 @@ class DifferentialSpec extends SparkSpec {
     case PDistinct(cols) => mDistinct(f, cols)
     case PNotNull(name, src) => mNotNull(f, name, src)
     case POuterJoin => mOuterJoin(f, right, "g")
-    case PRemoveRows(c) => mRemoveRows(f, c)
+    case PRemoveRows(c, _) => mRemoveRows(f, c)
     case PAggRow(name, srcs, fn) => mAggRow(f, name, srcs, fn)
     case PSumEq(name, a, b) => mSumEq(f, name, a, b)
     case PNullFill(name, src) => mNullFill(f, name, src)
@@ -725,7 +732,10 @@ class DifferentialSpec extends SparkSpec {
       }
       contentOk && orderOk
     }
-    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    // commit default 60; stress with GRAFT_DIFF_CASES=300 before
+    // landing generator changes (the harness discipline)
+    val cases = sys.env.getOrElse("GRAFT_DIFF_CASES", "60").toInt
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
     assert(r.passed, r.status.toString)
   }
 }
