@@ -322,6 +322,13 @@ object EntityRes {
     * [[subBlockRecall]]; same audit-cost caveat (it pays the hot
     * blocks' uncapped Σblock² bill ON PURPOSE — sample it with
     * `samplePct` at scale, see [[subBlockRecall]]'s sampled face).
+    * One extra cost term the lexical audit doesn't have: the
+    * collision verdict self-joins the banded rows per bucket
+    * INCLUDING over-cap buckets (a refusal is a collision that
+    * existed), so a band whose dominant bucket spans most of a block
+    * adds ~bucket² slim rows — measured +18% vs the lexical audit at
+    * 16× for the positional bands, +30% for the coarse-bucketed
+    * MinHash bands (SCALE.md round 15).
     */
   def bandedSubBlockRecall(
       idCol: String,
