@@ -21,9 +21,12 @@ import org.apache.spark.sql.SparkSession
   *   - `bandedsub` times [[graft.ops.EntityRes.candidatePairsBanded]]
   *     with the round-15 positional segment bands (3 × 2 chars over
   *     c_name[13..18]) — the OR-amplified remedy's production cost;
-  *   - `bandedrecall` / `minhashrecall` run
-  *     [[graft.ops.EntityRes.bandedSubBlockRecall]] with the
-  *     positional / md5-MinHash(4 bands, 3-grams) band family;
+  *   - `sfxsub` / `quadsub` time the suffix-only ({d6},{d7},{d8d9})
+  *     and QUAD (coarse {d4d5} + suffix — the gate's shared
+  *     definition, measured dominant) band sets;
+  *   - `bandedrecall` / `sfxrecall` / `quadrecall` / `minhashrecall`
+  *     run [[graft.ops.EntityRes.bandedSubBlockRecall]] with the
+  *     matching band family (md5-MinHash = 4 bands over 3-grams);
   *   - any recall mode takes an optional `:<pct>` suffix
   *     (e.g. `recall:25`) engaging the deterministic hot-block
   *     hash-sample — the audit's scale face.
@@ -31,7 +34,8 @@ import org.apache.spark.sql.SparkSession
 object ErScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
-      "usage: ErScale <sfDir> <maxBlock> [sub|recall|bandedsub|bandedrecall|minhashrecall][:<pct>]")
+      "usage: ErScale <sfDir> <maxBlock> " +
+        "[sub|bandedsub|sfxsub|quadsub|recall|bandedrecall|sfxrecall|quadrecall|minhashrecall][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
     val modeArg = if (args.length == 3) args(2) else ""
