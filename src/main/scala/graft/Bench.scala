@@ -37,6 +37,7 @@ object Bench {
     "er_refused_subblocks", "er_pairs_banded", "er_banded_recall",
     "er_pairs_minhash_sub", "er_subblock_recall_sampled", "er_groups_banded",
     "sample_unimax_schedule", "pack_unimax_budget",
+    "er_incremental_pairs", "er_incremental_assign",
     "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
     "scd2_history", "profile_day_islands",

@@ -481,6 +481,73 @@ object EntityRes {
     graft.llm.Dedup.nearDupClusters(
       candidatePairs(idCol, nameCol, blockCols, maxDist, maxBlock, subBlock)(df))
 
+  /** Incremental (CDC-face) entity resolution: candidate matches of a
+    * NEW batch against a resolved MASTER — the ER sibling of
+    * [[graft.llm.Dedup.incrementalDedup]]. Only batch×master pairs
+    * form (never batch×batch or master×master — steady-state ingest
+    * must not re-pay the master's pairing bill), through the same
+    * blocked equi-join discipline: a block pairs only when BOTH
+    * sides' block sizes are within `maxBlock`, bounding per-block
+    * cost at maxBlock² with no `id <` trick needed (the sides are
+    * distinct tables). Refused and NULL-keyed blocks are enumerable
+    * per side via [[oversizedBlocks]] — same loud-cap contract.
+    * Output: (batch_id, master_id, name_batch, name_master, dist).
+    */
+  def incrementalPairs(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long = 10000L)(batch: DataFrame, master: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "incrementalPairs needs at least one blocking column")
+    require(maxDist >= 0 && maxBlock >= 1, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
+    def bounded(df: DataFrame) = df
+      .join(blockSizes(blockCols)(df).where(col("block_n") <= maxBlock),
+        blockCols, "left_semi")
+    val b = bounded(batch).select(blockCols.map(col) :+
+      col(idCol).as("batch_id") :+ col(nameCol).as("name_batch"): _*)
+    val m = bounded(master).select(blockCols.map(col) :+
+      col(idCol).as("master_id") :+ col(nameCol).as("name_master"): _*)
+    b.join(m, blockCols)
+      .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
+      .where(col("dist") >= 0)
+      .select("batch_id", "master_id", "name_batch", "name_master", "dist")
+  }
+
+  /** [[incrementalPairs]] resolved into per-batch-row assignments:
+    * each batch row gets the SMALLEST matched master cluster id (a
+    * deterministic, order-free tie rule — distance-weighted policies
+    * compose downstream from the pairs face), its match count, and
+    * its best distance; rows with no candidate (novel entities, or
+    * rows whose block the cap refused on either side) surface with a
+    * NULL `cluster_id` and `n_matches = 0` — the caller's new-cluster
+    * signal, never a silent drop. `master` must carry `clusterCol`
+    * (a resolved [[matchGroups]] output joined back, or the id
+    * itself for a master where every row is its own entity).
+    *
+    * Scale shape: the pairs join plus one pairs-sized aggregation and
+    * a batch-sized left join — nothing master²-sized anywhere.
+    */
+  def incrementalAssign(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      clusterCol: String)(batch: DataFrame, master: DataFrame): DataFrame = {
+    val pairs = incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
+    val withCluster = pairs.join(
+      master.select(col(idCol).as("master_id"), col(clusterCol).as("__cluster")),
+      Seq("master_id"))
+    val agg = withCluster.groupBy("batch_id").agg(
+      min("__cluster").as("cluster_id"),
+      count(lit(1)).as("n_matches"),
+      min("dist").as("best_dist"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(agg, Seq("batch_id"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+  }
+
   /** [[matchGroups]] over the OR-amplified banded remedy — the
     * end-to-end face of [[candidatePairsBanded]]: transitive match
     * groups whose hot-block edges come from the banded candidate set

@@ -29,6 +29,16 @@ private[graft] object DedupQueries {
       array(concat(lit("2:"), substring(col("c_name"), 13, 2))),
       graft.ops.EntityRes.segmentBands(substring(col("c_name"), 15, 4), 3))
 
+  // the incremental-ER gate's synthetic re-crawl batch: every 3rd
+  // customer, name corruption decided on the ORIGINAL key (the oracle
+  // mirrors this order), ids then shifted past the master's range
+  private def incrementalBatch(master: DataFrame): DataFrame =
+    master.where(col("c_custkey") % 3 === 0)
+      .withColumn("c_name",
+        when(col("c_custkey") % 2 === 0, col("c_name"))
+          .otherwise(concat(substring(col("c_name"), 1, 16), lit("XX"))))
+      .withColumn("c_custkey", col("c_custkey") + 100000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = reg(
 
     // ===== LLM pipeline: dedup =====
@@ -219,6 +229,24 @@ private[graft] object DedupQueries {
         maxBlock = 12,
         bands = graft.ops.EntityRes.minhashBands(col("c_name"), shingleK = 3, numBands = 4))(
         t(s, d, "customer"))),
+    // incremental (CDC-face) ER: a synthetic re-crawl batch — every
+    // 3rd customer, ids shifted past the master, odd originals with
+    // their last two name chars corrupted to "XX" (dist 2, still a
+    // match) — pairs ONLY against the master (never batch x batch);
+    // cap 20 on EITHER side refuses the fattest blocks, whose batch
+    // rows then surface as novel in er_incremental_assign
+    "er_incremental_pairs" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalPairs(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 20)(incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the assignment face: smallest matched master cluster (master =
+    // every row its own entity here), match count, best distance;
+    // NULL cluster = novel (no match, or cap-refused block)
+    "er_incremental_assign" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalAssign(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 20, clusterCol = "c_custkey")(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
     // transitive match groups over the same pair graph (label
     // propagation); oracle replays a recursive reachability walk
     "er_groups" -> ((s, d) =>
@@ -671,6 +699,58 @@ private[graft] object DedupQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         | AND a.band = b.band AND a.bkey = b.bkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // batch construction mirrored (corruption CASE on the ORIGINAL
+    // key, then the id shift), both sides' block caps, batch x master
+    // equi-join only
+    "er_incremental_pairs" ->
+      """WITH batch AS (
+        |  SELECT c_custkey + 100000 AS id,
+        |         CASE WHEN c_custkey % 2 = 0 THEN c_name
+        |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
+        |         c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM batch GROUP BY 1, 2),
+        |msz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+        |bok AS (SELECT b.* FROM batch b
+        |        JOIN bsz ON b.c_nationkey = bsz.c_nationkey AND b.c_mktsegment = bsz.c_mktsegment
+        |        WHERE bsz.n <= 20),
+        |mok AS (SELECT c.* FROM customer c
+        |        JOIN msz ON c.c_nationkey = msz.c_nationkey AND c.c_mktsegment = msz.c_mktsegment
+        |        WHERE msz.n <= 20)
+        |SELECT b.id AS batch_id, m.c_custkey AS master_id,
+        |       b.name AS name_batch, m.c_name AS name_master,
+        |       CAST(levenshtein(b.name, m.c_name) AS INTEGER) AS dist
+        |FROM bok b JOIN mok m
+        |  ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |WHERE levenshtein(b.name, m.c_name) <= 2""".stripMargin,
+    // pairs replay -> smallest matched master id per batch row; the
+    // left join keeps novel rows with NULL cluster and 0 matches
+    "er_incremental_assign" ->
+      """WITH batch AS (
+        |  SELECT c_custkey + 100000 AS id,
+        |         CASE WHEN c_custkey % 2 = 0 THEN c_name
+        |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
+        |         c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM batch GROUP BY 1, 2),
+        |msz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+        |bok AS (SELECT b.* FROM batch b
+        |        JOIN bsz ON b.c_nationkey = bsz.c_nationkey AND b.c_mktsegment = bsz.c_mktsegment
+        |        WHERE bsz.n <= 20),
+        |mok AS (SELECT c.* FROM customer c
+        |        JOIN msz ON c.c_nationkey = msz.c_nationkey AND c.c_mktsegment = msz.c_mktsegment
+        |        WHERE msz.n <= 20),
+        |p AS (SELECT b.id AS batch_id, m.c_custkey AS master_id,
+        |             CAST(levenshtein(b.name, m.c_name) AS INTEGER) AS dist
+        |      FROM bok b JOIN mok m
+        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |      WHERE levenshtein(b.name, m.c_name) <= 2),
+        |agg AS (SELECT batch_id, CAST(min(master_id) AS BIGINT) AS cluster_id,
+        |               count(*) AS n_matches, min(dist) AS best_dist
+        |        FROM p GROUP BY 1)
+        |SELECT b.id AS batch_id, agg.cluster_id,
+        |       CAST(COALESCE(agg.n_matches, 0) AS BIGINT) AS n_matches, agg.best_dist
+        |FROM batch b LEFT JOIN agg ON b.id = agg.batch_id""".stripMargin,
     // banded pair replay (er_pairs_banded's CTEs) + the er_groups walk
     "er_groups_banded" ->
       """WITH RECURSIVE sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n

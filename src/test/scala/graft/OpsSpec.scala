@@ -868,6 +868,45 @@ class OpsSpec extends SparkSpec {
     assert(byDoc == Map(1L -> 1L, 2L -> 1L, 21L -> 21L, 22L -> 21L), s"got $byDoc")
   }
 
+  test("incremental ER: batch pairs only against master, novel rows surface with NULL cluster") {
+    import graft.ops.EntityRes
+    val master = Seq(
+      (1L, "smith john", "NY", 10L), (2L, "smith jon", "NY", 10L), // resolved cluster 10
+      (3L, "doe jane", "CA", 3L),
+      (4L, "hot a", "TX", 4L), (5L, "hot b", "TX", 5L), (6L, "hot c", "TX", 6L)
+    ).toDF("id", "name", "state", "cluster")
+    val batch = Seq(
+      (101L, "smith john", "NY"),  // exact match -> cluster 10 (min of {1,2}'s cluster)
+      (102L, "smith johm", "NY"),  // dist 1 to both -> cluster 10, n_matches 2
+      (103L, "completely new", "NV"), // no master block at all -> novel
+      (104L, "doe jane", "WA"),    // block absent from master -> novel
+      (105L, "hot a", "TX"),       // master TX block (3 rows) over cap 2 -> novel
+      (106L, "batch twin", "CA"), (107L, "batch twin", "CA") // batch x batch NEVER pairs
+    ).toDF("id", "name", "state")
+    val cap = 2L
+
+    val pairs = EntityRes.incrementalPairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap)(batch, master)
+      .select("batch_id", "master_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only batch x master, only blocks within cap ON BOTH SIDES:
+    // NY pairs (2 rows each side); CA joins but no name within dist
+    // (106/107 never pair with EACH OTHER — no batch x batch); TX
+    // refused on the master side (3 rows > cap)
+    assert(pairs == Set((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L)), s"got $pairs")
+
+    val assign = EntityRes.incrementalAssign("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, clusterCol = "cluster")(batch, master)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toMap
+    assert(assign(101L) == (Some(10L), 2L))
+    assert(assign(102L) == (Some(10L), 2L))
+    // every non-matching row is a loud novel, never a dropped one
+    Seq(103L, 104L, 105L, 106L, 107L).foreach { id =>
+      assert(assign(id) == (None, 0L), s"row $id: ${assign(id)}")
+    }
+    assert(assign.keySet == Set(101L, 102L, 103L, 104L, 105L, 106L, 107L))
+  }
+
   test("banded sub-blocking: generative accounting identity across three independent paths") {
     import graft.ops.EntityRes
     // seeded random fixtures: the recall audit's per-block accounting
