@@ -31,8 +31,10 @@ private[graft] object DedupQueries {
 
   // the incremental-ER gate's synthetic re-crawl batch: every 3rd
   // customer, name corruption decided on the ORIGINAL key (the oracle
-  // mirrors this order), ids then shifted past the master's range
-  private def incrementalBatch(master: DataFrame): DataFrame =
+  // mirrors this order), ids then shifted past the master's range.
+  // Shared with tools.ErScale (`inc` mode) so the gate and the scale
+  // measurement run the identical batch shape.
+  private[graft] def incrementalBatch(master: DataFrame): DataFrame =
     master.where(col("c_custkey") % 3 === 0)
       .withColumn("c_name",
         when(col("c_custkey") % 2 === 0, col("c_name"))

@@ -102,6 +102,15 @@ object ErScale {
       val t0 = System.nanoTime()
       if (isRecall) {
         recallFrame().write.mode("overwrite").format("noop").save()
+      } else if (mode == "inc") {
+        // the CDC face at scale: the gate's synthetic re-crawl batch
+        // (|master|/3 rows) assigned against the dir's customer master
+        val master = spark.read.parquet(s"$sfDir/customer.parquet")
+        graft.ops.EntityRes.incrementalAssign(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey")(
+          graft.DedupQueries.incrementalBatch(master), master)
+          .write.mode("overwrite").format("noop").save()
       } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub") {
         graft.ops.EntityRes.candidatePairsBanded(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
