@@ -514,6 +514,165 @@ object EntityRes {
       .select("batch_id", "master_id", "name_batch", "name_master", "dist")
   }
 
+  /** Block keys [[incrementalPairs]] refuses — over `maxBlock` on
+    * EITHER side (a pair needs both rows kept, so per-side filtering
+    * refuses the block as soon as one side is hot). One row per
+    * refused block with both sides' sizes (0 = absent from that
+    * side), so a user can see which side's skew ate the block.
+    * Null-keyed blocks are NOT listed here — they can never pair at
+    * any size (equi-join semantics) and are enumerable per side via
+    * [[oversizedBlocks]], same as the self-join face.
+    */
+  private def incrementalHotBlocks(
+      blockCols: Seq[String],
+      maxBlock: Long)(batch: DataFrame, master: DataFrame): DataFrame = {
+    val bsz = blockSizes(blockCols)(batch).withColumnRenamed("block_n", "batch_n")
+    val msz = blockSizes(blockCols)(master).withColumnRenamed("block_n", "master_n")
+    bsz.join(msz, blockCols, "full")
+      .withColumn("batch_n", coalesce(col("batch_n"), lit(0L)))
+      .withColumn("master_n", coalesce(col("master_n"), lit(0L)))
+      .where(col("batch_n") > maxBlock || col("master_n") > maxBlock)
+      .where(blockCols.map(c => col(c).isNotNull).reduce(_ && _))
+  }
+
+  /** [[incrementalPairs]] with the OR-amplified banded remedy for hot
+    * blocks — the CDC face of [[candidatePairsBanded]]. The plain
+    * incremental path refuses a block as soon as EITHER side is over
+    * `maxBlock`, and every batch row of a refused block then surfaces
+    * as a FALSE NOVEL in [[incrementalAssign]] (a loud drop, but
+    * still a drop — the steady-state analog of the self-join face's
+    * measured ~0.30 lexical-sub-key recall). Here those blocks'
+    * rows re-bucket per band of `bands` on BOTH sides, each side
+    * keeps a row in a (band, key) bucket iff its OWN side's bucket is
+    * within `maxBlock`, and a batch×master pair is a candidate if it
+    * collides in ANY surviving bucket (duplicates collapse with one
+    * distinct). Blocks within the bound on both sides pair exactly as
+    * in [[incrementalPairs]] — enabling `bands` only ever ADDS pairs.
+    *
+    * Carried-over contracts: the bound is never waived (an over-cap
+    * bucket is refused on that side — but only that band; the pair
+    * can still surface through a finer band, and
+    * [[incrementalBandedRecall]] counts the pairs ALL of whose
+    * collisions were refused); a NULL band key never pairs; batch
+    * rows still pair ONLY against master (never batch×batch — hot
+    * batch rows sharing a bucket meet no batch counterpart because
+    * the banded join's sides are the two distinct tables).
+    *
+    * Scale shape: hot rows explode ×numBands per side with short band
+    * keys (bytes, not bodies, cross the shuffle); per-bucket cost is
+    * ≤ maxBlock² because both sides' bucket sizes are capped; the
+    * final distinct shuffles only surviving pairs. Never a cartesian.
+    */
+  def incrementalPairsBanded(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      bands: Column)(batch: DataFrame, master: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "incrementalPairsBanded needs at least one blocking column")
+    require(maxDist >= 0 && maxBlock >= 1, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
+    Seq("__band", "__bkey").foreach(c =>
+      require(!batch.columns.contains(c) && !master.columns.contains(c),
+        s"incrementalPairsBanded uses internal column $c — rename it first"))
+    val hotKeys = incrementalHotBlocks(blockCols, maxBlock)(batch, master)
+      .select(blockCols.map(col): _*)
+    def okSide(df: DataFrame, idAs: String, nameAs: String) = df
+      .join(hotKeys, blockCols, "left_anti")
+      .select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs): _*)
+    val direct = okSide(batch, "batch_id", "name_batch")
+      .join(okSide(master, "master_id", "name_master"), blockCols)
+      .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
+      .where(col("dist") >= 0)
+      .select("batch_id", "master_id", "name_batch", "name_master", "dist")
+    val bandCols = blockCols :+ "__band" :+ "__bkey"
+    def bandedSide(df: DataFrame, idAs: String, nameAs: String) = {
+      val b = df.join(hotKeys, blockCols, "left_semi")
+        .select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs) :+
+          posexplode(bands).as(Seq("__band", "__bkey")): _*)
+        .where(col("__bkey").isNotNull)
+      val sz = b.groupBy(bandCols.map(col): _*).agg(count(lit(1)).as("block_n"))
+      b.join(sz.where(col("block_n") <= maxBlock), bandCols, "left_semi")
+        // re-select: the using-column semi join moves join cols first
+        .select((bandCols :+ idAs :+ nameAs).map(col): _*)
+    }
+    val banded = bandedSide(batch, "batch_id", "name_batch")
+      .join(bandedSide(master, "master_id", "name_master"), bandCols)
+      .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
+      .where(col("dist") >= 0)
+      .select("batch_id", "master_id", "name_batch", "name_master", "dist")
+      .distinct()
+    direct.unionByName(banded)
+  }
+
+  /** [[bandedSubBlockRecall]] for the CDC face: for every hot block
+    * (over `maxBlock` on either side) classify where its UNCAPPED
+    * batch×master match pairs land under [[incrementalPairsBanded]] —
+    * `n_kept` (≥ 1 collision in a bucket within the cap on BOTH
+    * sides), `n_lost_refused` (collides, but every colliding bucket
+    * is over-cap on at least one side), `n_lost_cross` (no band
+    * collides, including NULL band keys). Output rides both sides'
+    * block sizes (`batch_n`, `master_n` — 0 = absent) so the skew
+    * source is visible per block; `recall = n_kept /
+    * n_pairs_uncapped` as in [[subBlockRecall]], and the
+    * classification is exhaustive by construction.
+    *
+    * Audit cost: the hot blocks' uncapped Σ(batch_n·master_n) bill ON
+    * PURPOSE — `samplePct` is the scale face (deterministic md5
+    * hash-sample over hot BLOCK KEYS; per-block rows stay exact, the
+    * corpus-total estimate carries only between-block sampling
+    * variance, exactly [[subBlockRecall]]'s construction — per-block
+    * band-bucket sizes include blockCols in their key, so sampling
+    * whole blocks never distorts them).
+    */
+  def incrementalBandedRecall(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      bands: Column,
+      samplePct: Int = 100)(batch: DataFrame, master: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "incrementalBandedRecall needs at least one blocking column")
+    val hotKeys = hotBlockSample(blockCols, samplePct)(
+      incrementalHotBlocks(blockCols, maxBlock)(batch, master))
+    val keyOnly = hotKeys.select(blockCols.map(col): _*)
+    val sizeCols = Seq("batch_n", "master_n")
+    def side(df: DataFrame, tag: String, nameTag: String) = df
+      .join(hotKeys, blockCols)
+      .select((blockCols ++ sizeCols).map(col) :+
+        col(idCol).as(s"${tag}_id") :+ col(nameCol).as(s"name_$nameTag"): _*)
+    val pairs = side(batch, "batch", "batch")
+      .join(side(master, "master", "master"), blockCols ++ sizeCols)
+      .where(levenshtein(col("name_batch"), col("name_master"), maxDist) >= 0)
+    val bandCols = blockCols :+ "__band" :+ "__bkey"
+    def bandedSide(df: DataFrame, tag: String) = {
+      val b = df.join(keyOnly, blockCols, "left_semi")
+        .select(blockCols.map(col) :+ col(idCol).as(s"${tag}_id") :+
+          posexplode(bands).as(Seq("__band", "__bkey")): _*)
+        .where(col("__bkey").isNotNull)
+      val sz = b.groupBy(bandCols.map(col): _*).agg(count(lit(1)).as(s"__m_$tag"))
+      b.join(sz, bandCols)
+    }
+    val collisions = bandedSide(batch, "batch").join(bandedSide(master, "master"), bandCols)
+      .groupBy((blockCols :+ "batch_id" :+ "master_id").map(col): _*)
+      .agg(max(when(col("__m_batch") <= maxBlock && col("__m_master") <= maxBlock, 1)
+        .otherwise(0)).as("__any_kept"))
+    pairs.join(collisions, blockCols :+ "batch_id" :+ "master_id", "left")
+      .withColumn("__cls",
+        when(col("__any_kept") === 1, lit("kept"))
+          .when(col("__any_kept") === 0, lit("refused"))
+          .otherwise(lit("cross")))
+      .groupBy((blockCols ++ sizeCols).map(col): _*)
+      .agg(
+        count(lit(1)).as("n_pairs_uncapped"),
+        sum(when(col("__cls") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__cls") === "cross", 1L).otherwise(0L)).as("n_lost_cross"),
+        sum(when(col("__cls") === "refused", 1L).otherwise(0L)).as("n_lost_refused"))
+      .withColumn("recall",
+        col("n_kept").cast("double") / col("n_pairs_uncapped"))
+  }
+
   /** [[incrementalPairs]] resolved into per-batch-row assignments:
     * each batch row gets the SMALLEST matched master cluster id (a
     * deterministic, order-free tie rule — distance-weighted policies
@@ -525,6 +684,13 @@ object EntityRes {
     * (a resolved [[matchGroups]] output joined back, or the id
     * itself for a master where every row is its own entity).
     *
+    * `bands` engages [[incrementalPairsBanded]] as the pair source —
+    * the hot-block remedy applied to assignment, so batch rows of
+    * cap-refused blocks resolve through surviving band buckets
+    * instead of ALL surfacing as false novels (measured at the gate:
+    * 51/125 blocks refused at cap 12 with every batch row of them
+    * novel on the plain path; see er_incremental_assign_banded).
+    *
     * Scale shape: the pairs join plus one pairs-sized aggregation and
     * a batch-sized left join — nothing master²-sized anywhere.
     */
@@ -534,8 +700,13 @@ object EntityRes {
       blockCols: Seq[String],
       maxDist: Int,
       maxBlock: Long,
-      clusterCol: String)(batch: DataFrame, master: DataFrame): DataFrame = {
-    val pairs = incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
+      clusterCol: String,
+      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
+    val pairs = bands match {
+      case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
+      case Some(b) =>
+        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b)(batch, master)
+    }
     val withCluster = pairs.join(
       master.select(col(idCol).as("master_id"), col(clusterCol).as("__cluster")),
       Seq("master_id"))

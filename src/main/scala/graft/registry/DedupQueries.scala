@@ -34,6 +34,54 @@ private[graft] object DedupQueries {
   // mirrors this order), ids then shifted past the master's range.
   // Shared with tools.ErScale (`inc` mode) so the gate and the scale
   // measurement run the identical batch shape.
+  // shared CTE prefix for the three banded-incremental oracles: the
+  // gate batch, per-side block sizes, hot = over cap 12 on EITHER
+  // side (bn/mn riding along), each side's hot rows QUAD-banded, and
+  // per-side bucket sizes. Already margin-stripped — interpolates
+  // into s"WITH $incBandedCtes, ..." before the caller's stripMargin
+  // (stripMargin leaves these pipe-less lines untouched).
+  private val incBandedCtes: String =
+    """batch AS (
+      |  SELECT c_custkey + 100000 AS id,
+      |         CASE WHEN c_custkey % 2 = 0 THEN c_name
+      |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
+      |         c_nationkey, c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |bz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM batch GROUP BY 1, 2),
+      |mz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+      |hot AS (SELECT c_nationkey, c_mktsegment,
+      |               coalesce(bz.n, 0) AS bn, coalesce(mz.n, 0) AS mn
+      |        FROM bz FULL JOIN mz USING (c_nationkey, c_mktsegment)
+      |        WHERE coalesce(bz.n, 0) > 12 OR coalesce(mz.n, 0) > 12),
+      |hb AS (SELECT b.*, h.bn, h.mn, substr(b.name, 15, 4) AS s4 FROM batch b
+      |       JOIN hot h ON b.c_nationkey = h.c_nationkey AND b.c_mktsegment = h.c_mktsegment),
+      |hm AS (SELECT c.*, h.bn, h.mn, substr(c.c_name, 15, 4) AS s4 FROM customer c
+      |       JOIN hot h ON c.c_nationkey = h.c_nationkey AND c.c_mktsegment = h.c_mktsegment),
+      |bandb AS (SELECT h.*, b.band,
+      |            CASE WHEN b.band = 0
+      |              THEN concat('2:', substr(h.name, 13, 2))
+      |              ELSE concat(CAST(length(h.s4) AS VARCHAR), ':',
+      |                substr(h.s4,
+      |                  CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT) + 1,
+      |                  CAST(floor(b.band * length(h.s4) / 3) AS INT)
+      |                    - CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT)))
+      |            END AS bkey
+      |          FROM hb h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |bandm AS (SELECT h.*, b.band,
+      |            CASE WHEN b.band = 0
+      |              THEN concat('2:', substr(h.c_name, 13, 2))
+      |              ELSE concat(CAST(length(h.s4) AS VARCHAR), ':',
+      |                substr(h.s4,
+      |                  CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT) + 1,
+      |                  CAST(floor(b.band * length(h.s4) / 3) AS INT)
+      |                    - CAST(floor((b.band - 1) * length(h.s4) / 3) AS INT)))
+      |            END AS bkey
+      |          FROM hm h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |sb AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+      |       FROM bandb GROUP BY 1, 2, 3, 4),
+      |sm AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+      |       FROM bandm GROUP BY 1, 2, 3, 4)""".stripMargin
+
   private[graft] def incrementalBatch(master: DataFrame): DataFrame =
     master.where(col("c_custkey") % 3 === 0)
       .withColumn("c_name",
@@ -248,6 +296,39 @@ private[graft] object DedupQueries {
       graft.ops.EntityRes.incrementalAssign(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 20, clusterCol = "c_custkey")(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the CDC face's hot-block remedy (round 15): at cap 12 the plain
+    // incremental path refuses 51 of the gate corpus's 125 blocks
+    // (every batch row of them a FALSE NOVEL); the QUAD bands rescue
+    // the lost matches through the fine segments — the coarse {d4d5}
+    // bucket and the fat {d6} buckets refuse per side, the loud-cap
+    // contract unchanged — while batch rows still pair ONLY against
+    // master (the banded join's sides are the two distinct tables)
+    "er_incremental_banded" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalPairsBanded(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, bands = quadBands)(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the CDC remedy's recall accounting (two-sided
+    // bandedSubBlockRecall): per hot block — over cap on EITHER side,
+    // both sides' sizes riding along so the skew source is visible —
+    // classify every uncapped batch x master match pair as kept
+    // (collides in a bucket within cap on BOTH sides) / refused
+    // (collides only where some side is over cap) / cross (no band
+    // collision). Same cap/bands as er_incremental_banded
+    "er_incremental_recall" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalBandedRecall(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, bands = quadBands)(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the assignment face over the banded pair source: batch rows of
+    // cap-refused blocks resolve through surviving band buckets
+    // instead of all surfacing as false novels (at cap 12 the PLAIN
+    // path would novel every batch row of the 51 hot blocks)
+    "er_incremental_assign_banded" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalAssign(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, clusterCol = "c_custkey", bands = Some(quadBands))(
         incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
     // transitive match groups over the same pair graph (label
     // propagation); oracle replays a recursive reachability walk
@@ -746,6 +827,114 @@ private[graft] object DedupQueries {
         |             CAST(levenshtein(b.name, m.c_name) AS INTEGER) AS dist
         |      FROM bok b JOIN mok m
         |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |      WHERE levenshtein(b.name, m.c_name) <= 2),
+        |agg AS (SELECT batch_id, CAST(min(master_id) AS BIGINT) AS cluster_id,
+        |               count(*) AS n_matches, min(dist) AS best_dist
+        |        FROM p GROUP BY 1)
+        |SELECT b.id AS batch_id, agg.cluster_id,
+        |       CAST(COALESCE(agg.n_matches, 0) AS BIGINT) AS n_matches, agg.best_dist
+        |FROM batch b LEFT JOIN agg ON b.id = agg.batch_id""".stripMargin,
+    // two-sided banded replay: hot = over cap 12 on EITHER side; each
+    // side bands its hot rows and keeps a row in a bucket iff its OWN
+    // side's bucket is within cap; a pair needs a shared surviving
+    // bucket in some band
+    "er_incremental_banded" ->
+      s"""WITH $incBandedCtes,
+        |okb AS (SELECT b.* FROM batch b LEFT JOIN hot h
+        |        ON b.c_nationkey = h.c_nationkey AND b.c_mktsegment = h.c_mktsegment
+        |        WHERE h.c_nationkey IS NULL),
+        |okm AS (SELECT c.* FROM customer c LEFT JOIN hot h
+        |        ON c.c_nationkey = h.c_nationkey AND c.c_mktsegment = h.c_mktsegment
+        |        WHERE h.c_nationkey IS NULL),
+        |keptb AS (SELECT bandb.* FROM bandb
+        |          JOIN sb ON bandb.c_nationkey = sb.c_nationkey
+        |                 AND bandb.c_mktsegment = sb.c_mktsegment
+        |                 AND bandb.band = sb.band AND bandb.bkey = sb.bkey
+        |          WHERE sb.m <= 12),
+        |keptm AS (SELECT bandm.* FROM bandm
+        |          JOIN sm ON bandm.c_nationkey = sm.c_nationkey
+        |                 AND bandm.c_mktsegment = sm.c_mktsegment
+        |                 AND bandm.band = sm.band AND bandm.bkey = sm.bkey
+        |          WHERE sm.m <= 12)
+        |SELECT b.id AS batch_id, m.c_custkey AS master_id,
+        |       b.name AS name_batch, m.c_name AS name_master,
+        |       CAST(levenshtein(b.name, m.c_name) AS INTEGER) AS dist
+        |FROM okb b JOIN okm m
+        |  ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |WHERE levenshtein(b.name, m.c_name) <= 2
+        |UNION ALL
+        |SELECT DISTINCT b.id, m.c_custkey, b.name, m.c_name,
+        |       CAST(levenshtein(b.name, m.c_name) AS INTEGER)
+        |FROM keptb b JOIN keptm m
+        |  ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        | AND b.band = m.band AND b.bkey = m.bkey
+        |WHERE levenshtein(b.name, m.c_name) <= 2""".stripMargin,
+    // classification replay: kept iff ANY shared bucket is within cap
+    // on BOTH sides, refused iff it collides only where some side is
+    // over cap, cross iff no band collides
+    "er_incremental_recall" ->
+      s"""WITH $incBandedCtes,
+        |p AS (SELECT b.c_nationkey, b.c_mktsegment, b.bn AS batch_n, b.mn AS master_n,
+        |             b.id AS batch_id, m.c_custkey AS master_id
+        |      FROM hb b JOIN hm m
+        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |      WHERE levenshtein(b.name, m.c_name) <= 2),
+        |coll AS (SELECT a.c_nationkey, a.c_mktsegment,
+        |                a.id AS batch_id, m.c_custkey AS master_id,
+        |                max(CASE WHEN sb.m <= 12 AND sm.m <= 12 THEN 1 ELSE 0 END) AS any_kept
+        |         FROM bandb a JOIN bandm m
+        |           ON a.c_nationkey = m.c_nationkey AND a.c_mktsegment = m.c_mktsegment
+        |          AND a.band = m.band AND a.bkey = m.bkey
+        |         JOIN sb ON a.c_nationkey = sb.c_nationkey AND a.c_mktsegment = sb.c_mktsegment
+        |               AND a.band = sb.band AND a.bkey = sb.bkey
+        |         JOIN sm ON m.c_nationkey = sm.c_nationkey AND m.c_mktsegment = sm.c_mktsegment
+        |               AND m.band = sm.band AND m.bkey = sm.bkey
+        |         GROUP BY 1, 2, 3, 4),
+        |cls AS (SELECT p.c_nationkey, p.c_mktsegment, p.batch_n, p.master_n,
+        |               CASE WHEN c.any_kept = 1 THEN 'kept'
+        |                    WHEN c.any_kept = 0 THEN 'refused'
+        |                    ELSE 'cross' END AS cls
+        |        FROM p LEFT JOIN coll c
+        |          ON p.c_nationkey = c.c_nationkey AND p.c_mktsegment = c.c_mktsegment
+        |         AND p.batch_id = c.batch_id AND p.master_id = c.master_id)
+        |SELECT c_nationkey, c_mktsegment, batch_n, master_n,
+        |       count(*) AS n_pairs_uncapped,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN cls = 'cross' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross,
+        |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
+        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM cls GROUP BY 1, 2, 3, 4""".stripMargin,
+    // banded pairs replay -> smallest matched master per batch row;
+    // the left join keeps (true) novels with NULL cluster, 0 matches
+    "er_incremental_assign_banded" ->
+      s"""WITH $incBandedCtes,
+        |okb AS (SELECT b.* FROM batch b LEFT JOIN hot h
+        |        ON b.c_nationkey = h.c_nationkey AND b.c_mktsegment = h.c_mktsegment
+        |        WHERE h.c_nationkey IS NULL),
+        |okm AS (SELECT c.* FROM customer c LEFT JOIN hot h
+        |        ON c.c_nationkey = h.c_nationkey AND c.c_mktsegment = h.c_mktsegment
+        |        WHERE h.c_nationkey IS NULL),
+        |keptb AS (SELECT bandb.* FROM bandb
+        |          JOIN sb ON bandb.c_nationkey = sb.c_nationkey
+        |                 AND bandb.c_mktsegment = sb.c_mktsegment
+        |                 AND bandb.band = sb.band AND bandb.bkey = sb.bkey
+        |          WHERE sb.m <= 12),
+        |keptm AS (SELECT bandm.* FROM bandm
+        |          JOIN sm ON bandm.c_nationkey = sm.c_nationkey
+        |                 AND bandm.c_mktsegment = sm.c_mktsegment
+        |                 AND bandm.band = sm.band AND bandm.bkey = sm.bkey
+        |          WHERE sm.m <= 12),
+        |p AS (SELECT b.id AS batch_id, m.c_custkey AS master_id,
+        |             CAST(levenshtein(b.name, m.c_name) AS INTEGER) AS dist
+        |      FROM okb b JOIN okm m
+        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |      WHERE levenshtein(b.name, m.c_name) <= 2
+        |      UNION ALL
+        |      SELECT DISTINCT b.id, m.c_custkey,
+        |             CAST(levenshtein(b.name, m.c_name) AS INTEGER)
+        |      FROM keptb b JOIN keptm m
+        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |       AND b.band = m.band AND b.bkey = m.bkey
         |      WHERE levenshtein(b.name, m.c_name) <= 2),
         |agg AS (SELECT batch_id, CAST(min(master_id) AS BIGINT) AS cluster_id,
         |               count(*) AS n_matches, min(dist) AS best_dist

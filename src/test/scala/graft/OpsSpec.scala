@@ -907,6 +907,104 @@ class OpsSpec extends SparkSpec {
     assert(assign.keySet == Set(101L, 102L, 103L, 104L, 105L, 106L, 107L))
   }
 
+  test("banded incremental ER: hot blocks rescue through band buckets, all three audit arms") {
+    import graft.ops.EntityRes
+    val master = Seq(
+      (1L, "smith john", "NY", 10L), (2L, "smith jon", "NY", 10L), // ok block
+      (4L, "hot a", "TX", 4L), (5L, "hot b", "TX", 5L), (6L, "hot c", "TX", 6L), // hot
+      (7L, "zzz q1", "WA", 7L), (8L, "zzz q2", "WA", 8L), (9L, "zzz q3", "WA", 9L) // hot
+    ).toDF("id", "name", "state", "cluster")
+    val batch = Seq(
+      (101L, "smith john", "NY"), // ok block -> direct pair, as before
+      (105L, "hot a", "TX"),      // rescued: last-char band "a" collides within cap
+      (110L, "hoz b", "TX"),      // kept vs 5 (band "b"), cross vs 4 and 6
+      (108L, "zzz q4", "WA")      // collides ONLY in the over-cap prefix bucket -> refused
+    ).toDF("id", "name", "state")
+    val cap = 2L
+    // band 0: 3-char name prefix (master TX/WA buckets have 3 rows — over cap,
+    // refused on the master side); band 1: last char (singleton buckets — kept)
+    val bands = array(
+      concat(lit("p:"), substring(col("name"), 1, 3)),
+      concat(lit("s:"), substring(col("name"), -1, 1)))
+
+    val pairs = EntityRes.incrementalPairsBanded("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, bands = bands)(batch, master)
+      .select("batch_id", "master_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // direct NY pairs + the two band-rescued TX pairs; WA stays refused
+    assert(pairs == Set((101L, 1L), (101L, 2L), (105L, 4L), (110L, 5L)), s"got $pairs")
+    // adding bands never removes the plain path's pairs
+    val plain = EntityRes.incrementalPairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap)(batch, master)
+      .select("batch_id", "master_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(pairs), s"plain $plain not within banded $pairs")
+
+    // the recall audit: TX 6 uncapped pairs = 2 kept + 2 cross + 2 refused;
+    // WA 3 uncapped pairs all refused (every collision over-cap on the master side)
+    val recall = EntityRes.incrementalBandedRecall("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, bands = bands)(batch, master)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(recall == Map(
+      "TX" -> (2L, 3L, 6L, 2L, 2L, 2L),
+      "WA" -> (1L, 3L, 3L, 0L, 0L, 3L)), s"got $recall")
+
+    // the assignment face with bands: 105 resolves (was a false novel at cap 2),
+    // 110 takes the min matched cluster, 108 stays a loud novel
+    val assign = EntityRes.incrementalAssign("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, clusterCol = "cluster", bands = Some(bands))(
+      batch, master)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toMap
+    assert(assign(101L) == (Some(10L), 2L))
+    assert(assign(105L) == (Some(4L), 1L))
+    assert(assign(110L) == (Some(5L), 1L))
+    assert(assign(108L) == (None, 0L))
+  }
+
+  test("banded incremental ER: generative accounting identity across three paths") {
+    import graft.ops.EntityRes
+    // same discipline as the self-join identity test: the audit must be
+    // exhaustive, the banded pair count must equal plain-path pairs plus
+    // exactly the audit's kept pairs, and banded pairs must be a subset
+    // of the uncapped batch x master pair set
+    val rnd = new scala.util.Random(16)
+    for (c <- 1 to 8) {
+      val nBlocks = 1 + rnd.nextInt(4)
+      def mkRows(n: Int, idBase: Long) = (1 to n).map { i =>
+        val name = "n" + (1 to 3).map(_ => ('0' + rnd.nextInt(4)).toChar).mkString
+        def bv(k: Int): String = if (rnd.nextInt(100) < 15) null else "v" + rnd.nextInt(k)
+        (idBase + i, name, "B" + rnd.nextInt(nBlocks), bv(2), bv(4))
+      }
+      val master = mkRows(8 + rnd.nextInt(40), 0L).toDF("id", "name", "state", "b0", "b1")
+      val batch = mkRows(4 + rnd.nextInt(20), 1000L).toDF("id", "name", "state", "b0", "b1")
+      val bands = array(col("b0"), col("b1"))
+      val cap = 4L
+      val banded = EntityRes.incrementalPairsBanded(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = cap, bands = bands)(batch, master)
+      val audit = EntityRes.incrementalBandedRecall(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = cap, bands = bands)(batch, master)
+        .collect()
+      val plain = EntityRes.incrementalPairs(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = cap)(batch, master)
+      val uncapped = EntityRes.incrementalPairs(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = 100000L)(batch, master)
+      audit.foreach { r =>
+        assert(r.getLong(3) == r.getLong(4) + r.getLong(5) + r.getLong(6),
+          s"case $c: non-exhaustive classification in ${r.mkString(",")}")
+      }
+      val kept = audit.map(_.getLong(4)).sum
+      assert(banded.count() == plain.count() + kept,
+        s"case $c: banded pair count != plain pairs + audit kept")
+      assert(banded.select("batch_id", "master_id")
+        .exceptAll(uncapped.select("batch_id", "master_id")).count() == 0L,
+        s"case $c: banded produced a pair the uncapped path doesn't have")
+      // never a cartesian on the incremental banded path
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("banded sub-blocking: generative accounting identity across three independent paths") {
     import graft.ops.EntityRes
     // seeded random fixtures: the recall audit's per-block accounting
