@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   *   - `bandedrecall` / `sfxrecall` / `quadrecall` / `minhashrecall`
   *     run [[graft.ops.EntityRes.bandedSubBlockRecall]] with the
   *     matching band family (md5-MinHash = 4 bands over 3-grams);
+  *   - `inc` times the CDC face ([[graft.ops.EntityRes
+  *     .incrementalAssign]], the gate's synthetic re-crawl batch
+  *     against the dir's master); `incband` the same with the QUAD
+  *     bands as the hot-block remedy; `increcall` runs
+  *     [[graft.ops.EntityRes.incrementalBandedRecall]] (QUAD bands)
+  *     and prints the corpus-total kept / cross / refused counts;
   *   - any recall mode takes an optional `:<pct>` suffix
   *     (e.g. `recall:25`) engaging the deterministic hot-block
   *     hash-sample — the audit's scale face.
@@ -35,7 +41,8 @@ object ErScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
       "usage: ErScale <sfDir> <maxBlock> " +
-        "[sub|bandedsub|sfxsub|quadsub|recall|bandedrecall|sfxrecall|quadrecall|minhashrecall][:<pct>]")
+        "[sub|bandedsub|sfxsub|quadsub|inc|incband|recall|bandedrecall|" +
+        "sfxrecall|quadrecall|minhashrecall|increcall][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
     val modeArg = if (args.length == 3) args(2) else ""
@@ -93,22 +100,30 @@ object ErScale {
         case "minhashrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
           maxDist = 2, maxBlock = maxBlock, bands = mhBands, samplePct = samplePct)(cust)
+        case "increcall" => graft.ops.EntityRes.incrementalBandedRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = quadBands, samplePct = samplePct)(
+          graft.DedupQueries.incrementalBatch(cust), cust)
         case m => throw new IllegalArgumentException(s"not a recall mode: $m")
       }
     }
-    val isRecall = Set("recall", "bandedrecall", "sfxrecall", "quadrecall", "minhashrecall")(mode)
+    val isRecall = Set("recall", "bandedrecall", "sfxrecall", "quadrecall",
+      "minhashrecall", "increcall")(mode)
 
     def run(): Double = {
       val t0 = System.nanoTime()
       if (isRecall) {
         recallFrame().write.mode("overwrite").format("noop").save()
-      } else if (mode == "inc") {
+      } else if (mode == "inc" || mode == "incband") {
         // the CDC face at scale: the gate's synthetic re-crawl batch
         // (|master|/3 rows) assigned against the dir's customer master
+        // — plain (hot blocks refused, their batch rows false novels)
+        // or with the QUAD-banded hot-block remedy engaged
         val master = spark.read.parquet(s"$sfDir/customer.parquet")
         graft.ops.EntityRes.incrementalAssign(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-          maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey")(
+          maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey",
+          bands = if (mode == "incband") Some(quadBands) else None)(
           graft.DedupQueries.incrementalBatch(master), master)
           .write.mode("overwrite").format("noop").save()
       } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub") {
