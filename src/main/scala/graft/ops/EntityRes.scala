@@ -719,6 +719,91 @@ object EntityRes {
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
   }
 
+  /** The CDC face's cluster-state update: the master-cluster MERGES a
+    * batch implies. [[incrementalAssign]] resolves each batch row to
+    * its smallest matched cluster — but a batch row matching masters
+    * in TWO different clusters is evidence those clusters are the
+    * same real-world entity (the textbook incremental-ER merge step),
+    * and an assignment alone silently leaves them split. This face
+    * returns the remap table: one row per master cluster whose id
+    * changes, `(old_cluster, new_cluster)` where `new_cluster` is the
+    * smallest cluster id in the merged component — the instruction a
+    * caller applies to the master store (and to any downstream keyed
+    * state) alongside appending the batch.
+    *
+    * Components come from label propagation
+    * ([[graft.llm.Dedup.nearDupClusters]]) over the CLUSTER graph —
+    * one edge per (matched cluster, batch row's min matched cluster)
+    * — so transitive merges across several batch rows land in one
+    * component (row X merges {A,B}, row Y merges {B,C} → {A,B,C} all
+    * remap to min). Same pair source rules as [[incrementalAssign]]:
+    * `bands` engages the banded hot-block remedy, otherwise the plain
+    * capped path.
+    *
+    * Scale shape: the pairs join, one pairs-sized aggregation, a
+    * distinct over cluster edges (≤ pairs rows, usually far fewer),
+    * and label prop over a graph whose nodes are the clusters the
+    * batch actually touched — batch-bounded, never master-sized. The
+    * returned frame rides nearDupClusters' persist — `.unpersist()`
+    * when done.
+    */
+  def incrementalMerges(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      clusterCol: String,
+      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
+    val pairs = bands match {
+      case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
+      case Some(b) =>
+        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b)(batch, master)
+    }
+    val pc = pairs.join(
+      master.select(col(idCol).as("master_id"), col(clusterCol).as("__cluster")),
+      Seq("master_id"))
+      .select("batch_id", "__cluster")
+    val minC = pc.groupBy("batch_id").agg(min("__cluster").as("__c_min"))
+    val edges = pc.join(minC, Seq("batch_id"))
+      .where(col("__cluster") =!= col("__c_min"))
+      .select(col("__cluster").as("id_a"), col("__c_min").as("id_b"))
+      .distinct()
+    graft.llm.Dedup.nearDupClusters(edges)
+      .select(col("doc_id").as("old_cluster"), col("cluster_id").as("new_cluster"))
+      .where(col("old_cluster") =!= col("new_cluster"))
+  }
+
+  /** [[incrementalAssign]] composed with [[incrementalMerges]]: each
+    * batch row's final cluster under the POST-MERGE ids — the state a
+    * caller actually appends. Matched rows get the merged component's
+    * smallest cluster id; novel rows (no candidate — including rows
+    * of cap-refused blocks on the un-banded path) get THEMSELVES as a
+    * new cluster id (`cluster_id = batch_id`, requiring the usual
+    * disjoint-id-space contract between batch and master), so the
+    * output is total: every batch row leaves with a concrete cluster,
+    * and `n_matches = 0` still marks the novels loudly.
+    */
+  def incrementalResolve(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      clusterCol: String,
+      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
+    val assign = incrementalAssign(
+      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
+    val merges = incrementalMerges(
+      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
+      .withColumnRenamed("old_cluster", "cluster_id")
+    assign.join(merges, Seq("cluster_id"), "left")
+      .select(
+        col("batch_id"),
+        coalesce(col("new_cluster"), col("cluster_id"), col("batch_id")).as("cluster_id"),
+        col("n_matches"))
+  }
+
   /** [[matchGroups]] over the OR-amplified banded remedy — the
     * end-to-end face of [[candidatePairsBanded]]: transitive match
     * groups whose hot-block edges come from the banded candidate set

@@ -297,6 +297,26 @@ private[graft] object DedupQueries {
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 20, clusterCol = "c_custkey")(
         incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the CDC face's cluster-state update: a batch row matching
+    // masters in TWO clusters is evidence they are one entity — this
+    // face returns the (old_cluster -> new_cluster) remap the caller
+    // applies to the master store, with transitive merges landing in
+    // one component (label prop over the batch-touched cluster graph,
+    // never master-sized). Master = every row its own cluster here,
+    // so merges are master keys unified by shared batch matches
+    "er_incremental_merges" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalMerges(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 20, clusterCol = "c_custkey")(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // assignment under POST-merge ids: matched batch rows land on the
+    // merged component's min cluster; novels become their own new
+    // cluster (cluster_id = batch_id), still loud via n_matches = 0
+    "er_incremental_resolve" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalResolve(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 20, clusterCol = "c_custkey")(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
     // the CDC face's hot-block remedy (round 15): at cap 12 the plain
     // incremental path refuses 51 of the gate corpus's 125 blocks
     // (every batch row of them a FALSE NOVEL); the QUAD bands rescue
@@ -834,6 +854,76 @@ private[graft] object DedupQueries {
         |SELECT b.id AS batch_id, agg.cluster_id,
         |       CAST(COALESCE(agg.n_matches, 0) AS BIGINT) AS n_matches, agg.best_dist
         |FROM batch b LEFT JOIN agg ON b.id = agg.batch_id""".stripMargin,
+    // pairs replay (er_incremental_pairs' CTEs) -> cluster-graph
+    // edges (each matched master vs its batch row's min match) ->
+    // recursive component walk (er_groups' pattern) -> remap rows
+    // where the component min differs from the cluster itself
+    "er_incremental_merges" ->
+      """WITH RECURSIVE batch AS (
+        |  SELECT c_custkey + 100000 AS id,
+        |         CASE WHEN c_custkey % 2 = 0 THEN c_name
+        |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
+        |         c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM batch GROUP BY 1, 2),
+        |msz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+        |bok AS (SELECT b.* FROM batch b
+        |        JOIN bsz ON b.c_nationkey = bsz.c_nationkey AND b.c_mktsegment = bsz.c_mktsegment
+        |        WHERE bsz.n <= 20),
+        |mok AS (SELECT c.* FROM customer c
+        |        JOIN msz ON c.c_nationkey = msz.c_nationkey AND c.c_mktsegment = msz.c_mktsegment
+        |        WHERE msz.n <= 20),
+        |p AS (SELECT b.id AS batch_id, m.c_custkey AS master_id
+        |      FROM bok b JOIN mok m
+        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |      WHERE levenshtein(b.name, m.c_name) <= 2),
+        |minc AS (SELECT batch_id, min(master_id) AS c0 FROM p GROUP BY 1),
+        |ce AS (SELECT DISTINCT p.master_id AS id_a, minc.c0 AS id_b
+        |       FROM p JOIN minc ON p.batch_id = minc.batch_id
+        |       WHERE p.master_id != minc.c0),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM ce UNION SELECT id_b, id_a FROM ce),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+        |SELECT v AS old_cluster, min(r) AS new_cluster
+        |FROM walk GROUP BY 1 HAVING v != min(r)""".stripMargin,
+    // merges replay composed back onto the assignment: min matched
+    // cluster -> its component min; novels fall through to batch_id
+    "er_incremental_resolve" ->
+      """WITH RECURSIVE batch AS (
+        |  SELECT c_custkey + 100000 AS id,
+        |         CASE WHEN c_custkey % 2 = 0 THEN c_name
+        |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
+        |         c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |bsz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM batch GROUP BY 1, 2),
+        |msz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+        |bok AS (SELECT b.* FROM batch b
+        |        JOIN bsz ON b.c_nationkey = bsz.c_nationkey AND b.c_mktsegment = bsz.c_mktsegment
+        |        WHERE bsz.n <= 20),
+        |mok AS (SELECT c.* FROM customer c
+        |        JOIN msz ON c.c_nationkey = msz.c_nationkey AND c.c_mktsegment = msz.c_mktsegment
+        |        WHERE msz.n <= 20),
+        |p AS (SELECT b.id AS batch_id, m.c_custkey AS master_id
+        |      FROM bok b JOIN mok m
+        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+        |      WHERE levenshtein(b.name, m.c_name) <= 2),
+        |agg AS (SELECT batch_id, min(master_id) AS c0, count(*) AS n FROM p GROUP BY 1),
+        |ce AS (SELECT DISTINCT p.master_id AS id_a, agg.c0 AS id_b
+        |       FROM p JOIN agg ON p.batch_id = agg.batch_id
+        |       WHERE p.master_id != agg.c0),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM ce UNION SELECT id_b, id_a FROM ce),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |comp AS (SELECT v, min(r) AS newc FROM walk GROUP BY 1)
+        |SELECT b.id AS batch_id,
+        |       CAST(coalesce(comp.newc, agg.c0, b.id) AS BIGINT) AS cluster_id,
+        |       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_matches
+        |FROM batch b LEFT JOIN agg ON b.id = agg.batch_id
+        |             LEFT JOIN comp ON agg.c0 = comp.v""".stripMargin,
     // two-sided banded replay: hot = over cap 12 on EITHER side; each
     // side bands its hot rows and keeps a row in a bucket iff its OWN
     // side's bucket is within cap; a pair needs a shared surviving

@@ -907,6 +907,38 @@ class OpsSpec extends SparkSpec {
     assert(assign.keySet == Set(101L, 102L, 103L, 104L, 105L, 106L, 107L))
   }
 
+  test("incremental ER cluster maintenance: batch evidence merges master clusters, transitively") {
+    import graft.ops.EntityRes
+    val master = Seq(
+      (1L, "alpha x", "NY", 10L), (2L, "alpha y", "NY", 20L),   // distinct clusters
+      (3L, "aaaa aa", "CA", 30L), (4L, "aaaa cc", "CA", 40L),
+      (5L, "cccc cc", "CA", 50L)
+    ).toDF("id", "name", "state", "cluster")
+    val batch = Seq(
+      (101L, "alpha z", "NY"), // matches 1 AND 2 -> clusters 10, 20 merge
+      (102L, "aaaa ac", "CA"), // matches 3, 4 -> 30, 40 merge
+      (103L, "aacc cc", "CA"), // matches 4, 5 -> 40, 50 merge; with 102: {30,40,50}
+      (104L, "zzzz zz", "NV")  // novel: no master block at all
+    ).toDF("id", "name", "state")
+
+    val merges = EntityRes.incrementalMerges("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = 10L, clusterCol = "cluster")(batch, master)
+    val remap = merges.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    merges.unpersist()
+    // transitive: 102 merges {30,40}, 103 merges {40,50} -> one
+    // component {30,40,50} with min 30; unchanged clusters stay out
+    assert(remap == Map(20L -> 10L, 40L -> 30L, 50L -> 30L), s"got $remap")
+
+    val resolved = EntityRes.incrementalResolve("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = 10L, clusterCol = "cluster")(batch, master)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // matched rows land on the POST-merge component min; the novel row
+    // becomes its own new cluster, loudly marked by n_matches = 0
+    assert(resolved == Map(
+      101L -> (10L, 2L), 102L -> (30L, 2L), 103L -> (30L, 2L),
+      104L -> (104L, 0L)), s"got $resolved")
+  }
+
   test("banded incremental ER: hot blocks rescue through band buckets, all three audit arms") {
     import graft.ops.EntityRes
     val master = Seq(
