@@ -547,6 +547,108 @@ object StreamingIngest {
     * dropDuplicates inside streamingFingerprintDedup's operator —
     * StreamingSpec pins streaming == batch on identical input.
     */
+  /** Seed the [[erResolveStream]] master store: the resolved master
+    * written under lifecycle partition `ingest_batch = -1` (the
+    * pre-stream state — streaming micro-batches accrete novels into
+    * their own `ingest_batch = <id>` partitions beside it). `master`
+    * must already carry the cluster column.
+    */
+  def seedErMaster(master: DataFrame, masterDir: String): Unit =
+    master.withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(masterDir)
+
+  /** Streaming entity resolution against an EVOLVING master — the
+    * steady-state CDC loop of [[graft.ops.EntityRes]] run as a
+    * drop-watch stream. Each micro-batch of arriving records:
+    *
+    *   1. resolves against the CURRENT master
+    *      ([[graft.ops.EntityRes.incrementalResolve]] — matched rows
+    *      land on the post-merge cluster min, novels become their own
+    *      new cluster, `n_matches = 0` marks them loudly);
+    *   2. appends the assignments to `outDir`;
+    *   3. accretes the NOVEL rows into `masterDir` as new entities
+    *      (cluster = own id) — so a later batch matching a past
+    *      batch's novel resolves to it (spec-pinned);
+    *   4. appends the micro-batch's master-cluster MERGE evidence
+    *      ([[graft.ops.EntityRes.incrementalMerges]]) to `mergesDir`
+    *      as a remap LOG.
+    *
+    * The merge log is deliberately a log, not an in-place master
+    * rewrite: applying remaps means rewriting arbitrary master
+    * partitions per micro-batch — the full-store write a streaming
+    * loop must not pay. The documented contract is the SCD-style one:
+    * a master row's EFFECTIVE cluster is its stored cluster chased
+    * through the remap log's closure, and the caller compacts
+    * (applies the log and truncates it) on their own offline cadence.
+    * Until compaction, later batches may match a master row under its
+    * pre-merge cluster id — the assignment is still correct after
+    * log-chasing, never silently wrong.
+    *
+    * Idempotence: every sink write (assignments, novels, merges) is a
+    * dynamic partition OVERWRITE keyed on `ingest_batch = batchId`,
+    * so foreachBatch's at-least-once replay of a batch rewrites its
+    * own partitions byte-identically instead of duplicating — within
+    * one checkpoint lifecycle (batch ids renumber under a fresh
+    * checkpoint; same caveat as [[ivmStateStream]], here made safe by
+    * partition overwrite rather than marker-gating ONLY if the
+    * re-grouped drops land in the same partitions — reuse the
+    * checkpoint, or reseed the sinks with it).
+    *
+    * Scale shape per micro-batch: the batch-vs-master blocked join
+    * (never batch×batch / master×master), pairs-sized aggregations,
+    * and a batch-sized novel write; the master is read fresh each
+    * batch so accreted novels are visible to the next one. `bands`
+    * engages the banded hot-block remedy exactly as in batch.
+    */
+  def erResolveStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      masterDir: String,
+      outDir: String,
+      mergesDir: String,
+      checkpointDir: String,
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      clusterCol: String,
+      bands: Option[org.apache.spark.sql.Column] = None): DataStreamWriter[Row] = {
+    val raw = csvSource(spark, watchDir, schema)
+    def overwritePartition(df: DataFrame, dir: String, batchId: Long): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.partitionBy("ingest_batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // the master AS OF before this batch (partition-pruned):
+          // an at-least-once REPLAY must not see the crashed
+          // attempt's own novel partition, or former novels would
+          // match their own copies (n_matches 1, loudness lost) and
+          // the rewrite would not be byte-identical
+          val master = s.read.parquet(masterDir)
+            .where(col("ingest_batch") < lit(batchId))
+          val resolved = graft.ops.EntityRes.incrementalResolve(
+            idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
+          overwritePartition(resolved, outDir, batchId)
+          val novelIds = resolved.where(col("n_matches") === 0L)
+            .select(col("batch_id").as(idCol))
+          val novel = batch.join(novelIds, Seq(idCol), "left_semi")
+            .withColumn(clusterCol, col(idCol))
+          overwritePartition(novel, masterDir, batchId)
+          val merges = graft.ops.EntityRes.incrementalMerges(
+            idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
+          overwritePartition(merges, mergesDir, batchId)
+          merges.unpersist()
+          ()
+        }
+      }
+  }
+
   def streamingCurationGate(
       docs: DataFrame,
       store: DataFrame,

@@ -521,4 +521,66 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getAs[String]("text")).toSet
     assert(batch == Set(passDoc("alpha"), passDoc("fresh")))
   }
+
+  test("streaming ER: novels accrete into the master, merges log, replay is partition-idempotent") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val watch = JFiles.createTempDirectory("graft_erwatch").toString
+    val masterDir = JFiles.createTempDirectory("graft_ermaster").toString
+    val out = JFiles.createTempDirectory("graft_erout").toString
+    val mergesDir = JFiles.createTempDirectory("graft_ermerges").toString
+    val ckpt = JFiles.createTempDirectory("graft_erckpt").toString
+    // seeded master: two NY clusters one batch row will prove equal,
+    // plus an unrelated CA entity
+    StreamingIngest.seedErMaster(Seq(
+      (1L, "alpha x", "NY", 10L), (2L, "alpha y", "NY", 20L),
+      (3L, "gamma g", "CA", 3L)).toDF("id", "name", "state", "cluster"), masterDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, name STRING, state STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.erResolveStream(spark, watch, schema, masterDir, out, mergesDir,
+        ckpt, "id", "name", Seq("state"), maxDist = 2, maxBlock = 10L,
+        clusterCol = "cluster")
+        .trigger(Trigger.AvailableNow()).start())
+
+    // batch 0: 101 matches BOTH NY masters (merge evidence 20 -> 10);
+    // 102 is novel (no TX block in the master)
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      "id,name,state\n101,alpha z,NY\n102,zeta zz,TX\n")
+    drive()
+    def assignments() = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("ingest_batch"))).toMap
+    assert(assignments() == Map(
+      101L -> (10L, 2L, 0L), 102L -> (102L, 0L, 0L)), s"got ${assignments()}")
+    // the novel accreted into the master as its own entity
+    val accreted = spark.read.parquet(masterDir).where(col("ingest_batch") === 0L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster")))
+    assert(accreted.toSeq == Seq((102L, 102L)), accreted.mkString(","))
+    // the merge evidence logged, not applied in place
+    val merges = spark.read.parquet(mergesDir)
+      .collect().map(r => (r.getAs[Long]("old_cluster"), r.getAs[Long]("new_cluster"))).toSet
+    assert(merges == Set((20L, 10L)), merges.mkString(","))
+
+    // batch 1: 103 matches the PAST BATCH'S NOVEL — the accreted
+    // master row resolves it (the evolving-master contract)
+    JFiles.writeString(Paths.get(watch, "b2.csv"),
+      "id,name,state\n103,zeta za,TX\n")
+    drive()
+    assert(assignments()(103L) == (102L, 1L, 1L), s"got ${assignments()}")
+
+    // kill-and-replay: drop the newest commit marker so the restarted
+    // query re-runs batch 1 under the SAME id — the dynamic partition
+    // overwrite must rewrite, not duplicate, and the replayed resolve
+    // must see the master AS OF before batch 1 (n_matches stays 1)
+    val before = assignments()
+    val masterBefore = spark.read.parquet(masterDir).count()
+    val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+    val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = cfs.listStatus(commits).map(_.getPath).filter(_.getName.forall(_.isDigit))
+    cfs.delete(markers.maxBy(_.getName.toLong), false)
+    drive()
+    assert(assignments() == before, s"replay changed assignments: ${assignments()} vs $before")
+    assert(spark.read.parquet(masterDir).count() == masterBefore)
+  }
 }
