@@ -804,6 +804,43 @@ object EntityRes {
         col("n_matches"))
   }
 
+  /** The offline compactor for [[incrementalMerges]]' remap log —
+    * the step the streaming loop's scaladoc
+    * ([[graft.streaming.StreamingIngest.erResolveStream]]) defers to
+    * the caller's cadence. Accumulated log batches CHAIN: batch 1
+    * logs 50→30, a later batch logs 30→10, so row clusters stored as
+    * 50 must land on 10. The closure is connected components over the
+    * log's (old, new) edges with min labels — exactly
+    * [[graft.llm.Dedup.nearDupClusters]] again — so chains of any
+    * depth collapse in one pass, with no driver-side loop over log
+    * batches. Returns `master` with `clusterCol` rewritten to each
+    * row's EFFECTIVE cluster (rows whose cluster never appears in the
+    * log pass through untouched); after writing the result back, the
+    * caller truncates the log.
+    *
+    * Scale shape: the log is clusters-touched-sized (bounded by total
+    * logged merges, never master-sized); only the closure table —
+    * the same size class as the log the caller already stores — is
+    * materialized (eager localCheckpoint, so nearDupClusters' persist
+    * can be released here instead of leaking to the caller); the
+    * master itself flows through one lazy broadcast left join,
+    * nothing master-sized is ever collected or checkpointed.
+    */
+  def applyMergeLog(
+      clusterCol: String,
+      mergeLog: DataFrame)(master: DataFrame): DataFrame = {
+    val closure = graft.llm.Dedup.nearDupClusters(
+      mergeLog.select(col("old_cluster").as("id_a"), col("new_cluster").as("id_b")))
+    val remap = closure
+      .select(col("doc_id").as("__old"), col("cluster_id").as("__new"))
+      .where(col("__old") =!= col("__new"))
+      .localCheckpoint(true)
+    closure.unpersist()
+    master.join(broadcast(remap), master(clusterCol) === remap("__old"), "left")
+      .withColumn(clusterCol, coalesce(col("__new"), col(clusterCol)))
+      .drop("__old", "__new")
+  }
+
   /** [[matchGroups]] over the OR-amplified banded remedy — the
     * end-to-end face of [[candidatePairsBanded]]: transitive match
     * groups whose hot-block edges come from the banded candidate set

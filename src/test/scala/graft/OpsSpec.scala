@@ -939,6 +939,19 @@ class OpsSpec extends SparkSpec {
       104L -> (104L, 0L)), s"got $resolved")
   }
 
+  test("applyMergeLog: remap chains across log batches collapse in one pass") {
+    import graft.ops.EntityRes
+    // batch 1 logged 50->30, a later batch logged 30->10 (plus an
+    // unrelated 7->5): a master row stored under 50 must land on 10
+    val log = Seq((50L, 30L), (30L, 10L), (7L, 5L)).toDF("old_cluster", "new_cluster")
+    val master = Seq(
+      (1L, 50L), (2L, 30L), (3L, 10L), (4L, 99L), (5L, 7L)
+    ).toDF("id", "cluster")
+    val out = EntityRes.applyMergeLog("cluster", log)(master)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 99L, 5L -> 5L), s"got $out")
+  }
+
   test("banded incremental ER: hot blocks rescue through band buckets, all three audit arms") {
     import graft.ops.EntityRes
     val master = Seq(

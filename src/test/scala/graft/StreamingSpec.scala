@@ -582,5 +582,15 @@ class StreamingSpec extends SparkSpec {
     drive()
     assert(assignments() == before, s"replay changed assignments: ${assignments()} vs $before")
     assert(spark.read.parquet(masterDir).count() == masterBefore)
+
+    // offline compaction: applying the merge log rewrites the master's
+    // stored clusters to their effective values (20 -> 10 here), after
+    // which the caller truncates the log — the loop's promised closing
+    // step
+    val compacted = graft.ops.EntityRes.applyMergeLog(
+      "cluster", spark.read.parquet(mergesDir))(spark.read.parquet(masterDir))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(compacted == Map(1L -> 10L, 2L -> 10L, 3L -> 3L, 102L -> 102L),
+      s"got $compacted")
   }
 }
