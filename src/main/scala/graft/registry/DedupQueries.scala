@@ -34,14 +34,16 @@ private[graft] object DedupQueries {
   // mirrors this order), ids then shifted past the master's range.
   // Shared with tools.ErScale (`inc` mode) so the gate and the scale
   // measurement run the identical batch shape.
-  // shared CTE prefix for the three banded-incremental oracles: the
-  // gate batch, per-side block sizes, hot = over cap 12 on EITHER
-  // side (bn/mn riding along), each side's hot rows QUAD-banded, and
-  // per-side bucket sizes. Already margin-stripped — interpolates
-  // into s"WITH $incBandedCtes, ..." before the caller's stripMargin
-  // (stripMargin leaves these pipe-less lines untouched).
-  private val incBandedCtes: String =
-    """batch AS (
+  // shared CTE prefix for the banded-incremental oracles: the gate
+  // batch, per-side block sizes, hot = over cap 12 on EITHER side
+  // (bn/mn riding along), each side's hot rows QUAD-banded, and
+  // per-side bucket sizes. `samplePred` appends the deterministic
+  // md5 hot-block sample (the hashBucket replay) to the hot CTE —
+  // empty for the full-audit oracles. Already margin-stripped —
+  // interpolates into s"WITH ${incBandedCtes()}, ..." before the
+  // caller's stripMargin (stripMargin leaves pipe-less lines alone).
+  private def incBandedCtes(samplePred: String = ""): String =
+    s"""batch AS (
       |  SELECT c_custkey + 100000 AS id,
       |         CASE WHEN c_custkey % 2 = 0 THEN c_name
       |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
@@ -52,7 +54,7 @@ private[graft] object DedupQueries {
       |hot AS (SELECT c_nationkey, c_mktsegment,
       |               coalesce(bz.n, 0) AS bn, coalesce(mz.n, 0) AS mn
       |        FROM bz FULL JOIN mz USING (c_nationkey, c_mktsegment)
-      |        WHERE coalesce(bz.n, 0) > 12 OR coalesce(mz.n, 0) > 12),
+      |        WHERE (coalesce(bz.n, 0) > 12 OR coalesce(mz.n, 0) > 12)$samplePred),
       |hb AS (SELECT b.*, h.bn, h.mn, substr(b.name, 15, 4) AS s4 FROM batch b
       |       JOIN hot h ON b.c_nationkey = h.c_nationkey AND b.c_mktsegment = h.c_mktsegment),
       |hm AS (SELECT c.*, h.bn, h.mn, substr(c.c_name, 15, 4) AS s4 FROM customer c
@@ -81,6 +83,44 @@ private[graft] object DedupQueries {
       |       FROM bandb GROUP BY 1, 2, 3, 4),
       |sm AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
       |       FROM bandm GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  // the recall-classification tail shared by the full and sampled
+  // er_incremental_recall oracles (the sampled twin differs only in
+  // incBandedCtes' hot-block sample predicate). Pre-stripped like
+  // incBandedCtes; starts with its own newline so it splices after
+  // the CTE list's trailing comma.
+  private val incRecallBody: String =
+    """
+      |p AS (SELECT b.c_nationkey, b.c_mktsegment, b.bn AS batch_n, b.mn AS master_n,
+      |             b.id AS batch_id, m.c_custkey AS master_id
+      |      FROM hb b JOIN hm m
+      |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
+      |      WHERE levenshtein(b.name, m.c_name) <= 2),
+      |coll AS (SELECT a.c_nationkey, a.c_mktsegment,
+      |                a.id AS batch_id, m.c_custkey AS master_id,
+      |                max(CASE WHEN sb.m <= 12 AND sm.m <= 12 THEN 1 ELSE 0 END) AS any_kept
+      |         FROM bandb a JOIN bandm m
+      |           ON a.c_nationkey = m.c_nationkey AND a.c_mktsegment = m.c_mktsegment
+      |          AND a.band = m.band AND a.bkey = m.bkey
+      |         JOIN sb ON a.c_nationkey = sb.c_nationkey AND a.c_mktsegment = sb.c_mktsegment
+      |               AND a.band = sb.band AND a.bkey = sb.bkey
+      |         JOIN sm ON m.c_nationkey = sm.c_nationkey AND m.c_mktsegment = sm.c_mktsegment
+      |               AND m.band = sm.band AND m.bkey = sm.bkey
+      |         GROUP BY 1, 2, 3, 4),
+      |cls AS (SELECT p.c_nationkey, p.c_mktsegment, p.batch_n, p.master_n,
+      |               CASE WHEN c.any_kept = 1 THEN 'kept'
+      |                    WHEN c.any_kept = 0 THEN 'refused'
+      |                    ELSE 'cross' END AS cls
+      |        FROM p LEFT JOIN coll c
+      |          ON p.c_nationkey = c.c_nationkey AND p.c_mktsegment = c.c_mktsegment
+      |         AND p.batch_id = c.batch_id AND p.master_id = c.master_id)
+      |SELECT c_nationkey, c_mktsegment, batch_n, master_n,
+      |       count(*) AS n_pairs_uncapped,
+      |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN cls = 'cross' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross,
+      |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
+      |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+      |FROM cls GROUP BY 1, 2, 3, 4""".stripMargin
 
   private[graft] def incrementalBatch(master: DataFrame): DataFrame =
     master.where(col("c_custkey") % 3 === 0)
@@ -340,6 +380,17 @@ private[graft] object DedupQueries {
       graft.ops.EntityRes.incrementalBandedRecall(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 12, bands = quadBands)(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the CDC recall audit's SCALE face (mirrors
+    // er_subblock_recall_sampled): deterministic md5 hash-sample over
+    // hot BLOCK KEYS at 40% — per-block rows stay exact (bucket keys
+    // include the block columns), the corpus-total estimate carries
+    // only between-block sampling variance; OpsSpec pins sampled ⊂
+    // full and the estimate tolerance, SCALE.md the measured deltas
+    "er_incremental_recall_sampled" -> ((s, d) =>
+      graft.ops.EntityRes.incrementalBandedRecall(
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
+        maxBlock = 12, bands = quadBands, samplePct = 40)(
         incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
     // the assignment face over the banded pair source: batch rows of
     // cap-refused blocks resolve through surviving band buckets
@@ -929,7 +980,7 @@ private[graft] object DedupQueries {
     // side's bucket is within cap; a pair needs a shared surviving
     // bucket in some band
     "er_incremental_banded" ->
-      s"""WITH $incBandedCtes,
+      s"""WITH ${incBandedCtes()},
         |okb AS (SELECT b.* FROM batch b LEFT JOIN hot h
         |        ON b.c_nationkey = h.c_nationkey AND b.c_mktsegment = h.c_mktsegment
         |        WHERE h.c_nationkey IS NULL),
@@ -963,41 +1014,19 @@ private[graft] object DedupQueries {
     // on BOTH sides, refused iff it collides only where some side is
     // over cap, cross iff no band collides
     "er_incremental_recall" ->
-      s"""WITH $incBandedCtes,
-        |p AS (SELECT b.c_nationkey, b.c_mktsegment, b.bn AS batch_n, b.mn AS master_n,
-        |             b.id AS batch_id, m.c_custkey AS master_id
-        |      FROM hb b JOIN hm m
-        |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
-        |      WHERE levenshtein(b.name, m.c_name) <= 2),
-        |coll AS (SELECT a.c_nationkey, a.c_mktsegment,
-        |                a.id AS batch_id, m.c_custkey AS master_id,
-        |                max(CASE WHEN sb.m <= 12 AND sm.m <= 12 THEN 1 ELSE 0 END) AS any_kept
-        |         FROM bandb a JOIN bandm m
-        |           ON a.c_nationkey = m.c_nationkey AND a.c_mktsegment = m.c_mktsegment
-        |          AND a.band = m.band AND a.bkey = m.bkey
-        |         JOIN sb ON a.c_nationkey = sb.c_nationkey AND a.c_mktsegment = sb.c_mktsegment
-        |               AND a.band = sb.band AND a.bkey = sb.bkey
-        |         JOIN sm ON m.c_nationkey = sm.c_nationkey AND m.c_mktsegment = sm.c_mktsegment
-        |               AND m.band = sm.band AND m.bkey = sm.bkey
-        |         GROUP BY 1, 2, 3, 4),
-        |cls AS (SELECT p.c_nationkey, p.c_mktsegment, p.batch_n, p.master_n,
-        |               CASE WHEN c.any_kept = 1 THEN 'kept'
-        |                    WHEN c.any_kept = 0 THEN 'refused'
-        |                    ELSE 'cross' END AS cls
-        |        FROM p LEFT JOIN coll c
-        |          ON p.c_nationkey = c.c_nationkey AND p.c_mktsegment = c.c_mktsegment
-        |         AND p.batch_id = c.batch_id AND p.master_id = c.master_id)
-        |SELECT c_nationkey, c_mktsegment, batch_n, master_n,
-        |       count(*) AS n_pairs_uncapped,
-        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |       CAST(sum(CASE WHEN cls = 'cross' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_cross,
-        |       CAST(sum(CASE WHEN cls = 'refused' THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_refused,
-        |       CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
-        |FROM cls GROUP BY 1, 2, 3, 4""".stripMargin,
+      s"""WITH ${incBandedCtes()},$incRecallBody""".stripMargin,
+    // the same classification over the deterministic 40% md5
+    // hot-block sample (the engine's hashBucket construction replayed
+    // on the '|'-joined block key)
+    "er_incremental_recall_sampled" ->
+      s"""WITH ${incBandedCtes("""
+        |          AND CAST(concat('0x', substr(md5(concat_ws('|',
+        |                CAST(c_nationkey AS VARCHAR),
+        |                CAST(c_mktsegment AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 40""")},$incRecallBody""".stripMargin,
     // banded pairs replay -> smallest matched master per batch row;
     // the left join keeps (true) novels with NULL cluster, 0 matches
     "er_incremental_assign_banded" ->
-      s"""WITH $incBandedCtes,
+      s"""WITH ${incBandedCtes()},
         |okb AS (SELECT b.* FROM batch b LEFT JOIN hot h
         |        ON b.c_nationkey = h.c_nationkey AND b.c_mktsegment = h.c_mktsegment
         |        WHERE h.c_nationkey IS NULL),

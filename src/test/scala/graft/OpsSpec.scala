@@ -1180,6 +1180,34 @@ class OpsSpec extends SparkSpec {
       s"sampled ${recallOf(sampled)} vs full ${recallOf(full)}")
   }
 
+  test("incrementalBandedRecall sampled face: deterministic block subset, exact rows, estimate near full") {
+    import graft.ops.EntityRes
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    val batch = graft.DedupQueries.incrementalBatch(cust)
+    def audit(pct: Int) = EntityRes.incrementalBandedRecall(
+      "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+      maxDist = 2, maxBlock = 12, bands = graft.DedupQueries.quadBands,
+      samplePct = pct)(batch, cust)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.get(0), r.getString(1)) -> r.toSeq).toMap
+    val full = keyed(audit(100).collect())
+    val sampled = keyed(audit(40).collect())
+    // deterministic strict subset with EXACT per-block rows (bucket
+    // keys include the block columns, so sampling whole blocks never
+    // distorts per-side bucket sizes)
+    assert(sampled.nonEmpty && sampled.size < full.size)
+    assert(sampled.keySet.subsetOf(full.keySet))
+    sampled.foreach { case (k, v) => assert(v == full(k), s"block $k diverged") }
+    assert(keyed(audit(40).collect()).keySet == sampled.keySet) // hash, not RNG
+    def recallOf(m: Map[(Any, String), Seq[Any]]) = {
+      val u = m.values.map(_(4).asInstanceOf[Long]).sum
+      val k = m.values.map(_(5).asInstanceOf[Long]).sum
+      k.toDouble / u
+    }
+    assert(math.abs(recallOf(sampled) - recallOf(full)) <= 0.1,
+      s"sampled ${recallOf(sampled)} vs full ${recallOf(full)}")
+  }
+
   test("pageRankFp: exact fixed-point ranks on a hand-computed graph") {
     import graft.ops.Graph
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "weight")
