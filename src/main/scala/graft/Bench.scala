@@ -40,7 +40,7 @@ object Bench {
     "er_incremental_pairs", "er_incremental_assign",
     "er_incremental_banded", "er_incremental_recall", "er_incremental_assign_banded",
     "er_incremental_merges", "er_incremental_resolve",
-    "er_incremental_recall_sampled",
+    "er_incremental_recall_sampled", "er_incremental_refused",
     "graph_pagerank", "session_concurrency",
     "profile_events", "range_overlap_join", "sketch_union_ndv", "event_trend",
     "scd2_history", "profile_day_islands",

@@ -535,6 +535,32 @@ object EntityRes {
       .where(blockCols.map(c => col(c).isNotNull).reduce(_ && _))
   }
 
+  /** [[oversizedBlocks]] for the CDC face: the blocks
+    * [[incrementalPairs]] refuses — over `maxBlock` on EITHER side (a
+    * pair needs both rows kept, so one hot side refuses the block) —
+    * PLUS any block with a NULL key on either side (never pairable at
+    * any size, same contract as the self-join report). One row per
+    * refused block with both sides' sizes (0 = absent from that
+    * side), so the SKEW SOURCE is visible per block: a user reads
+    * whether the batch's re-crawl shape or the master's accumulation
+    * ate it, which decides between re-keying and the banded remedy.
+    * Empty means the candidate set is complete for the blocking
+    * scheme. Scale shape: two block-sized aggregations full-joined —
+    * nothing row-level crosses the shuffle beyond the group-bys the
+    * pairing paths already run.
+    */
+  def refusedIncrementalBlocks(
+      blockCols: Seq[String],
+      maxBlock: Long)(batch: DataFrame, master: DataFrame): DataFrame = {
+    val bsz = blockSizes(blockCols)(batch).withColumnRenamed("block_n", "batch_n")
+    val msz = blockSizes(blockCols)(master).withColumnRenamed("block_n", "master_n")
+    bsz.join(msz, blockCols, "full")
+      .withColumn("batch_n", coalesce(col("batch_n"), lit(0L)))
+      .withColumn("master_n", coalesce(col("master_n"), lit(0L)))
+      .where(col("batch_n") > maxBlock || col("master_n") > maxBlock ||
+        blockCols.map(c => col(c).isNull).reduce(_ || _))
+  }
+
   /** [[incrementalPairs]] with the OR-amplified banded remedy for hot
     * blocks — the CDC face of [[candidatePairsBanded]]. The plain
     * incremental path refuses a block as soon as EITHER side is over

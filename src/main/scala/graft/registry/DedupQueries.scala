@@ -357,6 +357,16 @@ private[graft] object DedupQueries {
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 20, clusterCol = "c_custkey")(
         incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
+    // the CDC face's loud-cap report (oversizedBlocks' sibling): the
+    // blocks incrementalPairs refuses — over cap 12 on EITHER side,
+    // plus null-keyed blocks per side — with both sides' sizes so the
+    // skew source (re-crawl shape vs master accumulation) is visible.
+    // 51 rows at the gate corpus; the banded queries below are the
+    // remedy for exactly these blocks
+    "er_incremental_refused" -> ((s, d) =>
+      graft.ops.EntityRes.refusedIncrementalBlocks(
+        Seq("c_nationkey", "c_mktsegment"), maxBlock = 12)(
+        incrementalBatch(t(s, d, "customer")), t(s, d, "customer"))),
     // the CDC face's hot-block remedy (round 15): at cap 12 the plain
     // incremental path refuses 51 of the gate corpus's 125 blocks
     // (every batch row of them a FALSE NOVEL); the QUAD bands rescue
@@ -975,6 +985,23 @@ private[graft] object DedupQueries {
         |       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_matches
         |FROM batch b LEFT JOIN agg ON b.id = agg.batch_id
         |             LEFT JOIN comp ON agg.c0 = comp.v""".stripMargin,
+    // per-side size replay of the refusal set (the hot CTE's
+    // predicate, plus the per-side null-key arms — vacuous on TPC-H's
+    // non-null keys, replayed so a schema change red-gates honestly)
+    "er_incremental_refused" ->
+      """WITH batch AS (
+        |  SELECT c_custkey + 100000 AS id,
+        |         CASE WHEN c_custkey % 2 = 0 THEN c_name
+        |              ELSE concat(substr(c_name, 1, 16), 'XX') END AS name,
+        |         c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |bz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM batch GROUP BY 1, 2),
+        |mz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment,
+        |       coalesce(bz.n, 0) AS batch_n, coalesce(mz.n, 0) AS master_n
+        |FROM bz FULL JOIN mz USING (c_nationkey, c_mktsegment)
+        |WHERE coalesce(bz.n, 0) > 12 OR coalesce(mz.n, 0) > 12
+        |   OR c_nationkey IS NULL OR c_mktsegment IS NULL""".stripMargin,
     // two-sided banded replay: hot = over cap 12 on EITHER side; each
     // side bands its hot rows and keeps a row in a bucket iff its OWN
     // side's bucket is within cap; a pair needs a shared surviving

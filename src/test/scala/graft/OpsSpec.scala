@@ -939,6 +939,25 @@ class OpsSpec extends SparkSpec {
       104L -> (104L, 0L)), s"got $resolved")
   }
 
+  test("refusedIncrementalBlocks: either-side cap breach and null keys, per-side sizes") {
+    import graft.ops.EntityRes
+    val master = Seq(
+      (1L, "a", "NY"), (2L, "b", "NY"), (3L, "c", "NY"), // 3 > cap on master side
+      (4L, "d", null.asInstanceOf[String])               // null key: never pairable
+    ).toDF("id", "name", "state")
+    val batch = Seq(
+      (101L, "x", "NY"), (102L, "y", "TX"),              // TX absent from master: fine
+      (103L, "z", null.asInstanceOf[String])
+    ).toDF("id", "name", "state")
+    val got = EntityRes.refusedIncrementalBlocks(Seq("state"), maxBlock = 2L)(batch, master)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    // NY refused by the master side (batch side rides along as 1);
+    // null-keyed blocks report PER SIDE (equi-join semantics — the
+    // full join cannot unify null keys), TX is within bound on both
+    assert(got == Set(
+      (Some("NY"), 1L, 3L), (None, 1L, 0L), (None, 0L, 1L)), s"got $got")
+  }
+
   test("applyMergeLog: remap chains across log batches collapse in one pass") {
     import graft.ops.EntityRes
     // batch 1 logged 50->30, a later batch logged 30->10 (plus an
