@@ -809,6 +809,18 @@ object EntityRes {
     * disjoint-id-space contract between batch and master), so the
     * output is total: every batch row leaves with a concrete cluster,
     * and `n_matches = 0` still marks the novels loudly.
+    *
+    * Cost shape: the candidate pairs are computed ONCE and persisted
+    * across the two derivations (the merge closure's label prop runs
+    * eagerly — a separate action that could never share exchanges
+    * with the assignment's plan; measured before this sharing, the
+    * naive two-pass composition paid ~3× the assign-only bill at 16×,
+    * SCALE.md round 15). Both derived frames are delta-bounded — the
+    * assignment aggregate is batch-sized (the CDC delta, bounded by
+    * the face's own contract) and the merge remap is
+    * merges-logged-sized — so they localCheckpoint and the pairs
+    * cache releases before returning; nothing master-sized
+    * materializes.
     */
   def incrementalResolve(
       idCol: String,
@@ -818,16 +830,40 @@ object EntityRes {
       maxBlock: Long,
       clusterCol: String,
       bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
-    val assign = incrementalAssign(
-      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
-    val merges = incrementalMerges(
-      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
-      .withColumnRenamed("old_cluster", "cluster_id")
-    assign.join(merges, Seq("cluster_id"), "left")
-      .select(
-        col("batch_id"),
-        coalesce(col("new_cluster"), col("cluster_id"), col("batch_id")).as("cluster_id"),
-        col("n_matches"))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = (bands match {
+      case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
+      case Some(b) =>
+        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b)(batch, master)
+    }).persist(MEMORY_AND_DISK)
+    try {
+      val withCluster = pairs.join(
+        master.select(col(idCol).as("master_id"), col(clusterCol).as("__cluster")),
+        Seq("master_id"))
+      val agg = withCluster.groupBy("batch_id").agg(
+        min("__cluster").as("cluster_id"),
+        count(lit(1)).as("n_matches"),
+        min("dist").as("best_dist"))
+        .localCheckpoint(true)
+      val minC = withCluster.groupBy("batch_id").agg(min("__cluster").as("__c_min"))
+      val edges = withCluster.select("batch_id", "__cluster").join(minC, Seq("batch_id"))
+        .where(col("__cluster") =!= col("__c_min"))
+        .select(col("__cluster").as("id_a"), col("__c_min").as("id_b"))
+        .distinct()
+      val closure = graft.llm.Dedup.nearDupClusters(edges)
+      val remap = closure
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("new_cluster"))
+        .where(col("cluster_id") =!= col("new_cluster"))
+        .localCheckpoint(true)
+      closure.unpersist()
+      batch.select(col(idCol).as("batch_id"))
+        .join(agg, Seq("batch_id"), "left")
+        .join(broadcast(remap), Seq("cluster_id"), "left")
+        .select(
+          col("batch_id"),
+          coalesce(col("new_cluster"), col("cluster_id"), col("batch_id")).as("cluster_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+    } finally pairs.unpersist()
   }
 
   /** The offline compactor for [[incrementalMerges]]' remap log —

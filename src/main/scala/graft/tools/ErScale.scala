@@ -30,7 +30,10 @@ import org.apache.spark.sql.SparkSession
   *   - `inc` times the CDC face ([[graft.ops.EntityRes
   *     .incrementalAssign]], the gate's synthetic re-crawl batch
   *     against the dir's master); `incband` the same with the QUAD
-  *     bands as the hot-block remedy; `increcall` runs
+  *     bands as the hot-block remedy; `incresolve` the full
+  *     cluster-maintenance composition ([[graft.ops.EntityRes
+  *     .incrementalResolve]] with QUAD bands — assignment + merge
+  *     closure); `increcall` runs
   *     [[graft.ops.EntityRes.incrementalBandedRecall]] (QUAD bands)
   *     and prints the corpus-total kept / cross / refused counts;
   *   - any recall mode takes an optional `:<pct>` suffix
@@ -41,7 +44,7 @@ object ErScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
       "usage: ErScale <sfDir> <maxBlock> " +
-        "[sub|bandedsub|sfxsub|quadsub|inc|incband|recall|bandedrecall|" +
+        "[sub|bandedsub|sfxsub|quadsub|inc|incband|incresolve|recall|bandedrecall|" +
         "sfxrecall|quadrecall|minhashrecall|increcall][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
@@ -114,18 +117,26 @@ object ErScale {
       val t0 = System.nanoTime()
       if (isRecall) {
         recallFrame().write.mode("overwrite").format("noop").save()
-      } else if (mode == "inc" || mode == "incband") {
+      } else if (mode == "inc" || mode == "incband" || mode == "incresolve") {
         // the CDC face at scale: the gate's synthetic re-crawl batch
-        // (|master|/3 rows) assigned against the dir's customer master
-        // — plain (hot blocks refused, their batch rows false novels)
-        // or with the QUAD-banded hot-block remedy engaged
+        // (|master|/3 rows) against the dir's customer master — plain
+        // assignment (hot blocks refused, their batch rows false
+        // novels), the QUAD-banded remedy, or the full
+        // cluster-maintenance resolve (assignment + merge closure)
         val master = spark.read.parquet(s"$sfDir/customer.parquet")
-        graft.ops.EntityRes.incrementalAssign(
-          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
-          maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey",
-          bands = if (mode == "incband") Some(quadBands) else None)(
-          graft.DedupQueries.incrementalBatch(master), master)
-          .write.mode("overwrite").format("noop").save()
+        val batch = graft.DedupQueries.incrementalBatch(master)
+        val out =
+          if (mode == "incresolve")
+            graft.ops.EntityRes.incrementalResolve(
+              "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+              maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey",
+              bands = Some(quadBands))(batch, master)
+          else
+            graft.ops.EntityRes.incrementalAssign(
+              "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+              maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey",
+              bands = if (mode == "incband") Some(quadBands) else None)(batch, master)
+        out.write.mode("overwrite").format("noop").save()
       } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub") {
         graft.ops.EntityRes.candidatePairsBanded(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
