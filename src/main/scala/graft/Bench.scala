@@ -59,7 +59,9 @@ object Bench {
     "curation_funnel", "s15_ivf_model_roundtrip",
     "s16_ivf_cell_layout", "text_blocklist", "pipeline_curation_config",
     "pipeline_curation_v2",
-    "w6_curation_gate_twin", "mixture_temperature")
+    "w6_curation_gate_twin", "mixture_temperature",
+    "er_merge_log_compact", "er_band_evidence", "er_recommend_bands",
+    "mm_cdc_chunks", "mm_neardup_pairs", "mm_neardup_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

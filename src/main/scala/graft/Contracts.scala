@@ -35,6 +35,7 @@ object Contracts {
     "mine_contrastive_pairs", // anchors are the mined-batch side (guarded maybeBroadcast cap)
     "vocab_overlap_matrix",   // pair frame from the groups-sized totals cross (groups^2, not data)
     "text_skipgram_lift",     // crossJoin(broadcast(1-row corpus token total))
-    "colloc_lift_topk"        // crossJoin(broadcast(1-row corpus token total))
+    "colloc_lift_topk",       // crossJoin(broadcast(1-row corpus token total))
+    "er_recommend_bands"      // crossJoin(1-row surviving-hull agg x ≤numBands spec rows)
   )
 }

@@ -202,6 +202,182 @@ object Multimodal {
   def sampleChunks(stride: Int)(chunked: DataFrame): DataFrame =
     chunked.where(col("chunk_idx") % stride === 0)
 
+  /** Content-defined chunking over BINARY content — the byte-level
+    * sibling of [[graft.llm.Dedup.cdcChunks]] (word-level CDC over
+    * text), and the fingerprint substrate for CONTENT-level media
+    * near-dup ([[binaryNearDupPairs]]): a chunk boundary falls AFTER
+    * every byte whose trailing `window`-byte context hashes to
+    * 0 mod `divisor`, so boundaries depend only on local bytes —
+    * a prepended header or an insertion early in the stream shifts at
+    * most the chunk it lands in, and identical byte runs chunk
+    * identically wherever they appear (the Muthitacharoen LBFS
+    * rolling-CDC property; the storage-dedup discipline applied to a
+    * training corpus's media columns). Expected chunk length is
+    * `divisor` bytes.
+    *
+    * Output: one row per chunk — (idCol, chunk_md5, n_bytes). Chunk
+    * BYTES are dropped before any shuffle; downstream keys on the
+    * 32-char digest (the [[withBinaryMeta]] rule: digests, never
+    * megabytes, cross the exchange). Rows with empty or NULL binary
+    * produce no rows (callers needing them re-join the source, as
+    * [[binaryDupCoverage]] does).
+    *
+    * All chunking is per-row higher-order functions over the hex
+    * transcription of one pruned scan — no shuffle, no UDF. The
+    * boundary hash is the engine-portable md5 prefix over the hex
+    * window ([[graft.llm.Dedup.md5Hash60]]) so the DuckDB oracle
+    * replays it bit-for-bit; a Gear/rolling-hash native expression is
+    * the drop-in upgrade if the per-byte md5 ever shows up in a
+    * profile (same output contract, cheaper window hash — the probe
+    * cost is ~n md5 calls over 2·window-char strings per n-byte row,
+    * CPU-bounded and embarrassingly parallel, never a shuffle term).
+    */
+  def binaryCdcChunks(
+      binCol: String,
+      idCol: String,
+      divisor: Int = 32,
+      window: Int = 8)(df: DataFrame): DataFrame = {
+    require(divisor >= 2 && window >= 1, s"bad divisor=$divisor / window=$window")
+    import graft.llm.Dedup.md5Hash60
+    // upper() on both engines' hex: Spark and DuckDB both emit
+    // uppercase today, but the md5 inputs must agree FOREVER, so the
+    // case is pinned rather than assumed
+    df.select(col(idCol), upper(hex(col(binCol))).as("__hx"),
+        octet_length(col(binCol)).as("__n"))
+      // boundary AFTER byte i (1-based), decided by the window of
+      // bytes i-window+1 .. i; rows shorter than the window carry no
+      // boundary and fall through as one whole-content chunk. The
+      // when-guard keeps sequence() off the n < window case (a
+      // descending sequence) instead of a pre-Filter — the
+      // cdcChunks predicate-pushdown trap, Filter form.
+      .withColumn("__bpos",
+        when(col("__n") >= window,
+          filter(sequence(lit(window), col("__n")), i =>
+            md5Hash60(col("__hx").substr(
+              (i - window) * 2 + 1, lit(2 * window))) % divisor === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__bpos"), i => i + 1)))
+      .withColumn("__ends", concat(col("__bpos"), array(col("__n"))))
+      // trailing (n+1, n) pair when the last byte is itself a boundary
+      // yields null and is filtered — no empty chunks; chunks stay in
+      // HEX (2 chars per byte) so the digest below hashes a plain
+      // string both engines agree on
+      .withColumn("__chunks",
+        filter(
+          zip_with(col("__starts"), col("__ends"), (s, e) =>
+            when(s <= e, col("__hx").substr((s - 1) * 2 + 1, (e - s + 1) * 2))),
+          c => c.isNotNull))
+      // explode_outer, NOT explode: same InferFiltersFromGenerate
+      // re-inlining trap as cdcChunks — the outer variant infers
+      // nothing, and the null filter on the GENERATED column also
+      // drops empty/NULL binaries (their empty chunk array yields one
+      // null row)
+      .select(col(idCol), explode_outer(col("__chunks")).as("__chunk"))
+      .filter(col("__chunk").isNotNull)
+      .select(
+        col(idCol),
+        md5(col("__chunk")).as("chunk_md5"),
+        (length(col("__chunk")) / 2).cast("long").as("n_bytes"))
+  }
+
+  /** Content-level binary near-dup pairs — the multimodal analog of
+    * the text family's [[graft.llm.Dedup.allPairsJaccard]]: two
+    * binaries are near-dups when their CDC chunk-digest SETS overlap
+    * (chunk Jaccard ≥ `minJaccard`), which catches re-encoded
+    * containers, prepended/patched headers, and truncated copies that
+    * exact-digest dedup ([[withBinaryMeta]]'s sha256) misses. Pairs
+    * come from the inverted index on chunk_md5 — a pair is enumerated
+    * iff it shares a chunk — never an all-pairs scan over rows.
+    *
+    * `maxDocFreq` is the df-cap (the text family's boilerplate guard,
+    * same contract as allPairsJaccard's): chunk digests appearing in
+    * more than `maxDocFreq` binaries — shared codec preambles, zero
+    * runs, boilerplate headers — are dropped from the posting list
+    * BEFORE the self-join, bounding every posting-list term at cap²;
+    * jaccard is then computed over the kept-chunk universe on BOTH
+    * sides of the ratio (the boilerplate-filtered similarity), and
+    * when no digest exceeds the cap the output is identical to the
+    * uncapped run. Cost is Σ_c min(df(c), cap)² over chunk
+    * document-frequencies — the exact bill [[graft.llm.Dedup]]'s
+    * capped audit twin measured sublinear (exponent ~0.5) through
+    * 32×, here over ~n_bytes/divisor chunks per row instead of k-gram
+    * counts.
+    *
+    * NOT persisted: the caller gets a lazy frame (the allPairsJaccard
+    * rationale — a persist here could never be released and would
+    * leak a corpus-chunk-sized cache per invocation); the three
+    * linear chunking passes are noise next to the posting-list join.
+    * Output: (id_a, id_b, n_shared, jaccard), id_a < id_b.
+    */
+  def binaryNearDupPairs(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      divisor: Int = 32,
+      window: Int = 8,
+      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame = {
+    require(maxDocFreq >= 2, s"bad maxDocFreq=$maxDocFreq")
+    val cd0 = binaryCdcChunks(binCol, idCol, divisor, window)(df)
+      .select(col(idCol), col("chunk_md5")).distinct()
+    val kept = cd0.groupBy("chunk_md5").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq).select("chunk_md5")
+    // the using-column semi join moves chunk_md5 first; restore the
+    // (id, digest) order the positional toDF renames below expect
+    val cd = cd0.join(kept, Seq("chunk_md5"), "left_semi")
+      .select(col(idCol), col("chunk_md5"))
+    val sizes = cd.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = cd.toDF("id_a", "__c").join(cd.toDF("id_b", "__c"), "__c")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("id_a", "__na"), "id_a")
+      .join(sizes.toDF("id_b", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_shared", "jaccard")
+  }
+
+  /** Per-binary duplicate coverage at CDC-chunk granularity — the
+    * byte-level twin of [[graft.llm.Dedup.cdcDupCoverage]]: the
+    * fraction of a binary's bytes living in chunks that also appear
+    * in ANOTHER binary (cross-row: n_docs ≥ 2, within-row repetition
+    * alone does not count). One row per SOURCE row, zero-filled, so
+    * empty binaries cannot diverge from an oracle scanning the base
+    * table. Same persist trade as cdcDupCoverage: the chunk table
+    * (digest + small ints, ~50 bytes/chunk, spill-capable) feeds both
+    * the dup-set aggregation and the per-row rollup.
+    */
+  def binaryDupCoverage(
+      binCol: String,
+      idCol: String,
+      divisor: Int = 32,
+      window: Int = 8)(df: DataFrame): DataFrame = {
+    val chunks = binaryCdcChunks(binCol, idCol, divisor, window)(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("chunk_md5"), lit(1).as("__dup"))
+    val per = chunks.join(dup, Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n_chunks"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("__dup_chunks"),
+        sum(col("n_bytes")).as("__n_bytes"),
+        sum(when(col("__dup").isNotNull, col("n_bytes")).otherwise(0L)).as("__dup_bytes"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("__dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("__n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("__dup_bytes"), lit(0L)).as("dup_bytes"),
+        coalesce(col("__dup_bytes") / col("__n_bytes"), lit(0.0)).as("dup_byte_frac"))
+  }
+
   /** REAL byte-level features: one-pass histogram statistics
     * (`graft_byte_stats`) — n_bytes, n_distinct, byte_sum,
     * n_printable, Shannon entropy in bits. The standard codec-free

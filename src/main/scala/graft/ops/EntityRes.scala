@@ -770,8 +770,13 @@ object EntityRes {
     * distinct over cluster edges (≤ pairs rows, usually far fewer),
     * and label prop over a graph whose nodes are the clusters the
     * batch actually touched — batch-bounded, never master-sized. The
-    * returned frame rides nearDupClusters' persist — `.unpersist()`
-    * when done.
+    * returned frame is MATERIALIZED (nearDupClusters returns
+    * localCheckpoint or driver-local storage, reclaimed by the
+    * ContextCleaner when the frame is garbage-collected) — no
+    * caller-side `.unpersist()` contract exists. Callers running the
+    * assignment too should use [[incrementalResolveAndMerges]], which
+    * derives both faces from ONE persisted pair plan instead of
+    * re-paying the blocked join per face.
     */
   def incrementalMerges(
       idCol: String,
@@ -800,36 +805,48 @@ object EntityRes {
       .where(col("old_cluster") =!= col("new_cluster"))
   }
 
-  /** [[incrementalAssign]] composed with [[incrementalMerges]]: each
-    * batch row's final cluster under the POST-MERGE ids — the state a
-    * caller actually appends. Matched rows get the merged component's
-    * smallest cluster id; novel rows (no candidate — including rows
-    * of cap-refused blocks on the un-banded path) get THEMSELVES as a
-    * new cluster id (`cluster_id = batch_id`, requiring the usual
-    * disjoint-id-space contract between batch and master), so the
-    * output is total: every batch row leaves with a concrete cluster,
-    * and `n_matches = 0` still marks the novels loudly.
+  /** [[incrementalAssign]] composed with [[incrementalMerges]], BOTH
+    * faces derived from ONE persisted pair plan: returns
+    * `(resolved, merges)` where `resolved` is each batch row's final
+    * cluster under the POST-MERGE ids — the state a caller actually
+    * appends — and `merges` is the `(old_cluster, new_cluster)` remap
+    * log the same candidate evidence implies (identical rows to
+    * [[incrementalMerges]] on the same inputs). Matched rows get the
+    * merged component's smallest cluster id; novel rows (no candidate
+    * — including rows of cap-refused blocks on the un-banded path)
+    * get THEMSELVES as a new cluster id (`cluster_id = batch_id`,
+    * requiring the usual disjoint-id-space contract between batch and
+    * master), so the output is total: every batch row leaves with a
+    * concrete cluster, `n_matches = 0` still marks the novels loudly,
+    * and `best_dist` rides along for parity with
+    * [[incrementalAssign]] (NULL for novels).
     *
     * Cost shape: the candidate pairs are computed ONCE and persisted
-    * across the two derivations (the merge closure's label prop runs
+    * across the derivations (the merge closure's label prop runs
     * eagerly — a separate action that could never share exchanges
     * with the assignment's plan; measured before this sharing, the
     * naive two-pass composition paid ~3× the assign-only bill at 16×,
-    * SCALE.md round 15). Both derived frames are delta-bounded — the
-    * assignment aggregate is batch-sized (the CDC delta, bounded by
-    * the face's own contract) and the merge remap is
-    * merges-logged-sized — so they localCheckpoint and the pairs
-    * cache releases before returning; nothing master-sized
-    * materializes.
+    * SCALE.md round 15 — and the same double bill is exactly what a
+    * caller invoking resolve + merges separately per micro-batch
+    * would pay, hence the tuple face for
+    * [[graft.streaming.StreamingIngest.erResolveStream]]). Both
+    * returned frames are delta-bounded — the assignment aggregate is
+    * batch-sized (the CDC delta, bounded by the face's own contract)
+    * and the merge remap is merges-logged-sized — so they
+    * localCheckpoint and the pairs cache releases before returning;
+    * nothing master-sized materializes, and neither frame carries a
+    * caller-side `.unpersist()` contract (localCheckpoint blocks are
+    * reclaimed by the ContextCleaner on garbage collection).
     */
-  def incrementalResolve(
+  def incrementalResolveAndMerges(
       idCol: String,
       nameCol: String,
       blockCols: Seq[String],
       maxDist: Int,
       maxBlock: Long,
       clusterCol: String,
-      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
+      bands: Option[Column] = None)(
+      batch: DataFrame, master: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = (bands match {
       case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
@@ -850,21 +867,41 @@ object EntityRes {
         .where(col("__cluster") =!= col("__c_min"))
         .select(col("__cluster").as("id_a"), col("__c_min").as("id_b"))
         .distinct()
-      val closure = graft.llm.Dedup.nearDupClusters(edges)
-      val remap = closure
-        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("new_cluster"))
-        .where(col("cluster_id") =!= col("new_cluster"))
+      val merges = graft.llm.Dedup.nearDupClusters(edges)
+        .select(col("doc_id").as("old_cluster"), col("cluster_id").as("new_cluster"))
+        .where(col("old_cluster") =!= col("new_cluster"))
         .localCheckpoint(true)
-      closure.unpersist()
-      batch.select(col(idCol).as("batch_id"))
+      val resolved = batch.select(col(idCol).as("batch_id"))
         .join(agg, Seq("batch_id"), "left")
-        .join(broadcast(remap), Seq("cluster_id"), "left")
+        .join(
+          broadcast(merges.select(
+            col("old_cluster").as("cluster_id"), col("new_cluster"))),
+          Seq("cluster_id"), "left")
         .select(
           col("batch_id"),
           coalesce(col("new_cluster"), col("cluster_id"), col("batch_id")).as("cluster_id"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_dist"))
+      (resolved, merges)
     } finally pairs.unpersist()
   }
+
+  /** The resolve face alone — [[incrementalResolveAndMerges]]\' first
+    * component, for callers maintaining no merge log (the merge remap
+    * is still computed internally: resolve NEEDS the closure to land
+    * matched rows on post-merge ids, so the standalone face costs the
+    * same). Output: (batch_id, cluster_id, n_matches, best_dist).
+    */
+  def incrementalResolve(
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int,
+      maxBlock: Long,
+      clusterCol: String,
+      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame =
+    incrementalResolveAndMerges(
+      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)._1
 
   /** The offline compactor for [[incrementalMerges]]' remap log —
     * the step the streaming loop's scaladoc
@@ -883,10 +920,11 @@ object EntityRes {
     * Scale shape: the log is clusters-touched-sized (bounded by total
     * logged merges, never master-sized); only the closure table —
     * the same size class as the log the caller already stores — is
-    * materialized (eager localCheckpoint, so nearDupClusters' persist
-    * can be released here instead of leaking to the caller); the
-    * master itself flows through one lazy broadcast left join,
-    * nothing master-sized is ever collected or checkpointed.
+    * materialized (eager localCheckpoint; the blocks are reclaimed by
+    * the ContextCleaner when the frame is garbage-collected, so no
+    * caller-side release contract exists); the master itself flows
+    * through one lazy broadcast left join, nothing master-sized is
+    * ever collected or checkpointed.
     */
   def applyMergeLog(
       clusterCol: String,
@@ -897,7 +935,6 @@ object EntityRes {
       .select(col("doc_id").as("__old"), col("cluster_id").as("__new"))
       .where(col("__old") =!= col("__new"))
       .localCheckpoint(true)
-    closure.unpersist()
     master.join(broadcast(remap), master(clusterCol) === remap("__old"), "left")
       .withColumn(clusterCol, coalesce(col("__new"), col(clusterCol)))
       .drop("__old", "__new")
@@ -919,4 +956,187 @@ object EntityRes {
       bands: Column)(df: DataFrame): DataFrame =
     graft.llm.Dedup.nearDupClusters(
       candidatePairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, bands)(df))
+
+  // ===== the executable band-refinement ladder (round 16) =====
+
+  /** One contiguous positional segment of the banded string —
+    * 1-based substring (start, len), the data form of a
+    * [[segmentBands]]-style band. Carrying band sets as DATA (a spec,
+    * not a pre-built Column) is what makes the refinement ladder
+    * EXECUTABLE: the refusal audit emits evidence, [[recommendSegBands]]
+    * turns evidence into a refined spec, and [[bandsFromSpec]] turns
+    * the spec back into the band expression — no hand edit in the
+    * loop (the {d4d5},{d6d7},{d8d9} → {d6},{d7},{d8d9} refinement
+    * SCALE.md round 15 derived by hand from the same evidence).
+    */
+  final case class SegSpec(start: Int, len: Int) {
+    require(start >= 1 && len >= 1, s"bad segment ($start, $len)")
+  }
+
+  /** [[segmentBands]]' pigeonhole boundaries for `numBands` segments
+    * over the absolute character range [start, start + len): the
+    * spec form of `segmentBands(substr(c, start, len), numBands)`.
+    */
+  def splitSegments(start: Int, len: Int, numBands: Int): Seq[SegSpec] = {
+    require(numBands >= 1 && len >= 1, s"bad split len=$len numBands=$numBands")
+    (0 until numBands).map { i =>
+      val s = math.floor(i.toLong * len / numBands).toInt
+      val e = math.floor((i + 1).toLong * len / numBands).toInt
+      SegSpec(start + s, e - s)
+    }.filter(_.len > 0)
+  }
+
+  /** Band-key array for a segment spec: band i's key is the spec's
+    * i-th segment text, tagged with the FULL string length (the
+    * pigeonhole length-grouping of [[segmentBands]] — different-
+    * length strings have shifted positions and must never collide;
+    * the documented recall trade is insert/delete pairs). NULL input
+    * → every key NULL (the blocking-NULL contract: the row never
+    * pairs through any band).
+    */
+  def bandsFromSpec(c: Column, spec: Seq[SegSpec]): Column = {
+    require(spec.nonEmpty, "bandsFromSpec needs at least one segment")
+    array(spec.map(s =>
+      concat(length(c).cast("string"), lit(":"),
+        c.substr(lit(s.start), lit(s.len)))): _*)
+  }
+
+  /** The refusal audit's PER-BAND face — the evidence
+    * [[recommendSegBands]] consumes: for each band of `spec`, over
+    * the hot blocks (> `maxBlock`), how many exploded rows landed in
+    * buckets the never-waived cap refuses. A band whose rows mostly
+    * land in over-cap buckets contributes almost no surviving routes
+    * (its keys are too coarse for this field's value distribution —
+    * the 16× coarse-{d4d5} decay, SCALE.md round 15); one whose rows
+    * survive carries the recall. Output, one row per band:
+    * (band, seg_start, seg_len, n_rows, n_refused_rows, n_buckets,
+    * n_refused_buckets, refused_frac).
+    *
+    * Scale shape: the same block-sizes aggregate the pairing paths
+    * run, one ×numBands explode of HOT rows only (short keys), and
+    * band-sized aggregations — no pair join anywhere, so the evidence
+    * is CHEAPER than the banded production path it tunes, and
+    * unlike the recall audits it pays no Σblock² bill at all.
+    */
+  def bandEvidence(
+      nameCol: String,
+      blockCols: Seq[String],
+      maxBlock: Long,
+      spec: Seq[SegSpec])(df: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "bandEvidence needs at least one blocking column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = blockSizes(blockCols)(df)
+    val bandCols = blockCols :+ "__band" :+ "__bkey"
+    val banded = df
+      .join(sizes.where(col("block_n") > maxBlock), blockCols, "left_semi")
+      .select(blockCols.map(col) :+
+        posexplode(bandsFromSpec(col(nameCol), spec)).as(Seq("__band", "__bkey")): _*)
+      .where(col("__bkey").isNotNull)
+    val bucketSizes = banded.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    val rowsPerBand = banded.join(bucketSizes, bandCols)
+      .groupBy(col("__band").as("band"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__m") > maxBlock, 1L).otherwise(0L)).as("n_refused_rows"))
+    val bucketsPerBand = bucketSizes
+      .groupBy(col("__band").as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("__m") > maxBlock, 1L).otherwise(0L)).as("n_refused_buckets"))
+    val specDf = spec.zipWithIndex
+      .map { case (s, i) => (i, s.start, s.len) }
+      .toDF("band", "seg_start", "seg_len")
+    specDf.join(rowsPerBand, Seq("band"), "left")
+      .join(bucketsPerBand, Seq("band"), "left")
+      .select(
+        col("band"), col("seg_start"), col("seg_len"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_refused_rows"), lit(0L)).as("n_refused_rows"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("n_refused_buckets"), lit(0L)).as("n_refused_buckets"),
+        coalesce(col("n_refused_rows") / col("n_rows"), lit(0.0)).as("refused_frac"))
+  }
+
+  /** The deterministic refinement step — evidence in, refined band
+    * spec out, no hand in the loop: drop every band of `spec` whose
+    * hot-row refusal fraction exceeds `tau` (its keys are too coarse
+    * for this field — keeping it buys refusals, not routes), then
+    * RE-SPLIT the contiguous hull of the surviving bands' character
+    * range into `maxDist + 1` segments (the [[segmentBands]] floor
+    * boundaries), restoring the pigeonhole guarantee — ≤ maxDist
+    * substitutions anywhere leave ≥ 1 refined band intact, and the
+    * refined keys live where the evidence says the values are
+    * discriminating. This is EXACTLY the round-15 hand refinement:
+    * {d4d5},{d6d7},{d8d9} evidence (coarse {d4d5} 100% refused) →
+    * hull of the survivors = the 4 suffix chars → {d6},{d7},{d8d9},
+    * whose recall measured 0.960 scale-invariantly (SCALE.md r15).
+    *
+    * Loud terminal face: when EVERY band is over `tau` — no
+    * surviving region to re-split — the ladder is exhausted for this
+    * segment family and the ORIGINAL spec is re-emitted with
+    * `action = 'terminal'` (the honest answer is re-key or raise the
+    * cap, never a silently-invented band set); otherwise rows carry
+    * `action = 'refined'`. A dropped band INSIDE the hull re-enters
+    * through the re-split (the hull is contiguous by construction) —
+    * if its chars still refuse, the next audit round says so and the
+    * ladder recurses (evidence → recommend → re-audit, each step
+    * gated and deterministic).
+    *
+    * Scale shape: [[bandEvidence]]'s aggregations plus spec-sized
+    * (≤ numBands rows) arithmetic — nothing row-scale is added.
+    */
+  def recommendSegBands(
+      nameCol: String,
+      blockCols: Seq[String],
+      maxBlock: Long,
+      spec: Seq[SegSpec],
+      maxDist: Int,
+      tau: Double = 0.5)(df: DataFrame): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
+    require(maxDist >= 1, s"recommendSegBands needs maxDist >= 1, got $maxDist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = bandEvidence(nameCol, blockCols, maxBlock, spec)(df)
+    val surv = ev.where(col("refused_frac") <= tau)
+    val hull = surv.agg(
+      min("seg_start").as("__h0"),
+      max(col("seg_start") + col("seg_len")).as("__h1"),
+      count(lit(1)).as("__ns"))
+    val numOut = maxDist + 1
+    val idx = (0 until numOut).toDF("band")
+    val refined = hull.where(col("__ns") > 0).crossJoin(idx)
+      .select(
+        col("band"),
+        (col("__h0") + floor(col("band") * (col("__h1") - col("__h0")) / numOut))
+          .cast("int").as("seg_start"),
+        (floor((col("band") + 1) * (col("__h1") - col("__h0")) / numOut) -
+          floor(col("band") * (col("__h1") - col("__h0")) / numOut))
+          .cast("int").as("seg_len"),
+        lit("refined").as("action"))
+      .where(col("seg_len") > 0)
+    val terminal = ev.crossJoin(hull.where(col("__ns") === 0))
+      .select(col("band"), col("seg_start"), col("seg_len"),
+        lit("terminal").as("action"))
+    refined.unionByName(terminal)
+  }
+
+  /** Driver-side materialization of a [[recommendSegBands]] result —
+    * the step that closes the executable loop (spec → evidence →
+    * recommendation → NEW spec → [[bandsFromSpec]]). The collect is
+    * spec-sized by [[recommendSegBands]]' contract (≤ max(numBands,
+    * maxDist + 1) rows — a config plane, the ConfigReader collect
+    * discipline), never data-sized. Returns the refined spec and
+    * whether the ladder terminated (`action = 'terminal'` — caller
+    * must re-key or raise the cap rather than loop).
+    */
+  def collectRecommendedSpec(recommendation: DataFrame): (Seq[SegSpec], Boolean) = {
+    val rows = recommendation
+      .select("band", "seg_start", "seg_len", "action")
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "empty band recommendation")
+    val terminal = rows.exists(_.getString(3) == "terminal")
+    (rows.map(r => SegSpec(r.getInt(1), r.getInt(2))).toSeq, terminal)
+  }
 }

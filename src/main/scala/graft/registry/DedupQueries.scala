@@ -84,6 +84,35 @@ private[graft] object DedupQueries {
       |sm AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
       |       FROM bandm GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  // shared CTE prefix for the band-ladder oracles (er_band_evidence /
+  // er_recommend_bands): the wide positional spec as VALUES rows,
+  // hot blocks at cap 12, per-band keys (full-length tag — the
+  // bandsFromSpec construction), per-bucket sizes, and the per-band
+  // row/bucket refusal rollups. Already stripped — interpolates into
+  // s"WITH $bandEvidenceCtes" with no stripMargin after it.
+  private val bandEvidenceCtes: String =
+    """spec AS (SELECT * FROM (VALUES (0, 13, 2), (1, 15, 2), (2, 17, 2))
+      |           AS v(band, seg_start, seg_len)),
+      |sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2),
+      |hot AS (SELECT c.* FROM customer c
+      |        JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment
+      |        WHERE sz.n > 12),
+      |bands AS (SELECT h.c_nationkey, h.c_mktsegment, s.band,
+      |                 concat(CAST(length(h.c_name) AS VARCHAR), ':',
+      |                        substr(h.c_name, s.seg_start, s.seg_len)) AS bkey
+      |          FROM hot h CROSS JOIN spec s),
+      |bsz AS (SELECT c_nationkey, c_mktsegment, band, bkey, count(*) AS m
+      |        FROM bands GROUP BY 1, 2, 3, 4),
+      |rows_ AS (SELECT b.band, count(*) AS n_rows,
+      |                 CAST(sum(CASE WHEN z.m > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_refused_rows
+      |          FROM bands b JOIN bsz z
+      |            ON b.c_nationkey = z.c_nationkey AND b.c_mktsegment = z.c_mktsegment
+      |           AND b.band = z.band AND b.bkey = z.bkey
+      |          GROUP BY 1),
+      |bk AS (SELECT band, count(*) AS n_buckets,
+      |              CAST(sum(CASE WHEN m > 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_refused_buckets
+      |       FROM bsz GROUP BY 1)""".stripMargin
+
   // the recall-classification tail shared by the full and sampled
   // er_incremental_recall oracles (the sampled twin differs only in
   // incBandedCtes' hot-block sample predicate). Pre-stripped like
@@ -425,6 +454,46 @@ private[graft] object DedupQueries {
       graft.ops.EntityRes.matchGroupsBanded(
         "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 2,
         maxBlock = 12, bands = quadBands)(t(s, d, "customer"))),
+    // the merge-log compactor gate (round 16 — the one operator the
+    // r15 tree left ungated): a CHAINED multi-batch log over master =
+    // every customer its own cluster — batch A logs k -> k-3 for every
+    // 10th key, batch B logs k-3 -> k-9 for every 20th — so depth-2
+    // chains ({k, k-3, k-9} -> k-9), single links ({k, k-3} -> k-3),
+    // and untouched-cluster passthrough rows are all exercised in one
+    // output; the oracle replays the closure with the er_groups
+    // recursive reachability walk over both edge orientations
+    "er_merge_log_compact" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val k = col("c_custkey")
+      val log = cust.where(k % 10 === 0 && k >= 10)
+        .select(k.as("old_cluster"), (k - 3).as("new_cluster"))
+        .unionByName(cust.where(k % 20 === 0 && k >= 20)
+          .select((k - 3).as("old_cluster"), (k - 9).as("new_cluster")))
+      graft.ops.EntityRes.applyMergeLog("cluster", log)(
+        cust.select(col("c_custkey"), col("c_name"), col("c_custkey").as("cluster")))
+    }),
+    // the refinement ladder's EVIDENCE face (round 16): per band of
+    // the wide positional set {d4d5},{d6d7},{d8d9} over hot blocks at
+    // cap 12, how many exploded rows land in buckets the never-waived
+    // cap refuses. On TPC-H names the coarse {d4d5} band is 100%
+    // refused (every row shares the high-order digits — the exact 16x
+    // decay SCALE.md r15 measured) while the suffix bands survive —
+    // the known-hot-band fixture the recommendation gate consumes
+    "er_band_evidence" -> ((s, d) =>
+      graft.ops.EntityRes.bandEvidence(
+        "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock = 12,
+        spec = graft.ops.EntityRes.splitSegments(13, 6, 3))(t(s, d, "customer"))),
+    // the DETERMINISTIC refinement step over the same evidence: drop
+    // bands with refusal fraction > 0.5, re-split the surviving hull
+    // into maxDist+1 = 3 pigeonhole segments. On this corpus: {d4d5}
+    // drops, hull = chars 15..18, output = {d6},{d7},{d8d9} — the
+    // EXACT refinement round 15 derived by hand (recall 0.960
+    // scale-invariant, SCALE.md), now executable and gated
+    "er_recommend_bands" -> ((s, d) =>
+      graft.ops.EntityRes.recommendSegBands(
+        "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock = 12,
+        spec = graft.ops.EntityRes.splitSegments(13, 6, 3),
+        maxDist = 2, tau = 0.5)(t(s, d, "customer"))),
     // dedup-threshold tuning: pair counts per 0.1 jaccard band with
     // the at-or-above cumulative — "what would threshold t remove".
     // Plain corpus: its bimodal curve (a fat low-band + the 0.9
@@ -966,11 +1035,13 @@ private[graft] object DedupQueries {
         |mok AS (SELECT c.* FROM customer c
         |        JOIN msz ON c.c_nationkey = msz.c_nationkey AND c.c_mktsegment = msz.c_mktsegment
         |        WHERE msz.n <= 20),
-        |p AS (SELECT b.id AS batch_id, m.c_custkey AS master_id
+        |p AS (SELECT b.id AS batch_id, m.c_custkey AS master_id,
+        |             CAST(levenshtein(b.name, m.c_name) AS INTEGER) AS dist
         |      FROM bok b JOIN mok m
         |        ON b.c_nationkey = m.c_nationkey AND b.c_mktsegment = m.c_mktsegment
         |      WHERE levenshtein(b.name, m.c_name) <= 2),
-        |agg AS (SELECT batch_id, min(master_id) AS c0, count(*) AS n FROM p GROUP BY 1),
+        |agg AS (SELECT batch_id, min(master_id) AS c0, count(*) AS n,
+        |               min(dist) AS bd FROM p GROUP BY 1),
         |ce AS (SELECT DISTINCT p.master_id AS id_a, agg.c0 AS id_b
         |       FROM p JOIN agg ON p.batch_id = agg.batch_id
         |       WHERE p.master_id != agg.c0),
@@ -982,7 +1053,8 @@ private[graft] object DedupQueries {
         |comp AS (SELECT v, min(r) AS newc FROM walk GROUP BY 1)
         |SELECT b.id AS batch_id,
         |       CAST(coalesce(comp.newc, agg.c0, b.id) AS BIGINT) AS cluster_id,
-        |       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_matches
+        |       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_matches,
+        |       agg.bd AS best_dist
         |FROM batch b LEFT JOIN agg ON b.id = agg.batch_id
         |             LEFT JOIN comp ON agg.c0 = comp.v""".stripMargin,
     // per-side size replay of the refusal set (the hot CTE's
@@ -1133,6 +1205,63 @@ private[graft] object DedupQueries {
         |  UNION
         |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
         |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin,
+    // chained-log closure replay: both log batches as edges, the
+    // er_groups reachability walk, then master LEFT JOIN component
+    // min (rows whose cluster is in no component pass through)
+    "er_merge_log_compact" ->
+      """WITH RECURSIVE mlog AS (
+        |  SELECT c_custkey AS o, c_custkey - 3 AS n FROM customer
+        |  WHERE c_custkey % 10 = 0 AND c_custkey >= 10
+        |  UNION ALL
+        |  SELECT c_custkey - 3, c_custkey - 9 FROM customer
+        |  WHERE c_custkey % 20 = 0 AND c_custkey >= 20),
+        |edges AS (SELECT o AS s, n AS t FROM mlog UNION SELECT n, o FROM mlog),
+        |walk(v, r) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+        |  UNION
+        |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v),
+        |comp AS (SELECT v, min(r) AS newc FROM walk GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name,
+        |       CAST(coalesce(comp.newc, c.c_custkey) AS BIGINT) AS cluster
+        |FROM customer c LEFT JOIN comp ON c.c_custkey = comp.v""".stripMargin,
+    // per-band refusal evidence replay: hot blocks banded on the wide
+    // positional set (VALUES spec), per-bucket sizes, rows and
+    // buckets rolled up per band with the over-cap flag
+    "er_band_evidence" ->
+      (s"WITH $bandEvidenceCtes\n" +
+      """SELECT s.band, s.seg_start, s.seg_len,
+        |       CAST(coalesce(r.n_rows, 0) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(r.n_refused_rows, 0) AS BIGINT) AS n_refused_rows,
+        |       CAST(coalesce(bk.n_buckets, 0) AS BIGINT) AS n_buckets,
+        |       CAST(coalesce(bk.n_refused_buckets, 0) AS BIGINT) AS n_refused_buckets,
+        |       coalesce(CAST(r.n_refused_rows AS DOUBLE) / r.n_rows, 0.0) AS refused_frac
+        |FROM spec s LEFT JOIN rows_ r ON s.band = r.band
+        |            LEFT JOIN bk ON s.band = bk.band""".stripMargin),
+    // the refinement replay: evidence -> survivors (refused_frac <=
+    // 0.5) -> contiguous hull -> floor re-split into 3 pigeonhole
+    // segments; the terminal arm re-emits the original spec when no
+    // band survives (vacuous on this corpus, replayed so the loud
+    // contract is oracle-checked too)
+    "er_recommend_bands" ->
+      (s"WITH $bandEvidenceCtes,\n" +
+      """ev AS (SELECT s.band, s.seg_start, s.seg_len,
+        |              coalesce(CAST(r.n_refused_rows AS DOUBLE) / r.n_rows, 0.0) AS refused_frac
+        |       FROM spec s LEFT JOIN rows_ r ON s.band = r.band),
+        |surv AS (SELECT * FROM ev WHERE refused_frac <= 0.5),
+        |hull AS (SELECT min(seg_start) AS h0, max(seg_start + seg_len) AS h1,
+        |                count(*) AS ns FROM surv),
+        |idx AS (SELECT unnest([0, 1, 2]) AS band)
+        |SELECT i.band,
+        |       CAST(h.h0 + floor(i.band * (h.h1 - h.h0) / 3) AS INTEGER) AS seg_start,
+        |       CAST(floor((i.band + 1) * (h.h1 - h.h0) / 3)
+        |            - floor(i.band * (h.h1 - h.h0) / 3) AS INTEGER) AS seg_len,
+        |       'refined' AS action
+        |FROM hull h CROSS JOIN idx i
+        |WHERE h.ns > 0 AND floor((i.band + 1) * (h.h1 - h.h0) / 3)
+        |                   - floor(i.band * (h.h1 - h.h0) / 3) > 0
+        |UNION ALL
+        |SELECT e.band, e.seg_start, e.seg_len, 'terminal' AS action
+        |FROM ev e CROSS JOIN hull h WHERE h.ns = 0""".stripMargin),
     "er_groups" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

@@ -89,6 +89,35 @@ private[graft] object MultimodalQueries {
       Multimodal.withByteHist("content", bins = 16)(
         Multimodal.withBinaryContent("text")(t(s, d, "documents")))
         .select(col("doc_id"), posexplode(col("byte_hist")).as(Seq("bin_idx", "p")))),
+    // CONTENT-level fingerprints (round 16): byte-granularity CDC
+    // chunk inventory — every chunk digest occurring twice or more,
+    // with row spread and occurrence count (the dedup_cdc_chunks
+    // shape over BYTES instead of words); boundaries are the md5
+    // window hash over the hex transcription, replayed per byte in
+    // the oracle
+    "mm_cdc_chunks" -> ((s, d) =>
+      Multimodal.binaryCdcChunks("content", "doc_id", divisor = 16, window = 8)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .groupBy("chunk_md5")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          max(col("n_bytes")).as("n_bytes"))
+        .filter(col("n_occurrences") >= 2)),
+    // content-level binary near-dup: pairs whose CDC chunk-digest
+    // sets overlap (chunk Jaccard >= 0.3) via the inverted index on
+    // chunk_md5 — never all-pairs — with the df cap (64) dropping
+    // boilerplate chunks from the posting list before the self-join
+    // (the text family's maxDocFreq contract, replayed exactly)
+    "mm_neardup_pairs" -> ((s, d) =>
+      Multimodal.binaryNearDupPairs("content", "doc_id", minJaccard = 0.3,
+        divisor = 16, window = 8, maxDocFreq = 64L)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))),
+    // the per-row coverage face: fraction of each binary's bytes in
+    // chunks shared with ANOTHER row, zero-filled per source row
+    "mm_neardup_coverage" -> ((s, d) =>
+      Multimodal.binaryDupCoverage("content", "doc_id", divisor = 16, window = 8)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))),
   )
 
   val oracleSql: Map[String, String] = reg(
@@ -170,5 +199,82 @@ private[graft] object MultimodalQueries {
         |  COALESCE(cnt.c, 0) / CAST(n.n AS DOUBLE) AS p
         |FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
         |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = g.i""".stripMargin,
+    // byte-level CDC inventory replay (binCdcCtes: per-byte boundary
+    // hash over the hex window, window-sum chunk ids, chunk digests)
+    "mm_cdc_chunks" ->
+      (binCdcCtes +
+        """SELECT chunk_md5,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       count(*) AS n_occurrences,
+          |       max(n_bytes) AS n_bytes
+          |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+    // inverted-index pair replay with the df cap (chunks in > 64 rows
+    // dropped BEFORE the self-join; jaccard over the kept universe)
+    "mm_neardup_pairs" ->
+      (binCdcCtes +
+        """, cd AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+          |kept AS (SELECT chunk_md5 FROM cd GROUP BY 1 HAVING count(*) <= 64),
+          |cdk AS (SELECT cd.* FROM cd JOIN kept USING (chunk_md5)),
+          |szs AS (SELECT doc_id, count(*) AS n FROM cdk GROUP BY 1),
+          |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |      FROM cdk a JOIN cdk b
+          |        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT i.id_a, i.id_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+          |       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+          |FROM i JOIN szs sa ON i.id_a = sa.doc_id
+          |       JOIN szs sb ON i.id_b = sb.doc_id
+          |WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.3""".stripMargin),
+    // per-row byte coverage replay (cross-row dup chunks only),
+    // zero-filled off the base table like dedup_cdc_coverage
+    "mm_neardup_coverage" ->
+      (binCdcCtes +
+        """, ch AS (SELECT doc_id, chunk_md5 AS h, n_bytes FROM chunks),
+          |dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+          |per AS (
+          |  SELECT ch.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_chunks,
+          |         CAST(count(CASE WHEN d.h IS NOT NULL THEN 1 END) AS BIGINT) AS dup_chunks,
+          |         CAST(sum(ch.n_bytes) AS BIGINT) AS n_bytes,
+          |         CAST(COALESCE(sum(CASE WHEN d.h IS NOT NULL THEN ch.n_bytes END), 0) AS BIGINT) AS dup_bytes
+          |  FROM ch LEFT JOIN dup d ON ch.h = d.h GROUP BY 1)
+          |SELECT doc.doc_id,
+          |       COALESCE(p.n_chunks, 0) AS n_chunks,
+          |       COALESCE(p.dup_chunks, 0) AS dup_chunks,
+          |       COALESCE(p.n_bytes, 0) AS n_bytes,
+          |       COALESCE(p.dup_bytes, 0) AS dup_bytes,
+          |       COALESCE(CAST(p.dup_bytes AS DOUBLE) / p.n_bytes, 0.0) AS dup_byte_frac
+          |FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id""".stripMargin),
   )
+
+  /** Shared DuckDB CTE replaying [[graft.llm.Multimodal
+    * .binaryCdcChunks]] over `encode(text)` at divisor 16 / window 8:
+    * hex transcription (upper() pinned on both engines), one row per
+    * byte, boundary flag = md5-prefix hash of the 8-byte trailing hex
+    * window % 16, chunk index = window-sum of boundary flags over
+    * STRICTLY preceding bytes (boundary byte ends its chunk — the
+    * cdcChunksCte discipline at byte granularity), chunk digest = md5
+    * of the re-joined hex text.
+    */
+  private def binCdcCtes: String =
+    """WITH b AS (
+      |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, g.j AS j, substr(hx, (g.j - 1) * 2 + 1, 2) AS byt,
+      |         CASE WHEN g.j >= 8 AND CAST(concat('0x', substr(md5(
+      |                substr(hx, (g.j - 8) * 2 + 1, 16)), 1, 15)) AS BIGINT) % 16 = 0
+      |              THEN 1 ELSE 0 END AS bnd
+      |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS j) g),
+      |cid AS (
+      |  SELECT doc_id, j, byt,
+      |         COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY j
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+      |  FROM w),
+      |chunks AS (
+      |  SELECT doc_id, cidx, md5(string_agg(byt, '' ORDER BY j)) AS chunk_md5,
+      |         CAST(count(*) AS BIGINT) AS n_bytes
+      |  FROM cid GROUP BY doc_id, cidx)
+      |""".stripMargin
 }

@@ -562,16 +562,21 @@ object StreamingIngest {
     * drop-watch stream. Each micro-batch of arriving records:
     *
     *   1. resolves against the CURRENT master
-    *      ([[graft.ops.EntityRes.incrementalResolve]] — matched rows
-    *      land on the post-merge cluster min, novels become their own
-    *      new cluster, `n_matches = 0` marks them loudly);
+    *      ([[graft.ops.EntityRes.incrementalResolveAndMerges]] —
+    *      matched rows land on the post-merge cluster min, novels
+    *      become their own new cluster, `n_matches = 0` marks them
+    *      loudly);
     *   2. appends the assignments to `outDir`;
     *   3. accretes the NOVEL rows into `masterDir` as new entities
     *      (cluster = own id) — so a later batch matching a past
     *      batch's novel resolves to it (spec-pinned);
-    *   4. appends the micro-batch's master-cluster MERGE evidence
-    *      ([[graft.ops.EntityRes.incrementalMerges]]) to `mergesDir`
-    *      as a remap LOG.
+    *   4. appends the micro-batch's master-cluster MERGE evidence to
+    *      `mergesDir` as a remap LOG — the merges come from the SAME
+    *      persisted candidate-pair plan as the assignments (the tuple
+    *      face), so the blocked join + Levenshtein (and the banded
+    *      explodes) run once per micro-batch, not twice. `mergesDir`
+    *      is seeded with an empty typed partition on first start, so
+    *      the compaction read works before any merge is logged.
     *
     * The merge log is deliberately a log, not an in-place master
     * rewrite: applying remaps means rewriting arbitrary master
@@ -616,6 +621,27 @@ object StreamingIngest {
       clusterCol: String,
       bands: Option[org.apache.spark.sql.Column] = None): DataStreamWriter[Row] = {
     val raw = csvSource(spark, watchDir, schema)
+    // seed the merge log with an empty TYPED partition (the
+    // seedErMaster discipline): a stream whose batches never log a
+    // merge would otherwise leave mergesDir footer-less (dynamic
+    // partition overwrite of an empty frame writes no files) and the
+    // documented compaction read — spark.read.parquet(mergesDir) —
+    // would fail schema inference until the first real merge. The
+    // cluster type comes from the (already-seeded) master store;
+    // idempotent on restart: an existing seed partition is left alone
+    locally {
+      import org.apache.hadoop.fs.Path
+      val seedPath = new Path(mergesDir, "ingest_batch=-1")
+      val fs = seedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(seedPath)) {
+        val clusterType = spark.read.parquet(masterDir).schema(clusterCol).dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("old_cluster", clusterType),
+          org.apache.spark.sql.types.StructField("new_cluster", clusterType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .write.mode("overwrite").parquet(seedPath.toString)
+      }
+    }
     def overwritePartition(df: DataFrame, dir: String, batchId: Long): Unit =
       df.withColumn("ingest_batch", lit(batchId))
         .write.partitionBy("ingest_batch").mode("overwrite")
@@ -632,7 +658,12 @@ object StreamingIngest {
           // the rewrite would not be byte-identical
           val master = s.read.parquet(masterDir)
             .where(col("ingest_batch") < lit(batchId))
-          val resolved = graft.ops.EntityRes.incrementalResolve(
+          // ONE persisted pair plan yields both faces — resolving and
+          // merge-logging separately would re-pay the blocked join +
+          // Levenshtein (and the banded explodes) per micro-batch,
+          // the exact ~3× double bill the batch face's sharing
+          // removed (SCALE.md round 15)
+          val (resolved, merges) = graft.ops.EntityRes.incrementalResolveAndMerges(
             idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
           overwritePartition(resolved, outDir, batchId)
           val novelIds = resolved.where(col("n_matches") === 0L)
@@ -640,10 +671,7 @@ object StreamingIngest {
           val novel = batch.join(novelIds, Seq(idCol), "left_semi")
             .withColumn(clusterCol, col(idCol))
           overwritePartition(novel, masterDir, batchId)
-          val merges = graft.ops.EntityRes.incrementalMerges(
-            idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
           overwritePartition(merges, mergesDir, batchId)
-          merges.unpersist()
           ()
         }
       }

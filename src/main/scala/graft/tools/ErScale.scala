@@ -38,14 +38,25 @@ import org.apache.spark.sql.SparkSession
   *     and prints the corpus-total kept / cross / refused counts;
   *   - any recall mode takes an optional `:<pct>` suffix
   *     (e.g. `recall:25`) engaging the deterministic hot-block
-  *     hash-sample — the audit's scale face.
+  *     hash-sample — the audit's scale face;
+  *   - round 16, the EXECUTABLE refinement ladder at scale:
+  *     `recommend` times [[graft.ops.EntityRes.recommendSegBands]]
+  *     over the wide positional spec (chars 13..18 in 3 segments) and
+  *     prints the refined spec it emits; `recrecall` runs the ladder
+  *     END-TO-END — evidence → recommendation → collect →
+  *     [[graft.ops.EntityRes.bandedSubBlockRecall]] with the
+  *     RECOMMENDED bands (self-join face); `increcrecall` the same
+  *     through [[graft.ops.EntityRes.incrementalBandedRecall]] (CDC
+  *     face, the gate's re-crawl batch) — the 32× re-measure that
+  *     pins what the recommendation restores vs the fixed QUAD set.
   */
 object ErScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
       "usage: ErScale <sfDir> <maxBlock> " +
         "[sub|bandedsub|sfxsub|quadsub|inc|incband|incresolve|recall|bandedrecall|" +
-        "sfxrecall|quadrecall|minhashrecall|increcall][:<pct>]")
+        "sfxrecall|quadrecall|minhashrecall|increcall|recommend|recrecall|" +
+        "increcrecall][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
     val modeArg = if (args.length == 3) args(2) else ""
@@ -71,6 +82,10 @@ object ErScale {
     // measurements can never band differently)
     val quadBands = graft.DedupQueries.quadBands
     val mhBands = graft.ops.EntityRes.minhashBands(col("c_name"), shingleK = 3, numBands = 4)
+    // the executable ladder's INPUT spec — the wide positional set
+    // (chars 13..18 in 3 segments), the er_band_evidence gate's exact
+    // fixture, so the 32x measurement refines what the gate pins
+    val wideSpec = graft.ops.EntityRes.splitSegments(13, 6, 3)
     val subBlock = if (mode == "sub") Some(lastTwo) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -84,6 +99,18 @@ object ErScale {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/customer.parquet").limit(1).count()
+
+    // the ladder's driver-side step, shared by the rec* modes: ONE
+    // recommendation per invocation (evidence -> refined spec ->
+    // bands Column), computed outside the rep loop like the band-set
+    // literals above — the recall reps then measure the recommended
+    // set, not repeated recommendation runs (the `recommend` mode
+    // times the recommendation step itself)
+    lazy val (recSpec, recTerminal) = graft.ops.EntityRes.collectRecommendedSpec(
+      graft.ops.EntityRes.recommendSegBands(
+        "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock, wideSpec, maxDist = 2)(
+        spark.read.parquet(s"$sfDir/customer.parquet")))
+    lazy val recBands = graft.ops.EntityRes.bandsFromSpec(col("c_name"), recSpec)
 
     def recallFrame() = {
       val cust = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -107,11 +134,18 @@ object ErScale {
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
           maxDist = 2, maxBlock = maxBlock, bands = quadBands, samplePct = samplePct)(
           graft.DedupQueries.incrementalBatch(cust), cust)
+        case "recrecall" => graft.ops.EntityRes.bandedSubBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = recBands, samplePct = samplePct)(cust)
+        case "increcrecall" => graft.ops.EntityRes.incrementalBandedRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock, bands = recBands, samplePct = samplePct)(
+          graft.DedupQueries.incrementalBatch(cust), cust)
         case m => throw new IllegalArgumentException(s"not a recall mode: $m")
       }
     }
     val isRecall = Set("recall", "bandedrecall", "sfxrecall", "quadrecall",
-      "minhashrecall", "increcall")(mode)
+      "minhashrecall", "increcall", "recrecall", "increcrecall")(mode)
 
     def run(): Double = {
       val t0 = System.nanoTime()
@@ -137,6 +171,11 @@ object ErScale {
               maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey",
               bands = if (mode == "incband") Some(quadBands) else None)(batch, master)
         out.write.mode("overwrite").format("noop").save()
+      } else if (mode == "recommend") {
+        graft.ops.EntityRes.recommendSegBands(
+          "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock, wideSpec, maxDist = 2)(
+          spark.read.parquet(s"$sfDir/customer.parquet"))
+          .write.mode("overwrite").format("noop").save()
       } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub") {
         graft.ops.EntityRes.candidatePairsBanded(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
@@ -175,7 +214,12 @@ object ErScale {
       val rec = if (u == 0) 1.0 else k.toDouble / u
       s""","pairsUncapped":$u,"pairsKept":$k,"pairsLostCross":$c,"pairsLostRefused":$rr,"recall":$rec"""
     } else ""
-    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode","samplePct":$samplePct$recallTail,"sf":"$sfDir"}""")
+    val recTail =
+      if (mode == "recommend" || mode == "recrecall" || mode == "increcrecall") {
+        val specStr = recSpec.map(s => s"(${s.start},${s.len})").mkString(";")
+        s""","recSpec":"$specStr","recTerminal":$recTerminal"""
+      } else ""
+    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode","samplePct":$samplePct$recallTail$recTail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1191,6 +1191,71 @@ class LlmSpec extends SparkSpec {
     assert(rebuilt == 0)
   }
 
+  test("binary CDC chunks: boundaries are content-defined (shift-invariant) and cover every byte") {
+    // deterministic pseudo-random printable payload: 1-byte UTF-8 per
+    // char, so encode() gives byte-per-char and overlaps are exact
+    def payload(seed: Int, n: Int): String =
+      Seq.tabulate(n)(i => (33 + (i * 31 + seed * 17 + (i * i) % 89) % 94).toChar).mkString
+    val s = payload(1, 400)
+    val df = Seq(
+      (1L, s),                       // base
+      (2L, payload(9, 37) + s),      // the SAME bytes behind an inserted prefix
+      (3L, payload(5, 400)),         // unrelated
+      (4L, ""),                      // empty: no rows
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val chunks = Multimodal.binaryCdcChunks("content", "doc_id", divisor = 16, window = 8)(
+      Multimodal.withBinaryContent("text")(df))
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    // coverage: chunk byte counts sum to the content length, per doc
+    assert(byDoc(1L).map(_.getLong(2)).sum == 400L)
+    assert(byDoc(2L).map(_.getLong(2)).sum == 437L)
+    // empty and NULL binaries produce no rows
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // shift-invariance (the CDC property vs fixed-size chunking):
+    // doc 2 re-aligns after the first boundary past the insertion, so
+    // all but the first chunk of doc 1 reappear in doc 2's digest set
+    val d1 = byDoc(1L).map(_.getString(1)).toSet
+    val d2 = byDoc(2L).map(_.getString(1)).toSet
+    assert((d1 -- d2).size <= 1, s"lost ${(d1 -- d2).size} of ${d1.size} chunks")
+    assert(d1.size >= 10, s"only ${d1.size} chunks — divisor too coarse for the fixture")
+    // and the unrelated doc shares (essentially) nothing
+    val d3 = byDoc(3L).map(_.getString(1)).toSet
+    assert((d1 & d3).isEmpty)
+  }
+
+  test("binaryNearDupPairs: inverted index pairs byte-overlapped rows; the df cap drops boilerplate") {
+    def payload(seed: Int, n: Int): String =
+      Seq.tabulate(n)(i => (33 + (i * 29 + seed * 13 + (i * i) % 83) % 94).toChar).mkString
+    val boiler = payload(7, 120)                 // shared codec-preamble stand-in
+    val a = payload(1, 400)
+    val df = Seq(
+      (1L, boiler + a),
+      (2L, boiler + payload(2, 40) + a),         // near-dup of 1 (patched header)
+      (3L, boiler + payload(3, 400)),            // shares ONLY the boilerplate with 1/2
+      (4L, boiler + payload(4, 400))
+    ).toDF("doc_id", "text")
+    def pairs(cap: Long) = Multimodal.binaryNearDupPairs(
+      "content", "doc_id", minJaccard = 0.3, divisor = 16, window = 8,
+      maxDocFreq = cap)(Multimodal.withBinaryContent("text")(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: (1,2) is the only pair over theta — boilerplate alone
+    // (120 of ~520 bytes) stays under jaccard 0.3
+    assert(pairs(1000L) == Set((1L, 2L)), s"got ${pairs(1000L)}")
+    // cap 3: the boilerplate chunks (df = 4 > 3) leave the posting
+    // list; the true near-dup pair survives on its content overlap
+    assert(pairs(3L) == Set((1L, 2L)), s"got ${pairs(3L)}")
+    // coverage face: every row shares the boilerplate -> nonzero
+    // coverage everywhere; identical fraction semantics pin zero-fill
+    val cov = Multimodal.binaryDupCoverage("content", "doc_id", divisor = 16, window = 8)(
+      Multimodal.withBinaryContent("text")(
+        df.unionByName(Seq((9L, "")).toDF("doc_id", "text"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(cov(9L) == 0.0)                       // empty row zero-filled
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(cov(id) > 0.0, s"doc $id: ${cov(id)}"))
+    assert(cov(1L) > cov(3L), s"near-dup ${cov(1L)} should out-cover boiler-only ${cov(3L)}")
+  }
+
   private def unhexBytes(s: String): Array[Byte] =
     s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 

@@ -924,19 +924,34 @@ class OpsSpec extends SparkSpec {
     val merges = EntityRes.incrementalMerges("id", "name", Seq("state"),
       maxDist = 2, maxBlock = 10L, clusterCol = "cluster")(batch, master)
     val remap = merges.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    merges.unpersist()
     // transitive: 102 merges {30,40}, 103 merges {40,50} -> one
     // component {30,40,50} with min 30; unchanged clusters stay out
     assert(remap == Map(20L -> 10L, 40L -> 30L, 50L -> 30L), s"got $remap")
 
-    val resolved = EntityRes.incrementalResolve("id", "name", Seq("state"),
+    val resolvedDf = EntityRes.incrementalResolve("id", "name", Seq("state"),
       maxDist = 2, maxBlock = 10L, clusterCol = "cluster")(batch, master)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // best_dist rides along for parity with incrementalAssign: the
+    // null-able 4th column, NULL exactly for the novel row
+    assert(resolvedDf.columns.toSeq ==
+      Seq("batch_id", "cluster_id", "n_matches", "best_dist"))
+    val resolved = resolvedDf
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
     // matched rows land on the POST-merge component min; the novel row
     // becomes its own new cluster, loudly marked by n_matches = 0
     assert(resolved == Map(
-      101L -> (10L, 2L), 102L -> (30L, 2L), 103L -> (30L, 2L),
-      104L -> (104L, 0L)), s"got $resolved")
+      101L -> (10L, 2L, Some(1)), 102L -> (30L, 2L, Some(1)),
+      103L -> (30L, 2L, Some(2)), 104L -> (104L, 0L, None)), s"got $resolved")
+
+    // the tuple face derives BOTH results from one persisted pair
+    // plan; its merges component must be row-identical to the
+    // standalone incrementalMerges face
+    val (resolved2, merges2) = EntityRes.incrementalResolveAndMerges(
+      "id", "name", Seq("state"),
+      maxDist = 2, maxBlock = 10L, clusterCol = "cluster")(batch, master)
+    assert(merges2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == remap)
+    assert(resolved2.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap == resolved)
   }
 
   test("refusedIncrementalBlocks: either-side cap breach and null keys, per-side sizes") {
@@ -969,6 +984,59 @@ class OpsSpec extends SparkSpec {
     val out = EntityRes.applyMergeLog("cluster", log)(master)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 99L, 5L -> 5L), s"got $out")
+  }
+
+  test("band ladder: evidence counts per-band refusals; recommendation re-splits the surviving hull") {
+    import graft.ops.EntityRes
+    import graft.ops.EntityRes.SegSpec
+    // one hot CA block (8 > cap 3): the coarse chars-1-2 band is a
+    // single "XX" bucket (refused), the two suffix bands are 1-2 row
+    // buckets (survive); rows 1/2 are a dist-1 match pair reachable
+    // only through the suffix "aa" bucket
+    val df = Seq(
+      (1L, "XXaaqq", "CA"), (2L, "XXaaqr", "CA"), (3L, "XXbbss", "CA"),
+      (4L, "XXccdd", "CA"), (5L, "XXeeff", "CA"), (6L, "XXgghh", "CA"),
+      (7L, "XXiijj", "CA"), (8L, "XXkkll", "CA")
+    ).toDF("id", "name", "state")
+    val spec = Seq(SegSpec(1, 2), SegSpec(3, 2), SegSpec(5, 2))
+    val ev = EntityRes.bandEvidence("name", Seq("state"), maxBlock = 3, spec)(df)
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+    assert(ev(0) == (1, 2, 8L, 8L, 1.0), s"got $ev")   // coarse: all rows refused
+    assert(ev(1) == (3, 2, 8L, 0L, 0.0), s"got $ev")
+    assert(ev(2) == (5, 2, 8L, 0L, 0.0), s"got $ev")
+
+    // drop the coarse band, re-split the surviving hull [3, 7) into
+    // maxDist + 1 = 2 pigeonhole segments — deterministically
+    val rec = EntityRes.recommendSegBands("name", Seq("state"), maxBlock = 3,
+      spec, maxDist = 1)(df)
+    val (refined, terminal) = EntityRes.collectRecommendedSpec(rec)
+    assert(!terminal)
+    assert(refined == Seq(SegSpec(3, 2), SegSpec(5, 2)), s"got $refined")
+
+    // the loop CLOSES: the refined spec's bands rescue the hot-block
+    // pair the plain capped path refuses
+    val plain = EntityRes.candidatePairs("id", "name", Seq("state"),
+      maxDist = 1, maxBlock = 3)(df).count()
+    assert(plain == 0L)
+    val banded = EntityRes.candidatePairsBanded("id", "name", Seq("state"),
+      maxDist = 1, maxBlock = 3,
+      bands = EntityRes.bandsFromSpec(col("name"), refined))(df)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == Set((1L, 2L)), s"got $banded")
+
+    // terminal face: every band's bucket over the cap -> the ladder
+    // is exhausted; the ORIGINAL spec re-emits, loudly marked
+    val same = Seq.tabulate(8)(i => (i.toLong, "XXXXXX", "CA")).toDF("id", "name", "state")
+    val (spec2, term2) = EntityRes.collectRecommendedSpec(
+      EntityRes.recommendSegBands("name", Seq("state"), maxBlock = 3,
+        spec, maxDist = 1)(same))
+    assert(term2)
+    assert(spec2 == spec, s"got $spec2")
+
+    // splitSegments mirrors segmentBands' floor boundaries
+    assert(EntityRes.splitSegments(15, 4, 3) ==
+      Seq(SegSpec(15, 1), SegSpec(16, 1), SegSpec(17, 2)))
   }
 
   test("banded incremental ER: hot blocks rescue through band buckets, all three audit arms") {

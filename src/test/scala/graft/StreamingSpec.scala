@@ -542,6 +542,18 @@ class StreamingSpec extends SparkSpec {
         clusterCol = "cluster")
         .trigger(Trigger.AvailableNow()).start())
 
+    // before any batch: CONSTRUCTING the stream seeds the merge log
+    // with an empty TYPED partition (cluster type read off the seeded
+    // master), so the documented compaction read works on a stream
+    // that never logs a merge — no batch id is consumed by the check
+    StreamingIngest.erResolveStream(spark, watch, schema, masterDir, out, mergesDir,
+      ckpt, "id", "name", Seq("state"), maxDist = 2, maxBlock = 10L,
+      clusterCol = "cluster")
+    val seeded = spark.read.parquet(mergesDir)
+    assert(seeded.count() == 0L)
+    assert(seeded.schema("old_cluster").dataType ==
+      org.apache.spark.sql.types.LongType, seeded.schema.treeString)
+
     // batch 0: 101 matches BOTH NY masters (merge evidence 20 -> 10);
     // 102 is novel (no TX block in the master)
     JFiles.writeString(Paths.get(watch, "b1.csv"),
@@ -592,5 +604,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
     assert(compacted == Map(1L -> 10L, 2L -> 10L, 3L -> 3L, 102L -> 102L),
       s"got $compacted")
+
+    // STREAM == BATCH-REPLAY parity (the ErStreamScale tool's pin at
+    // fixture scale): replaying the identical two-batch sequence
+    // through the batch faces — incrementalResolveAndMerges plus the
+    // same novel accretion — reproduces the stream's assignments
+    // row-for-row, so the scale delta between the faces is streaming
+    // machinery, never plan semantics
+    val seed = Seq(
+      (1L, "alpha x", "NY", 10L), (2L, "alpha y", "NY", 20L),
+      (3L, "gamma g", "CA", 3L)).toDF("id", "name", "state", "cluster")
+    val batches = Seq(
+      Seq((101L, "alpha z", "NY"), (102L, "zeta zz", "TX")),
+      Seq((103L, "zeta za", "TX")))
+    var replayMaster = seed
+    val replayAssign = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      val batch = rows.toDF("id", "name", "state")
+      val (resolved, _) = graft.ops.EntityRes.incrementalResolveAndMerges(
+        "id", "name", Seq("state"), maxDist = 2, maxBlock = 10L,
+        clusterCol = "cluster")(batch, replayMaster)
+      resolved.collect().foreach(r => replayAssign(r.getLong(0)) =
+        (r.getLong(1), r.getLong(2), b.toLong))
+      val novelIds = resolved.where(col("n_matches") === 0L)
+        .select(col("batch_id").as("id"))
+      replayMaster = replayMaster.unionByName(
+        batch.join(novelIds, Seq("id"), "left_semi")
+          .withColumn("cluster", col("id"))
+          .select("id", "name", "state", "cluster"))
+    }
+    assert(replayAssign.toMap == before, s"replay ${replayAssign.toMap} vs stream $before")
   }
 }
