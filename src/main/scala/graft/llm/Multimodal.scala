@@ -304,10 +304,17 @@ object Multimodal {
     * 32×, here over ~n_bytes/divisor chunks per row instead of k-gram
     * counts.
     *
-    * NOT persisted: the caller gets a lazy frame (the allPairsJaccard
-    * rationale — a persist here could never be released and would
-    * leak a corpus-chunk-sized cache per invocation); the three
-    * linear chunking passes are noise next to the posting-list join.
+    * The distinct (id, digest) table is materialized ONCE (eager
+    * localCheckpoint — blocks reclaimed by the ContextCleaner on
+    * garbage collection, so nothing leaks for the session lifetime
+    * the way an unreleasable persist would). This deliberately
+    * DIVERGES from allPairsJaccard's recompute-the-shingles trade:
+    * there the linear explode is noise next to the quadratic join;
+    * here the per-byte window hash IS the dominant term (measured
+    * 2.3× the whole-query cost when re-run per consumer at sf0.1),
+    * and the digest rows are ~50 bytes/chunk ≈ 3 bytes per content
+    * byte at divisor 16 — at production divisors (KBs per chunk, the
+    * storage-dedup norm for real media) a negligible fraction.
     * Output: (id_a, id_b, n_shared, jaccard), id_a < id_b.
     */
   def binaryNearDupPairs(
@@ -320,6 +327,7 @@ object Multimodal {
     require(maxDocFreq >= 2, s"bad maxDocFreq=$maxDocFreq")
     val cd0 = binaryCdcChunks(binCol, idCol, divisor, window)(df)
       .select(col(idCol), col("chunk_md5")).distinct()
+      .localCheckpoint(true)
     val kept = cd0.groupBy("chunk_md5").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDocFreq).select("chunk_md5")
     // the using-column semi join moves chunk_md5 first; restore the

@@ -468,8 +468,9 @@ object EntityRes {
     * [[candidatePairs]]' pair graph (label propagation,
     * [[graft.llm.Dedup.nearDupClusters]]). Output: (doc_id,
     * cluster_id = min member id) for every record in at least one
-    * pair. The returned frame is persisted by nearDupClusters —
-    * single-use callers `.unpersist()` when done.
+    * pair. The returned frame is materialized by nearDupClusters
+    * (localCheckpoint or driver-local storage, reclaimed on garbage
+    * collection — `.unpersist()` is a harmless no-op).
     */
   def matchGroups(
       idCol: String,
@@ -944,8 +945,8 @@ object EntityRes {
     * end-to-end face of [[candidatePairsBanded]]: transitive match
     * groups whose hot-block edges come from the banded candidate set
     * (measured recall 0.97-1.00 vs ~0.30 for a single lexical
-    * sub-key, SCALE.md round 15). Same persist contract as
-    * [[matchGroups]]: `.unpersist()` when done.
+    * sub-key, SCALE.md round 15). Same storage contract as
+    * [[matchGroups]] (materialized; no caller-side release needed).
     */
   def matchGroupsBanded(
       idCol: String,

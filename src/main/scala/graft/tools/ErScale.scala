@@ -55,7 +55,7 @@ object ErScale {
     require(args.length == 2 || args.length == 3,
       "usage: ErScale <sfDir> <maxBlock> " +
         "[sub|bandedsub|sfxsub|quadsub|inc|incband|incresolve|recall|bandedrecall|" +
-        "sfxrecall|quadrecall|minhashrecall|increcall|recommend|recrecall|" +
+        "sfxrecall|quadrecall|minhashrecall|increcall|recommend|recrecall|recsub|" +
         "increcrecall][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
@@ -176,21 +176,22 @@ object ErScale {
           "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock, wideSpec, maxDist = 2)(
           spark.read.parquet(s"$sfDir/customer.parquet"))
           .write.mode("overwrite").format("noop").save()
-      } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub") {
+      } else if (mode == "bandedsub" || mode == "sfxsub" || mode == "quadsub" ||
+        mode == "recsub") {
         graft.ops.EntityRes.candidatePairsBanded(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
           maxDist = 2, maxBlock = maxBlock,
           bands = if (mode == "sfxsub") sfxBands
-            else if (mode == "quadsub") quadBands else segBands)(
+            else if (mode == "quadsub") quadBands
+            else if (mode == "recsub") recBands else segBands)(
           spark.read.parquet(s"$sfDir/customer.parquet"))
           .write.mode("overwrite").format("noop").save()
       } else {
-        val g = graft.ops.EntityRes.matchGroups(
+        graft.ops.EntityRes.matchGroups(
           "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
           maxDist = 2, maxBlock = maxBlock, subBlock = subBlock)(
           spark.read.parquet(s"$sfDir/customer.parquet"))
-        g.write.mode("overwrite").format("noop").save()
-        g.unpersist()
+          .write.mode("overwrite").format("noop").save()
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -215,7 +216,8 @@ object ErScale {
       s""","pairsUncapped":$u,"pairsKept":$k,"pairsLostCross":$c,"pairsLostRefused":$rr,"recall":$rec"""
     } else ""
     val recTail =
-      if (mode == "recommend" || mode == "recrecall" || mode == "increcrecall") {
+      if (mode == "recommend" || mode == "recrecall" || mode == "increcrecall" ||
+        mode == "recsub") {
         val specStr = recSpec.map(s => s"(${s.start},${s.len})").mkString(";")
         s""","recSpec":"$specStr","recTerminal":$recTerminal"""
       } else ""
