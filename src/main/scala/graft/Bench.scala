@@ -61,7 +61,8 @@ object Bench {
     "pipeline_curation_v2",
     "w6_curation_gate_twin", "mixture_temperature",
     "er_merge_log_compact", "er_band_evidence", "er_recommend_bands",
-    "mm_cdc_chunks", "mm_neardup_pairs", "mm_neardup_coverage")
+    "mm_cdc_chunks", "mm_neardup_pairs", "mm_neardup_coverage",
+    "mm_neardup_keep", "mm_neardup_clusters", "mm_neardup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

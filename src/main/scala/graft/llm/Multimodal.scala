@@ -348,6 +348,103 @@ object Multimodal {
       .select("id_a", "id_b", "n_shared", "jaccard")
   }
 
+  /** Content-level binary near-dedup — keep one representative per
+    * near-dup relation: drop every row appearing as the HIGHER id of
+    * a [[binaryNearDupPairs]] pair (keep-lowest, the
+    * [[graft.llm.Dedup.nearDedup]] rule applied to bytes). Same
+    * never-all-pairs inverted-index path and df-cap contract as the
+    * pairs face.
+    */
+  def binaryNearDedup(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      divisor: Int = 32,
+      window: Int = 8,
+      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame = {
+    val drop = binaryNearDupPairs(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(df)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Transitive binary near-dup groups: connected components over the
+    * [[binaryNearDupPairs]] graph (label propagation,
+    * [[graft.llm.Dedup.nearDupClusters]]) — (doc_id, cluster_id = min
+    * member id) for every row in at least one pair. The returned
+    * frame is materialized by nearDupClusters (no caller-side release
+    * contract).
+    */
+  def binaryNearDupClusters(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      divisor: Int = 32,
+      window: Int = 8,
+      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame =
+    graft.llm.Dedup.nearDupClusters(
+      binaryNearDupPairs(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(df))
+
+  /** Steady-state binary near-dup ingest — the multimodal twin of
+    * [[graft.llm.Dedup.incrementalNearDedup]]: drop every batch
+    * binary with a confirmed CDC-chunk near-duplicate in the
+    * accumulated store, then near-dedup the survivors among
+    * themselves (keep-lowest within the batch, SAME divisor / window
+    * / threshold / cap — the two stages must apply one notion of
+    * "near"). Idempotent: re-offering an ingested batch drops
+    * everything against the store.
+    *
+    * Scale shape: candidates come from the cross-table inverted index
+    * on chunk digests — a (batch row, store row) pair is scored iff
+    * it shares a kept chunk, never batch×store. The df-cap is
+    * computed on the STORE side (the accumulated side is where
+    * boilerplate lives; a store chunk over `maxDocFreq` leaves the
+    * universe on BOTH sides, so the jaccard stays well-defined over
+    * kept chunks). The batch's digest table localCheckpoints (bounded
+    * by the CDC delta, the incrementalNearDedup discipline); the
+    * store's chunks stream through the df aggregate and the join
+    * lazily — a production deployment amortizes those two store
+    * passes by persisting the chunk index as a table beside the store
+    * (the same pre-computed-index move the exact face's digest store
+    * makes), which changes nothing semantic here.
+    */
+  def binaryIncrementalNearDup(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      divisor: Int = 32,
+      window: Int = 8,
+      maxDocFreq: Long = 1000L)(batch: DataFrame, store: DataFrame): DataFrame = {
+    require(maxDocFreq >= 2, s"bad maxDocFreq=$maxDocFreq")
+    val cb = binaryCdcChunks(binCol, idCol, divisor, window)(batch)
+      .select(col(idCol), col("chunk_md5")).distinct()
+      .localCheckpoint(true)
+    val cs = binaryCdcChunks(binCol, idCol, divisor, window)(store)
+      .select(col(idCol), col("chunk_md5")).distinct()
+    val hot = cs.groupBy("chunk_md5").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("chunk_md5")
+    def kept(cd: DataFrame) = cd.join(hot, Seq("chunk_md5"), "left_anti")
+      .select(col(idCol), col("chunk_md5"))
+    val cbK = kept(cb)
+    val csK = kept(cs)
+    val nb = cbK.groupBy(col(idCol)).agg(count(lit(1)).as("__nb"))
+    val ns = csK.groupBy(col(idCol)).agg(count(lit(1)).as("__ns"))
+    val inter = cbK.toDF("__bid", "__c").join(csK.toDF("__sid", "__c"), "__c")
+      .groupBy("__bid", "__sid").agg(count(lit(1)).as("__i"))
+    val storeDrop = inter
+      .join(nb.toDF("__bid", "__nb"), "__bid")
+      .join(ns.toDF("__sid", "__ns"), "__sid")
+      .where(col("__i").cast("double") / (col("__nb") + col("__ns") - col("__i"))
+        >= minJaccard)
+      .select(col("__bid").as(idCol)).distinct()
+    // batch-bounded by nature — the incrementalNearDedup checkpoint
+    // discipline: the within-batch stage references this frame
+    // several times, each lazy reference would replan the whole
+    // cross-table pipeline
+    val survivors = batch.join(storeDrop, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    binaryNearDedup(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(survivors)
+  }
+
   /** Per-binary duplicate coverage at CDC-chunk granularity — the
     * byte-level twin of [[graft.llm.Dedup.cdcDupCoverage]]: the
     * fraction of a binary's bytes living in chunks that also appear

@@ -118,6 +118,32 @@ private[graft] object MultimodalQueries {
     "mm_neardup_coverage" -> ((s, d) =>
       Multimodal.binaryDupCoverage("content", "doc_id", divisor = 16, window = 8)(
         Multimodal.withBinaryContent("text")(t(s, d, "documents")))),
+    // keep-lowest representative per binary near-dup relation (the
+    // dedup_near_keep face over bytes); the binary content column is
+    // dropped from the OUTPUT only (pandas can't sort bytes)
+    "mm_neardup_keep" -> ((s, d) =>
+      Multimodal.binaryNearDedup("content", "doc_id", minJaccard = 0.3,
+        divisor = 16, window = 8, maxDocFreq = 64L)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .drop("content")),
+    // transitive binary near-dup groups (label prop over the chunk
+    // pair graph); oracle = pairs replay + recursive reachability walk
+    "mm_neardup_clusters" -> ((s, d) =>
+      Multimodal.binaryNearDupClusters("content", "doc_id", minJaccard = 0.3,
+        divisor = 16, window = 8, maxDocFreq = 64L)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))),
+    // steady-state binary ingest (the dedup_incremental_near twin):
+    // batch = every 5th row, store = the rest; drop batch binaries
+    // with a store chunk-near-dup (cap on the STORE side's chunk df),
+    // then keep-lowest among the batch survivors
+    "mm_neardup_incremental" -> ((s, d) => {
+      val docs = Multimodal.withBinaryContent("text")(t(s, d, "documents"))
+      Multimodal.binaryIncrementalNearDup("content", "doc_id", minJaccard = 0.3,
+        divisor = 16, window = 8, maxDocFreq = 64L)(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0))
+        .drop("content")
+    }),
   )
 
   val oracleSql: Map[String, String] = reg(
@@ -245,6 +271,82 @@ private[graft] object MultimodalQueries {
           |       COALESCE(p.dup_bytes, 0) AS dup_bytes,
           |       COALESCE(CAST(p.dup_bytes AS DOUBLE) / p.n_bytes, 0.0) AS dup_byte_frac
           |FROM documents doc LEFT JOIN per p ON doc.doc_id = p.doc_id""".stripMargin),
+    // pairs replay -> drop every id_b of an over-threshold pair
+    "mm_neardup_keep" ->
+      (binCdcCtes +
+        """, cd AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+          |kept AS (SELECT chunk_md5 FROM cd GROUP BY 1 HAVING count(*) <= 64),
+          |cdk AS (SELECT cd.* FROM cd JOIN kept USING (chunk_md5)),
+          |szs AS (SELECT doc_id, count(*) AS n FROM cdk GROUP BY 1),
+          |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |      FROM cdk a JOIN cdk b
+          |        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2),
+          |drops AS (SELECT DISTINCT i.id_b FROM i
+          |          JOIN szs sa ON i.id_a = sa.doc_id
+          |          JOIN szs sb ON i.id_b = sb.doc_id
+          |          WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.3)
+          |SELECT doc_id, text, lang, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin),
+    // pairs replay -> recursive reachability walk, component min label
+    "mm_neardup_clusters" ->
+      (binCdcCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, cd AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+          |kept AS (SELECT chunk_md5 FROM cd GROUP BY 1 HAVING count(*) <= 64),
+          |cdk AS (SELECT cd.* FROM cd JOIN kept USING (chunk_md5)),
+          |szs AS (SELECT doc_id, count(*) AS n FROM cdk GROUP BY 1),
+          |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |      FROM cdk a JOIN cdk b
+          |        ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2),
+          |pairs AS (SELECT i.id_a, i.id_b FROM i
+          |          JOIN szs sa ON i.id_a = sa.doc_id
+          |          JOIN szs sb ON i.id_b = sb.doc_id
+          |          WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.3),
+          |edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+          |walk(v, r) AS (
+          |  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t0
+          |  UNION
+          |  SELECT e.t, w.r FROM walk w JOIN edges e ON e.s = w.v)
+          |SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1""".stripMargin),
+    // cross-table stage (store-side df cap, jaccard over the kept
+    // universe) -> store-survivors -> within-batch keep-lowest with
+    // the df cap recomputed over SURVIVORS (the fresh-call semantics)
+    "mm_neardup_incremental" ->
+      (binCdcCtes +
+        """, cdall AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+          |hot AS (SELECT chunk_md5 FROM cdall WHERE doc_id % 5 <> 0
+          |        GROUP BY 1 HAVING count(*) > 64),
+          |cb AS (SELECT * FROM cdall WHERE doc_id % 5 = 0
+          |       AND chunk_md5 NOT IN (SELECT chunk_md5 FROM hot)),
+          |cs AS (SELECT * FROM cdall WHERE doc_id % 5 <> 0
+          |       AND chunk_md5 NOT IN (SELECT chunk_md5 FROM hot)),
+          |nb AS (SELECT doc_id, count(*) AS n FROM cb GROUP BY 1),
+          |ns AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+          |ix AS (SELECT cb.doc_id AS bid, cs.doc_id AS sid, count(*) AS i
+          |       FROM cb JOIN cs ON cb.chunk_md5 = cs.chunk_md5 GROUP BY 1, 2),
+          |storedrop AS (SELECT DISTINCT ix.bid FROM ix
+          |              JOIN nb ON ix.bid = nb.doc_id
+          |              JOIN ns ON ix.sid = ns.doc_id
+          |              WHERE CAST(ix.i AS DOUBLE) / (nb.n + ns.n - ix.i) >= 0.3),
+          |surv AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+          |         AND doc_id NOT IN (SELECT bid FROM storedrop)),
+          |cv AS (SELECT cd.* FROM cdall cd JOIN surv ON cd.doc_id = surv.doc_id),
+          |hot2 AS (SELECT chunk_md5 FROM cv GROUP BY 1 HAVING count(*) > 64),
+          |cvk AS (SELECT * FROM cv
+          |        WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM hot2)),
+          |nv AS (SELECT doc_id, count(*) AS n FROM cvk GROUP BY 1),
+          |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          |       FROM cvk a JOIN cvk b
+          |         ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2),
+          |batchdrop AS (SELECT DISTINCT iv.id_b FROM iv
+          |              JOIN nv na ON iv.id_a = na.doc_id
+          |              JOIN nv nb2 ON iv.id_b = nb2.doc_id
+          |              WHERE CAST(iv.i AS DOUBLE) / (na.n + nb2.n - iv.i) >= 0.3)
+          |SELECT doc_id, text, lang, source, n_chars FROM documents
+          |WHERE doc_id IN (SELECT doc_id FROM surv)
+          |  AND doc_id NOT IN (SELECT id_b FROM batchdrop)""".stripMargin),
   )
 
   /** Shared DuckDB CTE replaying [[graft.llm.Multimodal

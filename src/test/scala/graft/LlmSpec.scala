@@ -1256,6 +1256,52 @@ class LlmSpec extends SparkSpec {
     assert(cov(1L) > cov(3L), s"near-dup ${cov(1L)} should out-cover boiler-only ${cov(3L)}")
   }
 
+  test("binary near-dup faces: keep-lowest, transitive clusters, incremental ingest") {
+    def payload(seed: Int, n: Int): String =
+      Seq.tabulate(n)(i => (33 + (i * 37 + seed * 11 + (i * i) % 71) % 94).toChar).mkString
+    val (p1, p2, p3, p4) = (payload(1, 300), payload(2, 300), payload(3, 300), payload(4, 300))
+    // a chain: 1~2 share p2, 2~3 share p3, 1 and 3 share nothing
+    val df = Seq(
+      (1L, p1 + p2), (2L, p2 + p3), (3L, p3 + p4), (4L, payload(9, 600))
+    ).toDF("doc_id", "text")
+    def bin(d: org.apache.spark.sql.DataFrame) = Multimodal.withBinaryContent("text")(d)
+    val theta = 0.25
+
+    // keep-lowest: pairs (1,2) and (2,3) drop ids 2 and 3
+    val kept = Multimodal.binaryNearDedup("content", "doc_id", theta,
+      divisor = 16, window = 8)(bin(df)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"got $kept")
+
+    // transitive clusters: the chain collapses to one component, min 1
+    val clusters = Multimodal.binaryNearDupClusters("content", "doc_id", theta,
+      divisor = 16, window = 8)(bin(df))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $clusters")
+
+    // incremental: 11 dups the store; 12/13 dup each other (keep 12);
+    // 14 is novel
+    val store = Seq((1L, p1 + p2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, p1 + p2), (12L, p3 + p4), (13L, p3 + p4 + payload(5, 40)),
+      (14L, payload(6, 600))
+    ).toDF("doc_id", "text")
+    val ingested = Multimodal.binaryIncrementalNearDup("content", "doc_id", theta,
+      divisor = 16, window = 8)(bin(batch), bin(store)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ingested == Set(12L, 14L), s"got $ingested")
+
+    // idempotence: re-offering the ingested rows against a store that
+    // now contains them drops everything
+    val store2 = store.unionByName(
+      batch.where(col("doc_id").isin(12L, 14L)))
+    val again = Multimodal.binaryIncrementalNearDup("content", "doc_id", theta,
+      divisor = 16, window = 8)(
+      bin(batch.where(col("doc_id").isin(12L, 14L))
+        .withColumn("doc_id", col("doc_id") + 100L)), bin(store2))
+    assert(again.count() == 0L, again.collect().mkString(","))
+  }
+
   private def unhexBytes(s: String): Array[Byte] =
     s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
