@@ -73,6 +73,29 @@ object SparkEntry {
             .write.mode("overwrite").format("noop").save()
         })
     }),
+    // the chunk-index lifecycle split the same way: the write-once
+    // store-side index build vs the steady-state ingest that reads it
+    // — fused, the build (a full store chunking) buries exactly the
+    // per-batch cost the index exists to remove
+    "mm_neardup_incr_indexed" -> ((s, d) => {
+      import graft.llm.Multimodal
+      val idxPath = scratch(s"bench_mm_chunk_index_${Integer.toHexString(d.hashCode)}")
+      def docs = Multimodal.withBinaryContent("text")(t(s, d, "documents"))
+      Seq(
+        "index" -> { () =>
+          Multimodal.binaryChunkIndex("content", "doc_id", divisor = 16, window = 8)(
+            docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+            .write.mode("overwrite").parquet(idxPath)
+        },
+        "ingest" -> { () =>
+          Multimodal.binaryIncrementalNearDupIndexed("content", "doc_id", minJaccard = 0.3,
+            divisor = 16, window = 8, maxDocFreq = 64L)(
+            docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+            s.read.parquet(idxPath))
+            .drop("content")
+            .write.mode("overwrite").format("noop").save()
+        })
+    }),
     // the deployed-index lifecycle split into its real phases: the
     // write-once layout build vs the steady-state pruned probe read —
     // a fused timing buries the read path the layout exists to serve

@@ -399,13 +399,17 @@ object Multimodal {
     * computed on the STORE side (the accumulated side is where
     * boilerplate lives; a store chunk over `maxDocFreq` leaves the
     * universe on BOTH sides, so the jaccard stays well-defined over
-    * kept chunks). The batch's digest table localCheckpoints (bounded
-    * by the CDC delta, the incrementalNearDedup discipline); the
-    * store's chunks stream through the df aggregate and the join
-    * lazily — a production deployment amortizes those two store
-    * passes by persisting the chunk index as a table beside the store
-    * (the same pre-computed-index move the exact face's digest store
-    * makes), which changes nothing semantic here.
+    * kept chunks). Both digest tables materialize ONCE (eager
+    * localCheckpoint — digest rows, never content bytes), so the
+    * per-byte window hash runs exactly one pass per side no matter
+    * how many consumers the candidate pipeline fans into (the df
+    * aggregate, the posting join, and the size aggregates all read
+    * the checkpointed rows). Re-chunking the store per ingest is
+    * still a store-sized pass — the steady-state deployment persists
+    * the chunk index beside the store ([[binaryChunkIndex]] /
+    * [[ingestBinaryChunkIndex]]) and ingests through
+    * [[binaryIncrementalNearDupIndexed]], which never touches store
+    * bytes at all.
     */
   def binaryIncrementalNearDup(
       binCol: String,
@@ -414,12 +418,88 @@ object Multimodal {
       divisor: Int = 32,
       window: Int = 8,
       maxDocFreq: Long = 1000L)(batch: DataFrame, store: DataFrame): DataFrame = {
+    val cs = binaryCdcChunks(binCol, idCol, divisor, window)(store)
+      .select(col(idCol), col("chunk_md5")).distinct()
+      .localCheckpoint(true)
+    incrementalNearDupCore(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(batch, cs)
+  }
+
+  /** The persisted chunk index for a binary store — one row per
+    * DISTINCT (id, chunk digest) with the chunk's byte length: the
+    * pre-computed-index move the exact-dedup family makes with its
+    * digest store ([[graft.llm.Dedup.incrementalDedup]]'s scaladoc),
+    * applied to CDC chunks. Written once beside the store and
+    * maintained at ingest ([[ingestBinaryChunkIndex]]), it removes
+    * the per-ingest store re-chunking pass entirely — at 100 TB the
+    * store-side per-byte window hash dominates every batch, and the
+    * index is digest-sized (~50 bytes per chunk; at production
+    * divisors — KBs per chunk — a negligible fraction of content).
+    */
+  def binaryChunkIndex(
+      binCol: String,
+      idCol: String,
+      divisor: Int = 32,
+      window: Int = 8)(df: DataFrame): DataFrame =
+    binaryCdcChunks(binCol, idCol, divisor, window)(df)
+      // one row per (id, digest): a digest determines its chunk bytes
+      // (and so n_bytes) — max() is just the aggregate form of "the"
+      .groupBy(col(idCol), col("chunk_md5"))
+      .agg(max(col("n_bytes")).as("n_bytes"))
+
+  /** The index-maintenance DELTA for an ingested batch: chunk-index
+    * rows for exactly the batch ids NOT already present in `index`.
+    * The caller appends the result to the index table — re-offering
+    * an already-ingested batch yields an EMPTY delta, so the append
+    * is idempotent (the partition-overwrite discipline of
+    * [[graft.streaming.StreamingIngest.erResolveStream]] composes on
+    * top for at-least-once replays). Only the delta's rows are ever
+    * chunked — the index itself is read, never rebuilt.
+    */
+  def ingestBinaryChunkIndex(
+      binCol: String,
+      idCol: String,
+      divisor: Int = 32,
+      window: Int = 8)(batch: DataFrame, index: DataFrame): DataFrame = {
+    val knownIds = index.select(col(idCol)).distinct()
+    binaryChunkIndex(binCol, idCol, divisor, window)(
+      batch.join(knownIds, Seq(idCol), "left_anti"))
+  }
+
+  /** [[binaryIncrementalNearDup]] reading the store side from its
+    * persisted chunk index instead of re-chunking store bytes — the
+    * steady-state production path. `storeIndex` is a
+    * [[binaryChunkIndex]] table (one row per (id, chunk_md5); extra
+    * columns like n_bytes are ignored); store CONTENT is never
+    * touched, so the per-ingest bill is the batch's own chunking plus
+    * index-sized aggregations and the cap-bounded posting join —
+    * identical output to the re-chunking face by construction (gated:
+    * mm_neardup_incr_indexed shares mm_neardup_incremental's oracle).
+    */
+  def binaryIncrementalNearDupIndexed(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      divisor: Int = 32,
+      window: Int = 8,
+      maxDocFreq: Long = 1000L)(batch: DataFrame, storeIndex: DataFrame): DataFrame =
+    incrementalNearDupCore(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(
+      batch, storeIndex.select(col(idCol), col("chunk_md5")))
+
+  /** Shared cross-table stage of the two incremental faces: `cs` is
+    * the store's distinct (id, chunk_md5) table — checkpointed chunk
+    * output (re-chunk face) or the persisted index (indexed face).
+    */
+  private def incrementalNearDupCore(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      divisor: Int,
+      window: Int,
+      maxDocFreq: Long)(batch: DataFrame, cs: DataFrame): DataFrame = {
     require(maxDocFreq >= 2, s"bad maxDocFreq=$maxDocFreq")
     val cb = binaryCdcChunks(binCol, idCol, divisor, window)(batch)
       .select(col(idCol), col("chunk_md5")).distinct()
       .localCheckpoint(true)
-    val cs = binaryCdcChunks(binCol, idCol, divisor, window)(store)
-      .select(col(idCol), col("chunk_md5")).distinct()
     val hot = cs.groupBy("chunk_md5").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("chunk_md5")
     def kept(cd: DataFrame) = cd.join(hot, Seq("chunk_md5"), "left_anti")

@@ -589,6 +589,19 @@ object EntityRes {
     * keys (bytes, not bodies, cross the shuffle); per-bucket cost is
     * ≤ maxBlock² because both sides' bucket sizes are capped; the
     * final distinct shuffles only surviving pairs. Never a cartesian.
+    *
+    * `adaptive` prices the IDLE cap (verdict-r15 item 7): the
+    * declarative plan pays the two-sided block-size full join and the
+    * banded arm's aggregations even when NO block is hot (+~20% at 1×
+    * for an empty hot set, SCALE.md). With `adaptive = true` the hot
+    * set — block-count-sized, never row-sized — materializes eagerly
+    * (localCheckpoint) and is checked: empty → ONE plain blocked join
+    * (the anti-join filters nothing and the banded arm is provably
+    * empty, so the output is identical by construction); non-empty →
+    * the usual two-arm plan, now reusing the materialized hot set
+    * across its four consumers instead of recomputing the full join
+    * per arm. Identical output either way — the flag moves cost, not
+    * semantics (spec-pinned on both regimes).
     */
   def incrementalPairsBanded(
       idCol: String,
@@ -596,40 +609,54 @@ object EntityRes {
       blockCols: Seq[String],
       maxDist: Int,
       maxBlock: Long,
-      bands: Column)(batch: DataFrame, master: DataFrame): DataFrame = {
+      bands: Column,
+      adaptive: Boolean = false)(batch: DataFrame, master: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "incrementalPairsBanded needs at least one blocking column")
     require(maxDist >= 0 && maxBlock >= 1, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
     Seq("__band", "__bkey").foreach(c =>
       require(!batch.columns.contains(c) && !master.columns.contains(c),
         s"incrementalPairsBanded uses internal column $c — rename it first"))
-    val hotKeys = incrementalHotBlocks(blockCols, maxBlock)(batch, master)
+    val hotKeys0 = incrementalHotBlocks(blockCols, maxBlock)(batch, master)
       .select(blockCols.map(col): _*)
-    def okSide(df: DataFrame, idAs: String, nameAs: String) = df
-      .join(hotKeys, blockCols, "left_anti")
-      .select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs): _*)
-    val direct = okSide(batch, "batch_id", "name_batch")
-      .join(okSide(master, "master_id", "name_master"), blockCols)
-      .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
-      .where(col("dist") >= 0)
-      .select("batch_id", "master_id", "name_batch", "name_master", "dist")
-    val bandCols = blockCols :+ "__band" :+ "__bkey"
-    def bandedSide(df: DataFrame, idAs: String, nameAs: String) = {
-      val b = df.join(hotKeys, blockCols, "left_semi")
-        .select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs) :+
-          posexplode(bands).as(Seq("__band", "__bkey")): _*)
-        .where(col("__bkey").isNotNull)
-      val sz = b.groupBy(bandCols.map(col): _*).agg(count(lit(1)).as("block_n"))
-      b.join(sz.where(col("block_n") <= maxBlock), bandCols, "left_semi")
-        // re-select: the using-column semi join moves join cols first
-        .select((bandCols :+ idAs :+ nameAs).map(col): _*)
+    val hotKeys = if (adaptive) hotKeys0.localCheckpoint(true) else hotKeys0
+    def side(df: DataFrame, idAs: String, nameAs: String) =
+      df.select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs): _*)
+    if (adaptive && hotKeys.isEmpty) {
+      // cap idle: every block is within the bound on both sides, so
+      // the direct arm's anti-join keeps everything and the banded
+      // arm has no rows — one plain blocked join is the same answer
+      side(batch, "batch_id", "name_batch")
+        .join(side(master, "master_id", "name_master"), blockCols)
+        .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
+        .where(col("dist") >= 0)
+        .select("batch_id", "master_id", "name_batch", "name_master", "dist")
+    } else {
+      def okSide(df: DataFrame, idAs: String, nameAs: String) =
+        side(df.join(hotKeys, blockCols, "left_anti"), idAs, nameAs)
+      val direct = okSide(batch, "batch_id", "name_batch")
+        .join(okSide(master, "master_id", "name_master"), blockCols)
+        .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
+        .where(col("dist") >= 0)
+        .select("batch_id", "master_id", "name_batch", "name_master", "dist")
+      val bandCols = blockCols :+ "__band" :+ "__bkey"
+      def bandedSide(df: DataFrame, idAs: String, nameAs: String) = {
+        val b = df.join(hotKeys, blockCols, "left_semi")
+          .select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs) :+
+            posexplode(bands).as(Seq("__band", "__bkey")): _*)
+          .where(col("__bkey").isNotNull)
+        val sz = b.groupBy(bandCols.map(col): _*).agg(count(lit(1)).as("block_n"))
+        b.join(sz.where(col("block_n") <= maxBlock), bandCols, "left_semi")
+          // re-select: the using-column semi join moves join cols first
+          .select((bandCols :+ idAs :+ nameAs).map(col): _*)
+      }
+      val banded = bandedSide(batch, "batch_id", "name_batch")
+        .join(bandedSide(master, "master_id", "name_master"), bandCols)
+        .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
+        .where(col("dist") >= 0)
+        .select("batch_id", "master_id", "name_batch", "name_master", "dist")
+        .distinct()
+      direct.unionByName(banded)
     }
-    val banded = bandedSide(batch, "batch_id", "name_batch")
-      .join(bandedSide(master, "master_id", "name_master"), bandCols)
-      .withColumn("dist", levenshtein(col("name_batch"), col("name_master"), maxDist))
-      .where(col("dist") >= 0)
-      .select("batch_id", "master_id", "name_batch", "name_master", "dist")
-      .distinct()
-    direct.unionByName(banded)
   }
 
   /** [[bandedSubBlockRecall]] for the CDC face: for every hot block
@@ -728,11 +755,13 @@ object EntityRes {
       maxDist: Int,
       maxBlock: Long,
       clusterCol: String,
-      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
+      bands: Option[Column] = None,
+      adaptive: Boolean = false)(batch: DataFrame, master: DataFrame): DataFrame = {
     val pairs = bands match {
       case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
       case Some(b) =>
-        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b)(batch, master)
+        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b,
+          adaptive)(batch, master)
     }
     val withCluster = pairs.join(
       master.select(col(idCol).as("master_id"), col(clusterCol).as("__cluster")),
@@ -786,11 +815,13 @@ object EntityRes {
       maxDist: Int,
       maxBlock: Long,
       clusterCol: String,
-      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame = {
+      bands: Option[Column] = None,
+      adaptive: Boolean = false)(batch: DataFrame, master: DataFrame): DataFrame = {
     val pairs = bands match {
       case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
       case Some(b) =>
-        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b)(batch, master)
+        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b,
+          adaptive)(batch, master)
     }
     val pc = pairs.join(
       master.select(col(idCol).as("master_id"), col(clusterCol).as("__cluster")),
@@ -846,13 +877,15 @@ object EntityRes {
       maxDist: Int,
       maxBlock: Long,
       clusterCol: String,
-      bands: Option[Column] = None)(
+      bands: Option[Column] = None,
+      adaptive: Boolean = false)(
       batch: DataFrame, master: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = (bands match {
       case None => incrementalPairs(idCol, nameCol, blockCols, maxDist, maxBlock)(batch, master)
       case Some(b) =>
-        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b)(batch, master)
+        incrementalPairsBanded(idCol, nameCol, blockCols, maxDist, maxBlock, b,
+          adaptive)(batch, master)
     }).persist(MEMORY_AND_DISK)
     try {
       val withCluster = pairs.join(
@@ -900,9 +933,11 @@ object EntityRes {
       maxDist: Int,
       maxBlock: Long,
       clusterCol: String,
-      bands: Option[Column] = None)(batch: DataFrame, master: DataFrame): DataFrame =
+      bands: Option[Column] = None,
+      adaptive: Boolean = false)(batch: DataFrame, master: DataFrame): DataFrame =
     incrementalResolveAndMerges(
-      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)._1
+      idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands,
+      adaptive)(batch, master)._1
 
   /** The offline compactor for [[incrementalMerges]]' remap log —
     * the step the streaming loop's scaladoc
@@ -1085,6 +1120,17 @@ object EntityRes {
     * ladder recurses (evidence → recommend → re-audit, each step
     * gated and deterministic).
     *
+    * Degraded face: the pigeonhole guarantee (≤ maxDist substitutions
+    * leave ≥ 1 band intact) needs maxDist + 1 NON-EMPTY segments, and
+    * a hull shorter than maxDist + 1 chars cannot yield them — the
+    * seg_len > 0 filter would silently emit fewer. Those rows carry
+    * `action = 'degraded'` instead of 'refined': the spec is still
+    * the best available banding of the surviving region, but maxDist
+    * substitutions landing inside the short hull can break every
+    * band, and an automated loop must not treat it as a restored
+    * guarantee ([[collectRecommendedSpec]] surfaces the action;
+    * [[refineBandsLoop]] stops on it).
+    *
     * Scale shape: [[bandEvidence]]'s aggregations plus spec-sized
     * (≤ numBands rows) arithmetic — nothing row-scale is added.
     */
@@ -1115,7 +1161,11 @@ object EntityRes {
         (floor((col("band") + 1) * (col("__h1") - col("__h0")) / numOut) -
           floor(col("band") * (col("__h1") - col("__h0")) / numOut))
           .cast("int").as("seg_len"),
-        lit("refined").as("action"))
+        // every floor-split segment is non-empty iff the hull is at
+        // least numOut chars wide — below that the pigeonhole
+        // guarantee is NOT restored and the spec says so loudly
+        when(col("__h1") - col("__h0") >= numOut, lit("refined"))
+          .otherwise(lit("degraded")).as("action"))
       .where(col("seg_len") > 0)
     val terminal = ev.crossJoin(hull.where(col("__ns") === 0))
       .select(col("band"), col("seg_start"), col("seg_len"),
@@ -1128,16 +1178,93 @@ object EntityRes {
     * recommendation → NEW spec → [[bandsFromSpec]]). The collect is
     * spec-sized by [[recommendSegBands]]' contract (≤ max(numBands,
     * maxDist + 1) rows — a config plane, the ConfigReader collect
-    * discipline), never data-sized. Returns the refined spec and
-    * whether the ladder terminated (`action = 'terminal'` — caller
-    * must re-key or raise the cap rather than loop).
+    * discipline), never data-sized. Returns the refined spec and the
+    * recommendation's ACTION: 'refined' (pigeonhole guarantee
+    * restored), 'degraded' (hull too short for maxDist + 1 segments —
+    * best-effort bands, weakened guarantee), or 'terminal' (every
+    * band refused; re-key or raise the cap rather than loop).
     */
-  def collectRecommendedSpec(recommendation: DataFrame): (Seq[SegSpec], Boolean) = {
+  def collectRecommendedSpec(recommendation: DataFrame): (Seq[SegSpec], String) = {
     val rows = recommendation
       .select("band", "seg_start", "seg_len", "action")
       .collect().sortBy(_.getInt(0))
     require(rows.nonEmpty, "empty band recommendation")
-    val terminal = rows.exists(_.getString(3) == "terminal")
-    (rows.map(r => SegSpec(r.getInt(1), r.getInt(2))).toSeq, terminal)
+    val action =
+      if (rows.exists(_.getString(3) == "terminal")) "terminal"
+      else if (rows.exists(_.getString(3) == "degraded")) "degraded"
+      else "refined"
+    (rows.map(r => SegSpec(r.getInt(1), r.getInt(2))).toSeq, action)
+  }
+
+  /** One step of the executed ladder: the spec in force after `iter`
+    * refinements, the action that produced it, and its measured
+    * hot-row refusal totals (refused / total exploded rows over
+    * [[bandEvidence]] — the quantity the loop drives down).
+    */
+  final case class LadderStep(
+      iter: Int,
+      spec: Seq[SegSpec],
+      action: String,
+      refusedRows: Long,
+      totalRows: Long) {
+    def refusedFrac: Double = if (totalRows == 0L) 0.0 else refusedRows.toDouble / totalRows
+  }
+
+  /** The band-refinement ladder RUN TO CONVERGENCE — the iterated
+    * form of evidence → [[recommendSegBands]] → re-band that rounds
+    * 15–16 executed one step at a time by hand/gate. Starting from
+    * `initSpec`, each iteration recommends a refined spec and
+    * re-measures its refusal fraction; the loop stops when
+    *
+    *  - nothing is refused (the banding routes every hot row),
+    *  - the recommendation is not 'refined' ('terminal' = ladder
+    *    exhausted, 'degraded' = guarantee no longer restorable —
+    *    both are the caller's re-key signal, never silently looped
+    *    past),
+    *  - the spec reaches a FIXPOINT (recommendation == current), or
+    *  - the refusal fraction stops improving (a re-split that buys
+    *    nothing will keep buying nothing — the evidence is
+    *    deterministic, so looping again would oscillate between the
+    *    same specs), or
+    *  - `maxIters` fires (the hard termination bound).
+    *
+    * Returns the full trajectory (step 0 = `initSpec` with its
+    * measured refusals), so callers log WHY the loop stopped, not
+    * just where. Cost per iteration: two [[bandEvidence]] passes
+    * (aggregation-only — no pair join) plus spec-sized collects;
+    * nothing data-sized lands on the driver.
+    */
+  def refineBandsLoop(
+      nameCol: String,
+      blockCols: Seq[String],
+      maxBlock: Long,
+      initSpec: Seq[SegSpec],
+      maxDist: Int,
+      tau: Double = 0.5,
+      maxIters: Int = 8)(df: DataFrame): Seq[LadderStep] = {
+    require(maxIters >= 1, s"bad maxIters=$maxIters")
+    def measure(spec: Seq[SegSpec]): (Long, Long) = {
+      val r = bandEvidence(nameCol, blockCols, maxBlock, spec)(df)
+        .agg(sum("n_refused_rows").as("r"), sum("n_rows").as("n")).head
+      (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val steps = scala.collection.mutable.ArrayBuffer.empty[LadderStep]
+    var current = initSpec
+    var (ref, tot) = measure(initSpec)
+    steps += LadderStep(0, initSpec, "initial", ref, tot)
+    var done = ref == 0L
+    var iter = 1
+    while (!done && iter <= maxIters) {
+      val (next, action) = collectRecommendedSpec(
+        recommendSegBands(nameCol, blockCols, maxBlock, current, maxDist, tau)(df))
+      val (refN, totN) = measure(next)
+      steps += LadderStep(iter, next, action, refN, totN)
+      val prevFrac = if (tot == 0L) 0.0 else ref.toDouble / tot
+      val nextFrac = if (totN == 0L) 0.0 else refN.toDouble / totN
+      done = action != "refined" || refN == 0L || next == current || nextFrac >= prevFrac
+      current = next; ref = refN; tot = totN
+      iter += 1
+    }
+    steps.toSeq
   }
 }

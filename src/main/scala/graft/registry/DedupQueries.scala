@@ -1255,7 +1255,7 @@ private[graft] object DedupQueries {
         |       CAST(h.h0 + floor(i.band * (h.h1 - h.h0) / 3) AS INTEGER) AS seg_start,
         |       CAST(floor((i.band + 1) * (h.h1 - h.h0) / 3)
         |            - floor(i.band * (h.h1 - h.h0) / 3) AS INTEGER) AS seg_len,
-        |       'refined' AS action
+        |       CASE WHEN h.h1 - h.h0 >= 3 THEN 'refined' ELSE 'degraded' END AS action
         |FROM hull h CROSS JOIN idx i
         |WHERE h.ns > 0 AND floor((i.band + 1) * (h.h1 - h.h0) / 3)
         |                   - floor(i.band * (h.h1 - h.h0) / 3) > 0

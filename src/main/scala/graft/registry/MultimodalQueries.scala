@@ -144,6 +144,24 @@ private[graft] object MultimodalQueries {
         docs.where(col("doc_id") % 5 =!= 0))
         .drop("content")
     }),
+    // the same steady-state ingest through the PERSISTED chunk index
+    // (round 17): the index is built from the store once, written
+    // beside it, read back, and the incremental face never touches
+    // store bytes — the oracle is byte-identical to
+    // mm_neardup_incremental's replay, so index-path == rechunk-path
+    // is hash-checked, not asserted
+    "mm_neardup_incr_indexed" -> ((s, d) => {
+      val docs = Multimodal.withBinaryContent("text")(t(s, d, "documents"))
+      val idxPath = scratch(s"mm_chunk_index_${Integer.toHexString(d.hashCode)}")
+      Multimodal.binaryChunkIndex("content", "doc_id", divisor = 16, window = 8)(
+        docs.where(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(idxPath)
+      Multimodal.binaryIncrementalNearDupIndexed("content", "doc_id", minJaccard = 0.3,
+        divisor = 16, window = 8, maxDocFreq = 64L)(
+        docs.where(col("doc_id") % 5 === 0),
+        s.read.parquet(idxPath))
+        .drop("content")
+    }),
   )
 
   val oracleSql: Map[String, String] = reg(
@@ -312,7 +330,20 @@ private[graft] object MultimodalQueries {
     // cross-table stage (store-side df cap, jaccard over the kept
     // universe) -> store-survivors -> within-batch keep-lowest with
     // the df cap recomputed over SURVIVORS (the fresh-call semantics)
-    "mm_neardup_incremental" ->
+    "mm_neardup_incremental" -> mmIncrementalOracle,
+    // the indexed face answers EXACTLY what the re-chunking face
+    // answers (the index is definitionally the store's distinct
+    // (id, digest) table) — one oracle text, two gated paths
+    "mm_neardup_incr_indexed" -> mmIncrementalOracle,
+  )
+
+  /** Shared replay of the steady-state ingest (batch = every 5th row,
+    * store = the rest): gates BOTH mm_neardup_incremental (re-chunk
+    * face) and mm_neardup_incr_indexed (persisted-index face) — the
+    * two paths' equality is a hash-checked identity, not a spec
+    * assertion.
+    */
+  private def mmIncrementalOracle: String =
       (binCdcCtes +
         """, cdall AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
           |hot AS (SELECT chunk_md5 FROM cdall WHERE doc_id % 5 <> 0
@@ -346,8 +377,7 @@ private[graft] object MultimodalQueries {
           |              WHERE CAST(iv.i AS DOUBLE) / (na.n + nb2.n - iv.i) >= 0.3)
           |SELECT doc_id, text, lang, source, n_chars FROM documents
           |WHERE doc_id IN (SELECT doc_id FROM surv)
-          |  AND doc_id NOT IN (SELECT id_b FROM batchdrop)""".stripMargin),
-  )
+          |  AND doc_id NOT IN (SELECT id_b FROM batchdrop)""".stripMargin)
 
   /** Shared DuckDB CTE replaying [[graft.llm.Multimodal
     * .binaryCdcChunks]] over `encode(text)` at divisor 16 / window 8:

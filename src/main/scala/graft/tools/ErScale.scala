@@ -48,15 +48,24 @@ import org.apache.spark.sql.SparkSession
   *     RECOMMENDED bands (self-join face); `increcrecall` the same
   *     through [[graft.ops.EntityRes.incrementalBandedRecall]] (CDC
   *     face, the gate's re-crawl batch) — the 32× re-measure that
-  *     pins what the recommendation restores vs the fixed QUAD set.
+  *     pins what the recommendation restores vs the fixed QUAD set;
+  *   - round 17: `incadaptive` times the CDC banded face with the
+  *     ADAPTIVE idle-cap pricing (eager block-count-sized hot set,
+  *     plain join when it is empty — [[graft.ops.EntityRes
+  *     .incrementalPairsBanded]]'s `adaptive` flag) for the 1×/8×/16×
+  *     delta-shrink measurement; `ladder` RUNS
+  *     [[graft.ops.EntityRes.refineBandsLoop]] from the wide spec to
+  *     convergence and prints the full trajectory — per step the
+  *     spec, action, refusal fraction, and (untimed) banded recall at
+  *     `:<pct>` sampling.
   */
 object ErScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
       "usage: ErScale <sfDir> <maxBlock> " +
-        "[sub|bandedsub|sfxsub|quadsub|inc|incband|incresolve|recall|bandedrecall|" +
-        "sfxrecall|quadrecall|minhashrecall|increcall|recommend|recrecall|recsub|" +
-        "increcrecall][:<pct>]")
+        "[sub|bandedsub|sfxsub|quadsub|inc|incband|incadaptive|incresolve|recall|" +
+        "bandedrecall|sfxrecall|quadrecall|minhashrecall|increcall|recommend|" +
+        "recrecall|recsub|increcrecall|ladder][:<pct>]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
     val modeArg = if (args.length == 3) args(2) else ""
@@ -106,7 +115,7 @@ object ErScale {
     // literals above — the recall reps then measure the recommended
     // set, not repeated recommendation runs (the `recommend` mode
     // times the recommendation step itself)
-    lazy val (recSpec, recTerminal) = graft.ops.EntityRes.collectRecommendedSpec(
+    lazy val (recSpec, recAction) = graft.ops.EntityRes.collectRecommendedSpec(
       graft.ops.EntityRes.recommendSegBands(
         "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock, wideSpec, maxDist = 2)(
         spark.read.parquet(s"$sfDir/customer.parquet")))
@@ -146,12 +155,14 @@ object ErScale {
     }
     val isRecall = Set("recall", "bandedrecall", "sfxrecall", "quadrecall",
       "minhashrecall", "increcall", "recrecall", "increcrecall")(mode)
+    var ladderSteps: Seq[graft.ops.EntityRes.LadderStep] = Seq.empty
 
     def run(): Double = {
       val t0 = System.nanoTime()
       if (isRecall) {
         recallFrame().write.mode("overwrite").format("noop").save()
-      } else if (mode == "inc" || mode == "incband" || mode == "incresolve") {
+      } else if (mode == "inc" || mode == "incband" || mode == "incadaptive" ||
+        mode == "incresolve") {
         // the CDC face at scale: the gate's synthetic re-crawl batch
         // (|master|/3 rows) against the dir's customer master — plain
         // assignment (hot blocks refused, their batch rows false
@@ -169,8 +180,18 @@ object ErScale {
             graft.ops.EntityRes.incrementalAssign(
               "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
               maxDist = 2, maxBlock = maxBlock, clusterCol = "c_custkey",
-              bands = if (mode == "incband") Some(quadBands) else None)(batch, master)
+              bands = if (mode == "incband" || mode == "incadaptive") Some(quadBands)
+                else None,
+              adaptive = mode == "incadaptive")(batch, master)
         out.write.mode("overwrite").format("noop").save()
+      } else if (mode == "ladder") {
+        // the loop itself is the timed unit: evidence -> recommend ->
+        // re-measure, iterated to convergence (driver-side spec-sized
+        // steps only; per-step recall is computed AFTER timing below)
+        ladderSteps = graft.ops.EntityRes.refineBandsLoop(
+          "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock,
+          wideSpec, maxDist = 2)(
+          spark.read.parquet(s"$sfDir/customer.parquet"))
       } else if (mode == "recommend") {
         graft.ops.EntityRes.recommendSegBands(
           "c_name", Seq("c_nationkey", "c_mktsegment"), maxBlock, wideSpec, maxDist = 2)(
@@ -219,9 +240,28 @@ object ErScale {
       if (mode == "recommend" || mode == "recrecall" || mode == "increcrecall" ||
         mode == "recsub") {
         val specStr = recSpec.map(s => s"(${s.start},${s.len})").mkString(";")
-        s""","recSpec":"$specStr","recTerminal":$recTerminal"""
+        s""","recSpec":"$specStr","recAction":"$recAction""""
       } else ""
-    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode","samplePct":$samplePct$recallTail$recTail,"sf":"$sfDir"}""")
+    val ladderTail = if (mode == "ladder") {
+      // per-step recall, untimed: the trajectory SCALE.md plots —
+      // what each rung of the executed ladder restores
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val stepJson = ladderSteps.map { st =>
+        val rec = graft.ops.EntityRes.bandedSubBlockRecall(
+          "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"),
+          maxDist = 2, maxBlock = maxBlock,
+          bands = graft.ops.EntityRes.bandsFromSpec(col("c_name"), st.spec),
+          samplePct = samplePct)(cust)
+          .selectExpr("sum(n_pairs_uncapped) AS u", "sum(n_kept) AS k").collect()(0)
+        def lng(i: Int) = if (rec.isNullAt(i)) 0L else rec.getLong(i)
+        val recall = if (lng(0) == 0L) 1.0 else lng(1).toDouble / lng(0)
+        val specStr = st.spec.map(s => s"(${s.start},${s.len})").mkString(";")
+        s"""{"iter":${st.iter},"spec":"$specStr","action":"${st.action}",""" +
+          s""""refusedFrac":${st.refusedFrac},"recall":$recall}"""
+      }.mkString("[", ",", "]")
+      s""","ladder":$stepJson"""
+    } else ""
+    println(s"""{"metric":"er_scale","value":$med,"unit":"sec","reps":$reps,"min":${ts.min},"max":${ts.max},"maxBlock":$maxBlock,"refusedBlocks":$refused,"mode":"$mode","samplePct":$samplePct$recallTail$recTail$ladderTail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,12 +67,14 @@ object ErStreamScale {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     def tmp(prefix: String): String = graft.SparkEntry.cleanedTempDir(prefix)
     def moveCsvs(from: String, to: String): Unit = {
-      val d = Paths.get(from)
-      Files.list(d).forEach { p =>
+      // Files.list holds an open directory handle until closed — a
+      // bare forEach leaks one per staged batch per rep
+      val s = Files.list(Paths.get(from))
+      try s.forEach { p =>
         if (p.getFileName.toString.endsWith(".csv"))
           Files.move(p, Paths.get(to, p.getFileName.toString),
             StandardCopyOption.ATOMIC_MOVE)
-      }
+      } finally s.close()
     }
 
     def overwritePartition(df: DataFrame, dir: String, batchId: Long): Unit =
@@ -142,7 +144,10 @@ object ErStreamScale {
       val replaySec = (System.nanoTime() - t1) / 1e9
 
       // ---- parity: stream assignments == replay assignments ----
-      val cols = Seq("batch_id", "cluster_id", "n_matches", "ingest_batch")
+      // best_dist included: both faces emit it through
+      // incrementalResolveAndMerges, so a plan divergence there must
+      // fail parity too, not slip past a truncated column list
+      val cols = Seq("batch_id", "cluster_id", "n_matches", "best_dist", "ingest_batch")
       val a = spark.read.parquet(outDir).selectExpr(cols: _*)
       val b = spark.read.parquet(outDir2).selectExpr(cols: _*)
       val parity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty &&

@@ -1302,6 +1302,46 @@ class LlmSpec extends SparkSpec {
     assert(again.count() == 0L, again.collect().mkString(","))
   }
 
+  test("binary chunk index: indexed ingest == re-chunk ingest, delta-append idempotent") {
+    def payload(seed: Int, n: Int): String =
+      Seq.tabulate(n)(i => (33 + (i * 41 + seed * 13 + (i * i) % 67) % 94).toChar).mkString
+    val (p1, p2, p3, p4) = (payload(1, 300), payload(2, 300), payload(3, 300), payload(4, 300))
+    val store = Seq((1L, p1 + p2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, p1 + p2),                              // store near-dup -> drops
+      (12L, p3 + p4), (13L, p3 + p4 + payload(5, 40)), // mutual near-dups -> keep 12
+      (14L, payload(6, 600))                       // novel
+    ).toDF("doc_id", "text")
+    def bin(d: org.apache.spark.sql.DataFrame) = Multimodal.withBinaryContent("text")(d)
+    val theta = 0.25
+
+    // the index IS the store's distinct (id, digest) table: ingesting
+    // through it must equal re-chunking the store, row for row
+    val index = Multimodal.binaryChunkIndex("content", "doc_id",
+      divisor = 16, window = 8)(bin(store))
+    val viaIndex = Multimodal.binaryIncrementalNearDupIndexed("content", "doc_id", theta,
+      divisor = 16, window = 8)(bin(batch), index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaRechunk = Multimodal.binaryIncrementalNearDup("content", "doc_id", theta,
+      divisor = 16, window = 8)(bin(batch), bin(store))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == viaRechunk && viaIndex == Set(12L, 14L), s"$viaIndex vs $viaRechunk")
+
+    // maintenance delta: chunk rows for NEW ids only; appending it
+    // yields binaryChunkIndex(store ∪ batch); re-offering the same
+    // batch against the grown index yields an EMPTY delta (idempotent)
+    val delta = Multimodal.ingestBinaryChunkIndex("content", "doc_id",
+      divisor = 16, window = 8)(bin(batch), index)
+    val grown = index.unionByName(delta)
+    val rebuilt = Multimodal.binaryChunkIndex("content", "doc_id",
+      divisor = 16, window = 8)(bin(store.unionByName(batch)))
+    assert(grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+      "appended index != rebuilt index")
+    val again = Multimodal.ingestBinaryChunkIndex("content", "doc_id",
+      divisor = 16, window = 8)(bin(batch), grown)
+    assert(again.isEmpty, again.collect().mkString(","))
+  }
+
   private def unhexBytes(s: String): Array[Byte] =
     s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 

@@ -1010,8 +1010,8 @@ class OpsSpec extends SparkSpec {
     // maxDist + 1 = 2 pigeonhole segments — deterministically
     val rec = EntityRes.recommendSegBands("name", Seq("state"), maxBlock = 3,
       spec, maxDist = 1)(df)
-    val (refined, terminal) = EntityRes.collectRecommendedSpec(rec)
-    assert(!terminal)
+    val (refined, action) = EntityRes.collectRecommendedSpec(rec)
+    assert(action == "refined", action)
     assert(refined == Seq(SegSpec(3, 2), SegSpec(5, 2)), s"got $refined")
 
     // the loop CLOSES: the refined spec's bands rescue the hot-block
@@ -1028,15 +1028,64 @@ class OpsSpec extends SparkSpec {
     // terminal face: every band's bucket over the cap -> the ladder
     // is exhausted; the ORIGINAL spec re-emits, loudly marked
     val same = Seq.tabulate(8)(i => (i.toLong, "XXXXXX", "CA")).toDF("id", "name", "state")
-    val (spec2, term2) = EntityRes.collectRecommendedSpec(
+    val (spec2, act2) = EntityRes.collectRecommendedSpec(
       EntityRes.recommendSegBands("name", Seq("state"), maxBlock = 3,
         spec, maxDist = 1)(same))
-    assert(term2)
+    assert(act2 == "terminal", act2)
     assert(spec2 == spec, s"got $spec2")
 
     // splitSegments mirrors segmentBands' floor boundaries
     assert(EntityRes.splitSegments(15, 4, 3) ==
       Seq(SegSpec(15, 1), SegSpec(16, 1), SegSpec(17, 2)))
+  }
+
+  test("band ladder: degraded action on a short hull, loop terminates without oscillation") {
+    import graft.ops.EntityRes
+    import graft.ops.EntityRes.SegSpec
+    // one surviving single-char band -> hull width 1 < maxDist+1 = 2:
+    // the re-split CANNOT restore the pigeonhole guarantee and must
+    // say so (ADVICE r16: silently marking it 'refined' feeds the
+    // automated loop a weakened spec). Band 0 (chars 1-4) is shared
+    // by all rows -> its one bucket is over cap 3 -> 100% refused;
+    // band 1 (char 5) splits the rows -> survives.
+    val short = Seq(
+      (1L, "XXXXa", "CA"), (2L, "XXXXb", "CA"), (3L, "XXXXc", "CA"),
+      (4L, "XXXXd", "CA"), (5L, "XXXXe", "CA"), (6L, "XXXXf", "CA")
+    ).toDF("id", "name", "state")
+    val shortSpec = Seq(SegSpec(1, 4), SegSpec(5, 1))
+    val (deg, act) = EntityRes.collectRecommendedSpec(
+      EntityRes.recommendSegBands("name", Seq("state"), maxBlock = 3,
+        shortSpec, maxDist = 1)(short))
+    assert(act == "degraded", s"got $act")
+    assert(deg == Seq(SegSpec(5, 1)), s"got $deg") // best-effort: the hull, once
+
+    // the executed loop on the gate-shaped fixture: refines once
+    // ({aa}-style coarse band dropped), then stops at the fixpoint —
+    // no oscillation, trajectory monotone in refused fraction
+    val df = Seq(
+      (1L, "XXaaqq", "CA"), (2L, "XXaaqr", "CA"), (3L, "XXbbss", "CA"),
+      (4L, "XXccdd", "CA"), (5L, "XXeeff", "CA"), (6L, "XXgghh", "CA"),
+      (7L, "XXiijj", "CA"), (8L, "XXkkll", "CA")
+    ).toDF("id", "name", "state")
+    val spec = Seq(SegSpec(1, 2), SegSpec(3, 2), SegSpec(5, 2))
+    val steps = EntityRes.refineBandsLoop("name", Seq("state"), maxBlock = 3,
+      spec, maxDist = 1, maxIters = 5)(df)
+    assert(steps.length <= 4, s"loop ran ${steps.length - 1} iterations: $steps")
+    assert(steps.head.action == "initial" && steps.head.refusedRows > 0L)
+    assert(steps.last.refusedFrac <= steps.head.refusedFrac)
+    // terminates at a fixpoint or a non-refined action, never the
+    // iteration cap
+    assert(steps.length - 1 < 5, "loop hit maxIters — oscillation")
+    assert(steps.tail.sliding(2).forall {
+      case Seq(a, b) => b.refusedFrac <= a.refusedFrac || b.action != "refined"
+      case _ => true
+    }, s"refusal fraction rose mid-loop: $steps")
+
+    // an all-identical corpus: terminal on iteration 1, loop stops
+    val same = Seq.tabulate(8)(i => (i.toLong, "XXXXXX", "CA")).toDF("id", "name", "state")
+    val stepsT = EntityRes.refineBandsLoop("name", Seq("state"), maxBlock = 3,
+      spec, maxDist = 1, maxIters = 5)(same)
+    assert(stepsT.length == 2 && stepsT.last.action == "terminal", s"got $stepsT")
   }
 
   test("banded incremental ER: hot blocks rescue through band buckets, all three audit arms") {
@@ -1092,6 +1141,31 @@ class OpsSpec extends SparkSpec {
     assert(assign(105L) == (Some(4L), 1L))
     assert(assign(110L) == (Some(5L), 1L))
     assert(assign(108L) == (None, 0L))
+
+    // adaptive idle-cap pricing moves COST, never semantics: with hot
+    // blocks present it must equal the declarative banded plan ...
+    val adaptivePairs = EntityRes.incrementalPairsBanded("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, bands = bands, adaptive = true)(batch, master)
+      .select("batch_id", "master_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptivePairs == pairs, s"adaptive $adaptivePairs != banded $pairs")
+    // ... and with the cap idle (no hot block at cap 100) BOTH faces
+    // must equal the plain path they collapse to
+    val idlePlain = EntityRes.incrementalPairs("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = 100L)(batch, master)
+      .select("batch_id", "master_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(false, true).foreach { ad =>
+      val got = EntityRes.incrementalPairsBanded("id", "name", Seq("state"),
+        maxDist = 2, maxBlock = 100L, bands = bands, adaptive = ad)(batch, master)
+        .select("batch_id", "master_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == idlePlain, s"adaptive=$ad idle-cap $got != plain $idlePlain")
+    }
+    // the resolve face threads the flag: identical assignments
+    val adaptiveAssign = EntityRes.incrementalAssign("id", "name", Seq("state"),
+      maxDist = 2, maxBlock = cap, clusterCol = "cluster", bands = Some(bands),
+      adaptive = true)(batch, master)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toMap
+    assert(adaptiveAssign == assign, s"got $adaptiveAssign")
   }
 
   test("banded incremental ER: generative accounting identity across three paths") {
