@@ -677,6 +677,110 @@ object StreamingIngest {
       }
   }
 
+  /** Seed the binary store AND its chunk index before the streaming
+    * loop starts — the [[seedErMaster]] discipline for
+    * [[binaryNearDupIngestStream]]: both tables get an
+    * `ingest_batch = -1` partition so the loop's as-of reads
+    * (`ingest_batch < batchId`) see the pre-stream corpus from batch
+    * 0 on, and the index read never hits a footer-less directory.
+    * `store` must carry the BINARY column `binCol`; the index is
+    * derived from it here once ([[graft.llm.Multimodal
+    * .binaryChunkIndex]]) — the only full-store chunking pass the
+    * steady state ever pays.
+    */
+  def seedBinaryStore(
+      store: DataFrame,
+      binCol: String,
+      idCol: String,
+      storeDir: String,
+      indexDir: String,
+      divisor: Int = 32,
+      window: Int = 8): Unit = {
+    store.withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(storeDir)
+    graft.llm.Multimodal.binaryChunkIndex(binCol, idCol, divisor, window)(store)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(indexDir)
+  }
+
+  /** Streaming binary near-dup ingest against an EVOLVING store — the
+    * multimodal twin of [[erResolveStream]], closing the streaming
+    * family: each micro-batch of arriving rows
+    *
+    *   1. drops every binary with a CDC-chunk near-duplicate already
+    *      in the store, reading the store side from its PERSISTED
+    *      chunk index ([[graft.llm.Multimodal
+    *      .binaryIncrementalNearDupIndexed]]) — store BYTES are never
+    *      re-chunked in the loop, the exact amortization the batch
+    *      face documents;
+    *   2. near-dedups the survivors among themselves (keep-lowest,
+    *      same divisor/window/threshold/cap — one notion of "near");
+    *   3. appends the survivors to `storeDir`;
+    *   4. appends the survivors' chunk-index DELTA to `indexDir`
+    *      ([[graft.llm.Multimodal.ingestBinaryChunkIndex]]) — so the
+    *      NEXT batch's candidates include this batch's accretions,
+    *      and the index stays definitionally equal to
+    *      `binaryChunkIndex(store)` (bit-identical buckets to the
+    *      batch path; parity is spec-pinned).
+    *
+    * The arriving CSV rows carry TEXT (`textCol`) which is encoded to
+    * the binary column inside the loop — the same harness the gate
+    * queries use, because a CSV drop cannot carry raw bytes;
+    * production swaps the source for a binary-bearing parquet /
+    * binaryFile stream and skips the encode, nothing downstream
+    * changes. Idempotence is [[erResolveStream]]'s: every write is a
+    * dynamic partition OVERWRITE keyed on `ingest_batch = batchId`,
+    * and both as-of reads exclude the crashed attempt's own partition
+    * (`< batchId`), so an at-least-once replay rewrites its own
+    * partitions byte-identically.
+    *
+    * Scale shape per micro-batch: the batch's own chunking (twice —
+    * once inside the ingest, once for the delta; both batch-bounded),
+    * index-sized aggregations, and the cap-bounded posting join —
+    * nothing store-CONTENT-sized moves, ever.
+    */
+  def binaryNearDupIngestStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      storeDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      divisor: Int = 32,
+      window: Int = 8,
+      maxDocFreq: Long = 1000L): DataStreamWriter[Row] = {
+    val raw = csvSource(spark, watchDir, schema)
+    def overwritePartition(df: DataFrame, dir: String, batchId: Long): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.partitionBy("ingest_batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val s = batch0.sparkSession
+          val batch = graft.llm.Multimodal.withBinaryContent(textCol)(batch0)
+          val index = s.read.parquet(indexDir)
+            .where(col("ingest_batch") < lit(batchId))
+            .select(col(idCol), col("chunk_md5"), col("n_bytes"))
+          // survivors feed TWO sinks (store append + index delta) —
+          // batch-bounded, so the incrementalNearDedup checkpoint
+          // discipline applies rather than replaying the ingest plan
+          val survivors = graft.llm.Multimodal.binaryIncrementalNearDupIndexed(
+            "content", idCol, minJaccard, divisor, window, maxDocFreq)(batch, index)
+            .localCheckpoint(true)
+          overwritePartition(survivors, storeDir, batchId)
+          val delta = graft.llm.Multimodal.ingestBinaryChunkIndex(
+            "content", idCol, divisor, window)(survivors, index)
+          overwritePartition(delta, indexDir, batchId)
+          ()
+        }
+      }
+  }
+
   def streamingCurationGate(
       docs: DataFrame,
       store: DataFrame,

@@ -635,4 +635,147 @@ class StreamingSpec extends SparkSpec {
     }
     assert(replayAssign.toMap == before, s"replay ${replayAssign.toMap} vs stream $before")
   }
+
+  test("merge-log lifecycle: compact-after-each-batch == raw log chased at the end") {
+    // the production reason the compactor exists: a caller may apply
+    // the merge log on ANY cadence, and the loop's subsequent
+    // assignments must not depend on when. Two runs of the same
+    // 2-batch sequence — one leaving the master un-compacted (raw
+    // log accumulates), one applying applyMergeLog after every batch
+    // — must agree once the raw run's outputs are chased through its
+    // final log closure (the SCD effective-cluster contract).
+    import graft.ops.EntityRes
+    val master0 = Seq(
+      (1L, "aaaaaaaa", "NY", 10L), (2L, "aaaaaabb", "NY", 20L),
+      (3L, "aaaabbbb", "NY", 30L)).toDF("id", "name", "state", "cluster")
+    val batches = Seq(
+      // matches 1 and 2 -> merge 20->10
+      Seq((101L, "aaaaaaab", "NY")),
+      // matches 2 and 3 -> raw run logs 30->20 (stored clusters),
+      // compacted run logs 30->10 — the CHAINED case; plus a novel
+      Seq((102L, "aaaaabbb", "NY"), (199L, "zzzzzzzz", "NY")))
+    def runLoop(compactEachBatch: Boolean): (Map[Long, Long], Map[Long, Long]) = {
+      var master = master0
+      var rawLog = Seq.empty[(Long, Long)].toDF("old_cluster", "new_cluster")
+      val assign = scala.collection.mutable.Map[Long, Long]()
+      batches.foreach { rows =>
+        val batch = rows.toDF("id", "name", "state")
+        val (resolved, merges) = EntityRes.incrementalResolveAndMerges(
+          "id", "name", Seq("state"), maxDist = 2, maxBlock = 100L,
+          clusterCol = "cluster")(batch, master)
+        resolved.collect().foreach(r => assign(r.getLong(0)) = r.getLong(1))
+        val novelIds = resolved.where(col("n_matches") === 0L)
+          .select(col("batch_id").as("id"))
+        master = master.unionByName(
+          batch.join(novelIds, Seq("id"), "left_semi")
+            .withColumn("cluster", col("id"))
+            .select("id", "name", "state", "cluster"))
+        if (compactEachBatch)
+          master = EntityRes.applyMergeLog("cluster", merges)(master)
+            .localCheckpoint(true)
+        else rawLog = rawLog.unionByName(merges).localCheckpoint(true)
+      }
+      val effectiveMaster =
+        (if (compactEachBatch) master
+         else EntityRes.applyMergeLog("cluster", rawLog)(master))
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+      val effectiveAssign =
+        if (compactEachBatch) assign.toMap
+        else EntityRes.applyMergeLog("cluster",
+          rawLog)(assign.toSeq.toDF("id", "cluster"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (effectiveMaster, effectiveAssign)
+    }
+    val (rawMaster, rawAssign) = runLoop(compactEachBatch = false)
+    val (cmpMaster, cmpAssign) = runLoop(compactEachBatch = true)
+    assert(rawMaster == cmpMaster, s"raw $rawMaster vs compacted $cmpMaster")
+    assert(rawAssign == cmpAssign, s"raw $rawAssign vs compacted $cmpAssign")
+    // and the fixture actually exercised the chain: the raw run's
+    // batch-2 assignment landed on a PRE-merge cluster id (20), which
+    // only the log closure resolves to 10
+    assert(cmpAssign(102L) == 10L && cmpAssign(199L) == 199L, s"got $cmpAssign")
+    assert(rawMaster(3L) == 10L, s"chained 30->20->10 not collapsed: $rawMaster")
+  }
+
+  test("streaming binary ingest: near-dups drop via the index, survivors accrete, index == batch buckets") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.Multimodal
+    val watch = JFiles.createTempDirectory("graft_mmwatch").toString
+    val storeDir = JFiles.createTempDirectory("graft_mmstore").toString
+    val indexDir = JFiles.createTempDirectory("graft_mmindex").toString
+    val ckpt = JFiles.createTempDirectory("graft_mmckpt").toString
+    // CSV-safe payloads (letters only — the stream harness rides a
+    // header'd CSV drop, so no commas/quotes/newlines). Seeded Random,
+    // NOT an arithmetic progression: affine-quadratic generators share
+    // long cross-seed runs (the quadratic term cancels at index shifts
+    // equal to its modulus), which CDC chunking then finds
+    def payload(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)((97 + r.nextInt(26)).toChar).mkString
+    }
+    val (pA, pB, pC, pD) = (payload(1, 300), payload(2, 300), payload(3, 300), payload(4, 300))
+    val theta = 0.25
+    def bin(d: org.apache.spark.sql.DataFrame) = Multimodal.withBinaryContent("text")(d)
+
+    val seed = Seq((1L, pA + pB)).toDF("doc_id", "text")
+    StreamingIngest.seedBinaryStore(bin(seed), "content", "doc_id",
+      storeDir, indexDir, divisor = 16, window = 8)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.binaryNearDupIngestStream(spark, watch, schema,
+        storeDir, indexDir, ckpt, "doc_id", "text", minJaccard = theta,
+        divisor = 16, window = 8, maxDocFreq = 64L)
+        .trigger(Trigger.AvailableNow()).start())
+
+    // batch 0: 11 dups the seed store; 12 is novel; 13 near-dups 12
+    // within the batch (keep-lowest keeps 12)
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      s"doc_id,text\n11,$pA$pB\n12,$pC$pD\n13,$pC$pD${payload(5, 40)}\n")
+    drive()
+    def storeIds() = spark.read.parquet(storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds() == Set(1L, 12L), s"got ${storeIds()}")
+
+    // batch 1: 21 near-dups the PAST BATCH'S accreted novel 12 — the
+    // evolving index must catch it (the erResolveStream contract);
+    // 22 is novel and survives
+    JFiles.writeString(Paths.get(watch, "b2.csv"),
+      s"doc_id,text\n21,$pC$pD${payload(6, 30)}\n22,${payload(7, 600)}\n")
+    drive()
+    assert(storeIds() == Set(1L, 12L, 22L), s"got ${storeIds()}")
+
+    // the maintained index is BIT-IDENTICAL to the batch path's chunk
+    // index over the final store contents — streaming buckets are the
+    // batch buckets, no drift
+    val maintained = spark.read.parquet(indexDir)
+      .select("doc_id", "chunk_md5", "n_bytes")
+    val rebuilt = Multimodal.binaryChunkIndex("content", "doc_id",
+      divisor = 16, window = 8)(
+      bin(spark.read.parquet(storeDir).select("doc_id", "text")))
+    assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty,
+      "maintained chunk index != batch-built index over the final store")
+
+    // STREAM == BATCH-REPLAY parity: the identical two-batch sequence
+    // through the batch faces (indexed ingest + index delta append)
+    // lands the same store ids batch-for-batch
+    var replayIndex = Multimodal.binaryChunkIndex("content", "doc_id",
+      divisor = 16, window = 8)(bin(seed))
+    var replayIds = Set(1L)
+    val batchesRows = Seq(
+      Seq((11L, pA + pB), (12L, pC + pD), (13L, pC + pD + payload(5, 40))),
+      Seq((21L, pC + pD + payload(6, 30)), (22L, payload(7, 600))))
+    batchesRows.foreach { rows =>
+      val batch = bin(rows.toDF("doc_id", "text"))
+      val survivors = Multimodal.binaryIncrementalNearDupIndexed(
+        "content", "doc_id", theta, divisor = 16, window = 8, maxDocFreq = 64L)(
+        batch, replayIndex).localCheckpoint(true)
+      replayIds ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      replayIndex = replayIndex.unionByName(
+        Multimodal.ingestBinaryChunkIndex("content", "doc_id",
+          divisor = 16, window = 8)(survivors, replayIndex))
+        .localCheckpoint(true)
+    }
+    assert(replayIds == storeIds(), s"replay $replayIds vs stream ${storeIds()}")
+  }
 }
