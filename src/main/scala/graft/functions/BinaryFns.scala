@@ -381,6 +381,121 @@ case class ByteHist(child: Expression, bins: Expression)
     copy(child = newChildren(0), bins = newChildren(1))
 }
 
+/** `graft_cdc_gear(binary, divisor, window)` → array<struct<chunk_md5
+  * string, n_bytes long>>: content-defined chunking with a GEAR
+  * rolling hash — the production-rate boundary detector behind the
+  * gate face [[graft.llm.Multimodal.binaryCdcChunks]] documents as
+  * its drop-in upgrade. Same output CONTRACT (one element per chunk,
+  * digest + byte length; empty array for empty input; boundaries
+  * depend only on local bytes, so identical byte runs chunk
+  * identically wherever they appear — the Muthitacharoen LBFS
+  * property), different boundary hash: instead of a full md5 over the
+  * trailing window per byte (the engine-portable face DuckDB
+  * replays), the hash is the Gear chain h = (h << 1) + G[b] over a
+  * seeded 256-entry table (Xia et al., FastCDC/Ddelta lineage) — one
+  * shift+add+lookup per byte, with an implicit 64-byte window (each
+  * byte's contribution shifts out after 64 steps).
+  *
+  * Boundary rule: after byte i (1-based) when i ≥ `window` and
+  * (h & MASK) == 0, MASK = (2^maskBits − 1) << 16 with maskBits =
+  * ceil(log2(divisor)) — the FastCDC mask position: testing bits
+  * 16..16+maskBits−1 keeps ≥ 16 + maskBits bytes of context in every
+  * tested bit (low bits of the chain see only the newest bytes), so
+  * small divisors don't degrade to tiny effective windows. Expected
+  * chunk length is 2^maskBits bytes — `divisor` rounded UP to a power
+  * of two (stated here because the md5 face's expected length is the
+  * divisor exactly). `window` plays the same warm-up role as the md5
+  * face's: no boundary before `window` bytes, so sub-window rows are
+  * one whole chunk.
+  *
+  * The digest is md5 over the chunk's RAW bytes (the production
+  * choice — no hex transcription is ever materialized; the md5 face
+  * digests the hex because its oracle replays string md5). The two
+  * faces' digests are not comparable anyway: different boundary
+  * hashes give different chunks — an index is built by ONE face and
+  * queried by the same face.
+  */
+case class CdcGearChunks(child: Expression, divisor: Expression, window: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, divisor, window)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_md5", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_cdc_gear"
+
+  @transient private lazy val mask: Long = {
+    val d = divisor.eval(null).asInstanceOf[Int]
+    val maskBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2, d).toLong - 1)
+    ((1L << maskBits) - 1) << 16
+  }
+  @transient private lazy val minLen: Int = window.eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) return null
+    val b = raw.asInstanceOf[Array[Byte]]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(from: Int, until: Int): Unit = {
+      md.reset()
+      md.update(b, from, until - from)
+      val hex = md.digest().map("%02x".format(_)).mkString
+      out += new GenericInternalRow(Array[Any](
+        UTF8String.fromString(hex), (until - from).toLong))
+    }
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < b.length) {
+      h = (h << 1) + CdcGearChunks.GEAR(b(i) & 0xFF)
+      // boundary AFTER byte i+1 (1-based), md5-face warm-up contract
+      if (i + 1 >= minLen && (h & mask) == 0L) {
+        emit(start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < b.length) emit(start, b.length)
+    new GenericArrayData(out.toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_gear needs binary input, got ${child.dataType.simpleString}")
+    else if (!(divisor.foldable && divisor.dataType == IntegerType &&
+        window.foldable && window.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure("divisor and window must be integer literals")
+    else {
+      val d = divisor.eval(null).asInstanceOf[Int]
+      val w = window.eval(null).asInstanceOf[Int]
+      if (d < 2 || w < 1)
+        TypeCheckResult.TypeCheckFailure(s"bad divisor=$d / window=$w")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CdcGearChunks =
+    copy(child = newChildren(0), divisor = newChildren(1), window = newChildren(2))
+}
+
+object CdcGearChunks {
+  /** splitmix64 — the standard 64-bit finalizer (Steele et al.,
+    * public domain reference constants): seeds the 256-entry Gear
+    * table deterministically, so chunk boundaries are reproducible
+    * across runs, JVMs, and cluster layouts.
+    */
+  private[functions] def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private[functions] val GEAR: Array[Long] = Array.tabulate(256)(i => splitmix64(i.toLong))
+}
+
 /** `graft_video_meta(binary)` → struct(format, brand, timescale,
   * duration), null for unrecognized bytes. ISO-BMFF/MP4 only — the
   * video twin of [[ImageMeta]]/[[AudioMeta]]: a header-only box walk

@@ -281,6 +281,44 @@ object Multimodal {
         (length(col("__chunk")) / 2).cast("long").as("n_bytes"))
   }
 
+  /** [[binaryCdcChunks]] on the PRODUCTION boundary detector — the
+    * native Gear rolling hash ([[graft.functions.CdcGearChunks]]):
+    * same output contract, one row per chunk (idCol, chunk_md5,
+    * n_bytes), but the per-byte cost is a shift+add+table-lookup
+    * instead of an md5 over the trailing hex window — the measured
+    * dominant term of the whole mm family at gate divisors. The md5
+    * face stays the GATE (its boundary hash replays in DuckDB
+    * bit-for-bit); this face is the one a 100 TB deployment runs, at
+    * production divisors (KBs per chunk). Boundaries differ between
+    * the faces by construction (different hash), so an index is built
+    * and queried by ONE face — every downstream operator
+    * ([[binaryNearDupPairs]], the incremental faces, the chunk index)
+    * is boundary-agnostic: it consumes (id, digest, n_bytes) rows.
+    *
+    * Expected chunk length is `divisor` rounded up to a power of two
+    * (the FastCDC mask construction — see the expression's scaladoc);
+    * `window` is the same warm-up floor as the md5 face's. Shift
+    * invariance (a prepended header shifts at most the chunk it lands
+    * in) is spec-pinned ([[graft.LlmSpec]]), not oracle-gated: the
+    * Gear chain's 64-term shifted sum has no practical SQL replay,
+    * which is exactly why the md5 face exists.
+    */
+  def binaryCdcChunksGear(
+      binCol: String,
+      idCol: String,
+      divisor: Int = 4096,
+      window: Int = 8)(df: DataFrame): DataFrame = {
+    require(divisor >= 2 && window >= 1, s"bad divisor=$divisor / window=$window")
+    withNative(df)(d =>
+      d.select(col(idCol),
+          explode_outer(call_function("graft_cdc_gear",
+            col(binCol), lit(divisor), lit(window))).as("__chunk"))
+        .filter(col("__chunk").isNotNull)
+        .select(col(idCol),
+          col("__chunk.chunk_md5").as("chunk_md5"),
+          col("__chunk.n_bytes").as("n_bytes")))
+  }
+
   /** Content-level binary near-dup pairs — the multimodal analog of
     * the text family's [[graft.llm.Dedup.allPairsJaccard]]: two
     * binaries are near-dups when their CDC chunk-digest SETS overlap

@@ -144,6 +144,24 @@ private[graft] object MultimodalQueries {
         docs.where(col("doc_id") % 5 =!= 0))
         .drop("content")
     }),
+    // the PRODUCTION boundary detector (native Gear rolling hash,
+    // round 17): gated on its oracle-expressible invariant — chunks
+    // PARTITION each binary exactly (per-doc byte sums reassemble the
+    // content; empty docs produce no rows). Boundary placement has no
+    // practical SQL replay (the 64-term shifted gear chain) and is
+    // pinned generatively instead: LlmSpec replays the whole
+    // construction independently and pins shift invariance
+    "mm_gear_reassembly" -> ((s, d) =>
+      Multimodal.binaryCdcChunksGear("content", "doc_id", divisor = 16, window = 8)(
+        Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+        .groupBy("doc_id")
+        .agg(sum(col("n_bytes")).as("n_bytes"), count(lit(1)).cast("long").as("n_chunks"))
+        .select(col("doc_id"), col("n_bytes"),
+          // n_chunks itself is boundary-dependent (not replayable);
+          // its oracle-checkable face is the partition bound 1 <=
+          // n_chunks <= n_bytes, emitted as a flag so a degenerate
+          // chunker (zero or per-byte-spray) fails the hash gate
+          (col("n_chunks") >= 1L && col("n_chunks") <= col("n_bytes")).as("chunks_bounded"))),
     // the same steady-state ingest through the PERSISTED chunk index
     // (round 17): the index is built from the store once, written
     // beside it, read back, and the incremental face never touches
@@ -335,6 +353,12 @@ private[graft] object MultimodalQueries {
     // answers (the index is definitionally the store's distinct
     // (id, digest) table) — one oracle text, two gated paths
     "mm_neardup_incr_indexed" -> mmIncrementalOracle,
+    // gear-face invariant replay: whatever the boundaries, the chunks
+    // must partition each non-empty binary exactly
+    "mm_gear_reassembly" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       TRUE AS chunks_bounded
+        |FROM documents WHERE octet_length(encode(text)) > 0""".stripMargin,
   )
 
   /** Shared replay of the steady-state ingest (batch = every 5th row,

@@ -1342,6 +1342,73 @@ class LlmSpec extends SparkSpec {
     assert(again.isEmpty, again.collect().mkString(","))
   }
 
+  test("gear CDC: shift invariance, exhaustive chunks, independent replay, sane lengths") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(4242)
+    def randBytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val content = randBytes(4096)
+    val prefix = randBytes(137)
+    val (divisor, window) = (64, 8)
+    def chunksOf(rows: Seq[(Long, Array[Byte])]): Map[Long, Seq[(String, Long)]] =
+      Multimodal.binaryCdcChunksGear("content", "doc_id", divisor, window)(
+        rows.toDF("doc_id", "content"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSeq }
+
+    val got = chunksOf(Seq(
+      (1L, content), (2L, prefix ++ content), (3L, Array.empty[Byte])))
+
+    // exhaustive: chunk lengths reassemble the content exactly
+    assert(got(1L).map(_._2).sum == content.length.toLong)
+    assert(got(2L).map(_._2).sum == (prefix.length + content.length).toLong)
+    assert(!got.contains(3L), "empty binary must produce no chunk rows")
+    // sane lengths: expected chunk = 64 bytes (maskBits 6) on random
+    // bytes — count within a loose 2x band either way
+    assert(got(1L).length >= 32 && got(1L).length <= 128, s"${got(1L).length} chunks")
+
+    // SHIFT INVARIANCE — the property that makes CDC a dedup
+    // substrate: prepending 137 bytes must leave all but the first
+    // few chunks identical (boundaries resynchronize once the 64-byte
+    // gear window clears the splice)
+    val a = got(1L).map(_._1)
+    val b = got(2L).map(_._1)
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(common >= a.length - 3,
+      s"only $common of ${a.length} chunks survived a prefix shift")
+    assert(common < b.length, "prefix region cannot be chunk-identical")
+
+    // independent in-spec replay of the whole construction (splitmix64
+    // table, FastCDC mask, warm-up floor, raw-byte md5) — the
+    // generative pin standing in for the SQL oracle this hash has none
+    def replay(bytes: Array[Byte]): Seq[(String, Long)] = {
+      def splitmix64(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val gear = Array.tabulate(256)(i => splitmix64(i.toLong))
+      val maskBits = 64 - java.lang.Long.numberOfLeadingZeros(divisor.toLong - 1)
+      val mask = ((1L << maskBits) - 1) << 16
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var h = 0L; var start = 0
+      def emit(until: Int): Unit = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(bytes, start, until - start)
+        out += ((md.digest().map("%02x".format(_)).mkString, (until - start).toLong))
+        start = until
+      }
+      bytes.indices.foreach { i =>
+        h = (h << 1) + gear(bytes(i) & 0xFF)
+        if (i + 1 >= window && (h & mask) == 0L) emit(i + 1)
+      }
+      if (start < bytes.length) emit(bytes.length)
+      out.toSeq
+    }
+    assert(got(1L) == replay(content), "native gear != independent replay")
+    assert(got(2L) == replay(prefix ++ content))
+  }
+
   private def unhexBytes(s: String): Array[Byte] =
     s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
