@@ -119,6 +119,12 @@ object SparkEntry {
     * the query via [[ivfModel]]) as DOUBLE[] literals.
     */
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] = reg(
+    // fertility under the TRAINED merge table: the shared encode
+    // replay with the memoized trained merges embedded as literals —
+    // training itself is independently gated (text_bpe_train derives
+    // the trajectory in SQL; this face pins its APPLICATION)
+    "bpe_fertility_trained" -> ((s, d) =>
+      bpeEncodeOracle(trainedBpe(s, d).map(m => (m.lhs, m.rhs)))),
     "sim_ivf_topk" -> ((s, d) => {
       val m = ivfModel(s, d)
       val cents = m.centroids.zipWithIndex.map { case (c, i) =>

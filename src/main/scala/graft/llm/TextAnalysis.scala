@@ -289,6 +289,81 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** One trained merge: its rank (training order), the two symbols
+    * merged, and the weighted pair frequency that won the argmax.
+    */
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String, freq: Long)
+
+  /** The FULL BPE-trainer loop — [[bpePairCounts]]' one-step argmax
+    * iterated to a merge table the encoder ([[withBpeTokenCount]] /
+    * `graft_bpe_encode`) consumes directly. Classic Sennrich-style
+    * training re-expressed for scale:
+    *
+    *  - the corpus is passed ONCE: words reduce to a distinct-word
+    *    frequency table (vocab-sized, eager localCheckpoint), and
+    *    every iteration's pair statistics derive from it — pair count
+    *    = Σ over distinct words of (adjacent-occurrence count ×
+    *    word frequency), exactly the textbook get_stats;
+    *  - each iteration re-encodes the VOCAB (never the corpus) under
+    *    the merges so far with the same native greedy-rank loop the
+    *    production encoder runs — so trained merges and their
+    *    downstream application can never disagree on merge semantics
+    *    — then takes the weighted argmax (partial-agg count +
+    *    TakeOrderedAndProject LIMIT 1: no new shuffle shape, nothing
+    *    distribution-sized on the driver);
+    *  - ties break deterministically (freq desc, then lexicographic
+    *    pair), and training stops early when the best pair's
+    *    frequency falls below `minFreq` (merging hapax pairs is how
+    *    toy trainers overfit).
+    *
+    * Iteration 0 splits words to UTF-16 characters (split on the
+    * empty pattern — identical to the encoder's code-point split for
+    * BMP text; a surrogate-pair corpus would need the encoder-side
+    * split here too). Returns ≤ `nMerges` merges in training order.
+    * Driver-side state is the merge table itself — spec-sized, the
+    * config-plane collect discipline.
+    */
+  def trainBpeMerges(
+      textCol: String,
+      nMerges: Int,
+      minFreq: Long = 2L)(df: DataFrame): Seq[BpeMerge] = {
+    require(nMerges >= 1 && minFreq >= 1, s"bad nMerges=$nMerges / minFreq=$minFreq")
+    val spark = df.sparkSession
+    val wordCounts = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .where(length(col("__w")) >= 2) // <2 symbols can never carry a pair
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var done = false
+    while (!done && out.length < nMerges) {
+      val parts =
+        if (out.isEmpty) split(col("__w"), "")
+        else {
+          val mergesLit = typedlit(out.map(m => Seq(m.lhs, m.rhs)).toSeq)
+          call_function("graft_bpe_encode", col("__w"), mergesLit)
+        }
+      val top = graft.functions.ArrayFns.scoped(spark) {
+        wordCounts.select(col("__n"), parts.as("__p"))
+          .select(col("__n"),
+            explode(when(size(col("__p")) >= 2,
+              transform(sequence(lit(1), size(col("__p")) - 1),
+                i => struct(element_at(col("__p"), i).as("l"),
+                  element_at(col("__p"), i + 1).as("r"))))
+              .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("__pair"))
+          .groupBy(col("__pair.l").as("lhs"), col("__pair.r").as("rhs"))
+          .agg(sum(col("__n")).as("freq"))
+          .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .collect()
+      }
+      if (top.isEmpty || top(0).getAs[Long]("freq") < minFreq) done = true
+      else out += BpeMerge(out.length, top(0).getString(0), top(0).getString(1),
+        top(0).getAs[Long]("freq"))
+    }
+    out.toSeq
+  }
+
   /** Top-k collocations by LIFT — adjacent token pairs that co-occur
     * far above chance (`n_pair·N / (n_w1·n_w2)`, the exp of PMI).
     * Collocation tables drive tokenizer-vocabulary and phrase-mining

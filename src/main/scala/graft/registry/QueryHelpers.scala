@@ -77,6 +77,124 @@ private[graft] object QueryHelpers {
     "s" -> "c", "sc" -> "a", "sca" -> "n",
     "q" -> "u", "qu" -> "e", "que" -> "r", "quer" -> "y")
 
+  /** Trained BPE merge table, memoized per (data dir, listing digest)
+    * — the [[ivfModel]] discipline: the bpe_fertility_trained query
+    * and its Verify-time dynamic oracle must encode under the SAME
+    * table (training is deterministic, but sharing the object removes
+    * even that assumption), and Bench avoids re-training per rep.
+    * Training itself is independently gated (text_bpe_train's DuckDB
+    * replay of the full iterated argmax).
+    */
+  val bpeModels = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[TextAnalysis.BpeMerge]]()
+  def trainedBpe(s: SparkSession, d: String): Seq[TextAnalysis.BpeMerge] = {
+    val key = (d, listingDigest(new java.io.File(s"$d/documents.parquet")))
+    bpeModels.computeIfAbsent(key,
+      _ => TextAnalysis.trainBpeMerges("text", nMerges = 12)(t(s, d, "documents")))
+  }
+
+  /** The text_bpe_encode replay parameterized by its merge table —
+    * shared by the static oracle (the fixed [[bpeMerges]]) and the
+    * TRAINED face's dynamic oracle, so the encode semantics can never
+    * drift between them. See text_bpe_encode's comment for why the
+    * recursive form is faithful to the greedy rank loop.
+    */
+  def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "bpeEncodeOracle needs at least one merge")
+    def esc(s: String) = s.replace("'", "''")
+    s"""WITH RECURSIVE m(rank, a, b) AS (
+       |  SELECT * FROM (VALUES ${merges.zipWithIndex
+          .map { case ((a, b), i) => s"($i, '${esc(a)}', '${esc(b)}')" }.mkString(", ")}) v),
+       |ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |wx AS (SELECT doc_id, i, w[i] AS word
+       |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+       |enc(doc_id, i, p, it) AS (
+       |  SELECT doc_id, i,
+       |    list_transform(generate_series(1, length(word)), j -> word[j]), 0
+       |  FROM wx
+       |  UNION ALL
+       |  SELECT doc_id, i,
+       |    p[1:pos.j - 1] || [p[pos.j] || p[pos.j + 1]] || p[pos.j + 2:], it + 1
+       |  FROM enc,
+       |    LATERAL (SELECT a, b FROM m
+       |             WHERE len(list_filter(generate_series(1, len(p) - 1),
+       |                                   j -> p[j] = m.a AND p[j + 1] = m.b)) > 0
+       |             ORDER BY rank LIMIT 1) best,
+       |    LATERAL (SELECT min(j) AS j
+       |             FROM (SELECT unnest(generate_series(1, len(p) - 1)) AS j) t
+       |             WHERE p[j] = best.a AND p[j + 1] = best.b) pos
+       |  WHERE it < 90),
+       |fin AS (SELECT doc_id, i, p FROM (
+       |  SELECT doc_id, i, p, row_number() OVER (PARTITION BY doc_id, i ORDER BY it DESC) AS rn
+       |  FROM enc) WHERE rn = 1),
+       |cnt AS (SELECT doc_id, CAST(SUM(len(p)) AS INTEGER) AS n_bpe
+       |FROM fin GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens_ws,
+       |  c.n_bpe AS n_tokens_bpe,
+       |  CAST(c.n_bpe AS DOUBLE) / len(string_split(d.text, ' ')) AS fertility
+       |FROM documents d JOIN cnt c USING (doc_id)""".stripMargin
+  }
+
+  /** Independent DuckDB replay of [[TextAnalysis.trainBpeMerges]] for
+    * `k` iterations: distinct-word frequency table once, then per
+    * iteration a full recursive re-encode of the vocab under the
+    * merges derived SO FAR (each m{t} CTE is the weighted argmax over
+    * e{t}, and e{t} encodes with m1..m{t-1} — the merge table is a
+    * COMPUTED CTE, not a literal, so the oracle derives the whole
+    * trajectory itself). Tie-break and the freq >= 2 floor mirror the
+    * trainer. Built programmatically because the chained encode CTEs
+    * are mechanical.
+    */
+  def bpeTrainOracle(k: Int): String = {
+    require(k >= 1, s"bad k=$k")
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE wc AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 2 GROUP BY 1),
+             |e1 AS (SELECT w, n,
+             |         list_transform(generate_series(1, length(w)), j -> w[j]) AS p
+             |       FROM wc)""".stripMargin
+    def argmax(rank: Int, encName: String): String =
+      s"""m${rank + 1} AS (
+         |  SELECT $rank AS rank, l, r, freq FROM (
+         |    SELECT p[g.j] AS l, p[g.j + 1] AS r, SUM(n) AS freq
+         |    FROM $encName, LATERAL (SELECT unnest(generate_series(1, len(p) - 1)) AS j) g
+         |    GROUP BY 1, 2)
+         |  WHERE freq >= 2
+         |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+    sb ++= ",\n" + argmax(0, "e1")
+    (2 to k).foreach { t =>
+      val mu = (1 until t).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      sb ++= s""",
+                |mu$t AS ($mu),
+                |enc$t(w, n, p, it) AS (
+                |  SELECT w, n,
+                |    list_transform(generate_series(1, length(w)), j -> w[j]), 0
+                |  FROM wc
+                |  UNION ALL
+                |  SELECT w, n,
+                |    p[1:pos.j - 1] || [p[pos.j] || p[pos.j + 1]] || p[pos.j + 2:], it + 1
+                |  FROM enc$t,
+                |    LATERAL (SELECT l, r FROM mu$t
+                |             WHERE len(list_filter(generate_series(1, len(p) - 1),
+                |                                   j -> p[j] = mu$t.l AND p[j + 1] = mu$t.r)) > 0
+                |             ORDER BY rank LIMIT 1) best,
+                |    LATERAL (SELECT min(j) AS j
+                |             FROM (SELECT unnest(generate_series(1, len(p) - 1)) AS j) tt
+                |             WHERE p[j] = best.l AND p[j + 1] = best.r) pos
+                |  WHERE it < 90),
+                |e$t AS (SELECT w, n, p FROM (
+                |  SELECT w, n, p, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+                |  FROM enc$t) WHERE rn = 1)""".stripMargin
+      sb ++= ",\n" + argmax(t - 1, s"e$t")
+    }
+    sb ++= "\nSELECT CAST(rank AS INTEGER) AS rank, l AS lhs, r AS rhs, CAST(freq AS BIGINT) AS freq FROM (\n" +
+      (1 to k).map(i => s"  SELECT * FROM m$i").mkString(" UNION ALL\n") + ")"
+    sb.toString
+  }
+
   /** The testdata has no physical nulls, so null-exercising ops run
     * on this frame: customer ⟕ per-customer max "big order" total —
     * `big_total` is null for customers without a >200k order.

@@ -48,6 +48,25 @@ private[graft] object TextQueries {
     "text_bpe_encode" -> ((s, d) =>
       TextAnalysis.withBpeTokenCount("text", bpeMerges)(t(s, d, "documents"))
         .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "fertility")),
+    // the FULL trainer loop (round 17): text_bpe_pairs' one-step
+    // argmax iterated — 4 merges trained on the corpus's distinct-word
+    // frequency table, each iteration a vocab re-encode under the
+    // merges so far + weighted argmax. The oracle derives the whole
+    // trajectory itself (computed merge CTEs, not literals)
+    "text_bpe_train" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      TextAnalysis.trainBpeMerges("text", nMerges = 4)(t(s, d, "documents"))
+        .toDF().select("rank", "lhs", "rhs", "freq")
+    }),
+    // fertility under the TRAINED table (12 merges, memoized per dir
+    // like the IVF model) — the re-measure a tokenizer-fit loop runs
+    // after retraining; oracle is DYNAMIC (the shared encode replay
+    // with the trained table embedded at Verify time)
+    "bpe_fertility_trained" -> ((s, d) =>
+      TextAnalysis.withBpeTokenCount("text",
+        trainedBpe(s, d).map(m => (m.lhs, m.rhs)))(t(s, d, "documents"))
+        .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "fertility")),
 
     "text_pii_scan" -> ((s, d) =>
       TextAnalysis.withPiiSignals("text")(t(s, d, "documents"))
@@ -339,39 +358,10 @@ private[graft] object TextQueries {
     // pair consuming a merged token after the merge that created it.
     // Merge rows interpolate from the SAME bpeMerges value the query
     // uses, so the two sides cannot drift.
-    "text_bpe_encode" ->
-      s"""WITH RECURSIVE m(rank, a, b) AS (
-         |  SELECT * FROM (VALUES ${bpeMerges.zipWithIndex
-            .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")}) v),
-         |ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-         |wx AS (SELECT doc_id, i, w[i] AS word
-         |       FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
-         |enc(doc_id, i, p, it) AS (
-         |  SELECT doc_id, i,
-         |    list_transform(generate_series(1, length(word)), j -> word[j]), 0
-         |  FROM wx
-         |  UNION ALL
-         |  SELECT doc_id, i,
-         |    p[1:pos.j - 1] || [p[pos.j] || p[pos.j + 1]] || p[pos.j + 2:], it + 1
-         |  FROM enc,
-         |    LATERAL (SELECT a, b FROM m
-         |             WHERE len(list_filter(generate_series(1, len(p) - 1),
-         |                                   j -> p[j] = m.a AND p[j + 1] = m.b)) > 0
-         |             ORDER BY rank LIMIT 1) best,
-         |    LATERAL (SELECT min(j) AS j
-         |             FROM (SELECT unnest(generate_series(1, len(p) - 1)) AS j) t
-         |             WHERE p[j] = best.a AND p[j + 1] = best.b) pos
-         |  WHERE it < 90),
-         |fin AS (SELECT doc_id, i, p FROM (
-         |  SELECT doc_id, i, p, row_number() OVER (PARTITION BY doc_id, i ORDER BY it DESC) AS rn
-         |  FROM enc) WHERE rn = 1),
-         |cnt AS (SELECT doc_id, CAST(SUM(len(p)) AS INTEGER) AS n_bpe
-         |FROM fin GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens_ws,
-         |  c.n_bpe AS n_tokens_bpe,
-         |  CAST(c.n_bpe AS DOUBLE) / len(string_split(d.text, ' ')) AS fertility
-         |FROM documents d JOIN cnt c USING (doc_id)""".stripMargin,
+    "text_bpe_encode" -> bpeEncodeOracle(bpeMerges),
+    // the trainer replay: see QueryHelpers.bpeTrainOracle — chained
+    // recursive encodes whose merge tables are COMPUTED CTEs
+    "text_bpe_train" -> bpeTrainOracle(4),
     // the same per-doc recursive-CTE BPE replay, rolled up per source
     "bpe_fertility_by_source" ->
       s"""WITH RECURSIVE m(rank, a, b) AS (

@@ -1342,6 +1342,77 @@ class LlmSpec extends SparkSpec {
     assert(again.isEmpty, again.collect().mkString(","))
   }
 
+  test("BPE trainer: matches an independent in-memory trainer; trained table compresses") {
+    import graft.llm.TextAnalysis
+    // repeated morphology so merges are meaningful: 'th', 'the', 'at'
+    // families dominate; the duplicate rows weight the pair counts
+    val texts = Seq(
+      "the cat sat on the mat", "the cat ate the rat",
+      "that hat is the fat cat hat", "the cat sat on the mat",
+      "rats chase the fat cat")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val k = 6
+    val merges = TextAnalysis.trainBpeMerges("text", nMerges = k)(docs)
+
+    // independent trainer: word-count table, per-iteration pair count
+    // (every adjacent occurrence, weighted), argmax with the same
+    // (freq desc, pair asc) tie-break, INCREMENTAL leftmost-greedy
+    // apply — also pinning the classic equivalence between
+    // incremental application and the encoder's full rank loop
+    def refTrain(k: Int, minFreq: Long): Seq[(Int, String, String, Long)] = {
+      val wc = texts.flatMap(_.split(" ")).filter(_.length >= 2)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var seqs: Map[String, Array[String]] =
+        wc.keysIterator.map(w => w -> w.toCharArray.map(_.toString)).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var stop = false
+      while (!stop && out.length < k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        seqs.foreach { case (w, p) =>
+          (0 until p.length - 1).foreach { j =>
+            counts((p(j), p(j + 1))) = counts.getOrElse((p(j), p(j + 1)), 0L) + wc(w)
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val (pair, freq) = counts.toSeq
+            .sortBy { case ((a, b), f) => (-f, a, b) }.head
+          if (freq < minFreq) stop = true
+          else {
+            out += ((out.length, pair._1, pair._2, freq))
+            seqs = seqs.map { case (w, p) =>
+              val b = Array.newBuilder[String]
+              var j = 0
+              while (j < p.length) {
+                if (j < p.length - 1 && p(j) == pair._1 && p(j + 1) == pair._2) {
+                  b += p(j) + p(j + 1); j += 2
+                } else { b += p(j); j += 1 }
+              }
+              w -> b.result()
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+    val ref = refTrain(k, 2L)
+    assert(merges.map(m => (m.rank, m.lhs, m.rhs, m.freq)) == ref,
+      s"trainer ${merges.mkString(";")} vs ref ${ref.mkString(";")}")
+    assert(merges.nonEmpty && merges.head.freq >= merges.last.freq)
+
+    // the trained table must COMPRESS: encoding under it yields fewer
+    // tokens than the untrained (char-level) count on every doc
+    val trained = TextAnalysis.withBpeTokenCount("text",
+      merges.map(m => (m.lhs, m.rhs)))(docs)
+      .select("doc_id", "n_tokens_bpe")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chars = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> t.split(" ").map(_.length).sum }.toMap
+    chars.foreach { case (id, n) =>
+      assert(trained(id) < n, s"doc $id: trained ${trained(id)} !< char count $n")
+    }
+  }
+
   test("gear CDC: shift invariance, exhaustive chunks, independent replay, sane lengths") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(4242)
