@@ -618,10 +618,22 @@ object EntityRes {
         s"incrementalPairsBanded uses internal column $c — rename it first"))
     val hotKeys0 = incrementalHotBlocks(blockCols, maxBlock)(batch, master)
       .select(blockCols.map(col): _*)
-    val hotKeys = if (adaptive) hotKeys0.localCheckpoint(true) else hotKeys0
+    // the count doubles as the emptiness check AND the broadcast
+    // decision: a checkpointed frame loses its aggregate's size stats
+    // (LogicalRDD defaults to unknown), so without the explicit hint
+    // the four hot-set consumers fall back to shuffled joins —
+    // measured +36% at 16× before the hint. Hot keys are
+    // block-count-sized (≤ rows/maxBlock by definition), so the hint
+    // is safe far past this bound; above it, let AQE decide.
+    val hotMat = if (adaptive) Some(hotKeys0.localCheckpoint(true)) else None
+    val hotCount = hotMat.map(_.count()).getOrElse(-1L)
+    val hotKeys = hotMat match {
+      case None => hotKeys0
+      case Some(hk) => if (hotCount <= 1000000L) broadcast(hk) else hk
+    }
     def side(df: DataFrame, idAs: String, nameAs: String) =
       df.select(blockCols.map(col) :+ col(idCol).as(idAs) :+ col(nameCol).as(nameAs): _*)
-    if (adaptive && hotKeys.isEmpty) {
+    if (adaptive && hotCount == 0L) {
       // cap idle: every block is within the bound on both sides, so
       // the direct arm's anti-join keeps everything and the banded
       // arm has no rows — one plain blocked join is the same answer
