@@ -96,6 +96,23 @@ object SparkEntry {
             .write.mode("overwrite").format("noop").save()
         })
     }),
+    // same split for the whole-store audit face: index build vs the
+    // index-only pair audit (the recurring cost)
+    "mm_neardup_pairs_indexed" -> ((s, d) => {
+      import graft.llm.Multimodal
+      val idxPath = scratch(s"bench_mm_pairs_index_${Integer.toHexString(d.hashCode)}")
+      Seq(
+        "index" -> { () =>
+          Multimodal.binaryChunkIndex("content", "doc_id", divisor = 16, window = 8)(
+            Multimodal.withBinaryContent("text")(t(s, d, "documents")))
+            .write.mode("overwrite").parquet(idxPath)
+        },
+        "audit" -> { () =>
+          Multimodal.binaryNearDupPairsIndexed("doc_id", minJaccard = 0.3,
+            maxDocFreq = 64L)(s.read.parquet(idxPath))
+            .write.mode("overwrite").format("noop").save()
+        })
+    }),
     // the deployed-index lifecycle split into its real phases: the
     // write-once layout build vs the steady-state pruned probe read —
     // a fused timing buries the read path the layout exists to serve

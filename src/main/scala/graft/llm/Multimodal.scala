@@ -361,11 +361,43 @@ object Multimodal {
       minJaccard: Double,
       divisor: Int = 32,
       window: Int = 8,
-      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame = {
+      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame =
+    nearDupPairsFromDigests(idCol, minJaccard, maxDocFreq)(
+      binaryCdcChunks(binCol, idCol, divisor, window)(df)
+        .select(col(idCol), col("chunk_md5")).distinct()
+        .localCheckpoint(true))
+
+  /** [[binaryNearDupPairs]] over a PERSISTED chunk index — the
+    * whole-store audit face: near-dup pairs across the accumulated
+    * corpus computed entirely from the (id, chunk_md5) table, store
+    * BYTES never read (the periodic compaction/audit pass a 100 TB
+    * media store runs against its index, not its content). Gated
+    * (mm_neardup_pairs_indexed) on the SAME oracle as
+    * mm_neardup_pairs — index-path == chunk-path is a hash-checked
+    * identity. Boundary-agnostic: an index built by EITHER chunker
+    * face (md5 gate face or the Gear production face) feeds it
+    * unchanged, and the planted-near-dup property is spec-pinned on
+    * the gear path too.
+    */
+  def binaryNearDupPairsIndexed(
+      idCol: String,
+      minJaccard: Double,
+      maxDocFreq: Long = 1000L)(storeIndex: DataFrame): DataFrame =
+    nearDupPairsFromDigests(idCol, minJaccard, maxDocFreq)(
+      // defensive distinct: the index is one row per (id, digest) by
+      // construction, but a duplicated row would silently inflate
+      // both the intersection and the size terms — correctness over
+      // one digest-sized exchange
+      storeIndex.select(col(idCol), col("chunk_md5")).distinct())
+
+  /** Shared pair engine of the two faces above: inverted index on
+    * chunk_md5 with the df-cap, over a DISTINCT (id, digest) frame.
+    */
+  private def nearDupPairsFromDigests(
+      idCol: String,
+      minJaccard: Double,
+      maxDocFreq: Long)(cd0: DataFrame): DataFrame = {
     require(maxDocFreq >= 2, s"bad maxDocFreq=$maxDocFreq")
-    val cd0 = binaryCdcChunks(binCol, idCol, divisor, window)(df)
-      .select(col(idCol), col("chunk_md5")).distinct()
-      .localCheckpoint(true)
     val kept = cd0.groupBy("chunk_md5").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDocFreq).select("chunk_md5")
     // the using-column semi join moves chunk_md5 first; restore the

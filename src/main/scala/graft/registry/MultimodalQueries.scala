@@ -113,6 +113,18 @@ private[graft] object MultimodalQueries {
       Multimodal.binaryNearDupPairs("content", "doc_id", minJaccard = 0.3,
         divisor = 16, window = 8, maxDocFreq = 64L)(
         Multimodal.withBinaryContent("text")(t(s, d, "documents")))),
+    // the whole-store AUDIT face (round 17): the same pairs computed
+    // entirely from the persisted chunk index — store bytes never
+    // read; shares mm_neardup_pairs' oracle so index-path ==
+    // chunk-path is hash-checked
+    "mm_neardup_pairs_indexed" -> ((s, d) => {
+      val docs = Multimodal.withBinaryContent("text")(t(s, d, "documents"))
+      val idxPath = scratch(s"mm_pairs_index_${Integer.toHexString(d.hashCode)}")
+      Multimodal.binaryChunkIndex("content", "doc_id", divisor = 16, window = 8)(docs)
+        .write.mode("overwrite").parquet(idxPath)
+      Multimodal.binaryNearDupPairsIndexed("doc_id", minJaccard = 0.3,
+        maxDocFreq = 64L)(s.read.parquet(idxPath))
+    }),
     // the per-row coverage face: fraction of each binary's bytes in
     // chunks shared with ANOTHER row, zero-filled per source row
     "mm_neardup_coverage" -> ((s, d) =>
@@ -182,7 +194,15 @@ private[graft] object MultimodalQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = reg(
+  val oracleSql: Map[String, String] = {
+    val dup = oracleSqlHead.keySet.intersect(oracleSqlRest.keySet)
+    require(dup.isEmpty, s"duplicate oracle name(s) across the file's halves: $dup")
+    oracleSqlHead ++ oracleSqlRest
+  }
+
+  // the map is split around the shared-oracle defs purely for source
+  // layout; the require above keeps ++ loud on an accidental overlap
+  private lazy val oracleSqlHead: Map[String, String] = reg(
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS content_sha256
         |FROM documents""".stripMargin,
@@ -272,7 +292,17 @@ private[graft] object MultimodalQueries {
           |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
     // inverted-index pair replay with the df cap (chunks in > 64 rows
     // dropped BEFORE the self-join; jaccard over the kept universe)
-    "mm_neardup_pairs" ->
+    "mm_neardup_pairs" -> mmPairsOracle,
+    // the index IS the store's distinct (id, digest) table — one
+    // oracle text, two gated paths (the mm_neardup_incr_indexed move)
+    "mm_neardup_pairs_indexed" -> mmPairsOracle,
+  )
+
+  /** Shared replay of the chunk-Jaccard pair face: gates BOTH
+    * mm_neardup_pairs (chunk path) and mm_neardup_pairs_indexed
+    * (persisted-index path).
+    */
+  private def mmPairsOracle: String =
       (binCdcCtes +
         """, cd AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
           |kept AS (SELECT chunk_md5 FROM cd GROUP BY 1 HAVING count(*) <= 64),
@@ -286,7 +316,9 @@ private[graft] object MultimodalQueries {
           |       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
           |FROM i JOIN szs sa ON i.id_a = sa.doc_id
           |       JOIN szs sb ON i.id_b = sb.doc_id
-          |WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.3""".stripMargin),
+          |WHERE CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) >= 0.3""".stripMargin)
+
+  private lazy val oracleSqlRest: Map[String, String] = reg(
     // per-row byte coverage replay (cross-row dup chunks only),
     // zero-filled off the base table like dedup_cdc_coverage
     "mm_neardup_coverage" ->

@@ -1480,6 +1480,42 @@ class LlmSpec extends SparkSpec {
     assert(got(2L) == replay(prefix ++ content))
   }
 
+  test("gear pipeline end-to-end: planted near-dups surface through a gear-built index") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(777)
+    def randBytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val shared = randBytes(3000)
+    val hdrA = randBytes(64); val hdrB = randBytes(200)
+    val other = randBytes(3000)
+    // 1 and 2 are the same payload under different headers (the
+    // re-encoded-container case); 3 is unrelated
+    val df = Seq(
+      (1L, hdrA ++ shared), (2L, hdrB ++ shared), (3L, hdrA ++ other)
+    ).toDF("doc_id", "content")
+    // production shape: gear-chunk the corpus into the index once,
+    // then run the boundary-agnostic pair engine over the index
+    val gearIndex = Multimodal.binaryCdcChunksGear("content", "doc_id",
+      divisor = 64, window = 8)(df)
+      .groupBy(col("doc_id"), col("chunk_md5"))
+      .agg(max(col("n_bytes")).as("n_bytes"))
+    val pairs = Multimodal.binaryNearDupPairsIndexed("doc_id",
+      minJaccard = 0.3)(gearIndex)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.map(t => (t._1, t._2)).toSet == Set((1L, 2L)),
+      s"got ${pairs.mkString(",")}")
+    // shift invariance does the work: the differing headers cost at
+    // most the chunks they land in, so jaccard stays high
+    assert(pairs.head._3 > 0.7, s"jaccard ${pairs.head._3}")
+    // and the md5-face index through the same engine agrees on WHICH
+    // pair (boundaries differ, the verdict must not)
+    val md5Index = Multimodal.binaryChunkIndex("content", "doc_id",
+      divisor = 64, window = 8)(df)
+    val pairsMd5 = Multimodal.binaryNearDupPairsIndexed("doc_id",
+      minJaccard = 0.3)(md5Index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsMd5 == Set((1L, 2L)), s"got $pairsMd5")
+  }
+
   private def unhexBytes(s: String): Array[Byte] =
     s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
