@@ -619,7 +619,8 @@ object StreamingIngest {
       maxDist: Int,
       maxBlock: Long,
       clusterCol: String,
-      bands: Option[org.apache.spark.sql.Column] = None): DataStreamWriter[Row] = {
+      bands: Option[org.apache.spark.sql.Column] = None,
+      adaptive: Boolean = false): DataStreamWriter[Row] = {
     val raw = csvSource(spark, watchDir, schema)
     // seed the merge log with an empty TYPED partition (the
     // seedErMaster discipline): a stream whose batches never log a
@@ -663,8 +664,13 @@ object StreamingIngest {
           // Levenshtein (and the banded explodes) per micro-batch,
           // the exact ~3× double bill the batch face's sharing
           // removed (SCALE.md round 15)
+          // adaptive: the steady-state loop is where the idle-cap
+          // price recurs — most micro-batches have NO hot block, and
+          // the eager block-count-sized hot set skips the banded arm
+          // exactly on those batches (SCALE.md round 17)
           val (resolved, merges) = graft.ops.EntityRes.incrementalResolveAndMerges(
-            idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands)(batch, master)
+            idCol, nameCol, blockCols, maxDist, maxBlock, clusterCol, bands,
+            adaptive)(batch, master)
           overwritePartition(resolved, outDir, batchId)
           val novelIds = resolved.where(col("n_matches") === 0L)
             .select(col("batch_id").as(idCol))

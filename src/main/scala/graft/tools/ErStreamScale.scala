@@ -29,11 +29,12 @@ import org.apache.spark.sql.streaming.Trigger
 object ErStreamScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: ErStreamScale <sfDir> <maxBlock> <nBatches> [banded]")
+      "usage: ErStreamScale <sfDir> <maxBlock> <nBatches> [banded|adaptive]")
     val sfDir = args(0)
     val maxBlock = args(1).toLong
     val nBatches = args(2).toInt
-    val banded = args.length == 4 && args(3) == "banded"
+    val banded = args.length == 4 && (args(3) == "banded" || args(3) == "adaptive")
+    val adaptive = args.length == 4 && args(3) == "adaptive"
     require(nBatches >= 1, s"bad nBatches=$nBatches")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,7 +107,7 @@ object ErStreamScale {
         val q = graft.streaming.StreamingIngest.erResolveStream(
           spark, watch, schema, masterDir, outDir, mergesDir, ckpt,
           "c_custkey", "c_name", blockCols, maxDist = 2, maxBlock,
-          clusterCol = "cluster", bands = bandsOpt)
+          clusterCol = "cluster", bands = bandsOpt, adaptive = adaptive)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
@@ -132,7 +133,7 @@ object ErStreamScale {
           .where(col("ingest_batch") < lit(b.toLong))
         val (resolved, merges) = graft.ops.EntityRes.incrementalResolveAndMerges(
           "c_custkey", "c_name", blockCols, maxDist = 2, maxBlock,
-          clusterCol = "cluster", bands = bandsOpt)(batch, master)
+          clusterCol = "cluster", bands = bandsOpt, adaptive = adaptive)(batch, master)
         overwritePartition(resolved, outDir2, b.toLong)
         val novelIds = resolved.where(col("n_matches") === 0L)
           .select(col("batch_id").as("c_custkey"))
@@ -166,7 +167,7 @@ object ErStreamScale {
     val parity = runs.forall(_._4)
     println(s"""{"metric":"er_stream_scale","streamSec":$sm,"replaySec":$rm,""" +
       s""""streamMin":${runs.map(_._1).min},"replayMin":${runs.map(_._2).min},""" +
-      s""""reps":$reps,"nBatches":$nBatches,"maxBlock":$maxBlock,"banded":$banded,""" +
+      s""""reps":$reps,"nBatches":$nBatches,"maxBlock":$maxBlock,"banded":$banded,"adaptive":$adaptive,""" +
       s""""nAssign":${runs.head._3},"parity":$parity,"sf":"$sfDir"}""")
     require(parity, "stream vs batch-replay parity FAILED")
     spark.stop()
