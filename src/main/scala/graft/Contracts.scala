@@ -36,6 +36,8 @@ object Contracts {
     "vocab_overlap_matrix",   // pair frame from the groups-sized totals cross (groups^2, not data)
     "text_skipgram_lift",     // crossJoin(broadcast(1-row corpus token total))
     "colloc_lift_topk",       // crossJoin(broadcast(1-row corpus token total))
-    "er_recommend_bands"      // crossJoin(1-row surviving-hull agg x ≤numBands spec rows)
+    "er_recommend_bands",     // crossJoin(1-row surviving-hull agg x ≤numBands spec rows)
+    "text_kn_score",          // crossJoin(broadcast(1-row (T, V2) type counts))
+    "text_kn_buckets"         // same KN scalar cross + partitions-sized offsets broadcast
   )
 }

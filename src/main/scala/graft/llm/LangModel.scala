@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bigram language-model fluency scoring — the CCNet-style perplexity
@@ -75,5 +76,162 @@ object LangModel {
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum("__lp_fp").as("logprob_sum_fp"))
+  }
+
+  /** Interpolated Kneser–Ney bigram fluency — the production form of
+    * the CCNet filter (Wenzek et al. 2020 score with KenLM, whose
+    * default estimator is interpolated modified KN; this is the
+    * single-discount textbook variant, Kneser & Ney 1995 / Chen &
+    * Goodman 1999, all public). Add-1's flaw is that it gives every
+    * unseen bigram the same mass regardless of how promiscuous the
+    * continuation word is; KN replaces that with the CONTINUATION
+    * distribution — "how many distinct histories does w2 follow" —
+    * which is what separates fluent-but-rare text from gram soup.
+    *
+    * Model, all terms from `ref`'s bigram table (absolute discount
+    * `D = 0.75`):
+    *  - `cb(w1 w2)` bigram count; `c1(w1) = Σ_w2 cb` the history
+    *    total; `n1l(w1) = |{w2 : cb > 0}|` the history's continuation
+    *    fan-out; `n1r(w2) = |{w1 : cb > 0}|` the word's history
+    *    fan-in; `T = |{(w1,w2) : cb > 0}|` bigram types;
+    *    `V2 = |{w2}|` distinct continuation words.
+    *  - `Pcont(w2) = (n1r(w2) + 1) / (T + V2 + 1)` — the continuation
+    *    unigram with one add-1 UNK slot, so unseen words keep a
+    *    positive floor and the distribution still sums to 1 over
+    *    seen ∪ {UNK}.
+    *  - seen history (`c1 > 0`):
+    *    `P = (max(cb − D, 0) + D · n1l(w1) · Pcont(w2)) / c1`
+    *    (the discounted mass `D · n1l / c1` is exactly what the
+    *    interpolation redistributes — P sums to 1 over seen w2 plus
+    *    the continuation tail);
+    *  - unseen history: `P = Pcont(w2)` — full backoff.
+    *
+    * Same totality rule as [[withLmScore]] (sub-2-token docs score
+    * their whole text as one degenerate gram, NULL text scores as
+    * ''), same fixed-point discipline (each gram's `ln P` quantized
+    * once to micro-nats; per-doc score is an integer sum, so the
+    * result is partitioning-invariant and replayable by the DuckDB
+    * oracle — integer model counts are identical in both engines and
+    * every double op between them is IEEE-deterministic; `ln` is the
+    * one libm call, identical in practice and tolerated at the 1e-6
+    * quantization like every fixed-point gate in the repo).
+    *
+    * Scale shape — the [[withLmScore]] contract plus one more
+    * vocab-bounded table: FOUR aggregations over the reference
+    * (bigram counts, then history/continuation rollups of that table
+    * and a 1-row type count), each bounded by the reference's
+    * observed-gram vocabulary; scoring is one explode pass over the
+    * corpus joining three (gram, long) tables and two broadcast
+    * scalars, partially aggregated back to one row per doc.
+    */
+  def withKnScore(
+      df: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      fpScale: Double = 1e6): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val refBigrams = ref.select(explode(Dedup.shingles(textCol, 2)).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val hist = refBigrams
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
+      .agg(sum("__cb").as("__c1"), count(lit(1)).as("__n1l"))
+    val cont = refBigrams
+      .groupBy(element_at(split(col("__bg"), " "), -1).as("__w2"))
+      .agg(count(lit(1)).as("__n1r"))
+    // T (bigram types) and V2 (distinct continuations) — two 1-row
+    // aggregates crossed in as broadcast scalars, the SUMEQ shape
+    val types = refBigrams.agg(count(lit(1)).as("__t"))
+      .crossJoin(broadcast(cont.agg(count(lit(1)).as("__v2"))))
+
+    val docBigrams = df.select(col(idCol), explode(
+        Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), 2)).as("__bg"))
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .withColumn("__w2", element_at(split(col("__bg"), " "), -1))
+    val d = lit(discount)
+    val pcont = (coalesce(col("__n1r"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__t") + col("__v2") + lit(1L)).cast("double")
+    val pSeen = (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d, lit(0.0)) +
+      d * coalesce(col("__n1l"), lit(0L)).cast("double") * pcont) /
+      col("__c1").cast("double")
+    val scored = docBigrams
+      .join(refBigrams, Seq("__bg"), "left")
+      .join(hist, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("__lp_fp",
+        floor(log(when(coalesce(col("__c1"), lit(0L)) > 0, pSeen).otherwise(pcont))
+          * lit(fpScale) + lit(0.5)).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum("__lp_fp").as("logprob_sum_fp"))
+  }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): rank
+    * every document by mean KN log-probability (fluent first) and cut
+    * the corpus into `nBuckets` ntile bands — head feeds training
+    * as-is, middle is the retraining pool, tail is dropped. Returns
+    * one row per bucket: `bucket` (1 = head), `n_docs`,
+    * `sum_logprob_fp`, `sum_bigrams` — all integers, so the gate is
+    * exact.
+    *
+    * Scale shape: the ranking is NOT a one-partition global window
+    * (the classic ntile scale-killer). Phase 1 range-partitions on
+    * the sort key and ranks WITHIN each range partition; phase 2
+    * turns the partitions-sized count table into exclusive offsets
+    * (tiny window) and broadcast-joins them back, so
+    * `rank = offset + local_rank` equals the global
+    * `row_number() OVER (ORDER BY mean DESC, id)` with full
+    * parallelism — the [[Packing.mixtureSchedule]] two-phase
+    * discipline, carried to a value order. The ntile boundary is then
+    * closed-form integer arithmetic on (rank, n): partition-boundary
+    * placement never shifts a rank, so the result is layout-invariant.
+    *
+    * The mean is one IEEE division of two gate-identical integers —
+    * deterministic to compare, never re-accumulated — and `idCol`
+    * breaks ties totally.
+    */
+  def knBuckets(
+      df: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 3,
+      rangeShards: Int = 32): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val scored = withKnScore(df, ref, idCol, textCol)
+      .withColumn("__mean",
+        col("logprob_sum_fp").cast("double") / col("n_bigrams").cast("double"))
+    val ranged = scored
+      .repartitionByRange(rangeShards, col("__mean").desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("__mean").desc, col(idCol).asc)
+    val ranked = ranged.withColumn("__lr", row_number().over(localW).cast("long"))
+    // partitions-sized offsets + a 1-row total — both broadcast
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").count()
+      .withColumn("__off", coalesce(sum("count").over(offW), lit(0L)))
+      .withColumn("__n", sum("count").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("count")
+    // ntile(b) closed form over (rank r, total n): the first n%b
+    // buckets hold floor(n/b)+1 rows each; ceil(a/b) for positive
+    // longs is (a + b - 1) div b — everything stays integral
+    ranked.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__r", col("__off") + col("__lr"))
+      .withColumn("__q", expr(s"CAST(__n AS BIGINT) div ${nBuckets}L"))
+      .withColumn("__rem", expr(s"CAST(__n AS BIGINT) % ${nBuckets}L"))
+      .withColumn("__cut", col("__rem") * (col("__q") + lit(1L)))
+      .withColumn("bucket",
+        when(col("__r") <= col("__cut"),
+          expr("(__r + __q) div (__q + 1)"))
+          .otherwise(col("__rem") + expr("(__r - __cut + __q - 1) div __q"))
+          .cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("logprob_sum_fp").as("sum_logprob_fp"),
+        sum(col("n_bigrams").cast("long")).as("sum_bigrams"))
   }
 }

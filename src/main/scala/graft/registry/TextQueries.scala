@@ -142,6 +142,21 @@ private[graft] object TextQueries {
       graft.llm.LangModel.withLmScore(docs, docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text")
     }),
+    // interpolated Kneser-Ney upgrade of the same filter: unseen
+    // bigrams priced by the continuation distribution, not a flat
+    // add-1 — the KenLM-default estimator CCNet actually ships
+    "text_kn_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.LangModel.withKnScore(docs, docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+    }),
+    // CCNet head/middle/tail: the corpus cut into perplexity tertiles
+    // via the two-phase range rank (no one-partition ntile window)
+    "text_kn_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.LangModel.knBuckets(docs, docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+    }),
     // novelty vs the accumulated store: incoming batch = %5==0 docs,
     // store = the rest; shuffled 8-byte gram-hash join, never a
     // broadcast (the store is corpus-scale by contract)
@@ -169,6 +184,47 @@ private[graft] object TextQueries {
       graft.llm.TextAnalysis.collocationTopK("text", k = 20, minPair = 3)(
         t(s, d, "documents"))),
   )
+
+  /** Shared KN-model CTE prefix for text_kn_score / text_kn_buckets:
+    * ref bigram counts + history/continuation rollups + the (T, V2)
+    * scalar pair, then per-(doc, gram) fixed-point KN log-probs. The
+    * gram probability mirrors [[graft.llm.LangModel.withKnScore]]'s
+    * IEEE op order term for term — integer model counts are engine
+    * identical, so the only cross-engine float op is the one ln per
+    * gram the fixed-point quantization already tolerates.
+    */
+  private val knScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id,
+      |         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+      |              ELSE list_transform(generate_series(1, len(w) - 1),
+      |                     i -> concat_ws(' ', w[i], w[i+1])) END AS gs
+      |       FROM toks),
+      |refbg AS (SELECT g AS bg, CAST(count(*) AS BIGINT) AS cb
+      |          FROM (SELECT unnest(gs) AS g FROM bg WHERE doc_id % 4 = 0) GROUP BY 1),
+      |hist AS (SELECT string_split(bg, ' ')[1] AS w1,
+      |                CAST(sum(cb) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1l
+      |         FROM refbg GROUP BY 1),
+      |cont AS (SELECT sp[len(sp)] AS w2, CAST(count(*) AS BIGINT) AS n1r
+      |         FROM (SELECT string_split(bg, ' ') AS sp FROM refbg) GROUP BY 1),
+      |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM refbg) AS tt,
+      |              (SELECT CAST(count(*) AS BIGINT) FROM cont) AS v2),
+      |docg AS (SELECT doc_id, bg, sp[1] AS w1, sp[len(sp)] AS w2
+      |         FROM (SELECT doc_id, g AS bg, string_split(g, ' ') AS sp
+      |               FROM (SELECT doc_id, unnest(gs) AS g FROM bg))),
+      |sc AS (SELECT doc_id,
+      |         CAST(floor(ln(
+      |           CASE WHEN COALESCE(c1, 0) > 0 THEN
+      |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+      |                       CAST(0.0 AS DOUBLE))
+      |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
+      |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
+      |             / CAST(c1 AS DOUBLE)
+      |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
+      |           END) * 1000000.0 + 0.5) AS BIGINT) AS lp
+      |       FROM docg LEFT JOIN refbg USING (bg) LEFT JOIN hist USING (w1)
+      |            LEFT JOIN cont USING (w2) CROSS JOIN tv)
+      |""".stripMargin
 
   val oracleSql: Map[String, String] = reg(
     "text_stats" ->
@@ -437,6 +493,28 @@ private[graft] object TextQueries {
         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
         |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
         |FROM sc GROUP BY 1""".stripMargin,
+    // interpolated-KN replay: model terms (cb/c1/n1l/n1r/T/V2) are
+    // integer aggregates — identical in both engines — and the per
+    // gram probability repeats the query's exact IEEE op order
+    // (greatest-discount + 0.75*n1l*pcont, one division, one ln)
+    "text_kn_score" -> (knScoreSql +
+      """SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
+        |FROM sc GROUP BY 1""".stripMargin),
+    // head/middle/tail replay: DuckDB's native ntile over the same
+    // (mean desc, doc_id) total order — the query's two-phase rank +
+    // closed-form boundary must land every doc in the same tertile
+    "text_kn_buckets" -> (knScoreSql +
+      """,d2 AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS nb,
+        |            CAST(sum(lp) AS BIGINT) AS lps
+        |     FROM sc GROUP BY 1),
+        |rk AS (SELECT lps, nb, ntile(3) OVER (
+        |         ORDER BY CAST(lps AS DOUBLE) / CAST(nb AS DOUBLE) DESC, doc_id) AS bucket
+        |       FROM d2)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(lps) AS BIGINT) AS sum_logprob_fp,
+        |       CAST(sum(nb) AS BIGINT) AS sum_bigrams
+        |FROM rk GROUP BY 1""".stripMargin),
     // novelty replay on RAW grams (the query joins xxhash64 keys; the
     // oracle's string join additionally pins zero collisions)
     "text_novelty" ->

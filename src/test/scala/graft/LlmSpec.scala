@@ -1152,6 +1152,62 @@ class LlmSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("KN score: closed-form discount/continuation arithmetic, all four seen/unseen cells") {
+    import graft.llm.LangModel
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // model: cb("a b")=2, cb("b a")=1; hist a:(c1=2,n1l=1), b:(1,1);
+    // cont a:n1r=1, b:n1r=1; T=2, V2=2; Pcont(seen)=2/5, Pcont(unseen)=1/5
+    val docs = Seq(
+      (1L, "a b"),   // seen bigram:        (max(2-.75,0) + .75*1*(2/5)) / 2 = 0.775
+      (2L, "c d"),   // unseen history:     Pcont(d) = 1/5
+      (3L, "a"),     // degenerate gram, seen history, unseen bigram:
+                     //                     (.75*1*(2/5)) / 2 = 0.15
+      (4L, "b c")    // seen history, unseen continuation:
+                     //                     (.75*1*(1/5)) / 1 = 0.15
+    ).toDF("doc_id", "text")
+    val out = LangModel.withKnScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    def fp(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((1, fp(0.775))))
+    assert(out(2L) == ((1, fp(0.2))))
+    assert(out(3L) == ((1, fp(0.15))))
+    assert(out(4L) == ((1, fp(0.15))))
+    // the KN point vs add-1: the seen bigram prices ABOVE its add-1
+    // value (0.775 > 0.75) because the discount recycles mass through
+    // the continuation term instead of a flat +V denominator
+    assert(out(1L)._2 > fp(3.0 / 4))
+  }
+
+  test("knBuckets: two-phase range rank matches a driver-side ntile replay, boundary included") {
+    import graft.llm.LangModel
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "a"), (4L, "b c"),
+      (5L, "a b a b") // 3 grams, mixed: mean between docs 1 and 2
+    ).toDF("doc_id", "text")
+    // independent replay: sort the scored docs on (mean desc, id) in
+    // the driver and apply ntile-of-3 arithmetic by hand
+    val scored = LangModel.withKnScore(docs, ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ordered = scored.sortBy { case (id, nb, lp) => (-(lp.toDouble / nb), id) }
+    val n = ordered.length
+    val (q, rem) = (n / 3, n % 3)
+    val expected = ordered.zipWithIndex.map { case ((id, nb, lp), i) =>
+      val r = i + 1L
+      val cut = rem * (q + 1)
+      val b = if (r <= cut) (r + q) / (q + 1) else rem + (r - cut + q - 1) / q
+      (b.toInt, id, nb, lp)
+    }.groupBy(_._1).map { case (b, rows) =>
+      b -> ((rows.length.toLong, rows.map(_._4).sum, rows.map(_._3.toLong).sum))
+    }
+    // 5 docs / 3 buckets: sizes 2,2,1 — the uneven-remainder boundary
+    assert(expected.view.mapValues(_._1).toMap == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+    val got = LangModel.knBuckets(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("pipeline_incremental drops every planted content-dup and keeps only incoming ids") {
     val out = SparkEntry.queries("pipeline_incremental")(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0))
