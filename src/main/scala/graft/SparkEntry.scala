@@ -170,6 +170,9 @@ object SparkEntry {
     // the partitioned-layout search answers exactly what the
     // in-memory IVF answers — same replay
     "s16_ivf_cell_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),
+    // append-maintained layout == rebuilt layout == in-memory IVF:
+    // the steady-state write path may not change a single probe answer
+    "s17_ivf_append" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),
     // roundtrip assignment replay: the TRAINED centroids as literals
     // (loaded == trained iff the artifact round-trips bit-exactly)
     "s15_ivf_model_roundtrip" -> ((s, d) => {

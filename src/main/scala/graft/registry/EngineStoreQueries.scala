@@ -140,6 +140,22 @@ private[graft] object EngineStoreQueries {
       graft.llm.Ivf.cellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", m, k = 5, nProbe = 4)
     }),
+    // steady-state index maintenance: two-thirds of the corpus laid
+    // out once, the arriving third APPENDED under the same pinned
+    // model (dynamic-partition append touches only the batch's own
+    // cells) — probe answers must be indistinguishable from a full
+    // rebuild, so the gate is the SAME full-corpus replay oracle
+    "s17_ivf_append" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val path = scratch("ivf_cells_append_q")
+      graft.llm.Ivf.writeCellLayout(
+        emb.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding", m, path)
+      graft.llm.Ivf.appendToCellLayout(
+        emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", m, path)
+      graft.llm.Ivf.cellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+    }),
     // model-artifact lifecycle: save the trained quantizer, load it
     // back, and assign the corpus with the LOADED model — the oracle
     // is built from the TRAINED centroids, so a lossy round trip

@@ -787,6 +787,73 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming IVF index maintenance — the ANN family's steady-state
+    * twin, completing the pattern every other family already has
+    * ([[binaryNearDupIngestStream]], [[erResolveStream]]): arriving
+    * vectors are assigned under the PINNED model ([[graft.llm.Ivf
+    * .saveModel]] discipline — training never happens in the loop)
+    * and appended into the partitioned cell layout, so
+    * [[graft.llm.Ivf.cellLayoutTopK]] sees them on its next probe
+    * with no rebuild and no loss of directory pruning.
+    *
+    * The arriving CSV rows carry the vector as a `;`-joined string
+    * (`vecTextCol`) — a CSV drop cannot carry arrays; production
+    * swaps the source for parquet/Kafka and skips the parse, nothing
+    * downstream changes. Parse is `transform(split(·))` — per-row,
+    * codegen, no UDF.
+    *
+    * Idempotence is [[erResolveStream]]'s: the layout gains
+    * `ingest_batch` as a SECOND partition level under `centroid_id`
+    * and every write is a dynamic partition overwrite keyed on
+    * `ingest_batch = batchId`, so an at-least-once replay rewrites
+    * its own partitions byte-identically while probe reads still
+    * prune on the leading `centroid_id` directory. Per micro-batch,
+    * work is batch-bounded: one assign pass (k·d broadcast model) and
+    * one partitioned write — the store is never read in the loop.
+    */
+  def ivfIngestStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      layoutDir: String,
+      checkpointDir: String,
+      idCol: String,
+      vecTextCol: String,
+      vecCol: String,
+      model: graft.llm.Ivf.IvfModel): DataStreamWriter[Row] = {
+    val raw = csvSource(spark, watchDir, schema)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val parsed = batch0.withColumn(vecCol,
+            expr(s"transform(split($vecTextCol, ';'), x -> cast(x AS double))"))
+            .select(col(idCol), col(vecCol))
+          graft.llm.Ivf.assign(parsed, idCol, vecCol, model)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.partitionBy("centroid_id", "ingest_batch").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(layoutDir)
+          ()
+        }
+      }
+  }
+
+  /** Seed the streaming IVF layout: the pre-existing corpus written
+    * once as `ingest_batch = -1` partitions under each cell — the
+    * [[seedBinaryStore]] shape, so stream appends and the seed are
+    * indistinguishable to a probe read.
+    */
+  def seedIvfLayout(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: graft.llm.Ivf.IvfModel,
+      layoutDir: String): Unit =
+    graft.llm.Ivf.assign(corpus, idCol, vecCol, model)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("centroid_id", "ingest_batch")
+      .mode("overwrite").parquet(layoutDir)
+
   def streamingCurationGate(
       docs: DataFrame,
       store: DataFrame,

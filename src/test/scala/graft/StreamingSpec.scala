@@ -778,4 +778,55 @@ class StreamingSpec extends SparkSpec {
     }
     assert(replayIds == storeIds(), s"replay $replayIds vs stream ${storeIds()}")
   }
+
+  test("streaming IVF ingest: maintained layout == batch rebuild; probe answers identical") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.Ivf
+    val watch = JFiles.createTempDirectory("graft_ivfwatch").toString
+    val layout = JFiles.createTempDirectory("graft_ivflayout").toString
+    val ckpt = JFiles.createTempDirectory("graft_ivfckpt").toString
+    // two clean 2-d clusters; the model is trained ONCE and pinned —
+    // the stream only ever assigns under it
+    val corpus = Seq(
+      (1L, Array(0.0, 1.0)), (2L, Array(0.1, 0.9)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.9, 0.1))).toDF("vec_id", "embedding")
+    val model = Ivf.train(corpus, "embedding", k = 2)
+    StreamingIngest.seedIvfLayout(corpus, "vec_id", "embedding", model, layout)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, emb STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.ivfIngestStream(spark, watch, schema, layout, ckpt,
+        "vec_id", "emb", "embedding", model)
+        .trigger(Trigger.AvailableNow()).start())
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      "vec_id,emb\n11,0.05;0.95\n12,0.95;0.05\n")
+    drive()
+    JFiles.writeString(Paths.get(watch, "b2.csv"), "vec_id,emb\n21,0.2;0.8\n")
+    drive()
+
+    // maintained layout rows == a batch assign over everything that
+    // ever arrived — cells identical, nothing lost or duplicated
+    val arrived = Seq(
+      (11L, Array(0.05, 0.95)), (12L, Array(0.95, 0.05)), (21L, Array(0.2, 0.8)))
+    val all = corpus.unionByName(arrived.toDF("vec_id", "embedding"))
+    val rebuilt = Ivf.assign(all, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val maintained = spark.read.parquet(layout)
+      .select(col("vec_id"), col("centroid_id").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(maintained == rebuilt, s"stream layout $maintained vs batch $rebuilt")
+
+    // probe parity: the pruned read over the maintained layout answers
+    // exactly what the in-memory IVF answers over the same vectors
+    val probes = Seq((100L, Array(0.0, 0.95)), (101L, Array(0.9, 0.0)))
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaLayout = key(Ivf.cellLayoutTopK(spark, layout, probes,
+      "vec_id", "embedding", model, k = 3, nProbe = 1))
+    val viaMemory = key(Ivf.ivfTopK(all, probes, "vec_id", "embedding", model,
+      k = 3, nProbe = 1))
+    assert(viaLayout == viaMemory, s"layout $viaLayout vs memory $viaMemory")
+  }
 }
