@@ -113,6 +113,27 @@ object SparkEntry {
             .write.mode("overwrite").format("noop").save()
         })
     }),
+    // the maintenance story split into its real phases: what a full
+    // rebuild costs vs what the steady-state append costs for the
+    // same arriving third — fused, the rebuild buries the append
+    "s17_ivf_append" -> ((s, d) => {
+      val path = scratch("bench_ivf_cells_append")
+      val emb = t(s, d, "embeddings")
+      Seq(
+        "rebuild" -> { () =>
+          graft.llm.Ivf.writeCellLayout(emb, "vec_id", "embedding",
+            ivfModel(s, d), path)
+        },
+        "append" -> { () =>
+          graft.llm.Ivf.appendToCellLayout(emb.where(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", ivfModel(s, d), path)
+        },
+        "probe" -> { () =>
+          graft.llm.Ivf.cellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", ivfModel(s, d), k = 5, nProbe = 4)
+            .write.mode("overwrite").format("noop").save()
+        })
+    }),
     // the deployed-index lifecycle split into its real phases: the
     // write-once layout build vs the steady-state pruned probe read —
     // a fused timing buries the read path the layout exists to serve

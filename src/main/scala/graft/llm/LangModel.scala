@@ -200,9 +200,16 @@ object LangModel {
       nBuckets: Int = 3,
       rangeShards: Int = 32): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // the scored frame feeds BOTH the rank branch and the offsets
+    // branch — materialize it once (doc-count-sized digest rows,
+    // never text; eager localCheckpoint so the explode + 3 model
+    // joins don't replay; the downstream offsets join is already an
+    // explicit broadcast, so the checkpoint's lost size stats can't
+    // demote it)
     val scored = withKnScore(df, ref, idCol, textCol)
       .withColumn("__mean",
         col("logprob_sum_fp").cast("double") / col("n_bigrams").cast("double"))
+      .localCheckpoint(true)
     val ranged = scored
       .repartitionByRange(rangeShards, col("__mean").desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())

@@ -157,6 +157,49 @@ private[graft] object TextQueries {
       graft.llm.LangModel.knBuckets(docs, docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text")
     }),
+    // model-based quality filter, training face: DISTILL the full
+    // Gopher rule battery (the expensive teacher) into a 2-feature
+    // closed-form ridge probe (integer normal equations -> BigInt
+    // Cramer) — the FineWeb-Edu pattern of replacing a costly labeler
+    // with a cheap linear student; the oracle re-derives the whole
+    // fit in SQL (HUGEINT determinants over the same gopher replay)
+    "quality_probe_train" -> ((s, d) => {
+      import graft.llm.QualityProbe
+      val withG = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(
+        t(s, d, "documents"))
+      val p = QualityProbe.trainRidge(withG, QualityProbe.tokenCount("text"),
+        QualityProbe.markerCount("text", "the"), col("passes_gopher"))
+      def fp(w: Double): Long = math.floor(w * 1e9 + 0.5).toLong
+      val sp = s
+      import sp.implicits._
+      Seq((p.n, fp(p.w0), fp(p.w1), fp(p.w2)))
+        .toDF("n_docs", "w0_fp", "w1_fp", "w2_fp")
+    }),
+    // scoring face: the fitted weights ride the plan as literals —
+    // per-row codegen'd linear form, zero exchanges over the corpus
+    "quality_probe_score" -> ((s, d) => {
+      import graft.llm.QualityProbe
+      val docs = t(s, d, "documents")
+      val x1 = QualityProbe.tokenCount("text")
+      val x2 = QualityProbe.markerCount("text", "the")
+      val withG = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(docs)
+      val p = QualityProbe.trainRidge(withG, x1, x2, col("passes_gopher"))
+      QualityProbe.withScores(docs, "doc_id", x1, x2, p)
+    }),
+    // eval face: confusion counts of the student's decision against
+    // the teacher verdict — the distillation-fidelity number a
+    // curation pipeline actually watches before swapping filters
+    "quality_probe_eval" -> ((s, d) => {
+      import graft.llm.QualityProbe
+      val x1 = QualityProbe.tokenCount("text")
+      val x2 = QualityProbe.markerCount("text", "the")
+      val withG = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(
+        t(s, d, "documents"))
+      val p = QualityProbe.trainRidge(withG, x1, x2, col("passes_gopher"))
+      withG.select(col("passes_gopher").cast("int").as("label"),
+          (QualityProbe.score(p, x1, x2) >= lit(0.5)).cast("int").as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
+    }),
     // novelty vs the accumulated store: incoming batch = %5==0 docs,
     // store = the rest; shuffled 8-byte gram-hash join, never a
     // broadcast (the store is corpus-scale by contract)
@@ -226,7 +269,85 @@ private[graft] object TextQueries {
       |            LEFT JOIN cont USING (w2) CROSS JOIN tv)
       |""".stripMargin
 
+  /** Shared ridge-probe CTE prefix for the quality_probe_* gates:
+    * integer features + weak label, exact BIGINT normal-equation
+    * sums, HUGEINT Cramer determinants (the query's BigInt twin — 3
+    * sums of ~1e10 multiply to ~1e30, past int64), and the weight
+    * derivation as ONE double division per weight, mirroring
+    * [[graft.llm.QualityProbe.trainRidge]] exactly.
+    */
+  private val probeSql: String =
+    """WITH gb AS (
+      |  SELECT doc_id, text, string_split(COALESCE(text, ''), ' ') AS w,
+      |         string_split(COALESCE(text, ''), chr(10)) AS l
+      |  FROM documents),
+      |gm AS (
+      |  SELECT doc_id, w,
+      |    CAST(len(w) AS INTEGER) AS n_words,
+      |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS DOUBLE) / len(w) AS mean_word_len,
+      |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(w) AS frac_alpha_words,
+      |    (CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS DOUBLE)
+      |      + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3) / len(w) AS symbol_ratio,
+      |    CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(l) AS frac_bullet_lines,
+      |    CAST(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE) / len(l) AS frac_ellipsis_lines,
+      |    CAST(len(list_filter(list_distinct(list_transform(w, t -> lower(t))),
+      |      t -> list_contains(['the','a'], t))) AS INTEGER) AS n_stopwords_present
+      |  FROM gb),
+      |f AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS x1,
+      |    CAST(len(list_filter(w, t -> t = 'the')) AS BIGINT) AS x2,
+      |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |      AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+      |      AND frac_alpha_words > 0.8 AND n_stopwords_present >= 2
+      |      THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM gm),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |        CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+      |        CAST(sum(x2*x2) AS BIGINT) AS s22,
+      |        CAST(sum(y) AS BIGINT) AS b0, CAST(sum(x1*y) AS BIGINT) AS b1,
+      |        CAST(sum(x2*y) AS BIGINT) AS b2
+      |      FROM f),
+      |a AS (SELECT n,
+      |        CAST(n + 1 AS HUGEINT) AS a00, CAST(s1 AS HUGEINT) AS a01,
+      |        CAST(s2 AS HUGEINT) AS a02, CAST(s11 + 1 AS HUGEINT) AS a11,
+      |        CAST(s12 AS HUGEINT) AS a12, CAST(s22 + 1 AS HUGEINT) AS a22,
+      |        CAST(b0 AS HUGEINT) AS c0, CAST(b1 AS HUGEINT) AS c1,
+      |        CAST(b2 AS HUGEINT) AS c2
+      |      FROM s),
+      |dets AS (SELECT n,
+      |    a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02) AS det,
+      |    c0*(a11*a22 - a12*a12) - a01*(c1*a22 - a12*c2) + a02*(c1*a12 - a11*c2) AS det0,
+      |    a00*(c1*a22 - a12*c2) - c0*(a01*a22 - a12*a02) + a02*(a01*c2 - c1*a02) AS det1,
+      |    a00*(a11*c2 - c1*a12) - a01*(a01*c2 - c1*a02) + c0*(a01*a12 - a11*a02) AS det2
+      |  FROM a),
+      |w AS (SELECT n,
+      |        CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
+      |        CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
+      |        CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2
+      |      FROM dets)
+      |""".stripMargin
+
   val oracleSql: Map[String, String] = reg(
+    "quality_probe_train" -> (probeSql +
+      """SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(floor(w0 * 1000000000.0 + 0.5) AS BIGINT) AS w0_fp,
+        |  CAST(floor(w1 * 1000000000.0 + 0.5) AS BIGINT) AS w1_fp,
+        |  CAST(floor(w2 * 1000000000.0 + 0.5) AS BIGINT) AS w2_fp
+        |FROM w""".stripMargin),
+    "quality_probe_score" -> (probeSql +
+      """SELECT doc_id,
+        |  CAST(floor((w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE))
+        |       * 1000000.0 + 0.5) AS BIGINT) AS score_fp,
+        |  CAST(CASE WHEN w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) >= 0.5
+        |       THEN 1 ELSE 0 END AS INTEGER) AS pred
+        |FROM f CROSS JOIN w""".stripMargin),
+    "quality_probe_eval" -> (probeSql +
+      """SELECT CAST(y AS INTEGER) AS label,
+        |  CAST(CASE WHEN w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) >= 0.5
+        |       THEN 1 ELSE 0 END AS INTEGER) AS pred,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM f CROSS JOIN w GROUP BY 1, 2""".stripMargin),
     "text_stats" ->
       """SELECT doc_id, text, lang, source, n_chars,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -1208,6 +1208,40 @@ class LlmSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("quality probe: Cramer determinants satisfy A·w = b exactly; separable labels recovered") {
+    import graft.llm.QualityProbe
+    // y follows x1 (token count) with x2 (marker count) as noise —
+    // linearly separable, so the probe must reproduce every label
+    val docs = Seq(
+      (1L, "a b c d e f g h", 1),    // 8 tokens -> long -> y=1
+      (2L, "a b", 0), (3L, "c the", 0), (4L, "the the d", 0),
+      (5L, "p q r s t u v w x", 1), (6L, "the b c d e f g h i j", 1)
+    ).toDF("doc_id", "text", "y")
+    val x1 = QualityProbe.tokenCount("text")
+    val x2 = QualityProbe.markerCount("text", "the")
+    val p = QualityProbe.trainRidge(docs, x1, x2, col("y") === 1)
+
+    // exact Cramer identity over the fixture's hand-computed sums:
+    // A · (det0, det1, det2) == det · b in BigInt, no rounding anywhere
+    val rows = docs.select(x1.as("x1"), x2.as("x2"), col("y").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = BigInt(rows.length)
+    def S(f: ((Long, Long, Long)) => Long): BigInt = BigInt(rows.map(f).sum)
+    val (s1, s2) = (S(_._1), S(_._2))
+    val (s11, s12, s22) = (S(r => r._1 * r._1), S(r => r._1 * r._2), S(r => r._2 * r._2))
+    val (b0, b1, b2) = (S(_._3), S(r => r._1 * r._3), S(r => r._2 * r._3))
+    val (a00, a01, a02, a11, a12, a22) = (n + 1, s1, s2, s11 + 1, s12, s22 + 1)
+    assert(a00 * p.det0 + a01 * p.det1 + a02 * p.det2 == p.det * b0)
+    assert(a01 * p.det0 + a11 * p.det1 + a12 * p.det2 == p.det * b1)
+    assert(a02 * p.det0 + a12 * p.det1 + a22 * p.det2 == p.det * b2)
+
+    // end-to-end: the fitted probe reproduces the separable labels
+    val preds = QualityProbe.withScores(docs, "doc_id", x1, x2, p)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(preds == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1),
+      s"got $preds")
+  }
+
   test("pipeline_incremental drops every planted content-dup and keeps only incoming ids") {
     val out = SparkEntry.queries("pipeline_incremental")(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0))
