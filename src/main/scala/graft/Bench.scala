@@ -66,7 +66,8 @@ object Bench {
     "mm_neardup_incr_indexed", "mm_gear_reassembly",
     "text_bpe_train", "bpe_fertility_trained", "mm_neardup_pairs_indexed",
     "text_kn_score", "text_kn_buckets", "s17_ivf_append",
-    "quality_probe_train", "quality_probe_score", "quality_probe_eval")
+    "quality_probe_train", "quality_probe_score", "quality_probe_eval",
+    "text_kn_incremental", "text_kn3_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

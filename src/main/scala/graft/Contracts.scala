@@ -38,6 +38,8 @@ object Contracts {
     "colloc_lift_topk",       // crossJoin(broadcast(1-row corpus token total))
     "er_recommend_bands",     // crossJoin(1-row surviving-hull agg x ≤numBands spec rows)
     "text_kn_score",          // crossJoin(broadcast(1-row (T, V2) type counts))
-    "text_kn_buckets"         // same KN scalar cross + partitions-sized offsets broadcast
+    "text_kn_buckets",        // same KN scalar cross + partitions-sized offsets broadcast
+    "text_kn_incremental",    // same KN scalar cross, counts read from the delta store
+    "text_kn3_score"          // same KN scalar cross at the trigram order
   )
 }

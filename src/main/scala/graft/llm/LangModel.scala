@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,16 +124,34 @@ object LangModel {
     * corpus joining three (gram, long) tables and two broadcast
     * scalars, partially aggregated back to one row per doc.
     */
+  /** The reference's bigram count table — (`__bg`, `__cb`) — the ONE
+    * model artifact every other KN term derives from. Additive, so
+    * it is also the unit of incremental maintenance: counts from two
+    * disjoint reference slices merged by `groupBy(bg).sum(cb)` equal
+    * counts built from their union — what [[seedKnModel]] /
+    * [[ingestKnModel]] / [[loadKnCounts]] exploit.
+    */
+  def refBigramCounts(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(Dedup.shingles(textCol, 2)).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+
   def withKnScore(
       df: DataFrame,
       ref: DataFrame,
       idCol: String,
       textCol: String,
       discount: Double = 0.75,
-      fpScale: Double = 1e6): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
-    val refBigrams = ref.select(explode(Dedup.shingles(textCol, 2)).as("__bg"))
-      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+      fpScale: Double = 1e6): DataFrame =
+    withKnScoreFromCounts(df, refBigramCounts(ref, textCol), idCol, textCol,
+      discount, fpScale)
+
+  /** The derived bigram model tables — history rollup (`__w1` → c1,
+    * n1l), continuation rollup (`__w2` → n1r), and the (T, V2) 1-row
+    * scalar pair — all vocab-bounded aggregates OF the count table,
+    * shared by the bigram scorer and the trigram scorer's backoff
+    * level.
+    */
+  private def knTables(refBigrams: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val hist = refBigrams
       .groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
       .agg(sum("__cb").as("__c1"), count(lit(1)).as("__n1l"))
@@ -144,6 +162,22 @@ object LangModel {
     // aggregates crossed in as broadcast scalars, the SUMEQ shape
     val types = refBigrams.agg(count(lit(1)).as("__t"))
       .crossJoin(broadcast(cont.agg(count(lit(1)).as("__v2"))))
+    (hist, cont, types)
+  }
+
+  /** [[withKnScore]] over an already-built (or incrementally
+    * maintained) bigram count table — the shared scoring half, so a
+    * persisted model store is never re-derived from reference TEXT.
+    */
+  def withKnScoreFromCounts(
+      df: DataFrame,
+      refBigrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      fpScale: Double = 1e6): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val (hist, cont, types) = knTables(refBigrams)
 
     val docBigrams = df.select(col(idCol), explode(
         Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), 2)).as("__bg"))
@@ -167,6 +201,145 @@ object LangModel {
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum("__lp_fp").as("logprob_sum_fp"))
   }
+
+  /** Trigram interpolated KN — the production n-gram order: the
+    * trigram level discounts into the FULL bigram-KN distribution
+    * ([[withKnScoreFromCounts]]'s formula on (w2, w3)), which itself
+    * discounts into the continuation unigram:
+    *
+    *   `P3(w3 | w1 w2) = (max(c3 − D, 0) + D · N1+(w1w2,·) · P2(w3|w2)) / c(w1 w2)`
+    *   for a seen bigram history; `P3 = P2(w3 | w2)` otherwise.
+    *
+    * This is single-discount interpolated KN with RAW-count lower
+    * orders (KenLM's modified-KN additionally swaps lower orders to
+    * continuation counts; that refinement changes constants, not
+    * shape, and is documented as the delta). Gram decomposition is
+    * positional and total: `w3` = last token, `w2` = second-to-last
+    * ('' when the degenerate short-doc gram has one token), `h2` =
+    * everything before the last token ('' likewise) — identical rules
+    * on the reference and document sides, so degenerate grams price
+    * consistently in both engines.
+    *
+    * Scale shape: everything [[withKnScore]] promises plus ONE more
+    * vocab-bounded pair (trigram counts and their history rollup) —
+    * observed-trigram-type-bounded, constant under corpus
+    * amplification like the bigram tables (SCALE.md pin); scoring is
+    * one k=3 explode pass joining five model tables and one broadcast
+    * scalar pair.
+    */
+  def withKn3Score(
+      df: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      fpScale: Double = 1e6): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val refBigrams = refBigramCounts(ref, textCol)
+    val (hist, cont, types) = knTables(refBigrams)
+    def w3of(sp: Column) = element_at(sp, -1)
+    def w2of(sp: Column) = when(size(sp) >= 2, element_at(sp, -2)).otherwise(lit(""))
+    def h2of(sp: Column) =
+      when(size(sp) >= 2, array_join(slice(sp, lit(1), size(sp) - 1), " ")).otherwise(lit(""))
+    val tri = ref.select(explode(Dedup.shingles(textCol, 3)).as("__g3"))
+      .groupBy("__g3").agg(count(lit(1)).as("__c3"))
+    val hist3 = tri
+      .groupBy(h2of(split(col("__g3"), " ")).as("__h2"))
+      .agg(sum("__c3").as("__c2h"), count(lit(1)).as("__n1l3"))
+
+    val sp = split(col("__g3"), " ")
+    val docTri = df.select(col(idCol), explode(
+        Dedup.shinglesOf(coalesce(col(textCol).cast("string"), lit("")), 3)).as("__g3"))
+      .withColumn("__w3", w3of(sp))
+      .withColumn("__w2", w2of(sp))
+      .withColumn("__h2", h2of(sp))
+      // the backoff level's bigram key — matches refBigrams' "w2 w3"
+      .withColumn("__bg", concat(col("__w2"), lit(" "), col("__w3")))
+    val d = lit(discount)
+    val pcont = (coalesce(col("__n1r"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__t") + col("__v2") + lit(1L)).cast("double")
+    val p2seen = (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d, lit(0.0)) +
+      d * coalesce(col("__n1l"), lit(0L)).cast("double") * pcont) /
+      col("__c1").cast("double")
+    val p2 = when(coalesce(col("__c1"), lit(0L)) > 0, p2seen).otherwise(pcont)
+    val p3seen = (greatest(coalesce(col("__c3"), lit(0L)).cast("double") - d, lit(0.0)) +
+      d * coalesce(col("__n1l3"), lit(0L)).cast("double") * p2) /
+      col("__c2h").cast("double")
+    val p3 = when(coalesce(col("__c2h"), lit(0L)) > 0, p3seen).otherwise(p2)
+    val scored = docTri
+      .join(tri, Seq("__g3"), "left")
+      .join(hist3, Seq("__h2"), "left")
+      .join(refBigrams, Seq("__bg"), "left")
+      .join(hist.withColumnRenamed("__w1", "__w2"), Seq("__w2"), "left")
+      .join(cont.withColumnRenamed("__w2", "__w3"), Seq("__w3"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("__lp_fp",
+        floor(log(p3) * lit(fpScale) + lit(0.5)).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_trigrams"),
+        sum("__lp_fp").as("logprob_sum_fp"))
+  }
+
+  /** Seed the persisted KN model store: the initial reference's
+    * bigram counts written as the `ingest_batch = -1` partition — the
+    * [[graft.streaming.StreamingIngest.seedBinaryStore]] shape. The
+    * store holds COUNT DELTAS per batch; [[loadKnCounts]] merges them
+    * at read (one vocab-bounded aggregation), so ingest never reads
+    * the store and replays can overwrite their own partition.
+    */
+  def seedKnModel(ref: DataFrame, textCol: String, modelDir: String): Unit =
+    refBigramCounts(ref, textCol)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(modelDir)
+
+  /** Incremental model maintenance: the ARRIVING reference slice's
+    * bigram counts appended as their own `ingest_batch` partition —
+    * a dynamic partition overwrite, so an at-least-once replay
+    * rewrites the same partition byte-identically (the
+    * [[graft.streaming.StreamingIngest.erResolveStream]] idempotence
+    * rule). Cost is batch-bounded: one explode + one vocab-bounded
+    * aggregation; reference TEXT already absorbed into the store is
+    * never re-tokenized.
+    */
+  def ingestKnModel(
+      batch: DataFrame,
+      textCol: String,
+      modelDir: String,
+      batchId: Long): Unit =
+    refBigramCounts(batch, textCol)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(modelDir)
+
+  /** Merge the per-batch count deltas into the live model table.
+    * Counts are ADDITIVE, so `groupBy(bg).sum(cb)` over the deltas
+    * equals a from-scratch [[refBigramCounts]] over the union of
+    * every slice ever offered — the exactness the incremental gate
+    * pins. Vocab-bounded rows in, vocab-bounded rows out.
+    */
+  def loadKnCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): DataFrame =
+    spark.read.parquet(modelDir)
+      .groupBy("__bg").agg(sum("__cb").as("__cb"))
+
+  /** Offline compaction of the delta store: every per-batch count
+    * partition merged into a single `ingest_batch = -1` seed
+    * partition in a NEW directory (a running job must not overwrite
+    * its own input; callers swap the path, the
+    * [[graft.ops.EntityRes.applyMergeLog]] discipline). Scores read
+    * through [[loadKnCounts]] are identical before and after —
+    * additivity again — so compaction is pure read-amplification
+    * maintenance: it caps the per-read merge at one partition's rows
+    * after long ingest histories.
+    */
+  def compactKnModel(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String,
+      outDir: String): Unit =
+    loadKnCounts(spark, modelDir)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(outDir)
 
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): rank
     * every document by mean KN log-probability (fluent first) and cut

@@ -157,6 +157,30 @@ private[graft] object TextQueries {
       graft.llm.LangModel.knBuckets(docs, docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text")
     }),
+    // the KN family's steady-state face: the model store seeded with
+    // HALF the reference, the other half offered as an increment
+    // (count-delta partition), scores read from the MERGED store —
+    // must equal the from-scratch text_kn_score bit-for-bit, so it
+    // shares that oracle's SQL (the mm_neardup_incr_indexed pattern)
+    "text_kn_incremental" -> ((s, d) => {
+      import graft.llm.LangModel
+      val docs = t(s, d, "documents")
+      val modelDir = scratch("kn_model_q")
+      LangModel.seedKnModel(docs.where(col("doc_id") % 8 === 0), "text", modelDir)
+      LangModel.ingestKnModel(
+        docs.where(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0),
+        "text", modelDir, batchId = 0L)
+      LangModel.withKnScoreFromCounts(docs,
+        LangModel.loadKnCounts(s, modelDir), "doc_id", "text")
+    }),
+    // production n-gram order: trigram interpolated KN discounting
+    // into the full bigram-KN backoff (raw-count lower order variant,
+    // documented); same reference split, same fixed-point discipline
+    "text_kn3_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.LangModel.withKn3Score(docs, docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+    }),
     // model-based quality filter, training face: DISTILL the full
     // Gopher rule battery (the expensive teacher) into a 2-feature
     // closed-form ridge probe (integer normal equations -> BigInt
@@ -236,7 +260,11 @@ private[graft] object TextQueries {
     * identical, so the only cross-engine float op is the one ln per
     * gram the fixed-point quantization already tolerates.
     */
-  private val knScoreSql: String =
+  /** The bigram MODEL half (toks -> counts -> rollups -> scalars),
+    * shared by the bigram scorer and the trigram scorer's backoff
+    * level.
+    */
+  private val knModelSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |bg AS (SELECT doc_id,
       |         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
@@ -252,7 +280,10 @@ private[graft] object TextQueries {
       |         FROM (SELECT string_split(bg, ' ') AS sp FROM refbg) GROUP BY 1),
       |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM refbg) AS tt,
       |              (SELECT CAST(count(*) AS BIGINT) FROM cont) AS v2),
-      |docg AS (SELECT doc_id, bg, sp[1] AS w1, sp[len(sp)] AS w2
+      |""".stripMargin
+
+  private val knScoreSql: String = knModelSql +
+    """docg AS (SELECT doc_id, bg, sp[1] AS w1, sp[len(sp)] AS w2
       |         FROM (SELECT doc_id, g AS bg, string_split(g, ' ') AS sp
       |               FROM (SELECT doc_id, unnest(gs) AS g FROM bg))),
       |sc AS (SELECT doc_id,
@@ -625,6 +656,66 @@ private[graft] object TextQueries {
     // head/middle/tail replay: DuckDB's native ntile over the same
     // (mean desc, doc_id) total order — the query's two-phase rank +
     // closed-form boundary must land every doc in the same tertile
+    // trigram replay: the bigram model CTEs verbatim + trigram
+    // counts/history; P2 (the full bigram-KN formula on (w2, w3))
+    // appears twice textually — same exact value both places
+    "text_kn3_score" -> (knModelSql +
+      """g3 AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |              ELSE list_transform(generate_series(1, len(w) - 2),
+        |                     i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS gs
+        |       FROM toks),
+        |reftri AS (SELECT g AS tg, CAST(count(*) AS BIGINT) AS c3
+        |           FROM (SELECT unnest(gs) AS g FROM g3 WHERE doc_id % 4 = 0) GROUP BY 1),
+        |hist3 AS (SELECT CASE WHEN len(sp) >= 2 THEN array_to_string(sp[1:len(sp)-1], ' ')
+        |                      ELSE '' END AS h2,
+        |                 CAST(sum(c3) AS BIGINT) AS c2h, CAST(count(*) AS BIGINT) AS n1l3
+        |          FROM (SELECT string_split(tg, ' ') AS sp, c3 FROM reftri) GROUP BY 1),
+        |docg AS (SELECT doc_id, tg,
+        |           sp[len(sp)] AS w3,
+        |           CASE WHEN len(sp) >= 2 THEN sp[len(sp)-1] ELSE '' END AS w2,
+        |           CASE WHEN len(sp) >= 2 THEN array_to_string(sp[1:len(sp)-1], ' ')
+        |                ELSE '' END AS h2,
+        |           concat(CASE WHEN len(sp) >= 2 THEN sp[len(sp)-1] ELSE '' END,
+        |                  ' ', sp[len(sp)]) AS bg
+        |         FROM (SELECT doc_id, g AS tg, string_split(g, ' ') AS sp
+        |               FROM (SELECT doc_id, unnest(gs) AS g FROM g3))),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor(ln(
+        |           CASE WHEN COALESCE(c2h, 0) > 0 THEN
+        |             (greatest(CAST(COALESCE(c3, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                       CAST(0.0 AS DOUBLE))
+        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l3, 0) AS DOUBLE)
+        |                * (CASE WHEN COALESCE(c1, 0) > 0 THEN
+        |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                       CAST(0.0 AS DOUBLE))
+        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
+        |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
+        |             / CAST(c1 AS DOUBLE)
+        |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
+        |           END)) / CAST(c2h AS DOUBLE)
+        |           ELSE (CASE WHEN COALESCE(c1, 0) > 0 THEN
+        |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                       CAST(0.0 AS DOUBLE))
+        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
+        |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
+        |             / CAST(c1 AS DOUBLE)
+        |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
+        |           END) END) * 1000000.0 + 0.5) AS BIGINT) AS lp
+        |       FROM docg LEFT JOIN reftri USING (tg) LEFT JOIN hist3 USING (h2)
+        |            LEFT JOIN refbg ON docg.bg = refbg.bg
+        |            LEFT JOIN hist ON docg.w2 = hist.w1
+        |            LEFT JOIN cont ON docg.w3 = cont.w2
+        |            CROSS JOIN tv)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_trigrams,
+        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
+        |FROM sc GROUP BY 1""".stripMargin),
+    // incremental face: merged count-delta store == from-scratch
+    // model, so the replay is text_kn_score's verbatim
+    "text_kn_incremental" -> (knScoreSql +
+      """SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
+        |FROM sc GROUP BY 1""".stripMargin),
     "text_kn_buckets" -> (knScoreSql +
       """,d2 AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS nb,
         |            CAST(sum(lp) AS BIGINT) AS lps

@@ -854,6 +854,36 @@ object StreamingIngest {
       .write.partitionBy("centroid_id", "ingest_batch")
       .mode("overwrite").parquet(layoutDir)
 
+  /** Streaming KN model maintenance — the LM family's steady-state
+    * twin: each micro-batch of arriving TRUSTED-reference documents
+    * lands its bigram count delta as its own `ingest_batch` partition
+    * ([[graft.llm.LangModel.ingestKnModel]]), so the live model
+    * ([[graft.llm.LangModel.loadKnCounts]] — one vocab-bounded merge
+    * at read) stays definitionally equal to a from-scratch
+    * [[graft.llm.LangModel.refBigramCounts]] over everything ever
+    * offered; counts are additive, so parity is exact, not
+    * approximate (spec-pinned, scores included). Idempotence is
+    * [[erResolveStream]]'s: the delta write is a dynamic partition
+    * overwrite keyed on `ingest_batch = batchId`. Per micro-batch
+    * cost is batch-bounded (one explode + one vocab-bounded
+    * aggregation); the store and its text are never read in the loop.
+    */
+  def knModelStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      modelDir: String,
+      checkpointDir: String,
+      textCol: String): DataStreamWriter[Row] = {
+    val raw = csvSource(spark, watchDir, schema)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.LangModel.ingestKnModel(batch, textCol, modelDir, batchId)
+      }
+  }
+
   def streamingCurationGate(
       docs: DataFrame,
       store: DataFrame,

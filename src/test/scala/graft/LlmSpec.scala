@@ -1178,6 +1178,28 @@ class LlmSpec extends SparkSpec {
     assert(out(1L)._2 > fp(3.0 / 4))
   }
 
+  test("trigram KN: closed-form two-level interpolation, every seen/unseen cell") {
+    import graft.llm.LangModel
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // trigram model: c3("a b a")=1, c3("b a b")=1; hist3 "a b":(1,1),
+    // "b a":(1,1); bigram model as in the KN spec above
+    val docs = Seq(
+      (1L, "a b a"),  // seen trigram, seen history:
+                      //   P2(a|b) = (max(1-.75,0)+.75*1*.4)/1 = 0.55
+                      //   P3 = (max(1-.75,0)+.75*1*0.55)/1 = 0.6625
+      (2L, "c d e"),  // unseen trigram history -> P2(e|d), d unseen -> Pcont = 0.2
+      (3L, "a b"),    // degenerate gram, h2="a" unseen -> P2(b|a) = 0.775
+      (4L, "b")       // degenerate, w2='' -> P2(b|'') -> Pcont(b) = 0.4
+    ).toDF("doc_id", "text")
+    val out = LangModel.withKn3Score(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    def fp(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((1, fp(0.6625))))
+    assert(out(2L) == ((1, fp(0.2))))
+    assert(out(3L) == ((1, fp(0.775))))
+    assert(out(4L) == ((1, fp(0.4))))
+  }
+
   test("knBuckets: two-phase range rank matches a driver-side ntile replay, boundary included") {
     import graft.llm.LangModel
     val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")

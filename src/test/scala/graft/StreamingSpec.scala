@@ -779,6 +779,59 @@ class StreamingSpec extends SparkSpec {
     assert(replayIds == storeIds(), s"replay $replayIds vs stream ${storeIds()}")
   }
 
+  test("streaming KN model: merged count deltas == from-scratch model; scores identical") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.LangModel
+    val watch = JFiles.createTempDirectory("graft_knwatch").toString
+    val modelDir = JFiles.createTempDirectory("graft_knmodel").toString
+    val ckpt = JFiles.createTempDirectory("graft_knckpt").toString
+    val seed = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    LangModel.seedKnModel(seed, "text", modelDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.knModelStream(spark, watch, schema, modelDir, ckpt, "text")
+        .trigger(Trigger.AvailableNow()).start())
+    // batch 0 overlaps the seed's grams (counts must ADD, not dedup);
+    // batch 1 brings novel grams
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      "doc_id,text\n4,a b c\n8,b a\n")
+    drive()
+    JFiles.writeString(Paths.get(watch, "b2.csv"), "doc_id,text\n12,x y\n")
+    drive()
+
+    val all = seed.unionByName(Seq(
+      (4L, "a b c"), (8L, "b a"), (12L, "x y")).toDF("doc_id", "text"))
+    val maintained = LangModel.loadKnCounts(spark, modelDir)
+    val rebuilt = LangModel.refBigramCounts(all, "text")
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "maintained KN counts != from-scratch counts")
+    // and the scores read from the maintained store are bit-identical
+    val probeDocs = Seq((100L, "a b"), (101L, "c x"), (102L, "y")).toDF("doc_id", "text")
+    val viaStore = LangModel.withKnScoreFromCounts(probeDocs, maintained,
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fromScratch = LangModel.withKnScore(probeDocs, all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaStore == fromScratch, s"store $viaStore vs scratch $fromScratch")
+
+    // offline compaction: the delta partitions merged into one seed
+    // partition in a fresh dir — scores must not move (additivity)
+    val compactDir = JFiles.createTempDirectory("graft_kncompact").toString
+    LangModel.compactKnModel(spark, modelDir, compactDir)
+    val viaCompact = LangModel.withKnScoreFromCounts(probeDocs,
+      LangModel.loadKnCounts(spark, compactDir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaCompact == fromScratch, s"compact $viaCompact vs scratch $fromScratch")
+    // and the compacted store is a single -1 partition
+    // the partition column reads back type-inferred (int for small
+    // values) — cast before collecting
+    val batches = spark.read.parquet(compactDir)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L), s"got partitions $batches")
+  }
+
   test("streaming IVF ingest: maintained layout == batch rebuild; probe answers identical") {
     import java.nio.file.{Files => JFiles, Paths}
     import graft.llm.Ivf
