@@ -188,6 +188,44 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
     }),
+    // quantized IVF replay: the assignment CTE + the int8 code CTE,
+    // pruned join on cells, scale-cancelling cosine (exact integer
+    // dots as DOUBLE — values < 2^53, so bit-equal), null cosines
+    // coalesced below the floor exactly like the query
+    "sim_ivf_quant_topk" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val cents = m.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |qq AS (SELECT vec_id, v,
+         |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+         |          ELSE CAST(floor(x / scale * 127 + 0.5) AS INTEGER) END)::DOUBLE[] AS qa
+         |      FROM q),
+         |cents(cid, c) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        list_inner_product(list_transform(generate_series(1, len(v)), j -> v[j] - c[j]),
+         |                           list_transform(generate_series(1, len(v)), j -> v[j] - c[j])) AS dist
+         |      FROM e CROSS JOIN cents),
+         |corp AS (SELECT vec_id AS neighbor_id, cid AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |prb AS (SELECT vec_id AS probe_id, cid AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d WHERE vec_id < 5) WHERE rn <= 4),
+         |scored AS (SELECT p.probe_id, c.neighbor_id,
+         |    CASE WHEN sqrt(list_inner_product(x.qa, x.qa)) * sqrt(list_inner_product(y.qa, y.qa)) > 0
+         |         THEN list_inner_product(x.qa, y.qa) /
+         |              (sqrt(list_inner_product(x.qa, x.qa)) * sqrt(list_inner_product(y.qa, y.qa)))
+         |    END AS qsim
+         |  FROM corp c JOIN prb p USING (centroid_id)
+         |  JOIN qq x ON c.neighbor_id = x.vec_id JOIN qq y ON p.probe_id = y.vec_id)
+         |SELECT probe_id, neighbor_id, qsim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY COALESCE(qsim, -2.0) DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    }),
     // the partitioned-layout search answers exactly what the
     // in-memory IVF answers — same replay
     "s16_ivf_cell_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),

@@ -337,6 +337,56 @@ object Ivf {
     ivfTopKAssigned(store, probes, idCol, vecCol, model, k, nProbe)
   }
 
+  /** IVF over the QUANTIZED store — the composition a 100 TB ANN
+    * deployment actually runs: cells bound the candidate set
+    * (directory pruning), int8 codes bound the bytes per candidate
+    * (4× less IO and memory than float32), and the ranking is the
+    * scale-cancelling quantized cosine [[Quantize.int8RecallAtK]]
+    * documents: `qdot / (‖qc‖·‖qp‖)` — every dot an EXACT integer
+    * sum, the sqrt/divide correctly-rounded IEEE, ties broken on
+    * neighbor id, zero-vector cosines nulled and demoted below the
+    * cosine floor. sim_quant_recall is the companion audit that
+    * prices this ranking's recall for the k-for-rerank decision; this
+    * operator is the search it prices. Candidates outside the probe
+    * cells never rank — same contract as [[ivfTopK]].
+    */
+  def ivfQuantTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      k: Int,
+      nProbe: Int = 2,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+      graft.functions.ArrayFns.scoped(corpus.sparkSession) {
+    import org.apache.spark.sql.expressions.Window
+    def codesOf(v: org.apache.spark.sql.Column) =
+      Quantize.int8Codes(v, Quantize.maxAbsScale(v))
+    val qCorpus = assign(corpus, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id").cast("int").as("centroid_id"),
+        codesOf(col(vecCol).cast("array<double>")).as("__cq"))
+    val qProbes = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("__pv"))
+      .withColumn("centroid_id", explode(probeCentroids(col("__pv"), model, nProbe)))
+      .select(col("probe_id"), col("centroid_id").cast("int").as("centroid_id"),
+        codesOf(col("__pv")).as("__pq"))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    val normProd =
+      sqrt(idot(col("__cq"), col("__cq")).cast("double")) *
+        sqrt(idot(col("__pq"), col("__pq")).cast("double"))
+    val scored = qCorpus
+      .join(Similarity.maybeBroadcast(qProbes, maxBroadcastBytes), Seq("centroid_id"))
+      .withColumn("qsim",
+        when(normProd > 0d, idot(col("__cq"), col("__pq")).cast("double") / normProd))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(coalesce(col("qsim"), lit(-2.0)).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "qsim", "rank")
+  }
+
   // ===== distributed Lloyd refinement =====
 
   /** The distributed half of one Lloyd iteration: per-(cell, dim)

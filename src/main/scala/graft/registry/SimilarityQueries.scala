@@ -45,6 +45,14 @@ private[graft] object SimilarityQueries {
       graft.llm.Ivf.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // the deployment composition: IVF cell pruning + int8-code
+    // ranking (the 4x-smaller store sim_quant_recall prices) — exact
+    // integer dots, scale-cancelling cosine, same probe contract
+    "sim_ivf_quant_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.Ivf.ivfQuantTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        ivfModel(s, d), k = 5, nProbe = 4)
+    }),
     // clustering-quality dashboard: per-cell size, majority label,
     // purity (counts only — engine-exact)
     "sim_cell_purity" -> ((s, d) =>

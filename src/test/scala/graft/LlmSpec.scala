@@ -1230,6 +1230,23 @@ class LlmSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("ivfQuantTopK: candidates come from probe cells only; quantized cosine ranks by hand-checkable integers") {
+    import graft.llm.Ivf
+    val corpus = Seq(
+      (1L, Array(0.0, 1.0)), (2L, Array(0.1, 0.9)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.9, 0.1))).toDF("vec_id", "embedding")
+    val model = Ivf.train(corpus, "embedding", k = 2)
+    val probe = Seq((100L, Array(0.0, 0.95))).toDF("vec_id", "embedding")
+    val out = Ivf.ivfQuantTopK(corpus, probe, "vec_id", "embedding", model,
+      k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // nProbe=1 near (0, 0.95): only the {1, 2} cell ever ranks —
+    // vectors 3, 4 are pruned, so k=3 returns exactly 2 rows.
+    // Quantized: v1 -> (0,127), v2 -> (floor(0.1/0.9*127+.5)=14, 127),
+    // probe -> (0,127); cos(q1,qp)=1 > cos(q2,qp)=127/sqrt(14^2+127^2)
+    assert(out.toSeq == Seq((100L, 1L, 1), (100L, 2L, 2)), out.mkString(","))
+  }
+
   test("quality probe: Cramer determinants satisfy A·w = b exactly; separable labels recovered") {
     import graft.llm.QualityProbe
     // y follows x1 (token count) with x2 (marker count) as noise —
