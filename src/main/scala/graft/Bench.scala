@@ -67,7 +67,8 @@ object Bench {
     "text_bpe_train", "bpe_fertility_trained", "mm_neardup_pairs_indexed",
     "text_kn_score", "text_kn_buckets", "s17_ivf_append",
     "quality_probe_train", "quality_probe_score", "quality_probe_eval",
-    "text_kn_incremental", "text_kn3_score", "sim_ivf_quant_topk")
+    "text_kn_incremental", "text_kn3_score", "sim_ivf_quant_topk",
+    "s18_ivf_quant_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -226,6 +226,9 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
     }),
+    // the quantized layout answers exactly what the in-memory
+    // quantized search answers — same replay
+    "s18_ivf_quant_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_quant_topk")(s, d)),
     // the partitioned-layout search answers exactly what the
     // in-memory IVF answers — same replay
     "s16_ivf_cell_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),

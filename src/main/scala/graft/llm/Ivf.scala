@@ -360,17 +360,37 @@ object Ivf {
       nProbe: Int = 2,
       maxBroadcastBytes: Long = 256L << 20): DataFrame =
       graft.functions.ArrayFns.scoped(corpus.sparkSession) {
-    import org.apache.spark.sql.expressions.Window
-    def codesOf(v: org.apache.spark.sql.Column) =
-      Quantize.int8Codes(v, Quantize.maxAbsScale(v))
     val qCorpus = assign(corpus, idCol, vecCol, model)
       .select(col(idCol).as("neighbor_id"), col("centroid_id").cast("int").as("centroid_id"),
-        codesOf(col(vecCol).cast("array<double>")).as("__cq"))
+        quantCodes(col(vecCol).cast("array<double>")).as("__cq"))
+    quantRank(qCorpus, probes, idCol, vecCol, model, k, nProbe, maxBroadcastBytes)
+  }
+
+  private def quantCodes(v: org.apache.spark.sql.Column) =
+    Quantize.int8Codes(v, Quantize.maxAbsScale(v))
+
+  /** The shared quantized-ranking half: probe-cell fan-out joins a
+    * (neighbor_id, centroid_id, __cq codes) candidate frame and ranks
+    * by the scale-cancelling quantized cosine — fed either from a
+    * fresh assign+quantize pass ([[ivfQuantTopK]]) or from the
+    * PERSISTED quantized layout ([[quantCellLayoutTopK]]), which is
+    * why stored codes are never recomputed on the read path.
+    */
+  private def quantRank(
+      qCorpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      k: Int,
+      nProbe: Int,
+      maxBroadcastBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qProbes = probes
       .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("__pv"))
       .withColumn("centroid_id", explode(probeCentroids(col("__pv"), model, nProbe)))
       .select(col("probe_id"), col("centroid_id").cast("int").as("centroid_id"),
-        codesOf(col("__pv")).as("__pq"))
+        quantCodes(col("__pv")).as("__pq"))
     def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
     val normProd =
@@ -385,6 +405,56 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select("probe_id", "neighbor_id", "qsim", "rank")
+  }
+
+  /** The quantized store on disk: one directory per cell, rows are
+    * (id, scale, codes) — [[Quantize.int8Store]]'s 4×-smaller layout
+    * behind [[writeCellLayout]]'s directory pruning. This is what a
+    * 100 TB ANN deployment actually persists: float vectors stay in
+    * cold storage for the optional rerank; the search tier reads
+    * int8 codes from pruned cell directories only.
+    */
+  def writeQuantCellLayout(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      path: String): Unit = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    val vd = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+        Quantize.maxAbsScale(vd).as("scale"),
+        Quantize.int8Codes(vd, Quantize.maxAbsScale(vd)).as("codes"),
+        element_at(nearestCentroids(vd, model, 1), 1).as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** ANN top-k against the persisted quantized layout: probe cells
+    * prune at the directory level (PartitionFilters), candidate rows
+    * carry only (id, codes) — the stored codes rank AS-IS, never
+    * re-quantized and never re-assigned. Results are identical to
+    * [[ivfQuantTopK]] over the full corpus (gate-pinned via the
+    * shared oracle).
+    */
+  def quantCellLayoutTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      k: Int,
+      nProbe: Int = 2,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+      graft.functions.ArrayFns.scoped(spark) {
+    val cells = probes
+      .select(explode(probeCentroids(col(vecCol).cast("array<double>"), model, nProbe)).as("c"))
+      .distinct().collect().map(_.getInt(0))
+    val qCorpus = spark.read.parquet(path)
+      .where(col("centroid_id").isin(cells.map(x => x: Any): _*))
+      .select(col(idCol).as("neighbor_id"),
+        col("centroid_id").cast("int").as("centroid_id"), col("codes").as("__cq"))
+    quantRank(qCorpus, probes, idCol, vecCol, model, k, nProbe, maxBroadcastBytes)
   }
 
   // ===== distributed Lloyd refinement =====

@@ -156,6 +156,17 @@ private[graft] object EngineStoreQueries {
       graft.llm.Ivf.cellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", m, k = 5, nProbe = 4)
     }),
+    // the quantized store deployed: (id, scale, codes) rows behind
+    // cell-directory pruning; stored codes rank AS-IS — probe answers
+    // must match the in-memory quantized search (same replay oracle)
+    "s18_ivf_quant_layout" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val path = scratch("ivf_quant_cells_q")
+      graft.llm.Ivf.writeQuantCellLayout(emb, "vec_id", "embedding", m, path)
+      graft.llm.Ivf.quantCellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+    }),
     // model-artifact lifecycle: save the trained quantizer, load it
     // back, and assign the corpus with the LOADED model — the oracle
     // is built from the TRAINED centroids, so a lossy round trip
