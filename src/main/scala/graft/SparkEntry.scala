@@ -226,6 +226,26 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
     }),
+    // rerank replay: the quantized top-(k*3) CTE feeding the float
+    // cosine re-rank — both stages in one SQL derivation
+    "sim_ivf_quant_rerank" -> ((s, d) => {
+      val base = dynamicOracleSql("sim_ivf_quant_topk")(s, d)
+      // reuse the quantized replay with its final SELECT swapped for
+      // the candidate CTE + the float rerank
+      val trimmed = base.substring(0, base.lastIndexOf("SELECT probe_id"))
+      trimmed +
+        s"""SELECT probe_id, neighbor_id, sim, rank FROM (
+           |  SELECT cand.probe_id, cand.neighbor_id, ${duckCosine("x.v", "y.v")} AS sim,
+           |    CAST(row_number() OVER (PARTITION BY cand.probe_id
+           |      ORDER BY ${duckCosine("x.v", "y.v")} DESC, cand.neighbor_id) AS INTEGER) AS rank
+           |  FROM (SELECT probe_id, neighbor_id FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY probe_id
+           |            ORDER BY COALESCE(qsim, -2.0) DESC, neighbor_id) AS qrn
+           |          FROM scored) WHERE qrn <= 15) cand
+           |  JOIN e x ON cand.neighbor_id = x.vec_id
+           |  JOIN e y ON cand.probe_id = y.vec_id)
+           |WHERE rank <= 5""".stripMargin
+    }),
     // the quantized layout answers exactly what the in-memory
     // quantized search answers — same replay
     "s18_ivf_quant_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_quant_topk")(s, d)),

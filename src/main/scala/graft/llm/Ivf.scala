@@ -407,6 +407,49 @@ object Ivf {
       .select("probe_id", "neighbor_id", "qsim", "rank")
   }
 
+  /** The full production ANN query: quantized candidate generation +
+    * float rerank — cells bound the candidate set, int8 codes pick
+    * the top `k·rerankFactor` cheaply, and ONLY those rows touch
+    * float vectors for the exact-cosine rerank. This is the
+    * k-for-rerank deployment [[Quantize.int8RecallAtK]] prices: the
+    * audit tells you how big `rerankFactor` must be for the quantized
+    * stage to retain the true top-k; this operator then pays float
+    * reads for candidates only — at 100 TB the float corpus stays in
+    * cold storage and the rerank join is candidate-sized (probes ×
+    * k·rerankFactor rows, broadcast).
+    */
+  def ivfQuantRerankTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      k: Int,
+      nProbe: Int = 2,
+      rerankFactor: Int = 3,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+      graft.functions.ArrayFns.scoped(corpus.sparkSession) {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val cands = ivfQuantTopK(corpus, probes, idCol, vecCol, model,
+      k * rerankFactor, nProbe, maxBroadcastBytes)
+      .select("probe_id", "neighbor_id")
+    val fCorpus = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val fProbes = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("__pv"))
+    val scored = fCorpus
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(Similarity.maybeBroadcast(fProbes, maxBroadcastBytes), Seq("probe_id"))
+      .withColumn("sim",
+        graft.functions.ArrayFns.cosineNative(col("__cv"), col("__pv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+  }
+
   /** The quantized store on disk: one directory per cell, rows are
     * (id, scale, codes) — [[Quantize.int8Store]]'s 4×-smaller layout
     * behind [[writeCellLayout]]'s directory pruning. This is what a

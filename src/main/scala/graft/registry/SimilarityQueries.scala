@@ -53,6 +53,15 @@ private[graft] object SimilarityQueries {
       graft.llm.Ivf.ivfQuantTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         ivfModel(s, d), k = 5, nProbe = 4)
     }),
+    // the full deployment query: quantized candidates (k*3 via the
+    // int8 path) float-reranked to top-k — the k-for-rerank pattern
+    // sim_quant_recall prices; float vectors touched for candidates
+    // only
+    "sim_ivf_quant_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.llm.Ivf.ivfQuantRerankTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", ivfModel(s, d), k = 5, nProbe = 4, rerankFactor = 3)
+    }),
     // clustering-quality dashboard: per-cell size, majority label,
     // purity (counts only — engine-exact)
     "sim_cell_purity" -> ((s, d) =>

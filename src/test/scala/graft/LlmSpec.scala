@@ -1247,6 +1247,26 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 1L, 1), (100L, 2L, 2)), out.mkString(","))
   }
 
+  test("ivfQuantRerankTopK: with candidates covering the cell, rerank == exact float IVF top-k") {
+    import graft.llm.Ivf
+    val corpus = Seq(
+      (1L, Array(0.0, 1.0)), (2L, Array(0.1, 0.9)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.9, 0.1))).toDF("vec_id", "embedding")
+    val model = Ivf.train(corpus, "embedding", k = 2)
+    val probe = Seq((100L, Array(0.0, 0.95))).toDF("vec_id", "embedding")
+    // k*rerankFactor = 4 >= any cell's population, so the quantized
+    // stage cannot drop a true candidate and the float rerank must
+    // reproduce the exact float IVF answer rank-for-rank
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rr = key(Ivf.ivfQuantRerankTopK(corpus, probe, "vec_id", "embedding",
+      model, k = 2, nProbe = 1, rerankFactor = 2))
+    val exact = key(Ivf.ivfTopK(corpus, probe, "vec_id", "embedding",
+      model, k = 2, nProbe = 1))
+    assert(rr == exact, s"rerank $rr vs exact $exact")
+  }
+
   test("quality probe: Cramer determinants satisfy A·w = b exactly; separable labels recovered") {
     import graft.llm.QualityProbe
     // y follows x1 (token count) with x2 (marker count) as noise —
