@@ -63,7 +63,7 @@ object Bench {
     "er_merge_log_compact", "er_band_evidence", "er_recommend_bands",
     "mm_cdc_chunks", "mm_neardup_pairs", "mm_neardup_coverage",
     "mm_neardup_keep", "mm_neardup_clusters", "mm_neardup_incremental",
-    "mm_neardup_incr_indexed", "mm_gear_reassembly",
+    "mm_neardup_incr_indexed", "mm_gear_reassembly", "mm_neardup_incr_gear",
     "text_bpe_train", "bpe_fertility_trained", "mm_neardup_pairs_indexed",
     "text_kn_score", "text_kn_buckets", "s17_ivf_append",
     "quality_probe_train", "quality_probe_score", "quality_probe_eval",

@@ -96,6 +96,34 @@ object SparkEntry {
             .write.mode("overwrite").format("noop").save()
         })
     }),
+    // the PRODUCTION chunker's twin of the split above, on the SAME
+    // corpus shape and divisor as the md5 face (the gated
+    // mm_neardup_incr_gear runs planted 256-byte content so its
+    // oracle stays closed-form; these phases time the production path
+    // on the real documents bytes so "#index"/"#ingest" compare
+    // apples-to-apples against mm_neardup_incr_indexed's — the
+    // gear-vs-md5 per-byte rate is exactly the number verdict r17
+    // asked to move)
+    "mm_neardup_incr_gear" -> ((s, d) => {
+      import graft.llm.Multimodal
+      val gear = Multimodal.GearChunker(divisor = 16, window = 8)
+      val idxPath = scratch(s"bench_mm_gear_index_${Integer.toHexString(d.hashCode)}")
+      def docs = Multimodal.withBinaryContent("text")(t(s, d, "documents"))
+      Seq(
+        "index" -> { () =>
+          Multimodal.binaryChunkIndex("content", "doc_id", gear)(
+            docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0))
+            .write.mode("overwrite").parquet(idxPath)
+        },
+        "ingest" -> { () =>
+          Multimodal.binaryIncrementalNearDupIndexed("content", "doc_id", minJaccard = 0.3,
+            gear, maxDocFreq = 64L)(
+            docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0),
+            s.read.parquet(idxPath))
+            .drop("content")
+            .write.mode("overwrite").format("noop").save()
+        })
+    }),
     // same split for the whole-store audit face: index build vs the
     // index-only pair audit (the recurring cost)
     "mm_neardup_pairs_indexed" -> ((s, d) => {
@@ -120,9 +148,14 @@ object SparkEntry {
       val path = scratch("bench_ivf_cells_append")
       val emb = t(s, d, "embeddings")
       Seq(
+        // rebuild from the DISJOINT rest (matching the gated
+        // EngineStoreQueries variant's store/batch split) so the
+        // append phase completes the corpus instead of duplicating a
+        // third of it — the probed layout is the documented
+        // rebuild-then-append composition, not a corpus + dup-third
         "rebuild" -> { () =>
-          graft.llm.Ivf.writeCellLayout(emb, "vec_id", "embedding",
-            ivfModel(s, d), path)
+          graft.llm.Ivf.writeCellLayout(emb.where(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", ivfModel(s, d), path)
         },
         "append" -> { () =>
           graft.llm.Ivf.appendToCellLayout(emb.where(col("vec_id") % 3 === 0),

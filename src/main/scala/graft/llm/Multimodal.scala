@@ -319,6 +319,113 @@ object Multimodal {
           col("__chunk.n_bytes").as("n_bytes")))
   }
 
+  /** The chunk-boundary detector as a VALUE, so every consumer of
+    * chunk rows — the persisted index, the incremental ingest faces,
+    * the streaming loop — is parameterized by ONE chunker instead of
+    * hard-wiring the gate face into the production path (the
+    * verdict-r17 finding: the native Gear expression existed but
+    * nothing consumed it, so steady-state ingest chunked every batch
+    * at md5 rates). Both faces share the output contract — one row
+    * per chunk (idCol, chunk_md5, n_bytes) — and everything
+    * downstream is boundary-agnostic, but an index built by one face
+    * must only ever meet batches chunked by the SAME face: boundaries
+    * differ between faces by construction, so mixing them silently
+    * loses every cross-face near-dup. [[Chunker.tag]] is the identity
+    * persisted beside an index ([[writeChunkerTag]]) and demanded
+    * back at ingest ([[requireChunkerTag]]).
+    *
+    *  - [[Md5Chunker]] — the GATE face: boundary hash replays
+    *    bit-for-bit in DuckDB, so correctness gates are exact.
+    *  - [[GearChunker]] — the PRODUCTION face: native shift+add+
+    *    lookup per byte (~5× cheaper than the md5 window probe, the
+    *    family's measured dominant CPU term), the default of every
+    *    chunker-parameterized entry point.
+    */
+  sealed trait Chunker {
+    def tag: String
+    def chunk(binCol: String, idCol: String)(df: DataFrame): DataFrame
+  }
+  /** Gate face: engine-portable md5 window hash ([[binaryCdcChunks]]). */
+  final case class Md5Chunker(divisor: Int = 32, window: Int = 8) extends Chunker {
+    val tag = s"md5-$divisor-$window"
+    def chunk(binCol: String, idCol: String)(df: DataFrame): DataFrame =
+      binaryCdcChunks(binCol, idCol, divisor, window)(df)
+  }
+  /** Production face: native Gear rolling hash ([[binaryCdcChunksGear]]). */
+  final case class GearChunker(divisor: Int = 4096, window: Int = 8) extends Chunker {
+    val tag = s"gear-$divisor-$window"
+    def chunk(binCol: String, idCol: String)(df: DataFrame): DataFrame =
+      binaryCdcChunksGear(binCol, idCol, divisor, window)(df)
+  }
+  object Chunker {
+    /** Inverse of [[Chunker.tag]] — loads the identity persisted
+      * beside an index back into the value that built it.
+      */
+    def fromTag(tag: String): Chunker = tag.split("-") match {
+      case Array("md5", d, w) => Md5Chunker(d.toInt, w.toInt)
+      case Array("gear", d, w) => GearChunker(d.toInt, w.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized chunker tag '$tag' (want md5-<divisor>-<window> or gear-<divisor>-<window>)")
+    }
+  }
+
+  private def chunkerTagPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_chunker_spec")
+
+  /** Persist the chunker identity beside a chunk index (underscore
+    * file — invisible to the parquet reader, the ivmStateStream
+    * marker discipline). Written by [[graft.streaming.StreamingIngest
+    * .seedBinaryStore]]; ingest paths [[requireChunkerTag]] it back
+    * so an index can never silently meet a batch chunked by the other
+    * face.
+    */
+  def writeChunkerTag(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      chunker: Chunker): Unit = {
+    val p = chunkerTagPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(chunker.tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readChunkerTag(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[String] = {
+    val p = chunkerTagPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Demand that a persisted index was built by exactly `chunker` —
+    * a mismatch (or an untagged directory) fails LOUDLY: chunk
+    * boundaries differ between faces by construction, so feeding a
+    * gear-chunked batch to an md5-built index would drop ZERO
+    * near-dups and read as a clean ingest.
+    */
+  def requireChunkerTag(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      chunker: Chunker): Unit = readChunkerTag(spark, indexDir) match {
+    case Some(t) =>
+      require(t == chunker.tag,
+        s"chunk index at $indexDir was built by chunker '$t' but this ingest " +
+          s"chunks with '${chunker.tag}' — boundaries are incompatible across " +
+          "faces; re-seed the index under the new chunker or keep the old one")
+    case None =>
+      throw new IllegalStateException(
+        s"chunk index at $indexDir carries no _chunker_spec marker — " +
+          "seed it with seedBinaryStore (which writes the marker) or write " +
+          "one with writeChunkerTag before ingesting against it")
+  }
+
   /** Content-level binary near-dup pairs — the multimodal analog of
     * the text family's [[graft.llm.Dedup.allPairsJaccard]]: two
     * binaries are near-dups when their CDC chunk-digest SETS overlap
@@ -431,8 +538,24 @@ object Multimodal {
       minJaccard: Double,
       divisor: Int = 32,
       window: Int = 8,
-      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame = {
-    val drop = binaryNearDupPairs(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(df)
+      maxDocFreq: Long = 1000L)(df: DataFrame): DataFrame =
+    binaryNearDedup(binCol, idCol, minJaccard, Md5Chunker(divisor, window), maxDocFreq)(df)
+
+  /** [[binaryNearDedup]] under an explicit [[Chunker]] — the
+    * production-default entry ([[GearChunker]] boundaries at the
+    * caller's divisor), shared by the chunker-parameterized
+    * incremental faces' within-batch stage.
+    */
+  def binaryNearDedup(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      chunker: Chunker,
+      maxDocFreq: Long)(df: DataFrame): DataFrame = {
+    val drop = nearDupPairsFromDigests(idCol, minJaccard, maxDocFreq)(
+      chunker.chunk(binCol, idCol)(df)
+        .select(col(idCol), col("chunk_md5")).distinct()
+        .localCheckpoint(true))
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
@@ -487,11 +610,21 @@ object Multimodal {
       minJaccard: Double,
       divisor: Int = 32,
       window: Int = 8,
-      maxDocFreq: Long = 1000L)(batch: DataFrame, store: DataFrame): DataFrame = {
-    val cs = binaryCdcChunks(binCol, idCol, divisor, window)(store)
+      maxDocFreq: Long = 1000L)(batch: DataFrame, store: DataFrame): DataFrame =
+    binaryIncrementalNearDup(binCol, idCol, minJaccard,
+      Md5Chunker(divisor, window), maxDocFreq)(batch, store)
+
+  /** [[binaryIncrementalNearDup]] under an explicit [[Chunker]]. */
+  def binaryIncrementalNearDup(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      chunker: Chunker,
+      maxDocFreq: Long)(batch: DataFrame, store: DataFrame): DataFrame = {
+    val cs = chunker.chunk(binCol, idCol)(store)
       .select(col(idCol), col("chunk_md5")).distinct()
       .localCheckpoint(true)
-    incrementalNearDupCore(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(batch, cs)
+    incrementalNearDupCore(binCol, idCol, minJaccard, chunker, maxDocFreq)(batch, cs)
   }
 
   /** The persisted chunk index for a binary store — one row per
@@ -510,7 +643,18 @@ object Multimodal {
       idCol: String,
       divisor: Int = 32,
       window: Int = 8)(df: DataFrame): DataFrame =
-    binaryCdcChunks(binCol, idCol, divisor, window)(df)
+    binaryChunkIndex(binCol, idCol, Md5Chunker(divisor, window))(df)
+
+  /** [[binaryChunkIndex]] under an explicit [[Chunker]] — the
+    * production entry point ([[GearChunker]] default of the streaming
+    * loop); persist the identity beside the written table with
+    * [[writeChunkerTag]].
+    */
+  def binaryChunkIndex(
+      binCol: String,
+      idCol: String,
+      chunker: Chunker)(df: DataFrame): DataFrame =
+    chunker.chunk(binCol, idCol)(df)
       // one row per (id, digest): a digest determines its chunk bytes
       // (and so n_bytes) — max() is just the aggregate form of "the"
       .groupBy(col(idCol), col("chunk_md5"))
@@ -529,9 +673,19 @@ object Multimodal {
       binCol: String,
       idCol: String,
       divisor: Int = 32,
-      window: Int = 8)(batch: DataFrame, index: DataFrame): DataFrame = {
+      window: Int = 8)(batch: DataFrame, index: DataFrame): DataFrame =
+    ingestBinaryChunkIndex(binCol, idCol, Md5Chunker(divisor, window))(batch, index)
+
+  /** [[ingestBinaryChunkIndex]] under an explicit [[Chunker]] — MUST
+    * be the chunker that built `index` (path-based callers
+    * [[requireChunkerTag]] before invoking this).
+    */
+  def ingestBinaryChunkIndex(
+      binCol: String,
+      idCol: String,
+      chunker: Chunker)(batch: DataFrame, index: DataFrame): DataFrame = {
     val knownIds = index.select(col(idCol)).distinct()
-    binaryChunkIndex(binCol, idCol, divisor, window)(
+    binaryChunkIndex(binCol, idCol, chunker)(
       batch.join(knownIds, Seq(idCol), "left_anti"))
   }
 
@@ -552,7 +706,22 @@ object Multimodal {
       divisor: Int = 32,
       window: Int = 8,
       maxDocFreq: Long = 1000L)(batch: DataFrame, storeIndex: DataFrame): DataFrame =
-    incrementalNearDupCore(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(
+    binaryIncrementalNearDupIndexed(binCol, idCol, minJaccard,
+      Md5Chunker(divisor, window), maxDocFreq)(batch, storeIndex)
+
+  /** [[binaryIncrementalNearDupIndexed]] under an explicit
+    * [[Chunker]] — the PRODUCTION ingest (the streaming loop calls
+    * this with [[GearChunker]] by default). `chunker` MUST be the
+    * face that built `storeIndex`; path-based callers
+    * [[requireChunkerTag]] first.
+    */
+  def binaryIncrementalNearDupIndexed(
+      binCol: String,
+      idCol: String,
+      minJaccard: Double,
+      chunker: Chunker,
+      maxDocFreq: Long)(batch: DataFrame, storeIndex: DataFrame): DataFrame =
+    incrementalNearDupCore(binCol, idCol, minJaccard, chunker, maxDocFreq)(
       batch, storeIndex.select(col(idCol), col("chunk_md5")))
 
   /** Shared cross-table stage of the two incremental faces: `cs` is
@@ -563,11 +732,10 @@ object Multimodal {
       binCol: String,
       idCol: String,
       minJaccard: Double,
-      divisor: Int,
-      window: Int,
+      chunker: Chunker,
       maxDocFreq: Long)(batch: DataFrame, cs: DataFrame): DataFrame = {
     require(maxDocFreq >= 2, s"bad maxDocFreq=$maxDocFreq")
-    val cb = binaryCdcChunks(binCol, idCol, divisor, window)(batch)
+    val cb = chunker.chunk(binCol, idCol)(batch)
       .select(col(idCol), col("chunk_md5")).distinct()
       .localCheckpoint(true)
     val hot = cs.groupBy("chunk_md5").agg(count(lit(1)).as("__df"))
@@ -592,7 +760,7 @@ object Multimodal {
     // cross-table pipeline
     val survivors = batch.join(storeDrop, Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    binaryNearDedup(binCol, idCol, minJaccard, divisor, window, maxDocFreq)(survivors)
+    binaryNearDedup(binCol, idCol, minJaccard, chunker, maxDocFreq)(survivors)
   }
 
   /** Per-binary duplicate coverage at CDC-chunk granularity — the

@@ -64,6 +64,10 @@ object QualityProbe {
       x2: Column,
       label: Column,
       lambda: Long = 1L): Probe = {
+    // the BigInt-exactness contract assumes a positive-definite A:
+    // lambda <= 0 admits det = 0 and silently Infinity/NaN weights
+    // from det_i.toDouble / det.toDouble
+    require(lambda >= 1L, s"trainRidge needs a positive integer lambda, got $lambda")
     val y = label.cast("long")
     val row = df.agg(
       count(lit(1)).as("n"),
@@ -71,6 +75,10 @@ object QualityProbe {
       sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
       sum(y).as("b0"), sum(x1 * y).as("b1"), sum(x2 * y).as("b2")
     ).collect()(0)
+    // an empty frame would otherwise surface as an opaque NPE below
+    // (sum aggregates return null and getLong throws)
+    require(row.getLong(0) > 0L,
+      "trainRidge: empty training frame — no documents to fit the probe on")
     val n = row.getLong(0)
     def g(i: Int): BigInt = BigInt(row.getLong(i))
     val (s1, s2, s11, s12, s22) = (g(1), g(2), g(3), g(4), g(5))

@@ -1274,9 +1274,28 @@ object EntityRes {
       val prevFrac = if (tot == 0L) 0.0 else ref.toDouble / tot
       val nextFrac = if (totN == 0L) 0.0 else refN.toDouble / totN
       done = action != "refined" || refN == 0L || next == current || nextFrac >= prevFrac
-      current = next; ref = refN; tot = totN
+      // adopt the new spec only when it actually improved under a
+      // 'refined' action: a regressed or degraded/terminal rung is
+      // RECORDED (the trajectory logs why the loop stopped) but never
+      // becomes the spec in force — steps.last.spec could otherwise
+      // be strictly worse than the penultimate rung, and an automated
+      // caller adopting it would ship the regression
+      if (action == "refined" && nextFrac < prevFrac) {
+        current = next; ref = refN; tot = totN
+      }
       iter += 1
     }
     steps.toSeq
+  }
+
+  /** The trajectory's BEST rung — lowest refusal fraction, earliest
+    * iteration on ties. Automated callers adopt `bestStep(...).spec`,
+    * never `steps.last.spec` (the last step may be the regressed or
+    * degraded rung that STOPPED the loop, kept in the trajectory so
+    * the stop reason stays visible).
+    */
+  def bestStep(steps: Seq[LadderStep]): LadderStep = {
+    require(steps.nonEmpty, "bestStep of an empty trajectory")
+    steps.minBy(s => (s.refusedFrac, s.iter))
   }
 }

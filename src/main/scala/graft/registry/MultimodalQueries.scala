@@ -192,6 +192,42 @@ private[graft] object MultimodalQueries {
         s.read.parquet(idxPath))
         .drop("content")
     }),
+    // the PRODUCTION ingest under the GEAR chunker (round 18): the
+    // whole indexed steady-state path — gear index build, gear batch
+    // chunking, cross-table drop, within-batch keep-lowest — gated
+    // EXACTLY despite gear boundaries having no SQL replay, because
+    // the fixture's near-dup structure is BOUNDARY-INDEPENDENT by
+    // construction: content is md5-expanded bytes of a canonical id
+    // (cid), so two rows are either byte-IDENTICAL (same cid — same
+    // chunks under ANY content-defined chunker, jaccard 1) or share
+    // no byte runs at all (distinct md5 streams — jaccard 0). The
+    // planting: batch rows ≡0 (mod 10) copy store row id+1 (dropped
+    // against the store), batch rows ≡15 (mod 20) copy batch row
+    // id-10 (keep-lowest within batch); everything else is unique.
+    // The oracle replays the PLANTING closed-form — no chunk
+    // arithmetic, no table-size assumptions
+    "mm_neardup_incr_gear" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cid = when(col("doc_id") % 10 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 10)
+        .otherwise(col("doc_id"))
+      // 16 chained md5 blocks = 256 pseudo-random bytes per row —
+      // ~16 expected chunks at divisor 16, so the jaccard stages see
+      // real chunk sets, not single-chunk degenerates
+      val content = unhex(concat((0 until 16).map(k =>
+        md5(concat(lit("g18:"), cid.cast("string"), lit(s":$k")))): _*))
+      val withC = docs.withColumn("content", content)
+      val gear = Multimodal.GearChunker(divisor = 16, window = 8)
+      val idxPath = scratch(s"mm_gear_index_${Integer.toHexString(d.hashCode)}")
+      Multimodal.binaryChunkIndex("content", "doc_id", gear)(
+        withC.where(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(idxPath)
+      Multimodal.binaryIncrementalNearDupIndexed("content", "doc_id", minJaccard = 0.3,
+        gear, maxDocFreq = 64L)(
+        withC.where(col("doc_id") % 5 === 0),
+        s.read.parquet(idxPath))
+        .drop("content")
+    }),
   )
 
   val oracleSql: Map[String, String] = {
@@ -391,6 +427,27 @@ private[graft] object MultimodalQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       TRUE AS chunks_bounded
         |FROM documents WHERE octet_length(encode(text)) > 0""".stripMargin,
+    // planting replay for the gear production path: cid equality IS
+    // content equality (jaccard 1 under any chunker), cid inequality
+    // is chunk-disjoint content (distinct md5 byte streams) — so the
+    // survivor set is pure closed-form arithmetic on ids
+    "mm_neardup_incr_gear" ->
+      """WITH cidm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 1
+        |         WHEN doc_id % 20 = 15 THEN doc_id - 10
+        |         ELSE doc_id END AS cid
+        |  FROM documents),
+        |batch AS (SELECT * FROM cidm WHERE doc_id % 5 = 0),
+        |store AS (SELECT * FROM cidm WHERE doc_id % 5 <> 0),
+        |sdrop AS (SELECT b.doc_id FROM batch b JOIN store s ON b.cid = s.cid),
+        |surv AS (SELECT * FROM batch
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)),
+        |bdrop AS (SELECT b.doc_id FROM surv b
+        |          JOIN surv a ON a.cid = b.cid AND a.doc_id < b.doc_id)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN surv ON d.doc_id = surv.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bdrop)""".stripMargin,
   )
 
   /** Shared replay of the steady-state ingest (batch = every 5th row,

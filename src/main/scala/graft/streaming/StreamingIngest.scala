@@ -701,12 +701,30 @@ object StreamingIngest {
       storeDir: String,
       indexDir: String,
       divisor: Int = 32,
-      window: Int = 8): Unit = {
+      window: Int = 8): Unit =
+    seedBinaryStore(store, binCol, idCol, storeDir, indexDir,
+      graft.llm.Multimodal.Md5Chunker(divisor, window))
+
+  /** [[seedBinaryStore]] under an explicit chunker — the production
+    * entry seeds with [[graft.llm.Multimodal.GearChunker]]. The
+    * chunker identity is persisted beside the index
+    * ([[graft.llm.Multimodal.writeChunkerTag]]) and demanded back by
+    * the streaming loop, so a gear-built index can never silently
+    * meet md5-chunked batches (or vice versa).
+    */
+  def seedBinaryStore(
+      store: DataFrame,
+      binCol: String,
+      idCol: String,
+      storeDir: String,
+      indexDir: String,
+      chunker: graft.llm.Multimodal.Chunker): Unit = {
     store.withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(storeDir)
-    graft.llm.Multimodal.binaryChunkIndex(binCol, idCol, divisor, window)(store)
+    graft.llm.Multimodal.binaryChunkIndex(binCol, idCol, chunker)(store)
       .withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(indexDir)
+    graft.llm.Multimodal.writeChunkerTag(store.sparkSession, indexDir, chunker)
   }
 
   /** Streaming binary near-dup ingest against an EVOLVING store — the
@@ -757,7 +775,35 @@ object StreamingIngest {
       minJaccard: Double,
       divisor: Int = 32,
       window: Int = 8,
-      maxDocFreq: Long = 1000L): DataStreamWriter[Row] = {
+      maxDocFreq: Long = 1000L): DataStreamWriter[Row] =
+    binaryNearDupIngestStream(spark, watchDir, schema, storeDir, indexDir,
+      checkpointDir, idCol, textCol, minJaccard,
+      graft.llm.Multimodal.Md5Chunker(divisor, window), maxDocFreq)
+
+  /** [[binaryNearDupIngestStream]] under an explicit chunker — the
+    * PRODUCTION loop runs [[graft.llm.Multimodal.GearChunker]] (the
+    * native per-byte rate instead of the md5 gate face's). The
+    * index's persisted `_chunker_spec` marker is demanded to match at
+    * stream setup ([[graft.llm.Multimodal.requireChunkerTag]]) — the
+    * one moment the mismatch is cheap to catch; every batch then
+    * chunks with the same face that built and maintains the index.
+    * Everything else — idempotent partition overwrites, as-of reads,
+    * parity with the batch path — is face-independent (parity under
+    * Gear is spec-pinned in StreamingSpec exactly like the md5 pin).
+    */
+  def binaryNearDupIngestStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      storeDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      chunker: graft.llm.Multimodal.Chunker,
+      maxDocFreq: Long): DataStreamWriter[Row] = {
+    graft.llm.Multimodal.requireChunkerTag(spark, indexDir, chunker)
     val raw = csvSource(spark, watchDir, schema)
     def overwritePartition(df: DataFrame, dir: String, batchId: Long): Unit =
       df.withColumn("ingest_batch", lit(batchId))
@@ -776,11 +822,11 @@ object StreamingIngest {
           // batch-bounded, so the incrementalNearDedup checkpoint
           // discipline applies rather than replaying the ingest plan
           val survivors = graft.llm.Multimodal.binaryIncrementalNearDupIndexed(
-            "content", idCol, minJaccard, divisor, window, maxDocFreq)(batch, index)
+            "content", idCol, minJaccard, chunker, maxDocFreq)(batch, index)
             .localCheckpoint(true)
           overwritePartition(survivors, storeDir, batchId)
           val delta = graft.llm.Multimodal.ingestBinaryChunkIndex(
-            "content", idCol, divisor, window)(survivors, index)
+            "content", idCol, chunker)(survivors, index)
           overwritePartition(delta, indexDir, batchId)
           ()
         }

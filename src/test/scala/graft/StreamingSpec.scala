@@ -779,6 +779,91 @@ class StreamingSpec extends SparkSpec {
     assert(replayIds == storeIds(), s"replay $replayIds vs stream ${storeIds()}")
   }
 
+  test("streaming binary ingest under GEAR: parity with batch replay, tag guard trips on mismatch") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.Multimodal
+    val watch = JFiles.createTempDirectory("graft_mmgwatch").toString
+    val storeDir = JFiles.createTempDirectory("graft_mmgstore").toString
+    val indexDir = JFiles.createTempDirectory("graft_mmgindex").toString
+    val ckpt = JFiles.createTempDirectory("graft_mmgckpt").toString
+    def payload(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed + 100)
+      Seq.fill(n)((97 + r.nextInt(26)).toChar).mkString
+    }
+    val (pA, pB, pC, pD) = (payload(1, 300), payload(2, 300), payload(3, 300), payload(4, 300))
+    val theta = 0.25
+    val gear = Multimodal.GearChunker(divisor = 16, window = 8)
+    def bin(d: org.apache.spark.sql.DataFrame) = Multimodal.withBinaryContent("text")(d)
+
+    val seed = Seq((1L, pA + pB)).toDF("doc_id", "text")
+    StreamingIngest.seedBinaryStore(bin(seed), "content", "doc_id",
+      storeDir, indexDir, gear)
+    // the tag guard: a gear-seeded index must refuse an md5 ingest
+    // loudly at STREAM SETUP, before any batch can silently miss
+    // every cross-face near-dup
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    val mismatch = intercept[IllegalArgumentException] {
+      StreamingIngest.binaryNearDupIngestStream(spark, watch, schema,
+        storeDir, indexDir, ckpt, "doc_id", "text", minJaccard = theta,
+        Multimodal.Md5Chunker(16, 8), maxDocFreq = 64L)
+    }
+    assert(mismatch.getMessage.contains("gear-16-8"), mismatch.getMessage)
+    // and an UNTAGGED index (a bare parquet dir) is refused too
+    val bareIdx = JFiles.createTempDirectory("graft_mmgbare").toString
+    Multimodal.binaryChunkIndex("content", "doc_id", gear)(bin(seed))
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(bareIdx)
+    intercept[IllegalStateException] {
+      StreamingIngest.binaryNearDupIngestStream(spark, watch, schema,
+        storeDir, bareIdx, ckpt, "doc_id", "text", minJaccard = theta,
+        gear, maxDocFreq = 64L)
+    }
+
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.binaryNearDupIngestStream(spark, watch, schema,
+        storeDir, indexDir, ckpt, "doc_id", "text", minJaccard = theta,
+        gear, maxDocFreq = 64L)
+        .trigger(Trigger.AvailableNow()).start())
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      s"doc_id,text\n11,$pA$pB\n12,$pC$pD\n13,$pC$pD${payload(5, 40)}\n")
+    drive()
+    JFiles.writeString(Paths.get(watch, "b2.csv"),
+      s"doc_id,text\n21,$pC$pD${payload(6, 30)}\n22,${payload(7, 600)}\n")
+    drive()
+    def storeIds() = spark.read.parquet(storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds() == Set(1L, 12L, 22L), s"got ${storeIds()}")
+
+    // maintained gear index == batch-built gear index over the final
+    // store — bit-identical buckets, exactly the md5 twin's pin
+    val maintained = spark.read.parquet(indexDir)
+      .select("doc_id", "chunk_md5", "n_bytes")
+    val rebuilt = Multimodal.binaryChunkIndex("content", "doc_id", gear)(
+      bin(spark.read.parquet(storeDir).select("doc_id", "text")))
+    assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty,
+      "maintained gear chunk index != batch-built gear index over the final store")
+
+    // STREAM == BATCH-REPLAY parity under gear, batch for batch
+    var replayIndex = Multimodal.binaryChunkIndex("content", "doc_id", gear)(bin(seed))
+    var replayIds = Set(1L)
+    Seq(
+      Seq((11L, pA + pB), (12L, pC + pD), (13L, pC + pD + payload(5, 40))),
+      Seq((21L, pC + pD + payload(6, 30)), (22L, payload(7, 600)))
+    ).foreach { rows =>
+      val batch = bin(rows.toDF("doc_id", "text"))
+      val survivors = Multimodal.binaryIncrementalNearDupIndexed(
+        "content", "doc_id", theta, gear, maxDocFreq = 64L)(
+        batch, replayIndex).localCheckpoint(true)
+      replayIds ++= survivors.select("doc_id").collect().map(_.getLong(0))
+      replayIndex = replayIndex.unionByName(
+        Multimodal.ingestBinaryChunkIndex("content", "doc_id", gear)(
+          survivors, replayIndex))
+        .localCheckpoint(true)
+    }
+    assert(replayIds == storeIds(), s"replay $replayIds vs stream ${storeIds()}")
+  }
+
   test("streaming KN model: merged count deltas == from-scratch model; scores identical") {
     import java.nio.file.{Files => JFiles, Paths}
     import graft.llm.LangModel
