@@ -288,6 +288,26 @@ object SparkEntry {
     // append-maintained layout == rebuilt layout == in-memory IVF:
     // the steady-state write path may not change a single probe answer
     "s17_ivf_append" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),
+    // deletion propagation: the post-erase layout answers exactly
+    // what the in-memory search answers over the SURVIVING corpus —
+    // the shared replay with the erased slice filtered out of the e
+    // CTE (probes derive from e, so they exclude the erased ids too,
+    // matching the query's probe filter). The splice is guarded: a
+    // silent no-op would gate the erase against the full corpus
+    "s18_ivf_erase" -> ((s, d) => {
+      val base = dynamicOracleSql("sim_ivf_topk")(s, d)
+      val out = base.replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 7 <> 3)")
+      require(out != base, "s18_ivf_erase oracle: corpus-filter splice failed")
+      out
+    }),
+    "s18_ivf_quant_erase" -> ((s, d) => {
+      val base = dynamicOracleSql("sim_ivf_quant_topk")(s, d)
+      val out = base.replace("AS v FROM embeddings)",
+        "AS v FROM embeddings WHERE vec_id % 7 <> 3)")
+      require(out != base, "s18_ivf_quant_erase oracle: corpus-filter splice failed")
+      out
+    }),
     // roundtrip assignment replay: the TRAINED centroids as literals
     // (loaded == trained iff the artifact round-trips bit-exactly)
     "s15_ivf_model_roundtrip" -> ((s, d) => {

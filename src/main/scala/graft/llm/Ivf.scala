@@ -337,6 +337,27 @@ object Ivf {
     ivfTopKAssigned(store, probes, idCol, vecCol, model, k, nProbe)
   }
 
+  /** Row-level erase from a persisted cell layout — float
+    * ([[writeCellLayout]] / the streaming [[graft.streaming
+    * .StreamingIngest.ivfIngestStream]] layout) or quantized
+    * ([[writeQuantCellLayout]]): deletes the erased vectors from
+    * exactly the cell partitions holding them, so a subsequent probe
+    * can never rank — resurrect — deleted content. Pass the layout's
+    * actual partitioning: `Seq("centroid_id")` for batch-written
+    * layouts, `Seq("centroid_id", "ingest_batch")` for streaming ones
+    * (run quiesced — the [[graft.io.LayoutErase]] contract). Cost is
+    * a discovery scan plus a rewrite of ONLY the touched cells'
+    * partitions; gated (s18_ivf_erase / s18_ivf_quant_erase) on
+    * post-erase probe == probe over a rebuild from survivors.
+    */
+  def eraseFromCellLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      ids: DataFrame,
+      partCols: Seq[String] = Seq("centroid_id")): graft.io.LayoutErase.LayoutEraseStats =
+    graft.io.LayoutErase.eraseByIds(spark, path, partCols, idCol, ids)
+
   /** IVF over the QUANTIZED store — the composition a 100 TB ANN
     * deployment actually runs: cells bound the candidate set
     * (directory pruning), int8 codes bound the bytes per candidate

@@ -311,17 +311,49 @@ object LangModel {
       .write.partitionBy("ingest_batch").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(modelDir)
 
+  /** Deletion propagation for the KN model store: counts are
+    * ADDITIVE, so erasing a reference slice is an EXACT negative
+    * delta — the slice's bigram counts negated and written as their
+    * own `ingest_batch` partition (dynamic partition overwrite, same
+    * idempotence as [[ingestKnModel]]; pick a batch id unused by
+    * ingests). After the merge, counts(seed) − counts(erased) equals
+    * a from-scratch [[refBigramCounts]] over the SURVIVING corpus —
+    * bigrams living only in the erased slice net to zero and are
+    * dropped by [[loadKnCounts]]' positive filter, so they leave the
+    * model's type/continuation censuses exactly as a rebuild would
+    * (gated: text_kn_erase shares text_kn_score's oracle verbatim).
+    * The erased slice's TEXT is re-tokenized once here — batch-sized,
+    * never the store.
+    */
+  def eraseKnModel(
+      erased: DataFrame,
+      textCol: String,
+      modelDir: String,
+      batchId: Long): Unit =
+    refBigramCounts(erased, textCol)
+      .withColumn("__cb", -col("__cb"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(modelDir)
+
   /** Merge the per-batch count deltas into the live model table.
     * Counts are ADDITIVE, so `groupBy(bg).sum(cb)` over the deltas
     * equals a from-scratch [[refBigramCounts]] over the union of
     * every slice ever offered — the exactness the incremental gate
-    * pins. Vocab-bounded rows in, vocab-bounded rows out.
+    * pins. Vocab-bounded rows in, vocab-bounded rows out. Grams whose
+    * merged count is zero or below (fully erased via [[eraseKnModel]])
+    * are DROPPED, not kept as 0-count rows: the derived tables count
+    * ROWS (history fan-out n1l, continuation fan-in n1r, type count
+    * T), so a surviving zero row would silently shift every
+    * continuation probability away from the rebuild-from-survivors
+    * model.
     */
   def loadKnCounts(
       spark: org.apache.spark.sql.SparkSession,
       modelDir: String): DataFrame =
     spark.read.parquet(modelDir)
       .groupBy("__bg").agg(sum("__cb").as("__cb"))
+      .where(col("__cb") > 0L)
 
   /** Offline compaction of the delta store: every per-batch count
     * partition merged into a single `ingest_batch = -1` seed

@@ -763,6 +763,28 @@ object Multimodal {
     binaryNearDedup(binCol, idCol, minJaccard, chunker, maxDocFreq)(survivors)
   }
 
+  /** Deletion propagation for the streaming binary store — erase the
+    * given ids from BOTH the content store and its persisted chunk
+    * index ([[graft.streaming.StreamingIngest.seedBinaryStore]]'s
+    * pair), touching only the `ingest_batch` partitions that hold
+    * them ([[graft.io.LayoutErase]] mechanics — dynamic-overwrite
+    * rewrites, filesystem deletes for fully-matched partitions, both
+    * loud on failure). Without the index half, near-dup ingest would
+    * keep dropping new copies of content the store no longer holds —
+    * erased documents RESURRECTING as phantom match partners, the
+    * exact failure a right-to-be-forgotten erase exists to prevent.
+    * Run quiesced against the ingest loop; gated (mm_erase_index) on
+    * post-erase index == index rebuilt from the surviving corpus.
+    */
+  def eraseBinaryStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      indexDir: String,
+      idCol: String,
+      ids: DataFrame): (graft.io.LayoutErase.LayoutEraseStats, graft.io.LayoutErase.LayoutEraseStats) =
+    (graft.io.LayoutErase.eraseByIds(spark, storeDir, Seq("ingest_batch"), idCol, ids),
+      graft.io.LayoutErase.eraseByIds(spark, indexDir, Seq("ingest_batch"), idCol, ids))
+
   /** Per-binary duplicate coverage at CDC-chunk granularity — the
     * byte-level twin of [[graft.llm.Dedup.cdcDupCoverage]]: the
     * fraction of a binary's bytes living in chunks that also appear

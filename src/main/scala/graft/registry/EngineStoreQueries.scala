@@ -167,6 +167,38 @@ private[graft] object EngineStoreQueries {
       graft.llm.Ivf.quantCellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", m, k = 5, nProbe = 4)
     }),
+    // deletion propagation, float layout (round 18): build the full
+    // layout, ERASE a slice of vectors (touched cells' partitions
+    // rewritten, emptied cells deleted), probe the survivors — the
+    // oracle is the in-memory IVF replay over the SURVIVING corpus,
+    // so a resurrected (or over-deleted) vector reads as a ranking
+    // mismatch, not a spec assertion
+    "s18_ivf_erase" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val path = scratch("ivf_cells_erase_q")
+      graft.llm.Ivf.writeCellLayout(emb, "vec_id", "embedding", m, path)
+      graft.llm.Ivf.eraseFromCellLayout(s, path, "vec_id",
+        emb.where(col("vec_id") % 7 === 3).select("vec_id"))
+      graft.llm.Ivf.cellLayoutTopK(s, path,
+        emb.where(col("vec_id") < 5 && col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+    }),
+    // deletion propagation, quantized layout: same erase verb on the
+    // (id, scale, codes) store — the search tier a deployment actually
+    // serves from must forget WITH the float tier, or quantized
+    // candidates resurrect deleted vectors into every rerank
+    "s18_ivf_quant_erase" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val path = scratch("ivf_quant_erase_q")
+      graft.llm.Ivf.writeQuantCellLayout(emb, "vec_id", "embedding", m, path)
+      graft.llm.Ivf.eraseFromCellLayout(s, path, "vec_id",
+        emb.where(col("vec_id") % 7 === 3).select("vec_id"))
+      graft.llm.Ivf.quantCellLayoutTopK(s, path,
+        emb.where(col("vec_id") < 5 && col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+    }),
     // model-artifact lifecycle: save the trained quantizer, load it
     // back, and assign the corpus with the LOADED model — the oracle
     // is built from the TRAINED centroids, so a lossy round trip

@@ -192,6 +192,35 @@ private[graft] object MultimodalQueries {
         s.read.parquet(idxPath))
         .drop("content")
     }),
+    // deletion propagation for the chunk index (round 18): seed the
+    // store + index pair, ERASE a slice of docs from both (partition
+    // rewrites + emptied-partition deletes), output the POST-ERASE
+    // index — the oracle rebuilds the index from the SURVIVING corpus
+    // closed-form, so a resurrected chunk row (or an over-deleted
+    // one) is a hash mismatch
+    "mm_erase_index" -> ((s, d) => {
+      val docs = Multimodal.withBinaryContent("text")(t(s, d, "documents"))
+      val storeDir = scratch(s"mm_erase_store_${Integer.toHexString(d.hashCode)}")
+      val indexDir = scratch(s"mm_erase_index_${Integer.toHexString(d.hashCode)}")
+      graft.streaming.StreamingIngest.seedBinaryStore(
+        docs.where(col("doc_id") % 5 =!= 0), "content", "doc_id",
+        storeDir, indexDir, Multimodal.Md5Chunker(16, 8))
+      // accrete a second partition the batch way so the erase crosses
+      // partition boundaries (seed = -1, batch = 0)
+      val idx0 = s.read.parquet(indexDir).select("doc_id", "chunk_md5", "n_bytes")
+      Multimodal.ingestBinaryChunkIndex("content", "doc_id",
+        Multimodal.Md5Chunker(16, 8))(docs.where(col("doc_id") % 5 === 0), idx0)
+        .withColumn("ingest_batch", lit(0L))
+        .write.partitionBy("ingest_batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(indexDir)
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("ingest_batch", lit(0L))
+        .write.partitionBy("ingest_batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(storeDir)
+      Multimodal.eraseBinaryStore(s, storeDir, indexDir, "doc_id",
+        docs.where(col("doc_id") % 7 === 0).select("doc_id"))
+      s.read.parquet(indexDir).select("doc_id", "chunk_md5", "n_bytes")
+    }),
     // the PRODUCTION ingest under the GEAR chunker (round 18): the
     // whole indexed steady-state path — gear index build, gear batch
     // chunking, cross-table drop, within-batch keep-lowest — gated
@@ -427,6 +456,14 @@ private[graft] object MultimodalQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       TRUE AS chunks_bounded
         |FROM documents WHERE octet_length(encode(text)) > 0""".stripMargin,
+    // post-erase index == index over the surviving corpus: the
+    // binCdcCtes chunk replay with the erased slice filtered out,
+    // collapsed to the index's one-row-per-(id, digest) shape
+    "mm_erase_index" ->
+      (binCdcCtes +
+        """SELECT doc_id, chunk_md5, CAST(max(n_bytes) AS BIGINT) AS n_bytes
+          |FROM chunks WHERE doc_id % 7 <> 0
+          |GROUP BY 1, 2""".stripMargin),
     // planting replay for the gear production path: cid equality IS
     // content equality (jaccard 1 under any chunker), cid inequality
     // is chunk-disjoint content (distinct md5 byte streams) — so the

@@ -173,6 +173,23 @@ private[graft] object TextQueries {
       LangModel.withKnScoreFromCounts(docs,
         LangModel.loadKnCounts(s, modelDir), "doc_id", "text")
     }),
+    // deletion propagation for the KN model store (round 18): seed
+    // with a SUPERSET reference (%2==0), erase the %4==2 slice as an
+    // exact negative count delta, score from the merged store — the
+    // result must equal a from-scratch model over the survivors
+    // (%4==0), so it shares text_kn_score's oracle VERBATIM: fully
+    // erased grams must vanish from the type/continuation censuses
+    // exactly as a rebuild would drop them
+    "text_kn_erase" -> ((s, d) => {
+      import graft.llm.LangModel
+      val docs = t(s, d, "documents")
+      val modelDir = scratch("kn_model_erase_q")
+      LangModel.seedKnModel(docs.where(col("doc_id") % 2 === 0), "text", modelDir)
+      LangModel.eraseKnModel(docs.where(col("doc_id") % 4 === 2), "text",
+        modelDir, batchId = 0L)
+      LangModel.withKnScoreFromCounts(docs,
+        LangModel.loadKnCounts(s, modelDir), "doc_id", "text")
+    }),
     // production n-gram order: trigram interpolated KN discounting
     // into the full bigram-KN backoff (raw-count lower order variant,
     // documented); same reference split, same fixed-point discipline
@@ -713,6 +730,13 @@ private[graft] object TextQueries {
     // incremental face: merged count-delta store == from-scratch
     // model, so the replay is text_kn_score's verbatim
     "text_kn_incremental" -> (knScoreSql +
+      """SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
+        |FROM sc GROUP BY 1""".stripMargin),
+    // erase face: seed(%2==0) minus erased(%4==2) == from-scratch
+    // survivors(%4==0) — the same verbatim replay again; additivity
+    // makes deletion exact, the positive filter makes it census-exact
+    "text_kn_erase" -> (knScoreSql +
       """SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
         |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
         |FROM sc GROUP BY 1""".stripMargin),

@@ -67,6 +67,46 @@ class IoSpec extends SparkSpec {
       ("s2", "v1", "c", 3.0), ("s2", "v2", "d", 4.0)))
   }
 
+  test("layout erase: id rows deleted, emptied partitions dropped, untouched files byte-preserved") {
+    import graft.io.LayoutErase
+    val dir = Files.createTempDirectory("graft_layout_erase").toString
+    // a two-level layout (the streaming IVF shape): cell 1 loses one
+    // of two rows (rewrite), cell 2 empties entirely (fs delete),
+    // cell 3 is untouched (files must be byte-identical after)
+    Seq(
+      (10L, 1, -1L, "a"), (11L, 1, -1L, "b"),
+      (20L, 2, 0L, "c"),
+      (30L, 3, 0L, "d")
+    ).toDF("vec_id", "centroid_id", "ingest_batch", "payload")
+      .write.mode("overwrite").partitionBy("centroid_id", "ingest_batch").parquet(dir)
+    def listing(sub: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/$sub")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    }
+    val c3Before = listing("centroid_id=3/ingest_batch=0")
+    assert(c3Before.nonEmpty)
+
+    val stats = LayoutErase.eraseByIds(spark, dir,
+      Seq("centroid_id", "ingest_batch"), "vec_id",
+      Seq(10L, 20L, 999L).toDF("vec_id"))
+    assert(stats == LayoutErase.LayoutEraseStats(partitionsRewritten = 1, partitionsDeleted = 1),
+      s"got $stats")
+    assert(listing("centroid_id=2/ingest_batch=0").isEmpty,
+      "fully-matched partition must be deleted")
+    assert(listing("centroid_id=3/ingest_batch=0") == c3Before,
+      "untouched partition rewritten")
+    val back = spark.read.parquet(dir).select("vec_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((11L, "b"), (30L, "d")), s"got $back")
+
+    // idempotence: erasing ids that no longer exist is a clean no-op
+    val again = LayoutErase.eraseByIds(spark, dir,
+      Seq("centroid_id", "ingest_batch"), "vec_id", Seq(10L, 20L).toDF("vec_id"))
+    assert(again == LayoutErase.LayoutEraseStats(0, 0), s"got $again")
+  }
+
   test("erase deletes matching rows, drops emptied partitions, preserves untouched files") {
     val dir = Files.createTempDirectory("graft_erase").toString
     val data = Seq(

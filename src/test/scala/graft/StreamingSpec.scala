@@ -864,6 +864,55 @@ class StreamingSpec extends SparkSpec {
     assert(replayIds == storeIds(), s"replay $replayIds vs stream ${storeIds()}")
   }
 
+  test("mid-stream erase: erased content stops matching, index stays consistent with the store") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.Multimodal
+    val watch = JFiles.createTempDirectory("graft_mmewatch").toString
+    val storeDir = JFiles.createTempDirectory("graft_mmestore").toString
+    val indexDir = JFiles.createTempDirectory("graft_mmeindex").toString
+    val ckpt = JFiles.createTempDirectory("graft_mmeckpt").toString
+    def payload(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed + 500)
+      Seq.fill(n)((97 + r.nextInt(26)).toChar).mkString
+    }
+    val (pA, pB) = (payload(1, 300), payload(2, 300))
+    val gear = Multimodal.GearChunker(divisor = 16, window = 8)
+    def bin(d: org.apache.spark.sql.DataFrame) = Multimodal.withBinaryContent("text")(d)
+    StreamingIngest.seedBinaryStore(bin(Seq((1L, payload(9, 600))).toDF("doc_id", "text")),
+      "content", "doc_id", storeDir, indexDir, gear)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.binaryNearDupIngestStream(spark, watch, schema,
+        storeDir, indexDir, ckpt, "doc_id", "text", minJaccard = 0.25,
+        gear, maxDocFreq = 64L)
+        .trigger(Trigger.AvailableNow()).start())
+    // batch 0 accretes novel doc 12
+    JFiles.writeString(Paths.get(watch, "b1.csv"), s"doc_id,text\n12,$pA$pB\n")
+    drive()
+    def storeIds() = spark.read.parquet(storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds() == Set(1L, 12L))
+    // QUIESCED erase of doc 12 from store + index (the erase contract:
+    // never racing an in-flight replay)
+    Multimodal.eraseBinaryStore(spark, storeDir, indexDir, "doc_id",
+      Seq(12L).toDF("doc_id"))
+    assert(storeIds() == Set(1L))
+    // batch 1 re-offers 12's CONTENT under a new id: with 12 erased it
+    // must SURVIVE — a leftover index row would resurrect the deleted
+    // doc as a phantom match partner and silently drop the newcomer
+    JFiles.writeString(Paths.get(watch, "b2.csv"), s"doc_id,text\n31,$pA$pB\n")
+    drive()
+    assert(storeIds() == Set(1L, 31L), s"got ${storeIds()}")
+    // and the maintained index still equals the batch rebuild over the
+    // post-erase store — subsequent ingests stayed consistent
+    val maintained = spark.read.parquet(indexDir)
+      .select("doc_id", "chunk_md5", "n_bytes")
+    val rebuilt = Multimodal.binaryChunkIndex("content", "doc_id", gear)(
+      bin(spark.read.parquet(storeDir).select("doc_id", "text")))
+    assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty,
+      "post-erase maintained index != batch-built index over the surviving store")
+  }
+
   test("streaming KN model: merged count deltas == from-scratch model; scores identical") {
     import java.nio.file.{Files => JFiles, Paths}
     import graft.llm.LangModel
