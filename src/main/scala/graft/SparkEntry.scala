@@ -167,6 +167,28 @@ object SparkEntry {
             .write.mode("overwrite").format("noop").save()
         })
     }),
+    // the quantized twin of the s17 split: what a full quantized
+    // rebuild costs vs the steady-state append for the same arriving
+    // third, plus the pruned code-only probe — the three numbers of
+    // the deployed search tier's write/read economy
+    "s18_ivf_quant_append" -> ((s, d) => {
+      val path = scratch("bench_ivf_quant_append")
+      val emb = t(s, d, "embeddings")
+      Seq(
+        "rebuild" -> { () =>
+          graft.llm.Ivf.writeQuantCellLayout(emb.where(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", ivfModel(s, d), path)
+        },
+        "append" -> { () =>
+          graft.llm.Ivf.appendToQuantCellLayout(emb.where(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", ivfModel(s, d), path)
+        },
+        "probe" -> { () =>
+          graft.llm.Ivf.quantCellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", ivfModel(s, d), k = 5, nProbe = 4)
+            .write.mode("overwrite").format("noop").save()
+        })
+    }),
     // the deployed-index lifecycle split into its real phases: the
     // write-once layout build vs the steady-state pruned probe read —
     // a fused timing buries the read path the layout exists to serve
@@ -282,6 +304,10 @@ object SparkEntry {
     // the quantized layout answers exactly what the in-memory
     // quantized search answers — same replay
     "s18_ivf_quant_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_quant_topk")(s, d)),
+    // append-maintained quantized layout == rebuilt quantized layout
+    // == in-memory quantized search: the steady-state write path may
+    // not change a single probe answer
+    "s18_ivf_quant_append" -> ((s, d) => dynamicOracleSql("sim_ivf_quant_topk")(s, d)),
     // the partitioned-layout search answers exactly what the
     // in-memory IVF answers — same replay
     "s16_ivf_cell_layout" -> ((s, d) => dynamicOracleSql("sim_ivf_topk")(s, d)),

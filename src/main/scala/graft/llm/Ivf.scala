@@ -478,20 +478,62 @@ object Ivf {
     * cold storage for the optional rerank; the search tier reads
     * int8 codes from pruned cell directories only.
     */
+  /** The quantize+assign projection shared by the rebuild and append
+    * faces — ONE definition of the stored row shape, so the append
+    * path can never drift from what the rebuild persists.
+    */
+  private def quantAssigned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel): DataFrame = {
+    graft.functions.ArrayFns.register(df.sparkSession)
+    val vd = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+      Quantize.maxAbsScale(vd).as("scale"),
+      Quantize.int8Codes(vd, Quantize.maxAbsScale(vd)).as("codes"),
+      element_at(nearestCentroids(vd, model, 1), 1).as("centroid_id"))
+  }
+
+  /** The shared row shape, package-visible for the streaming
+    * maintainer ([[graft.streaming.StreamingIngest
+    * .ivfQuantIngestStream]]) — the stream writes EXACTLY what the
+    * batch faces write.
+    */
+  private[graft] def quantAssignedForStream(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel): DataFrame = quantAssigned(df, idCol, vecCol, model)
+
   def writeQuantCellLayout(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       model: IvfModel,
-      path: String): Unit = {
-    graft.functions.ArrayFns.register(df.sparkSession)
-    val vd = col(vecCol).cast("array<double>")
-    df.select(col(idCol),
-        Quantize.maxAbsScale(vd).as("scale"),
-        Quantize.int8Codes(vd, Quantize.maxAbsScale(vd)).as("codes"),
-        element_at(nearestCentroids(vd, model, 1), 1).as("centroid_id"))
+      path: String): Unit =
+    quantAssigned(df, idCol, vecCol, model)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-  }
+
+  /** Steady-state maintenance of the QUANTIZED store — the
+    * [[appendToCellLayout]] twin the search tier was missing: an
+    * arriving batch is quantized and assigned under the pinned model
+    * and appended into the cell layout (dynamic partition append —
+    * only the batch's own cells gain files; the store is NEVER
+    * re-quantized, stored codes are immutable). With this,
+    * s18 + rerank absorbs new vectors without the full
+    * re-quantization pass verdict r17 flagged; gated
+    * (s18_ivf_quant_append) on append-path == rebuild-path via the
+    * shared quantized replay oracle.
+    */
+  def appendToQuantCellLayout(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel,
+      path: String): Unit =
+    quantAssigned(batch, idCol, vecCol, model)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
 
   /** ANN top-k against the persisted quantized layout: probe cells
     * prune at the directory level (PartitionFilters), candidate rows

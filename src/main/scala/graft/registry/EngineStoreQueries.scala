@@ -167,6 +167,24 @@ private[graft] object EngineStoreQueries {
       graft.llm.Ivf.quantCellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", m, k = 5, nProbe = 4)
     }),
+    // quantized steady state (round 18): two-thirds of the corpus
+    // quantized + laid out once, the arriving third APPENDED under
+    // the same pinned model — dynamic-partition append touching only
+    // the batch's cells, never a re-quantization pass. Probe answers
+    // must be indistinguishable from a full quantized rebuild, so the
+    // gate is the SAME full-corpus quantized replay oracle (the
+    // s17_ivf_append move on the search tier's actual store)
+    "s18_ivf_quant_append" -> ((s, d) => {
+      val m = ivfModel(s, d)
+      val emb = t(s, d, "embeddings")
+      val path = scratch("ivf_quant_append_q")
+      graft.llm.Ivf.writeQuantCellLayout(
+        emb.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding", m, path)
+      graft.llm.Ivf.appendToQuantCellLayout(
+        emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", m, path)
+      graft.llm.Ivf.quantCellLayoutTopK(s, path, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+    }),
     // deletion propagation, float layout (round 18): build the full
     // layout, ERASE a slice of vectors (touched cells' partitions
     // rewritten, emptied cells deleted), probe the survivors — the

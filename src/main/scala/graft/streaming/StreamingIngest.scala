@@ -900,6 +900,59 @@ object StreamingIngest {
       .write.partitionBy("centroid_id", "ingest_batch")
       .mode("overwrite").parquet(layoutDir)
 
+  /** Streaming maintenance of the QUANTIZED IVF layout — the
+    * [[ivfIngestStream]] twin for the store the search tier actually
+    * serves from ((id, scale, codes) behind cell-directory pruning):
+    * arriving vectors are quantized + assigned under the PINNED model
+    * and appended as their own `ingest_batch` partitions under each
+    * touched cell. Same CSV harness, same idempotence (dynamic
+    * partition overwrite keyed on `ingest_batch = batchId`), same
+    * batch-bounded cost — the store is never read and never
+    * re-quantized in the loop. Parity with the batch append face is
+    * spec-pinned (StreamingSpec): streamed layout answers ==
+    * rebuild-layout answers, probe for probe.
+    */
+  def ivfQuantIngestStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      layoutDir: String,
+      checkpointDir: String,
+      idCol: String,
+      vecTextCol: String,
+      vecCol: String,
+      model: graft.llm.Ivf.IvfModel): DataStreamWriter[Row] = {
+    val raw = csvSource(spark, watchDir, schema)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val parsed = batch0.withColumn(vecCol,
+            expr(s"transform(split($vecTextCol, ';'), x -> cast(x AS double))"))
+            .select(col(idCol), col(vecCol))
+          graft.llm.Ivf.quantAssignedForStream(parsed, idCol, vecCol, model)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.partitionBy("centroid_id", "ingest_batch").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(layoutDir)
+          ()
+        }
+      }
+  }
+
+  /** Seed the streaming quantized layout — the [[seedIvfLayout]]
+    * shape for the (id, scale, codes) store.
+    */
+  def seedIvfQuantLayout(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: graft.llm.Ivf.IvfModel,
+      layoutDir: String): Unit =
+    graft.llm.Ivf.quantAssignedForStream(corpus, idCol, vecCol, model)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("centroid_id", "ingest_batch")
+      .mode("overwrite").parquet(layoutDir)
+
   /** Streaming KN model maintenance — the LM family's steady-state
     * twin: each micro-batch of arriving TRUSTED-reference documents
     * lands its bigram count delta as its own `ingest_batch` partition

