@@ -227,22 +227,45 @@ object LangModel {
     * one k=3 explode pass joining five model tables and one broadcast
     * scalar pair.
     */
+  /** The reference's trigram count table — (`__g3`, `__c3`) — the
+    * higher-order twin of [[refBigramCounts]], additive in exactly
+    * the same way, so the kn3 delta store maintains BOTH orders with
+    * one discipline.
+    */
+  def refTrigramCounts(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(Dedup.shingles(textCol, 3)).as("__g3"))
+      .groupBy("__g3").agg(count(lit(1)).as("__c3"))
+
   def withKn3Score(
       df: DataFrame,
       ref: DataFrame,
       idCol: String,
       textCol: String,
       discount: Double = 0.75,
+      fpScale: Double = 1e6): DataFrame =
+    withKn3ScoreFromCounts(df, refTrigramCounts(ref, textCol),
+      refBigramCounts(ref, textCol), idCol, textCol, discount, fpScale)
+
+  /** [[withKn3Score]] over already-built (or incrementally
+    * maintained) count tables — the shared scoring half, so the
+    * persisted two-order model store ([[loadKn3Counts]]) is never
+    * re-derived from reference TEXT.
+    */
+  def withKn3ScoreFromCounts(
+      df: DataFrame,
+      refTrigrams: DataFrame,
+      refBigrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
       fpScale: Double = 1e6): DataFrame = {
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
-    val refBigrams = refBigramCounts(ref, textCol)
     val (hist, cont, types) = knTables(refBigrams)
     def w3of(sp: Column) = element_at(sp, -1)
     def w2of(sp: Column) = when(size(sp) >= 2, element_at(sp, -2)).otherwise(lit(""))
     def h2of(sp: Column) =
       when(size(sp) >= 2, array_join(slice(sp, lit(1), size(sp) - 1), " ")).otherwise(lit(""))
-    val tri = ref.select(explode(Dedup.shingles(textCol, 3)).as("__g3"))
-      .groupBy("__g3").agg(count(lit(1)).as("__c3"))
+    val tri = refTrigrams
     val hist3 = tri
       .groupBy(h2of(split(col("__g3"), " ")).as("__h2"))
       .agg(sum("__c3").as("__c2h"), count(lit(1)).as("__n1l3"))
@@ -370,6 +393,95 @@ object LangModel {
       modelDir: String,
       outDir: String): Unit =
     loadKnCounts(spark, modelDir)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(outDir)
+
+  // ===== trigram (two-order) model store =====
+
+  /** Both orders' count deltas for one reference slice, as ONE frame:
+    * (`__g` gram, `__c` count, `__k` order ∈ {2, 3}). Keeping the
+    * orders in one partitioned table gives the trigram model the
+    * bigram store's whole lifecycle — seed / ingest / erase /
+    * compact — with a single discipline, and a batch's delta is still
+    * one explode pass per order, vocab-bounded.
+    */
+  private def kn3Deltas(slice: DataFrame, textCol: String): DataFrame =
+    refBigramCounts(slice, textCol)
+      .select(col("__bg").as("__g"), col("__cb").as("__c"), lit(2).as("__k"))
+      .unionByName(refTrigramCounts(slice, textCol)
+        .select(col("__g3").as("__g"), col("__c3").as("__c"), lit(3).as("__k")))
+
+  /** Seed the persisted TWO-ORDER KN model store (trigram + its
+    * bigram backoff level) — the [[seedKnModel]] shape with an order
+    * column; deltas per batch, merged at read ([[loadKn3Counts]]).
+    */
+  def seedKn3Model(ref: DataFrame, textCol: String, modelDir: String): Unit =
+    kn3Deltas(ref, textCol)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(modelDir)
+
+  /** Incremental two-order maintenance — the [[ingestKnModel]]
+    * idempotence contract (dynamic partition overwrite keyed on the
+    * batch id); both orders' counts are additive, so the merged store
+    * equals a from-scratch build over everything ever offered
+    * (gated: text_kn3_incremental shares text_kn3_score's oracle
+    * verbatim).
+    */
+  def ingestKn3Model(
+      batch: DataFrame,
+      textCol: String,
+      modelDir: String,
+      batchId: Long): Unit =
+    kn3Deltas(batch, textCol)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(modelDir)
+
+  /** Deletion propagation for the two-order store — the
+    * [[eraseKnModel]] argument verbatim: negate the erased slice's
+    * deltas; fully-erased grams net to zero and vanish through
+    * [[loadKn3Counts]]' positive filter, exactly as a rebuild over
+    * survivors would drop them.
+    */
+  def eraseKn3Model(
+      erased: DataFrame,
+      textCol: String,
+      modelDir: String,
+      batchId: Long): Unit =
+    kn3Deltas(erased, textCol)
+      .withColumn("__c", -col("__c"))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(modelDir)
+
+  /** Merge the two-order delta store into the live (trigram, bigram)
+    * count tables [[withKn3ScoreFromCounts]] consumes. One
+    * vocab-bounded aggregation; zero-or-below merged counts dropped
+    * (the [[loadKnCounts]] census argument, per order).
+    */
+  def loadKn3Counts(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): (DataFrame, DataFrame) = {
+    val merged = spark.read.parquet(modelDir)
+      .groupBy("__k", "__g").agg(sum("__c").as("__c"))
+      .where(col("__c") > 0L)
+    (merged.where(col("__k") === 3).select(col("__g").as("__g3"), col("__c").as("__c3")),
+      merged.where(col("__k") === 2).select(col("__g").as("__bg"), col("__c").as("__cb")))
+  }
+
+  /** Offline compaction of the two-order delta store — the
+    * [[compactKnModel]] contract: every partition merged into a
+    * single seed partition in a NEW directory, scores invariant by
+    * additivity (spec-pinned).
+    */
+  def compactKn3Model(
+      spark: org.apache.spark.sql.SparkSession,
+      modelDir: String,
+      outDir: String): Unit =
+    spark.read.parquet(modelDir)
+      .groupBy("__k", "__g").agg(sum("__c").as("__c"))
+      .where(col("__c") > 0L)
+      .select(col("__g"), col("__c"), col("__k"))
       .withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(outDir)
 

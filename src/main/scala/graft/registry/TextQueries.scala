@@ -198,6 +198,22 @@ private[graft] object TextQueries {
       graft.llm.LangModel.withKn3Score(docs, docs.where(col("doc_id") % 4 === 0),
         "doc_id", "text")
     }),
+    // trigram steady state (round 18): the TWO-ORDER delta store
+    // seeded with half the reference, the other half offered as an
+    // increment, scores read from the merged store — must equal the
+    // from-scratch text_kn3_score bit-for-bit (its oracle verbatim),
+    // the text_kn_incremental discipline at the production order
+    "text_kn3_incremental" -> ((s, d) => {
+      import graft.llm.LangModel
+      val docs = t(s, d, "documents")
+      val modelDir = scratch("kn3_model_q")
+      LangModel.seedKn3Model(docs.where(col("doc_id") % 8 === 0), "text", modelDir)
+      LangModel.ingestKn3Model(
+        docs.where(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0),
+        "text", modelDir, batchId = 0L)
+      val (tri, bg) = LangModel.loadKn3Counts(s, modelDir)
+      LangModel.withKn3ScoreFromCounts(docs, tri, bg, "doc_id", "text")
+    }),
     // model-based quality filter, training face: DISTILL the full
     // Gopher rule battery (the expensive teacher) into a 2-feature
     // closed-form ridge probe (integer normal equations -> BigInt
@@ -298,6 +314,63 @@ private[graft] object TextQueries {
       |tv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM refbg) AS tt,
       |              (SELECT CAST(count(*) AS BIGINT) FROM cont) AS v2),
       |""".stripMargin
+
+  /** The trigram-scoring tail appended to [[knModelSql]] — shared
+    * VERBATIM by text_kn3_score and text_kn3_incremental (the
+    * merged two-order delta store must reproduce the from-scratch
+    * model bit-for-bit, so the replay is one text).
+    */
+  private val kn3ScoreTail: String =
+    """g3 AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |              ELSE list_transform(generate_series(1, len(w) - 2),
+        |                     i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS gs
+        |       FROM toks),
+        |reftri AS (SELECT g AS tg, CAST(count(*) AS BIGINT) AS c3
+        |           FROM (SELECT unnest(gs) AS g FROM g3 WHERE doc_id % 4 = 0) GROUP BY 1),
+        |hist3 AS (SELECT CASE WHEN len(sp) >= 2 THEN array_to_string(sp[1:len(sp)-1], ' ')
+        |                      ELSE '' END AS h2,
+        |                 CAST(sum(c3) AS BIGINT) AS c2h, CAST(count(*) AS BIGINT) AS n1l3
+        |          FROM (SELECT string_split(tg, ' ') AS sp, c3 FROM reftri) GROUP BY 1),
+        |docg AS (SELECT doc_id, tg,
+        |           sp[len(sp)] AS w3,
+        |           CASE WHEN len(sp) >= 2 THEN sp[len(sp)-1] ELSE '' END AS w2,
+        |           CASE WHEN len(sp) >= 2 THEN array_to_string(sp[1:len(sp)-1], ' ')
+        |                ELSE '' END AS h2,
+        |           concat(CASE WHEN len(sp) >= 2 THEN sp[len(sp)-1] ELSE '' END,
+        |                  ' ', sp[len(sp)]) AS bg
+        |         FROM (SELECT doc_id, g AS tg, string_split(g, ' ') AS sp
+        |               FROM (SELECT doc_id, unnest(gs) AS g FROM g3))),
+        |sc AS (SELECT doc_id,
+        |         CAST(floor(ln(
+        |           CASE WHEN COALESCE(c2h, 0) > 0 THEN
+        |             (greatest(CAST(COALESCE(c3, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                       CAST(0.0 AS DOUBLE))
+        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l3, 0) AS DOUBLE)
+        |                * (CASE WHEN COALESCE(c1, 0) > 0 THEN
+        |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                       CAST(0.0 AS DOUBLE))
+        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
+        |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
+        |             / CAST(c1 AS DOUBLE)
+        |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
+        |           END)) / CAST(c2h AS DOUBLE)
+        |           ELSE (CASE WHEN COALESCE(c1, 0) > 0 THEN
+        |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                       CAST(0.0 AS DOUBLE))
+        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
+        |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
+        |             / CAST(c1 AS DOUBLE)
+        |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
+        |           END) END) * 1000000.0 + 0.5) AS BIGINT) AS lp
+        |       FROM docg LEFT JOIN reftri USING (tg) LEFT JOIN hist3 USING (h2)
+        |            LEFT JOIN refbg ON docg.bg = refbg.bg
+        |            LEFT JOIN hist ON docg.w2 = hist.w1
+        |            LEFT JOIN cont ON docg.w3 = cont.w2
+        |            CROSS JOIN tv)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_trigrams,
+        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
+        |FROM sc GROUP BY 1""".stripMargin
 
   private val knScoreSql: String = knModelSql +
     """docg AS (SELECT doc_id, bg, sp[1] AS w1, sp[len(sp)] AS w2
@@ -676,63 +749,17 @@ private[graft] object TextQueries {
     // trigram replay: the bigram model CTEs verbatim + trigram
     // counts/history; P2 (the full bigram-KN formula on (w2, w3))
     // appears twice textually — same exact value both places
-    "text_kn3_score" -> (knModelSql +
-      """g3 AS (SELECT doc_id,
-        |         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |              ELSE list_transform(generate_series(1, len(w) - 2),
-        |                     i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END AS gs
-        |       FROM toks),
-        |reftri AS (SELECT g AS tg, CAST(count(*) AS BIGINT) AS c3
-        |           FROM (SELECT unnest(gs) AS g FROM g3 WHERE doc_id % 4 = 0) GROUP BY 1),
-        |hist3 AS (SELECT CASE WHEN len(sp) >= 2 THEN array_to_string(sp[1:len(sp)-1], ' ')
-        |                      ELSE '' END AS h2,
-        |                 CAST(sum(c3) AS BIGINT) AS c2h, CAST(count(*) AS BIGINT) AS n1l3
-        |          FROM (SELECT string_split(tg, ' ') AS sp, c3 FROM reftri) GROUP BY 1),
-        |docg AS (SELECT doc_id, tg,
-        |           sp[len(sp)] AS w3,
-        |           CASE WHEN len(sp) >= 2 THEN sp[len(sp)-1] ELSE '' END AS w2,
-        |           CASE WHEN len(sp) >= 2 THEN array_to_string(sp[1:len(sp)-1], ' ')
-        |                ELSE '' END AS h2,
-        |           concat(CASE WHEN len(sp) >= 2 THEN sp[len(sp)-1] ELSE '' END,
-        |                  ' ', sp[len(sp)]) AS bg
-        |         FROM (SELECT doc_id, g AS tg, string_split(g, ' ') AS sp
-        |               FROM (SELECT doc_id, unnest(gs) AS g FROM g3))),
-        |sc AS (SELECT doc_id,
-        |         CAST(floor(ln(
-        |           CASE WHEN COALESCE(c2h, 0) > 0 THEN
-        |             (greatest(CAST(COALESCE(c3, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
-        |                       CAST(0.0 AS DOUBLE))
-        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l3, 0) AS DOUBLE)
-        |                * (CASE WHEN COALESCE(c1, 0) > 0 THEN
-        |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
-        |                       CAST(0.0 AS DOUBLE))
-        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
-        |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
-        |             / CAST(c1 AS DOUBLE)
-        |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
-        |           END)) / CAST(c2h AS DOUBLE)
-        |           ELSE (CASE WHEN COALESCE(c1, 0) > 0 THEN
-        |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
-        |                       CAST(0.0 AS DOUBLE))
-        |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
-        |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
-        |             / CAST(c1 AS DOUBLE)
-        |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
-        |           END) END) * 1000000.0 + 0.5) AS BIGINT) AS lp
-        |       FROM docg LEFT JOIN reftri USING (tg) LEFT JOIN hist3 USING (h2)
-        |            LEFT JOIN refbg ON docg.bg = refbg.bg
-        |            LEFT JOIN hist ON docg.w2 = hist.w1
-        |            LEFT JOIN cont ON docg.w3 = cont.w2
-        |            CROSS JOIN tv)
-        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_trigrams,
-        |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
-        |FROM sc GROUP BY 1""".stripMargin),
+    "text_kn3_score" -> (knModelSql + kn3ScoreTail),
     // incremental face: merged count-delta store == from-scratch
     // model, so the replay is text_kn_score's verbatim
     "text_kn_incremental" -> (knScoreSql +
       """SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
         |       CAST(sum(lp) AS BIGINT) AS logprob_sum_fp
         |FROM sc GROUP BY 1""".stripMargin),
+    // trigram incremental face: merged two-order delta store ==
+    // from-scratch model — text_kn3_score's replay verbatim
+    "text_kn3_incremental" -> (knModelSql +
+      TextQueries.kn3ScoreTail),
     // erase face: seed(%2==0) minus erased(%4==2) == from-scratch
     // survivors(%4==0) — the same verbatim replay again; additivity
     // makes deletion exact, the positive filter makes it census-exact

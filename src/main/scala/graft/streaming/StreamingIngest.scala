@@ -983,6 +983,30 @@ object StreamingIngest {
       }
   }
 
+  /** [[knModelStream]] at the production n-gram order: each
+    * micro-batch lands its TWO-ORDER count delta (trigram + bigram
+    * backoff, [[graft.llm.LangModel.ingestKn3Model]]) as its own
+    * `ingest_batch` partition — same additivity, same idempotence,
+    * same batch-bounded cost; the merged store stays definitionally
+    * equal to a from-scratch build over everything ever offered
+    * (spec-pinned, kn3 scores included).
+    */
+  def kn3ModelStream(
+      spark: SparkSession,
+      watchDir: String,
+      schema: StructType,
+      modelDir: String,
+      checkpointDir: String,
+      textCol: String): DataStreamWriter[Row] = {
+    val raw = csvSource(spark, watchDir, schema)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.llm.LangModel.ingestKn3Model(batch, textCol, modelDir, batchId)
+      }
+  }
+
   def streamingCurationGate(
       docs: DataFrame,
       store: DataFrame,

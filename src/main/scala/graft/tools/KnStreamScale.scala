@@ -23,15 +23,24 @@ import org.apache.spark.sql.streaming.Trigger
   * vocab-bounded aggregation + one delta-partition write — the store
   * is never read in the loop, so cost must be flat in store size.
   *
-  * usage: runMain graft.tools.KnStreamScale <sfDir> <nBatches>
+  * Mode `kn3` runs the same protocol at the production n-gram order
+  * ([[graft.streaming.StreamingIngest.kn3ModelStream]] vs
+  * [[graft.llm.LangModel.ingestKn3Model]]) — the two-order delta
+  * store's stream==replay==from-scratch parity, both orders' tables.
+  *
+  * usage: runMain graft.tools.KnStreamScale <sfDir> <nBatches> [kn2|kn3]
   * env: SPARK_GRAFT_BENCH_REPS (default 3), SPARK_GRAFT_CPUS (32)
   */
 object KnStreamScale {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: KnStreamScale <sfDir> <nBatches>")
+    require(args.length == 2 || args.length == 3,
+      "usage: KnStreamScale <sfDir> <nBatches> [kn2|kn3]")
     val sfDir = args(0)
     val nBatches = args(1).toInt
+    val mode = if (args.length == 3) args(2) else "kn2"
     require(nBatches >= 1, s"bad nBatches=$nBatches")
+    require(mode == "kn2" || mode == "kn3", s"bad mode=$mode")
+    val kn3 = mode == "kn3"
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -79,14 +88,17 @@ object KnStreamScale {
       val modelDir = tmp("graft_knstream_model_")
       val ckpt = tmp("graft_knstream_ckpt_")
       val tSeed = System.nanoTime()
-      LangModel.seedKnModel(seedSrc, "text", modelDir)
+      if (kn3) LangModel.seedKn3Model(seedSrc, "text", modelDir)
+      else LangModel.seedKnModel(seedSrc, "text", modelDir)
       val seedSec = (System.nanoTime() - tSeed) / 1e9
       val t0 = System.nanoTime()
       (0 until nBatches).foreach { b =>
         val tb = System.nanoTime()
         moveCsvs(s"$stage/b$b", watch)
-        val q = graft.streaming.StreamingIngest.knModelStream(
-          spark, watch, schema, modelDir, ckpt, "text")
+        val q = (if (kn3) graft.streaming.StreamingIngest.kn3ModelStream(
+            spark, watch, schema, modelDir, ckpt, "text")
+          else graft.streaming.StreamingIngest.knModelStream(
+            spark, watch, schema, modelDir, ckpt, "text"))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         System.err.println(s"[knstream] batch $b: ${(System.nanoTime() - tb) / 1e9}s")
@@ -97,27 +109,40 @@ object KnStreamScale {
       val stage2 = tmp("graft_knstream_stage2_")
       stageBatches(stage2)
       val modelDir2 = tmp("graft_knstream_model2_")
-      LangModel.seedKnModel(seedSrc, "text", modelDir2)
+      if (kn3) LangModel.seedKn3Model(seedSrc, "text", modelDir2)
+      else LangModel.seedKnModel(seedSrc, "text", modelDir2)
       val t1 = System.nanoTime()
       (0 until nBatches).foreach { b =>
         val batch = spark.read.schema(schema).option("header", "true")
           .csv(s"$stage2/b$b")
-        LangModel.ingestKnModel(batch, "text", modelDir2, b.toLong)
+        if (kn3) LangModel.ingestKn3Model(batch, "text", modelDir2, b.toLong)
+        else LangModel.ingestKnModel(batch, "text", modelDir2, b.toLong)
       }
       val replaySec = (System.nanoTime() - t1) / 1e9
 
       // ---- parity ----
-      val a = LangModel.loadKnCounts(spark, modelDir)
-      val b = LangModel.loadKnCounts(spark, modelDir2)
       // the CSV round trip is the arriving text for BOTH faces; the
       // from-scratch model is over seed + staged CSVs re-read
       val staged = spark.read.schema(schema).option("header", "true")
         .csv(s"$stage2/b*")
-      val rebuilt = LangModel.refBigramCounts(
-        seedSrc.unionByName(staged), "text")
-      val parity = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty &&
-        a.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(a).isEmpty
-      (streamSec, replaySec, seedSec, a.count(), parity)
+      val everything = seedSrc.unionByName(staged)
+      def eq(x: DataFrame, y: DataFrame): Boolean =
+        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+      val (parity, nTypes) =
+        if (kn3) {
+          val (triA, bgA) = LangModel.loadKn3Counts(spark, modelDir)
+          val (triB, bgB) = LangModel.loadKn3Counts(spark, modelDir2)
+          val triR = LangModel.refTrigramCounts(everything, "text")
+          val bgR = LangModel.refBigramCounts(everything, "text")
+          (eq(triA, triB) && eq(bgA, bgB) && eq(triA, triR) && eq(bgA, bgR),
+            triA.count() + bgA.count())
+        } else {
+          val a = LangModel.loadKnCounts(spark, modelDir)
+          val b = LangModel.loadKnCounts(spark, modelDir2)
+          val rebuilt = LangModel.refBigramCounts(everything, "text")
+          (eq(a, b) && eq(a, rebuilt), a.count())
+        }
+      (streamSec, replaySec, seedSec, nTypes, parity)
     }
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
@@ -131,7 +156,7 @@ object KnStreamScale {
       s""""replaySec":${med(runs.map(_._2))},"seedSec":${med(runs.map(_._3))},""" +
       s""""streamMin":${runs.map(_._1).min},"replayMin":${runs.map(_._2).min},""" +
       s""""reps":$reps,"nBatches":$nBatches,"nModelTypes":${runs.head._4},""" +
-      s""""parity":$parity,"sf":"$sfDir"}""")
+      s""""mode":"$mode","parity":$parity,"sf":"$sfDir"}""")
     require(parity, "stream vs batch-replay parity FAILED")
     spark.stop()
   }

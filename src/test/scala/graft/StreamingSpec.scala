@@ -966,6 +966,59 @@ class StreamingSpec extends SparkSpec {
     assert(batches == Set(-1L), s"got partitions $batches")
   }
 
+  test("streaming KN3 model: two-order deltas == from-scratch; compaction and erase invariant") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.llm.LangModel
+    val watch = JFiles.createTempDirectory("graft_kn3watch").toString
+    val modelDir = JFiles.createTempDirectory("graft_kn3model").toString
+    val ckpt = JFiles.createTempDirectory("graft_kn3ckpt").toString
+    val seed = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    LangModel.seedKn3Model(seed, "text", modelDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def drive(): Unit = runToCompletion(
+      StreamingIngest.kn3ModelStream(spark, watch, schema, modelDir, ckpt, "text")
+        .trigger(Trigger.AvailableNow()).start())
+    JFiles.writeString(Paths.get(watch, "b1.csv"),
+      "doc_id,text\n4,a b c d\n8,b c a\n")
+    drive()
+    JFiles.writeString(Paths.get(watch, "b2.csv"), "doc_id,text\n12,x y z\n")
+    drive()
+
+    val all = seed.unionByName(Seq(
+      (4L, "a b c d"), (8L, "b c a"), (12L, "x y z")).toDF("doc_id", "text"))
+    val probeDocs = Seq((100L, "a b c"), (101L, "c d x"), (102L, "y")).toDF("doc_id", "text")
+    def score(tri: org.apache.spark.sql.DataFrame, bg: org.apache.spark.sql.DataFrame) =
+      LangModel.withKn3ScoreFromCounts(probeDocs, tri, bg, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val (triM, bgM) = LangModel.loadKn3Counts(spark, modelDir)
+    val viaStore = score(triM, bgM)
+    val fromScratch = LangModel.withKn3Score(probeDocs, all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaStore == fromScratch, s"store $viaStore vs scratch $fromScratch")
+
+    // compaction: scores invariant, store collapses to one partition
+    val compactDir = JFiles.createTempDirectory("graft_kn3compact").toString
+    LangModel.compactKn3Model(spark, modelDir, compactDir)
+    val (triC, bgC) = LangModel.loadKn3Counts(spark, compactDir)
+    assert(score(triC, bgC) == fromScratch, "compaction moved kn3 scores")
+    val batches = spark.read.parquet(compactDir)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L), s"got partitions $batches")
+
+    // erase: negating doc 12's deltas leaves exactly the model a
+    // rebuild over the survivors would produce (both orders' censuses)
+    LangModel.eraseKn3Model(Seq((12L, "x y z")).toDF("doc_id", "text"),
+      "text", modelDir, batchId = 99L)
+    val (triE, bgE) = LangModel.loadKn3Counts(spark, modelDir)
+    val survivors = seed.unionByName(Seq(
+      (4L, "a b c d"), (8L, "b c a")).toDF("doc_id", "text"))
+    val fromSurvivors = LangModel.withKn3Score(probeDocs, survivors, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(score(triE, bgE) == fromSurvivors, "post-erase kn3 model != rebuild over survivors")
+  }
+
   test("streaming IVF ingest: maintained layout == batch rebuild; probe answers identical") {
     import java.nio.file.{Files => JFiles, Paths}
     import graft.llm.Ivf
