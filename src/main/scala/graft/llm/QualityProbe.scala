@@ -118,4 +118,53 @@ object QualityProbe {
     df.select(col(idCol),
       floor(score(p, x1, x2) * lit(fpScale) + lit(0.5)).cast("long").as("score_fp"),
       (score(p, x1, x2) >= lit(0.5)).cast("int").as("pred"))
+
+  /** Drift-triggered refit check — the probe's LIFECYCLE face: train
+    * a FRESH probe on the current reference window, compare it
+    * against the DEPLOYED probe (trained on the snapshot it shipped
+    * with), and emit the one-row report a curation pipeline gates a
+    * filter swap on:
+    *
+    *  - `n_agree` / `agree_frac` — how often the two probes issue the
+    *    same ≥ 0.5 decision over the FRESH window (the population the
+    *    deployed probe is actually filtering today);
+    *  - `dw{0,1,2}_fp` — the weight drift, each delta one IEEE
+    *    subtraction of two exactly-derived doubles, quantized once;
+    *  - `refit` — 1 when agreement fell below `agreeThreshold`.
+    *
+    * Cost: two [[trainRidge]] scans (each the 9-integer SUMEQ
+    * aggregate) plus ONE agreement aggregate over the fresh window —
+    * both probes' weights ride that plan as literals, so the
+    * comparison is per-row codegen, zero extra exchanges. Everything
+    * in the report is either an exact integer or one fixed-order
+    * float op on exact integers — replayable in SQL (the
+    * quality_probe_refit gate) and spec-pinned stable on identical
+    * snapshots (agreement 1, deltas 0, refit 0).
+    */
+  def refitReport(
+      deployed: DataFrame,
+      fresh: DataFrame,
+      x1: Column,
+      x2: Column,
+      label: Column,
+      agreeThreshold: Double = 0.98,
+      lambda: Long = 1L,
+      fpScale: Double = 1e9): DataFrame = {
+    val pD = trainRidge(deployed, x1, x2, label, lambda)
+    val pF = trainRidge(fresh, x1, x2, label, lambda)
+    val agreeRow = fresh.agg(
+      count(lit(1)).as("n"),
+      sum(when((score(pD, x1, x2) >= lit(0.5)) === (score(pF, x1, x2) >= lit(0.5)),
+        1L).otherwise(0L)).as("agree")).collect()(0)
+    val (nFresh, nAgree) = (agreeRow.getLong(0), agreeRow.getLong(1))
+    def fp(d: Double): Long = math.floor(d * fpScale + 0.5).toLong
+    val agreeFrac = nAgree.toDouble / nFresh
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    Seq((pD.n, nFresh, nAgree, agreeFrac,
+      fp(pF.w0 - pD.w0), fp(pF.w1 - pD.w1), fp(pF.w2 - pD.w2),
+      if (agreeFrac < agreeThreshold) 1 else 0))
+      .toDF("n_deployed", "n_fresh", "n_agree", "agree_frac",
+        "dw0_fp", "dw1_fp", "dw2_fp", "refit")
+  }
 }

@@ -257,6 +257,24 @@ private[graft] object TextQueries {
           (QualityProbe.score(p, x1, x2) >= lit(0.5)).cast("int").as("pred"))
         .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
     }),
+    // probe lifecycle (round 18): drift-triggered refit check — a
+    // FRESH probe trained on the current window (%2==1) compared
+    // against the DEPLOYED one (%2==0): decision agreement over the
+    // fresh window, quantized weight drift, refit verdict. One row;
+    // the oracle refits BOTH probes in SQL (two suffixed HUGEINT
+    // Cramer instantiations over the same feature CTEs) and replays
+    // the agreement aggregate exactly
+    "quality_probe_refit" -> ((s, d) => {
+      import graft.llm.QualityProbe
+      val x1 = QualityProbe.tokenCount("text")
+      val x2 = QualityProbe.markerCount("text", "the")
+      val withG = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(
+        t(s, d, "documents"))
+      QualityProbe.refitReport(
+        withG.where(col("doc_id") % 2 === 0),
+        withG.where(col("doc_id") % 2 === 1),
+        x1, x2, col("passes_gopher"))
+    }),
     // novelty vs the accumulated store: incoming batch = %5==0 docs,
     // store = the rest; shuffled 8-byte gram-hash join, never a
     // broadcast (the store is corpus-scale by contract)
@@ -397,7 +415,7 @@ private[graft] object TextQueries {
     * derivation as ONE double division per weight, mirroring
     * [[graft.llm.QualityProbe.trainRidge]] exactly.
     */
-  private val probeSql: String =
+  private val probeFeatSql: String =
     """WITH gb AS (
       |  SELECT doc_id, text, string_split(COALESCE(text, ''), ' ') AS w,
       |         string_split(COALESCE(text, ''), chr(10)) AS l
@@ -422,32 +440,43 @@ private[graft] object TextQueries {
       |      AND frac_alpha_words > 0.8 AND n_stopwords_present >= 2
       |      THEN 1 ELSE 0 END AS BIGINT) AS y
       |  FROM gm),
-      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
-      |        CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
-      |        CAST(sum(x2*x2) AS BIGINT) AS s22,
-      |        CAST(sum(y) AS BIGINT) AS b0, CAST(sum(x1*y) AS BIGINT) AS b1,
-      |        CAST(sum(x2*y) AS BIGINT) AS b2
-      |      FROM f),
-      |a AS (SELECT n,
-      |        CAST(n + 1 AS HUGEINT) AS a00, CAST(s1 AS HUGEINT) AS a01,
-      |        CAST(s2 AS HUGEINT) AS a02, CAST(s11 + 1 AS HUGEINT) AS a11,
-      |        CAST(s12 AS HUGEINT) AS a12, CAST(s22 + 1 AS HUGEINT) AS a22,
-      |        CAST(b0 AS HUGEINT) AS c0, CAST(b1 AS HUGEINT) AS c1,
-      |        CAST(b2 AS HUGEINT) AS c2
-      |      FROM s),
-      |dets AS (SELECT n,
-      |    a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02) AS det,
-      |    c0*(a11*a22 - a12*a12) - a01*(c1*a22 - a12*c2) + a02*(c1*a12 - a11*c2) AS det0,
-      |    a00*(c1*a22 - a12*c2) - c0*(a01*a22 - a12*a02) + a02*(a01*c2 - c1*a02) AS det1,
-      |    a00*(a11*c2 - c1*a12) - a01*(a01*c2 - c1*a02) + c0*(a01*a12 - a11*a02) AS det2
-      |  FROM a),
-      |w AS (SELECT n,
-      |        CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
-      |        CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
-      |        CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2
-      |      FROM dets)
       |""".stripMargin
+
+  /** One ridge fit as CTEs (normal-equation sums over `f`, HUGEINT
+    * Cramer, the weight divisions), name-suffixed so a replay can fit
+    * TWO probes over different row filters in one statement (the
+    * quality_probe_refit gate) while the unsuffixed instantiation
+    * keeps the original quality_probe_* oracles' text.
+    */
+  private def probeFitCtes(sfx: String, where: String): String =
+    s"""s$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |        CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+       |        CAST(sum(x2*x2) AS BIGINT) AS s22,
+       |        CAST(sum(y) AS BIGINT) AS b0, CAST(sum(x1*y) AS BIGINT) AS b1,
+       |        CAST(sum(x2*y) AS BIGINT) AS b2
+       |      FROM f $where),
+       |a$sfx AS (SELECT n,
+       |        CAST(n + 1 AS HUGEINT) AS a00, CAST(s1 AS HUGEINT) AS a01,
+       |        CAST(s2 AS HUGEINT) AS a02, CAST(s11 + 1 AS HUGEINT) AS a11,
+       |        CAST(s12 AS HUGEINT) AS a12, CAST(s22 + 1 AS HUGEINT) AS a22,
+       |        CAST(b0 AS HUGEINT) AS c0, CAST(b1 AS HUGEINT) AS c1,
+       |        CAST(b2 AS HUGEINT) AS c2
+       |      FROM s$sfx),
+       |dets$sfx AS (SELECT n,
+       |    a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02) AS det,
+       |    c0*(a11*a22 - a12*a12) - a01*(c1*a22 - a12*c2) + a02*(c1*a12 - a11*c2) AS det0,
+       |    a00*(c1*a22 - a12*c2) - c0*(a01*a22 - a12*a02) + a02*(a01*c2 - c1*a02) AS det1,
+       |    a00*(a11*c2 - c1*a12) - a01*(a01*c2 - c1*a02) + c0*(a01*a12 - a11*a02) AS det2
+       |  FROM a$sfx),
+       |w$sfx AS (SELECT n,
+       |        CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
+       |        CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
+       |        CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2
+       |      FROM dets$sfx)
+       |""".stripMargin
+
+  private val probeSql: String = probeFeatSql + probeFitCtes("", "")
 
   val oracleSql: Map[String, String] = reg(
     "quality_probe_train" -> (probeSql +
@@ -463,6 +492,26 @@ private[graft] object TextQueries {
         |  CAST(CASE WHEN w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) >= 0.5
         |       THEN 1 ELSE 0 END AS INTEGER) AS pred
         |FROM f CROSS JOIN w""".stripMargin),
+    // two suffixed fits over the same features, then the agreement
+    // aggregate and drift deltas — every term either an exact integer
+    // or one fixed-order float op on exactly-derived doubles
+    "quality_probe_refit" -> (probeFeatSql +
+      probeFitCtes("d", "WHERE doc_id % 2 = 0").stripSuffix("\n") + ",\n" +
+      probeFitCtes("fr", "WHERE doc_id % 2 = 1").stripSuffix("\n") + ",\n" +
+      """ag AS (SELECT CAST(count(*) AS BIGINT) AS n_fresh,
+        |  CAST(sum(CASE WHEN
+        |    (wd.w0 + wd.w1 * CAST(x1 AS DOUBLE) + wd.w2 * CAST(x2 AS DOUBLE) >= 0.5)
+        |    = (wfr.w0 + wfr.w1 * CAST(x1 AS DOUBLE) + wfr.w2 * CAST(x2 AS DOUBLE) >= 0.5)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM f CROSS JOIN wd CROSS JOIN wfr WHERE doc_id % 2 = 1)
+        |SELECT wd.n AS n_deployed, ag.n_fresh, ag.n_agree,
+        |  CAST(ag.n_agree AS DOUBLE) / ag.n_fresh AS agree_frac,
+        |  CAST(floor((wfr.w0 - wd.w0) * 1000000000.0 + 0.5) AS BIGINT) AS dw0_fp,
+        |  CAST(floor((wfr.w1 - wd.w1) * 1000000000.0 + 0.5) AS BIGINT) AS dw1_fp,
+        |  CAST(floor((wfr.w2 - wd.w2) * 1000000000.0 + 0.5) AS BIGINT) AS dw2_fp,
+        |  CAST(CASE WHEN CAST(ag.n_agree AS DOUBLE) / ag.n_fresh < 0.98
+        |       THEN 1 ELSE 0 END AS INTEGER) AS refit
+        |FROM ag CROSS JOIN wd CROSS JOIN wfr""".stripMargin),
     "quality_probe_eval" -> (probeSql +
       """SELECT CAST(y AS INTEGER) AS label,
         |  CAST(CASE WHEN w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) >= 0.5

@@ -1299,6 +1299,24 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(preds == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1),
       s"got $preds")
+
+    // refit report on IDENTICAL snapshots: same sums -> same BigInt
+    // determinants -> identical weights, so agreement is exactly 1,
+    // every drift delta quantizes to 0, and the verdict is no-refit —
+    // a refit trigger that fires on no drift would thrash the
+    // deployed filter
+    val stable = QualityProbe.refitReport(docs, docs, x1, x2, col("y") === 1)
+      .collect()(0)
+    assert(stable.getLong(1) == stable.getLong(2), s"agreement not total: $stable")
+    assert(stable.getDouble(3) == 1.0 && stable.getInt(7) == 0, s"got $stable")
+    assert(stable.getLong(4) == 0L && stable.getLong(5) == 0L && stable.getLong(6) == 0L,
+      s"nonzero drift on identical snapshots: $stable")
+
+    // and a REAL drift (labels inverted in the fresh window) trips it
+    val drifted = QualityProbe.refitReport(docs,
+      docs.withColumn("y", lit(1) - col("y")), x1, x2, col("y") === 1)
+      .collect()(0)
+    assert(drifted.getInt(7) == 1, s"inverted-label drift not flagged: $drifted")
   }
 
   test("pipeline_incremental drops every planted content-dup and keeps only incoming ids") {
