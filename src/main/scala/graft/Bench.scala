@@ -70,7 +70,8 @@ object Bench {
     "text_kn_incremental", "text_kn3_score", "sim_ivf_quant_topk",
     "s18_ivf_quant_layout", "sim_ivf_quant_rerank",
     "mm_erase_index", "s18_ivf_erase", "s18_ivf_quant_erase", "text_kn_erase",
-    "s18_ivf_quant_append", "text_kn3_incremental", "quality_probe_refit")
+    "s18_ivf_quant_append", "text_kn3_incremental", "quality_probe_refit",
+    "pipeline_train_prep_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -515,6 +515,26 @@ object LangModel {
       idCol: String,
       textCol: String,
       nBuckets: Int = 3,
+      rangeShards: Int = 32): DataFrame =
+    withKnBuckets(df, ref, idCol, textCol, nBuckets, rangeShards)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("logprob_sum_fp").as("sum_logprob_fp"),
+        sum(col("n_bigrams").cast("long")).as("sum_bigrams"))
+
+  /** The PER-DOCUMENT face of [[knBuckets]]: every doc's
+    * (n_bigrams, logprob_sum_fp, bucket) under the same layout-
+    * invariant two-phase global rank — what a pipeline composes on
+    * (keep head+middle, drop the tail bucket) where the rollup above
+    * is the report face. Same scale shape: no one-partition window
+    * anywhere.
+    */
+  def withKnBuckets(
+      df: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 3,
       rangeShards: Int = 32): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     // the scored frame feeds BOTH the rank branch and the offsets
@@ -553,9 +573,6 @@ object LangModel {
           expr("(__r + __q) div (__q + 1)"))
           .otherwise(col("__rem") + expr("(__r - __cut + __q - 1) div __q"))
           .cast("int"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("logprob_sum_fp").as("sum_logprob_fp"),
-        sum(col("n_bigrams").cast("long")).as("sum_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("logprob_sum_fp"), col("bucket"))
   }
 }

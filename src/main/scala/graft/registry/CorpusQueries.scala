@@ -248,6 +248,36 @@ private[graft] object CorpusQueries {
       graft.llm.Sampling.withHashSplit("doc_id")(near)
         .select("doc_id", "n_tokens", "ttr", "split")
     }),
+    // the flagship REFRESHED on the distilled stack (round 18): the
+    // chain a 100 TB run actually affords — the trained ridge PROBE
+    // as the quality gate (2 integer features + a codegen'd linear
+    // form, replacing the full Gopher battery), a KN fluency CUT
+    // (CCNet tail tertile dropped via the layout-invariant two-phase
+    // rank), then the same exact-dedup -> LSH near-dedup -> leakproof
+    // split as v1. The oracle replays EVERY stage: the HUGEINT Cramer
+    // refit, the gate, the KN model + ntile, both dedups, the split
+    "pipeline_train_prep_v2" -> ((s, d) => {
+      import graft.llm.{LangModel, QualityProbe}
+      val base = t(s, d, "documents")
+      val x1 = QualityProbe.tokenCount("text")
+      val x2 = QualityProbe.markerCount("text", "the")
+      // probe trained ONCE on the reference snapshot (teacher = the
+      // Gopher verdict), then applied to the doubled corpus
+      val withG = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(base)
+      val p = QualityProbe.trainRidge(withG, x1, x2, col("passes_gopher"))
+      val gated = doubledDocs(s, d)
+        .withColumn("score_fp",
+          floor(QualityProbe.score(p, x1, x2) * lit(1e6) + lit(0.5)).cast("long"))
+        .where(QualityProbe.score(p, x1, x2) >= lit(0.5))
+      val buckets = LangModel.withKnBuckets(gated,
+        base.where(col("doc_id") % 4 === 0), "doc_id", "text")
+      val keep = gated.join(
+        buckets.where(col("bucket") <= 2).select("doc_id", "bucket"), Seq("doc_id"))
+      val exact = Dedup.exactDedup("text", "doc_id")(keep)
+      val near = Dedup.nearDedup(exact, "doc_id", "text", threshold = 0.5)
+      graft.llm.Sampling.withHashSplit("doc_id")(near)
+        .select("doc_id", "score_fp", "bucket", "split")
+    }),
     // steady-state ingest: diff the arriving snapshot against the
     // store, content-dedup ONLY the added docs against the store's
     // digest set, quality-gate the survivors. The %50==1 rows are
@@ -745,6 +775,74 @@ private[graft] object CorpusQueries {
          |FROM (SELECT doc_id, n_tokens, ttr,
          |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bkt
          |      FROM d WHERE doc_id NOT IN (SELECT id_b FROM drops))""".stripMargin,
+    // the distilled-stack flagship, every stage replayed: probe refit
+    // (HUGEINT Cramer over the reference snapshot, TextQueries'
+    // shared CTEs), the >= 0.5 gate over the doubled corpus, the KN
+    // model + tail-tertile cut (ntile over the same total order the
+    // query's two-phase rank produces), exact dedup, all-pairs
+    // jaccard near-dedup, and the md5 split
+    "pipeline_train_prep_v2" ->
+      (TextQueries.probeFeatSql +
+        TextQueries.probeFitCtes("", "").stripSuffix("\n") + ",\n" +
+        TextQueries.knModelSql.stripPrefix("WITH ") +
+        s"""corpus AS (SELECT doc_id, text FROM documents
+           |           UNION ALL
+           |           SELECT doc_id + 10000 AS doc_id, text FROM documents),
+           |feat AS (SELECT doc_id, text,
+           |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS cx1,
+           |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), t -> t = 'the')) AS BIGINT) AS cx2
+           |  FROM corpus),
+           |gated AS (SELECT doc_id, text,
+           |    CAST(floor((w.w0 + w.w1 * CAST(cx1 AS DOUBLE) + w.w2 * CAST(cx2 AS DOUBLE))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS score_fp
+           |  FROM feat CROSS JOIN w
+           |  WHERE w.w0 + w.w1 * CAST(cx1 AS DOUBLE) + w.w2 * CAST(cx2 AS DOUBLE) >= 0.5),
+           |gtoks AS (SELECT doc_id, string_split(text, ' ') AS gw FROM gated),
+           |gbg AS (SELECT doc_id,
+           |    CASE WHEN len(gw) < 2 THEN [array_to_string(gw, ' ')]
+           |         ELSE list_transform(generate_series(1, len(gw) - 1),
+           |                i -> concat_ws(' ', gw[i], gw[i+1])) END AS gs
+           |  FROM gtoks),
+           |docg AS (SELECT doc_id, bg2 AS bg, sp[1] AS w1, sp[len(sp)] AS w2
+           |  FROM (SELECT doc_id, g AS bg2, string_split(g, ' ') AS sp
+           |        FROM (SELECT doc_id, unnest(gs) AS g FROM gbg))),
+           |sc AS (SELECT doc_id,
+           |         CAST(floor(ln(
+           |           CASE WHEN COALESCE(c1, 0) > 0 THEN
+           |             (greatest(CAST(COALESCE(cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+           |                       CAST(0.0 AS DOUBLE))
+           |              + CAST(0.75 AS DOUBLE) * CAST(COALESCE(n1l, 0) AS DOUBLE)
+           |                * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)))
+           |             / CAST(c1 AS DOUBLE)
+           |           ELSE CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(tt + v2 + 1 AS DOUBLE)
+           |           END) * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |       FROM docg LEFT JOIN refbg USING (bg) LEFT JOIN hist USING (w1)
+           |            LEFT JOIN cont USING (w2) CROSS JOIN tv),
+           |kn AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS nb,
+           |           CAST(sum(lp) AS BIGINT) AS lps
+           |       FROM sc GROUP BY 1),
+           |rk AS (SELECT doc_id, CAST(ntile(3) OVER (
+           |         ORDER BY CAST(lps AS DOUBLE) / CAST(nb AS DOUBLE) DESC, doc_id) AS INTEGER) AS bucket
+           |       FROM kn),
+           |keep AS (SELECT g.doc_id, g.text, g.score_fp, rk.bucket
+           |         FROM gated g JOIN rk USING (doc_id) WHERE rk.bucket <= 2),
+           |dd AS (SELECT * FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |  FROM keep) WHERE rn = 1),
+           |ktoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM dd),
+           |ksh AS (SELECT doc_id,
+           |         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+           |              ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+           |                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) END AS s
+           |       FROM ktoks),
+           |drops AS (SELECT DISTINCT b.doc_id AS id_b
+           |          FROM ksh a JOIN ksh b ON a.doc_id < b.doc_id
+           |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+           |SELECT doc_id, score_fp, bucket,
+           |  CASE WHEN bkt < 5 THEN 'val' WHEN bkt < 10 THEN 'test' ELSE 'train' END AS split
+           |FROM (SELECT doc_id, score_fp, bucket,
+           |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bkt
+           |      FROM dd WHERE doc_id NOT IN (SELECT id_b FROM drops))""".stripMargin),
     // incoming ids are all absent from the store by construction, so
     // the diff stage's "added" set equals the incoming set and the
     // oracle replays dedup + quality directly (the diff labelling

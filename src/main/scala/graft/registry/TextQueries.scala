@@ -315,7 +315,7 @@ private[graft] object TextQueries {
     * shared by the bigram scorer and the trigram scorer's backoff
     * level.
     */
-  private val knModelSql: String =
+  private[graft] val knModelSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |bg AS (SELECT doc_id,
       |         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
@@ -415,7 +415,7 @@ private[graft] object TextQueries {
     * derivation as ONE double division per weight, mirroring
     * [[graft.llm.QualityProbe.trainRidge]] exactly.
     */
-  private val probeFeatSql: String =
+  private[graft] val probeFeatSql: String =
     """WITH gb AS (
       |  SELECT doc_id, text, string_split(COALESCE(text, ''), ' ') AS w,
       |         string_split(COALESCE(text, ''), chr(10)) AS l
@@ -448,7 +448,7 @@ private[graft] object TextQueries {
     * quality_probe_refit gate) while the unsuffixed instantiation
     * keeps the original quality_probe_* oracles' text.
     */
-  private def probeFitCtes(sfx: String, where: String): String =
+  private[graft] def probeFitCtes(sfx: String, where: String): String =
     s"""s$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
        |        CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
