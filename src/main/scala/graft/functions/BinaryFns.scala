@@ -496,6 +496,135 @@ object CdcGearChunks {
   private[functions] val GEAR: Array[Long] = Array.tabulate(256)(i => splitmix64(i.toLong))
 }
 
+/** `graft_cdc_md5(binary, divisor, window)` → array<struct<chunk_md5
+  * string, n_bytes long>>: the GATE-face chunker
+  * ([[graft.llm.Multimodal.binaryCdcChunks]]) as ONE native loop —
+  * bit-identical output to the higher-order-function formulation it
+  * replaces, which paid an interpreted Catalyst lambda (UTF8String
+  * substr + md5 + conv(16,10) string round-trip) PER BYTE and was the
+  * measured dominant CPU term of the whole mm family (the four
+  * slowest rows of bench_full_r17.json). The semantics are pinned by
+  * the DuckDB oracle hash, so every step replicates the column
+  * formulation exactly:
+  *
+  *  - hx = UPPERCASE hex transcription of the bytes (2 chars/byte);
+  *  - boundary AFTER byte i (1-based, i ≥ window) iff the 60-bit
+  *    prefix of md5(hx[(i−window)·2 .. i·2)) — the first 15 lowercase
+  *    hex chars parsed base-16, here read straight from the digest's
+  *    leading 7.5 bytes — is ≡ 0 mod divisor;
+  *  - one chunk per boundary gap; chunk_md5 = md5 over the chunk's
+  *    HEX transcription (the ASCII bytes of the uppercase hex — what
+  *    Spark's md5(string) digests), emitted as 32 lowercase hex
+  *    chars; n_bytes = chunk byte length;
+  *  - empty input → empty array (the caller's explode_outer + null
+  *    filter drops the row); NULL → NULL; rows shorter than the
+  *    window carry no boundary and fall through as one whole chunk.
+  *
+  * Cost: one 16-byte md5 per byte (inherent to the gate face's
+  * definition — the production face [[CdcGearChunks]] replaces the
+  * probe hash itself) plus one md5 per chunk, all on reused buffers;
+  * no per-byte allocation survives the loop.
+  */
+case class CdcMd5Chunks(child: Expression, divisor: Expression, window: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, divisor, window)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_md5", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_cdc_md5"
+
+  @transient private lazy val div: Long = divisor.eval(null).asInstanceOf[Int].toLong
+  @transient private lazy val win: Int = window.eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) return null
+    val b = raw.asInstanceOf[Array[Byte]]
+    val n = b.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val HEX = CdcMd5Chunks.HEX_UPPER
+    // uppercase hex transcription — the string the HOF face built
+    // once per row with upper(hex(col)); both the boundary probe and
+    // the chunk digest hash slices of it
+    val hx = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = b(i) & 0xFF
+      hx(2 * i) = HEX(v >>> 4)
+      hx(2 * i + 1) = HEX(v & 0xF)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // emit the chunk covering bytes [from, until) as (md5-of-hex-slice
+    // lowercase hex string, byte length) — Spark md5(string) semantics
+    def emit(from: Int, until: Int): Unit = {
+      md.reset()
+      md.update(hx, 2 * from, 2 * (until - from))
+      md.digest(dig, 0, 16)
+      val hexOut = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        val v = dig(k) & 0xFF
+        hexOut(2 * k) = CdcMd5Chunks.HEX_LOWER(v >>> 4)
+        hexOut(2 * k + 1) = CdcMd5Chunks.HEX_LOWER(v & 0xF)
+        k += 1
+      }
+      out += new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(hexOut), (until - from).toLong))
+    }
+    var start = 0
+    if (n >= win) {
+      var p = win // 1-based boundary candidate position
+      while (p <= n) {
+        md.reset()
+        md.update(hx, 2 * (p - win), 2 * win)
+        md.digest(dig, 0, 16)
+        // md5Hash60: first 15 hex chars base-16 = leading 60 bits of
+        // the digest (7 full bytes + the high nibble of byte 7)
+        var h = 0L
+        var k = 0
+        while (k < 7) { h = (h << 8) | (dig(k) & 0xFFL); k += 1 }
+        h = (h << 4) | ((dig(7) & 0xF0L) >>> 4)
+        if (h % div == 0L) {
+          emit(start, p)
+          start = p
+        }
+        p += 1
+      }
+    }
+    if (start < n) emit(start, n)
+    new GenericArrayData(out.toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_md5 needs binary input, got ${child.dataType.simpleString}")
+    else if (!(divisor.foldable && divisor.dataType == IntegerType &&
+        window.foldable && window.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure("divisor and window must be integer literals")
+    else {
+      val d = divisor.eval(null).asInstanceOf[Int]
+      val w = window.eval(null).asInstanceOf[Int]
+      if (d < 2 || w < 1)
+        TypeCheckResult.TypeCheckFailure(s"bad divisor=$d / window=$w")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CdcMd5Chunks =
+    copy(child = newChildren(0), divisor = newChildren(1), window = newChildren(2))
+}
+
+object CdcMd5Chunks {
+  private[functions] val HEX_UPPER: Array[Byte] = "0123456789ABCDEF".getBytes("US-ASCII")
+  private[functions] val HEX_LOWER: Array[Byte] = "0123456789abcdef".getBytes("US-ASCII")
+}
+
 /** `graft_video_meta(binary)` → struct(format, brand, timescale,
   * duration), null for unrecognized bytes. ISO-BMFF/MP4 only — the
   * video twin of [[ImageMeta]]/[[AudioMeta]]: a header-only box walk

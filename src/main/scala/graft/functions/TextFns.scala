@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -125,4 +125,104 @@ object GramHashes {
     }
     out
   }
+}
+
+/** `graft_minhash_bands(text, shingleK, numBands)` → array<string>:
+  * the similarity-aware ER band keys
+  * ([[graft.ops.EntityRes.minhashBands]]) as ONE native loop —
+  * bit-identical output to the higher-order-function formulation it
+  * replaces, which paid an interpreted Catalyst lambda (substr +
+  * concat + md5 + conv(16,10) string round-trip) per band PER SHINGLE
+  * per row: ~(len−k+1)·numBands interpreted md5 chains per record,
+  * the measured dominant term of the gated er_pairs_minhash_sub.
+  * Semantics are pinned by that query's DuckDB oracle, so every step
+  * replicates the column formulation exactly:
+  *
+  *  - shingles: `substr(text, i, k)` for i in 1..max(len−k+1, 1) —
+  *    code-point counting, clamped at the end, so a sub-k-length (or
+  *    empty) text yields ONE whole-text shingle;
+  *  - per band b in 0..numBands−1: the minimum over shingles of the
+  *    60-bit md5 prefix of `"<b>:<shingle>"` (
+  *    [[graft.llm.Sampling.hashKey]] — first 15 lowercase hex chars
+  *    parsed base-16, here read straight from the digest's leading
+  *    7.5 bytes), emitted as its decimal string;
+  *  - NULL text → an array of numBands NULL elements (the HOF form's
+  *    null propagation: the inner transform is null, array_min(null)
+  *    is null, the outer transform still produces one element per
+  *    band).
+  */
+case class MinHashBands(child: Expression, shingleK: Expression, numBands: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, shingleK, numBands)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_minhash_bands"
+
+  @transient private lazy val k: Int = shingleK.eval(null).asInstanceOf[Int]
+  @transient private lazy val nb: Int = numBands.eval(null).asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null)
+      return new GenericArrayData(Array.fill[Any](nb)(null))
+    val s = raw.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val nSh = math.max(len - (k - 1), 1)
+    // shingle bytes once per shingle; every band re-hashes them with
+    // its own one-byte-or-more decimal prefix + ':'
+    val shingleBytes = new Array[Array[Byte]](nSh)
+    var i = 0
+    while (i < nSh) {
+      // substringSQL is 1-based and end-clamped — identical to the
+      // Column.substr the HOF form called
+      shingleBytes(i) = s.substringSQL(i + 1, k).getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val out = new Array[Any](nb)
+    var b = 0
+    while (b < nb) {
+      val prefix = (b.toString + ":").getBytes("US-ASCII")
+      var min = Long.MaxValue
+      var j = 0
+      while (j < nSh) {
+        md.reset()
+        md.update(prefix)
+        md.update(shingleBytes(j))
+        md.digest(dig, 0, 16)
+        // hashKey: first 15 hex chars base-16 = leading 60 bits of
+        // the digest (7 full bytes + the high nibble of byte 7)
+        var h = 0L
+        var t = 0
+        while (t < 7) { h = (h << 8) | (dig(t) & 0xFFL); t += 1 }
+        h = (h << 4) | ((dig(7) & 0xF0L) >>> 4)
+        if (h < min) min = h
+        j += 1
+      }
+      out(b) = UTF8String.fromString(min.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_bands needs a string column, got ${child.dataType.simpleString}")
+    else if (!(shingleK.foldable && shingleK.dataType == IntegerType &&
+        numBands.foldable && numBands.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure("shingleK and numBands must be integer literals")
+    else {
+      val kk = shingleK.eval(null).asInstanceOf[Int]
+      val n = numBands.eval(null).asInstanceOf[Int]
+      if (kk < 1 || n < 1)
+        TypeCheckResult.TypeCheckFailure(s"bad shingleK=$kk / numBands=$n")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashBands =
+    copy(child = newChildren(0), shingleK = newChildren(1), numBands = newChildren(2))
 }

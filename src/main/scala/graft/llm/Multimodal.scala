@@ -238,6 +238,38 @@ object Multimodal {
       divisor: Int = 32,
       window: Int = 8)(df: DataFrame): DataFrame = {
     require(divisor >= 2 && window >= 1, s"bad divisor=$divisor / window=$window")
+    // ONE native loop per row ([[graft.functions.CdcMd5Chunks]]) in
+    // place of the higher-order-function formulation below — that
+    // paid an interpreted Catalyst lambda (substr + md5 + conv string
+    // round-trip) per BYTE and was the measured dominant CPU term of
+    // the whole mm family (bench_full_r17's four slowest rows).
+    // Output is bit-identical — LlmSpec pins native == HOF on real
+    // corpus bytes, and every mm oracle hash-gates it — so the HOF
+    // face survives only as the parity reference
+    // [[binaryCdcChunksHof]].
+    withNative(df)(d =>
+      d.select(col(idCol),
+          explode_outer(call_function("graft_cdc_md5",
+            col(binCol), lit(divisor), lit(window))).as("__chunk"))
+        .filter(col("__chunk").isNotNull)
+        .select(col(idCol),
+          col("__chunk.chunk_md5").as("chunk_md5"),
+          col("__chunk.n_bytes").as("n_bytes")))
+  }
+
+  /** The pre-r18 column formulation of [[binaryCdcChunks]] — kept as
+    * the executable PARITY REFERENCE for the native expression that
+    * replaced it (LlmSpec pins equality on real corpus bytes), and as
+    * the readable statement of the gate-face semantics the DuckDB
+    * oracle replays. Never on a production path: ~2 µs/byte of
+    * interpreted lambda overhead vs the native loop's md5-bound rate.
+    */
+  private[graft] def binaryCdcChunksHof(
+      binCol: String,
+      idCol: String,
+      divisor: Int = 32,
+      window: Int = 8)(df: DataFrame): DataFrame = {
+    require(divisor >= 2 && window >= 1, s"bad divisor=$divisor / window=$window")
     import graft.llm.Dedup.md5Hash60
     // upper() on both engines' hex: Spark and DuckDB both emit
     // uppercase today, but the md5 inputs must agree FOREVER, so the

@@ -170,6 +170,26 @@ object EntityRes {
   def minhashBands(c: Column, shingleK: Int = 3, numBands: Int = 4): Column = {
     require(shingleK >= 1 && numBands >= 1,
       s"bad shingleK=$shingleK / numBands=$numBands")
+    // ONE native loop per row ([[graft.functions.MinHashBands]]) in
+    // place of the higher-order-function formulation below — that
+    // paid an interpreted Catalyst lambda (substr + concat + md5 +
+    // conv(16,10) string round-trip) per band PER SHINGLE, the
+    // measured dominant term of er_pairs_minhash_sub. Output is
+    // bit-identical — ErSpec pins native == HOF, and the query's
+    // DuckDB oracle hash-gates it. Consumers (the bands-Column entry
+    // points below) register the graft functions on their input's
+    // session before the column is analyzed.
+    call_function("graft_minhash_bands", c, lit(shingleK), lit(numBands))
+  }
+
+  /** The pre-r18 column formulation of [[minhashBands]] — kept as the
+    * executable PARITY REFERENCE for the native expression that
+    * replaced it (ErSpec pins equality), and as the readable
+    * statement of the band semantics the DuckDB oracle replays.
+    */
+  private[graft] def minhashBandsHof(c: Column, shingleK: Int = 3, numBands: Int = 4): Column = {
+    require(shingleK >= 1 && numBands >= 1,
+      s"bad shingleK=$shingleK / numBands=$numBands")
     val shingles = transform(
       sequence(lit(1), greatest(length(c) - (shingleK - 1), lit(1))),
       i => c.substr(i, lit(shingleK)))
@@ -283,6 +303,9 @@ object EntityRes {
       bands: Column)(df: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "candidatePairsBanded needs at least one blocking column")
     require(maxDist >= 0 && maxBlock >= 2, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
+    // the bands Column may carry a graft-native call ([[minhashBands]]);
+    // idempotent persistent registration, the Similarity/Ivf precedent
+    graft.functions.ArrayFns.register(df.sparkSession)
     Seq("__band", "__bkey").foreach(c => require(!df.columns.contains(c),
       s"candidatePairsBanded uses internal column $c — rename it first"))
     val sizes = blockSizes(blockCols)(df)
@@ -339,6 +362,7 @@ object EntityRes {
       bands: Column,
       samplePct: Int = 100)(df: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "bandedSubBlockRecall needs at least one blocking column")
+    graft.functions.ArrayFns.register(df.sparkSession)
     val sizes = hotBlockSample(blockCols, samplePct)(blockSizes(blockCols)(df))
     // inner join (not semi) so block_n rides along with every hot row
     val hot = df.join(sizes.where(col("block_n") > maxBlock), blockCols)
@@ -612,6 +636,7 @@ object EntityRes {
       bands: Column,
       adaptive: Boolean = false)(batch: DataFrame, master: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "incrementalPairsBanded needs at least one blocking column")
+    graft.functions.ArrayFns.register(batch.sparkSession)
     require(maxDist >= 0 && maxBlock >= 1, s"bad maxDist=$maxDist / maxBlock=$maxBlock")
     Seq("__band", "__bkey").foreach(c =>
       require(!batch.columns.contains(c) && !master.columns.contains(c),
@@ -700,6 +725,7 @@ object EntityRes {
       bands: Column,
       samplePct: Int = 100)(batch: DataFrame, master: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "incrementalBandedRecall needs at least one blocking column")
+    graft.functions.ArrayFns.register(batch.sparkSession)
     val hotKeys = hotBlockSample(blockCols, samplePct)(
       incrementalHotBlocks(blockCols, maxBlock)(batch, master))
     val keyOnly = hotKeys.select(blockCols.map(col): _*)

@@ -1391,6 +1391,33 @@ class LlmSpec extends SparkSpec {
     assert((d1 & d3).isEmpty)
   }
 
+  test("binaryCdcChunks: native expression == higher-order-function reference, bit-exact") {
+    // arbitrary bytes spanning the full 0-255 range (not just UTF-8
+    // text), plus the window edges: shorter-than-window, exactly
+    // window, empty, NULL. The native graft_cdc_md5 loop replaced the
+    // per-byte interpreted HOF formulation in r18 — this pin is the
+    // proof the swap changed cost only, never a boundary or a digest.
+    def bytes(seed: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((i * 31 + seed * 17 + (i * i) % 89) % 256).toByte)
+    val df = Seq(
+      (1L, bytes(1, 400)),
+      (2L, bytes(2, 1200)),
+      (3L, bytes(3, 7)),
+      (4L, bytes(4, 8)),
+      (5L, Array.empty[Byte]),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("doc_id", "content")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    for ((div, win) <- Seq((16, 8), (4, 3), (32, 8))) {
+      val native = rows(Multimodal.binaryCdcChunks("content", "doc_id", div, win)(df))
+      val hof = rows(Multimodal.binaryCdcChunksHof("content", "doc_id", div, win)(df))
+      assert(native == hof, s"divisor=$div window=$win: native != HOF reference")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("binaryNearDupPairs: inverted index pairs byte-overlapped rows; the df cap drops boilerplate") {
     def payload(seed: Int, n: Int): String =
       Seq.tabulate(n)(i => (33 + (i * 29 + seed * 13 + (i * i) % 83) % 94).toChar).mkString

@@ -1290,8 +1290,28 @@ class OpsSpec extends SparkSpec {
     assert(misses == 0L, s"$misses substitution pairs missed by all 3 bands")
   }
 
+  test("minhashBands: native expression == higher-order-function reference, bit-exact") {
+    import graft.ops.EntityRes
+    graft.functions.ArrayFns.register(spark)
+    // names spanning the edges: normal, shorter-than-k, empty, NULL,
+    // multi-byte chars (substr counts code points, not bytes)
+    val df = Seq("smith john", "zz", "", "müller-lüdenscheidt", "夏目漱石", null)
+      .zipWithIndex.map(_.swap).toDF("id", "name")
+    for ((k, nb) <- Seq((3, 4), (2, 6), (5, 1))) {
+      val rows = df.select(col("id"),
+          EntityRes.minhashBands(col("name"), k, nb).as("nat"),
+          EntityRes.minhashBandsHof(col("name"), k, nb).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"id=${r.getInt(0)} k=$k nb=$nb: native ${r.getSeq[String](1)} != HOF ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("minhashBands: deterministic, identity-collides, short-string path") {
     import graft.ops.EntityRes
+    graft.functions.ArrayFns.register(spark)
     val r = spark.range(1).select(
       EntityRes.minhashBands(lit("smith john"), 3, 4).as("a"),
       EntityRes.minhashBands(lit("smith john"), 3, 4).as("b"),
