@@ -247,22 +247,31 @@ object Dedup {
       minJaccard: Double,
       shingleK: Int = 3,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    // NOT persisted: the caller gets a lazy frame, so a persist here
-    // could never be unpersisted and would leak a corpus-shingle-sized
-    // cache per invocation for the session lifetime. Recomputing the
-    // explode (3 linear passes) is noise next to the quadratic join
-    // this audit path exists to pay.
+    // ONE explode, materialized per invocation (localCheckpoint — the
+    // mm_neardup_pairs digest-table discipline): the lazy formulation
+    // this replaced inlined the shingle explode into EVERY consumer —
+    // 8 Generate nodes in the capped plan (cap agg + semi-join + the
+    // two self-join sides + both size joins each re-derived it) plus
+    // a broadcast of the corpus-shingle-sized posting list for the
+    // self-join, which is exactly the relation that must NEVER be
+    // broadcast at 100 TB. Now: the df cap is a window count over the
+    // __sh shuffle (bit-identical keep set — count per shingle,
+    // filter <= cap), the uncapped face repartitions on __sh, and the
+    // checkpoint retains that partitioning, so the self-join runs
+    // exchange-free on co-partitioned inputs and the explode runs
+    // once instead of eight times. Measured at sf0.1:
+    // dedup_jaccard_audit_capped 4.4 -> see OPTIMIZATION_r18.md.
+    // Per-invocation materialization only — recomputed from the
+    // parquet inputs every call, freed with the RDD; never a
+    // cross-run cache.
     val sh0 = df.select(col(idCol),
       explode(array_distinct(shingles(textCol, shingleK))).as("__sh"))
-    val sh = maxDocFreq match {
+    val sh = (maxDocFreq match {
       case Some(cap) =>
-        val kept = sh0.groupBy("__sh").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap).select("__sh")
-        // the using-column semi join moves __sh first; restore the
-        // (id, shingle) order the positional toDF renames below expect
-        sh0.join(kept, Seq("__sh"), "left_semi").select(col(idCol), col("__sh"))
-      case None => sh0
-    }
+        sh0.withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+          .where(col("__df") <= cap).select(col(idCol), col("__sh"))
+      case None => sh0.repartition(col("__sh"))
+    }).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val inter = sh.toDF("id_a", "__sh").join(sh.toDF("id_b", "__sh"), "__sh")
       .where(col("id_a") < col("id_b"))
