@@ -695,10 +695,25 @@ object Dedup {
     * the 8-byte gram key.
     */
   private def duplicatedGrams(pos: DataFrame, idCol: String, minDocs: Int): DataFrame =
-    pos.groupBy("gram_hash")
-      .agg(count_distinct(col(idCol)).as("__nd"))
-      .where(col("__nd") >= minDocs)
-      .select("gram_hash")
+    if (minDocs <= 2) {
+      // "≥ 2 distinct docs" ⟺ min(id) ≠ max(id): min/max partially
+      // aggregate map-side to ONE row per (gram, input partition),
+      // where count_distinct must ship every distinct (gram, id) pair
+      // through the exchange — for the k=30 ExactSubstr family that
+      // is nearly the whole position table (positions ≈ corpus chars;
+      // guide §2.3, aggregate before you shuffle). minDocs ≤ 1 keeps
+      // every gram under both forms (every gram has ≥ 1 doc), so the
+      // cheap branch covers it too. Identical vocabulary set —
+      // span/coverage oracles re-gated hash-exact.
+      pos.groupBy("gram_hash")
+        .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+        .where(if (minDocs == 2) col("__lo") =!= col("__hi") else lit(true))
+        .select("gram_hash")
+    } else
+      pos.groupBy("gram_hash")
+        .agg(count_distinct(col(idCol)).as("__nd"))
+        .where(col("__nd") >= minDocs)
+        .select("gram_hash")
 
   /** Per-document duplicated-span coverage: of the document's k-gram
     * positions, how many carry a gram that also occurs in another
@@ -856,15 +871,26 @@ object Dedup {
       textCol: String,
       k: Int = 30,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // ONE explode + ONE exchange for the whole posting-list build
+    // (the allPairsJaccard r18 discipline): repartition on gram_hash
+    // BEFORE the distinct — HashPartitioning(gram_hash) satisfies the
+    // (gram, id) dedup's clustered distribution AND the df-cap window
+    // AND the self-join, so dedup, cap and join all run on that one
+    // shuffle; the per-invocation localCheckpoint stops every
+    // consumer from re-deriving the positions (the lazy form inlined
+    // explode + distinct into the cap agg, the semi-join and both
+    // self-join sides). The cap keep set is bit-identical: a count
+    // per gram over DISTINCT (gram, id) rows, filter <= cap.
     val grams = kgramPositions(idCol, textCol, k)(df)
-      .select(col(idCol).as("id"), col("gram_hash")).distinct()
-    val kept = maxDocFreq match {
+      .select(col(idCol).as("id"), col("gram_hash"))
+      .repartition(col("gram_hash"))
+      .distinct()
+    val kept = (maxDocFreq match {
       case Some(cap) =>
-        val freq = grams.groupBy("gram_hash").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap).select("gram_hash")
-        grams.join(freq, Seq("gram_hash"), "left_semi")
+        grams.withColumn("__df", count(lit(1)).over(Window.partitionBy("gram_hash")))
+          .where(col("__df") <= cap).select("id", "gram_hash")
       case None => grams
-    }
+    }).localCheckpoint()
     kept.as("a").join(kept.as("b"),
         col("a.gram_hash") === col("b.gram_hash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
