@@ -243,7 +243,13 @@ private[graft] object CorpusQueries {
     "pipeline_train_prep" -> ((s, d) => {
       val scored = TextAnalysis.withQualityScores("text")(doubledDocs(s, d))
       val gated = scored.filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
-      val exact = Dedup.exactDedup("text", "doc_id")(gated)
+      // stage barrier (r18): nearDedup consumes its input ~4× (the
+      // signature pass, both ngramJaccard shingle joins, the final
+      // anti-join) — without the checkpoint each of those re-ran the
+      // whole Gopher battery + exact-dedup window upstream. A
+      // production pipeline writes its gate output between stages;
+      // this is that write, per invocation, never a cross-run cache.
+      val exact = Dedup.exactDedup("text", "doc_id")(gated).localCheckpoint()
       val near = Dedup.nearDedup(exact, "doc_id", "text", threshold = 0.5)
       graft.llm.Sampling.withHashSplit("doc_id")(near)
         .select("doc_id", "n_tokens", "ttr", "split")
@@ -265,15 +271,24 @@ private[graft] object CorpusQueries {
       // Gopher verdict), then applied to the doubled corpus
       val withG = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(base)
       val p = QualityProbe.trainRidge(withG, x1, x2, col("passes_gopher"))
+      // stage barriers (r18): the probe-gated corpus feeds the KN
+      // scorer AND the keep join AND (through keep) the dedup chain,
+      // and nearDedup consumes its input ~4× — lazily each use re-ran
+      // the probe gate (and upstream of it the whole plan); the v2
+      // plan carried 23 Generates / 16 SortMergeJoins of duplicated
+      // subtrees. Each checkpoint is the between-stage write a
+      // production pipeline does anyway, per invocation, never a
+      // cross-run cache.
       val gated = doubledDocs(s, d)
         .withColumn("score_fp",
           floor(QualityProbe.score(p, x1, x2) * lit(1e6) + lit(0.5)).cast("long"))
         .where(QualityProbe.score(p, x1, x2) >= lit(0.5))
+        .localCheckpoint()
       val buckets = LangModel.withKnBuckets(gated,
         base.where(col("doc_id") % 4 === 0), "doc_id", "text")
       val keep = gated.join(
         buckets.where(col("bucket") <= 2).select("doc_id", "bucket"), Seq("doc_id"))
-      val exact = Dedup.exactDedup("text", "doc_id")(keep)
+      val exact = Dedup.exactDedup("text", "doc_id")(keep).localCheckpoint()
       val near = Dedup.nearDedup(exact, "doc_id", "text", threshold = 0.5)
       graft.llm.Sampling.withHashSplit("doc_id")(near)
         .select("doc_id", "score_fp", "bucket", "split")
