@@ -200,6 +200,8 @@ object ArrayFns {
       exprs => CdcMd5Chunks(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinHashBands(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => WordShingles(exprs(0), exprs(1)), "built-in")
   }
 
   private val registeredNames = Seq(
@@ -208,7 +210,7 @@ object ArrayFns {
     "graft_video_meta", "graft_byte_stats", "graft_byte_hist",
     "graft_bloom", "graft_bloom_contains", "graft_cms_estimate",
     "graft_gram_hashes", "graft_nfc", "graft_bpe_encode", "graft_cdc_gear",
-    "graft_cdc_md5", "graft_minhash_bands")
+    "graft_cdc_md5", "graft_minhash_bands", "graft_shingles")
 
   /** Run `body` with the graft functions registered, then drop any
     * that were NOT already present — a library operator resolving its

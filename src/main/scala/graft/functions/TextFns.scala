@@ -226,3 +226,80 @@ case class MinHashBands(child: Expression, shingleK: Expression, numBands: Expre
       newChildren: IndexedSeq[Expression]): MinHashBands =
     copy(child = newChildren(0), shingleK = newChildren(1), numBands = newChildren(2))
 }
+
+/** `graft_shingles(text, k)` → array<string>: the word-shingle builder
+  * ([[graft.llm.Dedup.shinglesOf]]) as ONE native pass — bit-identical
+  * output to the higher-order-function formulation it replaces (a
+  * fold of k−1 `zip_with` frames over `split(text, ' ')` plus a null
+  * filter), which walked interpreted lambda frames per WORD on every
+  * shingle consumer: minhash signatures, the jaccard audits, the
+  * decontam gram scans, the n-gram LM scorers.
+  *
+  * Semantics replicated exactly (pinned by an LlmSpec parity test and
+  * every consumer's DuckDB oracle):
+  *  - words = `split(text, " ")` with trailing empties kept — so a
+  *    shingle window joined with single spaces is EXACTLY the
+  *    original byte span between its first word's start and its last
+  *    word's end (splitting on one char and rejoining with it is the
+  *    identity), and emission is pure byte slicing;
+  *  - fewer than k words (including the empty text's single empty
+  *    word) → ONE whole-text shingle; otherwise n−k+1 windows;
+  *  - NULL text → NULL array.
+  */
+case class WordShingles(child: Expression, shingleK: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = shingleK
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  @transient private lazy val k: Int = shingleK.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, kAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val b = s.getBytes
+    val len = b.length
+    // word j starts after the (j-1)-th space; 0x20 never occurs
+    // inside a multi-byte UTF-8 sequence, so byte scanning is exact
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (b(i) == 0x20) spaces += 1; i += 1 }
+    val n = spaces + 1
+    if (n < k) return new GenericArrayData(Array[Any](s))
+    val starts = new Array[Int](n)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (b(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      val from = starts(j)
+      val until = if (j + k == n) len else starts(j + k) - 1
+      val sh = new Array[Byte](until - from)
+      System.arraycopy(b, from, sh, 0, until - from)
+      out(j) = UTF8String.fromBytes(sh)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles needs a string column, got ${child.dataType.simpleString}")
+    else if (!(shingleK.foldable && shingleK.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure("shingle length must be an integer literal")
+    else if (shingleK.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle length must be >= 1, got ${shingleK.eval(null)}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(child = newLeft, shingleK = newRight)
+}

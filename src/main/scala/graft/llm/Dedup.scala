@@ -81,7 +81,27 @@ object Dedup {
     * NULL text yields one empty gram instead of a NULL array that
     * explodes to nothing and null-poisons `arrays_overlap`).
     */
-  def shinglesOf(text: Column, k: Int = 3): Column = {
+  def shinglesOf(text: Column, k: Int = 3): Column =
+    // ONE native pass ([[graft.functions.WordShingles]]) in place of
+    // the k−1 interpreted zip_with frames below — shingle windows are
+    // byte spans of the original text (split on one char + rejoin
+    // with it is the identity), so emission is pure slicing. Output
+    // is bit-identical (LlmSpec parity pin; every shingle consumer's
+    // oracle hash-gates it). Registration rides the thread's active
+    // session — always set where query plans are built; a missing one
+    // falls back to the reference formulation rather than failing.
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.ArrayFns.register(s)
+        call_function("graft_shingles", text, lit(k))
+      case None => shinglesOfHof(text, k)
+    }
+
+  /** The pre-r18 column formulation of [[shinglesOf]] — kept as the
+    * executable PARITY REFERENCE for the native expression that
+    * replaced it, and as the no-active-session fallback.
+    */
+  private[graft] def shinglesOfHof(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
     val joined = (1 until k).foldLeft(toks: Column) { (acc, off) =>
       zip_with(acc, slice(toks, lit(off + 1), size(toks)), (a, b) => concat(a, lit(" "), b))

@@ -1391,6 +1391,32 @@ class LlmSpec extends SparkSpec {
     assert((d1 & d3).isEmpty)
   }
 
+  test("shinglesOf: native expression == higher-order-function reference, bit-exact") {
+    // edges: double/leading/trailing spaces (empty words are words),
+    // fewer words than k, exactly k, empty text, NULL, multi-byte
+    // chars (byte-level space scan must not split inside a sequence)
+    val df = Seq(
+      "the quick brown fox jumps",
+      "a  b c",          // empty middle word
+      " lead", "trail ", // empty edge words
+      "one two", "x", "",
+      "夏目 漱石 こころ 先生",
+      null
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(col("id"),
+          graft.llm.Dedup.shinglesOf(col("text"), k).as("nat"),
+          graft.llm.Dedup.shinglesOfHof(col("text"), k).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2), s"id=${r.getInt(0)} k=$k null mismatch")
+        if (!r.isNullAt(1))
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"id=${r.getInt(0)} k=$k: native ${r.getSeq[String](1)} != HOF ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("binaryCdcChunks: native expression == higher-order-function reference, bit-exact") {
     // arbitrary bytes spanning the full 0-255 range (not just UTF-8
     // text), plus the window edges: shorter-than-window, exactly
