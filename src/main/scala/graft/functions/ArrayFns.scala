@@ -202,6 +202,8 @@ object ArrayFns {
       exprs => MinHashBands(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_gopher",
+      exprs => GopherSignals(exprs(0), exprs(1)), "built-in")
   }
 
   private val registeredNames = Seq(
@@ -210,7 +212,7 @@ object ArrayFns {
     "graft_video_meta", "graft_byte_stats", "graft_byte_hist",
     "graft_bloom", "graft_bloom_contains", "graft_cms_estimate",
     "graft_gram_hashes", "graft_nfc", "graft_bpe_encode", "graft_cdc_gear",
-    "graft_cdc_md5", "graft_minhash_bands", "graft_shingles")
+    "graft_cdc_md5", "graft_minhash_bands", "graft_shingles", "graft_gopher")
 
   /** Run `body` with the graft functions registered, then drop any
     * that were NOT already present — a library operator resolving its

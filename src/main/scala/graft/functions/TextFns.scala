@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_gram_hashes(text, k)` — the 64-bit hash of EVERY k-length
@@ -302,4 +302,160 @@ case class WordShingles(child: Expression, shingleK: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingles =
     copy(child = newLeft, shingleK = newRight)
+}
+
+/** `graft_gopher(text, stopwords)` → struct of the seven Gopher
+  * signals + `passes_gopher` ([[graft.llm.TextAnalysis
+  * .withGopherSignals]]) in ONE native pass — bit-identical to the
+  * column formulation it replaces, which paid interpreted lambda
+  * frames per WORD (an `aggregate(transform(length))` fold, an
+  * `rlike` regex per word, a distinct+lower+isin chain) plus two
+  * full-text regexp_replace calls per row, on every quality gate in
+  * the repo (the battery itself, the probe teacher pass, the curation
+  * and streaming gates).
+  *
+  * Exact replication notes (pinned by an LlmSpec parity test and the
+  * gated queries' oracles):
+  *  - words = `split(text, " ")` / lines = `split(text, "\n")`, both
+  *    keeping empties — 0x20/0x0A never occur inside a multi-byte
+  *    UTF-8 sequence, so byte scans are exact;
+  *  - word length is CODE POINTS (`length()`), alpha = contains an
+  *    ASCII letter (`rlike("[A-Za-z]")`), stopword presence counts
+  *    DISTINCT lowered words that are stopwords ≡ stopwords with ≥ 1
+  *    lowering word;
+  *  - ellipsis count = non-overlapping leftmost "..." matches (the
+  *    regexp_replace-and-measure construction); bullet/ellipsis line
+  *    tests are first-code-point / suffix byte comparisons;
+  *  - every ratio is the same int→double cast and IEEE divide;
+  *  - NULL text → NULL struct (the column form's null propagation
+  *    through size(split(NULL))).
+  */
+case class GopherSignals(child: Expression, stops: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = stops
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("frac_alpha_words", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("frac_bullet_lines", DoubleType, nullable = false),
+    StructField("frac_ellipsis_lines", DoubleType, nullable = false),
+    StructField("n_stopwords_present", IntegerType, nullable = false),
+    StructField("passes_gopher", BooleanType, nullable = false)))
+  override def prettyName: String = "graft_gopher"
+
+  @transient private lazy val stopwords: Array[UTF8String] = {
+    val arr = stops.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i))
+  }
+
+  override def nullSafeEval(t: Any, swAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val b = s.getBytes
+    val len = b.length
+    val sw = stopwords
+    val seen = new Array[Boolean](sw.length)
+    var nWords = 0
+    var sumWordLen = 0 // Int on purpose: the column form folded with an int accumulator
+    var nAlpha = 0
+    var nHash = 0
+    // one pass over words (split on 0x20, empties kept)
+    var wStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == 0x20) {
+        nWords += 1
+        val word = UTF8String.fromBytes(b, wStart, i - wStart)
+        sumWordLen += word.numChars()
+        var hasAlpha = false
+        var j = wStart
+        while (j < i && !hasAlpha) {
+          val c = b(j)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+          j += 1
+        }
+        if (hasAlpha) nAlpha += 1
+        if (sw.length > 0) {
+          val lowered = word.toLowerCase
+          var k = 0
+          while (k < sw.length) {
+            if (!seen(k) && sw(k) != null && sw(k).equals(lowered)) seen(k) = true
+            k += 1
+          }
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    // '#' chars and non-overlapping leftmost "..." matches
+    i = 0
+    var nEllipsis = 0
+    while (i < len) {
+      if (b(i) == '#') nHash += 1
+      if (b(i) == '.' && i + 2 < len && b(i + 1) == '.' && b(i + 2) == '.') {
+        // skipping the matched dots cannot skip a '#': all three
+        // bytes are '.' by the match condition
+        nEllipsis += 1
+        i += 3
+      } else i += 1
+    }
+    // lines (split on 0x0A, empties kept): bullet first-char, ellipsis suffix
+    var nLines = 0
+    var nBullet = 0
+    var nEllLine = 0
+    var lStart = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || b(i) == 0x0A) {
+        nLines += 1
+        val llen = i - lStart
+        if (llen >= 1) {
+          val c0 = b(lStart)
+          if (c0 == '-' || c0 == '*') nBullet += 1
+          else if (llen >= 3 && (c0 & 0xFF) == 0xE2 &&
+              (b(lStart + 1) & 0xFF) == 0x80 && (b(lStart + 2) & 0xFF) == 0xA2)
+            nBullet += 1 // '•' U+2022
+          if (llen >= 3 && b(i - 1) == '.' && b(i - 2) == '.' && b(i - 3) == '.')
+            nEllLine += 1
+          else if (llen >= 3 && (b(i - 3) & 0xFF) == 0xE2 &&
+              (b(i - 2) & 0xFF) == 0x80 && (b(i - 1) & 0xFF) == 0xA6)
+            nEllLine += 1 // '…' U+2026
+        }
+        lStart = i + 1
+      }
+      i += 1
+    }
+    var nStop = 0
+    var k = 0
+    while (k < seen.length) { if (seen(k)) nStop += 1; k += 1 }
+    val nWordsD = nWords.toDouble
+    val meanWordLen = sumWordLen.toDouble / nWordsD
+    val fracAlpha = nAlpha.toDouble / nWordsD
+    val symbolRatio = (nHash + nEllipsis).toDouble / nWordsD
+    val fracBullet = nBullet.toDouble / nLines.toDouble
+    val fracEll = nEllLine.toDouble / nLines.toDouble
+    val passes = nWords >= 50 && nWords <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio <= 0.1 && fracBullet <= 0.9 && fracEll <= 0.3 &&
+      fracAlpha > 0.8 && nStop >= 2
+    new GenericInternalRow(Array[Any](
+      nWords, meanWordLen, fracAlpha, symbolRatio, fracBullet, fracEll, nStop, passes))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_gopher needs a string column, got ${child.dataType.simpleString}")
+    else if (!(stops.foldable && (stops.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })))
+      TypeCheckResult.TypeCheckFailure("stopwords must be an array<string> literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GopherSignals =
+    copy(child = newLeft, stops = newRight)
 }

@@ -559,6 +559,34 @@ object TextAnalysis {
     // withColumn REPLACES same-named input columns; a silent clobber
     // here would make gopherFilter (which restores the input schema by
     // name) return recomputed values in place of the caller's data
+    val reserved = Seq("__g", "__w", "__lines", "passes_gopher") ++ gopherSignalCols
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"withGopherSignals would clobber input column(s): ${clash.mkString(", ")}")
+    // ONE native pass ([[graft.functions.GopherSignals]]) in place of
+    // the column formulation below (kept as [[withGopherSignalsHof]],
+    // the parity reference) — that form paid interpreted lambda
+    // frames per WORD (length fold, rlike per word, distinct+lower+
+    // isin) plus two full-text regexp_replace calls per row. Output
+    // is bit-identical: LlmSpec pins native == HOF on the edge
+    // fixtures, and every gated consumer hash-gates it.
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      val out = df.withColumn("__g",
+        call_function("graft_gopher", col(textCol), typedLit(stopwords)))
+      (gopherSignalCols :+ "passes_gopher")
+        .foldLeft(out)((d, c) => d.withColumn(c, col(s"__g.$c")))
+        .drop("__g")
+    }
+  }
+
+  /** The pre-r18 column formulation of [[withGopherSignals]] — the
+    * executable PARITY REFERENCE for the native expression that
+    * replaced it, and the readable statement of each signal's
+    * definition.
+    */
+  private[graft] def withGopherSignalsHof(
+      textCol: String,
+      stopwords: Seq[String] = gopherStopwords)(df: DataFrame): DataFrame = {
     val reserved = Seq("__w", "__lines", "passes_gopher") ++ gopherSignalCols
     val clash = df.columns.toSeq.intersect(reserved)
     require(clash.isEmpty,

@@ -1391,6 +1391,39 @@ class LlmSpec extends SparkSpec {
     assert((d1 & d3).isEmpty)
   }
 
+  test("withGopherSignals: native expression == column-formulation reference, bit-exact") {
+    val passing = (1 to 60).map(i => s"word${i % 9} the be to").mkString(" ")
+    val df = Seq(
+      passing,                                   // passes every rule
+      "short doc",                               // n_words fail
+      "- bullet\n* another\n• third\nplain",     // bullet lines
+      "ends...\nalso…\nnot",                     // ellipsis lines
+      "x ## y ... z ...... w",                   // symbols: hashes + ellipses
+      "THE The tHe the",                         // distinct-lower stopword collapse
+      "夏目 漱石 こころ",                          // no-alpha words, multi-byte
+      "a  b \n\n c",                             // empty words/lines
+      "", null
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    val cols = Seq("n_words", "mean_word_len", "frac_alpha_words", "symbol_ratio",
+      "frac_bullet_lines", "frac_ellipsis_lines", "n_stopwords_present", "passes_gopher")
+    val nat = TextAnalysis.withGopherSignals("text")(df)
+      .select("id", cols: _*).collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val hof = TextAnalysis.withGopherSignalsHof("text")(df)
+      .select("id", cols: _*).collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    assert(nat.keySet == hof.keySet)
+    nat.foreach { case (id, v) =>
+      assert(v == hof(id), s"id=$id: native $v != HOF ${hof(id)}")
+    }
+    // and with a CUSTOM stopword list (the probe-teacher call shape)
+    val nat2 = TextAnalysis.withGopherSignals("text", Seq("the", "a"))(df)
+      .select("id", cols: _*).collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    val hof2 = TextAnalysis.withGopherSignalsHof("text", Seq("the", "a"))(df)
+      .select("id", cols: _*).collect().map(r => r.getInt(0) -> r.toSeq).toMap
+    nat2.foreach { case (id, v) =>
+      assert(v == hof2(id), s"id=$id custom stopwords: native $v != HOF ${hof2(id)}")
+    }
+  }
+
   test("shinglesOf: native expression == higher-order-function reference, bit-exact") {
     // edges: double/leading/trailing spaces (empty words are words),
     // fewer words than k, exactly k, empty text, NULL, multi-byte
