@@ -204,6 +204,8 @@ object ArrayFns {
       exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_gopher",
       exprs => GopherSignals(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_quality",
+      exprs => QualityScores(exprs(0), exprs(1)), "built-in")
   }
 
   private val registeredNames = Seq(
@@ -212,7 +214,8 @@ object ArrayFns {
     "graft_video_meta", "graft_byte_stats", "graft_byte_hist",
     "graft_bloom", "graft_bloom_contains", "graft_cms_estimate",
     "graft_gram_hashes", "graft_nfc", "graft_bpe_encode", "graft_cdc_gear",
-    "graft_cdc_md5", "graft_minhash_bands", "graft_shingles", "graft_gopher")
+    "graft_cdc_md5", "graft_minhash_bands", "graft_shingles", "graft_gopher",
+    "graft_quality")
 
   /** Run `body` with the graft functions registered, then drop any
     * that were NOT already present — a library operator resolving its

@@ -459,3 +459,93 @@ case class GopherSignals(child: Expression, stops: Expression)
       newLeft: Expression, newRight: Expression): GopherSignals =
     copy(child = newLeft, stops = newRight)
 }
+
+/** `graft_quality(text, stopwords)` → struct(n_tokens, ttr,
+  * mean_token_len, stopword_ratio, punct_ratio): the round-5 quality
+  * battery ([[graft.llm.TextAnalysis.withQualityScores]]) in ONE
+  * native pass — bit-identical to the column formulation (kept as the
+  * parity reference), which paid an array_distinct + a filter lambda
+  * per token plus a full-text regexp_replace per row. Semantics:
+  * tokens = `split(text, " ")` with empties kept; ttr over DISTINCT
+  * raw tokens (case-sensitive, empties count); stopword matches are
+  * case-sensitive equality; punct chars are the literal class
+  * [.,;:!?]; every ratio is the same int→double cast and IEEE divide
+  * (including the empty text's 0.0/0.0 = NaN punct_ratio); NULL text
+  * → NULL struct.
+  */
+case class QualityScores(child: Expression, stops: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = stops
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("ttr", DoubleType, nullable = false),
+    StructField("mean_token_len", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_quality"
+
+  @transient private lazy val stopwords: Array[UTF8String] = {
+    val arr = stops.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i))
+  }
+
+  override def nullSafeEval(t: Any, swAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val b = s.getBytes
+    val len = b.length
+    val sw = stopwords
+    val distinct = new java.util.HashSet[UTF8String]()
+    var nTokens = 0
+    var nStopTokens = 0
+    var wStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == 0x20) {
+        nTokens += 1
+        val tok = UTF8String.fromBytes(b, wStart, i - wStart)
+        distinct.add(tok)
+        var k = 0
+        var isStop = false
+        while (k < sw.length && !isStop) {
+          if (sw(k) != null && sw(k).equals(tok)) isStop = true
+          k += 1
+        }
+        if (isStop) nStopTokens += 1
+        wStart = i + 1
+      }
+      i += 1
+    }
+    var nPunct = 0
+    i = 0
+    while (i < len) {
+      val c = b(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') nPunct += 1
+      i += 1
+    }
+    val nChars = s.numChars().toDouble
+    val nD = nTokens.toDouble
+    new GenericInternalRow(Array[Any](
+      nTokens,
+      distinct.size.toDouble / nD,
+      (nChars - nD + 1.0) / nD,
+      nStopTokens.toDouble / nD,
+      nPunct.toDouble / nChars))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_quality needs a string column, got ${child.dataType.simpleString}")
+    else if (!(stops.foldable && (stops.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })))
+      TypeCheckResult.TypeCheckFailure("stopwords must be an array<string> literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QualityScores =
+    copy(child = newLeft, stops = newRight)
+}

@@ -97,6 +97,27 @@ object TextAnalysis {
   def withQualityScores(
       textCol: String,
       stopwords: Seq[String] = Seq("the", "a"))(df: DataFrame): DataFrame = {
+    // ONE native pass ([[graft.functions.QualityScores]]) in place of
+    // the column formulation below (kept as [[withQualityScoresHof]],
+    // the parity reference): that form paid an array_distinct + a
+    // filter lambda per token plus a full-text regexp_replace per
+    // row. Bit-identical output — LlmSpec parity pin + the gated
+    // consumers' oracles.
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      val out = df.withColumn("__q",
+        call_function("graft_quality", col(textCol), typedLit(stopwords)))
+      Seq("n_tokens", "ttr", "mean_token_len", "stopword_ratio", "punct_ratio")
+        .foldLeft(out)((d, c) => d.withColumn(c, col(s"__q.$c")))
+        .drop("__q")
+    }
+  }
+
+  /** The pre-r18 column formulation of [[withQualityScores]] — the
+    * executable PARITY REFERENCE for the native expression.
+    */
+  private[graft] def withQualityScoresHof(
+      textCol: String,
+      stopwords: Seq[String] = Seq("the", "a"))(df: DataFrame): DataFrame = {
     val toks = tokens(col(textCol))
     val n = size(toks).cast("double")
     val stops = array(stopwords.map(lit): _*)

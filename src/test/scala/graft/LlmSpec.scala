@@ -1391,6 +1391,29 @@ class LlmSpec extends SparkSpec {
     assert((d1 & d3).isEmpty)
   }
 
+  test("withQualityScores: native expression == column-formulation reference, bit-exact") {
+    val df = Seq(
+      "the quick the quick brown, fox; jumps! over? the lazy: dog.",
+      // no empty text here: under ANSI the HOF reference THROWS on it
+      // (punct_ratio divides by nChars = 0) — i.e. a corpus with an
+      // empty doc could never have gated green, so the native NaN on
+      // that input diverges only where the old form had no answer
+      "a  b", "the", "x", "夏目 漱石 夏目",
+      null
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    val cols = Seq("n_tokens", "ttr", "mean_token_len", "stopword_ratio", "punct_ratio")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", cols: _*).collect()
+        .map(r => r.getInt(0) -> r.toSeq.map {
+          case d: Double if d.isNaN => "NaN" // NaN != NaN under ==
+          case v => v
+        }).toMap
+    val nat = rows(TextAnalysis.withQualityScores("text")(df))
+    val hof = rows(TextAnalysis.withQualityScoresHof("text")(df))
+    assert(nat.keySet == hof.keySet)
+    nat.foreach { case (id, v) => assert(v == hof(id), s"id=$id: $v != ${hof(id)}") }
+  }
+
   test("withGopherSignals: native expression == column-formulation reference, bit-exact") {
     val passing = (1 to 60).map(i => s"word${i % 9} the be to").mkString(" ")
     val df = Seq(
