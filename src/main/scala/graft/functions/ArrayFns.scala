@@ -206,6 +206,8 @@ object ArrayFns {
       exprs => GopherSignals(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_quality",
       exprs => QualityScores(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_words",
+      exprs => CdcWordChunks(exprs(0), exprs(1)), "built-in")
   }
 
   private val registeredNames = Seq(
@@ -215,7 +217,7 @@ object ArrayFns {
     "graft_bloom", "graft_bloom_contains", "graft_cms_estimate",
     "graft_gram_hashes", "graft_nfc", "graft_bpe_encode", "graft_cdc_gear",
     "graft_cdc_md5", "graft_minhash_bands", "graft_shingles", "graft_gopher",
-    "graft_quality")
+    "graft_quality", "graft_cdc_words")
 
   /** Run `body` with the graft functions registered, then drop any
     * that were NOT already present — a library operator resolving its

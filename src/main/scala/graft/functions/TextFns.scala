@@ -549,3 +549,107 @@ case class QualityScores(child: Expression, stops: Expression)
       newLeft: Expression, newRight: Expression): QualityScores =
     copy(child = newLeft, stops = newRight)
 }
+
+/** `graft_cdc_words(text, divisor)` → array<struct<chunk_md5 string,
+  * n_words long>>: word-level content-defined chunking
+  * ([[graft.llm.Dedup.cdcChunks]]) as ONE native loop — bit-identical
+  * to the higher-order-function formulation it replaces (an
+  * interpreted md5Hash60 lambda per WORD, then array_join slices).
+  * Semantics: words are the NON-EMPTY tokens of `split(text, " ")`;
+  * a boundary falls AFTER every word whose 60-bit md5 prefix
+  * ([[graft.llm.Sampling.hashKey]] construction) is ≡ 0 mod divisor;
+  * a chunk is its words joined with single spaces (runs of spaces
+  * collapse — the filtered-token contract), digested with md5 and
+  * emitted as 32 lowercase hex chars with its word count. No words →
+  * empty array; NULL text → NULL (the caller's explode_outer + null
+  * filter drops both).
+  */
+case class CdcWordChunks(child: Expression, divisor: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = divisor
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_md5", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cdc_words"
+
+  @transient private lazy val div: Long = divisor.eval(null).asInstanceOf[Int].toLong
+
+  override def nullSafeEval(t: Any, dAny: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val b = s.getBytes
+    val len = b.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val HEX = "0123456789abcdef".getBytes("US-ASCII")
+    // non-empty word byte ranges
+    val wordFrom = new java.util.ArrayList[Integer]()
+    val wordUntil = new java.util.ArrayList[Integer]()
+    var wStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == 0x20) {
+        if (i > wStart) { wordFrom.add(wStart); wordUntil.add(i) }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    val n = wordFrom.size()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // emit words [s, e) joined with single spaces, md5'd
+    def emit(s0: Int, e0: Int): Unit = {
+      md.reset()
+      var j = s0
+      while (j < e0) {
+        md.update(b, wordFrom.get(j), wordUntil.get(j) - wordFrom.get(j))
+        if (j + 1 < e0) md.update(' '.toByte)
+        j += 1
+      }
+      md.digest(dig, 0, 16)
+      val hexOut = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        val v = dig(k) & 0xFF
+        hexOut(2 * k) = HEX(v >>> 4)
+        hexOut(2 * k + 1) = HEX(v & 0xF)
+        k += 1
+      }
+      out += new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(hexOut), (e0 - s0).toLong))
+    }
+    var start = 0
+    i = 0
+    while (i < n) {
+      // boundary test: 60-bit md5 prefix of the word, mod divisor
+      md.reset()
+      md.update(b, wordFrom.get(i), wordUntil.get(i) - wordFrom.get(i))
+      md.digest(dig, 0, 16)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (dig(k) & 0xFFL); k += 1 }
+      h = (h << 4) | ((dig(7) & 0xF0L) >>> 4)
+      if (h % div == 0L) {
+        emit(start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) emit(start, n)
+    new GenericArrayData(out.toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_words needs a string column, got ${child.dataType.simpleString}")
+    else if (!(divisor.foldable && divisor.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure("divisor must be an integer literal")
+    else if (divisor.eval(null).asInstanceOf[Int] < 2)
+      TypeCheckResult.TypeCheckFailure(s"bad divisor=${divisor.eval(null)}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcWordChunks =
+    copy(child = newLeft, divisor = newRight)
+}

@@ -1057,6 +1057,31 @@ object Dedup {
       idCol: String,
       textCol: String,
       divisor: Int = 8): DataFrame = {
+    // ONE native loop per row ([[graft.functions.CdcWordChunks]]) in
+    // place of the higher-order-function formulation below (kept as
+    // [[cdcChunksHof]], the parity reference) — that paid an
+    // interpreted md5Hash60 lambda per WORD plus array_join slices.
+    // Bit-identical output: LlmSpec parity pin + the CDC consumers'
+    // DuckDB oracles.
+    graft.functions.ArrayFns.scoped(df.sparkSession) {
+      df.select(col(idCol),
+          explode_outer(call_function("graft_cdc_words",
+            col(textCol), lit(divisor))).as("__chunk"))
+        .filter(col("__chunk").isNotNull)
+        .select(col(idCol),
+          col("__chunk.chunk_md5").as("chunk_md5"),
+          col("__chunk.n_words").as("n_words"))
+    }
+  }
+
+  /** The pre-r18 column formulation of [[cdcChunks]] — the executable
+    * PARITY REFERENCE for the native expression that replaced it.
+    */
+  private[graft] def cdcChunksHof(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8): DataFrame = {
     val words = filter(split(col(textCol), " "), w => length(w) > 0)
     df.select(col(idCol), words.as("__w"))
       .withColumn("__n", size(col("__w")))

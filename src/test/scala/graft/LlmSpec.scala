@@ -1391,6 +1391,25 @@ class LlmSpec extends SparkSpec {
     assert((d1 & d3).isEmpty)
   }
 
+  test("cdcChunks: native expression == higher-order-function reference, bit-exact") {
+    def payload(seed: Int, n: Int): String =
+      Seq.tabulate(n)(i => s"w${(i * 31 + seed * 17 + (i * i) % 89) % 57}").mkString(" ")
+    val df = Seq(
+      payload(1, 200), payload(2, 500),
+      "one", "a  b \n c",    // space runs collapse in chunk text
+      "", null
+    ).zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    for (divisor <- Seq(4, 8)) {
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val nat = rows(Dedup.cdcChunks(df, "doc_id", "text", divisor))
+      val hof = rows(Dedup.cdcChunksHof(df, "doc_id", "text", divisor))
+      assert(nat == hof, s"divisor=$divisor: native != HOF reference")
+      assert(nat.nonEmpty)
+    }
+  }
+
   test("withQualityScores: native expression == column-formulation reference, bit-exact") {
     val df = Seq(
       "the quick the quick brown, fox; jumps! over? the lazy: dog.",
