@@ -40,6 +40,9 @@ object Contracts {
     "text_kn_score",          // crossJoin(broadcast(1-row (T, V2) type counts))
     "text_kn_buckets",        // same KN scalar cross + partitions-sized offsets broadcast
     "text_kn_incremental",    // same KN scalar cross, counts read from the delta store
-    "text_kn3_score"          // same KN scalar cross at the trigram order
+    "text_kn3_score",         // same KN scalar cross at the trigram order
+    "text_kn3_incremental",   // same trigram scalar cross, counts from the delta store
+    "text_kn_erase",          // same KN scalar cross, post-erase counts
+    "pipeline_train_prep_v2"  // KN-bucket fluency cut carries the same scalar cross
   )
 }

@@ -1163,9 +1163,13 @@ object Dedup {
     // second corpus-wide HOF pass)
     val chunks = cdcChunks(df, idCol, textCol, divisor)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "≥ 2 distinct docs" ⟺ min(id) ≠ max(id): min/max partially
+    // aggregate map-side to one row per (chunk, partition) where
+    // count_distinct ships every distinct (chunk, id) pair (the
+    // duplicatedGrams r18 rewrite; identical dup set)
     val dup = chunks.groupBy("chunk_md5")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= 2)
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select(col("chunk_md5"), lit(1).as("__dup"))
     val per = chunks.join(dup, Seq("chunk_md5"), "left")
       .groupBy(col(idCol))

@@ -834,9 +834,12 @@ object Multimodal {
       window: Int = 8)(df: DataFrame): DataFrame = {
     val chunks = binaryCdcChunks(binCol, idCol, divisor, window)(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "≥ 2 distinct docs" ⟺ min(id) ≠ max(id) — the duplicatedGrams
+    // r18 rewrite: min/max partially aggregate map-side where
+    // count_distinct ships every distinct (chunk, id) pair
     val dup = chunks.groupBy("chunk_md5")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= 2)
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select(col("chunk_md5"), lit(1).as("__dup"))
     val per = chunks.join(dup, Seq("chunk_md5"), "left")
       .groupBy(col(idCol))
